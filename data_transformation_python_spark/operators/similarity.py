@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; LSH bucketing (random
+hyperplane signs) is the approximate scale path that avoids the full
+cross join at corpus scale.
+
+Determinism contract: embeddings are quantized to integer milli-units
+(``round(double(x) * 1000)``) so dot products and norms are *exact*
+integer arithmetic carried in doubles (well under 2^53); the final
+``dot / sqrt(na*nb)`` is a fixed sequence of correctly-rounded IEEE
+ops on identical inputs → bit-identical across engines (oracle-safe).
+
+Scale posture: the query side is broadcast; the corpus side streams —
+no shuffle at all for top-k against a bounded query set.  For
+corpus×corpus jobs use the LSH variant, which shuffles on small
+bucket keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT_EXPR = "transform({col}, x -> round(CAST(x AS DOUBLE) * 1000))"
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def quantized(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """id, quantized vector, squared norm (exact integers in doubles)."""
+    q = df.select(
+        id_col, F.expr(QUANT_EXPR.format(col=vec_col)).alias("__v")
+    )
+    return q.withColumn("__nrm", F.expr(DOT_EXPR.format(a="__v", b="__v")))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    The (small) query set is broadcast against the corpus — a map-side
+    nested loop per partition, no shuffle; ranking shuffles only the
+    per-query candidate rows.
+    """
+    qn = quantized(df, vec_col, id_col)
+    queries = qn.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qn"),
+    )
+    corpus = qn.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.expr(DOT_EXPR.format(a="__qv", b="__cv"))
+            / F.sqrt(F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "cosine_sim",
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus pairs above a cosine threshold, as a broadcast
+    block-matrix product.
+
+    The corpus is collected once into a numpy matrix and broadcast to
+    executors (exactly how Spark builds a broadcast-hash-join side);
+    each Arrow batch of rows then computes a BLAS ``block × corpusᵀ``
+    product and emits qualifying (id1 < id2) pairs.  Work is
+    O(N²·d / partitions) with no shuffle at all.
+
+    Determinism: quantized components are integers, so every BLAS
+    partial sum is an exact integer < 2^53 — reordering/FMA cannot
+    change the result, and the final /sqrt ops are correctly-rounded
+    IEEE on identical inputs → bit-equal to the SQL oracle.
+
+    Scale: broadcast brute force is right up to corpora that fit in
+    executor memory (~10M×64 floats ≈ 2.5 GB); beyond that, prune
+    candidates first with ``lsh_bucket_candidates`` and verify pairs
+    exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qn = quantized(df, vec_col, id_col).select(F.col(id_col).alias("id"), "__v")
+    # Build the broadcast side (driver-side, like a broadcast join build).
+    rows = qn.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+    nrm = (mat * mat).sum(axis=1)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id_1", T.LongType()),
+            T.StructField("vec_id_2", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def _blocks(batches):
+        c_ids, c_mat, c_nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            b_ids = pdf["id"].to_numpy(dtype=np.int64)
+            block = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            b_nrm = (block * block).sum(axis=1)
+            dots = block @ c_mat.T
+            sims = dots / np.sqrt(np.outer(b_nrm, c_nrm))
+            mask = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            bi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": b_ids[bi],
+                    "vec_id_2": c_ids[ci],
+                    "cosine_sim": sims[bi, ci],
+                }
+            )
+
+    return qn.mapInPandas(_blocks, schema=out_schema)
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket by the sign pattern of ``num_planes``
+    deterministic pseudo-random hyperplanes; pairs sharing a bucket are
+    near-neighbor candidates.
+
+    Hyperplane components are derived from md5 of (plane, dim) so the
+    plan is fully deterministic and reproducible across runs/engines.
+    At scale this replaces the corpus×corpus cross join with a join on
+    bucket keys.
+    """
+    qn = quantized(df, vec_col, id_col)
+    # plane p component for dim d: ±1 by parity of a md5-derived nibble
+    sign_terms = []
+    for p in range(num_planes):
+        comp = (
+            f"aggregate(zip_with(__v, sequence(0, size(__v) - 1),"
+            f" (x, d) -> x * (CASE WHEN (instr('0123456789abcdef',"
+            f" substr(md5(concat('{p}:', CAST(d AS STRING))), 1, 1)) - 1) % 2 = 0"
+            f" THEN 1.0 ELSE -1.0 END)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        sign_terms.append(f"(CASE WHEN {comp} > 0 THEN '1' ELSE '0' END)")
+    bucket = F.expr("concat(" + ", ".join(sign_terms) + ")")
+    bucketed = qn.select(id_col, bucket.alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_id_1"),
+            F.col(f"b.{id_col}").alias("vec_id_2"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Query registry — the engine's verified operator surface.
+
+Every operator from SURVEY.md §2 (plus the large-scale-pipeline
+extensions) registers here as a named query: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, an
+equivalent ANSI-SQL oracle string runnable by DuckDB on the same
+parquet tables.  The driver hash-compares the two at sf=0.01.
+
+Determinism contract (critical for the oracle hash match):
+- All money/measure arithmetic goes through exact DECIMAL types, never
+  floating-point aggregation (double summation order differs between
+  Spark partial aggregates and the oracle → differing low bits).
+- Averages are computed as integer/decimal division with explicit
+  final casts so both engines round identically (no halfway cases).
+- Any LIMIT/top-k orders by a unique tiebreaker.
+- Columns are aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable:
+    """Register a query; ``oracle`` is the DuckDB-SQL twin (or None
+    for non-SQL-expressible ops → driver runs a rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-provided parquet tables.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads as epoch-nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``);
+    convert to TIMESTAMP_NTZ (µs — the data has no sub-µs components).
+    """
+    if name == "events":
+        # The caller may hand us a vanilla session (e.g. the driver's
+        # harness); the flag is runtime-settable, so set it here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def _register_all() -> None:
+    # Import side-effect populates QUERIES/ORACLES.
+    from . import analytics  # noqa: F401
+    from . import framework_semantics  # noqa: F401
+    from . import pipeline_ops  # noqa: F401
+
+
+_registered = False
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    global _registered
+    if not _registered:
+        _register_all()
+        _registered = True
+    return QUERIES
+
+
+def all_oracles() -> dict[str, str]:
+    all_queries()
+    return ORACLES

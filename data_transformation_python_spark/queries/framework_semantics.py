@@ -1,0 +1,370 @@
+"""Framework-semantics query surface — the behaviors the reference
+framework itself *emits* as SQL, re-expressed as verifiable Spark
+plans: silver-layer cleaning + keep-latest dedup (macro, W1/O1),
+incremental watermark predicates (C1), CDC MERGE I/U/D (J2/J3/C4),
+CDC retirement SCD2 (C5), data-quality tests (T1-T4), gold aggregate
+codegen (A2), and $variable substitution (P7).
+
+Each query derives deterministic base/change sets from the ``orders``
+table so the DuckDB oracle can replicate the exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc_retirement import apply_cdc_retirement
+from ..operators.merge import apply_cdc_merge, dedup_keep_latest
+from ..sqlvars import substitute_variables
+from . import load, query
+
+D2 = "decimal(18,2)"
+D4 = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------------
+# silver_clean: cast + normalize + keep-latest dedup window
+# (reference: src/framework/macros.py:148-155 silver_clean macro;
+#  sql/models/silver/example_with_ref.sql.example:14-17 QUALIFY)
+# --------------------------------------------------------------------------
+@query(
+    "q_silver_clean",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       UPPER(TRIM(o_orderpriority)) AS priority,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""",
+)
+def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    latest = dedup_keep_latest(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.upper(F.trim(F.col("o_orderpriority"))).alias("priority"),
+        F.col("o_totalprice").cast(D2).alias("amount"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental time watermark (C1): rows newer than the stored watermark
+# (reference: src/framework/materialization.py:271-276)
+# --------------------------------------------------------------------------
+@query(
+    "q_incremental_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(value AS DECIMAL(18,4)) AS value, ts
+FROM events
+WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+""",
+)
+def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast(D4).alias("value"),
+        "ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE with I/U/D + COALESCE(op,'U') (J3/C4)
+# (reference: src/framework/materialization.py:576-593)
+# --------------------------------------------------------------------------
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+changes AS (
+  SELECT o_orderkey, 'UPDATED' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST('10.00' AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS amount,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'D'
+              WHEN o_orderkey % 15 = 0 THEN NULL
+              ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+j AS (
+  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         CASE WHEN c.o_orderkey IS NOT NULL THEN c.status ELSE b.status END AS status,
+         CASE WHEN c.o_orderkey IS NOT NULL THEN c.amount ELSE b.amount END AS amount,
+         c.o_orderkey IS NOT NULL AS s_present,
+         COALESCE(c.op, 'U') AS op
+  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderkey, status, amount FROM j WHERE NOT (s_present AND op = 'D')
+"""
+
+
+@query("q_cdc_merge", oracle=_MERGE_ORACLE)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast(D2).alias("amount"),
+    )
+    changes = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("UPDATED").alias("status"),
+        (F.col("o_totalprice").cast(D2) + F.lit("10.00").cast(D2))
+        .cast(D2)
+        .alias("amount"),
+        F.when(F.col("o_orderkey") % 20 == 0, "D")
+        .when(F.col("o_orderkey") % 15 == 0, F.lit(None).cast("string"))
+        .otherwise("U")
+        .alias("__CDC_OPERATION"),
+    )
+    return apply_cdc_merge(base, changes, ["o_orderkey"], ts_col=None)
+
+
+# --------------------------------------------------------------------------
+# CDC retirement / SCD2 matrix (C5)
+# (reference: src/framework/cdc_polars.py:87-423;
+#  docs/CDC_RETIREMENT_PATTERN.md:9-66)
+# Exercises: I inserts, U retires+inserts, D/E retire, keep-latest on
+# intra-batch duplicate keys, U-for-unseen-key inserts.
+# --------------------------------------------------------------------------
+_RETIRE_ORACLE = """
+WITH initial AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+         'I' AS cdc_op, TIMESTAMP '2024-01-01 00:00:00' AS cdc_ts
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+batch_raw AS (
+  SELECT o_orderkey, 'UPDATED' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST('10.00' AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS amount,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'D'
+              WHEN o_orderkey % 15 = 0 THEN 'E'
+              ELSE 'U' END AS cdc_op,
+         TIMESTAMP '2024-02-01 00:00:00' AS cdc_ts
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'STALE' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST('99.00' AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS amount,
+         'U' AS cdc_op, TIMESTAMP '2024-01-15 00:00:00' AS cdc_ts
+  FROM orders WHERE o_orderkey % 25 = 0
+  UNION ALL
+  SELECT o_orderkey, 'NEW' AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+         'I' AS cdc_op, TIMESTAMP '2024-02-01 00:00:00' AS cdc_ts
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+),
+batch AS (
+  SELECT * FROM batch_raw
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY cdc_ts DESC) = 1
+),
+retire_keys AS (
+  SELECT DISTINCT o_orderkey FROM batch WHERE cdc_op IN ('U','D','E')
+),
+from_initial AS (
+  SELECT i.o_orderkey, i.status, i.amount, i.cdc_op,
+         CASE WHEN r.o_orderkey IS NOT NULL THEN DATE '2024-03-01' END AS obsolete_day
+  FROM initial i LEFT JOIN retire_keys r ON i.o_orderkey = r.o_orderkey
+),
+new_rows AS (
+  SELECT o_orderkey, status, amount, cdc_op, CAST(NULL AS DATE) AS obsolete_day
+  FROM batch WHERE cdc_op IN ('I','U')
+)
+SELECT o_orderkey, status, amount, cdc_op,
+       obsolete_day IS NULL AS is_active, obsolete_day
+FROM (SELECT * FROM from_initial UNION ALL SELECT * FROM new_rows) t
+"""
+
+
+@query("q_cdc_retirement", oracle=_RETIRE_ORACLE)
+def q_cdc_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    amount = F.col("o_totalprice").cast(D2)
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t15 = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+
+    initial = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        amount.alias("amount"),
+        F.lit("I").alias("__CDC_OPERATION"),
+        t1.alias("__CDC_TIMESTAMP"),
+        F.lit(None).cast("timestamp_ntz").alias("obsolete_date"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("UPDATED").alias("status"),
+        (amount + F.lit("10.00").cast(D2)).cast(D2).alias("amount"),
+        F.when(F.col("o_orderkey") % 20 == 0, "D")
+        .when(F.col("o_orderkey") % 15 == 0, "E")
+        .otherwise("U")
+        .alias("__CDC_OPERATION"),
+        t2.alias("__CDC_TIMESTAMP"),
+    )
+    stale = orders.filter(F.col("o_orderkey") % 25 == 0).select(
+        "o_orderkey",
+        F.lit("STALE").alias("status"),
+        (amount + F.lit("99.00").cast(D2)).cast(D2).alias("amount"),
+        F.lit("U").alias("__CDC_OPERATION"),
+        t15.alias("__CDC_TIMESTAMP"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderkey") % 3 == 0)
+        & (F.col("o_orderkey") % 5 != 0)
+    ).select(
+        "o_orderkey",
+        F.lit("NEW").alias("status"),
+        amount.alias("amount"),
+        F.lit("I").alias("__CDC_OPERATION"),
+        t2.alias("__CDC_TIMESTAMP"),
+    )
+    batch = upd.unionByName(stale).unionByName(inserts)
+    merged = apply_cdc_retirement(
+        initial, batch, ["o_orderkey"], as_of="2024-03-01 00:00:00"
+    )
+    return merged.select(
+        "o_orderkey",
+        "status",
+        "amount",
+        F.col("__CDC_OPERATION").alias("cdc_op"),
+        F.col("obsolete_date").isNull().alias("is_active"),
+        F.col("obsolete_date").cast("date").alias("obsolete_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# data-quality tests T1-T4 as one result set
+# (reference: src/framework/testing.py:30-60, polars_utils.py:158-168)
+# --------------------------------------------------------------------------
+_DQ_ORACLE = """
+SELECT 'unique_l_orderkey_linenumber' AS test_name,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d) AS BIGINT) AS rows_failed
+UNION ALL
+SELECT 'unique_l_orderkey',
+       CAST((SELECT COUNT(*) FROM (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING COUNT(*) > 1) d) AS BIGINT)
+UNION ALL
+SELECT 'not_null_o_custkey',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'accepted_values_o_orderstatus',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F')) AS BIGINT)
+UNION ALL
+SELECT 'range_l_quantity',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+"""
+
+
+@query("q_dq_tests", oracle=_DQ_ORACLE)
+def q_dq_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+
+    def _one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("test_name"), F.col("rows_failed").cast("bigint")
+        )
+
+    uniq2 = _one(
+        "unique_l_orderkey_linenumber",
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("rows_failed")),
+    )
+    uniq1 = _one(
+        "unique_l_orderkey",
+        li.groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("rows_failed")),
+    )
+    notnull = _one(
+        "not_null_o_custkey",
+        orders.filter(F.col("o_custkey").isNull()).agg(
+            F.count(F.lit(1)).alias("rows_failed")
+        ),
+    )
+    accepted = _one(
+        "accepted_values_o_orderstatus",
+        orders.filter(~F.col("o_orderstatus").isin("O", "F")).agg(
+            F.count(F.lit(1)).alias("rows_failed")
+        ),
+    )
+    rng = _one(
+        "range_l_quantity",
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+            F.count(F.lit(1)).alias("rows_failed")
+        ),
+    )
+    return uniq2.unionByName(uniq1).unionByName(notnull).unionByName(accepted).unionByName(rng)
+
+
+# --------------------------------------------------------------------------
+# gold_aggregate macro codegen shape (A2)
+# (reference: src/framework/macros.py:167-196)
+# --------------------------------------------------------------------------
+@query(
+    "q_gold_aggregate",
+    oracle="""
+SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS event_day,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_gold_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("event_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.col("value").cast(D4)).cast(D4).alias("total_value"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# $variable substitution through the real SQL path (P7)
+# (reference: src/framework/executor.py:341-397)
+# --------------------------------------------------------------------------
+_VAR_TEMPLATE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+FROM {table}
+WHERE o_orderdate >= $start_date AND o_totalprice > $min_amount
+  AND o_orderstatus = $status
+"""
+
+
+@query(
+    "q_var_substitution",
+    oracle=_VAR_TEMPLATE.replace("{table}", "orders")
+    .replace("$start_date", "'1997-06-01'")
+    .replace("$min_amount", "150000")
+    .replace("$status", "'O'"),
+)
+def q_var_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v_sub")
+    sql = substitute_variables(
+        _VAR_TEMPLATE.replace("{table}", "orders_v_sub"),
+        {"start_date": "1997-06-01", "min_amount": 150000, "status": "O"},
+    )
+    return spark.sql(sql)

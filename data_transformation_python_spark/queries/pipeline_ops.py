@@ -1,0 +1,270 @@
+"""Large-scale pipeline operator surface: deduplication (exact /
+n-gram Jaccard / MinHash-LSH / SimHash), similarity search over
+embeddings, text analysis, and multimodal plumbing — each verified
+against a DuckDB oracle computing the identical deterministic result.
+
+All hashing is md5-based (identical across engines); all similarity
+math runs on exact quantized integers (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..operators.dedup import simhash_sql
+from . import load, query
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, CAST(COUNT(*) AS BIGINT) AS n_intersect
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_id_1, doc_id_2, n_intersect,
+       CAST(sa.n + sb.n - n_intersect AS BIGINT) AS n_union,
+       CAST(n_intersect AS DOUBLE) / CAST(sa.n + sb.n - n_intersect AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_1
+JOIN sizes sb ON sb.doc_id = doc_id_2
+WHERE CAST(n_intersect AS DOUBLE) / CAST(sa.n + sb.n - n_intersect AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.col("n_intersect").cast("bigint").alias("n_intersect"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        "jaccard",
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding candidates
+# --------------------------------------------------------------------------
+_MINHASH_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sig AS (SELECT doc_id,
+  MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+  MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+  MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+  MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig)
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (same generated SQL, two dialects)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_simhash",
+    oracle=simhash_sql("SELECT doc_id, text FROM documents", bits=16, dialect="duckdb"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_simhash_v")
+    return spark.sql(
+        simhash_sql(
+            "SELECT doc_id, text FROM documents_simhash_v", bits=16, dialect="spark"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search: exact brute-force top-k over quantized embeddings
+# --------------------------------------------------------------------------
+_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v) / sqrt(qn * c.nrm) AS cosine_sim
+  FROM qs CROSS JOIN n c WHERE c.vec_id <> query_id)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_cosine_topk", oracle=_TOPK_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, query_ids=range(10), k=5)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+_NEARDUP_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm) AS cosine_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm) >= CAST(0.4 AS DOUBLE)
+"""
+
+
+@query("sim_embedding_neardup", oracle=_NEARDUP_ORACLE)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# text analysis: token stats + quality score
+# --------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+    * LEAST(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(50.0 AS DOUBLE)) AS quality_score
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# text analysis: language identification heuristic
+# --------------------------------------------------------------------------
+def _ora_score(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '),"
+        f" x -> list_contains([{arr}], x))) AS BIGINT)"
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_ora_score(tx.STOPWORDS["en"])} AS score_en,
+         {_ora_score(tx.STOPWORDS["de"])} AS score_de,
+         {_ora_score(tx.STOPWORDS["es"])} AS score_es
+  FROM documents)
+SELECT doc_id, score_en, score_de, score_es,
+       CASE WHEN score_en >= GREATEST(score_de, score_es) AND score_en > 0 THEN 'en'
+            WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+            WHEN score_es > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted_lang
+FROM s
+"""
+
+
+@query("text_language_id", oracle=_LANGID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# text analysis: document fingerprints
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprints(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# text analysis: corpus token frequencies (top-20)
+# --------------------------------------------------------------------------
+@query(
+    "text_token_freq",
+    oracle="""
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+WHERE tok <> ''
+GROUP BY 1
+ORDER BY freq DESC, token
+LIMIT 20
+""",
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_frequencies(load(spark, sf_dir, "documents"), top_n=20)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing: binary payload + Arrow-batched feature UDF
+# (decoder itself is stubbed — see operators/multimodal.py)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_digest,
+       'image' AS media_kind
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = mm.attach_binary_payload(docs, kind="image")
+    return mm.extract_features(payloads)

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference keeps a lazy connection *pool* to Snowflake
+(reference: src/framework/connection.py:28-318).  In Spark a single
+SparkSession is thread-safe and shared, so the pool collapses to this
+factory: one session, configured for adaptive execution, Arrow
+transfer, and a local warehouse directory.
+
+Scale posture: AQE on (runtime shuffle-partition coalescing + skew-join
+splitting), explicit shuffle partitions sized for the target data,
+UTC session timezone for reproducible timestamp semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) (events.ts) is illegal in vanilla Spark;
+    # read as epoch-nanos long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic decimal semantics for oracle-comparable results.
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "data_transformation_python_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. ``shuffle_partitions`` defaults to the core count —
+    on a real cluster set it to ~2-3× total executor cores instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
