@@ -1,0 +1,154 @@
+"""Column-level lineage extraction + impact analysis.
+
+The reference derives lineage from a sqlglot AST (reference:
+src/framework/parser.py:374-432, utils/lineage.py:10-194).  sqlglot is
+not available in this environment, so lineage is derived from the SQL
+text with a conservative parser that handles the same shapes the
+reference handles (simple SELECT items with optional aliases, function
+wrapping, qualified columns); ``*`` projections and subqueries degrade
+to table-level lineage, explicitly marked.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_SELECT_RE = re.compile(r"\bSELECT\b(.*?)\bFROM\b", re.IGNORECASE | re.DOTALL)
+_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?", re.IGNORECASE)
+_JOIN_RE = re.compile(r"\bJOIN\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?", re.IGNORECASE)
+_ALIAS_RE = re.compile(r"^(.*?)\s+(?:AS\s+)?([A-Za-z_]\w*)$", re.IGNORECASE | re.DOTALL)
+_COLREF_RE = re.compile(r"\b(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\b")
+_FN_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
+
+_SQL_KEYWORDS = {
+    "case", "when", "then", "else", "end", "and", "or", "not", "null", "true",
+    "false", "as", "distinct", "interval", "over", "partition", "by", "order",
+    "rows", "between", "unbounded", "preceding", "following", "current", "row",
+}
+
+
+@dataclass
+class ColumnLineage:
+    """(reference: utils/lineage.py:10-79)"""
+
+    column: str
+    sources: list = field(default_factory=list)  # [(table, column)]
+    transformations: list = field(default_factory=list)  # function names
+
+
+def _split_select_items(select_body: str) -> list[str]:
+    items, depth, cur = [], 0, []
+    for ch in select_body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        items.append(tail)
+    return items
+
+
+def extract_column_lineage(sql: str, default_table: str | None = None) -> list[ColumnLineage]:
+    """Per-SELECT-item (table, column) sources + transformation names
+    (reference: parser.py:374-432)."""
+    m = _SELECT_RE.search(sql)
+    if not m:
+        return []
+    body = m.group(1)
+
+    # alias -> table map from FROM/JOIN clauses
+    aliases: dict[str, str] = {}
+    tables: list[str] = []
+    for rx in (_FROM_RE, _JOIN_RE):
+        for tm in rx.finditer(sql):
+            table, alias = tm.group(1), tm.group(2)
+            tables.append(table)
+            if alias and alias.lower() not in ("on", "where", "group", "order", "left",
+                                               "right", "inner", "outer", "cross", "join"):
+                aliases[alias] = table
+    primary = default_table or (tables[0] if tables else None)
+
+    out: list[ColumnLineage] = []
+    for item in _split_select_items(body):
+        if item == "*" or item.endswith(".*"):
+            out.append(
+                ColumnLineage(column="*", sources=[(primary or "?", "*")],
+                              transformations=["passthrough"])
+            )
+            continue
+        am = _ALIAS_RE.match(item)
+        bare = re.fullmatch(r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)", item.strip())
+        if bare:
+            # unaliased plain column: output name is the column itself
+            expr, alias = item, bare.group(2)
+        elif am and "(" not in am.group(2):
+            expr, alias = am.group(1), am.group(2)
+            if expr.strip().lower().endswith(("as",)):
+                expr, alias = item, item
+        else:
+            expr, alias = item, item
+        fns = [f.lower() for f in _FN_RE.findall(expr) if f.lower() not in _SQL_KEYWORDS]
+        sources = []
+        for qm in _COLREF_RE.finditer(expr):
+            qual, col = qm.group(1), qm.group(2)
+            if col.lower() in _SQL_KEYWORDS or col.lower() in {f.lower() for f in fns}:
+                continue
+            if qual:
+                sources.append((aliases.get(qual, qual), col))
+            else:
+                sources.append((primary or "?", col))
+        # dedup preserving order
+        seen = set()
+        uniq = [s for s in sources if not (s in seen or seen.add(s))]
+        out.append(
+            ColumnLineage(
+                column=alias.strip(), sources=uniq, transformations=sorted(set(fns))
+            )
+        )
+    return out
+
+
+class LineageGraph:
+    """Model-level column lineage with downstream impact closure
+    (reference: utils/lineage.py:116-194)."""
+
+    def __init__(self):
+        # (model, column) -> list[(src_model, src_column)]
+        self.edges: dict[tuple, list] = {}
+
+    def add_model(self, model: str, lineage: list[ColumnLineage]) -> None:
+        for cl in lineage:
+            self.edges[(model, cl.column)] = list(cl.sources)
+
+    def downstream(self, table: str, column: str) -> set:
+        """All (model, column) pairs transitively derived from the
+        given source column (reference: lineage.py:116-137)."""
+        impacted: set[tuple] = set()
+        frontier = {(table, column)}
+        changed = True
+        while changed:
+            changed = False
+            for (model, col), sources in self.edges.items():
+                if (model, col) in impacted:
+                    continue
+                for s in sources:
+                    if s in frontier or s in impacted or s == (table, "*"):
+                        impacted.add((model, col))
+                        changed = True
+                        break
+        return impacted
+
+    def to_dot(self) -> str:
+        lines = ["digraph lineage {", "  rankdir=LR;"]
+        for (model, col), sources in sorted(self.edges.items()):
+            for (st, sc) in sources:
+                lines.append(f'  "{st}.{sc}" -> "{model}.{col}";')
+        lines.append("}")
+        return "\n".join(lines)

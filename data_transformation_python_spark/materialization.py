@@ -1,0 +1,341 @@
+"""Materialization strategies: view / table / temp_table / incremental
+(time, unique_key, append) / CDC merge / CDC retirement.
+
+Spark-first re-expression of the reference strategy hierarchy
+(reference: src/framework/materialization.py:88-690, cdc_polars.py):
+the emitted-DDL approach becomes DataFrame writer plans; MERGE becomes
+the distributed full-outer-join rewrite (operators/merge.py) plus a
+staging-table swap, since plain parquet tables cannot be mutated or
+overwritten while being read.
+
+Scale notes:
+- The staging swap writes the merged table twice (staging → target).
+  On a MERGE-capable catalog (Delta/Iceberg) the same strategies remap
+  to a single ``MERGE INTO``; the strategy interface keeps that door
+  open without changing callers.
+- Incremental time/append only ever process the new slice; watermarks
+  store observed ``max(time_column)`` (not wall clock — fixes the
+  reference's late-data bug, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .operators.cdc_retirement import (
+    OBSOLETE_COL,
+    apply_cdc_retirement,
+    initial_cdc_load,
+)
+from .operators.merge import apply_cdc_merge, merge_upsert
+
+
+def strip_trailing_semicolon(sql: str) -> str:
+    return sql.strip().rstrip(";").strip()
+
+
+class Materialization:
+    name = "base"
+
+    def __init__(self, executor, state=None):
+        self.executor = executor
+        self.spark = executor.spark
+        self.state = state
+
+    def materialize(
+        self, model_name, target_table, select_sql, config, meta, full_refresh=False
+    ) -> dict:
+        raise NotImplementedError
+
+    # -- shared helpers -------------------------------------------------
+    def _select_df(self, select_sql: str) -> DataFrame:
+        return self.spark.sql(select_sql)
+
+    def _overwrite_table(self, target: str, df: DataFrame, partition_by=None) -> int:
+        writer = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(target)
+        return -1  # row count not collected by default (extra job)
+
+    def _swap_in(self, target: str, df: DataFrame, partition_by=None) -> None:
+        """Materialize ``df`` (which may read ``target``) via a staging
+        table, then rewrite target from staging.  Required because
+        vanilla Spark cannot overwrite a parquet table it is reading
+        (self-referential merge plans)."""
+        db, _, tbl = target.rpartition(".")
+        staging = f"{db}.__stg_{tbl}" if db else f"__stg_{tbl}"
+        self._overwrite_table(staging, df, partition_by)
+        try:
+            self._overwrite_table(target, self.spark.table(staging), partition_by)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+    def _ok(self, model_name, target, **extra) -> dict:
+        return {
+            "model": model_name,
+            "target": target,
+            "strategy": self.name,
+            "success": True,
+            **extra,
+        }
+
+
+class ViewMaterialization(Materialization):
+    """CREATE OR REPLACE VIEW (reference: materialization.py:88-130)."""
+
+    name = "view"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        self.spark.sql(f"CREATE OR REPLACE VIEW {target_table} AS {select_sql}")
+        return self._ok(model_name, target_table)
+
+
+class TableMaterialization(Materialization):
+    """Full-refresh table (reference: materialization.py:133-175).
+    ``partition_by`` in config controls the on-disk layout (the Spark
+    answer to Snowflake CLUSTER BY — SURVEY §2.7)."""
+
+    name = "table"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        pb = config.get("partition_by")
+        pb = [p.strip() for p in pb.split("|")] if isinstance(pb, str) and pb else None
+        self._overwrite_table(target_table, self._select_df(select_sql), pb)
+        return self._ok(model_name, target_table)
+
+
+class TempTableMaterialization(Materialization):
+    """Session-scoped temp view (reference: materialization.py:462-504;
+    matches Snowflake TEMPORARY TABLE session scoping — SURVEY §7)."""
+
+    name = "temp_table"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        view_name = target_table.split(".")[-1]
+        self._select_df(select_sql).createOrReplaceTempView(view_name)
+        return self._ok(model_name, view_name)
+
+
+class IncrementalMaterialization(Materialization):
+    """Incremental strategies (reference: materialization.py:211-446):
+
+    - ``time``: first run = full build; later runs append only rows
+      with ``time_column`` greater than the stored watermark; the new
+      watermark is the observed data max.
+    - ``unique_key``: later runs MERGE (upsert) on the key.
+    - ``append``: later runs blind-append.
+    """
+
+    name = "incremental"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        strategy = config.get("incremental_strategy", "append")
+        exists = self.executor.table_exists(target_table)
+        if full_refresh or not exists:
+            self._overwrite_table(target_table, self._select_df(select_sql))
+            if strategy == "time":
+                self._store_watermark(model_name, target_table, config)
+            return self._ok(
+                model_name, target_table, incremental_strategy=strategy, initial=True
+            )
+
+        if strategy == "time":
+            return self._time_incremental(model_name, target_table, select_sql, config)
+        if strategy == "unique_key":
+            return self._unique_key_incremental(
+                model_name, target_table, select_sql, config
+            )
+        return self._append_incremental(model_name, target_table, select_sql, config)
+
+    # -- time (reference: materialization.py:211-312, C1) --------------
+    def _watermark_key(self):
+        return "last_processed_time"
+
+    def _store_watermark(self, model_name, target_table, config):
+        tc = config.get("time_column")
+        if not tc or self.state is None:
+            return
+        row = self.spark.table(target_table).selectExpr(
+            f"max({tc}) AS wm"
+        ).first()
+        if row and row["wm"] is not None:
+            self.state.set_incremental_state(
+                model_name, self._watermark_key(), str(row["wm"])
+            )
+            self.state.save()
+
+    def _time_incremental(self, model_name, target_table, select_sql, config):
+        tc = config.get("time_column")
+        if not tc:
+            raise ValueError("time incremental requires config time_column")
+        wm = None
+        if self.state is not None:
+            wm = self.state.get_incremental_state(model_name, self._watermark_key())
+        if wm is None:
+            # fall back to the target's own max (reference:
+            # materialization.py:263-268, A6)
+            row = self.spark.table(target_table).selectExpr(f"max({tc}) AS wm").first()
+            wm = str(row["wm"]) if row and row["wm"] is not None else None
+        delta = self._select_df(select_sql)
+        if wm is not None:
+            # watermark predicate injection (P4) on the DataFrame plan —
+            # pushed down by Catalyst to the source scan
+            delta = delta.filter(f"{tc} > '{wm}'")
+        delta.write.mode("append").format("parquet").saveAsTable(target_table)
+        self._store_watermark(model_name, target_table, config)
+        return self._ok(
+            model_name, target_table, incremental_strategy="time", watermark=wm
+        )
+
+    # -- unique_key (reference: materialization.py:314-389, C2/J2) -----
+    def _unique_key_incremental(self, model_name, target_table, select_sql, config):
+        key = config.get("unique_key")
+        if not key:
+            raise ValueError("unique_key incremental requires config unique_key")
+        keys = [k.strip() for k in key.split("|")]
+        target = self.spark.table(target_table)
+        source = self._select_df(select_sql)
+        merged = merge_upsert(target, source, keys)
+        self._swap_in(target_table, merged)
+        return self._ok(
+            model_name, target_table, incremental_strategy="unique_key", keys=keys
+        )
+
+    # -- append (reference: materialization.py:391-446, C3/S9) ---------
+    def _append_incremental(self, model_name, target_table, select_sql, config):
+        self._select_df(select_sql).write.mode("append").format("parquet").saveAsTable(
+            target_table
+        )
+        return self._ok(model_name, target_table, incremental_strategy="append")
+
+
+class CDCMaterialization(Materialization):
+    """CDC I/U/D merge (reference: materialization.py:507-615, C4/J3):
+    first run loads the batch as the initial table (CDC metadata
+    dropped); later runs apply the op-coded batch via the distributed
+    merge rewrite."""
+
+    name = "cdc"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        cdc_meta = meta.get("cdc") or {}
+        op_col = config.get("change_type_column") or cdc_meta.get(
+            "change_type_column", "__CDC_OPERATION"
+        )
+        ts_col = cdc_meta.get("timestamp_column", "__CDC_TIMESTAMP")
+        key = config.get("unique_key") or cdc_meta.get("unique_key")
+        if not key:
+            raise ValueError("cdc materialization requires unique_key")
+        keys = [k.strip() for k in key.split("|")]
+        batch = self._select_df(select_sql)
+        exists = self.executor.table_exists(target_table)
+        if full_refresh or not exists:
+            drop = [c for c in (op_col, ts_col) if c in batch.columns]
+            self._overwrite_table(target_table, batch.drop(*drop))
+            return self._ok(model_name, target_table, initial=True)
+        target = self.spark.table(target_table)
+        merged = apply_cdc_merge(
+            target,
+            batch,
+            keys,
+            op_col=op_col,
+            ts_col=ts_col if ts_col in batch.columns else None,
+        )
+        self._swap_in(target_table, merged)
+        return self._ok(model_name, target_table, keys=keys)
+
+
+class CDCRetirementMaterialization(Materialization):
+    """SCD2 retirement CDC (reference: cdc_polars.py:87-445, C5):
+    retired history preserved with ``obsolete_date``; the whole batch
+    is one distributed job (operators/cdc_retirement.py)."""
+
+    name = "cdc_retirement"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        cdc_meta = meta.get("cdc") or {}
+        op_col = config.get("change_type_column") or cdc_meta.get(
+            "change_type_column", "__CDC_OPERATION"
+        )
+        ts_col = cdc_meta.get("timestamp_column", "__CDC_TIMESTAMP")
+        key = config.get("unique_key") or cdc_meta.get("unique_key")
+        if not key:
+            raise ValueError("cdc_retirement materialization requires unique_key")
+        keys = [k.strip() for k in key.split("|")]
+        batch = self._select_df(select_sql)
+        exists = self.executor.table_exists(target_table)
+        if full_refresh or not exists:
+            initial = initial_cdc_load(batch, keys, op_col=op_col, ts_col=ts_col)
+            # active-flag partitioning keeps the active slice prunable
+            self._overwrite_table(target_table, initial)
+            return self._ok(model_name, target_table, initial=True)
+        target = self.spark.table(target_table)
+        merged = apply_cdc_retirement(
+            target, batch, keys, op_col=op_col, ts_col=ts_col
+        )
+        self._swap_in(target_table, merged)
+        from .operators.cdc_retirement import batch_stats
+
+        return self._ok(
+            model_name, target_table, stats=batch_stats(batch, op_col=op_col)
+        )
+
+
+class MaterializationStrategyFactory:
+    """(reference: materialization.py:636-690)"""
+
+    _STRATEGIES = {
+        "view": ViewMaterialization,
+        "table": TableMaterialization,
+        "temp_table": TempTableMaterialization,
+        "incremental": IncrementalMaterialization,
+        "cdc": CDCMaterialization,
+        "cdc_retirement": CDCRetirementMaterialization,
+    }
+
+    @classmethod
+    def create(cls, materialized: str, executor, state=None) -> Materialization:
+        strategy = cls._STRATEGIES.get(materialized)
+        if strategy is None:
+            raise ValueError(
+                f"Unknown materialization {materialized!r}; "
+                f"expected one of {sorted(cls._STRATEGIES)}"
+            )
+        return strategy(executor, state)
+
+
+class Materializer:
+    """Dispatch per model config (reference: materialization.py:721-759).
+    Default materialization is ``view`` like the reference."""
+
+    def __init__(self, executor, state=None):
+        self.executor = executor
+        self.state = state
+
+    def materialize(
+        self, model_name, target_table, select_sql, config, meta, full_refresh=False
+    ) -> dict:
+        materialized = (config or {}).get("materialized", "view")
+        strategy = MaterializationStrategyFactory.create(
+            materialized, self.executor, self.state
+        )
+        return strategy.materialize(
+            model_name, target_table, select_sql, config or {}, meta or {}, full_refresh
+        )
+
+
+# Retain the OBSOLETE_COL export for callers inspecting CDC tables.
+__all__ = [
+    "Materialization",
+    "ViewMaterialization",
+    "TableMaterialization",
+    "TempTableMaterialization",
+    "IncrementalMaterialization",
+    "CDCMaterialization",
+    "CDCRetirementMaterialization",
+    "MaterializationStrategyFactory",
+    "Materializer",
+    "OBSOLETE_COL",
+    "strip_trailing_semicolon",
+]

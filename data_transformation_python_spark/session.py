@@ -39,12 +39,19 @@ def get_spark(
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict | None = None,
+    enable_hive: bool = True,
 ) -> SparkSession:
     """Build (or fetch) the shared SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
     ``local[*]``. ``shuffle_partitions`` defaults to the core count —
     on a real cluster set it to ~2-3× total executor cores instead.
+
+    Hive support (Derby metastore next to the warehouse dir) is
+    enabled by default so catalog tables persist across CLI
+    invocations — the framework equivalent of a warehouse's persistent
+    catalog; falls back to the in-memory catalog when Hive classes are
+    unavailable.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
@@ -52,14 +59,29 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
-    builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in _DEFAULTS.items():
-        builder = builder.config(k, v)
-    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    if warehouse_dir:
-        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, str(v))
-    spark = builder.getOrCreate()
+    def _build(with_hive: bool) -> SparkSession:
+        builder = SparkSession.builder.appName(app_name).master(master)
+        for k, v in _DEFAULTS.items():
+            builder = builder.config(k, v)
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+        if warehouse_dir:
+            builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+            derby_home = os.path.dirname(os.path.abspath(warehouse_dir)) or "."
+            builder = builder.config(
+                "spark.driver.extraJavaOptions",
+                f"-Dderby.system.home={derby_home}",
+            )
+        for k, v in (extra_conf or {}).items():
+            builder = builder.config(k, str(v))
+        if with_hive:
+            builder = builder.enableHiveSupport()
+        return builder.getOrCreate()
+
+    try:
+        spark = _build(enable_hive)
+    except Exception:
+        spark = _build(False)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,130 @@
+"""Data-quality tests: unique / not_null / accepted_values / range +
+custom SQL tests.
+
+Port of the reference test runner (reference: src/framework/
+testing.py:16-149, polars_utils.py:158-377) executed as Spark
+DataFrame aggregations — each test is one distributed count, no row
+collection.  The documented-but-unimplemented custom SQL test
+convention (reference: sql/tests/README.md, SURVEY §2.11 T6) is
+implemented here: every ``tests/*.sql`` file must return a single
+``failed_rows`` count; 0 passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TestResult:
+    """(reference: testing.py:16-24)"""
+
+    model: str
+    test_name: str
+    column: str | None
+    passed: bool
+    rows_failed: int = 0
+    error: str | None = None
+
+
+class TestRunner:
+    def __init__(self, executor, registry=None, tests_dir: str | Path | None = None):
+        self.executor = executor
+        self.spark = executor.spark
+        self.registry = registry
+        self.tests_dir = Path(tests_dir) if tests_dir else None
+
+    # -- builtin tests (T1-T4) -----------------------------------------
+    def test_unique(self, table: str, column: str) -> int:
+        """duplicate-group count (reference: testing.py:30-41)."""
+        return (
+            self.spark.table(table)
+            .groupBy(column)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+
+    def test_not_null(self, table: str, column: str) -> int:
+        """(reference: testing.py:43-50)"""
+        return self.spark.table(table).filter(F.col(column).isNull()).count()
+
+    def test_accepted_values(self, table: str, column: str, values: list) -> int:
+        """(reference: testing.py:52-60).  NULLs are not counted,
+        matching SQL ``NOT IN`` three-valued logic."""
+        return self.spark.table(table).filter(~F.col(column).isin(values)).count()
+
+    def test_range(self, table: str, column: str, min_value=None, max_value=None) -> int:
+        """(reference: polars_utils.py:158-168 — Polars-only twin)"""
+        df = self.spark.table(table)
+        cond = F.lit(False)
+        if min_value is not None:
+            cond = cond | (F.col(column) < min_value)
+        if max_value is not None:
+            cond = cond | (F.col(column) > max_value)
+        return df.filter(cond).count()
+
+    # -- runner (reference: testing.py:63-149) -------------------------
+    def _run_one(self, model: str, table: str, column: str | None, test) -> TestResult:
+        try:
+            if isinstance(test, str):
+                tname, params = test, {}
+            else:
+                tname, params = next(iter(test.items()))
+                params = params or {}
+            if tname == "unique":
+                failed = self.test_unique(table, column)
+            elif tname == "not_null":
+                failed = self.test_not_null(table, column)
+            elif tname == "accepted_values":
+                failed = self.test_accepted_values(
+                    table, column, params.get("values") or []
+                )
+            elif tname == "range":
+                failed = self.test_range(
+                    table, column, params.get("min"), params.get("max")
+                )
+            else:
+                return TestResult(
+                    model, tname, column, False, error=f"unknown test {tname!r}"
+                )
+            return TestResult(model, tname, column, failed == 0, rows_failed=failed)
+        except Exception as e:
+            return TestResult(
+                model, str(test), column, False, error=str(e).split("\n")[0]
+            )
+
+    def run_model_tests(self, model: str, table: str) -> list[TestResult]:
+        """All schema.yml-declared tests for one model."""
+        results: list[TestResult] = []
+        cfg = self.registry.get(model) if self.registry else None
+        if cfg is None:
+            return results
+        for test in cfg.tests:
+            results.append(self._run_one(model, table, None, test))
+        for cname, col in cfg.columns.items():
+            for test in col.tests:
+                results.append(self._run_one(model, table, cname, test))
+        return results
+
+    # -- custom SQL tests (T6 — implemented here) ----------------------
+    def run_custom_sql_tests(self, variables: dict | None = None) -> list[TestResult]:
+        results: list[TestResult] = []
+        if not self.tests_dir or not self.tests_dir.exists():
+            return results
+        for f in sorted(self.tests_dir.glob("*.sql")):
+            try:
+                rows = self.executor.execute_query(f.read_text(), variables)
+                first = list(rows[0].values())[0] if rows else 0
+                failed = int(first or 0)
+                results.append(
+                    TestResult("custom", f.stem, None, failed == 0, rows_failed=failed)
+                )
+            except Exception as e:
+                results.append(
+                    TestResult("custom", f.stem, None, False, error=str(e).split("\n")[0])
+                )
+        return results

@@ -1,0 +1,65 @@
+"""CLI verb tests over a tmp copy of the example project (read-only
+verbs + dry-run; execution verbs are covered by the e2e suite)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from click.testing import CliRunner
+
+from data_transformation_python_spark.cli import _parse_vars, cli
+
+EXAMPLE = "/root/repo/example_project"
+
+
+@pytest.fixture()
+def proj(tmp_path):
+    dst = tmp_path / "proj"
+    shutil.copytree(EXAMPLE, dst)
+    return str(dst)
+
+
+def test_parse_vars():
+    assert _parse_vars("a=1,b=2.5,c=x,d=-3") == {"a": 1, "b": 2.5, "c": "x", "d": -3}
+    assert _parse_vars(None) == {}
+
+
+def test_cli_list(proj):
+    r = CliRunner().invoke(cli, ["--project-dir", proj, "list"])
+    assert r.exit_code == 0, r.output
+    assert "silver_orders" in r.output
+    assert "materialized=incremental" in r.output
+
+
+def test_cli_deps(proj):
+    r = CliRunner().invoke(cli, ["--project-dir", proj, "deps", "gold_daily_revenue"])
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    assert set(out["dependencies"]) == {"silver_orders", "bronze_orders"}
+
+
+def test_cli_deps_topo(proj):
+    r = CliRunner().invoke(cli, ["--project-dir", proj, "deps"])
+    levels = json.loads(r.output)
+    flat = [m for lv in levels for m in lv]
+    assert flat.index("bronze_orders") < flat.index("silver_orders") < flat.index(
+        "gold_daily_revenue"
+    )
+
+
+def test_cli_plan_fresh_project_creates_all(proj):
+    r = CliRunner().invoke(cli, ["--project-dir", proj, "plan"])
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    assert out["summary"]["create"] == 5
+    assert out["summary"]["no_change"] == 0
+
+
+def test_cli_lineage(proj):
+    r = CliRunner().invoke(cli, ["--project-dir", proj, "lineage", "silver_orders"])
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    cols = {c["column"] for c in out["silver_orders"]}
+    assert "amount" in cols and "status" in cols

@@ -1,0 +1,182 @@
+"""Unit coverage for the remaining framework pieces: $variable
+substitution, backfill slicing, the polling watcher, column lineage,
+result formatting, and config env-var substitution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_transformation_python_spark.backfill import BackfillExecutor
+from data_transformation_python_spark.config import (
+    SourceRegistry,
+    substitute_env_vars,
+)
+from data_transformation_python_spark.formatter import ResultFormatter
+from data_transformation_python_spark.lineage import (
+    LineageGraph,
+    extract_column_lineage,
+)
+from data_transformation_python_spark.sqlvars import (
+    MissingVariableError,
+    format_literal,
+    substitute_variables,
+)
+from data_transformation_python_spark.watcher import ModelWatcher
+
+
+# -- sqlvars (reference: executor.py:341-397, cdc_polars.py:572-585) ---
+def test_literal_encodings():
+    assert format_literal(None) == "NULL"
+    assert format_literal(True) == "TRUE"
+    assert format_literal(False) == "FALSE"
+    assert format_literal(42) == "42"
+    assert format_literal(2.5) == "2.5"
+    assert format_literal("o'brien") == "'o''brien'"
+    assert format_literal(dt.date(2024, 1, 2)) == "'2024-01-02'"
+    assert format_literal(dt.datetime(2024, 1, 2, 3, 4, 5)) == "'2024-01-02 03:04:05'"
+
+
+def test_substitution_single_pass_and_strict():
+    sql = "SELECT * FROM t WHERE a > $x AND b = $name"
+    out = substitute_variables(sql, {"x": 10, "name": "it's"})
+    assert out == "SELECT * FROM t WHERE a > 10 AND b = 'it''s'"
+    with pytest.raises(MissingVariableError):
+        substitute_variables(sql, {"x": 1})
+    # non-strict leaves unknowns in place
+    assert "$name" in substitute_variables(sql, {"x": 1}, strict=False)
+
+
+# -- config ------------------------------------------------------------
+def test_env_var_substitution(monkeypatch):
+    monkeypatch.setenv("MY_DB", "prod_db")
+    assert substitute_env_vars("db: ${MY_DB}") == "db: prod_db"
+    assert substitute_env_vars("db: ${UNSET_X:-fallback}") == "db: fallback"
+    with pytest.raises(KeyError):
+        substitute_env_vars("db: ${UNSET_NO_DEFAULT}")
+
+
+def test_source_registry_identifier_and_path():
+    reg = SourceRegistry(
+        {
+            "sources": {
+                "raw": {
+                    "database": "lake",
+                    "schema": "bronze",
+                    "tables": {
+                        "orders": {},
+                        "events": {"path": "/data/events", "format": "json"},
+                        "named": {"identifier": "x.y.z"},
+                    },
+                }
+            }
+        }
+    )
+    assert reg.get("raw", "orders").identifier == "lake.bronze.orders"
+    assert reg.get("raw", "events").path == "/data/events"
+    assert reg.get("raw", "named").identifier == "x.y.z"
+    with pytest.raises(KeyError):
+        reg.get("raw", "nope")
+
+
+# -- backfill (reference: backfill.py:15-85) ---------------------------
+def test_backfill_slices():
+    s = BackfillExecutor.date_slices("2024-01-01", "2024-01-10", 4)
+    assert s == [
+        ("2024-01-01", "2024-01-04"),
+        ("2024-01-05", "2024-01-08"),
+        ("2024-01-09", "2024-01-10"),
+    ]
+    assert BackfillExecutor.date_slices("2024-01-01", "2024-01-01", 7) == [
+        ("2024-01-01", "2024-01-01")
+    ]
+
+
+def test_backfill_passes_vars_per_slice():
+    calls = []
+
+    class FakeMX:
+        fail_fast = False
+
+        def execute_model(self, model, variables=None, dry_run=False):
+            calls.append(variables)
+            return {"model": model, "success": True}
+
+    res = BackfillExecutor(FakeMX()).backfill_date_range(
+        "m", "2024-01-01", "2024-01-03", 2, variables={"region": "eu"}
+    )
+    assert len(res) == 2
+    assert calls[0]["start_date"] == "2024-01-01"
+    assert calls[0]["end_date"] == "2024-01-02"
+    assert calls[1]["start_date"] == "2024-01-03"
+    assert all(c["region"] == "eu" for c in calls)
+
+
+# -- watcher (reference: watcher.py:19-148) ----------------------------
+def test_watcher_poll_events(tmp_path):
+    events = []
+    w = ModelWatcher(tmp_path, lambda ev, p: events.append((ev, p.name)))
+    w.poll_once()  # establish baseline
+    f = tmp_path / "m.sql"
+    f.write_text("SELECT 1")
+    assert ("created", "m.sql") in [e for e in w.poll_once()] or (
+        "created",
+        "m.sql",
+    ) in events
+    import os
+
+    os.utime(f, (0, 0))
+    w.poll_once()
+    assert ("modified", "m.sql") in events
+    f.unlink()
+    w.poll_once()
+    assert ("deleted", "m.sql") in events
+    # non-watched suffixes ignored
+    (tmp_path / "notes.txt").write_text("x")
+    n = len(events)
+    w.poll_once()
+    assert len(events) == n
+
+
+# -- lineage (reference: parser.py:374-432, utils/lineage.py) ----------
+def test_column_lineage_simple():
+    sql = """
+    SELECT o.order_id AS id,
+           UPPER(TRIM(c.name)) AS customer_name,
+           o.amount
+    FROM orders o JOIN customers c ON o.customer_id = c.customer_id
+    """
+    lin = {cl.column: cl for cl in extract_column_lineage(sql)}
+    assert ("orders", "order_id") in lin["id"].sources
+    assert ("customers", "name") in lin["customer_name"].sources
+    assert "upper" in lin["customer_name"].transformations
+    assert ("orders", "amount") in lin["amount"].sources
+
+
+def test_lineage_impact_closure():
+    lg = LineageGraph()
+    lg.add_model(
+        "silver",
+        extract_column_lineage("SELECT amount AS amt FROM orders"),
+    )
+    lg.add_model(
+        "gold",
+        extract_column_lineage("SELECT SUM(amt) AS total FROM silver"),
+    )
+    impacted = lg.downstream("orders", "amount")
+    assert ("silver", "amt") in impacted
+    assert ("gold", "total") in impacted
+
+
+# -- formatter (reference: executor.py:455-514, S13) -------------------
+def test_formatter_outputs():
+    rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    js = ResultFormatter.format(rows, "json")
+    assert '"a": 1' in js
+    csv_out = ResultFormatter.format(rows, "csv")
+    assert csv_out.splitlines()[0] == "a,b"
+    tbl = ResultFormatter.format(rows, "table")
+    assert "| a " in tbl and "| 2 " in tbl
+    assert ResultFormatter.format([], "table") == "(no rows)"
+    assert len(ResultFormatter.format(rows, "csv", limit=1).splitlines()) == 2

@@ -1,0 +1,258 @@
+"""Materialization-semantics tests: each strategy's initial-load vs
+second-run behavior, including the time-incremental watermark path
+with genuinely new data and the CDC retirement matrix from the
+reference's pattern spec (reference: docs/CDC_RETIREMENT_PATTERN.md:9-66)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from data_transformation_python_spark.config import ProjectConfig, SourceRegistry
+from data_transformation_python_spark.executor import ModelExecutor, SparkExecutor
+from data_transformation_python_spark.parser import SQLParser
+from data_transformation_python_spark.state import create_state_manager
+
+
+@pytest.fixture()
+def stack(tmp_path, spark):
+    """Synthetic project: models dir + file-backed source the tests
+    can rewrite between runs."""
+    db = f"mat_{uuid.uuid4().hex[:8]}"
+    (tmp_path / "models").mkdir()
+    src_dir = tmp_path / "src_events"
+    config = ProjectConfig(project_dir=tmp_path, database=db)
+    config.sources = SourceRegistry(
+        {
+            "sources": {
+                "raw": {
+                    "tables": {
+                        "feed": {"path": str(src_dir), "format": "parquet"}
+                    }
+                }
+            }
+        }
+    )
+    parser = SQLParser(config.models_dir)
+    state = create_state_manager(config.state_dir, "dev")
+    ex = SparkExecutor(spark, database=db)
+    mx = ModelExecutor(ex, parser, config, state)
+    yield {
+        "spark": spark,
+        "db": db,
+        "models": config.models_dir,
+        "src": src_dir,
+        "mx": mx,
+        "state": state,
+        "parser": parser,
+    }
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _write_model(stack, name, body):
+    (stack["models"] / f"{name}.sql").write_text(body)
+    stack["parser"].invalidate_cache()
+    stack["mx"]._file_cache.pop(name, None)
+
+
+def _write_source(stack, rows, schema, mode="overwrite"):
+    df = stack["spark"].createDataFrame(rows, schema)
+    df.coalesce(1).write.mode(mode).parquet(str(stack["src"]))
+    stack["spark"].sql(f"REFRESH TABLE {stack['db']}.__src_raw_feed") if (
+        stack["spark"].catalog.tableExists(f"{stack['db']}.__src_raw_feed")
+    ) else None
+
+
+def test_view_and_table_and_temp(stack):
+    _write_source(
+        stack,
+        [(1, "a"), (2, "b")],
+        "id bigint, v string",
+    )
+    _write_model(stack, "v_model", "-- config: materialized=view\nSELECT * FROM {{ source('raw','feed') }}")
+    _write_model(stack, "t_model", "-- config: materialized=table\nSELECT id, upper(v) AS v FROM {{ ref('v_model') }}")
+    _write_model(stack, "tmp_model", "-- config: materialized=temp_table\nSELECT COUNT(*) AS n FROM {{ ref('t_model') }}")
+    for m in ("v_model", "t_model", "tmp_model"):
+        r = stack["mx"].execute_model(m)
+        assert r["success"], r
+    spark, db = stack["spark"], stack["db"]
+    assert spark.table(f"{db}.t_model").count() == 2
+    assert [r.v for r in spark.table(f"{db}.t_model").orderBy("id").collect()] == ["A", "B"]
+    # temp view is session-scoped, unqualified
+    assert spark.table("tmp_model").first()["n"] == 2
+
+
+def test_time_incremental_appends_only_new_rows(stack):
+    spark, db = stack["spark"], stack["db"]
+    _write_source(
+        stack,
+        [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-02 10:00:00", 6.0)],
+        "id bigint, ts string, v double",
+    )
+    _write_model(
+        stack,
+        "inc_time",
+        "-- config: materialized=incremental, incremental_strategy=time, time_column=ts\n"
+        "SELECT id, CAST(ts AS TIMESTAMP_NTZ) AS ts, v FROM {{ source('raw','feed') }}",
+    )
+    r1 = stack["mx"].execute_model("inc_time")
+    assert r1["success"] and r1.get("initial")
+    assert spark.table(f"{db}.inc_time").count() == 2
+    # watermark recorded as data max, not wall clock
+    wm = stack["state"].get_incremental_state("inc_time", "last_processed_time")
+    assert wm == "2024-01-02 10:00:00"
+
+    # second batch: one old (skipped), one new (appended)
+    _write_source(
+        stack,
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (2, "2024-01-02 10:00:00", 6.0),
+            (3, "2024-01-03 10:00:00", 7.0),
+        ],
+        "id bigint, ts string, v double",
+    )
+    r2 = stack["mx"].execute_model("inc_time")
+    assert r2["success"] and r2.get("watermark") == "2024-01-02 10:00:00"
+    out = spark.table(f"{db}.inc_time")
+    assert out.count() == 3  # no duplicates of rows 1-2
+    assert (
+        stack["state"].get_incremental_state("inc_time", "last_processed_time")
+        == "2024-01-03 10:00:00"
+    )
+
+
+def test_unique_key_incremental_upserts(stack):
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1, 10.0), (2, 20.0)], "id bigint, v double")
+    _write_model(
+        stack,
+        "inc_key",
+        "-- config: materialized=incremental, incremental_strategy=unique_key, unique_key=id\n"
+        "SELECT id, v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_key")["success"]
+    _write_source(stack, [(2, 99.0), (3, 30.0)], "id bigint, v double")
+    r = stack["mx"].execute_model("inc_key")
+    assert r["success"]
+    rows = {r.id: r.v for r in spark.table(f"{db}.inc_key").collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_append_incremental(stack):
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1,)], "id bigint")
+    _write_model(
+        stack,
+        "inc_append",
+        "-- config: materialized=incremental, incremental_strategy=append\n"
+        "SELECT id FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_append")["success"]
+    assert stack["mx"].execute_model("inc_append")["success"]
+    # blind append duplicates the batch — reference C3 semantics
+    assert spark.table(f"{db}.inc_append").count() == 2
+
+
+def test_cdc_merge_strategy(stack):
+    spark, db = stack["spark"], stack["db"]
+    schema = "id bigint, v string, __CDC_OPERATION string, __CDC_TIMESTAMP timestamp_ntz"
+    _write_source(
+        stack,
+        [(1, "a", "I", None), (2, "b", "I", None)],
+        schema,
+    )
+    _write_model(
+        stack,
+        "cdc_model",
+        "-- config: materialized=cdc, unique_key=id\n"
+        "SELECT * FROM {{ source('raw','feed') }}",
+    )
+    r1 = stack["mx"].execute_model("cdc_model")
+    assert r1["success"] and r1.get("initial")
+    assert {r.id for r in spark.table(f"{db}.cdc_model").collect()} == {1, 2}
+
+    _write_source(
+        stack,
+        [
+            (2, "b2", "U", None),
+            (1, None, "D", None),
+            (3, "c", "I", None),
+            (4, "skip", "D", None),  # delete for unseen key → no-op
+        ],
+        schema,
+    )
+    r2 = stack["mx"].execute_model("cdc_model")
+    assert r2["success"]
+    rows = {r.id: r.v for r in spark.table(f"{db}.cdc_model").collect()}
+    assert rows == {2: "b2", 3: "c"}
+
+
+def test_cdc_retirement_matrix(stack):
+    """The retirement matrix from the reference pattern spec: I/U/D/E
+    + intra-batch duplicate keys + D-for-unseen-key."""
+    spark, db = stack["spark"], stack["db"]
+    schema = "id bigint, v string, __CDC_OPERATION string, __CDC_TIMESTAMP timestamp_ntz"
+    _write_source(
+        stack,
+        [
+            (1, "one", "I", "2024-01-01 00:00:00"),
+            (2, "two", "I", "2024-01-01 00:00:00"),
+            (3, "three", "I", "2024-01-01 00:00:00"),
+            (4, "four", "I", "2024-01-01 00:00:00"),
+        ],
+        schema.replace("timestamp_ntz", "string"),
+    )
+    _write_model(
+        stack,
+        "scd",
+        "-- config: materialized=cdc_retirement, unique_key=id\n"
+        "SELECT id, v, __CDC_OPERATION, CAST(__CDC_TIMESTAMP AS TIMESTAMP_NTZ) AS __CDC_TIMESTAMP\n"
+        "FROM {{ source('raw','feed') }}",
+    )
+    r1 = stack["mx"].execute_model("scd")
+    assert r1["success"] and r1.get("initial")
+    tbl = spark.table(f"{db}.scd")
+    assert tbl.count() == 4
+    assert tbl.filter("obsolete_date IS NULL").count() == 4
+
+    _write_source(
+        stack,
+        [
+            (2, "two-v2-old", "U", "2024-02-01 00:00:00"),
+            (2, "two-v2", "U", "2024-02-02 00:00:00"),  # same key, later wins
+            (3, None, "D", "2024-02-01 00:00:00"),
+            (4, None, "E", "2024-02-01 00:00:00"),
+            (5, "five", "I", "2024-02-01 00:00:00"),
+            (99, None, "D", "2024-02-01 00:00:00"),  # unseen key → no-op
+        ],
+        schema.replace("timestamp_ntz", "string"),
+    )
+    r2 = stack["mx"].execute_model("scd")
+    assert r2["success"]
+    assert r2["stats"] == {
+        "inserted": 1,
+        "updated": 2,
+        "deleted": 2,
+        "expired": 1,
+        "total": 6,
+    }
+    out = spark.table(f"{db}.scd")
+    active = {r.id: r.v for r in out.filter("obsolete_date IS NULL").collect()}
+    # live state: 1 untouched, 2 updated (latest version), 5 inserted
+    assert active == {1: "one", 2: "two-v2", 5: "five"}
+    # history preserved: retired rows for 2(old), 3, 4
+    retired = {r.id for r in out.filter("obsolete_date IS NOT NULL").collect()}
+    assert retired == {2, 3, 4}
+    # exactly one active row per live key
+    from pyspark.sql import functions as F
+
+    dups = (
+        out.filter("obsolete_date IS NULL")
+        .groupBy("id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
