@@ -70,6 +70,8 @@ class Materialization:
             self._overwrite_table(target, self.spark.table(staging), partition_by)
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        # invalidate cached file listings for the replaced data files
+        self.spark.catalog.refreshTable(target)
 
     def _ok(self, model_name, target, **extra) -> dict:
         return {

@@ -1,0 +1,96 @@
+"""Connector layer + dialect shim tests."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from data_transformation_python_spark.functions import transpile_snowflake
+from data_transformation_python_spark.functions.scalars import (
+    UnsupportedDialectFeature,
+    rewrite_qualify,
+)
+from data_transformation_python_spark.sources import read_source, write_sink
+
+
+def test_roundtrip_formats(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    for fmt in ("parquet", "json", "csv", "orc"):
+        p = str(tmp_path / fmt)
+        write_sink(df, p, fmt=fmt, as_table=False)
+        back = read_source(spark, p, fmt=fmt)
+        assert back.count() == 2
+        assert {r.v for r in back.collect()} == {"a", "b"}
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01-01"), (2, "y", "2024-01-02")],
+        "id bigint, v string, day string",
+    )
+    p = str(tmp_path / "part")
+    write_sink(df, p, partition_by=["day"], as_table=False)
+    back = read_source(spark, p).filter("day = '2024-01-01'")
+    plan = back.queryExecution if hasattr(back, "queryExecution") else None
+    assert back.count() == 1
+    # partition dirs exist on disk
+    assert (tmp_path / "part" / "day=2024-01-01").exists()
+
+
+def test_bucketed_table_join_without_shuffle(spark, tmp_path):
+    db = f"buck_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        write_sink(df, f"{db}.left_t", bucket_by=(4, ["k"]), mode="overwrite")
+        write_sink(df, f"{db}.right_t", bucket_by=(4, ["k"]), mode="overwrite")
+        # force a non-broadcast join so bucketing is the co-location
+        # mechanism under test
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(f"{db}.left_t").join(spark.table(f"{db}.right_t"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert j.count() == 1000
+            assert "Bucketed: true" in plan, plan
+            # co-located bucketed join: no shuffle exchange in the plan
+            assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_transpile_snowflake_functions():
+    assert transpile_snowflake("SELECT IFF(a > 1, 'x', 'y')") == "SELECT IF(a > 1, 'x', 'y')"
+    assert transpile_snowflake("SELECT NVL(a, 0)") == "SELECT COALESCE(a, 0)"
+    assert (
+        transpile_snowflake("SELECT TO_VARCHAR(a) FROM t")
+        == "SELECT CAST(a AS STRING) FROM t"
+    )
+    assert (
+        transpile_snowflake("SELECT LISTAGG(name, ',') FROM t")
+        == "SELECT ARRAY_JOIN(COLLECT_LIST(name), ',') FROM t"
+    )
+    assert "CURRENT_TIMESTAMP" in transpile_snowflake("SELECT SYSDATE")
+
+
+def test_qualify_rewrite_is_valid_spark(spark):
+    sql = (
+        "SELECT id, v FROM t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts DESC) = 1"
+    )
+    rewritten = rewrite_qualify(sql)
+    assert "QUALIFY" not in rewritten.upper().replace("__QUALIFY_RN", "")
+    assert "WHERE __qualify_rn = 1" in rewritten
+    # must parse as Spark SQL
+    from data_transformation_python_spark.parser import SQLParser
+
+    ok, err = SQLParser.validate_sql(rewritten, spark)
+    assert ok, (err, rewritten)
+
+
+def test_transpile_unsupported_raises():
+    with pytest.raises(UnsupportedDialectFeature):
+        transpile_snowflake("SELECT * FROM t, LATERAL FLATTEN(input => x)")
