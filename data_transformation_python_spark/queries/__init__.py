@@ -63,6 +63,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _register_all() -> None:
     # Import side-effect populates QUERIES/ORACLES.
+    from . import advanced  # noqa: F401
     from . import analytics  # noqa: F401
     from . import framework_semantics  # noqa: F401
     from . import pipeline_ops  # noqa: F401

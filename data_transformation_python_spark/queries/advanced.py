@@ -1,0 +1,357 @@
+"""Advanced operator surface: as-of joins, batch sessionization
+(gaps-and-islands), exact quantiles, CUBE/GROUPING, lag/lead, the
+salted-join skew pattern, LSH-bucketed ANN, and the full
+candidates→verify→survivors dedup pipeline.
+
+Several queries share one SQL text across engines (executed via
+``spark.sql`` on temp views and via DuckDB verbatim) — where the
+dialects genuinely coincide, a single source of truth beats two
+implementations.  Casts pin exact types (SUM over ints is BIGINT in
+Spark but HUGEINT in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators.dedup import HEX
+from . import load, query
+
+D2 = "decimal(18,2)"
+
+
+def _sql_on_view(spark: SparkSession, sf_dir: str, table: str, sql_tpl: str, view: str) -> DataFrame:
+    load(spark, sf_dir, table).createOrReplaceTempView(view)
+    return spark.sql(sql_tpl.format(t=view))
+
+
+# --------------------------------------------------------------------------
+# as-of join: for each purchase, the most recent prior click (same user)
+# --------------------------------------------------------------------------
+_ASOF_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM {t})
+SELECT event_id, user_id, ts, last_click_ts
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+@query("q_asof_join", oracle=_ASOF_SQL.format(t="events"))
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-prior) join expressed as a running-max
+    window — one shuffle on user_id, no range-join blowup.  SURVEY
+    §2.3 notes the reference has no as-of join; this is the Spark
+    scale path for one."""
+    return _sql_on_view(spark, sf_dir, "events", _ASOF_SQL, "events_asof_v")
+
+
+# --------------------------------------------------------------------------
+# batch sessionization (gaps-and-islands) — batch twin of streaming/sessionize
+# --------------------------------------------------------------------------
+_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM {t}),
+flags AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flags)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("q_sessionize_batch", oracle=_SESSION_SQL.format(t="events"))
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_on_view(spark, sf_dir, "events", _SESSION_SQL, "events_sess_v")
+
+
+# --------------------------------------------------------------------------
+# exact quantiles by discrete selection (deterministic across engines)
+# --------------------------------------------------------------------------
+def _quantile_sql(ps: list[float]) -> str:
+    cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = CAST(floor({p} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN o_totalprice END) AS DECIMAL(18,2)) AS p{int(p * 100)}"
+        for p in ps
+    )
+    return f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM {{t}})
+SELECT o_orderpriority,
+       {cols},
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+_QUANTILE_SQL = _quantile_sql([0.5, 0.9, 0.99])
+
+
+@query("q_quantiles", oracle=_QUANTILE_SQL.format(t="orders"))
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles via rank selection — engine-portable
+    (interpolating quantiles differ in float evaluation across
+    engines; rank selection is pure integer logic)."""
+    return _sql_on_view(spark, sf_dir, "orders", _QUANTILE_SQL, "orders_quant_v")
+
+
+# --------------------------------------------------------------------------
+# CUBE + GROUPING bitmask
+# --------------------------------------------------------------------------
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM {t}
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_cube_grouping", oracle=_CUBE_SQL.format(t="lineitem"))
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_on_view(spark, sf_dir, "lineitem", _CUBE_SQL, "lineitem_cube_v")
+
+
+# --------------------------------------------------------------------------
+# lag/lead navigation with a named window
+# --------------------------------------------------------------------------
+_LAGLEAD_SQL = """
+SELECT event_id, user_id,
+       LAG(CAST(value AS DECIMAL(18,4))) OVER w AS prev_value,
+       LEAD(event_type) OVER w AS next_event_type,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+FROM {t}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("q_lag_lead", oracle=_LAGLEAD_SQL.format(t="events"))
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_on_view(spark, sf_dir, "events", _LAGLEAD_SQL, "events_nav_v")
+
+
+# --------------------------------------------------------------------------
+# salted join — the skew-mitigation pattern, verified against the
+# plain join (results must be identical)
+# --------------------------------------------------------------------------
+_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_salted_join", oracle=_SALTED_ORACLE)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation: the probe side salts its key deterministically,
+    the build side explodes across all salts, the join key becomes
+    (key, salt) — splitting any skewed key's rows across SALTS
+    reducers.  AQE's skew-join does this adaptively; explicit salting
+    is the portable fallback.  Result provably equals the plain join."""
+    salts = 4
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        (F.col("l_linenumber") % salts).alias("__salt"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+        )
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey) & (li.__salt == orders.__salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(D2)).cast(D2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN candidates (deterministic md5 hyperplanes) — the
+# scale path for similarity search, oracle-verified exactly
+# --------------------------------------------------------------------------
+def _lsh_sign_case_duck(p: int) -> str:
+    return (
+        f"CASE WHEN list_dot_product(v, list_transform(range(64), d -> "
+        f"CASE WHEN (strpos('{HEX}', substr(md5('{p}:' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0 "
+        f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+_LSH_ORACLE = f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id,
+       {" || ".join(_lsh_sign_case_duck(p) for p in range(8))} AS bucket
+      FROM q)
+SELECT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2, a.bucket
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+"""
+
+
+@query("sim_lsh_buckets", oracle=_LSH_ORACLE)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucket_candidates
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_candidates(emb, num_planes=8)
+
+
+# --------------------------------------------------------------------------
+# full dedup pipeline: MinHash-LSH candidates → exact-Jaccard verify →
+# survivor set (keep the smallest doc_id of each verified pair group)
+# --------------------------------------------------------------------------
+_SURVIVOR_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sig AS (SELECT doc_id,
+  MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+  MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+  MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+  MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
+          GROUP BY 1, 2),
+verified AS (
+  SELECT i.d1, i.d2 FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.d1
+  JOIN sizes sb ON sb.doc_id = i.d2
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT d2 FROM verified)
+"""
+
+
+@query("dedup_pipeline_survivors", oracle=_SURVIVOR_ORACLE)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal at scale: candidates come from
+    LSH banding (no quadratic pass), exact Jaccard runs only on
+    candidate pairs, and every doc appearing as the larger id of a
+    verified duplicate pair is dropped (keep-smallest policy)."""
+    docs = load(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    sh = dd.word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            cands.select(
+                F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+            ),
+            ["d1", "d2"],
+        )
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+            >= 0.5
+        )
+        .select("d2")
+        .distinct()
+    )
+    return docs.select("doc_id").join(
+        verified.withColumnRenamed("d2", "doc_id"), "doc_id", "left_anti"
+    )
+
+
+# --------------------------------------------------------------------------
+# quality + language gate — the standard pre-training filter shape
+# --------------------------------------------------------------------------
+_QFILTER_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      * LEAST(CAST(1.0 AS DOUBLE),
+              CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(50.0 AS DOUBLE)) AS q,
+    CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the','a','and','of','to','is'], x))) AS BIGINT) AS s_en
+  FROM documents)
+SELECT CASE WHEN s_en > 0 THEN 'en' ELSE 'unknown' END AS lang_gate,
+       CASE WHEN q >= CAST(0.8 AS DOUBLE) THEN 'high'
+            WHEN q >= CAST(0.5 AS DOUBLE) THEN 'medium'
+            ELSE 'low' END AS quality_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2
+"""
+
+
+@query("text_quality_filter", oracle=_QFILTER_ORACLE)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    q = (F.size(F.array_distinct(toks)).cast("double") / n_tokens) * F.least(
+        F.lit(1.0), n_tokens / F.lit(50.0)
+    )
+    s_en = F.expr(
+        "size(filter(split(text, ' '), "
+        "x -> array_contains(array('the','a','and','of','to','is'), x)))"
+    ).cast("bigint")
+    return (
+        docs.select(
+            F.when(s_en > 0, "en").otherwise("unknown").alias("lang_gate"),
+            F.when(q >= 0.8, "high")
+            .when(q >= 0.5, "medium")
+            .otherwise("low")
+            .alias("quality_bucket"),
+        )
+        .groupBy("lang_gate", "quality_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
