@@ -1,0 +1,68 @@
+"""Small DataFrame transformation utilities mirroring the reference's
+Polars helper surface (SURVEY §2.2 P5, §2.4 A3, §2.1 S11) — thin
+wrappers over native Spark operations so callers of the reference's
+utility API have direct equivalents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: aggregate spec name → Spark function (reference: polars_utils.py:56-97
+#: supports sum/mean/count/min/max/std/n_unique)
+_AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev,
+    "n_unique": F.countDistinct,
+}
+
+
+def grouped_aggregate(
+    df: DataFrame, group_cols: Sequence[str], aggs: dict[str, Sequence[str] | str]
+) -> DataFrame:
+    """GroupBy + multi-aggregate with ``{col}_{fn}`` aliases
+    (reference: polars_utils.py:56-97 — A3).  ``aggs`` maps column →
+    fn name(s).  All partial-aggregated map-side by Catalyst."""
+    exprs = []
+    for col, fns in aggs.items():
+        if isinstance(fns, str):
+            fns = [fns]
+        for fn in fns:
+            if fn not in _AGG_FNS:
+                raise ValueError(f"unknown aggregate {fn!r}; expected {sorted(_AGG_FNS)}")
+            exprs.append(_AGG_FNS[fn](col).alias(f"{col}_{fn}"))
+    if not exprs:
+        raise ValueError("aggs must not be empty")
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def apply_filters(df: DataFrame, filters: Sequence[str]) -> DataFrame:
+    """Apply SQL filter expressions (reference: polars_utils.py:172-212
+    — P5; that version hand-parses `col op value`, Spark's full
+    expression parser replaces it)."""
+    for f in filters:
+        df = df.filter(F.expr(f))
+    return df
+
+
+def apply_aliases(df: DataFrame, aliases: dict[str, str]) -> DataFrame:
+    """Rename columns {old: new} (P5's transform half)."""
+    for old, new in aliases.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def clone_schema(spark, source_table: str, target_table: str) -> None:
+    """Create an empty table with the source's schema (reference:
+    cdc_polars.py:157-168, 541-544 — S11: CTAS ... LIMIT 0)."""
+    spark.table(source_table).limit(0).write.mode("errorifexists").format(
+        "parquet"
+    ).saveAsTable(target_table)
