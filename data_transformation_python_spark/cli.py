@@ -117,14 +117,26 @@ def run_all(ctx: Context, vars_str, select, parallelism, full_refresh):
     mx = ctx.model_executor()
     variables = _parse_vars(vars_str)
     runner = ParallelExecutor(max_parallelism=parallelism)
+    from .metrics import RunMetrics
+
+    metrics = RunMetrics().start()
     results = runner.execute_levels(
         levels,
         lambda name: mx.execute_model(
             name, variables=variables, full_refresh=full_refresh
         ),
     )
+    for r in results:
+        metrics.record(r)
+    summary = metrics.finish()
     ok = all(r.get("success") for r in results)
-    click.echo(json.dumps({"success": ok, "results": results}, indent=2, default=str))
+    click.echo(
+        json.dumps(
+            {"success": ok, "metrics": summary, "results": results},
+            indent=2,
+            default=str,
+        )
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -113,12 +113,21 @@ def apply_cdc_merge(
     joined = t.alias("t").join(s.alias("s"), on=keys, how="full_outer")
 
     s_present = F.col(f"s.{_S_PRESENT}").isNotNull()
+    t_present = F.col(f"t.{_T_PRESENT}").isNotNull()
     is_delete = s_present & (F.col("s.__op") == OP_DELETE)
+    updates = s_present & F.col("s.__op").isin(OP_UPDATE, OP_INSERT)
     # A row survives unless its change row is a DELETE: target-only rows
     # pass (no change), source DELETEs drop matched rows and are no-ops
-    # for never-seen keys (both filtered here).
+    # for never-seen keys (both filtered here).  Matched rows take the
+    # source image only for op IN ('U','I') — mirroring the reference's
+    # MERGE clause list exactly (materialization.py:582-588): a matched
+    # row with any other op keeps its target values; unmatched non-'D'
+    # rows insert regardless of op (clause at :589-592).
     resolved = [
-        F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        F.when(updates, F.col(f"s.{c}"))
+        .when(t_present, F.col(f"t.{c}"))
+        .otherwise(F.col(f"s.{c}"))
+        .alias(c)
         for c in value_cols
     ]
     return joined.filter(~is_delete).select(*[F.col(k) for k in keys], *resolved)

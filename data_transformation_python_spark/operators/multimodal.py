@@ -54,6 +54,67 @@ def decode_media(payload: bytes, kind: str):
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Arrow-batched image resize plumbing.  The pixel transform is
+    STUBBED (no codec libs here): the 'resized' payload is a
+    deterministic truncation of the source bytes, but the schema
+    contract, batching, and partition shape match a real resizer."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height // 64  # deterministic fake byte budget
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["payload"].map(lambda b: bytes(b)[:target]),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing (one row out per sampled frame).
+    Frame decode is STUBBED: 'frames' are deterministic byte slices —
+    the explode-shaped output (doc_id, frame_idx, frame bytes) is what
+    a real decoder would emit."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    payloads.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 

@@ -1,0 +1,67 @@
+"""Multimodal plumbing + run-metrics tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_transformation_python_spark.metrics import RunMetrics
+from data_transformation_python_spark.operators import multimodal as mm
+
+
+@pytest.fixture()
+def payload_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 20), (2, "tiny")], "doc_id bigint, text string"
+    )
+    return mm.attach_binary_payload(docs, kind="image")
+
+
+def test_attach_and_extract_features(spark, payload_df):
+    out = mm.extract_features(payload_df).collect()
+    rows = {r.doc_id: r for r in out}
+    assert rows[1].n_bytes == len("hello world " * 20)
+    assert rows[2].n_bytes == 4
+    import hashlib
+
+    assert rows[2].content_digest == hashlib.md5(b"tiny").hexdigest()
+    assert rows[1].media_kind == "image"
+
+
+def test_resize_plumbing(spark, payload_df):
+    out = mm.resize_images(payload_df, width=224, height=224).collect()
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    budget = 224 * 224 // 64
+    rows = {r.doc_id: r for r in out}
+    assert len(bytes(rows[1].payload)) == min(budget, 240)
+    assert len(bytes(rows[2].payload)) == 4
+
+
+def test_frame_sampling_explodes(spark, payload_df):
+    out = mm.sample_frames(payload_df, every_n_bytes=64, max_frames=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3  # 240 bytes → capped at max_frames
+    assert len(by_doc[2]) == 1  # tiny payload → 1 frame
+    assert [r.frame_idx for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 1, 2]
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"xx", "image")
+
+
+def test_run_metrics_summary(tmp_path):
+    m = RunMetrics().start()
+    m.record({"model": "a", "success": True, "duration_sec": 1.5, "strategy": "table"})
+    m.record({"model": "b", "success": False, "duration_sec": 0.5, "error": "boom"})
+    s = m.finish()
+    assert s["models_run"] == 2
+    assert s["succeeded"] == 1
+    assert s["failed_models"] == ["b"]
+    assert s["total_duration_sec"] == 2.0
+    p = tmp_path / "metrics.json"
+    m.write(p)
+    import json
+
+    assert json.loads(p.read_text())["per_model"]["a"]["strategy"] == "table"
