@@ -66,6 +66,7 @@ def _register_all() -> None:
     from . import advanced  # noqa: F401
     from . import analytics  # noqa: F401
     from . import framework_semantics  # noqa: F401
+    from . import graph_scalar  # noqa: F401
     from . import pipeline_ops  # noqa: F401
 
 

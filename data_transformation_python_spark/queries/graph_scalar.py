@@ -1,0 +1,100 @@
+"""Connected-components dedup groups (iterative distributed algorithm
+vs a recursive-CTE oracle) and the broad scalar-function parity
+surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators.graph import connected_components
+from . import load, query
+
+# --------------------------------------------------------------------------
+# duplicate GROUPS via connected components over verified near-dup pairs
+# (pair-level dedup misses transitive chains; groups are the real unit)
+# --------------------------------------------------------------------------
+_CC_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT i.d1, i.d2 FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.d1
+  JOIN sizes sb ON sb.doc_id = i.d2
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  -- transitive closure by recursion: all (node, reachable-node) pairs
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.a, r.lbl FROM r JOIN edges e ON e.b = r.node
+  ) SELECT * FROM r)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *groups*: verified Jaccard pairs → min-label
+    connected components (operators/graph.py).  The oracle computes
+    the same closure with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    # near-dup pair graphs are tiny vs the corpus → narrow shuffles
+    cc = connected_components(pairs, "src", "dst", shuffle_partitions=4)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint")
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar-function parity surface (§2.7 + common model-SQL functions)
+# Only functions with engine-identical IEEE/integer semantics: no
+# transcendentals (libm last-ulp differences), no locale-sensitive ops.
+# --------------------------------------------------------------------------
+_SCALAR_SQL = """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month_n,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS order_quarter,
+       UPPER(SUBSTR(o_orderpriority, 3)) AS priority_name,
+       LPAD(CAST(o_orderkey AS STRING), 12, '0') AS padded_key,
+       REPLACE(o_orderpriority, '-', '_') AS priority_snake,
+       CAST(LENGTH(o_orderpriority) AS INT) AS priority_len,
+       CONCAT(o_orderstatus, ':', o_orderpriority) AS status_tag,
+       ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000) AS dist_from_150k,
+       CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_bucket,
+       CAST(CEIL(o_totalprice / 10000) AS BIGINT) AS price_bucket_hi,
+       SQRT(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       (o_orderkey % 7 = 0) AS lucky
+FROM {t}
+WHERE o_orderkey <= 5000
+"""
+
+
+@query("q_scalar_functions", oracle=_SCALAR_SQL.format(t="orders"))
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broad deterministic scalar surface: date extraction/arithmetic/
+    truncation, string slicing/padding/replacement, numeric
+    abs/floor/ceil/sqrt, NULLIF/COALESCE/CASE, modulo booleans."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_scalar_v")
+    return spark.sql(_SCALAR_SQL.format(t="orders_scalar_v"))
