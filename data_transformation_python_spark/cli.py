@@ -116,7 +116,7 @@ def run_all(ctx: Context, vars_str, select, parallelism, full_refresh):
     levels = graph.get_execution_order(targets)
     mx = ctx.model_executor()
     variables = _parse_vars(vars_str)
-    runner = ParallelExecutor(max_parallelism=parallelism)
+    runner = ParallelExecutor(max_parallelism=parallelism, spark=ctx.spark)
     from .metrics import RunMetrics
 
     metrics = RunMetrics().start()

@@ -196,16 +196,38 @@ class ParallelExecutor:
     """Run each topological level's models concurrently on threads
     sharing one SparkSession (reference's unwired async variant:
     dependency.py:395-467).  ``max_parallelism`` bounds concurrent
-    Spark jobs per level."""
+    Spark jobs per level.
 
-    def __init__(self, max_parallelism: int = 4):
+    When a ``spark`` session is supplied, each model's jobs run in a
+    FAIR scheduler pool named after the model so one long-running
+    model in a level cannot starve the others (G7 + SURVEY §3.2; the
+    cluster should set ``spark.scheduler.mode=FAIR``)."""
+
+    def __init__(self, max_parallelism: int = 4, spark=None):
         self.max_parallelism = max_parallelism
+        self.spark = spark
+
+    def _run_in_pool(self, name: str, run_fn):
+        if self.spark is not None:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"model_{name}"
+            )
+        try:
+            return run_fn(name)
+        finally:
+            if self.spark is not None:
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None
+                )
 
     def execute_levels(self, levels: list[list[str]], run_fn) -> list[dict]:
         results: list[dict] = []
         for level in levels:
             with ThreadPoolExecutor(max_workers=self.max_parallelism) as pool:
-                futures = {pool.submit(run_fn, name): name for name in level}
+                futures = {
+                    pool.submit(self._run_in_pool, name, run_fn): name
+                    for name in level
+                }
                 for fut in as_completed(futures):
                     name = futures[fut]
                     try:

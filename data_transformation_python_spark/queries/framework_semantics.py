@@ -330,14 +330,27 @@ GROUP BY 1, 2
 """,
 )
 def q_gold_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
-        "event_type",
-        F.date_trunc("day", F.col("ts")).cast("date").alias("event_day"),
-    ).agg(
-        F.count(F.lit(1)).alias("event_count"),
-        F.sum(F.col("value").cast(D4)).cast(D4).alias("total_value"),
-        F.countDistinct("user_id").alias("unique_users"),
+    # run through the actual macro codegen path (macros.gold_aggregate
+    # emits the SQL the model layer would execute)
+    from ..macros import gold_aggregate
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_gold_v")
+    sql = gold_aggregate(
+        "events_gold_v",
+        group_by_columns=["event_type", "CAST(DATE_TRUNC('day', ts) AS DATE)"],
+        aggregate_columns={
+            "event_count": "CAST(COUNT(*) AS BIGINT)",
+            "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))",
+            "unique_users": "CAST(COUNT(DISTINCT user_id) AS BIGINT)",
+        },
+    )
+    # alias the generated group-expression column to match the oracle
+    out = spark.sql(sql)
+    cols = out.columns
+    return out.select(
+        F.col(cols[0]),
+        F.col(f"`{cols[1]}`").alias("event_day"),
+        *[F.col(c) for c in cols[2:]],
     )
 
 

@@ -91,6 +91,33 @@ WHERE o_orderkey <= 5000
 """
 
 
+# --------------------------------------------------------------------------
+# string/array aggregation: sorted collect + array_join (LISTAGG shape)
+# --------------------------------------------------------------------------
+_STRAGG_ORACLE = """
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+       CAST(len(list(n_name)) AS BIGINT) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("q_string_agg", oracle=_STRAGG_ORACLE)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG-equivalent: sorted collect_list + array_join (the shape
+    the dialect shim rewrites LISTAGG into; sorting makes the
+    aggregation order-insensitive → deterministic under any
+    parallelism)."""
+    nat = load(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
 @query("q_scalar_functions", oracle=_SCALAR_SQL.format(t="orders"))
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broad deterministic scalar surface: date extraction/arithmetic/
