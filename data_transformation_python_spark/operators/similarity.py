@@ -155,6 +155,93 @@ def cosine_neardup_pairs(
     return qn.mapInPandas(_blocks, schema=out_schema)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are bucketed by
+    nearest centroid; each query searches only its ``nprobe`` nearest
+    centroid buckets.
+
+    Centroids here are a deterministic sample (every
+    ``centroid_stride``-th vector) — a production system would run
+    k-means, but the *search structure* (assign → probe → rank) is
+    identical and this keeps the operator fully reproducible (and
+    oracle-verifiable).  Distances use exact quantized integers;
+    assignment ties break to the smaller centroid id.
+
+    Scale: the candidate set per query is |corpus| * nprobe / n_centroids
+    instead of |corpus| — the standard recall/latency dial.
+    """
+    from pyspark.sql.window import Window
+
+    qn = quantized(df, vec_col, id_col)
+    cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+    # squared distance = |v|^2 + |c|^2 - 2 v·c (all exact integers)
+    dist2 = (
+        F.col("__nrm")
+        + F.col("__cn")
+        - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
+    )
+    pairs = qn.crossJoin(F.broadcast(cent)).withColumn("__d2", dist2)
+    w_assign = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
+    assign = (
+        pairs.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "cid")
+    )
+    probes = (
+        pairs.filter(F.col(id_col).isin(list(query_ids)))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    cand = probes.join(assign, "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qv = qn.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qn"),
+    )
+    cv = qn.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__cv2"),
+        F.col("__nrm").alias("__cn2"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine_sim",
+            F.expr(DOT_EXPR.format(a="__qv", b="__cv2"))
+            / F.sqrt(F.col("__qn") * F.col("__cn2")),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "cosine_sim",
+        )
+    )
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     num_planes: int = 8,

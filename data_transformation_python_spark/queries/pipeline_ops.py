@@ -144,6 +144,51 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity search: IVF-style probe search (the bounded-candidate
+# scale path; deterministic centroids → exact oracle)
+# --------------------------------------------------------------------------
+_IVF_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT n.vec_id, cent.cid,
+         n.nrm + cent.cn - 2 * list_dot_product(n.v, cent.cv) AS d2
+  FROM n CROSS JOIN cent),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs WHERE vec_id < 10) t WHERE rn <= 3),
+cand AS (
+  SELECT p.query_id, a.neighbor_id FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  WHERE a.neighbor_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qv.v, nv.v) / sqrt(qv.nrm * nv.nrm) AS cosine_sim
+  FROM cand c
+  JOIN n qv ON qv.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, query_ids=range(10), k=5, centroid_stride=50, nprobe=3)
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 _NEARDUP_ORACLE = """
