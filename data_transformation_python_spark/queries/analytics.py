@@ -462,6 +462,91 @@ def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_customers_without_orders — anti-join (NOT EXISTS)
+# --------------------------------------------------------------------------
+@query(
+    "q_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# q_region_rollup — join + hierarchical rollup (region → nation)
+# --------------------------------------------------------------------------
+@query(
+    "q_region_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec2("c_acctbal")).cast(D2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_above_nation_average — correlated-aggregate pattern via window
+# --------------------------------------------------------------------------
+@query(
+    "q_above_nation_average",
+    oracle="""
+WITH stats AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+              OVER (PARTITION BY c_nationkey) AS DECIMAL(28,2)) AS nation_sum,
+         CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nation_n
+  FROM customer)
+SELECT c_custkey, c_name, bal
+FROM stats
+WHERE bal * nation_n > nation_sum
+""",
+)
+def q_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Above the group average' without a self-join OR float division:
+    compare bal * n > sum (exact decimal × integer) — the window
+    computes both per-nation aggregates in one pass."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    stats = cust.select(
+        "c_custkey",
+        "c_name",
+        dec2("c_acctbal").alias("bal"),
+        F.sum(dec2("c_acctbal")).over(w).cast("decimal(28,2)").alias("nation_sum"),
+        F.count(F.lit(1)).over(w).alias("nation_n"),
+    )
+    return stats.filter(
+        F.col("bal") * F.col("nation_n") > F.col("nation_sum")
+    ).select("c_custkey", "c_name", "bal")
+
+
+# --------------------------------------------------------------------------
 # q_status_matrix — pivot-style conditional aggregation
 # --------------------------------------------------------------------------
 @query(
