@@ -69,6 +69,7 @@ def _register_all() -> None:
     from . import graph_scalar  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import sketches  # noqa: F401
+    from . import streaming_gate  # noqa: F401
 
 
 _registered = False

@@ -1,0 +1,81 @@
+"""Structured Streaming under the correctness gate: the query runs a
+*real* streaming job (file source → watermarked windowed aggregation →
+memory sink, availableNow trigger) and returns its final result table;
+the oracle verifies it against the equivalent batch tumbling-window
+SQL.  This pins the batch/streaming unification claim — the streaming
+window semantics must equal DATE_TRUNC bucketing on the same data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import query
+
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as raw int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_STREAM_ORACLE = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_windowed_counts", oracle=_STREAM_ORACLE)
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts computed by an actual streaming
+    query over the events file (glob-filtered file source; the nanos
+    column streams as raw int64 and converts after ingest).  The
+    watermark bounds aggregation state; complete output mode emits
+    every window for the oracle compare."""
+    # Watermarks require TIMESTAMP (instant) columns; pin the session
+    # to UTC so the instant↔wall-clock conversions are identity and
+    # the NTZ output matches the oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
