@@ -1,0 +1,101 @@
+"""Query fuzzing: hypothesis generates random (but grammar-constrained)
+filter + group-by + aggregate queries over ``orders`` and asserts
+Spark and DuckDB produce identical results — a mini randomized logic
+corpus on top of the hand-written oracle suite.
+
+The grammar stays inside the engine-portable envelope documented in
+queries/__init__.py: decimal aggregation, BIGINT-cast counts,
+categorical group keys, integer/string/date predicates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+
+_PREDICATES = [
+    "o_orderkey % 3 = 0",
+    "o_orderkey % 7 <> 1",
+    "o_custkey > 500",
+    "o_totalprice > 150000",
+    "o_totalprice <= 280000",
+    "o_orderstatus = 'O'",
+    "o_orderstatus IN ('F', 'P')",
+    "o_orderpriority LIKE '1%'",
+    "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    "o_orderdate < TIMESTAMP '2000-06-15 00:00:00'",
+]
+
+_GROUP_KEYS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)",
+    "o_custkey % 10",
+]
+
+_AGGS = [
+    "CAST(COUNT(*) AS BIGINT)",
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))",
+    "CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))",
+    "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))",
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)",
+    "CAST(MIN(o_orderkey) AS BIGINT)",
+]
+
+
+def _build_sql(pred_idx: list[int], key_idx: int, agg_idx: list[int], table: str) -> str:
+    preds = [_PREDICATES[i] for i in sorted(set(pred_idx))]
+    where = ("WHERE " + " AND ".join(preds)) if preds else ""
+    aggs = ", ".join(
+        f"{_AGGS[i]} AS agg_{i}" for i in sorted(set(agg_idx))
+    ) or "CAST(COUNT(*) AS BIGINT) AS agg_0"
+    key = _GROUP_KEYS[key_idx]
+    return (
+        f"SELECT {key} AS grp, {aggs} FROM {table} {where} GROUP BY {key}"
+    )
+
+
+def _canon(v):
+    import decimal
+
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    return str(v)
+
+
+@given(
+    pred_idx=st.lists(st.integers(0, len(_PREDICATES) - 1), max_size=3),
+    key_idx=st.integers(0, len(_GROUP_KEYS) - 1),
+    agg_idx=st.lists(st.integers(0, len(_AGGS) - 1), min_size=1, max_size=3),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_query_parity(spark, pred_idx, key_idx, agg_idx):
+    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView(
+        "orders_fuzz_v"
+    )
+    spark_sql = _build_sql(pred_idx, key_idx, agg_idx, "orders_fuzz_v")
+    duck_sql = _build_sql(pred_idx, key_idx, agg_idx, "orders_fz")
+
+    srows = [tuple(_canon(v) for v in r) for r in spark.sql(spark_sql).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders_fz AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    drows = [tuple(_canon(v) for v in r) for r in con.execute(duck_sql).fetchall()]
+    con.close()
+
+    assert sorted(srows) == sorted(drows), spark_sql
