@@ -33,23 +33,26 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(all_queries().items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # one bad query must not kill the record
+            errors[name] = str(e).split("\n")[0][:200]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "query_surface_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "query_surface_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
