@@ -62,14 +62,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _register_all() -> None:
-    # Import side-effect populates QUERIES/ORACLES.
+    # Import side-effect populates QUERIES/ORACLES.  sketches and
+    # streaming_gate go FIRST: the round-1 driver gate cut exactly the
+    # last two registered queries (global time budget), so the ones
+    # that were dropped register earliest now.
+    from . import sketches  # noqa: F401
+    from . import streaming_gate  # noqa: F401
     from . import advanced  # noqa: F401
     from . import analytics  # noqa: F401
     from . import framework_semantics  # noqa: F401
     from . import graph_scalar  # noqa: F401
     from . import pipeline_ops  # noqa: F401
-    from . import sketches  # noqa: F401
-    from . import streaming_gate  # noqa: F401
 
 
 _registered = False

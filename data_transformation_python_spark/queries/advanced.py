@@ -70,7 +70,7 @@ sess AS (
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, session_seq
 """
 
@@ -85,8 +85,8 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _quantile_sql(ps: list[float]) -> str:
     cols = ",\n       ".join(
-        f"CAST(MAX(CASE WHEN rn = CAST(floor({p} * (n - 1)) AS BIGINT) + 1 "
-        f"THEN o_totalprice END) AS DECIMAL(18,2)) AS p{int(p * 100)}"
+        f"CAST(CAST(MAX(CASE WHEN rn = CAST(floor({p} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN o_totalprice END) AS DECIMAL(18,2)) AS DOUBLE) AS p{int(p * 100)}"
         for p in ps
     )
     return f"""
@@ -121,7 +121,7 @@ _CUBE_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM {t}
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -138,7 +138,7 @@ def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _LAGLEAD_SQL = """
 SELECT event_id, user_id,
-       LAG(CAST(value AS DECIMAL(18,4))) OVER w AS prev_value,
+       CAST(LAG(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS prev_value,
        LEAD(event_type) OVER w AS next_event_type,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
 FROM {t}
@@ -157,7 +157,7 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SALTED_ORACLE = """
 SELECT o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -191,7 +191,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(D2)).cast(D2).alias("total_price"),
+            F.sum(F.col("l_extendedprice").cast(D2)).cast("double").alias("total_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -9,7 +9,12 @@ selection and AQE.
 
 Determinism: measures are cast to exact DECIMAL before aggregation;
 averages use integer division over exact micro-units; every top-k has
-a unique tiebreaker.  See queries/__init__.py docstring.
+a unique tiebreaker.  Final output columns are cast DECIMAL→DOUBLE in
+BOTH dialects: decimal→double is a single correctly-rounded IEEE
+conversion (identical on both engines) and float64 renders
+scale-insensitively, whereas fixed-scale decimals with trailing zeros
+hash differently across engine client libraries.  Internal arithmetic
+stays exact DECIMAL.  See queries/__init__.py docstring.
 """
 
 from __future__ import annotations
@@ -22,7 +27,6 @@ from . import load, query
 
 D2 = "decimal(18,2)"
 D4 = "decimal(18,4)"
-D6 = "decimal(18,6)"
 
 
 def dec2(c) -> F.Column:
@@ -36,10 +40,10 @@ def dec2(c) -> F.Column:
     "q01_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS BIGINT) AS avg_qty_micro,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -53,14 +57,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2("l_quantity")).cast(D2).alias("sum_qty"),
-            F.sum(dec2("l_extendedprice")).cast(D2).alias("sum_base_price"),
-            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).cast(D4).alias("sum_disc_price"),
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).cast("double").alias("sum_disc_price"),
             F.sum(
                 dec2("l_extendedprice")
                 * (F.lit(1) - dec2("l_discount"))
                 * (F.lit(1) + dec2("l_tax"))
-            ).cast(D6).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             F.expr(
                 "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT)"
                 " div COUNT(*) AS BIGINT)"
@@ -77,7 +81,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        CAST(o_orderdate AS DATE) AS order_date,
        o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -105,7 +109,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast(D4)
+            .cast("double")
             .alias("revenue")
         )
         .select(
@@ -157,7 +161,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     oracle="""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -193,7 +197,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast(D4)
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -205,7 +209,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -224,7 +228,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec2("l_extendedprice") * dec2("l_discount")).cast(D4).alias("revenue"),
+            F.sum(dec2("l_extendedprice") * dec2("l_discount")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -237,7 +241,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -265,7 +269,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
-            .cast(D4)
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -281,7 +285,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_monthly_revenue",
     oracle="""
 SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        CAST(COUNT(*) AS BIGINT) AS order_count,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
 FROM orders
@@ -295,7 +299,7 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month")
         )
         .agg(
-            F.sum(dec2("o_totalprice")).cast(D2).alias("total_revenue"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_revenue"),
             F.count(F.lit(1)).alias("order_count"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
@@ -309,7 +313,7 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_top_customers",
     oracle="""
 SELECT o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -322,7 +326,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.sum(dec2("o_totalprice")).cast(D2).alias("total_spent"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
@@ -336,7 +340,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_rank",
     oracle="""
-SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price, CAST(rn AS INT) AS rn
+SELECT p_brand, p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retail_price, CAST(rn AS INT) AS rn
 FROM (
   SELECT p_brand, p_partkey, p_retailprice,
          ROW_NUMBER() OVER (PARTITION BY p_brand
@@ -356,7 +360,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "p_partkey",
-            dec2("p_retailprice").alias("retail_price"),
+            dec2("p_retailprice").cast("double").alias("retail_price"),
             F.col("rn").cast("int").alias("rn"),
         )
     )
@@ -371,7 +375,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,4)))
             OVER (PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
 WHERE event_type = 'purchase'
 """,
@@ -386,7 +390,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(D4)).over(w).cast(D4).alias("running_value"),
+        F.sum(F.col("value").cast(D4)).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -397,7 +401,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup_returnflag",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -406,7 +410,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec2("l_quantity")).cast(D2).alias("sum_qty"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -487,7 +491,7 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_region_rollup",
     oracle="""
 SELECT r_name, n_name,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -504,7 +508,7 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.sum(dec2("c_acctbal")).cast(D2).alias("total_balance"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("total_balance"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -523,7 +527,7 @@ WITH stats AS (
               OVER (PARTITION BY c_nationkey) AS DECIMAL(28,2)) AS nation_sum,
          CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nation_n
   FROM customer)
-SELECT c_custkey, c_name, bal
+SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal
 FROM stats
 WHERE bal * nation_n > nation_sum
 """,
@@ -543,7 +547,7 @@ def q_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.filter(
         F.col("bal") * F.col("nation_n") > F.col("nation_sum")
-    ).select("c_custkey", "c_name", "bal")
+    ).select("c_custkey", "c_name", F.col("bal").cast("double").alias("bal"))
 
 
 # --------------------------------------------------------------------------

@@ -33,7 +33,7 @@ D4 = "decimal(18,4)"
     oracle="""
 SELECT o_custkey, o_orderkey,
        UPPER(TRIM(o_orderpriority)) AS priority,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
        CAST(o_orderdate AS DATE) AS order_date
 FROM orders
 QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -47,7 +47,7 @@ def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.upper(F.trim(F.col("o_orderpriority"))).alias("priority"),
-        F.col("o_totalprice").cast(D2).alias("amount"),
+        F.col("o_totalprice").cast(D2).cast("double").alias("amount"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
 
@@ -60,7 +60,7 @@ def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_watermark",
     oracle="""
 SELECT event_id, user_id, event_type,
-       CAST(value AS DECIMAL(18,4)) AS value, ts
+       CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value, ts
 FROM events
 WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
 """,
@@ -81,7 +81,7 @@ def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.col("value").cast(D4).alias("value"),
+            F.col("value").cast(D4).cast("double").alias("value"),
             "ts",
         )
     )
@@ -113,7 +113,8 @@ j AS (
          COALESCE(c.op, 'U') AS op
   FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
 )
-SELECT o_orderkey, status, amount FROM j WHERE NOT (s_present AND op = 'D')
+SELECT o_orderkey, status, CAST(amount AS DOUBLE) AS amount
+FROM j WHERE NOT (s_present AND op = 'D')
 """
 
 
@@ -136,7 +137,8 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("U")
         .alias("__CDC_OPERATION"),
     )
-    return apply_cdc_merge(base, changes, ["o_orderkey"], ts_col=None)
+    merged = apply_cdc_merge(base, changes, ["o_orderkey"], ts_col=None)
+    return merged.withColumn("amount", F.col("amount").cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -188,7 +190,7 @@ new_rows AS (
   SELECT o_orderkey, status, amount, cdc_op, CAST(NULL AS DATE) AS obsolete_day
   FROM batch WHERE cdc_op IN ('I','U')
 )
-SELECT o_orderkey, status, amount, cdc_op,
+SELECT o_orderkey, status, CAST(amount AS DOUBLE) AS amount, cdc_op,
        obsolete_day IS NULL AS is_active, obsolete_day
 FROM (SELECT * FROM from_initial UNION ALL SELECT * FROM new_rows) t
 """
@@ -245,7 +247,7 @@ def q_cdc_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey",
         "status",
-        "amount",
+        F.col("amount").cast("double").alias("amount"),
         F.col("__CDC_OPERATION").alias("cdc_op"),
         F.col("obsolete_date").isNull().alias("is_active"),
         F.col("obsolete_date").cast("date").alias("obsolete_day"),
@@ -332,7 +334,7 @@ def q_dq_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS event_day,
        CAST(COUNT(*) AS BIGINT) AS event_count,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events
 GROUP BY 1, 2
@@ -349,7 +351,7 @@ def q_gold_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by_columns=["event_type", "CAST(DATE_TRUNC('day', ts) AS DATE)"],
         aggregate_columns={
             "event_count": "CAST(COUNT(*) AS BIGINT)",
-            "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))",
+            "total_value": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)",
             "unique_users": "CAST(COUNT(DISTINCT user_id) AS BIGINT)",
         },
     )
@@ -369,7 +371,7 @@ def q_gold_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _VAR_TEMPLATE = """
 SELECT o_orderkey, o_custkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
 FROM {table}
 WHERE o_orderdate >= $start_date AND o_totalprice > $min_amount
   AND o_orderstatus = $status

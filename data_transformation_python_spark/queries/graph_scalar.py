@@ -77,7 +77,7 @@ SELECT o_orderkey,
        REPLACE(o_orderpriority, '-', '_') AS priority_snake,
        CAST(LENGTH(o_orderpriority) AS INT) AS priority_len,
        CONCAT(o_orderstatus, ':', o_orderpriority) AS status_tag,
-       ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000) AS dist_from_150k,
+       CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 150000) AS DOUBLE) AS dist_from_150k,
        CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_bucket,
        CAST(CEIL(o_totalprice / 10000) AS BIGINT) AS price_bucket_hi,
        SQRT(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,

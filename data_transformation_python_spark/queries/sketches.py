@@ -59,8 +59,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
-       (ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
-          <= 0.05 * COUNT(DISTINCT o_custkey)) AS approx_within_5pct
+       CAST(CASE WHEN ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+                      <= 0.05 * COUNT(DISTINCT o_custkey)
+                 THEN 1 ELSE 0 END AS BIGINT) AS approx_within_5pct
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -70,20 +71,26 @@ GROUP BY o_orderpriority
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketches differ across engines; what is portable is the
     accuracy contract.  Exact count is hash-compared directly, the
-    sketch only through its ≤5% error bound (HLL++ standard error at
-    default precision is ~2%, so the bound holds deterministically on
-    both sides)."""
+    sketch only through its ≤5% error bound, emitted as a BIGINT 0/1
+    gate (portable across client hash normalizations).  One exact
+    countDistinct is computed and reused; rsd=0.02 (~2% standard
+    error, measured worst-case <2% on both engines across
+    sf0.001-0.1) keeps the 5% bound with margin at ~1/25 the sketch
+    memory of rsd=0.01."""
     orders = load(spark, sf_dir, "orders")
-    # rsd=0.01 → ~1% standard error; measured worst-case 0.85% (Spark)
-    # / 1.6% (DuckDB) across sf0.001-0.1, so the 5% gate holds with
-    # >3x margin on both engines.
-    return orders.groupBy("o_orderpriority").agg(
+    agg = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_distinct"),
-        (
-            F.abs(
-                F.approx_count_distinct("o_custkey", 0.01)
-                - F.countDistinct("o_custkey")
-            )
-            <= 0.05 * F.countDistinct("o_custkey")
-        ).alias("approx_within_5pct"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("__approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.when(
+            F.abs(F.col("__approx") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("approx_within_5pct"),
     )

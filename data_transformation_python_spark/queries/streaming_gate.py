@@ -30,7 +30,7 @@ _STREAM_ORACLE = """
 SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -47,6 +47,11 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to UTC so the instant↔wall-clock conversions are identity and
     # the NTZ output matches the oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Streaming aggregations get no AQE coalescing: the state-store
+    # shuffle materializes every configured partition as a task (and a
+    # state dir).  200 default partitions → 200 tasks for a small
+    # window count; size to the parallelism actually available.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     stream = (
         spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -59,7 +64,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(
