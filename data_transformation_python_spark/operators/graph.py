@@ -4,13 +4,18 @@ Used by the dedup pipeline to turn verified near-duplicate *pairs*
 into duplicate *groups* (transitive closure) — pair-level keep-smallest
 misses chains A~B, B~C where (A,C) was never compared.
 
-Algorithm: minimum-label propagation. Each node starts labeled with
-itself; every round each node takes the min label in its neighborhood;
-stop when no label changes.  Rounds = graph diameter (near-dup
-clusters are tiny, so 2-4 rounds in practice).  Each round is one
-shuffle on node id; lineage is cut with localCheckpoint so the plan
-does not grow unboundedly — the standard pattern for iterative
-DataFrame algorithms (GraphX/GraphFrames use the same big-star idea).
+Algorithm: minimum-label propagation with a *frontier* (delta
+iteration).  Each node starts labeled with itself; each round only the
+nodes whose label changed last round offer their label to neighbors
+(a label acquired in round k is offered in round k+1, so the fixpoint
+is the same as full propagation while the per-round shuffle shrinks
+with the frontier — the pattern GraphX/Flink delta iterations use).
+Rounds = graph diameter (near-dup clusters are tiny: 2-4 rounds).
+
+Control plane: one materialization job per round (eager checkpoint of
+the new labels); the convergence probe and the next frontier both read
+the already-materialized partitions instead of re-running the round's
+shuffle, and lineage is cut so the plan does not grow unboundedly.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     shuffle_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the
     connected component.  Nodes = every id appearing in the edge list.
@@ -34,50 +40,61 @@ def connected_components(
     tiny relative to the corpus, and paying the full session shuffle
     width per round is pure scheduling overhead.  Size it to the edge
     count at scale (None keeps the session setting).
+
+    ``reliable_checkpoint=True`` uses ``DataFrame.checkpoint()``
+    (requires ``spark.sparkContext.setCheckpointDir``) instead of
+    ``localCheckpoint``: local checkpoints live in executor block
+    storage and die with an executor, which on a real cluster kills a
+    long-running iteration; reliable checkpoints survive executor
+    loss.  Local is the right default for local[.] and short jobs.
     """
     spark = edges.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     try:
-        both = (
+        both = _materialize(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         labels = (
             both.select(F.col("a").alias("node"))
             .distinct()
             .withColumn("component", F.col("node"))
         )
+        # Round 1: every node is in the frontier.
+        frontier = labels
         for _ in range(max_iterations):
-            neighbor_min = (
-                both.join(labels, both.b == labels.node)
+            offers = (
+                both.join(frontier, both.b == frontier.node)
                 .groupBy(F.col("a").alias("node"))
-                .agg(F.min("component").alias("nbr_component"))
+                .agg(F.min("component").alias("offer"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
+            new_labels = _materialize(
+                labels.join(offers, "node", "left").select(
                     "node",
                     F.least(
                         F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                        F.coalesce(F.col("offer"), F.col("component")),
                     ).alias("component"),
+                    (F.col("offer") < F.col("component")).alias("__changed"),
                 )
             )
-            # convergence check + lineage cut (one small job per round)
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            # Both the convergence probe and the next frontier scan the
+            # materialized partitions — no extra shuffle, no re-run.
+            frontier = new_labels.filter("__changed").select("node", "component")
+            labels = new_labels.select("node", "component")
+            any_changed = new_labels.agg(
+                F.max(F.coalesce(F.col("__changed"), F.lit(False)))
+            ).first()[0]
+            if not any_changed:
                 break
         return labels
     finally:

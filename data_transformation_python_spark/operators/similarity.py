@@ -91,32 +91,51 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_cells: int = 64_000_000,
+    lsh_planes_per_band: int = 8,
+    lsh_bands: int = 16,
 ) -> DataFrame:
-    """All corpus pairs above a cosine threshold, as a broadcast
-    block-matrix product.
+    """All corpus pairs above a cosine threshold.
 
-    The corpus is collected once into a numpy matrix and broadcast to
-    executors (exactly how Spark builds a broadcast-hash-join side);
-    each Arrow batch of rows then computes a BLAS ``block × corpusᵀ``
-    product and emits qualifying (id1 < id2) pairs.  Work is
-    O(N²·d / partitions) with no shuffle at all.
+    Two physical strategies behind one logical operator, picked by a
+    size probe (one cheap count job):
 
-    Determinism: quantized components are integers, so every BLAS
-    partial sum is an exact integer < 2^53 — reordering/FMA cannot
-    change the result, and the final /sqrt ops are correctly-rounded
-    IEEE on identical inputs → bit-equal to the SQL oracle.
+    - **Broadcast BLAS** (corpus ≤ ``max_broadcast_cells`` id×dim
+      cells, default 64M ≈ 512 MB of float64): the corpus is collected
+      once into a numpy matrix and broadcast — exactly how Spark
+      builds a broadcast-hash-join side, and bounded the same way.
+      Each Arrow batch computes a BLAS ``block × corpusᵀ`` product;
+      O(N²·d / partitions), no shuffle.
+    - **LSH + exact verify** (anything larger): banded random-
+      hyperplane candidates (OR of ``lsh_bands`` independent
+      ``lsh_planes_per_band``-bit buckets), then the exact integer
+      cosine on candidate pairs only — fully distributed, nothing
+      corpus-sized ever reaches the driver.  Recall follows the LSH
+      S-curve (see ``_neardup_lsh_verified``); exact-by-construction
+      only the broadcast path is.
 
-    Scale: broadcast brute force is right up to corpora that fit in
-    executor memory (~10M×64 floats ≈ 2.5 GB); beyond that, prune
-    candidates first with ``lsh_bucket_candidates`` and verify pairs
-    exactly.
+    Determinism: quantized components are integers, so every partial
+    sum (BLAS or SQL ``aggregate``) is an exact integer < 2^53 —
+    reordering/FMA cannot change the result, and the final /sqrt ops
+    are correctly-rounded IEEE on identical inputs → bit-equal across
+    both strategies and the SQL oracle on shared pairs.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     qn = quantized(df, vec_col, id_col).select(F.col(id_col).alias("id"), "__v")
-    # Build the broadcast side (driver-side, like a broadcast join build).
+    stats = qn.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("__v")).alias("dim")
+    ).first()
+    n_rows, dim = stats["n"] or 0, stats["dim"] or 0
+    if n_rows * dim > max_broadcast_cells:
+        return _neardup_lsh_verified(
+            df, threshold, vec_col, id_col, lsh_planes_per_band, lsh_bands
+        )
+
+    # Build the broadcast side (driver-side, like a broadcast join
+    # build — size-guarded above).
     rows = qn.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
@@ -153,6 +172,61 @@ def cosine_neardup_pairs(
             )
 
     return qn.mapInPandas(_blocks, schema=out_schema)
+
+
+def _neardup_lsh_verified(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    planes_per_band: int,
+    bands: int,
+) -> DataFrame:
+    """Distributed near-dup path: banded-LSH candidates → exact
+    quantized-integer cosine on candidate pairs only.  Shuffles on
+    bucket keys and pair ids; no driver-side corpus materialization.
+    Mirrors the dedup pipeline's candidates→verify shape
+    (queries/advanced.py dedup_pipeline_survivors).
+
+    OR-banding: ``bands`` independent bucket keys, each the sign
+    pattern of ``planes_per_band`` hyperplanes; a pair is a candidate
+    if it collides in ANY band.  With per-plane agreement probability
+    p = 1 - arccos(sim)/π, recall ≈ 1 - (1 - p^planes)^bands — the
+    defaults (8 planes × 16 bands) give ≈0.94 recall at sim 0.8 and
+    ≈0.996 at 0.9; low thresholds inherently need more bands (or the
+    broadcast BLAS path), the standard LSH dial."""
+    per_band = [
+        lsh_bucket_candidates(
+            df, planes_per_band, vec_col, id_col, plane_offset=b * planes_per_band
+        ).select("vec_id_1", "vec_id_2")
+        for b in range(bands)
+    ]
+    cand = per_band[0]
+    for nxt in per_band[1:]:
+        cand = cand.unionByName(nxt)
+    cand = cand.distinct()
+    qn = quantized(df, vec_col, id_col)
+    left = qn.select(
+        F.col(id_col).alias("vec_id_1"),
+        F.col("__v").alias("__v1"),
+        F.col("__nrm").alias("__n1"),
+    )
+    right = qn.select(
+        F.col(id_col).alias("vec_id_2"),
+        F.col("__v").alias("__v2"),
+        F.col("__nrm").alias("__n2"),
+    )
+    return (
+        cand.join(left, "vec_id_1")
+        .join(right, "vec_id_2")
+        .withColumn(
+            "cosine_sim",
+            F.expr(DOT_EXPR.format(a="__v1", b="__v2"))
+            / F.sqrt(F.col("__n1") * F.col("__n2")),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cosine_sim")
+    )
 
 
 def ivf_topk(
@@ -247,6 +321,7 @@ def lsh_bucket_candidates(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket by the sign pattern of ``num_planes``
     deterministic pseudo-random hyperplanes; pairs sharing a bucket are
@@ -254,13 +329,15 @@ def lsh_bucket_candidates(
 
     Hyperplane components are derived from md5 of (plane, dim) so the
     plan is fully deterministic and reproducible across runs/engines.
+    ``plane_offset`` shifts the plane ids so callers can build multiple
+    independent bands (OR-construction) from one primitive.
     At scale this replaces the corpus×corpus cross join with a join on
     bucket keys.
     """
     qn = quantized(df, vec_col, id_col)
     # plane p component for dim d: ±1 by parity of a md5-derived nibble
     sign_terms = []
-    for p in range(num_planes):
+    for p in range(plane_offset, plane_offset + num_planes):
         comp = (
             f"aggregate(zip_with(__v, sequence(0, size(__v) - 1),"
             f" (x, d) -> x * (CASE WHEN (instr('0123456789abcdef',"
