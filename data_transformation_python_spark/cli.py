@@ -17,6 +17,7 @@ import click
 from .backfill import BackfillExecutor
 from .config import load_config
 from .dependency import ParallelExecutor, build_dependency_graph
+from .errors import FrameworkError
 from .executor import ModelExecutor, SparkExecutor
 from .lineage import LineageGraph, extract_column_lineage
 from .model import ModelRegistry
@@ -317,7 +318,18 @@ def serve(ctx: Context, watch, poll_interval):
 
 
 def main():
-    cli()
+    try:
+        cli(standalone_mode=False)
+    except click.exceptions.Abort:
+        sys.exit(130)
+    except click.ClickException as e:
+        e.show()
+        sys.exit(e.exit_code)
+    except FrameworkError as e:
+        # typed errors map to stable exit codes (reference:
+        # utils/errors.py) so callers can match on type/code
+        click.echo(f"error[{type(e).__name__}]: {e}", err=True)
+        sys.exit(e.exit_code)
 
 
 if __name__ == "__main__":

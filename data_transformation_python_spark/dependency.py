@@ -16,7 +16,10 @@ from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 
 
-class CircularDependencyError(Exception):
+from .errors import CircularDependencyError as _BaseCircularDependencyError
+
+
+class CircularDependencyError(_BaseCircularDependencyError):
     def __init__(self, cycle: list[str]):
         self.cycle = cycle
         super().__init__(f"Circular dependency detected: {' -> '.join(cycle)}")

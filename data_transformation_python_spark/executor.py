@@ -101,8 +101,7 @@ class SparkExecutor:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
 
 
-class ModelExecutionError(RuntimeError):
-    pass
+from .errors import ModelExecutionError, ModelNotFoundError  # noqa: E402
 
 
 class ModelExecutor:
@@ -141,7 +140,7 @@ class ModelExecutor:
         if matches:
             self._file_cache[name] = matches[0]
             return matches[0]
-        raise FileNotFoundError(f"Model file not found: {name}.sql under {base}")
+        raise ModelNotFoundError(f"Model file not found: {name}.sql under {base}")
 
     # -- naming (reference: executor.py:191-231; case preserved per
     # SURVEY §7 — Spark is case-insensitive, no forced uppercase) ------

@@ -21,7 +21,9 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
+from .errors import MaterializationError
 from .operators.cdc_retirement import (
     OBSOLETE_COL,
     apply_cdc_retirement,
@@ -62,16 +64,38 @@ class Materialization:
         """Materialize ``df`` (which may read ``target``) via a staging
         table, then rewrite target from staging.  Required because
         vanilla Spark cannot overwrite a parquet table it is reading
-        (self-referential merge plans)."""
+        (self-referential merge plans).
+
+        Recovery semantics: parquet overwrite of the target is NOT
+        atomic, so staging is dropped only after the target rewrite
+        succeeds — on a mid-write failure the staging table retains
+        the only complete copy of the merged data and its name is
+        surfaced for recovery (never silently destroyed)."""
         db, _, tbl = target.rpartition(".")
         staging = f"{db}.__stg_{tbl}" if db else f"__stg_{tbl}"
         self._overwrite_table(staging, df, partition_by)
         try:
             self._overwrite_table(target, self.spark.table(staging), partition_by)
-        finally:
-            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        except Exception as exc:
+            raise MaterializationError(
+                f"rewrite of {target} failed mid-swap; staging table "
+                f"{staging} retains the complete merged result — recover "
+                f"with: INSERT OVERWRITE {target} SELECT * FROM {staging}"
+            ) from exc
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         # invalidate cached file listings for the replaced data files
         self.spark.catalog.refreshTable(target)
+
+    @staticmethod
+    def _partition_by(config) -> list | None:
+        """Parse config partition_by once for every strategy (the
+        on-disk layout control — Spark's answer to CLUSTER BY)."""
+        pb = (config or {}).get("partition_by")
+        if isinstance(pb, str) and pb:
+            return [p.strip() for p in pb.split("|") if p.strip()]
+        if isinstance(pb, (list, tuple)) and pb:
+            return list(pb)
+        return None
 
     def _ok(self, model_name, target, **extra) -> dict:
         return {
@@ -101,8 +125,7 @@ class TableMaterialization(Materialization):
     name = "table"
 
     def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
-        pb = config.get("partition_by")
-        pb = [p.strip() for p in pb.split("|")] if isinstance(pb, str) and pb else None
+        pb = self._partition_by(config)
         self._overwrite_table(target_table, self._select_df(select_sql), pb)
         return self._ok(model_name, target_table)
 
@@ -135,7 +158,9 @@ class IncrementalMaterialization(Materialization):
         strategy = config.get("incremental_strategy", "append")
         exists = self.executor.table_exists(target_table)
         if full_refresh or not exists:
-            self._overwrite_table(target_table, self._select_df(select_sql))
+            self._overwrite_table(
+                target_table, self._select_df(select_sql), self._partition_by(config)
+            )
             if strategy == "time":
                 self._store_watermark(model_name, target_table, config)
             return self._ok(
@@ -170,7 +195,7 @@ class IncrementalMaterialization(Materialization):
     def _time_incremental(self, model_name, target_table, select_sql, config):
         tc = config.get("time_column")
         if not tc:
-            raise ValueError("time incremental requires config time_column")
+            raise MaterializationError("time incremental requires config time_column")
         wm = None
         if self.state is not None:
             wm = self.state.get_incremental_state(model_name, self._watermark_key())
@@ -182,8 +207,14 @@ class IncrementalMaterialization(Materialization):
         delta = self._select_df(select_sql)
         if wm is not None:
             # watermark predicate injection (P4) on the DataFrame plan —
-            # pushed down by Catalyst to the source scan
-            delta = delta.filter(f"{tc} > '{wm}'")
+            # pushed down by Catalyst to the source scan.  The literal
+            # is cast to the column's own type: a bare string literal
+            # against a BIGINT epoch column would be coerced to DOUBLE
+            # (non-ANSI), losing precision above 2^53 (epoch-nanos) and
+            # silently skipping/duplicating boundary rows.
+            delta = delta.filter(
+                F.col(tc) > F.lit(wm).cast(delta.schema[tc].dataType)
+            )
         delta.write.mode("append").format("parquet").saveAsTable(target_table)
         self._store_watermark(model_name, target_table, config)
         return self._ok(
@@ -194,12 +225,14 @@ class IncrementalMaterialization(Materialization):
     def _unique_key_incremental(self, model_name, target_table, select_sql, config):
         key = config.get("unique_key")
         if not key:
-            raise ValueError("unique_key incremental requires config unique_key")
+            raise MaterializationError(
+                "unique_key incremental requires config unique_key"
+            )
         keys = [k.strip() for k in key.split("|")]
         target = self.spark.table(target_table)
         source = self._select_df(select_sql)
         merged = merge_upsert(target, source, keys)
-        self._swap_in(target_table, merged)
+        self._swap_in(target_table, merged, self._partition_by(config))
         return self._ok(
             model_name, target_table, incremental_strategy="unique_key", keys=keys
         )
@@ -228,13 +261,14 @@ class CDCMaterialization(Materialization):
         ts_col = cdc_meta.get("timestamp_column", "__CDC_TIMESTAMP")
         key = config.get("unique_key") or cdc_meta.get("unique_key")
         if not key:
-            raise ValueError("cdc materialization requires unique_key")
+            raise MaterializationError("cdc materialization requires unique_key")
         keys = [k.strip() for k in key.split("|")]
         batch = self._select_df(select_sql)
         exists = self.executor.table_exists(target_table)
+        pb = self._partition_by(config)
         if full_refresh or not exists:
             drop = [c for c in (op_col, ts_col) if c in batch.columns]
-            self._overwrite_table(target_table, batch.drop(*drop))
+            self._overwrite_table(target_table, batch.drop(*drop), pb)
             return self._ok(model_name, target_table, initial=True)
         target = self.spark.table(target_table)
         merged = apply_cdc_merge(
@@ -244,7 +278,7 @@ class CDCMaterialization(Materialization):
             op_col=op_col,
             ts_col=ts_col if ts_col in batch.columns else None,
         )
-        self._swap_in(target_table, merged)
+        self._swap_in(target_table, merged, pb)
         return self._ok(model_name, target_table, keys=keys)
 
 
@@ -263,20 +297,23 @@ class CDCRetirementMaterialization(Materialization):
         ts_col = cdc_meta.get("timestamp_column", "__CDC_TIMESTAMP")
         key = config.get("unique_key") or cdc_meta.get("unique_key")
         if not key:
-            raise ValueError("cdc_retirement materialization requires unique_key")
+            raise MaterializationError(
+                "cdc_retirement materialization requires unique_key"
+            )
         keys = [k.strip() for k in key.split("|")]
         batch = self._select_df(select_sql)
         exists = self.executor.table_exists(target_table)
+        pb = self._partition_by(config)
         if full_refresh or not exists:
             initial = initial_cdc_load(batch, keys, op_col=op_col, ts_col=ts_col)
             # active-flag partitioning keeps the active slice prunable
-            self._overwrite_table(target_table, initial)
+            self._overwrite_table(target_table, initial, pb)
             return self._ok(model_name, target_table, initial=True)
         target = self.spark.table(target_table)
         merged = apply_cdc_retirement(
             target, batch, keys, op_col=op_col, ts_col=ts_col
         )
-        self._swap_in(target_table, merged)
+        self._swap_in(target_table, merged, pb)
         from .operators.cdc_retirement import batch_stats
 
         return self._ok(
@@ -300,7 +337,7 @@ class MaterializationStrategyFactory:
     def create(cls, materialized: str, executor, state=None) -> Materialization:
         strategy = cls._STRATEGIES.get(materialized)
         if strategy is None:
-            raise ValueError(
+            raise MaterializationError(
                 f"Unknown materialization {materialized!r}; "
                 f"expected one of {sorted(cls._STRATEGIES)}"
             )

@@ -67,13 +67,14 @@ class ParsedSQL:
     uses_is_incremental: bool = False
 
 
-class SQLParseError(ValueError):
-    pass
+from .errors import SQLParseError  # noqa: E402  (re-export for callers)
 
 
 class SQLParser:
-    """Model-file discovery + parsing with an MD5-keyed cache
-    (reference: parser.py:126-223, cache 143-151)."""
+    """Model-file discovery + parsing with a path-keyed, hash-validated
+    cache (reference: parser.py:126-223, cache 143-151 — which keys by
+    path and validates the stored hash; keying by content hash alone
+    collides for byte-identical files and silently drops models)."""
 
     def __init__(self, models_dir: str | Path):
         self.models_dir = Path(models_dir)
@@ -169,8 +170,10 @@ class SQLParser:
         path = Path(path)
         raw = path.read_text()
         file_hash = hashlib.md5(raw.encode()).hexdigest()
-        if file_hash in self._cache:
-            return self._cache[file_hash]
+        cache_key = str(path)
+        cached = self._cache.get(cache_key)
+        if cached is not None and cached.file_hash == file_hash:
+            return cached
 
         name = path.stem
         config = self.extract_config(raw)
@@ -198,7 +201,7 @@ class SQLParser:
             file_hash=file_hash,
             uses_is_incremental=uses_inc,
         )
-        self._cache[file_hash] = parsed
+        self._cache[cache_key] = parsed
         return parsed
 
     def parse_directory(self, directory: str | Path | None = None) -> dict[str, ParsedSQL]:

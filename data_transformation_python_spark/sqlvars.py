@@ -16,7 +16,10 @@ import re
 VAR_PATTERN = re.compile(r"\$(\w+)")
 
 
-class MissingVariableError(ValueError):
+from .errors import MissingVariableError as _BaseMissingVariableError
+
+
+class MissingVariableError(_BaseMissingVariableError):
     """A ``$var`` in the SQL has no value provided (reference:
     executor.py:328-339 validation)."""
 

@@ -52,7 +52,9 @@ class StateManager:
         self.env = env
         self.state_dir = Path(state_dir) / env
         self.state_file = self.state_dir / f"state_{env}.json"
-        self._lock = threading.Lock()
+        # RLock: mutators nest (update_model_state → ensure) and
+        # run-all mutates from worker threads while save() iterates.
+        self._lock = threading.RLock()
         self.models: dict[str, ModelState] = {}
         self.load()
 
@@ -88,7 +90,8 @@ class StateManager:
         return self.models.get(name)
 
     def ensure(self, name: str) -> ModelState:
-        return self.models.setdefault(name, ModelState(name=name))
+        with self._lock:
+            return self.models.setdefault(name, ModelState(name=name))
 
     def has_changed(
         self,
@@ -119,12 +122,15 @@ class StateManager:
     ) -> None:
         import datetime as _dt
 
-        st = self.ensure(name)
-        st.file_hash = file_hash
-        st.config_hash = config_hash
-        if dependencies is not None:
-            st.dependencies = sorted(dependencies)
-        st.record_run(success, when or _dt.datetime.now(_dt.timezone.utc).isoformat())
+        with self._lock:
+            st = self.ensure(name)
+            st.file_hash = file_hash
+            st.config_hash = config_hash
+            if dependencies is not None:
+                st.dependencies = sorted(dependencies)
+            st.record_run(
+                success, when or _dt.datetime.now(_dt.timezone.utc).isoformat()
+            )
 
     # -- incremental watermarks (reference: state.py:298-333) ----------
     def get_incremental_state(self, name: str, key: str, default=None):
@@ -134,10 +140,12 @@ class StateManager:
         return st.incremental_state.get(key, default)
 
     def set_incremental_state(self, name: str, key: str, value) -> None:
-        self.ensure(name).incremental_state[key] = value
+        with self._lock:
+            self.ensure(name).incremental_state[key] = value
 
     def remove_model(self, name: str) -> None:
-        self.models.pop(name, None)
+        with self._lock:
+            self.models.pop(name, None)
 
 
 def create_state_manager(state_dir: str | Path, env: str = "dev") -> StateManager:

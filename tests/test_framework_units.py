@@ -180,3 +180,88 @@ def test_formatter_outputs():
     assert "| a " in tbl and "| 2 " in tbl
     assert ResultFormatter.format([], "table") == "(no rows)"
     assert len(ResultFormatter.format(rows, "csv", limit=1).splitlines()) == 2
+
+
+# -- typed error hierarchy (reference: utils/errors.py) ----------------
+def test_error_hierarchy_types_and_exit_codes():
+    from data_transformation_python_spark import errors as E
+
+    # every typed error is a FrameworkError with a distinct exit code
+    classes = [
+        E.ConfigError,
+        E.ModelNotFoundError,
+        E.SQLParseError,
+        E.MissingVariableError,
+        E.DependencyError,
+        E.CircularDependencyError,
+        E.MaterializationError,
+        E.ModelExecutionError,
+    ]
+    codes = [c.exit_code for c in classes]
+    assert all(issubclass(c, E.FrameworkError) for c in classes)
+    assert len(set(codes)) == len(codes)
+    # backward compat: historical stdlib bases still match
+    assert issubclass(E.ModelNotFoundError, FileNotFoundError)
+    assert issubclass(E.MaterializationError, ValueError)
+    assert issubclass(E.ModelExecutionError, RuntimeError)
+    # re-export sites raise the typed classes
+    from data_transformation_python_spark.dependency import (
+        CircularDependencyError as DepCycleError,
+    )
+    from data_transformation_python_spark.parser import SQLParseError as PSQLErr
+    from data_transformation_python_spark.sqlvars import (
+        MissingVariableError as MVErr,
+    )
+
+    assert issubclass(DepCycleError, E.CircularDependencyError)
+    assert issubclass(PSQLErr, E.FrameworkError)
+    assert issubclass(MVErr, E.FrameworkError)
+
+
+def test_parser_cache_keyed_by_path(tmp_path):
+    """Two byte-identical model files must stay distinct models
+    (content-hash-keyed caches collide and silently drop one)."""
+    from data_transformation_python_spark.parser import SQLParser
+
+    (tmp_path / "a.sql").write_text("SELECT 1 AS x")
+    (tmp_path / "b.sql").write_text("SELECT 1 AS x")
+    parser = SQLParser(tmp_path)
+    out = parser.parse_directory()
+    assert set(out) == {"a", "b"}
+    assert out["a"].name == "a" and out["b"].name == "b"
+    # hash validation: editing a file invalidates its cache entry only
+    (tmp_path / "a.sql").write_text("SELECT 2 AS x")
+    out2 = parser.parse_directory()
+    assert "SELECT 2" in out2["a"].rendered_sql
+    assert "SELECT 1" in out2["b"].rendered_sql
+
+
+def test_state_manager_concurrent_mutation(tmp_path):
+    """Mutators must be lock-protected: concurrent update/save must not
+    lose updates or die with dict-changed-during-iteration."""
+    import threading
+
+    from data_transformation_python_spark.state import create_state_manager
+
+    sm = create_state_manager(tmp_path)
+    n_threads, n_models = 8, 30
+    errs = []
+
+    def work(t):
+        try:
+            for i in range(n_models):
+                sm.update_model_state(f"m{t}_{i}", file_hash=f"h{i}")
+                sm.set_incremental_state(f"m{t}_{i}", "wm", i)
+                sm.save()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert len(sm.models) == n_threads * n_models
+    sm2 = create_state_manager(tmp_path)
+    assert len(sm2.models) == n_threads * n_models
