@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Per-query bench regression gate.
+
+Usage: python bench_diff.py OLD.json NEW.json [--ratio 1.5] [--floor 0.5]
+
+Compares two bench.py output files and fails (exit 1) if any query
+regressed more than ``ratio``× — ignoring queries faster than
+``floor`` seconds in BOTH files, where scheduling jitter dominates.
+Prints a summary either way, slowest regressions first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--floor", type=float, default=0.5)
+    args = ap.parse_args()
+
+    def _load(path):
+        with open(path) as f:
+            d = json.load(f)
+        # the driver's BENCH_r{N}.json wraps bench.py output in "parsed"
+        return d.get("parsed", d)
+
+    old, new = _load(args.old), _load(args.new)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+
+    regressions, improved, added, removed = [], [], [], []
+    for name, nt in sorted(nq.items()):
+        ot = oq.get(name)
+        if ot is None:
+            added.append(name)
+            continue
+        if max(ot, nt) < args.floor:
+            continue
+        r = nt / ot if ot > 0 else float("inf")
+        if r > args.ratio:
+            regressions.append((r, name, ot, nt))
+        elif r < 1 / args.ratio:
+            improved.append((r, name, ot, nt))
+    removed = sorted(set(oq) - set(nq))
+
+    print(
+        f"total: {old.get('value')}s -> {new.get('value')}s "
+        f"({len(nq)} queries; {len(added)} added, {len(removed)} removed)"
+    )
+    for r, name, ot, nt in sorted(improved):
+        print(f"  improved  {name}: {ot:.2f}s -> {nt:.2f}s ({r:.2f}x)")
+    for r, name, ot, nt in sorted(regressions, reverse=True):
+        print(f"  REGRESSED {name}: {ot:.2f}s -> {nt:.2f}s ({r:.2f}x)")
+    if removed:
+        print(f"  removed queries: {', '.join(removed)}")
+    if new.get("errors"):
+        print(f"  ERRORS in new run: {sorted(new['errors'])}")
+        return 1
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,10 +59,13 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     try:
+        # Materialize the (possibly expensive) upstream edge plan ONCE,
+        # then build the symmetric closure from the cached frame — a
+        # union of plan + swapped plan would recompute the whole edge
+        # subtree twice.
+        ed = _materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
         both = _materialize(
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-            .distinct()
+            ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
         )
         labels = (
             both.select(F.col("a").alias("node"))

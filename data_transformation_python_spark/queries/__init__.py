@@ -47,9 +47,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reads as epoch-nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``);
     convert to TIMESTAMP_NTZ (µs — the data has no sub-µs components).
     """
+    # The caller may hand us a vanilla session (e.g. the driver's
+    # harness) whose shuffle width is the untouched 200 default —
+    # pure scheduling overhead at test scale (AQE coalesces reads but
+    # still materializes 200 map outputs, and streaming state stores
+    # get no AQE at all).  Only resize when nobody has tuned it.
+    import os as _os
+
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(_os.cpu_count() or 8, 64))
+        )
     if name == "events":
-        # The caller may hand us a vanilla session (e.g. the driver's
-        # harness); the flag is runtime-settable, so set it here.
+        # nanosAsLong is runtime-settable, so set it here too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
