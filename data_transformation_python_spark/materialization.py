@@ -87,6 +87,16 @@ class Materialization:
         self.spark.catalog.refreshTable(target)
 
     @staticmethod
+    def _merge_buckets(config, meta) -> int | None:
+        """Bucketed-merge opt-in: config/meta ``merge_buckets`` = N
+        hash buckets.  Merges then rewrite only affected buckets
+        (operators/bucketed_merge.py) instead of the whole table."""
+        mb = (config or {}).get("merge_buckets") or (
+            (meta or {}).get("cdc") or {}
+        ).get("merge_buckets")
+        return int(mb) if mb else None
+
+    @staticmethod
     def _partition_by(config) -> list | None:
         """Parse config partition_by once for every strategy (the
         on-disk layout control — Spark's answer to CLUSTER BY)."""
@@ -157,10 +167,25 @@ class IncrementalMaterialization(Materialization):
     def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
         strategy = config.get("incremental_strategy", "append")
         exists = self.executor.table_exists(target_table)
+        mb = self._merge_buckets(config, meta)
         if full_refresh or not exists:
-            self._overwrite_table(
-                target_table, self._select_df(select_sql), self._partition_by(config)
-            )
+            if strategy == "unique_key" and mb:
+                from .operators.bucketed_merge import write_bucketed
+
+                keys = [k.strip() for k in (config.get("unique_key") or "").split("|")]
+                if not keys or not keys[0]:
+                    raise MaterializationError(
+                        "unique_key incremental requires config unique_key"
+                    )
+                write_bucketed(
+                    self.spark, target_table, self._select_df(select_sql), keys, mb
+                )
+            else:
+                self._overwrite_table(
+                    target_table,
+                    self._select_df(select_sql),
+                    self._partition_by(config),
+                )
             if strategy == "time":
                 self._store_watermark(model_name, target_table, config)
             return self._ok(
@@ -229,8 +254,20 @@ class IncrementalMaterialization(Materialization):
                 "unique_key incremental requires config unique_key"
             )
         keys = [k.strip() for k in key.split("|")]
-        target = self.spark.table(target_table)
         source = self._select_df(select_sql)
+        mb = self._merge_buckets(config, {})
+        if mb:
+            from .operators.bucketed_merge import merge_upsert_bucketed
+
+            stats = merge_upsert_bucketed(self.spark, target_table, source, keys)
+            return self._ok(
+                model_name,
+                target_table,
+                incremental_strategy="unique_key",
+                keys=keys,
+                **stats,
+            )
+        target = self.spark.table(target_table)
         merged = merge_upsert(target, source, keys)
         self._swap_in(target_table, merged, self._partition_by(config))
         return self._ok(
@@ -266,10 +303,30 @@ class CDCMaterialization(Materialization):
         batch = self._select_df(select_sql)
         exists = self.executor.table_exists(target_table)
         pb = self._partition_by(config)
+        mb = self._merge_buckets(config, meta)
         if full_refresh or not exists:
             drop = [c for c in (op_col, ts_col) if c in batch.columns]
-            self._overwrite_table(target_table, batch.drop(*drop), pb)
+            if mb:
+                from .operators.bucketed_merge import write_bucketed
+
+                write_bucketed(
+                    self.spark, target_table, batch.drop(*drop), keys, mb
+                )
+            else:
+                self._overwrite_table(target_table, batch.drop(*drop), pb)
             return self._ok(model_name, target_table, initial=True)
+        if mb:
+            from .operators.bucketed_merge import cdc_merge_bucketed
+
+            stats = cdc_merge_bucketed(
+                self.spark,
+                target_table,
+                batch,
+                keys,
+                op_col=op_col,
+                ts_col=ts_col if ts_col in batch.columns else None,
+            )
+            return self._ok(model_name, target_table, keys=keys, **stats)
         target = self.spark.table(target_table)
         merged = apply_cdc_merge(
             target,

@@ -30,6 +30,10 @@ _DEFAULTS = {
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Embedded Derby metastores throw from getPartitionsByFilter;
+    # fall back to client-side partition pruning (real metastores
+    # still take the fast server-side path first).
+    "spark.sql.hive.metastorePartitionPruningFallbackOnException": "true",
 }
 
 

@@ -256,3 +256,113 @@ def test_cdc_retirement_matrix(stack):
         .count()
     )
     assert dups == 0
+
+
+def test_bucketed_merge_rewrites_only_affected_buckets(stack):
+    """The partition-pruned merge fast path: after an incremental
+    merge, data files in buckets containing no changed keys must be
+    byte-identical (same path, size, mtime, content hash) — proof the
+    merge cost is O(affected/total), not O(table)."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.bucketed_merge import (
+        BUCKET_COL,
+        bucket_expr,
+    )
+
+    spark, db = stack["spark"], stack["db"]
+    n_buckets = 8
+    rows = [(i, float(i)) for i in range(1, 201)]
+    _write_source(stack, rows, "id bigint, v double")
+    _write_model(
+        stack,
+        "inc_bucketed",
+        "-- config: materialized=incremental, incremental_strategy=unique_key,"
+        f" unique_key=id, merge_buckets={n_buckets}\n"
+        "SELECT id, v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_bucketed")["success"]
+
+    tbl = f"{db}.inc_bucketed"
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    ).replace("file:", "")
+
+    def snapshot():
+        out = {}
+        for p in glob.glob(os.path.join(loc, f"{BUCKET_COL}=*", "*.parquet")):
+            with open(p, "rb") as f:
+                h = hashlib.md5(f.read()).hexdigest()
+            out[p] = (os.path.getsize(p), os.path.getmtime(p), h)
+        return out
+
+    before = snapshot()
+    assert len({os.path.dirname(p) for p in before}) == n_buckets
+
+    # change exactly one key → exactly one affected bucket
+    changed_key = 7
+    _write_source(stack, [(changed_key, 777.0)], "id bigint, v double")
+    r = stack["mx"].execute_model("inc_bucketed")
+    assert r["success"] and r["affected_buckets"] == 1
+
+    # correctness: only the changed key's value moved
+    got = {row.id: row.v for row in spark.table(tbl).collect()}
+    want = {i: float(i) for i in range(1, 201)}
+    want[changed_key] = 777.0
+    assert got == want
+
+    # physical proof: files outside the affected bucket are untouched
+    after = snapshot()
+    hot_bucket = spark.createDataFrame([(changed_key,)], "id bigint").select(
+        bucket_expr(["id"], n_buckets).alias("b")
+    ).first()["b"]
+    hot_dir = os.path.join(loc, f"{BUCKET_COL}={hot_bucket}")
+    untouched_before = {p: v for p, v in before.items() if not p.startswith(hot_dir)}
+    untouched_after = {p: v for p, v in after.items() if not p.startswith(hot_dir)}
+    assert untouched_before == untouched_after
+    assert untouched_before  # sanity: there were untouched buckets
+    # and the hot bucket WAS rewritten
+    assert {p for p in before if p.startswith(hot_dir)} != {
+        p for p in after if p.startswith(hot_dir)
+    } or before != after
+
+
+def test_bucketed_cdc_merge_handles_emptied_bucket(stack):
+    """A CDC batch that deletes a bucket's only keys must actually
+    empty that bucket (dynamic overwrite alone would leave the old
+    files in place)."""
+    spark, db = stack["spark"], stack["db"]
+    schema = "id bigint, v string, __CDC_OPERATION string, __CDC_TIMESTAMP timestamp_ntz"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    _write_source(
+        stack,
+        [(i, f"v{i}", "I", t0) for i in range(1, 9)],
+        schema,
+    )
+    _write_model(
+        stack,
+        "cdc_bucketed",
+        "-- config: materialized=cdc, unique_key=id, merge_buckets=4\n"
+        "SELECT * FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("cdc_bucketed")["success"]
+    tbl = f"{db}.cdc_bucketed"
+    assert spark.table(tbl).count() == 8
+
+    # delete ALL keys (every bucket empties)
+    _write_source(
+        stack,
+        [(i, f"v{i}", "D", t0) for i in range(1, 9)],
+        schema,
+    )
+    r = stack["mx"].execute_model("cdc_bucketed")
+    assert r["success"]
+    assert spark.table(tbl).count() == 0
