@@ -19,7 +19,11 @@ from .config import load_config
 from .dependency import ParallelExecutor, build_dependency_graph
 from .errors import FrameworkError
 from .executor import ModelExecutor, SparkExecutor
-from .lineage import LineageGraph, extract_column_lineage
+from .lineage import (
+    LineageGraph,
+    extract_column_lineage,
+    extract_column_lineage_spark,
+)
 from .model import ModelRegistry
 from .parser import SQLParser
 from .plans.plan import PlanGenerator
@@ -257,13 +261,30 @@ def backfill(ctx: Context, model, start_date, end_date, interval_days, vars_str)
 @cli.command()
 @click.argument("model", required=False)
 @click.option("--dot", is_flag=True, default=False)
+@click.option(
+    "--analyzed/--parse-only",
+    default=True,
+    help="Resolve lineage through Spark's analyzer (exact, expands *) "
+    "when the referenced tables exist; --parse-only forces the "
+    "sessionless regex extractor.",
+)
 @click.pass_obj
-def lineage(ctx: Context, model, dot):
+def lineage(ctx: Context, model, dot, analyzed):
     """Column lineage (reference: utils/lineage.py, G8-G10)."""
     parsed = ctx.parser.parse_directory()
+    mx = ctx.model_executor()
     lg = LineageGraph()
     for name, p in parsed.items():
-        lg.add_model(name, extract_column_lineage(p.rendered_sql))
+        cols = None
+        if analyzed:
+            try:
+                _, final_sql, _ = mx.compile_model(name)
+                cols = extract_column_lineage_spark(ctx.spark, final_sql)
+            except Exception:
+                cols = None  # tables not built yet → parse-time fallback
+        if cols is None:
+            cols = extract_column_lineage(p.rendered_sql)
+        lg.add_model(name, cols)
     if dot:
         click.echo(lg.to_dot())
         return

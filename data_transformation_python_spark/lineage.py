@@ -2,11 +2,18 @@
 
 The reference derives lineage from a sqlglot AST (reference:
 src/framework/parser.py:374-432, utils/lineage.py:10-194).  sqlglot is
-not available in this environment, so lineage is derived from the SQL
-text with a conservative parser that handles the same shapes the
-reference handles (simple SELECT items with optional aliases, function
-wrapping, qualified columns); ``*`` projections and subqueries degrade
-to table-level lineage, explicitly marked.
+not available in this environment, so there are two extractors:
+
+- ``extract_column_lineage_spark``: resolves the query through
+  Spark's own analyzer and walks the analyzed logical plan, tracking
+  every output attribute's expression id down to the leaf relations.
+  This is *stronger* than the reference's AST walk: ``*`` expands to
+  real columns (including through joins), aliases/CTEs/subqueries
+  resolve exactly, and the result is what the engine will actually
+  compute.  Needs a session where the referenced tables/views exist.
+- ``extract_column_lineage``: sessionless regex fallback for
+  parse-time lineage (same shapes the reference handles; ``*`` and
+  subqueries degrade to table-level, explicitly marked).
 """
 
 from __future__ import annotations
@@ -110,6 +117,126 @@ def extract_column_lineage(sql: str, default_table: str | None = None) -> list[C
         out.append(
             ColumnLineage(
                 column=alias.strip(), sources=uniq, transformations=sorted(set(fns))
+            )
+        )
+    return out
+
+
+def extract_column_lineage_spark(spark, sql: str) -> list[ColumnLineage]:
+    """Analyzer-grade lineage: run ``sql`` through Spark's analyzer
+    (no execution — LIMIT-0 semantics are irrelevant, only the plan is
+    read) and map every output column to its source (table, column)
+    pairs by walking attribute expression-ids down to leaf relations.
+
+    Provenance names come from the innermost ``SubqueryAlias`` wrapping
+    each relation — i.e. the view/table name as referenced, with user
+    aliases resolved away."""
+    jplan = spark.sql(sql)._jdf.queryExecution().analyzed()
+    origins: dict[int, set] = {}  # exprId -> {(table, col)}
+    cte_defs: dict[int, list] = {}  # cteId -> [attr exprIds in order]
+
+    def seq(s):
+        return [s.apply(i) for i in range(s.size())]
+
+    def attr_refs(expr):
+        it = expr.references().iterator()
+        while it.hasNext():
+            yield it.next()
+
+    def named_outputs(node, kind):
+        if kind == "Project":
+            return seq(node.projectList())
+        if kind == "Aggregate":
+            return seq(node.aggregateExpressions())
+        if kind == "Window":
+            return seq(node.windowExpressions())
+        return []
+
+    def visit(node, alias=None):
+        kind = node.getClass().getSimpleName()
+        if kind == "SubqueryAlias":
+            visit(node.child(), alias=node.alias())
+            return
+        if kind == "View":
+            # provenance boundary: this subtree IS the named view
+            for a in seq(node.output()):
+                origins[a.exprId().id()] = {(alias or "?", a.name())}
+            return
+        if kind == "WithCTE":
+            for d in seq(node.cteDefs()):
+                visit(d.child(), alias)
+                cte_defs[d.id()] = [
+                    a.exprId().id() for a in seq(d.child().output())
+                ]
+            visit(node.plan(), alias)
+            return
+        if kind == "CTERelationRef":
+            src_ids = cte_defs.get(node.cteId(), [])
+            for a, sid in zip(seq(node.output()), src_ids):
+                origins[a.exprId().id()] = set(origins.get(sid, set()))
+            return
+        children = seq(node.children())
+        if not children:
+            # leaf relation (catalog table / files / local data)
+            for a in seq(node.output()):
+                origins[a.exprId().id()] = {(alias or kind, a.name())}
+            return
+        for c in children:
+            visit(c, alias)
+        if kind == "Union":
+            outs = seq(node.output())
+            per_child = [seq(c.output()) for c in children]
+            for i, a in enumerate(outs):
+                merged = set()
+                for co in per_child:
+                    if i < len(co):
+                        merged |= origins.get(co[i].exprId().id(), set())
+                origins[a.exprId().id()] = merged
+            return
+        if kind == "Generate":
+            gen_src = set()
+            for r in attr_refs(node.generator()):
+                gen_src |= origins.get(r.exprId().id(), set())
+            for a in seq(node.generatorOutput()):
+                origins[a.exprId().id()] = set(gen_src)
+        for ne in named_outputs(node, kind):
+            src = set()
+            for r in attr_refs(ne):
+                src |= origins.get(r.exprId().id(), set())
+            existing = origins.setdefault(ne.exprId().id(), set())
+            existing.update(src)
+
+    visit(jplan)
+
+    # transformation names from the top-level named expressions' SQL
+    fns_by_id: dict[int, list] = {}
+    top = jplan
+    while top.getClass().getSimpleName() in ("WithCTE", "SubqueryAlias"):
+        top = (
+            top.plan()
+            if top.getClass().getSimpleName() == "WithCTE"
+            else top.child()
+        )
+    kind = top.getClass().getSimpleName()
+    for ne in named_outputs(top, kind):
+        try:
+            fns = [
+                f.lower()
+                for f in _FN_RE.findall(ne.sql())
+                if f.lower() not in _SQL_KEYWORDS
+            ]
+        except Exception:
+            fns = []
+        fns_by_id[ne.exprId().id()] = sorted(set(fns))
+
+    out = []
+    for a in seq(jplan.output()):
+        eid = a.exprId().id()
+        out.append(
+            ColumnLineage(
+                column=a.name(),
+                sources=sorted(origins.get(eid, set())),
+                transformations=fns_by_id.get(eid, []),
             )
         )
     return out

@@ -265,3 +265,88 @@ def test_state_manager_concurrent_mutation(tmp_path):
     assert len(sm.models) == n_threads * n_models
     sm2 = create_state_manager(tmp_path)
     assert len(sm2.models) == n_threads * n_models
+
+
+# -- analyzer-grade column lineage (reference: parser.py:374-432) ------
+def test_spark_lineage_star_through_join(spark):
+    """The reference README's ref() join example (reference:
+    README.md:395-402): SELECT * through a two-table join must expand
+    to per-column sources on the correct side."""
+    from data_transformation_python_spark.lineage import (
+        extract_column_lineage_spark,
+    )
+
+    spark.createDataFrame(
+        [(1, "a")], "customer_id bigint, name string"
+    ).createOrReplaceTempView("bronze_raw_customers")
+    spark.createDataFrame(
+        [(10, 1, 2.5)], "order_id bigint, customer_id bigint, amount double"
+    ).createOrReplaceTempView("bronze_raw_orders")
+    cols = extract_column_lineage_spark(
+        spark,
+        "SELECT * FROM bronze_raw_orders o "
+        "JOIN bronze_raw_customers c ON o.customer_id = c.customer_id",
+    )
+    got = {(c.column, tuple(c.sources)) for c in cols}
+    assert ("order_id", (("bronze_raw_orders", "order_id"),)) in got
+    assert ("amount", (("bronze_raw_orders", "amount"),)) in got
+    assert ("name", (("bronze_raw_customers", "name"),)) in got
+    # both customer_id outputs keep side-specific provenance
+    cust_srcs = sorted(
+        s for c in cols if c.column == "customer_id" for s in c.sources
+    )
+    assert cust_srcs == [
+        ("bronze_raw_customers", "customer_id"),
+        ("bronze_raw_orders", "customer_id"),
+    ]
+
+
+def test_spark_lineage_cte_agg_and_transformations(spark):
+    from data_transformation_python_spark.lineage import (
+        extract_column_lineage_spark,
+    )
+
+    spark.createDataFrame(
+        [(10, 1, 2.5)], "order_id bigint, customer_id bigint, amount double"
+    ).createOrReplaceTempView("lin_orders")
+    spark.createDataFrame(
+        [(1, "a")], "customer_id bigint, name string"
+    ).createOrReplaceTempView("lin_customers")
+    cols = {
+        c.column: c
+        for c in extract_column_lineage_spark(
+            spark,
+            """
+            WITH totals AS (
+              SELECT customer_id, SUM(amount) AS total
+              FROM lin_orders GROUP BY customer_id)
+            SELECT UPPER(c.name) AS shout, t.total
+            FROM totals t JOIN lin_customers c
+              ON t.customer_id = c.customer_id
+            """,
+        )
+    }
+    assert cols["shout"].sources == [("lin_customers", "name")]
+    assert "upper" in cols["shout"].transformations
+    # aggregate provenance traces through the CTE to the base column
+    assert cols["total"].sources == [("lin_orders", "amount")]
+
+
+def test_spark_lineage_union_and_explode(spark):
+    from data_transformation_python_spark.lineage import (
+        extract_column_lineage_spark,
+    )
+
+    spark.createDataFrame(
+        [(1, "a b")], "doc_id bigint, text string"
+    ).createOrReplaceTempView("lin_docs")
+    cols = {
+        c.column: c
+        for c in extract_column_lineage_spark(
+            spark,
+            "SELECT doc_id, tok FROM (SELECT doc_id, "
+            "explode(split(text, ' ')) AS tok FROM lin_docs)",
+        )
+    }
+    assert cols["doc_id"].sources == [("lin_docs", "doc_id")]
+    assert cols["tok"].sources == [("lin_docs", "text")]
