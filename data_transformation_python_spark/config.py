@@ -91,6 +91,53 @@ class SourceRegistry:
         return list(self._tables.values())
 
 
+#: Warehouse-profile keys accepted for porting parity (reference:
+#: connection.py:100-166).  Auth itself is meaningless for a local
+#: SparkSession, but real projects carry these keys in profiles.yml;
+#: they validate like the reference and export as ``spark.dtps.profile.*``
+#: conf tags (the QUERY_TAG analogue — visible in the Spark UI).
+_PROFILE_CONN_KEYS = (
+    "account",
+    "user",
+    "warehouse",
+    "role",
+    "query_tag",
+)
+
+
+def validate_profile_auth(prof: dict, env: str) -> None:
+    """Mirror the reference's per-authenticator validation (reference:
+    config.py:244-266).  Only applies when the profile declares a
+    warehouse connection at all (local Spark profiles don't)."""
+    from .errors import ConfigError
+
+    declares_conn = any(
+        k in prof for k in ("account", "authenticator", "password", "private_key")
+    )
+    if not declares_conn:
+        return
+    authenticator = prof.get("authenticator", "password")
+    if authenticator in ("externalbrowser",):
+        return
+    if authenticator == "oauth":
+        if "token" not in prof:
+            raise ConfigError(
+                f"OAuth authentication requires 'token' field in connection "
+                f"config (environment {env!r})"
+            )
+    elif authenticator == "snowflake":
+        if "private_key" not in prof:
+            raise ConfigError(
+                f"Private key authentication requires 'private_key' field in "
+                f"connection config (environment {env!r})"
+            )
+    elif "password" not in prof:
+        raise ConfigError(
+            f"Password authentication requires 'password' field in "
+            f"connection config (environment {env!r})"
+        )
+
+
 @dataclass
 class ProjectConfig:
     project_dir: Path
@@ -104,6 +151,7 @@ class ProjectConfig:
     models_dir: Path | None = None
     tests_dir: Path | None = None
     state_dir: Path | None = None
+    connection: dict = field(default_factory=dict)
 
     def __post_init__(self):
         self.project_dir = Path(self.project_dir)
@@ -128,13 +176,26 @@ def load_config(project_dir: str | Path, env: str | None = None) -> ProjectConfi
     envs = profiles.get("environments") or {}
     prof = envs.get(env) or {}
     sources = SourceRegistry(load_yaml(project_dir / "sources.yml"))
+    validate_profile_auth(prof, env)
+    connection = {k: prof[k] for k in _PROFILE_CONN_KEYS if k in prof}
+    spark_conf = dict(prof.get("spark_conf") or {})
+    # profile identity keys → conf tags (QUERY_TAG analogue)
+    for k, v in connection.items():
+        spark_conf.setdefault(f"spark.dtps.profile.{k}", str(v))
+    # session_parameters → runtime conf (reference sets them via SET
+    # per statement, connection.py:427-439; Spark's runtime conf is
+    # the session-scoped equivalent)
+    for k, v in (prof.get("session_parameters") or {}).items():
+        key = k if str(k).startswith("spark.") else f"spark.dtps.session.{k}"
+        spark_conf.setdefault(key, str(v))
     return ProjectConfig(
         project_dir=project_dir,
         env_name=env,
         master=prof.get("master"),
         database=prof.get("database", prof.get("schema", "default")),
         warehouse_dir=prof.get("warehouse_dir"),
-        spark_conf=prof.get("spark_conf") or {},
+        spark_conf=spark_conf,
         variables=prof.get("vars") or {},
         sources=sources,
+        connection=connection,
     )

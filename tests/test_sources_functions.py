@@ -94,3 +94,56 @@ def test_qualify_rewrite_is_valid_spark(spark):
 def test_transpile_unsupported_raises():
     with pytest.raises(UnsupportedDialectFeature):
         transpile_snowflake("SELECT * FROM t, LATERAL FLATTEN(input => x)")
+
+
+# -- profile auth surface parity (reference: config.py:244-266,
+#    connection.py:100-166) --------------------------------------------
+def test_profile_auth_validation_and_passthrough(tmp_path):
+    import pytest as _pytest
+
+    from data_transformation_python_spark.config import load_config
+    from data_transformation_python_spark.errors import ConfigError
+
+    def _write(profyaml):
+        (tmp_path / "profiles.yml").write_text(profyaml)
+        return load_config(tmp_path)
+
+    # local Spark profile: no connection keys → no auth validation
+    cfg = _write("environments:\n  dev:\n    database: local\n")
+    assert cfg.connection == {}
+
+    # password auth requires password
+    with _pytest.raises(ConfigError):
+        _write(
+            "environments:\n  dev:\n    account: acme\n    user: bob\n"
+        )
+    # oauth requires token
+    with _pytest.raises(ConfigError):
+        _write(
+            "environments:\n  dev:\n    account: acme\n"
+            "    authenticator: oauth\n"
+        )
+    # private key requires private_key
+    with _pytest.raises(ConfigError):
+        _write(
+            "environments:\n  dev:\n    account: acme\n"
+            "    authenticator: snowflake\n"
+        )
+    # externalbrowser needs nothing further; identity keys become
+    # spark conf tags (the QUERY_TAG analogue)
+    cfg = _write(
+        "environments:\n"
+        "  dev:\n"
+        "    account: acme\n"
+        "    user: bob\n"
+        "    role: ANALYST\n"
+        "    warehouse: COMPUTE_M\n"
+        "    authenticator: externalbrowser\n"
+        "    session_parameters:\n"
+        "      QUERY_TAG: nightly\n"
+        "      spark.sql.shuffle.partitions: '16'\n"
+    )
+    assert cfg.connection["role"] == "ANALYST"
+    assert cfg.spark_conf["spark.dtps.profile.warehouse"] == "COMPUTE_M"
+    assert cfg.spark_conf["spark.dtps.session.QUERY_TAG"] == "nightly"
+    assert cfg.spark_conf["spark.sql.shuffle.partitions"] == "16"
