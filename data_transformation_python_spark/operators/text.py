@@ -96,6 +96,82 @@ def fingerprints(
     )
 
 
+#: BPE-style pretokenizer regex (GPT-2 family shape, ASCII classes,
+#: no lookahead — portable between Java regex and RE2): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+#: rolling-hash parameters (Rabin-Karp): base 257, Mersenne-ish
+#: modulus 2^31-1.  All intermediates < 2^40 — exact in BIGINT.
+ROLL_BASE = 257
+ROLL_MOD = 2147483647
+_HEX = "0123456789abcdef"
+
+
+def _tokval_expr(tok: str) -> str:
+    """24-bit integer from a token's first 6 md5 nibbles — the same
+    engine-portable nibble-parse trick as SimHash (no engine-specific
+    string→int conversion needed)."""
+    parts = " + ".join(
+        f"(instr('{_HEX}', substr(md5({tok}), {i + 1}, 1)) - 1) * {16 ** i}"
+        for i in range(6)
+    )
+    return f"CAST({parts} AS BIGINT)"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace vs BPE-pretokenizer token counts per document.
+
+    The BPE count approximates LLM token cost far better than
+    whitespace words (punctuation and contractions split); the
+    ratio is the standard tokens-per-word calibration factor."""
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("bigint")
+    n_ws = F.size(_tokens(text_col)).cast("bigint")
+    return df.select(
+        id_col,
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_ws.cast("double")).alias("tokens_per_word"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints over the token sequence:
+
+    - ``seq_hash``: polynomial hash of the WHOLE sequence — order-
+      sensitive (the bag fingerprint misses reordered plagiarism).
+    - ``winnow_hash``: min over all k-gram rolling hashes — the
+      winnowing fingerprint; shared k-grams give shared candidates
+      even under truncation/insertion.  NULL for docs shorter than k.
+
+    Everything is builtin JVM expressions (higher-order functions);
+    one pass over the corpus, no shuffle at all.
+    """
+    tv = _tokval_expr("t")
+    kv = f"transform(split({text_col}, ' '), t -> {tv})"
+    seq = (
+        f"aggregate({kv}, CAST(0 AS BIGINT),"
+        f" (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
+    )
+    kgram = (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"array_min(transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+        f" i -> aggregate(slice({kv}, i, {k}), CAST(0 AS BIGINT),"
+        f" (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}))) END"
+    )
+    return df.select(
+        id_col,
+        F.expr(seq).alias("seq_hash"),
+        F.expr(kgram).alias("winnow_hash"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

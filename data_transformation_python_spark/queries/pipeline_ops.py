@@ -313,3 +313,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = mm.attach_binary_payload(docs, kind="image")
     return mm.extract_features(payloads)
+
+
+# --------------------------------------------------------------------------
+# text analysis: BPE-ish regex token counting (LLM token-cost estimate)
+# --------------------------------------------------------------------------
+_BPE_SQL_PATTERN = tx.BPE_PATTERN.replace("'", "''")
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS tokens_per_word
+FROM documents
+"""
+
+
+@query("text_bpe_tokens", oracle=_BPE_ORACLE)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-pretokenizer token counts (operators/text.py
+    BPE_PATTERN is lookahead-free so Java regex and RE2 agree)."""
+    return tx.bpe_token_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# text analysis: Rabin-Karp rolling-hash fingerprints (order-sensitive
+# sequence hash + winnowing min-k-gram hash)
+# --------------------------------------------------------------------------
+def _duck_tokval(tok: str) -> str:
+    parts = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({tok}), {i + 1}, 1)) - 1) * {16 ** i}"
+        for i in range(6)
+    )
+    return f"CAST({parts} AS BIGINT)"
+
+
+_ROLL_ORACLE = f"""
+WITH kv AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {_duck_tokval('t')}) AS v
+  FROM documents)
+SELECT doc_id,
+  CAST(list_reduce(v, (acc, x) -> (acc * {tx.ROLL_BASE} + x) % {tx.ROLL_MOD}) AS BIGINT) AS seq_hash,
+  CAST(CASE WHEN len(v) >= 5 THEN
+    list_min(list_transform(range(1, len(v) - 3),
+      i -> list_reduce(v[i:i+4], (acc, x) -> (acc * {tx.ROLL_BASE} + x) % {tx.ROLL_MOD})))
+  END AS BIGINT) AS winnow_hash
+FROM kv
+"""
+
+
+@query("text_rolling_fingerprint", oracle=_ROLL_ORACLE)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hashes over the token sequence — DuckDB's
+    init-less list_reduce equals Spark's aggregate with 0 init because
+    the first fold step is 0*B + x = x."""
+    return tx.rolling_fingerprints(load(spark, sf_dir, "documents"), k=5)
