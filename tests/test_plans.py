@@ -58,3 +58,47 @@ def test_incremental_watermark_pushdown(spark):
     # the watermark predicate must reach the parquet scan, not sit in
     # a post-scan filter only
     assert re.search(r"PushedFilters: \[.*GreaterThan\(ts", plan), plan
+
+
+def test_bucketed_merge_target_scan_is_partition_pruned(spark, tmp_path):
+    """The bucketed merge's target-side read must scan only affected
+    bucket partitions (partition pruning on __merge_bucket), not the
+    whole table — the physical property the O(affected/total) cost
+    claim rests on."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.bucketed_merge import (
+        BUCKET_COL,
+        bucket_expr,
+        stored_bucket_count,
+        write_bucketed,
+    )
+
+    db = f"planb_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    tbl = f"{db}.bplan_target"
+    try:
+        base = spark.range(1, 401).select(
+            F.col("id"), (F.col("id") * 2.0).alias("v")
+        )
+        write_bucketed(spark, tbl, base, ["id"], 8)
+        assert stored_bucket_count(spark, tbl) == 8
+
+        source = spark.createDataFrame([(7, 99.0)], "id bigint, v double")
+        source_b = source.withColumn(BUCKET_COL, bucket_expr(["id"], 8))
+        affected = [r[0] for r in source_b.select(BUCKET_COL).distinct().collect()]
+        pruned = spark.table(tbl).filter(F.col(BUCKET_COL).isin(affected))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # partition filters (not data filters) carry the bucket predicate
+        assert re.search(r"(?i)partition", plan), plan
+        n_parts = pruned.select(BUCKET_COL).distinct().count()
+        assert n_parts == len(affected) == 1
+        # file-level check: only the affected bucket's files are listed
+        files = pruned.inputFiles()
+        assert files and all(
+            f"{BUCKET_COL}={affected[0]}" in f for f in files
+        ), files
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
