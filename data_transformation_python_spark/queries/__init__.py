@@ -83,6 +83,7 @@ def _register_all() -> None:
     from . import framework_semantics  # noqa: F401
     from . import graph_scalar  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import tpch_extra  # noqa: F401
 
 
 _registered = False
