@@ -84,3 +84,75 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming sessionization via built-in session_window, verified
+# against the batch gaps-and-islands oracle
+# --------------------------------------------------------------------------
+_SESSION_STREAM_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flags AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flags)
+SELECT user_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("q_stream_sessionize", oracle=_SESSION_STREAM_ORACLE)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with the built-in ``session_window``
+    (30-minute inactivity gap) run as a real streaming query; the
+    oracle is the batch gaps-and-islands CTE.  Boundary semantics:
+    ``session_window`` ends are exclusive (an event at exactly
+    last+gap opens a NEW session), so the oracle flags new sessions
+    with ``>=`` — with microsecond timestamps the distinction never
+    fires in this data, but the contract is written to match exactly.
+    Complete output mode emits every session (including tails that a
+    timeout-based emitter would still be holding)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.min("ts").cast("timestamp_ntz").alias("session_start"),
+            F.max("ts").cast("timestamp_ntz").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
