@@ -56,6 +56,85 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # implementations, so the oracle compares the *quality contract*
 # (within 5% of exact) rather than the raw sketch value.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# approximate-percentile sketch gate: like the HLL gate, the sketches
+# differ across engines (Spark uses QuantileSummaries/KLL-ish, DuckDB
+# t-digest), so the portable contract is the error bound vs the exact
+# rank-selected quantile, emitted as a BIGINT 0/1 gate.
+# --------------------------------------------------------------------------
+_APPROX_PCT_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+exact AS (
+  SELECT o_orderpriority,
+         CAST(MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                       THEN o_totalprice END) AS DOUBLE) AS exact_p50,
+         CAST(MAX(n) AS BIGINT) AS n_orders
+  FROM ranked GROUP BY o_orderpriority),
+approx AS (
+  SELECT o_orderpriority,
+         CAST(approx_quantile(o_totalprice, 0.5) AS DOUBLE) AS approx_p50
+  FROM orders GROUP BY o_orderpriority)
+SELECT e.o_orderpriority, e.exact_p50, e.n_orders,
+       CAST(CASE WHEN ABS(a.approx_p50 - e.exact_p50)
+                      <= 0.10 * GREATEST(e.exact_p50, 1.0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS approx_within_10pct
+FROM exact e JOIN approx a ON e.o_orderpriority = a.o_orderpriority
+"""
+
+
+@query("q_approx_percentile", oracle=_APPROX_PCT_ORACLE)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50 (rank selection — engine-portable, hash-compared
+    directly) plus each engine's own percentile sketch verified only
+    through its ≤10% relative-error gate.  TPC-H-ish totalprice is
+    near-uniform per priority, so both sketches land well inside the
+    bound at every sf."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == (F.floor(0.5 * (F.col("n") - 1)).cast("bigint") + 1),
+                F.col("o_totalprice"),
+            )
+        )
+        .cast("double")
+        .alias("exact_p50"),
+        F.max("n").cast("bigint").alias("n_orders"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5).cast("double").alias("approx_p50")
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_p50",
+        "n_orders",
+        F.when(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.10 * F.greatest(F.col("exact_p50"), F.lit(1.0)),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("approx_within_10pct"),
+    )
+
+
 _APPROX_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
