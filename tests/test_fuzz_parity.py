@@ -39,11 +39,14 @@ _GROUP_KEYS = [
     "o_custkey % 10",
 ]
 
+# DOUBLE finals over exact-decimal internals — the same projection
+# discipline as the production query surface (trailing-zero decimals
+# are a proven cross-client hash hazard).
 _AGGS = [
     "CAST(COUNT(*) AS BIGINT)",
-    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))",
-    "CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))",
-    "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))",
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+    "CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+    "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
     "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)",
     "CAST(MIN(o_orderkey) AS BIGINT)",
 ]
@@ -62,12 +65,9 @@ def _build_sql(pred_idx: list[int], key_idx: int, agg_idx: list[int], table: str
 
 
 def _canon(v):
-    import decimal
-
+    # strict: no decimal normalization (mirrors the driver's hash)
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
     return str(v)
 
 
