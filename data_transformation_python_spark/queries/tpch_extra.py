@@ -199,3 +199,117 @@ def q22_rich_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushed into the orders scan) compiles to a left-anti
     join in Spark."""
     return _shared(spark, sf_dir, ["customer", "orders"], _Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# PIVOT — wide conditional aggregation via the DataFrame pivot operator
+# (oracle: CASE-based conditional sums, the relational equivalent)
+# --------------------------------------------------------------------------
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_pivot_status", oracle=_PIVOT_ORACLE)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame .pivot with EXPLICIT values — never let pivot infer
+    the column set (that runs an extra distinct job and makes the
+    output schema data-dependent, a schema-stability hazard at scale)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt — wide → long (oracle: stacked UNION ALL)
+# --------------------------------------------------------------------------
+_UNPIVOT_ORACLE = """
+SELECT c_custkey, 'c_acctbal' AS measure,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS amount
+FROM customer
+UNION ALL
+SELECT c_custkey, 'c_nationkey',
+       CAST(CAST(c_nationkey AS DECIMAL(18,2)) AS DOUBLE)
+FROM customer
+"""
+
+
+@query("q_unpivot_measures", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame unpivot (Spark 3.4+) — the melt operator; the oracle
+    is the stacked UNION ALL it is semantically defined as."""
+    from pyspark.sql import functions as F
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("c_acctbal"),
+        F.col("c_nationkey").cast("decimal(18,2)").cast("double").alias("c_nationkey"),
+    )
+    return cust.unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON metadata extraction — construct a JSON doc column, then extract
+# typed fields (the shape every training-data metadata pipeline runs)
+# --------------------------------------------------------------------------
+_JSON_SQL_SPARK = """
+WITH j AS (
+  SELECT o_orderkey,
+         to_json(named_struct(
+           'status', o_orderstatus,
+           'prio', o_orderpriority,
+           'amount', CAST(o_totalprice AS DECIMAL(18,2)))) AS meta
+  FROM {t}
+  WHERE o_orderkey <= 2000
+)
+SELECT o_orderkey,
+       get_json_object(meta, '$.status') AS status,
+       get_json_object(meta, '$.prio') AS prio,
+       CAST(get_json_object(meta, '$.amount') AS DOUBLE) AS amount
+FROM j
+"""
+
+_JSON_ORACLE = """
+WITH j AS (
+  SELECT o_orderkey,
+         to_json(struct_pack(
+           status := o_orderstatus,
+           prio := o_orderpriority,
+           amount := CAST(o_totalprice AS DECIMAL(18,2)))) AS meta
+  FROM orders
+  WHERE o_orderkey <= 2000
+)
+SELECT o_orderkey,
+       json_extract_string(meta, '$.status') AS status,
+       json_extract_string(meta, '$.prio') AS prio,
+       CAST(json_extract(meta, '$.amount') AS DOUBLE) AS amount
+FROM j
+"""
+
+
+@query("q_json_metadata", oracle=_JSON_ORACLE)
+def q_json_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON round-trip: build a metadata document per row, extract
+    typed fields back with JSONPath — all JVM-side (no UDF).  The
+    amount goes through DECIMAL→string→DOUBLE on both engines so the
+    extracted value is identical."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_json_v")
+    return spark.sql(_JSON_SQL_SPARK.format(t="orders_json_v"))
