@@ -355,3 +355,50 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_gate", "quality_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond ROLLUP/CUBE: an arbitrary set list)
+# --------------------------------------------------------------------------
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM {t}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
+@query("q_grouping_sets", oracle=_GSETS_SQL.format(t="orders"))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set list (not expressible as one ROLLUP or
+    CUBE) with GROUPING() disambiguation of NULL group keys."""
+    return _sql_on_view(spark, sf_dir, "orders", _GSETS_SQL, "orders_gsets_v")
+
+
+# --------------------------------------------------------------------------
+# RANGE window frame over event time — 7-day trailing revenue per
+# customer (ROWS frames count rows; RANGE frames cover a time span)
+# --------------------------------------------------------------------------
+_RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d_total
+FROM {t}
+WHERE o_custkey <= 200
+"""
+
+
+@query("q_range_frame_trailing", oracle=_RANGE_FRAME_SQL.format(t="orders"))
+def q_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: the trailing sum includes ALL rows
+    within the interval regardless of count — peer rows (equal
+    o_orderdate) aggregate identically on both engines, so no
+    tiebreaker is needed (unlike ROWS frames, where peer order would
+    be nondeterministic)."""
+    return _sql_on_view(spark, sf_dir, "orders", _RANGE_FRAME_SQL, "orders_rangef_v")
