@@ -109,5 +109,40 @@ def transpile_snowflake(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # DATEADD(part, n, d) → TIMESTAMPADD(part, n, d) (Spark 3.3+)
+    out = re.sub(r"\bDATEADD\s*\(", "TIMESTAMPADD(", out, flags=re.IGNORECASE)
+    # 3-arg DATEDIFF(part, a, b) → TIMESTAMPDIFF; Spark's own 2-arg
+    # DATEDIFF(end, start) is left untouched
+    out = re.sub(
+        r"\bDATEDIFF\s*\(\s*(\w+)\s*,([^()]+,[^()]+)\)",
+        r"TIMESTAMPDIFF(\1,\2)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # ZEROIFNULL(x) → COALESCE(x, 0); NULLIFZERO(x) → NULLIF(x, 0)
+    # (argument may itself contain one paren level, e.g. CAST(...));
+    # deeper nesting is left untouched and fails loudly in Spark
+    _arg = r"((?:[^()]|\([^()]*\))+)"
+    out = re.sub(
+        rf"\bZEROIFNULL\s*\({_arg}\)", r"COALESCE(\1, 0)", out, flags=re.IGNORECASE
+    )
+    out = re.sub(
+        rf"\bNULLIFZERO\s*\({_arg}\)", r"NULLIF(\1, 0)", out, flags=re.IGNORECASE
+    )
+    # 2-arg REGEXP_SUBSTR(s, p) → REGEXP_EXTRACT(s, p, 0)
+    out = re.sub(
+        r"\bREGEXP_SUBSTR\s*\(([^(),]+),\s*([^()]+)\)",
+        r"REGEXP_EXTRACT(\1, \2, 0)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # 1-arg TO_NUMBER(x) → CAST(x AS DECIMAL(38,0)) (Snowflake default
+    # NUMBER(38,0) semantics)
+    out = re.sub(
+        r"\bTO_NUMBER\s*\(([^(),]+)\)",
+        r"CAST(\1 AS DECIMAL(38,0))",
+        out,
+        flags=re.IGNORECASE,
+    )
     out = rewrite_qualify(out)
     return out

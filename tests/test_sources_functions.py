@@ -147,3 +147,44 @@ def test_profile_auth_validation_and_passthrough(tmp_path):
     assert cfg.spark_conf["spark.dtps.profile.warehouse"] == "COMPUTE_M"
     assert cfg.spark_conf["spark.dtps.session.QUERY_TAG"] == "nightly"
     assert cfg.spark_conf["spark.sql.shuffle.partitions"] == "16"
+
+
+def test_transpile_snowflake_datetime_and_numeric(spark):
+    """New dialect rewrites must not just produce the expected text —
+    Spark must actually execute the rewritten SQL."""
+    cases = {
+        "SELECT DATEADD(day, 3, TIMESTAMP '2024-01-01 00:00:00') AS d":
+            "TIMESTAMPADD(",
+        "SELECT DATEDIFF(hour, TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-02 00:00:00') AS h": "TIMESTAMPDIFF(",
+        "SELECT ZEROIFNULL(CAST(NULL AS INT)) AS z": "COALESCE(",
+        "SELECT NULLIFZERO(0) AS n": "NULLIF(",
+        "SELECT REGEXP_SUBSTR('ab12cd', '[0-9]+') AS r": "REGEXP_EXTRACT(",
+        "SELECT TO_NUMBER('42') AS v": "DECIMAL(38,0)",
+    }
+    for sql, marker in cases.items():
+        rewritten = transpile_snowflake(sql)
+        assert marker in rewritten, (sql, rewritten)
+        row = spark.sql(rewritten).first()
+        assert row is not None
+    # spot-check values
+    assert spark.sql(transpile_snowflake("SELECT TO_NUMBER('42') AS v")).first()["v"] == 42
+    assert (
+        spark.sql(
+            transpile_snowflake("SELECT REGEXP_SUBSTR('ab12cd', '[0-9]+') AS r")
+        ).first()["r"]
+        == "12"
+    )
+    assert (
+        spark.sql(
+            transpile_snowflake(
+                "SELECT DATEDIFF(hour, TIMESTAMP '2024-01-01 00:00:00',"
+                " TIMESTAMP '2024-01-02 00:00:00') AS h"
+            )
+        ).first()["h"]
+        == 24
+    )
+    # Spark's native 2-arg DATEDIFF is untouched
+    assert "TIMESTAMPDIFF" not in transpile_snowflake(
+        "SELECT DATEDIFF(DATE '2024-01-02', DATE '2024-01-01')"
+    )
