@@ -102,3 +102,24 @@ def test_bucketed_merge_target_scan_is_partition_pruned(spark, tmp_path):
         ), files
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_q19_disjunctive_predicates_reach_scans(spark):
+    """The OR-of-ANDs predicate must partially push down: brand/size
+    constraints reach the part scan as a pushed disjunction (or at
+    minimum prune columns), and the join stays a broadcast on the
+    small part side."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # Catalyst derives a per-side OR filter it can push: p_brand IN /
+    # Or(...) should appear in the part scan's PushedFilters
+    assert re.search(r"PushedFilters: \[.*(Or\(|In\(p_brand)", plan), plan
+
+
+def test_q07_nation_dimension_broadcast_both_sides(spark):
+    """The twice-aliased nation dimension must broadcast on both join
+    sides (two BroadcastHashJoins over the same tiny table)."""
+    plan = _plan(spark, "q07_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the IN ('NATION_1','NATION_2') filter reaches the nation scans
+    assert re.search(r"In\(n_name", plan) or "n_name" in plan
