@@ -370,3 +370,47 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     init-less list_reduce equals Spark's aggregate with 0 init because
     the first fold step is 0*B + x = x."""
     return tx.rolling_fingerprints(load(spark, sf_dir, "documents"), k=5)
+
+
+# --------------------------------------------------------------------------
+# winnowing candidates: docs sharing a min-k-gram rolling hash are
+# near-dup candidates (the MOSS/winnowing pairing step) — ties the
+# rolling-hash fingerprint into the dedup candidate family
+# --------------------------------------------------------------------------
+_WINNOW_PAIRS_ORACLE = f"""
+WITH kv AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {_duck_tokval('t')}) AS v
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+    CAST(CASE WHEN len(v) >= 5 THEN
+      list_min(list_transform(range(1, len(v) - 3),
+        i -> list_reduce(v[i:i+4], (acc, x) -> (acc * {tx.ROLL_BASE} + x) % {tx.ROLL_MOD})))
+    END AS BIGINT) AS winnow_hash
+  FROM kv)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.winnow_hash
+FROM fp a JOIN fp b
+  ON a.winnow_hash = b.winnow_hash AND a.doc_id < b.doc_id
+WHERE a.winnow_hash IS NOT NULL
+"""
+
+
+@query("dedup_winnow_candidates", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs by shared winnowing fingerprint: one groupBy-
+    equivalent self-join on the hash — no quadratic pass, same shape
+    as the LSH band join but from the rolling-hash family."""
+    fp = tx.rolling_fingerprints(load(spark, sf_dir, "documents"), k=5)
+    a = fp.select(F.col("doc_id").alias("doc_id_1"), "winnow_hash").filter(
+        F.col("winnow_hash").isNotNull()
+    )
+    b = fp.select(F.col("doc_id").alias("doc_id_2"), F.col("winnow_hash").alias("__wh"))
+    return (
+        a.join(
+            b,
+            (F.col("winnow_hash") == F.col("__wh"))
+            & (F.col("doc_id_1") < F.col("doc_id_2")),
+        )
+        .select("doc_id_1", "doc_id_2", "winnow_hash")
+    )
