@@ -400,8 +400,14 @@ WHERE a.winnow_hash IS NOT NULL
 def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs by shared winnowing fingerprint: one groupBy-
     equivalent self-join on the hash — no quadratic pass, same shape
-    as the LSH band join but from the rolling-hash family."""
-    fp = tx.rolling_fingerprints(load(spark, sf_dir, "documents"), k=5)
+    as the LSH band join but from the rolling-hash family.
+
+    Fingerprints are materialized before the self-join: inlined, each
+    join side (and every probe) re-evaluates the O(n·k) rolling-hash
+    expression tree — measured 60× slower at sf0.1."""
+    fp = tx.rolling_fingerprints(
+        load(spark, sf_dir, "documents"), k=5
+    ).localCheckpoint(eager=True)
     a = fp.select(F.col("doc_id").alias("doc_id_1"), "winnow_hash").filter(
         F.col("winnow_hash").isNotNull()
     )

@@ -45,10 +45,20 @@ WHERE bit_count({xor}) <= {max_hamming}
     oracle=_simhash_pairs_sql("SELECT doc_id, text FROM documents", "duckdb"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The banding SQL references the simhash subquery in 4 band
+    # branches × 2 join sides; Spark inlines CTEs, so the expensive
+    # signature computation (16 md5-nibble bit-sums + a groupBy) would
+    # run up to 8×.  Materialize the signatures ONCE and band over the
+    # cached frame — DuckDB's oracle materializes its CTE natively, so
+    # the shared SQL text stays the single source of semantics.
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents_shp_v")
-    return spark.sql(
-        _simhash_pairs_sql("SELECT doc_id, text FROM documents_shp_v", "spark")
-    )
+    sig = spark.sql(
+        simhash_sql("SELECT doc_id, text FROM documents_shp_v", bits=16, dialect="spark")
+    ).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView("simhash_sig_v")
+    full = _simhash_pairs_sql("SELECT doc_id, text FROM documents_shp_v", "spark")
+    banded_part = full.split("WITH sh AS (", 1)[1].split("),\nbands AS (", 1)[1]
+    return spark.sql("WITH sh AS (SELECT * FROM simhash_sig_v),\nbands AS (" + banded_part)
 
 
 # --------------------------------------------------------------------------
