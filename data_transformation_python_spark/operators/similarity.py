@@ -360,3 +360,35 @@ def lsh_bucket_candidates(
             F.col("a.bucket").alias("bucket"),
         )
     )
+
+
+def centroid_sums(
+    df: DataFrame,
+    assign_col: str = "__cluster",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Element-wise sums + member counts per cluster — the k-means /
+    IVF-training building block (centroid = sum/n, updated per Lloyd
+    round).
+
+    Long-form output (cluster, pos, sum_q, n_vectors): posexplode +
+    one shuffle on (cluster, pos) — fully distributed and
+    skew-resistant (a hot cluster spreads across its dim positions),
+    where an array-typed elementwise aggregate would put each cluster
+    on one reducer.  Sums are quantized integers → exact BIGINTs,
+    engine-portable."""
+    qn = quantized(df, vec_col, id_col).join(
+        df.select(id_col, assign_col), id_col
+    )
+    return (
+        qn.select(
+            F.col(assign_col).alias("cluster"),
+            F.posexplode(F.col("__v")).alias("pos0", "val"),
+        )
+        .groupBy("cluster", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum(F.col("val").cast("bigint")).alias("sum_q"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

@@ -420,3 +420,34 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id_1", "doc_id_2", "winnow_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# centroid sums — the k-means/IVF-training primitive: element-wise
+# cluster sums over quantized vectors (long form: one row per
+# (cluster, dimension); centroid = sum_q / n_vectors)
+# --------------------------------------------------------------------------
+_CENTROID_ORACLE = """
+WITH q AS (
+  SELECT vec_id, vec_id % 8 AS cluster,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+  FROM embeddings)
+SELECT cluster, i AS pos,
+       CAST(SUM(CAST(v[i] AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM q, unnest(generate_series(1, len(v))) AS u(i)
+GROUP BY cluster, i
+"""
+
+
+@query("sim_centroid_sums", oracle=_CENTROID_ORACLE)
+def sim_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "__cluster", F.col("vec_id") % 8
+    )
+    return sim.centroid_sums(emb).select(
+        "cluster",
+        F.col("pos").cast("bigint").alias("pos"),
+        "sum_q",
+        "n_vectors",
+    )
