@@ -30,7 +30,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     shuffle_partitions: int | None = None,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the
     connected component.  Nodes = every id appearing in the edge list.
@@ -46,14 +46,20 @@ def connected_components(
     ``localCheckpoint``: local checkpoints live in executor block
     storage and die with an executor, which on a real cluster kills a
     long-running iteration; reliable checkpoints survive executor
-    loss.  Local is the right default for local[.] and short jobs.
+    loss.  The default (None) defers to the session-wide policy in
+    ``operators.transform.materialize`` — setting a checkpoint dir
+    flips every iteration to the reliable path.
     """
+    from .transform import materialize
+
     spark = edges.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     def _materialize(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint is None:
+            return materialize(df)
         if reliable_checkpoint:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
@@ -110,7 +116,7 @@ def connected_components_two_phase(
     dst: str = "dst",
     max_iterations: int = 30,
     shuffle_partitions: int | None = None,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — the web-scale
@@ -128,12 +134,16 @@ def connected_components_two_phase(
     whose centers are the component minima.  Same return contract as
     ``connected_components``: (node, component=min id in component).
     """
+    from .transform import materialize
+
     spark = edges.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     def _materialize(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint is None:
+            return materialize(df)
         if reliable_checkpoint:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)

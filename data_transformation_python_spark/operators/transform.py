@@ -60,6 +60,39 @@ def apply_aliases(df: DataFrame, aliases: dict[str, str]) -> DataFrame:
     return df
 
 
+#: session conf controlling how ``materialize`` cuts lineage:
+#:   "auto"  — reliable ``checkpoint()`` when a checkpoint dir is set,
+#:             else ``localCheckpoint()`` (right for local[.])
+#:   "true"  — always reliable (raises if no checkpoint dir)
+#:   "false" — always local
+RELIABLE_CHECKPOINT_CONF = "spark.data_transformation.reliableCheckpoint"
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage by checkpointing — reliably when the session is set
+    up for it, locally otherwise.
+
+    Local checkpoints live in executor block storage and die with an
+    executor; on a multi-executor cluster a long pipeline must use
+    reliable ``checkpoint()`` (HDFS/object-store backed) instead.  The
+    default resolves per-session: ``sparkContext.setCheckpointDir(...)``
+    (or ``RELIABLE_CHECKPOINT_CONF=true``) flips every materialization
+    point in the engine to the reliable path — no per-call-site wiring.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(RELIABLE_CHECKPOINT_CONF, "auto").lower()
+    if mode == "true":
+        return df.checkpoint(eager=eager)
+    if mode == "auto":
+        try:
+            has_dir = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+        except Exception:
+            has_dir = False
+        if has_dir:
+            return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def clone_schema(spark, source_table: str, target_table: str) -> None:
     """Create an empty table with the source's schema (reference:
     cdc_polars.py:157-168, 541-544 — S11: CTAS ... LIMIT 0)."""

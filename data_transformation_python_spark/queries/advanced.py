@@ -274,40 +274,16 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified duplicate pair is dropped (keep-smallest policy)."""
     docs = load(spark, sf_dir, "documents")
     cands = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
-    sh = dd.word_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(
-            cands.select(
-                F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
-            ),
-            ["d1", "d2"],
-        )
-    )
+    # The candidate gate sits BELOW the exact-Jaccard aggregation
+    # (operators/dedup.py): only candidate docs enter the shingle
+    # self-join and only candidate pairs reach the intersection count,
+    # so a hot shingle cannot fan out into a quadratic pair stream.
     verified = (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
-        .filter(
-            F.col("c").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-            >= 0.5
-        )
-        .select("d2")
+        dd.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cands)
+        .select(F.col("doc_id_2").alias("doc_id"))
         .distinct()
     )
-    return docs.select("doc_id").join(
-        verified.withColumnRenamed("d2", "doc_id"), "doc_id", "left_anti"
-    )
+    return docs.select("doc_id").join(verified, "doc_id", "left_anti")
 
 
 # --------------------------------------------------------------------------

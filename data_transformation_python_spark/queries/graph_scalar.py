@@ -19,7 +19,9 @@ _CC_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         FROM toks WHERE len(t) >= 3),
-sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -49,9 +51,16 @@ FROM reach GROUP BY node
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *groups*: verified Jaccard pairs → min-label
     connected components (operators/graph.py).  The oracle computes
-    the same closure with a recursive CTE."""
+    the same closure with a recursive CTE.
+
+    The edge builder caps shingle document-frequency at 50: a
+    boilerplate shingle shared by f documents otherwise meets itself
+    f²/2 times in the inverted-index self-join — the quadratic hazard
+    at corpus scale.  Real near-dup clusters are small, so their
+    shingles sit far below any sane cap; the oracle applies the same
+    cap, keeping Jaccard exact over the capped shingle space."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).select(
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50).select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
     # near-dup pair graphs are tiny vs the corpus → narrow shuffles

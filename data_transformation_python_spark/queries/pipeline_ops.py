@@ -17,6 +17,7 @@ from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators.dedup import simhash_sql
+from ..operators.transform import materialize
 from . import load, query
 
 # --------------------------------------------------------------------------
@@ -405,9 +406,7 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprints are materialized before the self-join: inlined, each
     join side (and every probe) re-evaluates the O(n·k) rolling-hash
     expression tree — measured 60× slower at sf0.1."""
-    fp = tx.rolling_fingerprints(
-        load(spark, sf_dir, "documents"), k=5
-    ).localCheckpoint(eager=True)
+    fp = materialize(tx.rolling_fingerprints(load(spark, sf_dir, "documents"), k=5))
     a = fp.select(F.col("doc_id").alias("doc_id_1"), "winnow_hash").filter(
         F.col("winnow_hash").isNotNull()
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import simhash_sql
+from ..operators.transform import materialize
 from . import load, query
 
 
@@ -52,9 +53,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached frame — DuckDB's oracle materializes its CTE natively, so
     # the shared SQL text stays the single source of semantics.
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents_shp_v")
-    sig = spark.sql(
-        simhash_sql("SELECT doc_id, text FROM documents_shp_v", bits=16, dialect="spark")
-    ).localCheckpoint(eager=True)
+    sig = materialize(
+        spark.sql(
+            simhash_sql(
+                "SELECT doc_id, text FROM documents_shp_v", bits=16, dialect="spark"
+            )
+        )
+    )
     sig.createOrReplaceTempView("simhash_sig_v")
     full = _simhash_pairs_sql("SELECT doc_id, text FROM documents_shp_v", "spark")
     banded_part = full.split("WITH sh AS (", 1)[1].split("),\nbands AS (", 1)[1]

@@ -116,6 +116,72 @@ def test_q19_disjunctive_predicates_reach_scans(spark):
     assert re.search(r"PushedFilters: \[.*(Or\(|In\(p_brand)", plan), plan
 
 
+def test_survivors_candidate_gate_below_jaccard_aggregate(spark):
+    """The LSH-candidate semi-join must sit BELOW the exact-Jaccard
+    intersection aggregate: only candidate pairs may reach the
+    groupBy, otherwise a hot shingle fans out into a quadratic
+    pre-candidate pair stream at corpus scale."""
+    plan = _plan(spark, "dedup_pipeline_survivors")
+    # the pair-count aggregate exists...
+    agg_idx = plan.index("HashAggregate(keys=[doc_id_1")
+    # ...and a semi join appears in its subtree (printed below it),
+    # gating pairs before they are counted
+    assert "LeftSemi" in plan[agg_idx:], plan[:3000]
+    # the final keep-set is an anti join, and the shingle sides are
+    # doc-restricted too (2 doc gates + 1 pair gate)
+    assert "LeftAnti" in plan
+    assert plan.count("LeftSemi") >= 3
+
+
+def test_cc_edge_builder_caps_shingle_doc_frequency(spark):
+    """The connected-components edge builder must drop stop-shingles
+    (doc-frequency cap) before the inverted-index self-join — the
+    window filter on the shingle key has to appear below the pair
+    aggregate.  (The CC query itself materializes its rounds eagerly,
+    so the assertion runs on the edge-builder expression it uses.)"""
+    from data_transformation_python_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from data_transformation_python_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"windowspecdefinition\(shingle", plan), plan[:3000]
+    cap_idx = plan.index("<= 50")
+    agg_idx = plan.index("HashAggregate(keys=[doc_id_1")
+    # cap is applied in the aggregate's input subtree (printed below)
+    assert cap_idx > agg_idx
+
+
+def test_materialize_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """materialize() must flip to reliable DataFrame.checkpoint()
+    session-wide once a checkpoint dir is configured (local
+    checkpoints die with executors on a real cluster)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.transform import (
+        RELIABLE_CHECKPOINT_CONF,
+        materialize,
+    )
+
+    ckdir = tmp_path / "ck"
+    spark.sparkContext.setCheckpointDir(str(ckdir))
+    try:
+        out = materialize(spark.range(100).select(F.col("id") * 2))
+        assert out.count() == 100
+        # reliable checkpoints land in the configured directory
+        found = [
+            os.path.join(r, f) for r, _, fs in os.walk(ckdir) for f in fs
+        ]
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # keep the rest of the (shared) session on local checkpoints
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+
 def test_q07_nation_dimension_broadcast_both_sides(spark):
     """The twice-aliased nation dimension must broadcast on both join
     sides (two BroadcastHashJoins over the same tiny table)."""
