@@ -29,6 +29,30 @@ DOT_EXPR = (
 )
 
 
+def _plane_sign(plane: int, dim: int) -> float:
+    """±1 hyperplane component — parity of the first hex digit of
+    md5('{plane}:{dim}').  Identical to the SQL formula the DuckDB
+    oracles use, so Python-precomputed literal arrays and in-engine
+    md5 produce the same buckets."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+def _plane_array_sql(plane: int, dim: int) -> str:
+    """Literal ±1.0 array for one hyperplane — constant-folded by
+    Catalyst instead of 2·dim md5 calls per row per plane."""
+    return "array(" + ", ".join(
+        f"{_plane_sign(plane, d):.1f}D" for d in range(dim)
+    ) + ")"
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else 0
+
+
 def quantized(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -130,8 +154,18 @@ def cosine_neardup_pairs(
     ).first()
     n_rows, dim = stats["n"] or 0, stats["dim"] or 0
     if n_rows * dim > max_broadcast_cells:
+        import warnings
+
+        warnings.warn(
+            f"cosine_neardup_pairs: corpus ({n_rows}x{dim} cells) exceeds "
+            f"max_broadcast_cells={max_broadcast_cells}; switching from the "
+            "exact broadcast path to LSH+verify (recall follows the LSH "
+            "S-curve, ~0.94 at sim 0.8 with defaults). Raise "
+            "max_broadcast_cells or add bands for higher recall.",
+            stacklevel=2,
+        )
         return _neardup_lsh_verified(
-            df, threshold, vec_col, id_col, lsh_planes_per_band, lsh_bands
+            df, threshold, vec_col, id_col, lsh_planes_per_band, lsh_bands, dim
         )
 
     # Build the broadcast side (driver-side, like a broadcast join
@@ -181,6 +215,7 @@ def _neardup_lsh_verified(
     id_col: str,
     planes_per_band: int,
     bands: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed near-dup path: banded-LSH candidates → exact
     quantized-integer cosine on candidate pairs only.  Shuffles on
@@ -194,18 +229,50 @@ def _neardup_lsh_verified(
     p = 1 - arccos(sim)/π, recall ≈ 1 - (1 - p^planes)^bands — the
     defaults (8 planes × 16 bands) give ≈0.94 recall at sim 0.8 and
     ≈0.996 at 0.9; low thresholds inherently need more bands (or the
-    broadcast BLAS path), the standard LSH dial."""
-    per_band = [
-        lsh_bucket_candidates(
-            df, planes_per_band, vec_col, id_col, plane_offset=b * planes_per_band
-        ).select("vec_id_1", "vec_id_2")
-        for b in range(bands)
-    ]
-    cand = per_band[0]
-    for nxt in per_band[1:]:
-        cand = cand.unionByName(nxt)
-    cand = cand.distinct()
-    qn = quantized(df, vec_col, id_col)
+    broadcast BLAS path), the standard LSH dial.
+
+    Plan shape: the quantized corpus is materialized ONCE; all
+    ``bands × planes_per_band`` sign bits come from one projection
+    over it (hyperplane signs are precomputed ±1 literal arrays —
+    constant-folded, no per-row md5), posexploded into (band, bucket)
+    keys, and pairs are emitted per bucket group — a single corpus
+    scan and one shuffle on the bucket keys, not one pass per band."""
+    from .transform import materialize
+
+    if not dim:
+        dim = _probe_dim(df, vec_col)
+    qn = materialize(quantized(df, vec_col, id_col))
+    band_exprs = []
+    for b in range(bands):
+        bits = []
+        for j in range(planes_per_band):
+            p = b * planes_per_band + j
+            comp = DOT_EXPR.format(a="__v", b=_plane_array_sql(p, dim))
+            bits.append(f"(CASE WHEN {comp} > 0 THEN '1' ELSE '0' END)")
+        band_exprs.append("concat(" + ", ".join(bits) + ")")
+    banded = qn.select(
+        F.col(id_col),
+        F.posexplode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias(
+            "band", "bucket"
+        ),
+    )
+    # pairs within each (band, bucket) group: sorted member list →
+    # JVM-side combination arrays → one explode; distinct across bands
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS vec_id_1, y AS vec_id_2))))"
+    )
+    cand = (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.vec_id_1", "p.vec_id_2")
+        .distinct()
+    )
     left = qn.select(
         F.col(id_col).alias("vec_id_1"),
         F.col("__v").alias("__v1"),
@@ -322,28 +389,29 @@ def lsh_bucket_candidates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     plane_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket by the sign pattern of ``num_planes``
     deterministic pseudo-random hyperplanes; pairs sharing a bucket are
     near-neighbor candidates.
 
     Hyperplane components are derived from md5 of (plane, dim) so the
-    plan is fully deterministic and reproducible across runs/engines.
+    plan is fully deterministic and reproducible across runs/engines —
+    but the md5 runs in PYTHON at plan-build time (``_plane_sign``):
+    the signs depend only on (plane, dim), so each hyperplane becomes
+    a ±1 literal array and the per-row work is one fused
+    multiply-accumulate per plane, not 2·dim md5 calls.
     ``plane_offset`` shifts the plane ids so callers can build multiple
     independent bands (OR-construction) from one primitive.
     At scale this replaces the corpus×corpus cross join with a join on
     bucket keys.
     """
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     qn = quantized(df, vec_col, id_col)
-    # plane p component for dim d: ±1 by parity of a md5-derived nibble
     sign_terms = []
     for p in range(plane_offset, plane_offset + num_planes):
-        comp = (
-            f"aggregate(zip_with(__v, sequence(0, size(__v) - 1),"
-            f" (x, d) -> x * (CASE WHEN (instr('0123456789abcdef',"
-            f" substr(md5(concat('{p}:', CAST(d AS STRING))), 1, 1)) - 1) % 2 = 0"
-            f" THEN 1.0 ELSE -1.0 END)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
+        comp = DOT_EXPR.format(a="__v", b=_plane_array_sql(p, dim))
         sign_terms.append(f"(CASE WHEN {comp} > 0 THEN '1' ELSE '0' END)")
     bucket = F.expr("concat(" + ", ".join(sign_terms) + ")")
     bucketed = qn.select(id_col, bucket.alias("bucket"))

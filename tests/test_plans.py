@@ -149,7 +149,7 @@ def test_cc_edge_builder_caps_shingle_doc_frequency(spark):
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"windowspecdefinition\(shingle", plan), plan[:3000]
     cap_idx = plan.index("<= 50")
-    agg_idx = plan.index("HashAggregate(keys=[doc_id_1")
+    agg_idx = plan.index("n_intersect")  # the pair-count aggregate
     # cap is applied in the aggregate's input subtree (printed below)
     assert cap_idx > agg_idx
 

@@ -1,0 +1,70 @@
+"""The two physical strategies behind cosine_neardup_pairs must agree:
+the distributed LSH+verify path (the actual 100 TB path) is exercised
+here by forcing the size probe over budget — it must return a subset
+of the exact broadcast path's pairs, with bit-identical similarities,
+at or above the LSH S-curve recall bound, from a single corpus scan.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import pytest
+
+from data_transformation_python_spark.operators.similarity import (
+    cosine_neardup_pairs,
+)
+from data_transformation_python_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 0.4
+PLANES, BANDS = 8, 16
+
+
+def _pairs(df) -> dict:
+    return {(r.vec_id_1, r.vec_id_2): r.cosine_sim for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings")
+
+
+def test_lsh_path_is_exact_on_found_pairs_and_meets_recall(spark, emb):
+    exact = _pairs(cosine_neardup_pairs(emb, threshold=THRESHOLD))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_df = cosine_neardup_pairs(
+            emb, threshold=THRESHOLD, max_broadcast_cells=1
+        )
+        approx = _pairs(lsh_df)
+    # switching to the approximate path must be loudly signalled
+    assert any("LSH" in str(w.message) for w in caught)
+
+    # no false positives, and every reported similarity is the exact
+    # quantized-integer value (bit-identical to the broadcast path)
+    assert set(approx) <= set(exact)
+    assert all(approx[k] == exact[k] for k in approx)
+
+    # recall ≥ the analytic S-curve floor at the threshold similarity:
+    # p = 1 - arccos(t)/π, recall_pair = 1 - (1 - p^planes)^bands.
+    # Every true pair has sim ≥ t, so its recall ≥ this bound; the
+    # fixture's pairs all sit in [0.40, 0.48] making this the tightest
+    # regime the operator faces (observed 0.364 vs bound 0.334).
+    p = 1.0 - math.acos(THRESHOLD) / math.pi
+    floor = 1.0 - (1.0 - p**PLANES) ** BANDS
+    recall = len(approx) / len(exact)
+    assert recall >= floor * 0.9, (recall, floor)
+
+
+def test_lsh_path_single_corpus_scan(spark, emb):
+    lsh_df = cosine_neardup_pairs(emb, threshold=THRESHOLD, max_broadcast_cells=1)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    # the quantized corpus is materialized once; banding, pairing and
+    # verification all read the materialized frame — the plan must not
+    # rescan the parquet source (16 per-band passes was the old shape)
+    assert plan.count("FileScan parquet") == 0, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    # one posexplode fans out all bands from the single projection
+    assert plan.count("posexplode") <= 2
