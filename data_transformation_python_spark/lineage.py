@@ -62,9 +62,83 @@ def _split_select_items(select_body: str) -> list[str]:
     return items
 
 
+def _split_ctes(sql: str) -> tuple[dict[str, str], str]:
+    """Split a leading ``WITH a AS (...), b AS (...)`` prefix into
+    {name: body} (in definition order) plus the main query text.
+    Paren-balanced scan — no regex over nested bodies."""
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", sql, re.IGNORECASE)
+    if not m:
+        return {}, sql
+    i = m.end()
+    ctes: dict[str, str] = {}
+    while True:
+        hm = re.match(r"\s*([A-Za-z_]\w*)\s*(?:\([^)]*\)\s*)?AS\s*\(", sql[i:], re.IGNORECASE)
+        if not hm:
+            break
+        name, j = hm.group(1), i + hm.end()
+        depth, k = 1, j
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        ctes[name] = sql[j : k - 1]
+        i = k
+        cm = re.match(r"\s*,", sql[i:])
+        if not cm:
+            break
+        i += cm.end()
+    return ctes, sql[i:]
+
+
 def extract_column_lineage(sql: str, default_table: str | None = None) -> list[ColumnLineage]:
     """Per-SELECT-item (table, column) sources + transformation names
-    (reference: parser.py:374-432)."""
+    (reference: parser.py:374-432).
+
+    ``WITH x AS (...)`` prefixes are resolved without a session: each
+    CTE body's lineage is computed first (earlier CTEs visible to
+    later ones), then references to CTE columns in the main query —
+    including ``cte.*`` / bare ``*`` over a CTE, which expand to the
+    CTE's actual output columns — are traced through to base tables,
+    matching what the Spark-analyzer extractor returns for the same
+    SQL.  ``*`` over a plain base table still degrades to the marked
+    table-level ``(table, '*')`` row (the base schema is unknowable
+    without a session)."""
+    ctes, main = _split_ctes(sql)
+    resolved: dict[str, list[ColumnLineage]] = {}
+    for name, body in ctes.items():
+        resolved[name] = _extract_simple(body, None, resolved)
+    return _extract_simple(main, default_table, resolved)
+
+
+def _resolve_through_ctes(
+    sources: list, ctes: dict[str, list[ColumnLineage]]
+) -> list:
+    out = []
+    for table, col in sources:
+        lin = ctes.get(table)
+        if lin is None:
+            out.append((table, col))
+            continue
+        hits = [cl for cl in lin if cl.column == col]
+        if hits:
+            out.extend(hits[0].sources)
+        elif col == "*":
+            for cl in lin:
+                out.extend(cl.sources)
+        else:
+            out.append((table, col))
+    seen: set = set()
+    return [s for s in out if not (s in seen or seen.add(s))]
+
+
+def _extract_simple(
+    sql: str,
+    default_table: str | None = None,
+    ctes: dict[str, list[ColumnLineage]] | None = None,
+) -> list[ColumnLineage]:
+    ctes = ctes or {}
     m = _SELECT_RE.search(sql)
     if not m:
         return []
@@ -85,10 +159,24 @@ def extract_column_lineage(sql: str, default_table: str | None = None) -> list[C
     out: list[ColumnLineage] = []
     for item in _split_select_items(body):
         if item == "*" or item.endswith(".*"):
-            out.append(
-                ColumnLineage(column="*", sources=[(primary or "?", "*")],
-                              transformations=["passthrough"])
-            )
+            qual = item[:-2] if item.endswith(".*") else None
+            star_table = aliases.get(qual, qual) if qual else primary
+            if star_table in ctes:
+                # a CTE's output columns are known — expand like the
+                # analyzer does, tracing each through to base tables
+                for cl in ctes[star_table]:
+                    out.append(
+                        ColumnLineage(
+                            column=cl.column,
+                            sources=list(cl.sources),
+                            transformations=[],
+                        )
+                    )
+            else:
+                out.append(
+                    ColumnLineage(column="*", sources=[(star_table or "?", "*")],
+                                  transformations=["passthrough"])
+                )
             continue
         am = _ALIAS_RE.match(item)
         bare = re.fullmatch(r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)", item.strip())
@@ -116,7 +204,9 @@ def extract_column_lineage(sql: str, default_table: str | None = None) -> list[C
         uniq = [s for s in sources if not (s in seen or seen.add(s))]
         out.append(
             ColumnLineage(
-                column=alias.strip(), sources=uniq, transformations=sorted(set(fns))
+                column=alias.strip(),
+                sources=_resolve_through_ctes(uniq, ctes),
+                transformations=sorted(set(fns)),
             )
         )
     return out

@@ -60,6 +60,47 @@ class Materialization:
         writer.saveAsTable(target)
         return -1  # row count not collected by default (extra job)
 
+    @staticmethod
+    def _staging_name(target: str) -> str:
+        db, _, tbl = target.rpartition(".")
+        return f"{db}.__stg_{tbl}" if db else f"__stg_{tbl}"
+
+    def recover_orphaned_staging(
+        self, target: str, policy: str = "error", partition_by=None
+    ) -> str | None:
+        """Janitor for a crashed previous swap: if a ``__stg_*`` table
+        for ``target`` still exists, a prior run died between writing
+        staging and completing the target rewrite — staging holds the
+        only complete copy of that merge.  ``policy``:
+
+        - ``error`` (default): refuse to proceed, naming both the
+          recovery SQL and the opt-ins (a silent rebuild could lose
+          the crashed merge's data).
+        - ``recover``: rewrite target from staging, then drop staging.
+          Idempotent for the post-rewrite/pre-drop crash window too
+          (staging content == target content there).
+        - ``drop``: discard staging (caller asserts target is good).
+
+        Returns the action taken, or None when no orphan exists."""
+        staging = self._staging_name(target)
+        if not self.executor.table_exists(staging):
+            return None
+        if policy == "recover":
+            self._overwrite_table(target, self.spark.table(staging), partition_by)
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            self.spark.catalog.refreshTable(target)
+            return "recovered"
+        if policy == "drop":
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            return "dropped"
+        raise MaterializationError(
+            f"orphaned staging table {staging} found for {target}: a "
+            f"previous merge crashed mid-swap and staging holds its only "
+            f"complete result. Recover with: INSERT OVERWRITE {target} "
+            f"SELECT * FROM {staging}, or set config "
+            f"on_orphaned_staging: recover|drop to resolve automatically."
+        )
+
     def _swap_in(self, target: str, df: DataFrame, partition_by=None) -> None:
         """Materialize ``df`` (which may read ``target``) via a staging
         table, then rewrite target from staging.  Required because
@@ -70,9 +111,10 @@ class Materialization:
         atomic, so staging is dropped only after the target rewrite
         succeeds — on a mid-write failure the staging table retains
         the only complete copy of the merged data and its name is
-        surfaced for recovery (never silently destroyed)."""
-        db, _, tbl = target.rpartition(".")
-        staging = f"{db}.__stg_{tbl}" if db else f"__stg_{tbl}"
+        surfaced for recovery (never silently destroyed); the next
+        run's ``recover_orphaned_staging`` janitor then restores or
+        surfaces it."""
+        staging = self._staging_name(target)
         self._overwrite_table(staging, df, partition_by)
         try:
             self._overwrite_table(target, self.spark.table(staging), partition_by)
@@ -196,7 +238,7 @@ class IncrementalMaterialization(Materialization):
             return self._time_incremental(model_name, target_table, select_sql, config)
         if strategy == "unique_key":
             return self._unique_key_incremental(
-                model_name, target_table, select_sql, config
+                model_name, target_table, select_sql, config, meta
             )
         return self._append_incremental(model_name, target_table, select_sql, config)
 
@@ -247,7 +289,9 @@ class IncrementalMaterialization(Materialization):
         )
 
     # -- unique_key (reference: materialization.py:314-389, C2/J2) -----
-    def _unique_key_incremental(self, model_name, target_table, select_sql, config):
+    def _unique_key_incremental(
+        self, model_name, target_table, select_sql, config, meta=None
+    ):
         key = config.get("unique_key")
         if not key:
             raise MaterializationError(
@@ -255,7 +299,10 @@ class IncrementalMaterialization(Materialization):
             )
         keys = [k.strip() for k in key.split("|")]
         source = self._select_df(select_sql)
-        mb = self._merge_buckets(config, {})
+        # same config+meta resolution as the initial load: a model
+        # declaring merge_buckets under meta.cdc must stay bucketed on
+        # every incremental run, not just the first write
+        mb = self._merge_buckets(config, meta or {})
         if mb:
             from .operators.bucketed_merge import merge_upsert_bucketed
 
@@ -416,6 +463,15 @@ class Materializer:
         strategy = MaterializationStrategyFactory.create(
             materialized, self.executor, self.state
         )
+        # staging janitor: a crashed previous swap leaves a __stg_*
+        # table holding the only complete copy of that merge — resolve
+        # it (per config policy) before running anything new on top
+        if materialized not in ("view", "temp_table"):
+            strategy.recover_orphaned_staging(
+                target_table,
+                policy=(config or {}).get("on_orphaned_staging", "error"),
+                partition_by=strategy._partition_by(config),
+            )
         return strategy.materialize(
             model_name, target_table, select_sql, config or {}, meta or {}, full_refresh
         )

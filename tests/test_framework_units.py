@@ -169,6 +169,55 @@ def test_lineage_impact_closure():
     assert ("gold", "total") in impacted
 
 
+def test_column_lineage_cte_star_matches_spark_extractor(spark):
+    """Parse-time (sessionless) lineage must resolve CTEs: a CTE's
+    output columns are known from its body, so ``cte.*`` expands to
+    real columns traced to base tables — the same answer the
+    Spark-analyzer extractor gives for identical SQL."""
+    from data_transformation_python_spark.lineage import (
+        extract_column_lineage_spark,
+    )
+
+    sql = """
+    WITH enriched AS (
+      SELECT o.order_id AS order_key, c.name AS cust_name, o.amount
+      FROM cte_orders o JOIN cte_customers c ON o.customer_id = c.customer_id
+    )
+    SELECT e.*, UPPER(cust_name) AS cust_upper FROM enriched e
+    """
+    parsed = extract_column_lineage(sql)
+    by_col = {cl.column: sorted(cl.sources) for cl in parsed}
+    assert by_col["order_key"] == [("cte_orders", "order_id")]
+    assert by_col["cust_name"] == [("cte_customers", "name")]
+    assert by_col["amount"] == [("cte_orders", "amount")]
+    assert by_col["cust_upper"] == [("cte_customers", "name")]
+
+    # must agree with the analyzer-grade extractor on the same SQL
+    spark.createDataFrame(
+        [(10, 1, 2.5)], "order_id bigint, customer_id bigint, amount double"
+    ).createOrReplaceTempView("cte_orders")
+    spark.createDataFrame(
+        [(1, "a")], "customer_id bigint, name string"
+    ).createOrReplaceTempView("cte_customers")
+    analyzed = {
+        cl.column: sorted(cl.sources)
+        for cl in extract_column_lineage_spark(spark, sql)
+    }
+    assert by_col == analyzed
+
+
+def test_column_lineage_chained_ctes_sessionless():
+    """Later CTEs see earlier ones; references chain to base tables."""
+    sql = """
+    WITH s AS (SELECT amount AS amt, region FROM raw_orders),
+         g AS (SELECT region, SUM(amt) AS total FROM s GROUP BY region)
+    SELECT region, total FROM g
+    """
+    by_col = {cl.column: sorted(cl.sources) for cl in extract_column_lineage(sql)}
+    assert by_col["total"] == [("raw_orders", "amount")]
+    assert by_col["region"] == [("raw_orders", "region")]
+
+
 # -- formatter (reference: executor.py:455-514, S13) -------------------
 def test_formatter_outputs():
     rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]

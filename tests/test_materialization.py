@@ -140,6 +140,64 @@ def test_unique_key_incremental_upserts(stack):
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
 
 
+def test_orphaned_staging_recovery_after_midswap_crash(stack):
+    """A crash between the staging write and the target rewrite leaves
+    __stg_* holding the only complete merge.  The next run's janitor
+    must restore the target from staging (policy=recover) and then
+    apply the new batch on top — no merged data lost."""
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1, 10.0), (2, 20.0)], "id bigint, v double")
+    _write_model(
+        stack,
+        "inc_rec",
+        "-- config: materialized=incremental, incremental_strategy=unique_key, "
+        "unique_key=id, on_orphaned_staging=recover\n"
+        "SELECT id, v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_rec")["success"]
+
+    # simulate the crash: a merge produced (2->99, +3) into staging,
+    # then the target rewrite died half-way (target dropped here)
+    merged = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 30.0)], "id bigint, v double"
+    )
+    merged.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{db}.__stg_inc_rec"
+    )
+    spark.sql(f"DROP TABLE {db}.inc_rec")
+
+    # next run: janitor recovers the crashed merge, then upserts (4)
+    _write_source(stack, [(4, 40.0)], "id bigint, v double")
+    r = stack["mx"].execute_model("inc_rec")
+    assert r["success"], r
+    rows = {x.id: x.v for x in spark.table(f"{db}.inc_rec").collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    assert not spark.catalog.tableExists(f"{db}.__stg_inc_rec")
+
+
+def test_orphaned_staging_default_policy_refuses(stack):
+    """Without an explicit policy the janitor must stop the run and
+    surface the recovery SQL — silently rebuilding over a crashed
+    merge could lose data."""
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1, 10.0)], "id bigint, v double")
+    _write_model(
+        stack,
+        "inc_halt",
+        "-- config: materialized=incremental, incremental_strategy=unique_key, unique_key=id\n"
+        "SELECT id, v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_halt")["success"]
+    spark.range(1).selectExpr("id", "CAST(id AS DOUBLE) AS v").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{db}.__stg_inc_halt")
+    r = stack["mx"].execute_model("inc_halt")
+    assert not r["success"]
+    assert "__stg_inc_halt" in r["error"] and "recover" in r["error"]
+    # target untouched by the refused run
+    assert spark.table(f"{db}.inc_halt").count() == 1
+
+
 def test_append_incremental(stack):
     spark, db = stack["spark"], stack["db"]
     _write_source(stack, [(1,)], "id bigint")
