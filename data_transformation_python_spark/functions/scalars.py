@@ -109,13 +109,25 @@ def transpile_snowflake(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
-    # DATEADD(part, n, d) → TIMESTAMPADD(part, n, d) (Spark 3.3+)
+    # DATEADD(part, n, d) → TIMESTAMPADD(part, n, d) (Spark 3.3+).
+    # Snowflake accepts a QUOTED part ('day') but Spark's unit must be
+    # an unquoted keyword — strip the quotes during the rewrite.
+    out = re.sub(
+        r"\bDATEADD\s*\(\s*'(\w+)'\s*,",
+        r"TIMESTAMPADD(\1,",
+        out,
+        flags=re.IGNORECASE,
+    )
     out = re.sub(r"\bDATEADD\s*\(", "TIMESTAMPADD(", out, flags=re.IGNORECASE)
     # 3-arg DATEDIFF(part, a, b) → TIMESTAMPDIFF; Spark's own 2-arg
-    # DATEDIFF(end, start) is left untouched
+    # DATEDIFF(end, start) is left untouched (a 2-arg call cannot
+    # match the three comma-separated groups).  The part may be
+    # quoted (stripped, as above) and each arg may carry one paren
+    # level (e.g. CAST(a AS DATE)).
+    _darg = r"(?:[^(),]|\([^()]*\))+"
     out = re.sub(
-        r"\bDATEDIFF\s*\(\s*(\w+)\s*,([^()]+,[^()]+)\)",
-        r"TIMESTAMPDIFF(\1,\2)",
+        rf"\bDATEDIFF\s*\(\s*'?(\w+)'?\s*,\s*({_darg})\s*,\s*({_darg})\s*\)",
+        r"TIMESTAMPDIFF(\1, \2, \3)",
         out,
         flags=re.IGNORECASE,
     )
@@ -136,11 +148,39 @@ def transpile_snowflake(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
-    # 1-arg TO_NUMBER(x) → CAST(x AS DECIMAL(38,0)) (Snowflake default
-    # NUMBER(38,0) semantics)
+    # TO_NUMBER / TRY_TO_NUMBER → CAST / TRY_CAST with Snowflake's
+    # default NUMBER(38,0), or the explicit (precision, scale)
     out = re.sub(
-        r"\bTO_NUMBER\s*\(([^(),]+)\)",
-        r"CAST(\1 AS DECIMAL(38,0))",
+        r"\b(TRY_)?TO_NUMBER\s*\(([^(),]+)\)",
+        lambda m: f"{'TRY_' if m.group(1) else ''}CAST({m.group(2)} AS DECIMAL(38,0))",
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"\b(TRY_)?TO_NUMBER\s*\(([^(),]+),\s*(\d+)\s*,\s*(\d+)\s*\)",
+        lambda m: (
+            f"{'TRY_' if m.group(1) else ''}CAST({m.group(2)} "
+            f"AS DECIMAL({m.group(3)},{m.group(4)}))"
+        ),
+        out,
+        flags=re.IGNORECASE,
+    )
+    # OBJECT_CONSTRUCT('k', v, ...) → TO_JSON(NAMED_STRUCT(...)):
+    # Snowflake's VARIANT object becomes its faithful portable form, a
+    # JSON string (same key/value pairs; args pass through verbatim)
+    _oargs = r"((?:[^()]|\([^()]*\))*)"
+    out = re.sub(
+        rf"\bOBJECT_CONSTRUCT\s*\({_oargs}\)",
+        r"TO_JSON(NAMED_STRUCT(\1))",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # 2-arg CONVERT_TIMEZONE(target_tz, ts) interprets ts in the
+    # session zone; Spark's 3-arg convert_timezone needs the source
+    # zone spelled out
+    out = re.sub(
+        rf"\bCONVERT_TIMEZONE\s*\(\s*('[^']+')\s*,\s*((?:[^(),]|\([^()]*\))+)\s*\)",
+        r"CONVERT_TIMEZONE(current_timezone(), \1, \2)",
         out,
         flags=re.IGNORECASE,
     )

@@ -40,6 +40,29 @@ def query(name: str, oracle: str | None = None) -> Callable:
     return deco
 
 
+def _tune_shuffle_width(spark: SparkSession) -> None:
+    """Resize the session shuffle width to the machine, ONLY if the
+    user never set it.
+
+    The JVM SQLConf ``settings()`` map holds *explicitly set* entries
+    only (defaults are absent), so a user who deliberately chose 200
+    is distinguishable from the untouched default — their setting is
+    respected.  The untouched 200 default is pure scheduling overhead
+    at test scale (AQE coalesces reads but still materializes 200 map
+    outputs, and streaming state stores get no AQE at all)."""
+    import os as _os
+
+    key = "spark.sql.shuffle.partitions"
+    try:
+        user_set = (
+            spark._jsparkSession.sessionState().conf().settings().containsKey(key)
+        )
+    except Exception:  # non-JVM backends: fall back to value compare
+        user_set = spark.conf.get(key, "200") != "200"
+    if not user_set:
+        spark.conf.set(key, str(min(_os.cpu_count() or 8, 64)))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-provided parquet tables.
 
@@ -48,16 +71,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to TIMESTAMP_NTZ (µs — the data has no sub-µs components).
     """
     # The caller may hand us a vanilla session (e.g. the driver's
-    # harness) whose shuffle width is the untouched 200 default —
-    # pure scheduling overhead at test scale (AQE coalesces reads but
-    # still materializes 200 map outputs, and streaming state stores
-    # get no AQE at all).  Only resize when nobody has tuned it.
-    import os as _os
-
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(min(_os.cpu_count() or 8, 64))
-        )
+    # harness): this is the one hook every query passes through.
+    _tune_shuffle_width(spark)
     if name == "events":
         # nanosAsLong is runtime-settable, so set it here too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

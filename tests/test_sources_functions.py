@@ -188,3 +188,75 @@ def test_transpile_snowflake_datetime_and_numeric(spark):
     assert "TIMESTAMPDIFF" not in transpile_snowflake(
         "SELECT DATEDIFF(DATE '2024-01-02', DATE '2024-01-01')"
     )
+
+
+def test_load_respects_user_shuffle_width(spark):
+    """A deliberately-set spark.sql.shuffle.partitions — even the
+    value that equals the default — must survive load(); only the
+    untouched default is resized."""
+    from data_transformation_python_spark.queries import load
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")  # explicit user choice
+        load(spark, "/root/testdata/sf0.001", "nation").count()
+        assert spark.conf.get(key) == "200"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_transpile_quoted_units_and_paren_args(spark):
+    """Snowflake accepts quoted dateparts and nested expressions the
+    earlier patterns missed; both must rewrite AND execute."""
+    # quoted unit in DATEADD (valid Snowflake; Spark needs it bare)
+    sql = transpile_snowflake(
+        "SELECT DATEADD('day', 3, TIMESTAMP '2024-01-01 00:00:00') AS d"
+    )
+    assert "TIMESTAMPADD(day," in sql.replace(" ", "").replace(
+        "TIMESTAMPADD(day,", "TIMESTAMPADD(day,"
+    ) or "'day'" not in sql
+    assert str(spark.sql(sql).first()["d"]).startswith("2024-01-04")
+    # quoted unit + one paren level per arg in 3-arg DATEDIFF
+    sql = transpile_snowflake(
+        "SELECT DATEDIFF('day', CAST('2024-01-01' AS DATE),"
+        " CAST('2024-01-05' AS DATE)) AS nd"
+    )
+    assert "TIMESTAMPDIFF" in sql and "'day'" not in sql
+    assert spark.sql(sql).first()["nd"] == 4
+
+
+def test_transpile_tier2_object_try_timezone(spark):
+    """OBJECT_CONSTRUCT / TRY_TO_NUMBER / 2-arg CONVERT_TIMEZONE —
+    rewritten and executed on Spark."""
+    sql = transpile_snowflake(
+        "SELECT OBJECT_CONSTRUCT('a', 1, 'b', UPPER('x')) AS obj"
+    )
+    assert "TO_JSON(NAMED_STRUCT(" in sql
+    assert spark.sql(sql).first()["obj"] == '{"a":1,"b":"X"}'
+
+    sql = transpile_snowflake("SELECT TRY_TO_NUMBER('42') AS v")
+    assert "TRY_CAST" in sql
+    assert spark.sql(sql).first()["v"] == 42
+    assert (
+        spark.sql(transpile_snowflake("SELECT TRY_TO_NUMBER('oops') AS v")).first()["v"]
+        is None
+    )
+    sql = transpile_snowflake("SELECT TO_NUMBER('3.25', 10, 2) AS v")
+    assert "DECIMAL(10,2)" in sql
+    assert float(spark.sql(sql).first()["v"]) == 3.25
+
+    # 2-arg CONVERT_TIMEZONE fills in the session zone as source; the
+    # 3-arg form matches Spark's signature and passes through
+    sql = transpile_snowflake(
+        "SELECT CONVERT_TIMEZONE('UTC',"
+        " TIMESTAMP '2024-01-01 00:00:00') AS t"
+    )
+    assert "current_timezone()" in sql
+    assert spark.sql(sql).first()["t"] is not None
+    sql3 = transpile_snowflake(
+        "SELECT CONVERT_TIMEZONE('UTC', 'America/New_York',"
+        " TIMESTAMP '2024-01-01 00:00:00') AS t"
+    )
+    assert "current_timezone()" not in sql3
+    assert str(spark.sql(sql3).first()["t"]).startswith("2023-12-31 19:00")
