@@ -16,7 +16,9 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
+import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -27,6 +29,127 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def build_scaled_corpus(spark, n_docs: int, dim: int = 64) -> str:
+    """Deterministic hash-derived documents+embeddings corpus at
+    ``n_docs`` rows — the fixture tables pin ~500 docs at every sf, so
+    the dedup/sim bench entries would otherwise never pressure-test
+    anything.  Families of 10 ids: role 0 is the family base, role 1
+    an exact duplicate, role 2 a near duplicate (one appended token /
+    a perturbed vector), roles 3-9 unique — so exact dedup, Jaccard,
+    MinHash-LSH and cosine near-dup all have real work and known
+    structure.  Everything derives from md5/xxhash64 of the id: no
+    RNG, identical corpus every run.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), f"dtps_bench_corpus_{n_docs}_{dim}"
+    )
+    key = "CASE WHEN id % 10 IN (1, 2) THEN (id div 10) * 10 ELSE id END"
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        f"""
+        CASE WHEN id % 10 = 2 THEN concat(
+               array_join(transform(sequence(0, 19 + pmod(xxhash64({key}), 40)),
+                 i -> substr(md5(concat({key}, ':', i)), 1, 6)), ' '),
+               ' qq', substr(md5(concat('m', id)), 1, 4))
+             ELSE
+               array_join(transform(sequence(0, 19 + pmod(xxhash64({key}), 40)),
+                 i -> substr(md5(concat({key}, ':', i)), 1, 6)), ' ')
+        END AS text
+        """,
+    )
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    base_v = (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"CAST(conv(substr(md5(concat({key}, ':', d)), 1, 6), 16, 10) AS DOUBLE)"
+        f" / 8388607.5 - 1.0)"
+    )
+    noise_v = (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"CAST(conv(substr(md5(concat('n', id, ':', d)), 1, 6), 16, 10) AS DOUBLE)"
+        f" / 8388607.5 - 1.0)"
+    )
+    emb = spark.range(n_docs).selectExpr(
+        "id AS vec_id",
+        f"""
+        CASE WHEN id % 10 = 1 THEN zip_with({base_v}, {noise_v}, (a, b) -> a + 0.02 * b)
+             WHEN id % 10 = 2 THEN zip_with({base_v}, {noise_v}, (a, b) -> a + 0.35 * b)
+             ELSE {base_v}
+        END AS embedding
+        """,
+    )
+    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def corpus_scale_entries(spark, corpus_dir: str):
+    """(name, thunk) bench entries running the LLM-pipeline operators
+    at corpus scale with scale-appropriate dials (at 50k+ docs the
+    fixture-tuned 8-plane LSH buckets would hold ~200 random vectors
+    each — at scale you size planes ≈ log2(N), exactly the dial the
+    operators expose)."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators import dedup as dd
+    from data_transformation_python_spark.operators import similarity as sim
+    from data_transformation_python_spark.operators import text as tx
+    from data_transformation_python_spark.operators.dedup import simhash_sql
+    from data_transformation_python_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{corpus_dir}/embeddings.parquet")
+
+    def survivors():
+        cands = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+        verified = (
+            dd.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cands)
+            .select(F.col("doc_id_2").alias("doc_id"))
+            .distinct()
+        )
+        return docs.select("doc_id").join(verified, "doc_id", "left_anti")
+
+    def simhash():
+        docs.createOrReplaceTempView("bench_corpus_docs")
+        return spark.sql(
+            simhash_sql(
+                "SELECT doc_id, text FROM bench_corpus_docs",
+                bits=16,
+                dialect="spark",
+            )
+        )
+
+    def cc_groups():
+        pairs = dd.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=50
+        ).select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        return connected_components(pairs, "src", "dst", shuffle_partitions=8)
+
+    return [
+        ("dedup_exact", lambda: dd.exact_duplicates(docs)),
+        ("dedup_minhash_lsh", lambda: dd.minhash_lsh_candidates(docs)),
+        ("dedup_pipeline_survivors", survivors),
+        ("dedup_simhash", simhash),
+        ("dedup_connected_components", cc_groups),
+        ("text_token_stats", lambda: tx.token_stats(docs)),
+        ("sim_cosine_topk", lambda: sim.cosine_topk(emb, query_ids=range(10), k=5)),
+        (
+            # forced onto the distributed LSH+verify path (N^2 over
+            # budget) with scale-sized buckets: 16 planes ~ log2(50k)+
+            "sim_embedding_neardup",
+            lambda: sim.cosine_neardup_pairs(
+                emb, threshold=0.8, lsh_planes_per_band=16, lsh_bands=8
+            ),
+        ),
+        (
+            "sim_ivf_topk",
+            lambda: sim.ivf_topk(
+                emb, query_ids=range(10), k=5, centroid_stride=500, nprobe=3
+            ),
+        ),
+    ]
 
 
 def main() -> None:
@@ -68,6 +191,24 @@ def main() -> None:
         except Exception as e:  # one bad query must not kill the record
             errors[name] = str(e).split("\n")[0][:200]
 
+    # corpus-scale pass: same operators at >=50k hash-derived docs
+    # (fixture documents/embeddings are ~500 rows at every sf, which
+    # pressure-tests nothing). Timings exclude the one-time corpus
+    # build; names carry the corpus size.
+    n_corpus = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "50000"))
+    if n_corpus > 0:
+        corpus_dir = build_scaled_corpus(spark, n_corpus)
+        tag = f"@{n_corpus // 1000}k"
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # expected LSH-path notice
+            for name, thunk in corpus_scale_entries(spark, corpus_dir):
+                t0 = time.perf_counter()
+                try:
+                    thunk().write.format("noop").mode("overwrite").save()
+                    timings[name + tag] = round(time.perf_counter() - t0, 4)
+                except Exception as e:
+                    errors[name + tag] = str(e).split("\n")[0][:200]
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "query_surface_total_runtime",
@@ -75,6 +216,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "corpus_docs": n_corpus,
     }
     if errors:
         payload["errors"] = errors

@@ -115,7 +115,8 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_broadcast_cells: int = 64_000_000,
+    max_broadcast_cells: int = 16_000_000,
+    max_pair_cells: int = 400_000_000,
     lsh_planes_per_band: int = 8,
     lsh_bands: int = 16,
 ) -> DataFrame:
@@ -125,11 +126,14 @@ def cosine_neardup_pairs(
     size probe (one cheap count job):
 
     - **Broadcast BLAS** (corpus ≤ ``max_broadcast_cells`` id×dim
-      cells, default 64M ≈ 512 MB of float64): the corpus is collected
-      once into a numpy matrix and broadcast — exactly how Spark
-      builds a broadcast-hash-join side, and bounded the same way.
-      Each Arrow batch computes a BLAS ``block × corpusᵀ`` product;
-      O(N²·d / partitions), no shuffle.
+      cells, default 16M ≈ 128 MB of float64, AND N² ≤
+      ``max_pair_cells`` — the block products are O(N²·d) compute and
+      O(block·N) memory regardless of how small the matrix broadcast
+      is, so both budgets must hold): the corpus is collected once
+      into a numpy matrix and broadcast — exactly how Spark builds a
+      broadcast-hash-join side, and bounded the same way.  Each Arrow
+      batch computes a BLAS ``block × corpusᵀ`` product; O(N²·d /
+      partitions), no shuffle.
     - **LSH + exact verify** (anything larger): banded random-
       hyperplane candidates (OR of ``lsh_bands`` independent
       ``lsh_planes_per_band``-bit buckets), then the exact integer
@@ -153,15 +157,16 @@ def cosine_neardup_pairs(
         F.count(F.lit(1)).alias("n"), F.max(F.size("__v")).alias("dim")
     ).first()
     n_rows, dim = stats["n"] or 0, stats["dim"] or 0
-    if n_rows * dim > max_broadcast_cells:
+    if n_rows * dim > max_broadcast_cells or n_rows * n_rows > max_pair_cells:
         import warnings
 
         warnings.warn(
-            f"cosine_neardup_pairs: corpus ({n_rows}x{dim} cells) exceeds "
-            f"max_broadcast_cells={max_broadcast_cells}; switching from the "
-            "exact broadcast path to LSH+verify (recall follows the LSH "
-            "S-curve, ~0.94 at sim 0.8 with defaults). Raise "
-            "max_broadcast_cells or add bands for higher recall.",
+            f"cosine_neardup_pairs: corpus ({n_rows} rows x {dim} dims) "
+            f"exceeds the exact-path budget (max_broadcast_cells="
+            f"{max_broadcast_cells}, max_pair_cells={max_pair_cells}); "
+            "switching from the exact broadcast path to LSH+verify "
+            "(recall follows the LSH S-curve, ~0.94 at sim 0.8 with "
+            "defaults). Raise the budgets or add bands for higher recall.",
             stacklevel=2,
         )
         return _neardup_lsh_verified(

@@ -69,6 +69,57 @@ def test_minhash_lsh_finds_planted_dups_at_50k(spark):
     assert elapsed < 120, f"minhash-lsh too slow: {elapsed:.1f}s"
 
 
+def test_bench_corpus_structure_and_determinism(spark, tmp_path):
+    """The bench harness's scaled corpus must have the documented
+    family structure (exact dup at role 1, near dup at role 2, unique
+    elsewhere) and be bit-identical across builds — it feeds the
+    per-round BENCH numbers, so nondeterminism would make rounds
+    incomparable."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_scaled_corpus
+
+    n = 2_000
+    d1 = build_scaled_corpus(spark, n)
+    docs = spark.read.parquet(f"{d1}/documents.parquet")
+    emb = spark.read.parquet(f"{d1}/embeddings.parquet")
+    assert docs.count() == n and emb.count() == n
+
+    j = docs.alias("a").join(
+        docs.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    )
+    # role 1 == exact copy of the family base (role 0)
+    exact = j.filter(
+        (F.col("b.doc_id") % 10 == 1) & (F.col("a.text") == F.col("b.text"))
+    ).count()
+    assert exact == n // 10
+    # role 2 texts share the base prefix but differ (near dup)
+    near = docs.filter(F.col("doc_id") % 10 == 2)
+    base = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2).alias("doc_id"), F.col("text").alias("base_text")
+    )
+    nd = near.join(base, "doc_id")
+    assert nd.filter(F.expr("text != base_text AND startswith(text, base_text)")).count() == n // 10
+
+    # embeddings: role-1 vectors nearly parallel to the base
+    from data_transformation_python_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    pairs = cosine_neardup_pairs(emb.limit(500), threshold=0.95)
+    assert pairs.filter(
+        (F.col("vec_id_2") == F.col("vec_id_1") + 1) & (F.col("vec_id_1") % 10 == 0)
+    ).count() == 50
+
+    # determinism: a rebuild produces the identical corpus
+    h1 = docs.agg(F.sum(F.xxhash64("doc_id", "text"))).first()[0]
+    build_scaled_corpus(spark, n)
+    docs2 = spark.read.parquet(f"{d1}/documents.parquet")
+    h2 = docs2.agg(F.sum(F.xxhash64("doc_id", "text"))).first()[0]
+    assert h1 == h2
+
+
 def test_token_stats_at_50k(spark):
     docs = _corpus(spark)
     t0 = time.perf_counter()
