@@ -96,6 +96,7 @@ def _register_all() -> None:
     from . import graph_scalar  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import tpch_extra  # noqa: F401
+    from . import tpch_full  # noqa: F401
 
 
 # The external correctness gate checks at most the FIRST 50 registered
@@ -128,6 +129,17 @@ _PRIORITY: list[str] = [
     "text_fingerprint",
     "text_token_freq",
     "multimodal_features",
+    # --- new in round 3 (never driver-checked) ---
+    "q02_min_cost_supplier",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

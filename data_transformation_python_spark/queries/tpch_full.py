@@ -1,0 +1,332 @@
+"""Completion of the TPC-H query-shape family — the ten classic
+shapes not yet covered by queries/analytics.py + tpch_extra.py:
+min-cost supplier (q02), important-part value share (q11), customer
+order-count distribution (q13), promo revenue ratio (q14), top
+supplier (q15), supplier-count by part attributes (q16),
+small-quantity revenue (q17), large-volume customers (q18),
+excess-stock suppliers (q20), and waiting-suppliers (q21) — adapted
+to the driver's reduced column set (no partsupp table; lineitem's
+distinct (partkey, suppkey) pairs stand in for it, exactly the
+information partsupp would carry here).
+
+Every query is SHARED SQL (identical text on Spark temp views and the
+DuckDB oracle views) following the determinism contract: exact
+DECIMAL internals, DOUBLE/BIGINT finals, cross-multiplied comparisons
+instead of float averages, correlated predicates only on equality
+(what Catalyst decorrelates into joins).
+
+Scale notes (the 100 TB reading):
+- q02/q15's scalar-subquery MIN/MAX decorrelate into an aggregate +
+  join on the group key — one extra shuffle over the aggregate, never
+  a per-row re-scan.
+- q13 is the canonical left-outer fact expansion: the small side
+  (customer) broadcasts; the double aggregation is two shuffles with
+  map-side partials.
+- q17 pre-aggregates per-part quantity ONCE in a CTE and joins it
+  back (the decorrelated form) instead of the textbook correlated
+  subquery — same rows, one scan less.
+- q18's HAVING subquery is a self-semi-join of lineitem on orderkey —
+  co-partitioned with the outer join on the same key, so AQE reuses
+  the exchange.
+- q21's EXISTS/NOT EXISTS pair compiles to one left-semi + one
+  left-anti join, both on l_orderkey — again exchange-reusable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import query
+from .tpch_extra import _shared
+
+# --------------------------------------------------------------------------
+# q02 shape — min-cost supplier per part in a region (scalar subquery)
+# --------------------------------------------------------------------------
+_Q02_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem),
+costs AS (
+  SELECT ps.partkey, s_suppkey, s_name, s_acctbal
+  FROM ps JOIN supplier ON ps.suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, CAST(c1.s_acctbal AS DOUBLE) AS s_acctbal
+FROM part JOIN costs c1 ON p_partkey = c1.partkey
+WHERE p_size <= 10 AND p_type = 'LARGE'
+  AND c1.s_acctbal = (SELECT MIN(c2.s_acctbal) FROM costs c2 WHERE c2.partkey = c1.partkey)
+"""
+
+
+@query("q02_min_cost_supplier", oracle=_Q02_SQL)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q02 optimizer exercise: a correlated scalar MIN that
+    Catalyst decorrelates into a per-part aggregate joined back on
+    the equality key.  The acctbal equality compares the engine's own
+    stored doubles against a MIN over the same stored doubles —
+    bit-identical on both engines, no arithmetic involved."""
+    return _shared(
+        spark,
+        sf_dir,
+        ["lineitem", "supplier", "nation", "region", "part"],
+        _Q02_SQL,
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 shape — parts whose value share exceeds a fraction of the total
+# (cross-multiplied: val * 1000 > total, never a float fraction)
+# --------------------------------------------------------------------------
+_Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name IN ('EUROPE', 'ASIA')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM vals WHERE val * 1000 > (SELECT SUM(val) FROM vals)
+"""
+
+
+@query("q11_important_parts", oracle=_Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-share filter against a scalar global total.  The
+    fraction comparison is cross-multiplied (val*1000 > sum) so both
+    sides stay exact DECIMAL — no float threshold drift.  The scalar
+    subquery is one extra reduce over the already-shuffled aggregate;
+    Spark broadcasts the single-row result."""
+    return _shared(
+        spark, sf_dir, ["lineitem", "supplier", "nation", "region"], _Q11_SQL
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 shape — distribution of per-customer order counts (left join +
+# double aggregation; COUNT of a nullable key counts matches only)
+# --------------------------------------------------------------------------
+_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@query("q13_order_distribution", oracle=_Q13_SQL)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers-without-orders stay in via the left join and land in
+    the c_count=0 bucket (COUNT of a NULL key is 0, identically on
+    both engines).  Second aggregation groups ~50 distinct counts —
+    a near-free shuffle."""
+    return _shared(spark, sf_dir, ["customer", "orders"], _Q13_SQL)
+
+
+# --------------------------------------------------------------------------
+# q14 shape — promo revenue percentage in a shipdate window
+# --------------------------------------------------------------------------
+_Q14_SQL = """
+SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio: numerator and denominator are exact
+    DECIMAL sums cast to DOUBLE once; *100 then / are two correctly-
+    rounded IEEE ops on identical inputs.  The shipdate range is a
+    pushed parquet filter on the fact scan."""
+    return _shared(spark, sf_dir, ["lineitem", "part"], _Q14_SQL)
+
+
+# --------------------------------------------------------------------------
+# q15 shape — supplier(s) with max revenue in a window (scalar MAX)
+# --------------------------------------------------------------------------
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via scalar subquery (returns ALL ties, unlike a
+    LIMIT 1).  The equality compares exact DECIMAL aggregates of the
+    same inputs — deterministic by construction.  The revenue CTE is
+    computed once; the MAX is a single-row broadcast."""
+    return _shared(spark, sf_dir, ["lineitem", "supplier"], _Q15_SQL)
+
+
+# --------------------------------------------------------------------------
+# q16 shape — supplier counts by part attributes with NOT IN exclusion
+# --------------------------------------------------------------------------
+_Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_counts", oracle=_Q16_SQL)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over the distinct (part, supp) pairs lineitem
+    implies (the partsupp stand-in).  The NOT IN subquery is a
+    null-aware anti-join; s_suppkey is non-null so it reduces to a
+    plain left-anti against a tiny broadcast side."""
+    return _shared(spark, sf_dir, ["lineitem", "part", "supplier"], _Q16_SQL)
+
+
+# --------------------------------------------------------------------------
+# q17 shape — revenue from below-0.4-of-average-quantity line items
+# (decorrelated: per-part aggregate joined back; comparison is
+# qty * 5 * n < sum * 2  ⟺  qty < 0.4 * avg, all exact)
+# --------------------------------------------------------------------------
+_Q17_SQL = """
+WITH agg AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS nq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN agg ON l_partkey = agg.pk
+WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq * 2
+"""
+
+
+@query("q17_small_qty_revenue", oracle=_Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic correlated-average filter, written in the
+    decorrelated form a planner should reach: ONE per-part aggregate
+    CTE joined back on the key (not a per-row re-scan), and the
+    average comparison cross-multiplied into exact decimal×integer
+    terms — no float average exists anywhere in the plan."""
+    return _shared(spark, sf_dir, ["lineitem", "part"], _Q17_SQL)
+
+
+# --------------------------------------------------------------------------
+# q18 shape — large-volume customers (HAVING subquery semi-join)
+# --------------------------------------------------------------------------
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_SQL)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-subquery compiles to a left-semi join of lineitem's
+    per-order quantity aggregate — partitioned on l_orderkey exactly
+    like the outer orders⋈lineitem join, so the exchange is reused
+    rather than re-shuffled."""
+    return _shared(spark, sf_dir, ["customer", "orders", "lineitem"], _Q18_SQL)
+
+
+# --------------------------------------------------------------------------
+# q20 shape — suppliers with significant volume of a part family
+# --------------------------------------------------------------------------
+_Q20_SQL = """
+SELECT s_name, s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'AFRICA')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 25)
+"""
+
+
+@query("q20_excess_suppliers", oracle=_Q20_SQL)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join pipeline: the part-name filter prunes the fact scan
+    via the broadcast part join BEFORE the per-supplier aggregate; the
+    HAVING output (a few hundred keys) broadcasts into the supplier
+    dimension — no full-fact shuffle ever reaches the outer query."""
+    return _shared(
+        spark, sf_dir, ["supplier", "nation", "region", "lineitem", "part"], _Q20_SQL
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 shape — suppliers who were the sole returned-flag supplier on
+# multi-supplier finished orders (EXISTS + NOT EXISTS pair)
+# --------------------------------------------------------------------------
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name IN ('NATION_2', 'NATION_3')
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both on
+    l_orderkey: three scans of lineitem, all shuffled on the same
+    key, so AQE/exchange-reuse collapses them into one physical
+    shuffle footprint.  The non-equality s_suppkey <> predicate rides
+    along as a join residual (legal in semi/anti joins)."""
+    return _shared(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "nation"], _Q21_SQL
+    )
