@@ -1,0 +1,110 @@
+"""Deterministic sampling + sequence-packing operators for
+training-data curation.
+
+Random sampling is useless in a reproducible pipeline (Spark's
+``df.sample`` is seed-stable only for a fixed partitioning, which no
+100 TB job has): every operator here derives its randomness from
+``md5`` of a stable row key, so the same row makes the same decision
+on any cluster, any partitioning, any engine — and the DuckDB oracle
+can replay it exactly.
+
+All expressions are JVM-side builtins (whole-stage codegen; zero
+Python UDFs); windows are partitioned by the stratum key so no
+operator ever funnels the corpus through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(id_col: str) -> Column:
+    """First 4 md5 hex chars of the row key — a uniform draw from
+    65536 buckets, identical on every engine that has md5."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    thresholds: dict[str, str],
+    default_threshold: str = "g",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling.
+
+    ``thresholds`` maps stratum value → 4-hex-char cutoff: a row
+    survives iff ``md5(id)[:4] < cutoff`` (e.g. ``"4000"`` keeps
+    ~25%, ``"8000"`` ~50%).  The default ``"g"`` sorts above every
+    hex digit, i.e. keep-all.  This is how a 100 TB corpus is
+    down-sampled per language/source with no shuffle at all — the
+    predicate is map-side and pushes into the scan."""
+    cutoff = F.col(strata_col)
+    expr = F.lit(default_threshold)
+    for value, thr in sorted(thresholds.items(), reverse=True):
+        expr = F.when(cutoff == value, F.lit(thr)).otherwise(expr)
+    return df.filter(_hash_key(id_col) < expr)
+
+
+def reservoir_per_group(
+    df: DataFrame, id_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample ("reservoir" without the
+    order-dependence): rank rows inside each group by the md5 of
+    their key (a uniform random order that every engine agrees on,
+    with the raw key as tiebreaker) and keep the first k.
+
+    One shuffle on the group key; each group's ranking is a single
+    partition-local sort — the group count, not the corpus, bounds
+    the window."""
+    w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document the
+    fixed-size pack (context window) in which its first token lands.
+
+    Documents are laid out in deterministic (group, id) order; a
+    running token total places each at offset ``cum - n`` in the
+    group's token stream, so ``pack_id = group/(cum-n) div budget``
+    and ``pack_offset = (cum-n) mod budget``.  Long documents span
+    pack boundaries — the standard pretraining layout (no padding
+    waste), not bin packing.
+
+    The window is partitioned by the group key: each group's
+    cumulative sum is an independent partition-local pass, so the
+    operator scales with the largest group, never the corpus."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.select(id_col, group_col, n_tokens.alias("n_tokens"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn("__start", F.col("__cum") - F.col("n_tokens"))
+    )
+    return out.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.concat_ws(
+            "/",
+            F.col(group_col),
+            F.expr(f"__start div {budget}").cast("string"),
+        ).alias("pack_id"),
+        (F.col("__start") % budget).cast("bigint").alias("pack_offset"),
+    )

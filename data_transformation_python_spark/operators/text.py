@@ -193,3 +193,36 @@ def token_frequencies(
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(top_n)
     )
+
+
+#: PII patterns shared by the scrub operator and its oracle — RE2-safe
+#: (no lookahead/backreferences) and ASCII-classed so Java regex and
+#: RE2 tokenize identically.
+PII_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email/phone PII and report per-document counts.
+
+    Pure JVM regexp expressions (replace-all is Spark's default), so
+    the scrub runs inside whole-stage codegen over the scan — the
+    shape a 100 TB redaction pass needs: zero shuffles, zero Python.
+    The scrubbed text is emitted as an md5 witness so equality checks
+    don't ship full documents."""
+    col = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )

@@ -97,6 +97,7 @@ def _register_all() -> None:
     from . import pipeline_ops  # noqa: F401
     from . import tpch_extra  # noqa: F401
     from . import tpch_full  # noqa: F401
+    from . import curation  # noqa: F401
 
 
 # The external correctness gate checks at most the FIRST 50 registered
@@ -140,6 +141,11 @@ _PRIORITY: list[str] = [
     "q18_large_volume_customers",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    "samp_stratified",
+    "samp_reservoir",
+    "pack_sequences",
+    "text_pii_scrub",
+    "decontam_ngram",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Training-data curation surface: deterministic sampling, sequence
+packing, PII redaction, and benchmark decontamination — the
+operations that sit between raw-corpus dedup and the training run.
+
+Determinism discipline (see queries/__init__ docstring): all sampling
+decisions derive from md5 of the row key (engine-portable, partition-
+independent); all counts are exact BIGINTs; scrubbed text is compared
+by md5 witness, never by shipping documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import sampling as sp
+from ..operators import text as tx
+from . import load, query
+
+# --------------------------------------------------------------------------
+# stratified hash sampling — per-language keep rates, map-side only
+# --------------------------------------------------------------------------
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS STRING)), 1, 4)
+      < CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE 'g' END
+"""
+
+
+@query("samp_stratified", oracle=_STRATIFIED_ORACLE)
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample over-represented languages (~25% of en, ~50% of
+    de, all others kept): the per-row decision is md5(id)[:4] against
+    a per-stratum hex cutoff — a pushed-down scan predicate with no
+    shuffle, reproducible on any partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    out = sp.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": "4000", "de": "8000"}
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# deterministic per-group reservoir — k docs per language
+# --------------------------------------------------------------------------
+_RESERVOIR_ORACLE = """
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
+@query("samp_reservoir", oracle=_RESERVOIR_ORACLE)
+def samp_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling: rank by md5 order (a uniform
+    shuffle both engines agree on) inside each language, keep the
+    first 20.  One shuffle on the group key; the window sort is
+    bounded by the group, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    out = sp.reservoir_per_group(docs, "doc_id", "lang", k=20)
+    return out.select("doc_id", "lang", "rn")
+
+
+# --------------------------------------------------------------------------
+# sequence packing — concat-and-chunk layout into 512-token windows
+# --------------------------------------------------------------------------
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks)
+SELECT doc_id, lang, n_tokens,
+       lang || '/' || CAST((cum - n_tokens) // 512 AS STRING) AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+FROM cum
+"""
+
+
+@query("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its training context window: running
+    token total in deterministic (lang, doc_id) order → the 512-token
+    pack where the document starts and its offset inside it.  The
+    cumulative window is partitioned per language, so packing
+    parallelizes across groups at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.pack_sequences(docs, "doc_id", "lang", "text", budget=512)
+
+
+# --------------------------------------------------------------------------
+# PII scrub — synthesize deterministic PII, then redact and count
+# --------------------------------------------------------------------------
+_PII_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS STRING)
+              || '@mail.example or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+              || repeat(' cc u' || CAST(doc_id AS STRING) || '@x.io',
+                        CAST(doc_id % 3 AS INT)) AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_hash
+FROM synth
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass over a corpus with deterministic synthetic PII
+    (the fixture corpus has none, so each doc gets a reproducible
+    email+phone+cc-list injected first).  Spark side is the
+    ``pii_scrub`` operator — pure codegen regexps, no shuffle; the
+    oracle replays the same RE2-safe patterns with DuckDB's 'g'
+    flag (Spark's regexp_replace is replace-all by default)."""
+    docs = load(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.repeat(
+                F.concat(
+                    F.lit(" cc u"), F.col("doc_id").cast("string"), F.lit("@x.io")
+                ),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return tx.pii_scrub(synth)
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination — 8-gram overlap against an eval set
+# --------------------------------------------------------------------------
+_DECONTAM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8),
+sh AS (SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS shingle
+       FROM idx),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM sh JOIN bench USING (shingle)
+WHERE doc_id % 20 <> 0
+GROUP BY doc_id
+"""
+
+
+@query("decontam_ngram", oracle=_DECONTAM_ORACLE)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that share any 8-gram with the
+    benchmark set (here: every 20th doc stands in for an eval
+    suite).  The benchmark shingle set broadcasts — shingling stays
+    map-side and only the per-doc hit count shuffles, which is what
+    makes decontamination tractable against a 100 TB corpus."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return dd.contamination_hits(train, bench, n=8)
