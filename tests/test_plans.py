@@ -189,3 +189,57 @@ def test_q07_nation_dimension_broadcast_both_sides(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     # the IN ('NATION_1','NATION_2') filter reaches the nation scans
     assert re.search(r"In\(n_name", plan) or "n_name" in plan
+
+
+def test_q02_scalar_min_decorrelated(spark):
+    # the correlated MIN must be rewritten to an aggregate + join —
+    # a per-row subquery re-scan would be quadratic at scale
+    plan = _plan(spark, "q02_min_cost_supplier")
+    assert "Subquery" not in plan
+    assert "LessThanOrEqual(p_size,10)" in plan  # pushed to part scan
+
+
+def test_q14_shipdate_range_pushed(spark):
+    plan = _plan(spark, "q14_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan  # part side broadcasts
+
+
+def test_q18_having_subquery_is_semi_join(spark):
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+
+
+def test_q21_exists_pair_compiles_to_semi_and_anti(spark):
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # status/returnflag predicates reach the scans
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    # the whole point of hash sampling: a map-side scan predicate
+    plan = _plan(spark, "samp_stratified")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    plan = _plan(spark, "text_pii_scrub")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_group_shuffle(spark):
+    # one hash partitioning on the group key feeds the cumulative
+    # window — no second shuffle, no single-partition global sort
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    plan = _plan(spark, "decontam_ngram")
+    assert "BroadcastHashJoin" in plan
