@@ -60,22 +60,57 @@ WHERE p_size <= 10 AND p_type = 'LARGE'
 
 @query("q02_min_cost_supplier", oracle=_Q02_SQL)
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q02 optimizer exercise: a correlated scalar MIN that
-    Catalyst decorrelates into a per-part aggregate joined back on
-    the equality key.  The acctbal equality compares the engine's own
-    stored doubles against a MIN over the same stored doubles —
-    bit-identical on both engines, no arithmetic involved."""
-    return _shared(
-        spark,
-        sf_dir,
-        ["lineitem", "supplier", "nation", "region", "part"],
-        _Q02_SQL,
+    """The q02 argmin, in the plan you'd actually want at scale.
+
+    The textbook correlated-MIN form (the oracle SQL) makes Spark
+    inline the ``costs`` CTE twice — two full distinct-pair shuffles
+    of the fact table.  The DataFrame build instead: (1) distinct
+    (partkey, suppkey) once, (2) semi-restrict to the filtered part
+    set FIRST (broadcast — prunes ~97% before any wide shuffle),
+    (3) one partkey-partitioned window MIN with an equality filter —
+    the argmin without a second scan.  Same rows as the oracle: the
+    part filter is per-part, so it cannot change which suppliers form
+    each part's min-group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from . import load
+
+    part_f = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    costs = (
+        ps.join(F.broadcast(part_f), ps.partkey == F.col("p_partkey"))
+        .join(load(spark, sf_dir, "supplier"), ps.suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("__min", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__min"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
     )
 
 
 # --------------------------------------------------------------------------
-# q11 shape — parts whose value share exceeds a fraction of the total
-# (cross-multiplied: val * 1000 > total, never a float fraction)
+# q11 shape — parts whose value exceeds 1.5× the average part value
+# (cross-multiplied: val*n*2 > total*3 — scale-invariant, so the
+# predicate stays non-vacuous at every sf, unlike a fixed share cut)
 # --------------------------------------------------------------------------
 _Q11_SQL = """
 WITH vals AS (
@@ -88,19 +123,20 @@ WITH vals AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name IN ('EUROPE', 'ASIA')
   GROUP BY l_partkey
-)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(val) AS s FROM vals)
 SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
-FROM vals WHERE val * 1000 > (SELECT SUM(val) FROM vals)
+FROM vals, tot WHERE val * n * 2 > s * 3
 """
 
 
 @query("q11_important_parts", oracle=_Q11_SQL)
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-share filter against a scalar global total.  The
-    fraction comparison is cross-multiplied (val*1000 > sum) so both
-    sides stay exact DECIMAL — no float threshold drift.  The scalar
-    subquery is one extra reduce over the already-shuffled aggregate;
-    Spark broadcasts the single-row result."""
+    """Above-average-value filter against a single-row global
+    aggregate.  The 1.5×avg comparison is cross-multiplied
+    (val*n*2 > s*3) so every term stays exact DECIMAL/BIGINT — no
+    float average — and the threshold tracks the data, surviving any
+    scale-up.  The tot side is one row; Spark broadcasts it."""
     return _shared(
         spark, sf_dir, ["lineitem", "supplier", "nation", "region"], _Q11_SQL
     )

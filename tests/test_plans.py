@@ -191,12 +191,14 @@ def test_q07_nation_dimension_broadcast_both_sides(spark):
     assert re.search(r"In\(n_name", plan) or "n_name" in plan
 
 
-def test_q02_scalar_min_decorrelated(spark):
-    # the correlated MIN must be rewritten to an aggregate + join —
-    # a per-row subquery re-scan would be quadratic at scale
+def test_q02_argmin_single_fact_scan(spark):
+    # the argmin must be a window MIN over ONE distinct-pair pass —
+    # the correlated-subquery form makes Spark inline the costs CTE
+    # twice (two full fact shuffles); measured 4x slower at sf0.1
     plan = _plan(spark, "q02_min_cost_supplier")
     assert "Subquery" not in plan
     assert "LessThanOrEqual(p_size,10)" in plan  # pushed to part scan
+    assert plan.count("lineitem.parquet") == 1, "fact scanned more than once"
 
 
 def test_q14_shipdate_range_pushed(spark):
