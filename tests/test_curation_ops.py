@@ -1,0 +1,147 @@
+"""Semantic unit tests for the curation operators (sampling, packing,
+PII scrub, decontamination) — the properties the e2e oracle parity
+cannot distinguish from luck: sampling rates track their cutoffs,
+reservoirs are exactly-k and partition-independent, pack offsets
+reconstruct the token stream, scrubbed text contains no residual PII,
+and contamination is empty for disjoint corpora.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_transformation_python_spark.operators import sampling as sp
+from data_transformation_python_spark.operators.dedup import contamination_hits
+from data_transformation_python_spark.operators.text import pii_scrub
+from data_transformation_python_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents")
+
+
+# --------------------------------------------------------------------------
+# stratified hash sampling
+# --------------------------------------------------------------------------
+def test_stratified_rates_track_cutoffs(spark, docs):
+    out = sp.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": "4000", "de": "8000"}
+    )
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # md5 is uniform: en ~25%, de ~50%, others exactly 100%
+    assert abs(kept["en"] / base["en"] - 0.25) < 0.12
+    assert abs(kept["de"] / base["de"] - 0.50) < 0.15
+    for lang in base:
+        if lang not in ("en", "de"):
+            assert kept.get(lang) == base[lang], lang
+
+
+def test_stratified_is_partitioning_independent(spark, docs):
+    a = sp.stratified_hash_sample(docs, "doc_id", "lang", {"en": "4000"})
+    b = sp.stratified_hash_sample(
+        docs.repartition(13, "source"), "doc_id", "lang", {"en": "4000"}
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic reservoir
+# --------------------------------------------------------------------------
+def test_reservoir_exactly_k_per_group(spark, docs):
+    out = sp.reservoir_per_group(docs, "doc_id", "lang", k=7)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in base.items():
+        assert sizes[lang] == min(7, n), lang
+
+
+def test_reservoir_small_group_returns_whole_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "grp"]
+    )
+    out = sp.reservoir_per_group(df, "doc_id", "grp", k=10)
+    assert out.count() == 3  # k larger than any group: keep all
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+def test_pack_offsets_reconstruct_the_token_stream(spark, docs):
+    out = sp.pack_sequences(docs, "doc_id", "lang", "text", budget=512).collect()
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_group.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == f"{lang}/{cum // 512}", (lang, r)
+            assert r["pack_offset"] == cum % 512, (lang, r)
+            cum += r["n_tokens"]
+
+
+def test_pack_handles_docs_longer_than_budget(spark):
+    df = spark.createDataFrame(
+        [(1, "g", " ".join(["w"] * 25)), (2, "g", "a b"), (3, "g", "x")],
+        ["doc_id", "grp", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in sp.pack_sequences(df, "doc_id", "grp", "text", budget=10).collect()
+    }
+    # doc 1 (25 tokens) spans packs 0-2; doc 2 starts at offset 25%10
+    assert rows[1]["pack_id"] == "g/0" and rows[1]["pack_offset"] == 0
+    assert rows[2]["pack_id"] == "g/2" and rows[2]["pack_offset"] == 5
+    assert rows[3]["pack_id"] == "g/2" and rows[3]["pack_offset"] == 7
+
+
+# --------------------------------------------------------------------------
+# PII scrub
+# --------------------------------------------------------------------------
+def test_pii_scrub_counts_and_removes_all_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and c@y.org, call +1-555-0199"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    # scrub witness equals md5 of the fully-redacted text
+    expected = spark.sql(
+        "SELECT md5('mail <EMAIL> and <EMAIL>, call <PHONE>') AS h"
+    ).first()["h"]
+    assert out[1]["scrub_hash"] == expected
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+def test_contamination_disjoint_corpora_is_empty(spark):
+    train = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(9, " ".join(f"b{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    assert contamination_hits(train, bench, n=8).count() == 0
+
+
+def test_contamination_counts_distinct_shared_ngrams(spark):
+    shared = " ".join(f"s{i}" for i in range(9))  # 9 tokens → two 8-grams
+    train = spark.createDataFrame(
+        [(1, shared + " zz unique tail of words here now ok"), (2, "all different words " * 5)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, shared)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["n_shared_ngrams"] for r in contamination_hits(train, bench, n=8).collect()}
+    assert rows == {1: 2}  # both 8-grams of the shared window, doc 2 clean
