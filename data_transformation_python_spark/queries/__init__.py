@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "pack_sequences",
     "text_pii_scrub",
     "decontam_ngram",
+    "q_stream_dedup",
 ]
 
 

@@ -156,3 +156,49 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming exact dedup — stateful dropDuplicates on the ingest path,
+# verified against batch DISTINCT
+# --------------------------------------------------------------------------
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("q_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over the
+    ingest stream keeps the first arrival per (user_id, event_type)
+    key in the state store and appends exactly one row per key —
+    the shape a continuous training-data ingest uses to suppress
+    re-delivered documents.
+
+    Only the KEY columns are emitted: which physical row arrives
+    first is micro-batch-order dependent, but the surviving key set
+    equals batch DISTINCT regardless of arrival order — that is the
+    deterministic contract the oracle checks.  (Production variant:
+    ``dropDuplicatesWithinWatermark`` bounds state by event-time
+    horizon when re-deliveries are known to arrive within a window;
+    the unbounded form is used here so the gate result is exact.)"""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
