@@ -136,9 +136,44 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  The 1.5×avg comparison is cross-multiplied
     (val*n*2 > s*3) so every term stays exact DECIMAL/BIGINT — no
     float average — and the threshold tracks the data, surviving any
-    scale-up.  The tot side is one row; Spark broadcasts it."""
-    return _shared(
-        spark, sf_dir, ["lineitem", "supplier", "nation", "region"], _Q11_SQL
+    scale-up.
+
+    Plan note: the oracle's twice-referenced ``vals`` CTE would make
+    Spark (which inlines CTEs) run the 4-way join+aggregate twice, so
+    the per-part aggregate is materialized ONCE and the single-row
+    total broadcasts back onto it — one fact scan total."""
+    from pyspark.sql import functions as F
+
+    from ..operators.transform import materialize
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("EUROPE", "ASIA")
+    )
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    vals = materialize(
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    tot = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("val").alias("s")
+    )
+    return (
+        vals.join(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n") * 2 > F.col("s") * 3)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
     )
 
 
@@ -215,11 +250,43 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 
 @query("q15_top_supplier", oracle=_Q15_SQL)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax via scalar subquery (returns ALL ties, unlike a
-    LIMIT 1).  The equality compares exact DECIMAL aggregates of the
-    same inputs — deterministic by construction.  The revenue CTE is
-    computed once; the MAX is a single-row broadcast."""
-    return _shared(spark, sf_dir, ["lineitem", "supplier"], _Q15_SQL)
+    """Argmax via window MAX over the materialized revenue aggregate
+    (returns ALL ties, unlike a LIMIT 1).  The equality compares
+    exact DECIMAL aggregates of the same inputs — deterministic by
+    construction.  Like q02/q11: the oracle's twice-referenced CTE
+    would double the fact scan under Spark's CTE inlining, so the
+    per-supplier aggregate materializes once and the scalar MAX
+    broadcasts back — one lineitem scan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.transform import materialize
+    from . import load
+
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    revenue = materialize(
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(val).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__best"))
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("__best"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -298,11 +365,39 @@ GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
 
 @query("q18_large_volume_customers", oracle=_Q18_SQL)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IN-subquery compiles to a left-semi join of lineitem's
-    per-order quantity aggregate — partitioned on l_orderkey exactly
-    like the outer orders⋈lineitem join, so the exchange is reused
-    rather than re-shuffled."""
-    return _shared(spark, sf_dir, ["customer", "orders", "lineitem"], _Q18_SQL)
+    """The outer SUM(l_quantity) per order IS the aggregate the
+    HAVING subquery computes, so the textbook form (oracle SQL) does
+    the work twice — Spark side computes the per-order quantity
+    aggregate ONCE, filters it, and joins the survivors (a tiny
+    fraction) up to orders and customers: one lineitem scan, and the
+    wide joins run on the filtered key set only."""
+    from pyspark.sql import functions as F
+
+    from . import load
+
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 300)
+    )
+    return (
+        big.join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -362,7 +457,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey: three scans of lineitem, all shuffled on the same
     key, so AQE/exchange-reuse collapses them into one physical
     shuffle footprint.  The non-equality s_suppkey <> predicate rides
-    along as a join residual (legal in semi/anti joins)."""
+    along as a join residual (legal in semi/anti joins).
+
+    Measured alternative: folding both predicates into one per-order
+    count-distinct profile (ns≥2 ∧ R-distinct=1) halves the branches
+    but its EXPAND doubles the fact rows — 1.8× slower at sf0.1, so
+    the decorrelated semi/anti form stands."""
     return _shared(
         spark, sf_dir, ["supplier", "lineitem", "orders", "nation"], _Q21_SQL
     )

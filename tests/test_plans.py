@@ -208,9 +208,11 @@ def test_q14_shipdate_range_pushed(spark):
     assert "BroadcastHashJoin" in plan  # part side broadcasts
 
 
-def test_q18_having_subquery_is_semi_join(spark):
+def test_q18_filter_before_wide_joins(spark):
+    # the per-order quantity aggregate is filtered BEFORE joining up
+    # to orders/customer — survivors only reach the wide joins
     plan = _plan(spark, "q18_large_volume_customers")
-    assert "LeftSemi" in plan
+    assert re.search(r"Filter.*__qty.*> 300", plan) or "300.00" in plan, plan[:800]
 
 
 def test_q21_exists_pair_compiles_to_semi_and_anti(spark):
@@ -245,3 +247,17 @@ def test_pack_sequences_single_group_shuffle(spark):
 def test_decontam_benchmark_side_broadcasts(spark):
     plan = _plan(spark, "decontam_ngram")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q18_single_fact_scan(spark):
+    # the HAVING subquery's aggregate IS the outer aggregate: computed
+    # once and joined up — not two lineitem passes
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert plan.count("lineitem.parquet") == 1, "fact scanned more than once"
+
+
+def test_q15_argmax_single_fact_scan(spark):
+    # revenue CTE materialized once; the executed plan reads the
+    # checkpointed aggregate (no parquet re-scan for the MAX side)
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 0, plan[:500]
