@@ -147,6 +147,8 @@ _PRIORITY: list[str] = [
     "text_pii_scrub",
     "decontam_ngram",
     "q_stream_dedup",
+    "samp_token_quota",
+    "text_tfidf_topterms",
 ]
 
 

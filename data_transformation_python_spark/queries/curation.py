@@ -177,3 +177,112 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return dd.contamination_hits(train, bench, n=8)
+
+
+# --------------------------------------------------------------------------
+# token-budget quota sampling — fill a per-source token budget in
+# deterministic md5 order (the "data mixture" primitive)
+# --------------------------------------------------------------------------
+_QUOTA_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 1000
+"""
+
+
+@query("samp_token_quota", oracle=_QUOTA_ORACLE)
+def samp_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: admit documents per source, in the
+    deterministic md5 shuffle order, until the source's token budget
+    (1000) is filled — how mixture weights over sources become an
+    actual document subset.  One shuffle on the source key; the
+    cumulative window is group-local."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF-style top terms per document — exact rational scoring
+# (tf * N / df: integer products, one correctly-rounded division —
+# no logarithms, which differ in the last ulp across libm builds)
+# --------------------------------------------------------------------------
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token),
+docfreq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(docfreq.df AS DOUBLE) AS score
+  FROM tf JOIN docfreq USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, token, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, token, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by the rational
+    relevance score tf·N/df (the TF-IDF ordering without the log —
+    monotone in the same ranking for fixed tf, and exactly portable:
+    integer products, one IEEE division).  Shuffles: one on
+    (doc, token), one on token for document frequency, one window on
+    doc — all key-partitioned, no corpus-wide sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    docfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        tf.join(docfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "score", "rank")
+    )

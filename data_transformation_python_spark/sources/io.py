@@ -54,6 +54,7 @@ def write_sink(
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     num_files: int | None = None,
+    target_rows_per_file: int | None = None,
     options: dict | None = None,
     as_table: bool | None = None,
 ) -> None:
@@ -67,10 +68,16 @@ def write_sink(
     - ``num_files``: explicit output-file count so files are neither
       tiny (metadata pressure) nor huge (skewed tasks); with AQE on,
       omitting it lets coalescePartitions pick sensible sizes.
+    - ``target_rows_per_file``: cap rows per physical file
+      (``maxRecordsPerFile``) — the shard-size control for training
+      dataloaders; unlike ``num_files`` it bounds each file even when
+      partitions are skewed, rolling to a new file at the cap.
     """
     if num_files:
         df = df.repartition(num_files, *partition_by) if partition_by else df.coalesce(num_files)
     writer = df.write.format(fmt).mode(mode)
+    if target_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", str(target_rows_per_file))
     if fmt == "csv":
         writer = writer.option("header", "true")
     for k, v in (options or {}).items():

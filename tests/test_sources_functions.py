@@ -260,3 +260,31 @@ def test_transpile_tier2_object_try_timezone(spark):
     )
     assert "current_timezone()" not in sql3
     assert str(spark.sql(sql3).first()["t"]).startswith("2023-12-31 19:00")
+
+
+def test_write_sink_target_rows_per_file(spark, tmp_path):
+    """target_rows_per_file must bound every physical file
+    (maxRecordsPerFile rolls to a new file at the cap) — the shard
+    sizing control for training dataloaders."""
+    from data_transformation_python_spark.sources.io import write_sink
+
+    out = str(tmp_path / "sharded")
+    write_sink(
+        spark.range(1000).coalesce(2),
+        out,
+        num_files=None,
+        target_rows_per_file=100,
+        as_table=False,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    from pyspark.sql import functions as F
+
+    per_file = (
+        back.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .count()
+        .collect()
+    )
+    assert len(per_file) >= 10
+    assert max(r["count"] for r in per_file) <= 100
