@@ -92,6 +92,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
     from pyspark.sql import functions as F
 
     from data_transformation_python_spark.operators import dedup as dd
+    from data_transformation_python_spark.operators import sampling as sp
     from data_transformation_python_spark.operators import similarity as sim
     from data_transformation_python_spark.operators import text as tx
     from data_transformation_python_spark.operators.dedup import simhash_sql
@@ -101,6 +102,11 @@ def corpus_scale_entries(spark, corpus_dir: str):
 
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     emb = spark.read.parquet(f"{corpus_dir}/embeddings.parquet")
+    # the corpus has no stratum column; derive a deterministic one so
+    # the curation ops get real group structure (20 strata)
+    strata = docs.selectExpr(
+        "doc_id", "text", "concat('s', pmod(xxhash64(doc_id), 20)) AS stratum"
+    )
 
     def survivors():
         cands = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
@@ -147,6 +153,25 @@ def corpus_scale_entries(spark, corpus_dir: str):
             "sim_ivf_topk",
             lambda: sim.ivf_topk(
                 emb, query_ids=range(10), k=5, centroid_stride=500, nprobe=3
+            ),
+        ),
+        (
+            "samp_stratified",
+            lambda: sp.stratified_hash_sample(
+                strata, "doc_id", "stratum", {"s0": "4000", "s1": "8000"}
+            ),
+        ),
+        (
+            "pack_sequences",
+            lambda: sp.pack_sequences(strata, "doc_id", "stratum", "text", 512),
+        ),
+        ("text_pii_scrub", lambda: tx.pii_scrub(docs)),
+        (
+            "decontam_ngram",
+            lambda: dd.contamination_hits(
+                docs.filter("doc_id % 1000 != 0"),
+                docs.filter("doc_id % 1000 = 0"),
+                n=8,
             ),
         ),
     ]
