@@ -26,9 +26,33 @@ def main() -> int:
 
     def _load(path):
         with open(path) as f:
-            d = json.load(f)
-        # the driver's BENCH_r{N}.json wraps bench.py output in "parsed"
-        return d.get("parsed", d)
+            raw = f.read()
+        try:
+            d = json.loads(raw)
+        except json.JSONDecodeError:
+            # raw bench.py stdout with extra lines: take the last line
+            d = json.loads(raw.strip().splitlines()[-1])
+        if not isinstance(d, dict):
+            return {"queries": {}}
+        if isinstance(d.get("parsed"), dict):
+            return d["parsed"]
+        if "queries" in d:
+            return d
+        if "tail" in d:
+            # the driver's BENCH_r{N}.json wrapper: the bench line is
+            # embedded (possibly truncated at the front) in "tail" —
+            # recover whatever per-query pairs survive
+            import re
+
+            pairs = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(r'"([A-Za-z0-9_@.]+)": ([0-9][0-9.]*)\b', str(d["tail"]))
+            }
+            total = pairs.pop("value", None)
+            for meta in ("sf", "corpus_docs", "n", "rc", "cpus"):
+                pairs.pop(meta, None)
+            return {"queries": pairs, "value": total}
+        return {"queries": {}}
 
     old, new = _load(args.old), _load(args.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
