@@ -1,8 +1,10 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns + typed metadata, processed with Arrow-batched pandas UDFs via
-``mapInPandas`` (the Spark-side plumbing — schema, batching, partition
-shape — is real; actual media codecs are stubbed because decode
-libraries are not available in this environment).
+``mapInPandas``.  The AUDIO path is a real codec (PCM WAV decodes with
+the stdlib ``wave`` module — see ``wav_metadata``); image/video decode
+is stubbed because those codec libraries are not available in this
+environment, while their Spark-side plumbing (schema, batching,
+partition shape) is real.
 
 Pattern: at 100 TB the media bytes stay columnar in parquet; decode /
 feature-extract runs inside executors on Arrow batches, never on the
@@ -140,3 +142,100 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# audio: REAL WAV codec path (PCM WAV needs only the stdlib, so this
+# modality is genuinely decoded — image/video stay honestly stubbed)
+# --------------------------------------------------------------------------
+WAV_SAMPLE_RATE = 8000
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_abs_amplitude", T.LongType()),
+    ]
+)
+
+
+def _wav_pcm(doc_id: int):
+    """Deterministic int16 PCM: sample i = ((id*7919 + i*104729) %
+    65536) - 32768 — reproducible in plain SQL for the oracle."""
+    import numpy as np
+
+    n_frames = 400 + (doc_id % 100) * 40
+    i = np.arange(n_frames, dtype=np.int64)
+    return ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+
+
+def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL mono 16-bit PCM WAV payload per row (RIFF header
+    + frames written by the stdlib ``wave`` codec).  Stands in for an
+    ingest of actual audio files; every byte is deterministic."""
+    import io
+    import wave
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col].astype("int64"):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(_wav_pcm(int(doc_id)).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def wav_metadata(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads — a REAL parser (stdlib ``wave`` reads the
+    RIFF/fmt chunks; numpy decodes the PCM frames), not a stub: it
+    works on any mono/stereo 16-bit PCM WAV.  Arrow-batched via
+    ``mapInPandas``; amplitude stats are exact integer sums, so the
+    result is engine-portable for the oracle gate."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in WAV_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate, nch, nf = (
+                        w.getframerate(),
+                        w.getnchannels(),
+                        w.getnframes(),
+                    )
+                    pcm = np.frombuffer(w.readframes(nf), dtype="<i2")
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(nch)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(nf * 1000 // rate)
+                out["sum_abs_amplitude"].append(
+                    int(np.abs(pcm.astype(np.int64)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=WAV_META_SCHEMA)

@@ -149,6 +149,7 @@ _PRIORITY: list[str] = [
     "q_stream_dedup",
     "samp_token_quota",
     "text_tfidf_topterms",
+    "multimodal_wav_meta",
 ]
 
 

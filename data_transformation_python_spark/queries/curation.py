@@ -286,3 +286,43 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal audio — REAL WAV round-trip (synthesize genuine RIFF/PCM
+# bytes, decode them back with the stdlib codec); the oracle recomputes
+# the expected metadata from the PCM generator formula in plain SQL
+# --------------------------------------------------------------------------
+_WAV_ORACLE = """
+WITH f AS (
+  SELECT doc_id, 400 + (doc_id % 100) * 40 AS n_frames FROM documents),
+s AS (
+  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1)) AS i
+  FROM f),
+sums AS (
+  SELECT doc_id,
+         SUM(ABS(((doc_id * 7919 + i * 104729) % 65536) - 32768)) AS sum_a
+  FROM s GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(f.n_frames AS BIGINT) AS n_frames,
+       CAST(f.n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sums.sum_a AS BIGINT) AS sum_abs_amplitude
+FROM f JOIN sums USING (doc_id)
+"""
+
+
+@query("multimodal_wav_meta", oracle=_WAV_ORACLE)
+def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction with a REAL codec: each row gets a
+    genuine mono 16-bit PCM WAV payload (stdlib ``wave`` writer), and
+    ``wav_metadata`` parses the RIFF header and decodes the frames
+    back — the full binary-column decode path (Arrow-batched
+    mapInPandas, integer-exact amplitude stats).  The oracle replays
+    the deterministic PCM formula in SQL, so a header mis-parse or
+    off-by-one in frame decoding fails the hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.wav_metadata(mm.synth_wav_table(docs))

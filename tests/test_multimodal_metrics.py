@@ -65,3 +65,53 @@ def test_run_metrics_summary(tmp_path):
     import json
 
     assert json.loads(p.read_text())["per_model"]["a"]["strategy"] == "table"
+
+
+def test_wav_metadata_is_a_real_parser(spark):
+    """wav_metadata must decode ANY 16-bit PCM WAV — including stereo
+    files it never synthesized — proving it parses the RIFF header
+    rather than replaying the generator formula."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        wav_metadata,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        frames = np.array([100, -100, 2000, -2000, 0, 7], dtype="<i2")
+        w.writeframes(frames.tobytes())  # 3 stereo frames
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = wav_metadata(df).first()
+    assert row["sample_rate"] == 44100
+    assert row["n_channels"] == 2
+    assert row["n_frames"] == 3
+    assert row["duration_ms"] == 0  # 3 frames at 44.1 kHz
+    assert row["sum_abs_amplitude"] == 100 + 100 + 2000 + 2000 + 0 + 7
+
+
+def test_synth_wav_roundtrip_matches_formula(spark):
+    from data_transformation_python_spark.operators.multimodal import (
+        _wav_pcm,
+        synth_wav_table,
+        wav_metadata,
+    )
+
+    df = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    rows = {
+        r["doc_id"]: r for r in wav_metadata(synth_wav_table(df)).collect()
+    }
+    for doc_id in (7, 123):
+        pcm = _wav_pcm(doc_id)
+        assert rows[doc_id]["n_frames"] == len(pcm)
+        assert rows[doc_id]["sum_abs_amplitude"] == int(
+            abs(pcm.astype("int64")).sum()
+        )
