@@ -326,7 +326,12 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    qn = quantized(df, vec_col, id_col)
+    from .transform import materialize
+
+    # quantize ONCE — four subtrees below read it (assign, probes,
+    # query vectors, neighbor vectors); inlined it would re-scan and
+    # re-quantize the corpus each time
+    qn = materialize(quantized(df, vec_col, id_col))
     cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cid"),
         F.col("__v").alias("__cv"),
@@ -338,15 +343,69 @@ def ivf_topk(
         + F.col("__cn")
         - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
     )
-    pairs = qn.crossJoin(F.broadcast(cent)).withColumn("__d2", dist2)
+    # nearest-centroid assignment.  Preferred path: Arrow-batched
+    # matmul against the broadcast centroid matrix — the N×C×d inner
+    # loop runs in BLAS instead of N×C SQL aggregate expressions, with
+    # IDENTICAL results (quantized integers: every product/sum is an
+    # exact integer < 2^53, immune to reordering; ties go to the
+    # smaller cid because argmin takes the first minimum over
+    # cid-ascending columns).  Falls back to a map-side-combinable
+    # argmin aggregate (min of a (d2, cid) struct — NOT a row_number
+    # window, which would sort-shuffle all N×C rows) if the centroid
+    # matrix outgrows a broadcast build.
+    import numpy as np
+    from pyspark.sql import types as _T
+
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if cent_rows and len(cent_rows) * len(cent_rows[0]["__cv"]) <= 4_000_000:
+        c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        c_mat = np.stack(
+            [np.asarray(r["__cv"], dtype=np.float64) for r in cent_rows]
+        )
+        c_nrm = np.array([float(r["__cn"]) for r in cent_rows])
+        bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+        a_schema = _T.StructType(
+            [
+                _T.StructField("neighbor_id", _T.LongType()),
+                _T.StructField("cid", _T.LongType()),
+            ]
+        )
+
+        def _assign(batches):
+            ids, mat, nrm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+                )
+                d2 = (v * v).sum(axis=1)[:, None] + nrm[None, :] - 2.0 * (
+                    v @ mat.T
+                )
+                yield __import__("pandas").DataFrame(
+                    {
+                        "neighbor_id": pdf[id_col].astype("int64"),
+                        "cid": ids[d2.argmin(axis=1)],
+                    }
+                )
+
+        assign = qn.select(id_col, "__v").mapInPandas(_assign, a_schema)
+    else:
+        pairs_a = qn.crossJoin(F.broadcast(cent)).withColumn("__d2", dist2)
+        assign = (
+            pairs_a.groupBy(id_col)
+            .agg(F.min(F.struct("__d2", "cid")).alias("__m"))
+            .select(
+                F.col(id_col).alias("neighbor_id"), F.col("__m.cid").alias("cid")
+            )
+        )
+    # probe ranking touches |queries|×C rows only — filter the corpus
+    # side BEFORE the centroid cross join, then a tiny window is fine
     w_assign = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
-    assign = (
-        pairs.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col).alias("neighbor_id"), "cid")
-    )
     probes = (
-        pairs.filter(F.col(id_col).isin(list(query_ids)))
+        qn.filter(F.col(id_col).isin(list(query_ids)))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d2", dist2)
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cid")
