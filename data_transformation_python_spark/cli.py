@@ -277,11 +277,19 @@ def lineage(ctx: Context, model, dot, analyzed):
     for name, p in parsed.items():
         cols = None
         if analyzed:
+            # The probe is EXPECTED to fail when referenced tables are
+            # not built yet; silence the JVM logger for the attempt so
+            # the expected TABLE_OR_VIEW_NOT_FOUND error log does not
+            # pollute the command's JSON stdout/stderr.
+            sc = ctx.spark.sparkContext
+            sc.setLogLevel("OFF")
             try:
                 _, final_sql, _ = mx.compile_model(name)
                 cols = extract_column_lineage_spark(ctx.spark, final_sql)
             except Exception:
                 cols = None  # tables not built yet → parse-time fallback
+            finally:
+                sc.setLogLevel("WARN")
         if cols is None:
             cols = extract_column_lineage(p.rendered_sql)
         lg.add_model(name, cols)

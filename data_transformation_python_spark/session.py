@@ -88,4 +88,14 @@ def get_spark(
     except Exception:
         spark = _build(False)
     spark.sparkContext.setLogLevel("WARN")
+    # PySpark 4 attaches stderr StreamHandlers to these Python loggers
+    # and emits a structured-JSON ERROR line for EVERY captured
+    # AnalysisException — including ones this framework raises and
+    # catches on purpose (table-exists probes, analyzer lineage on
+    # unbuilt tables, validation).  Silence them; real failures still
+    # propagate as exceptions.
+    import logging
+
+    for _name in ("SQLQueryContextLogger", "DataFrameQueryContextLogger"):
+        logging.getLogger(_name).setLevel(logging.CRITICAL + 1)
     return spark
