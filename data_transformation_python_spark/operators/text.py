@@ -226,3 +226,46 @@ def pii_scrub(
         .alias("n_phones"),
         F.md5(scrubbed).alias("scrub_hash"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: the signals a
+    pretraining quality filter thresholds on (Rae et al. 2021 §A1.1).
+
+    Every metric is computed with array higher-order functions INSIDE
+    the row — a pure narrow map over the scan, no explode, no shuffle,
+    no Python.  Per-row cost is O(distinct·n) on short arrays, which
+    whole-stage codegen handles in-register; the 100 TB shape is
+    embarrassingly parallel.
+
+    Emitted (all exact-integer-derived → engine-portable):
+    - ``n_tokens``
+    - ``max_token_count``  — occurrences of the most frequent token
+    - ``top_bigram_count`` — occurrences of the most frequent 2-gram
+    - ``dup_3gram_frac``   — 1 − distinct/total 3-grams (0 when < 3
+      tokens): fraction of trigram positions that repeat an earlier one
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        lambda n: f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))"
+    )
+    max_count = (
+        lambda arr: f"array_max(transform(array_distinct({arr}), "
+        f"t -> size(filter({arr}, x -> x = t))))"
+    )
+    n3 = f"greatest(size({toks}) - 2, 0)"
+    return df.select(
+        id_col,
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(max_count(toks)).cast("bigint").alias("max_token_count"),
+        F.expr(
+            f"if(size({toks}) >= 2, {max_count(grams(2))}, 0)"
+        ).cast("bigint").alias("top_bigram_count"),
+        F.expr(
+            f"if({n3} > 0, 1.0 - size(array_distinct({grams(3)})) / "
+            f"CAST({n3} AS DOUBLE), 0.0)"
+        ).cast("double").alias("dup_3gram_frac"),
+    )

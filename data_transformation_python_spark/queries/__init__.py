@@ -150,6 +150,9 @@ _PRIORITY: list[str] = [
     "samp_token_quota",
     "text_tfidf_topterms",
     "multimodal_wav_meta",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "text_repetition_stats",
 ]
 
 

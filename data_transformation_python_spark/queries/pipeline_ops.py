@@ -297,6 +297,50 @@ def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# text analysis: Gopher-style intra-document repetition metrics
+# --------------------------------------------------------------------------
+_TOKS = "string_split(text, ' ')"
+_GRAM2 = (
+    f"list_transform(range(1, len({_TOKS})), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 1), ' '))"
+)
+_GRAM3 = (
+    f"list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))"
+)
+
+
+def _ora_maxcount(arr: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({arr}), "
+        f"t2 -> len(list_filter({arr}, x -> x = t2))))"
+    )
+
+
+_REPETITION_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST({_ora_maxcount(_TOKS)} AS BIGINT) AS max_token_count,
+       CAST(CASE WHEN len({_TOKS}) >= 2
+                 THEN {_ora_maxcount(_GRAM2)} ELSE 0 END AS BIGINT)
+         AS top_bigram_count,
+       CAST(CASE WHEN len({_TOKS}) - 2 > 0
+                 THEN 1.0 - len(list_distinct({_GRAM3}))
+                       / CAST(len({_TOKS}) - 2 AS DOUBLE)
+                 ELSE 0.0 END AS DOUBLE) AS dup_3gram_frac
+FROM documents
+"""
+
+
+@query("text_repetition_stats", oracle=_REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (max token frequency, top-bigram
+    frequency, duplicate-trigram fraction) — the Gopher §A1.1 quality
+    thresholds — as a shuffle-free narrow map over the scan."""
+    return tx.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing: binary payload + Arrow-batched feature UDF
 # (decoder itself is stubbed — see operators/multimodal.py)
 # --------------------------------------------------------------------------

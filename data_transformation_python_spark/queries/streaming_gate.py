@@ -202,3 +202,140 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# stream-static join — streaming fact enriched by a broadcast batch
+# dimension, verified against the equivalent batch join+aggregate
+# --------------------------------------------------------------------------
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches each row from a
+    *batch* customer dimension, then aggregates per (segment, type).
+
+    The static side is re-planned per micro-batch (Spark's stream-
+    static contract — a dimension updated between batches is picked
+    up), and because it is a small dimension it is explicitly
+    broadcast: the stream side never shuffles for the join, exactly
+    the plan a 100-TB ingest wants.  State is bounded by the
+    aggregation keys only (segments × types), not the join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment"))
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = f"stream_dim_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join — click→purchase attribution with
+# watermark-bounded state, verified against the batch self-join
+# --------------------------------------------------------------------------
+_STREAM_STREAM_ORACLE = """
+SELECT a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       a.user_id,
+       CAST(b.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(b.value AS DOUBLE) AS purchase_value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+"""
+
+
+@query("q_stream_stream_join", oracle=_STREAM_STREAM_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to purchases by the
+    same user within 60 minutes — the attribution shape.  Both sides
+    carry watermarks and the join condition bounds event time on BOTH
+    ends, so Spark can expire buffered rows instead of holding every
+    click forever; that time-interval condition is what makes the
+    state O(window) rather than O(stream).  The oracle is the batch
+    self-join with the identical predicate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def _side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .where(F.col("event_type") == event_type)
+        )
+
+    clicks = (
+        _side("click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _side("purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

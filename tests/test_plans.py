@@ -261,3 +261,11 @@ def test_q15_argmax_single_fact_scan(spark):
     # checkpointed aggregate (no parquet re-scan for the MAX side)
     plan = _plan(spark, "q15_top_supplier")
     assert plan.count("lineitem.parquet") == 0, plan[:500]
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    # per-doc repetition metrics are array higher-order functions in a
+    # narrow map over the scan — no explode, no Exchange
+    plan = _plan(spark, "text_repetition_stats")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
