@@ -174,6 +174,15 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 n=8,
             ),
         ),
+        (
+            # 100 clusters over 50k vectors, one exact centroid update
+            "sim_kmeans",
+            lambda: sim.kmeans_lloyd(emb, stride=500, assign_passes=2),
+        ),
+        (
+            "sim_random_projection",
+            lambda: sim.random_projection(emb, out_dim=8),
+        ),
     ]
 
 

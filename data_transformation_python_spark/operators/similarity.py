@@ -53,6 +53,30 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row and row["d"] is not None else 0
 
 
+def _literal_argmin_sql(cents: list[tuple[int, list[int]]]) -> str:
+    """SQL expression finding the nearest centroid of a quantized row
+    (columns ``__v``/``__nrm``): the centroid matrix is embedded as a
+    constant struct-array and the argmin is one ``array_min`` over a
+    (d2, cid) struct — so nearest-centroid assignment is a pure narrow
+    map over the scan: no join, no shuffle, no Python workers.  Ties
+    break to the smaller cid via struct ordering.  Returns the struct
+    ``(d2, cid)`` so callers get the distance for free (inertia).
+    ``cents`` must be sorted by cid."""
+    entries = ", ".join(
+        "named_struct('cid', {cid}L, 'cn', {cn}.0D, 'cv', array({cv}))".format(
+            cid=cid,
+            cn=sum(x * x for x in cv),
+            cv=", ".join(f"{x}.0D" for x in cv),
+        )
+        for cid, cv in cents
+    )
+    d2_term = "__nrm + c.cn - 2 * " + DOT_EXPR.format(a="__v", b="c.cv")
+    return (
+        f"array_min(transform(array({entries}), "
+        f"c -> struct({d2_term} AS d2, c.cid AS cid)))"
+    )
+
+
 def quantized(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -343,21 +367,39 @@ def ivf_topk(
         + F.col("__cn")
         - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
     )
-    # nearest-centroid assignment.  Preferred path: Arrow-batched
-    # matmul against the broadcast centroid matrix — the N×C×d inner
-    # loop runs in BLAS instead of N×C SQL aggregate expressions, with
-    # IDENTICAL results (quantized integers: every product/sum is an
-    # exact integer < 2^53, immune to reordering; ties go to the
-    # smaller cid because argmin takes the first minimum over
-    # cid-ascending columns).  Falls back to a map-side-combinable
-    # argmin aggregate (min of a (d2, cid) struct — NOT a row_number
-    # window, which would sort-shuffle all N×C rows) if the centroid
-    # matrix outgrows a broadcast build.
+    # nearest-centroid assignment, three strategies by centroid-set
+    # size (all produce IDENTICAL results — quantized integers: every
+    # product/sum is an exact integer < 2^53, immune to reordering;
+    # ties go to the smaller cid):
+    #
+    # 1. literal-embed (n_cent·dim ≤ 200k): the centroid matrix is a
+    #    constant struct-array in the plan and the argmin is
+    #    ``array_min(transform(...))`` with a (d2, cid) struct — a pure
+    #    NARROW MAP over the corpus scan: no join, no shuffle, no
+    #    Python workers, no broadcast.  The cheapest shape by far, and
+    #    the common one (IVF centroid counts are √N-ish, small).
+    # 2. Arrow BLAS (matrix ≤ 4M cells): mapInPandas matmul against
+    #    the broadcast centroid matrix — the N×C×d inner loop runs in
+    #    BLAS; pays Python-worker spin-up + an Arrow roundtrip of the
+    #    corpus vectors.
+    # 3. argmin aggregate: crossJoin(broadcast(cent)) + min of a
+    #    (d2, cid) struct — map-side combinable, never a row_number
+    #    window (which would sort-shuffle all N×C rows).
     import numpy as np
     from pyspark.sql import types as _T
 
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    if cent_rows and len(cent_rows) * len(cent_rows[0]["__cv"]) <= 4_000_000:
+    n_cent = len(cent_rows)
+    c_dim = len(cent_rows[0]["__cv"]) if cent_rows else 0
+    if cent_rows and n_cent * c_dim <= 200_000:
+        argmin = _literal_argmin_sql(
+            [(int(r["cid"]), [int(x) for x in r["__cv"]]) for r in cent_rows]
+        )
+        assign = qn.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(f"({argmin}).cid").alias("cid"),
+        )
+    elif cent_rows and n_cent * c_dim <= 4_000_000:
         c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
         c_mat = np.stack(
             [np.asarray(r["__cv"], dtype=np.float64) for r in cent_rows]
@@ -523,4 +565,142 @@ def centroid_sums(
             F.sum(F.col("val").cast("bigint")).alias("sum_q"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    plane_offset: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    quantized vector onto ``out_dim`` deterministic ±1 hyperplanes
+    (Achlioptas 2003 — sign-random projections preserve pairwise
+    distances within 1±ε at out_dim = O(log n / ε²)).
+
+    Components are EXACT integers (±1 times milli-quantized ints, left
+    unscaled — the conventional 1/√out_dim factor is a constant that
+    cancels in any distance comparison), so the output is
+    engine-portable.  Long-form output (vec_id, proj_pos, proj_value):
+    a pure narrow map over the scan, no shuffle.  ``plane_offset``
+    keeps the plane family disjoint from the LSH bucket planes."""
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
+    qn = quantized(df, vec_col, id_col)
+    comps = ", ".join(
+        DOT_EXPR.format(a="__v", b=_plane_array_sql(plane_offset + p, dim))
+        for p in range(out_dim)
+    )
+    return qn.select(
+        id_col,
+        F.posexplode(F.expr(f"array({comps})")).alias("proj_pos", "__pv"),
+    ).select(
+        id_col,
+        F.col("proj_pos").cast("int").alias("proj_pos"),
+        F.col("__pv").cast("bigint").alias("proj_value"),
+    )
+
+
+#: fixed-point offset making every per-dimension centroid sum positive
+#: before the integer round-half-up division (quantized components lie
+#: in [-OFFSET, OFFSET]); shared with the SQL oracles.
+KMEANS_OFFSET = 1_000_000
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    stride: int = 50,
+    assign_passes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over the quantized corpus, fully deterministic
+    and engine-exact — the iterative-algorithm pattern (like connected
+    components) where the DRIVER holds only the k×d centroid state and
+    every corpus pass is distributed.
+
+    - init: every ``stride``-th vector (spread, reproducible);
+    - each pass assigns via the literal-centroid argmin (a narrow map
+      — no join, no shuffle, no Python); between passes centroids
+      update as the round-half-up integer mean of members, computed in
+      exact integer arithmetic (``(2·(s+OFF·n)+n) div (2·n) − OFF``)
+      so re-quantized centroids match any engine running the same
+      formula — no float summation order anywhere;
+    - clusters that lose all members drop out (both engines
+      identically).
+
+    Driver state per round: k×d sums (control-plane scale, like the
+    CC frontier).  Output per surviving cluster: member count, |c|²
+    checksum, and exact integer inertia (Σ d²).
+    """
+    from .transform import materialize
+
+    qn = materialize(quantized(df, vec_col, id_col))
+    init = (
+        qn.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, "__v")
+        .collect()
+    )
+    cents = sorted(
+        (int(r[id_col]), [int(x) for x in r["__v"]]) for r in init
+    )
+    spark = df.sparkSession
+    d = len(cents[0][1]) if cents else 0
+    for _ in range(max(assign_passes - 1, 0)):
+        # per-cluster element-wise sums as d parallel SUM aggregates
+        # keyed by the argmin expression: the argmin is the groupBy
+        # key (evaluated ONCE per row), partials combine map-side, and
+        # nothing explodes — a posexplode here would collapse into the
+        # projection and re-evaluate the argmin per array element
+        sums = (
+            qn.groupBy(
+                F.expr(f"({_literal_argmin_sql(cents)}).cid").alias("cluster")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.expr(f"CAST(element_at(__v, {p + 1}) AS BIGINT)")
+                    ).alias(f"s{p}")
+                    for p in range(d)
+                ],
+            )
+            .collect()
+        )
+        cents = [
+            (
+                int(r["cluster"]),
+                [
+                    (
+                        2 * (int(r[f"s{p}"]) + KMEANS_OFFSET * int(r["n"]))
+                        + int(r["n"])
+                    )
+                    // (2 * int(r["n"]))
+                    - KMEANS_OFFSET
+                    for p in range(d)
+                ],
+            )
+            for r in sorted(sums, key=lambda r: int(r["cluster"]))
+        ]
+    final = qn.select(
+        F.expr(_literal_argmin_sql(cents)).alias("__m")
+    ).select(
+        F.col("__m.cid").alias("cluster_id"),
+        F.col("__m.d2").cast("bigint").alias("d2"),
+    )
+    norms = spark.createDataFrame(
+        [(cid, sum(x * x for x in cv)) for cid, cv in cents],
+        "cluster_id bigint, centroid_norm bigint",
+    )
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d2").alias("inertia"),
+        )
+        .join(F.broadcast(norms), "cluster_id")
+        .select("cluster_id", "n_members", "centroid_norm", "inertia")
     )

@@ -153,6 +153,8 @@ _PRIORITY: list[str] = [
     "q_stream_static_join",
     "q_stream_stream_join",
     "text_repetition_stats",
+    "sim_random_projection",
+    "sim_kmeans",
 ]
 
 

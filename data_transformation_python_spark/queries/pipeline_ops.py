@@ -190,6 +190,88 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity: Johnson-Lindenstrauss ±1 random projection (embedding
+# compression before ANN — exact integer components, shuffle-free)
+# --------------------------------------------------------------------------
+def _rp_plane_duck(p: int) -> str:
+    return (
+        f"list_transform(range(64), d -> "
+        f"CASE WHEN (strpos('0123456789abcdef', "
+        f"substr(md5('{p}:' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0 "
+        f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+    )
+
+
+_RP_ORACLE = f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings)
+{" UNION ALL ".join(
+    f"SELECT vec_id, CAST({p} AS INT) AS proj_pos, "
+    f"CAST(list_dot_product(v, {_rp_plane_duck(1000 + p)}) AS BIGINT) AS proj_value FROM q"
+    for p in range(8)
+)}
+"""
+
+
+@query("sim_random_projection", oracle=_RP_ORACLE)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim embeddings projected to 8 signed components (JL sketch)
+    — a narrow map over the scan, long-form output."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.random_projection(emb, out_dim=8)
+
+
+# --------------------------------------------------------------------------
+# similarity: full Lloyd's k-means (iterative; driver holds only k×d
+# centroid state; every pass distributed) — exact integer contract
+# --------------------------------------------------------------------------
+_KMEANS_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+a0 AS (SELECT vec_id, cid FROM (
+   SELECT n.vec_id, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c0.cn - 2 * list_dot_product(n.v, c0.cv),
+                                      c0.cid) AS rn
+   FROM n CROSS JOIN c0) t WHERE rn = 1),
+s0 AS (SELECT a0.cid, gs.d AS d,
+              CAST(SUM(CAST(n.v[gs.d + 1] AS BIGINT)) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS nm
+       FROM a0 JOIN n USING (vec_id)
+       CROSS JOIN generate_series(0, 63) AS gs(d)
+       GROUP BY 1, 2),
+u1 AS (SELECT cid, d,
+              (2 * (s + 1000000 * nm) + nm) // (2 * nm) - 1000000 AS c
+       FROM s0),
+c1 AS (SELECT cid, list(CAST(c AS DOUBLE) ORDER BY d) AS cv FROM u1 GROUP BY cid),
+c1n AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn FROM c1),
+a1 AS (SELECT vec_id, cid, d2 FROM (
+   SELECT n.vec_id, c1n.cid,
+          n.nrm + c1n.cn - 2 * list_dot_product(n.v, c1n.cv) AS d2,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c1n.cn - 2 * list_dot_product(n.v, c1n.cv),
+                                      c1n.cid) AS rn
+   FROM n CROSS JOIN c1n) t WHERE rn = 1)
+SELECT a1.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(ANY_VALUE(c1n.cn) AS BIGINT) AS centroid_norm,
+       CAST(SUM(a1.d2) AS BIGINT) AS inertia
+FROM a1 JOIN c1n ON a1.cid = c1n.cid
+GROUP BY 1
+"""
+
+
+@query("sim_kmeans", oracle=_KMEANS_ORACLE)
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass Lloyd's k-means (init = every 50th vector, one exact
+    integer centroid update, final assignment + inertia)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(emb, stride=50, assign_passes=2)
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 _NEARDUP_ORACLE = """

@@ -68,3 +68,78 @@ def test_lsh_path_single_corpus_scan(spark, emb):
     assert "Scan ExistingRDD" in plan
     # one posexplode fans out all bands from the single projection
     assert plan.count("posexplode") <= 2
+
+
+def test_kmeans_update_reduces_inertia(spark, emb):
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    def total_inertia(passes):
+        df = kmeans_lloyd(emb, stride=50, assign_passes=passes)
+        return df.agg(F.sum("inertia").alias("i")).collect()[0]["i"]
+
+    # Lloyd's guarantee: each (update, reassign) round is non-increasing
+    # in total inertia.  (Strictly decreasing on this fixture.)
+    i1, i2, i3 = (total_inertia(p) for p in (1, 2, 3))
+    assert i2 < i1
+    assert i3 <= i2
+
+
+def test_kmeans_assignment_is_narrow_map(spark, emb):
+    from data_transformation_python_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    plan = (
+        kmeans_lloyd(emb, stride=50, assign_passes=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the final assignment reads the materialized quantized corpus and
+    # shuffles only the k-row aggregate — never a corpus×centroid join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_preserves_relative_distance(spark, emb):
+    """JL sanity: across many sampled pairs, far-apart vectors project
+    farther apart on average than near ones (sign projections preserve
+    angular structure in expectation)."""
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.similarity import (
+        random_projection,
+    )
+
+    proj = (
+        random_projection(emb, out_dim=8)
+        .groupBy("vec_id")
+        .agg(F.collect_list(F.struct("proj_pos", "proj_value")).alias("pv"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(array_sort(pv), s -> CAST(s.proj_value AS DOUBLE))"
+            ).alias("p"),
+        )
+    )
+    a = proj.alias("a")
+    b = proj.alias("b")
+    d_expr = (
+        "aggregate(zip_with(a.p, b.p, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter((F.col("a.vec_id") + F.col("b.vec_id")) % 7 == 0)
+        .select(F.expr(d_expr).alias("pd"))
+    )
+    stats = pairs.agg(
+        F.expr("percentile(pd, 0.1)").alias("lo"),
+        F.expr("percentile(pd, 0.9)").alias("hi"),
+    ).collect()[0]
+    # a projection that collapsed structure would have lo ≈ hi (the
+    # fixture's random embeddings give ~3.9×; near-dup-heavy corpora
+    # give much more)
+    assert stats["hi"] > 2 * stats["lo"]
