@@ -66,15 +66,17 @@ def _tune_shuffle_width(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-provided parquet tables.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads as epoch-nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``);
-    convert to TIMESTAMP_NTZ (µs — the data has no sub-µs components).
+    ``events.ts`` is TIMESTAMP(MICROS) in the current testdata vintage
+    (reads natively as ``timestamp_ntz``); older vintages stored
+    TIMESTAMP(NANOS), which Spark reads as epoch-nanos BIGINT under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — normalize that case to
+    TIMESTAMP_NTZ (µs) so downstream queries see one schema.
     """
     # The caller may hand us a vanilla session (e.g. the driver's
     # harness): this is the one hook every query passes through.
     _tune_shuffle_width(spark)
     if name == "events":
-        # nanosAsLong is runtime-settable, so set it here too.
+        # nanosAsLong is runtime-settable; harmless on µs-vintage data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

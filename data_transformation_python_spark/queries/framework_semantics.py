@@ -66,17 +66,24 @@ WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
 """,
 )
 def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The events file stores TIMESTAMP(NANOS) read as epoch-nanos
-    # BIGINT; filtering on the *converted* timestamp would defeat
-    # parquet predicate pushdown (the scan would read every row), so
-    # the watermark predicate is applied to the raw nanos column —
-    # pushable — and the conversion happens after the filter.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The watermark predicate is applied to the RAW stored column so
+    # it pushes down to the parquet scan (filtering a *derived*
+    # expression would read every row); the schema vintage decides
+    # what "raw" is — TIMESTAMP(MICROS) reads as timestamp_ntz (a
+    # pushable timestamp literal compare), legacy TIMESTAMP(NANOS)
+    # surfaces as epoch-nanos BIGINT (a pushable long compare).
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    wm_nanos = 1705276800 * 1_000_000_000  # 2024-01-15 00:00:00 UTC
+    if dict(raw.dtypes).get("ts") == "bigint":
+        wm_nanos = 1705276800 * 1_000_000_000  # 2024-01-15 00:00:00 UTC
+        raw = raw.filter(F.col("ts") > F.lit(wm_nanos)).withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    else:
+        raw = raw.filter(
+            F.col("ts") > F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return (
-        raw.filter(F.col("ts") > F.lit(wm_nanos))
-        .withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+        raw
         .select(
             "event_id",
             "user_id",

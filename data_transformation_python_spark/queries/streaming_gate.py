@@ -16,15 +16,27 @@ from pyspark.sql import types as T
 
 from . import query
 
-_EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as raw int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-    ]
-)
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events file source with a schema probed from the parquet footer.
+
+    Streaming file sources require an explicit schema; probing the
+    batch reader's inferred schema keeps the stream correct across
+    testdata vintages — current files store ``ts`` as
+    TIMESTAMP(MICROS) (reads as ``timestamp_ntz``), older ones stored
+    TIMESTAMP(NANOS) which surfaces as epoch-nanos BIGINT.  Either
+    way the stream normalizes ``ts`` to a session-timezone TIMESTAMP
+    (watermarks/windows need an instant type; the session is pinned
+    to UTC by every caller, so the conversion is value-identity)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = next((f.dataType for f in schema.fields if f.name == "ts"), None)
+    if isinstance(ts_type, T.LongType):  # legacy nanos-as-int64 vintage
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 _STREAM_ORACLE = """
 SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
@@ -39,8 +51,8 @@ GROUP BY 1, 2
 @query("q_stream_windowed_counts", oracle=_STREAM_ORACLE)
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window counts computed by an actual streaming
-    query over the events file (glob-filtered file source; the nanos
-    column streams as raw int64 and converts after ingest).  The
+    query over the events file (glob-filtered file source with a
+    footer-probed schema).  The
     watermark bounds aggregation state; complete output mode emits
     every window for the oracle compare."""
     # Watermarks require TIMESTAMP (instant) columns; pin the session
@@ -52,12 +64,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state dir).  200 default partitions → 200 tasks for a small
     # window count; size to the parallelism actually available.
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -124,12 +131,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout-based emitter would still be holding)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.session_window("ts", "30 minutes").alias("sw"), "user_id"
@@ -184,11 +186,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unbounded form is used here so the gate result is exact.)"""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -235,11 +233,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment"))
     )
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
     agg = joined.groupBy("mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -290,12 +284,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     def _side(event_type: str) -> DataFrame:
-        return (
-            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .where(F.col("event_type") == event_type)
+        return _events_stream(spark, sf_dir).where(
+            F.col("event_type") == event_type
         )
 
     clicks = (
