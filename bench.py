@@ -133,6 +133,33 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ).select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
         return connected_components(pairs, "src", "dst", shuffle_partitions=8)
 
+    def tfidf():
+        from pyspark.sql.window import Window
+
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        tf = toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+        docfreq = toks.groupBy("token").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df")
+        )
+        n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+        return (
+            tf.join(docfreq, "token")
+            .join(F.broadcast(n_docs))
+            .withColumn(
+                "score",
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "token", "score", "rank")
+        )
+
     return [
         ("dedup_exact", lambda: dd.exact_duplicates(docs)),
         ("dedup_minhash_lsh", lambda: dd.minhash_lsh_candidates(docs)),
@@ -166,6 +193,15 @@ def corpus_scale_entries(spark, corpus_dir: str):
             lambda: sp.pack_sequences(strata, "doc_id", "stratum", "text", 512),
         ),
         ("text_pii_scrub", lambda: tx.pii_scrub(docs)),
+        # full text family at corpus scale — no op gets to hide at the
+        # 500-doc fixture size (the text_repetition_stats lesson)
+        ("text_repetition_stats", lambda: tx.repetition_stats(docs)),
+        ("text_bpe_tokens", lambda: tx.bpe_token_stats(docs)),
+        ("text_rolling_fingerprint", lambda: tx.rolling_fingerprints(docs)),
+        ("text_language_id", lambda: tx.language_id(docs)),
+        ("text_fingerprint", lambda: tx.fingerprints(docs)),
+        ("text_token_freq", lambda: tx.token_frequencies(docs)),
+        ("text_tfidf_topterms", tfidf),
         (
             "decontam_ngram",
             lambda: dd.contamination_hits(

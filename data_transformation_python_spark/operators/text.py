@@ -228,6 +228,33 @@ def pii_scrub(
     )
 
 
+def _runlen_max(arr: str) -> str:
+    """Max run length over a SORTED string array = count of the most
+    frequent value, in one O(n) ``aggregate`` pass (no per-distinct
+    re-scan)."""
+    step = "IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))"
+    return (
+        f"aggregate({arr}, "
+        f"named_struct('prev', CAST(NULL AS STRING), "
+        f"'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {step}, "
+        f"'best', greatest(acc.best, {step})), "
+        f"acc -> acc.best)"
+    )
+
+
+def _runlen_distinct(arr: str) -> str:
+    """Distinct-value count over a SORTED string array in one O(n)
+    ``aggregate`` pass (replaces ``size(array_distinct(...))``)."""
+    return (
+        f"aggregate({arr}, "
+        f"named_struct('prev', CAST(NULL AS STRING), 'cnt', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('prev', x, "
+        f"'cnt', acc.cnt + IF(acc.prev IS NULL OR x <> acc.prev, 1, 0)), "
+        f"acc -> acc.cnt)"
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -236,9 +263,15 @@ def repetition_stats(
 
     Every metric is computed with array higher-order functions INSIDE
     the row — a pure narrow map over the scan, no explode, no shuffle,
-    no Python.  Per-row cost is O(distinct·n) on short arrays, which
-    whole-stage codegen handles in-register; the 100 TB shape is
-    embarrassingly parallel.
+    no Python; the 100 TB shape is embarrassingly parallel.
+
+    The token/bigram/trigram arrays are materialized into columns in a
+    FIRST select (the ``rolling_fingerprints`` pattern above): inlining
+    them into the counting lambdas makes Catalyst re-evaluate the whole
+    split/slice/array_join chain per lambda element — O(n²) per row
+    (measured ~35× slower at 500 docs).  Counts are then a per-row
+    ``array_sort`` + ONE O(n) run-length ``aggregate`` pass instead of
+    the O(distinct·n) filter-per-distinct-value scan.
 
     Emitted (all exact-integer-derived → engine-portable):
     - ``n_tokens``
@@ -247,25 +280,30 @@ def repetition_stats(
     - ``dup_3gram_frac``   — 1 − distinct/total 3-grams (0 when < 3
       tokens): fraction of trigram positions that repeat an earlier one
     """
-    toks = f"split({text_col}, ' ')"
-    grams = (
-        lambda n: f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))"
+    gram = (
+        lambda n: f"array_sort(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> array_join(slice(__toks, i + 1, {n}), ' ')))"
     )
-    max_count = (
-        lambda arr: f"array_max(transform(array_distinct({arr}), "
-        f"t -> size(filter({arr}, x -> x = t))))"
-    )
-    n3 = f"greatest(size({toks}) - 2, 0)"
-    return df.select(
+    staged = df.select(
+        id_col, _tokens(text_col).alias("__toks")
+    ).select(
         id_col,
-        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
-        F.expr(max_count(toks)).cast("bigint").alias("max_token_count"),
+        F.expr("size(__toks)").cast("bigint").alias("n_tokens"),
+        F.expr("array_sort(__toks)").alias("__s1"),
+        F.expr(f"if(size(__toks) >= 2, {gram(2)}, array())").alias("__s2"),
+        F.expr(f"if(size(__toks) >= 3, {gram(3)}, array())").alias("__s3"),
+    )
+    return staged.select(
+        id_col,
+        F.col("n_tokens"),
+        F.expr(_runlen_max("__s1")).cast("bigint").alias("max_token_count"),
+        F.expr(f"if(n_tokens >= 2, {_runlen_max('__s2')}, CAST(0 AS BIGINT))")
+        .cast("bigint")
+        .alias("top_bigram_count"),
         F.expr(
-            f"if(size({toks}) >= 2, {max_count(grams(2))}, 0)"
-        ).cast("bigint").alias("top_bigram_count"),
-        F.expr(
-            f"if({n3} > 0, 1.0 - size(array_distinct({grams(3)})) / "
-            f"CAST({n3} AS DOUBLE), 0.0)"
-        ).cast("double").alias("dup_3gram_frac"),
+            f"if(n_tokens >= 3, 1.0 - {_runlen_distinct('__s3')} / "
+            f"CAST(n_tokens - 2 AS DOUBLE), 0.0)"
+        )
+        .cast("double")
+        .alias("dup_3gram_frac"),
     )
