@@ -152,22 +152,69 @@ class ModelExecutor:
         return f"{self.executor.database}.{name}"
 
     # -- source registration -------------------------------------------
+    @staticmethod
+    def _nanos_ts_columns(path: str) -> list[str]:
+        """Names of TIMESTAMP(NANOS) columns in a parquet source, from
+        the arrow footer schema (Spark can't read that logical type
+        natively — it either throws or, under
+        ``spark.sql.legacy.parquet.nanosAsLong``, surfaces epoch-nanos
+        BIGINT).  Empty on probe failure or non-nanos vintages."""
+        try:
+            import pyarrow as pa
+            import pyarrow.dataset as ds
+
+            schema = ds.dataset(path, format="parquet").schema
+            return [
+                f.name
+                for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            ]
+        except Exception:
+            return []
+
     def _source_relation(self, source: str, table: str) -> str:
         """Resolve a source to a readable relation.  File-backed
         sources are registered as *external tables* (not temp views, so
-        permanent views materialized on top remain valid)."""
+        permanent views materialized on top remain valid).
+
+        Vintage normalization: parquet sources holding TIMESTAMP(NANOS)
+        columns (which Spark reads as epoch-nanos BIGINT under
+        ``nanosAsLong``, or not at all without it) get a view on top of
+        the external table that truncates each such column to
+        TIMESTAMP_NTZ(µs), so models see ONE schema regardless of the
+        writer vintage (reference gap: src/framework/executor.py reads
+        whatever the warehouse returns)."""
         st = self.config.sources.get(source, table)
         if st.path is None:
             return st.identifier
         rel = f"{self.executor.database}.__src_{source}_{table}"
         if rel not in self._registered_sources:
+            spark = self.executor.spark
+            nanos_cols = (
+                self._nanos_ts_columns(st.path)
+                if st.format.lower() == "parquet"
+                else []
+            )
+            raw_rel = f"{rel}__raw" if nanos_cols else rel
             opts = ", ".join(
                 [f"path '{st.path}'"]
                 + [f"{k} '{v}'" for k, v in st.options.items()]
             )
-            self.executor.spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {rel} USING {st.format} OPTIONS ({opts})"
+            if nanos_cols:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {raw_rel} USING {st.format} OPTIONS ({opts})"
             )
+            if nanos_cols:
+                cols = ", ".join(
+                    f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ) AS `{c}`"
+                    if c in nanos_cols
+                    else f"`{c}`"
+                    for c in spark.table(raw_rel).columns
+                )
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {rel} AS SELECT {cols} FROM {raw_rel}"
+                )
             self._registered_sources.add(rel)
         return rel
 

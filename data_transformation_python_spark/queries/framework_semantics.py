@@ -72,6 +72,9 @@ def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what "raw" is — TIMESTAMP(MICROS) reads as timestamp_ntz (a
     # pushable timestamp literal compare), legacy TIMESTAMP(NANOS)
     # surfaces as epoch-nanos BIGINT (a pushable long compare).
+    # Without nanosAsLong a vanilla session THROWS on the nanos
+    # vintage before the bigint branch below can run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
         wm_nanos = 1705276800 * 1_000_000_000  # 2024-01-15 00:00:00 UTC

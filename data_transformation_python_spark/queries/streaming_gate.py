@@ -27,6 +27,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     way the stream normalizes ``ts`` to a session-timezone TIMESTAMP
     (watermarks/windows need an instant type; the session is pinned
     to UTC by every caller, so the conversion is value-identity)."""
+    # Without nanosAsLong a vanilla session THROWS on the nanos
+    # vintage at this probe, making the LongType branch unreachable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
