@@ -176,8 +176,14 @@ def cosine_neardup_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qn = quantized(df, vec_col, id_col).select(F.col(id_col).alias("id"), "__v")
-    stats = qn.agg(
+    from .transform import materialize
+
+    # Quantize ONCE and checkpoint: the size probe, the broadcast
+    # build, and the LSH fallback all read the same materialized
+    # corpus (previously the LSH path re-quantized from scratch and
+    # the probe ran the quantization a second time).
+    qn_full = materialize(quantized(df, vec_col, id_col))
+    stats = qn_full.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("__v")).alias("dim")
     ).first()
     n_rows, dim = stats["n"] or 0, stats["dim"] or 0
@@ -194,11 +200,19 @@ def cosine_neardup_pairs(
             stacklevel=2,
         )
         return _neardup_lsh_verified(
-            df, threshold, vec_col, id_col, lsh_planes_per_band, lsh_bands, dim
+            df,
+            threshold,
+            vec_col,
+            id_col,
+            lsh_planes_per_band,
+            lsh_bands,
+            dim,
+            qn=qn_full,
         )
 
     # Build the broadcast side (driver-side, like a broadcast join
     # build — size-guarded above).
+    qn = qn_full.select(F.col(id_col).alias("id"), "__v")
     rows = qn.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
@@ -245,6 +259,7 @@ def _neardup_lsh_verified(
     planes_per_band: int,
     bands: int,
     dim: int | None = None,
+    qn: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed near-dup path: banded-LSH candidates → exact
     quantized-integer cosine on candidate pairs only.  Shuffles on
@@ -265,12 +280,17 @@ def _neardup_lsh_verified(
     over it (hyperplane signs are precomputed ±1 literal arrays —
     constant-folded, no per-row md5), posexploded into (band, bucket)
     keys, and pairs are emitted per bucket group — a single corpus
-    scan and one shuffle on the bucket keys, not one pass per band."""
+    scan and one shuffle on the bucket keys, not one pass per band.
+
+    ``qn`` lets a caller that already materialized the quantized
+    corpus (cosine_neardup_pairs' size probe) hand it over instead of
+    paying a second quantization pass."""
     from .transform import materialize
 
     if not dim:
         dim = _probe_dim(df, vec_col)
-    qn = materialize(quantized(df, vec_col, id_col))
+    if qn is None:
+        qn = materialize(quantized(df, vec_col, id_col))
     band_exprs = []
     for b in range(bands):
         bits = []
@@ -616,6 +636,8 @@ def kmeans_lloyd(
     assign_passes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    converge: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the quantized corpus, fully deterministic
     and engine-exact — the iterative-algorithm pattern (like connected
@@ -635,6 +657,16 @@ def kmeans_lloyd(
     Driver state per round: k×d sums (control-plane scale, like the
     CC frontier).  Output per surviving cluster: member count, |c|²
     checksum, and exact integer inertia (Σ d²).
+
+    ``assign_passes`` bounds the pass count; with ``converge`` (the
+    default) the loop also stops EARLY at the exact fixed point —
+    when an update leaves every centroid integer-identical (Lloyd's
+    guarantees inertia is then stationary; exact arithmetic means no
+    epsilon is needed).  ``stats``, if given, is filled with
+    ``passes_run``/``converged`` for observability.  The quantized
+    corpus is checkpointed through ``materialize`` — reliable
+    (checkpoint-dir-backed) whenever the session configures it, the
+    multi-executor posture a many-pass loop needs.
     """
     from .transform import materialize
 
@@ -649,6 +681,7 @@ def kmeans_lloyd(
     )
     spark = df.sparkSession
     d = len(cents[0][1]) if cents else 0
+    passes_run, converged = 0, False
     for _ in range(max(assign_passes - 1, 0)):
         # per-cluster element-wise sums as d parallel SUM aggregates
         # keyed by the argmin expression: the argmin is the groupBy
@@ -670,7 +703,7 @@ def kmeans_lloyd(
             )
             .collect()
         )
-        cents = [
+        new_cents = [
             (
                 int(r["cluster"]),
                 [
@@ -685,6 +718,14 @@ def kmeans_lloyd(
             )
             for r in sorted(sums, key=lambda r: int(r["cluster"]))
         ]
+        passes_run += 1
+        if converge and new_cents == cents:
+            converged = True
+            break
+        cents = new_cents
+    if stats is not None:
+        stats["passes_run"] = passes_run
+        stats["converged"] = converged
     final = qn.select(
         F.expr(_literal_argmin_sql(cents)).alias("__m")
     ).select(

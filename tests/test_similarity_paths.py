@@ -88,6 +88,27 @@ def test_kmeans_update_reduces_inertia(spark, emb):
     assert i3 <= i2
 
 
+def test_kmeans_converges_and_stops_early(spark, emb):
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    stats: dict = {}
+    df = kmeans_lloyd(emb, stride=50, assign_passes=30, stats=stats)
+    converged_inertia = df.agg(F.sum("inertia").alias("i")).collect()[0]["i"]
+    # exact integer arithmetic reaches a literal fixed point; the loop
+    # must notice and stop well before the 30-pass budget
+    assert stats["converged"] is True
+    assert stats["passes_run"] < 29
+    # running even longer cannot change the converged result
+    more = kmeans_lloyd(emb, stride=50, assign_passes=40).agg(
+        F.sum("inertia").alias("i")
+    ).collect()[0]["i"]
+    assert more == converged_inertia
+
+
 def test_kmeans_assignment_is_narrow_map(spark, emb):
     from data_transformation_python_spark.operators.similarity import (
         kmeans_lloyd,
