@@ -222,6 +222,58 @@ def corpus_scale_entries(spark, corpus_dir: str):
     ]
 
 
+def bench_framework_run_all(spark, sf_dir: str) -> float:
+    """Time the framework layer end-to-end over example_project:
+    parse → dependency DAG → level-parallel materialization of every
+    model (views, typed tables, incrementals) against the bench
+    tables.  Returns wall seconds; raises if any model fails."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from data_transformation_python_spark.config import load_config
+    from data_transformation_python_spark.dependency import (
+        ParallelExecutor,
+        build_dependency_graph,
+    )
+    from data_transformation_python_spark.executor import (
+        ModelExecutor,
+        SparkExecutor,
+    )
+    from data_transformation_python_spark.parser import SQLParser
+    from data_transformation_python_spark.state import create_state_manager
+
+    src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "example_project"
+    )
+    tmp = tempfile.mkdtemp(prefix="dtps_bench_proj_")
+    proj = os.path.join(tmp, "example_project")
+    shutil.copytree(src, proj)
+    os.environ["TESTDATA_DIR"] = sf_dir  # sources.yml reads ${TESTDATA_DIR}
+    db = f"bench_fw_{uuid.uuid4().hex[:8]}"
+    try:
+        config = load_config(Path(proj))
+        config.database = db
+        parser = SQLParser(config.models_dir)
+        state = create_state_manager(config.state_dir, config.env_name)
+        mx = ModelExecutor(
+            SparkExecutor(spark, database=db), parser, config, state
+        )
+        t0 = time.perf_counter()
+        levels = build_dependency_graph(parser.parse_directory()).topological_sort()
+        results = ParallelExecutor(max_parallelism=4).execute_levels(
+            levels, lambda name: mx.execute_model(name)
+        )
+        elapsed = time.perf_counter() - t0
+        failed = [r for r in results if not r.get("success")]
+        if failed:
+            raise RuntimeError(f"framework run-all failed: {failed[:1]}")
+        return elapsed
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -260,6 +312,15 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # one bad query must not kill the record
             errors[name] = str(e).split("\n")[0][:200]
+
+    # framework layer end-to-end: parse → DAG → level-parallel
+    # materialization of the whole example project
+    try:
+        timings["framework_run_all"] = round(
+            bench_framework_run_all(spark, sf_dir), 4
+        )
+    except Exception as e:
+        errors["framework_run_all"] = str(e).split("\n")[0][:200]
 
     # corpus-scale pass: same operators at >=50k hash-derived docs
     # (fixture documents/embeddings are ~500 rows at every sf, which

@@ -12,8 +12,10 @@ not available in this environment, so there are two extractors:
   resolve exactly, and the result is what the engine will actually
   compute.  Needs a session where the referenced tables/views exist.
 - ``extract_column_lineage``: sessionless regex fallback for
-  parse-time lineage (same shapes the reference handles; ``*`` and
-  subqueries degrade to table-level, explicitly marked).
+  parse-time lineage (same shapes the reference handles; CTEs and
+  FROM/JOIN derived tables resolve through to base tables; ``*``
+  over a plain base table degrades to table-level, explicitly
+  marked).
 """
 
 from __future__ import annotations
@@ -133,12 +135,62 @@ def _resolve_through_ctes(
     return [s for s in out if not (s in seen or seen.add(s))]
 
 
+_DERIVED_OPEN_RE = re.compile(r"\b(FROM|JOIN)\s*\(", re.IGNORECASE)
+_NOT_AN_ALIAS = {
+    "on", "where", "group", "order", "having", "limit", "union", "join",
+    "left", "right", "inner", "outer", "cross", "full", "using",
+}
+
+
+def _hoist_derived_tables(
+    sql: str, resolved: dict[str, list[ColumnLineage]]
+) -> str:
+    """Rewrite ``FROM (SELECT …) [AS] t`` / ``JOIN (SELECT …) u``
+    derived tables into plain alias references, registering each
+    body's lineage in ``resolved`` exactly like a CTE — so downstream
+    resolution (``t.col``, ``t.*``, bare columns) traces through to
+    base tables.  Nested derived tables recurse via
+    ``_extract_simple``; non-subquery parens after FROM/JOIN (e.g.
+    VALUES lists) are left untouched."""
+    pos, n = 0, 0
+    while True:
+        m = _DERIVED_OPEN_RE.search(sql, pos)
+        if not m:
+            return sql
+        open_i = m.end() - 1
+        depth, k = 1, open_i + 1
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        body = sql[open_i + 1 : k - 1].strip()
+        if not re.match(r"(?:WITH|SELECT)\b", body, re.IGNORECASE):
+            pos = m.end()
+            continue
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[k:])
+        alias = (
+            am.group(1)
+            if am and am.group(1).lower() not in _NOT_AN_ALIAS
+            else None
+        )
+        name = alias or f"__derived{n}"
+        n += 1
+        resolved[name] = _extract_simple(body, None, resolved)
+        end = k + (am.end() if alias else 0)
+        head = sql[: m.start()] + m.group(1) + " " + name
+        pos = len(head)
+        sql = head + sql[end:]
+
+
 def _extract_simple(
     sql: str,
     default_table: str | None = None,
     ctes: dict[str, list[ColumnLineage]] | None = None,
 ) -> list[ColumnLineage]:
-    ctes = ctes or {}
+    ctes = dict(ctes) if ctes else {}
+    sql = _hoist_derived_tables(sql, ctes)
     m = _SELECT_RE.search(sql)
     if not m:
         return []

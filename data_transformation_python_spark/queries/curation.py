@@ -313,6 +313,55 @@ FROM f JOIN sums USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal image — REAL BMP codec round-trip (synthesize genuine
+# 24-bit BMP bytes with padded bottom-up rows, parse them back); the
+# oracle replays the per-pixel channel formula in plain SQL
+# --------------------------------------------------------------------------
+_BMP_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims),
+ch AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + (p % w) * 19 + (p // w) * 23) % 256 AS r,
+         (doc_id * 5 + (p % w) * 11 + (p // w) * 17) % 256 AS g,
+         (doc_id * 3 + (p % w) * 7  + (p // w) * 13) % 256 AS b
+  FROM px),
+sums AS (
+  SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+  FROM ch GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(s.sr AS BIGINT) AS sum_r,
+       CAST(s.sg AS BIGINT) AS sum_g,
+       CAST(s.sb AS BIGINT) AS sum_b,
+       CAST((d.doc_id * 7) % 256 AS BIGINT) AS px00_r,
+       CAST((d.doc_id * 5) % 256 AS BIGINT) AS px00_g,
+       CAST((d.doc_id * 3) % 256 AS BIGINT) AS px00_b
+FROM dims d JOIN sums s USING (doc_id)
+"""
+
+
+@query("multimodal_bmp_meta", oracle=_BMP_ORACLE)
+def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata extraction with a REAL codec: each row gets a
+    genuine uncompressed 24-bit BMP payload (file header + DIB header
+    + padded bottom-up BGR rows), and ``bmp_metadata`` parses the
+    headers and decodes the pixel array back — the image twin of the
+    WAV path.  The oracle replays the deterministic channel formula in
+    SQL; the top-left-pixel columns pin row order, so a decoder that
+    forgets the bottom-up layout or the 4-byte row padding fails the
+    hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.bmp_metadata(mm.synth_bmp_table(docs))
+
+
 @query("multimodal_wav_meta", oracle=_WAV_ORACLE)
 def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio metadata extraction with a REAL codec: each row gets a

@@ -183,10 +183,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the KEY columns are emitted: which physical row arrives
     first is micro-batch-order dependent, but the surviving key set
     equals batch DISTINCT regardless of arrival order — that is the
-    deterministic contract the oracle checks.  (Production variant:
-    ``dropDuplicatesWithinWatermark`` bounds state by event-time
-    horizon when re-deliveries are known to arrive within a window;
-    the unbounded form is used here so the gate result is exact.)"""
+    deterministic contract the oracle checks.  (The bounded-state
+    production variant, ``dropDuplicatesWithinWatermark``, runs as
+    its own gated query: q_stream_dedup_watermark.)"""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     stream = _events_stream(spark, sf_dir)
@@ -194,6 +193,55 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming dedup with BOUNDED state — dropDuplicatesWithinWatermark
+# over an explicit re-delivery fixture, verified against batch DISTINCT
+# --------------------------------------------------------------------------
+_STREAM_DEDUP_WM_ORACLE = """
+SELECT DISTINCT event_id FROM events
+"""
+
+
+@query("q_stream_dedup_watermark", oracle=_STREAM_DEDUP_WM_ORACLE)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production variant of streaming dedup: every event is
+    RE-DELIVERED once with an event time 1 s later (the at-least-once
+    ingest failure mode), and ``dropDuplicatesWithinWatermark`` under
+    a 10-minute watermark suppresses the duplicates.
+
+    Unlike plain ``dropDuplicates`` (q_stream_dedup), state here is
+    BOUNDED: keys are evicted once the watermark passes their event
+    time, so a forever-running ingest holds O(window) keys instead of
+    O(all keys ever seen) — the semantics contract is that duplicates
+    arriving within the watermark horizon are guaranteed dropped.
+    Both re-deliveries sit 1 s apart, well inside the horizon, so the
+    surviving key set must equal batch DISTINCT exactly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = _events_stream(spark, sf_dir)
+    redelivered = stream.select(
+        "event_id",
+        F.explode(
+            F.array(F.col("ts"), F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+        ).alias("ts"),
+    )
+    deduped = (
+        redelivered.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
     q = (
         deduped.writeStream.format("memory")
         .queryName(name)

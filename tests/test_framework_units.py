@@ -206,6 +206,52 @@ def test_column_lineage_cte_star_matches_spark_extractor(spark):
     assert by_col == analyzed
 
 
+def test_column_lineage_derived_table_join_matches_spark_extractor(spark):
+    """Sessionless lineage must resolve FROM/JOIN derived tables like
+    CTEs: ``(SELECT …) t`` bodies trace through to base tables, and
+    the answer matches the Spark-analyzer extractor on the same SQL."""
+    from data_transformation_python_spark.lineage import (
+        extract_column_lineage_spark,
+    )
+
+    sql = """
+    SELECT t.order_key, u.cust_name, t.amount AS amt
+    FROM (SELECT order_id AS order_key, customer_id, amount
+          FROM dt_orders) t
+    JOIN (SELECT customer_id, name AS cust_name FROM dt_customers) AS u
+      ON t.customer_id = u.customer_id
+    """
+    by_col = {cl.column: sorted(cl.sources) for cl in extract_column_lineage(sql)}
+    assert by_col["order_key"] == [("dt_orders", "order_id")]
+    assert by_col["cust_name"] == [("dt_customers", "name")]
+    assert by_col["amt"] == [("dt_orders", "amount")]
+
+    spark.createDataFrame(
+        [(10, 1, 2.5)], "order_id bigint, customer_id bigint, amount double"
+    ).createOrReplaceTempView("dt_orders")
+    spark.createDataFrame(
+        [(1, "a")], "customer_id bigint, name string"
+    ).createOrReplaceTempView("dt_customers")
+    analyzed = {
+        cl.column: sorted(cl.sources)
+        for cl in extract_column_lineage_spark(spark, sql)
+    }
+    assert by_col == analyzed
+
+
+def test_column_lineage_nested_derived_table_sessionless():
+    """Derived tables nest: the inner body resolves first, the outer
+    references chain through it to the base table."""
+    sql = """
+    SELECT big.total FROM (
+      SELECT SUM(amt) AS total
+      FROM (SELECT amount AS amt FROM raw_orders) inner_q
+    ) big
+    """
+    by_col = {cl.column: sorted(cl.sources) for cl in extract_column_lineage(sql)}
+    assert by_col["total"] == [("raw_orders", "amount")]
+
+
 def test_column_lineage_chained_ctes_sessionless():
     """Later CTEs see earlier ones; references chain to base tables."""
     sql = """

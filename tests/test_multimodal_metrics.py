@@ -115,3 +115,59 @@ def test_synth_wav_roundtrip_matches_formula(spark):
         assert rows[doc_id]["sum_abs_amplitude"] == int(
             abs(pcm.astype("int64")).sum()
         )
+
+
+def test_bmp_parser_handles_foreign_topdown_bmp(spark):
+    """The parser must read any uncompressed 24-bit BMP — here a
+    hand-built TOP-DOWN (negative height) file with row padding, a
+    layout our own writer never produces."""
+    import struct
+
+    from data_transformation_python_spark.operators.multimodal import (
+        bmp_metadata,
+    )
+
+    w, h = 3, 2  # row stride 9 → 3 pad bytes
+    # rows top-first (top-down), pixel (x,y) = BGR (x, 10*y, 100+x+y)
+    rows = []
+    for y in range(h):
+        px = b"".join(bytes([x, 10 * y, 100 + x + y]) for x in range(w))
+        rows.append(px + b"\x00" * 3)
+    pixels = b"".join(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(hdr + dib + pixels))], "doc_id long, payload binary"
+    )
+    row = bmp_metadata(df).first()
+    assert (row["width"], row["height"], row["n_pixels"]) == (3, 2, 6)
+    # top-left pixel is the FIRST stored row in a top-down file
+    assert (row["px00_r"], row["px00_g"], row["px00_b"]) == (100, 0, 0)
+    assert row["sum_r"] == sum(100 + x + y for x in range(w) for y in range(h))
+    assert row["sum_g"] == sum(10 * y for _ in range(w) for y in range(h))
+    assert row["sum_b"] == sum(x for x in range(w) for _ in range(h))
+
+
+def test_synth_bmp_roundtrip_matches_formula(spark):
+    from data_transformation_python_spark.operators.multimodal import (
+        _bmp_channels,
+        _bmp_dims,
+        bmp_metadata,
+        synth_bmp_table,
+    )
+
+    df = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    rows = {
+        r["doc_id"]: r for r in bmp_metadata(synth_bmp_table(df)).collect()
+    }
+    for doc_id in (7, 123):
+        w, h = _bmp_dims(doc_id)
+        r, g, b = _bmp_channels(doc_id, w, h)
+        got = rows[doc_id]
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["sum_r"] == int(r.astype("int64").sum())
+        assert got["sum_g"] == int(g.astype("int64").sum())
+        assert got["sum_b"] == int(b.astype("int64").sum())
+        assert got["px00_r"] == int(r[0, 0])
