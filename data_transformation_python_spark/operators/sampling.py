@@ -108,3 +108,47 @@ def pack_sequences(
         ).alias("pack_id"),
         (F.col("__start") % budget).cast("bigint").alias("pack_offset"),
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_total: int,
+) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5): per-source
+    quotas proportional to sqrt(source size) — the standard way a
+    multi-source pretraining mixture up-weights small/rare sources
+    relative to their raw counts (e.g. mT5's alpha-scaled sampling).
+
+    Determinism contract: weights are ``isqrt(n)`` (exact integer
+    square root — ``floor(sqrt)`` of a BIGINT is exact in any engine
+    with correctly-rounded sqrt), quotas are one integer
+    multiply+divide, and each source admits its first ``quota`` rows
+    in the md5 shuffle order — all replayable by the SQL oracle.
+
+    Scale shape: the per-source counts are a control-plane aggregate
+    (one row per source) collected to the driver; the admission pass
+    is one shuffle on the source key with a partition-local window —
+    the same shape as ``samp_token_quota``.
+    """
+    import math
+
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = {g: math.isqrt(int(n)) for g, n in counts.items()}
+    total_w = sum(weights.values()) or 1
+    quota = {g: (target_total * w) // total_w for g, w in weights.items()}
+    quota_expr = F.lit(0)
+    for g, q in sorted(quota.items()):
+        quota_expr = F.when(F.col(group_col) == g, F.lit(q)).otherwise(quota_expr)
+    w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
+    return (
+        df.select(id_col, group_col)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= quota_expr)
+    )

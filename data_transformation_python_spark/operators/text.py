@@ -228,6 +228,64 @@ def pii_scrub(
     )
 
 
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The remaining Gopher document-quality gates (Rae et al. 2021
+    §A1.1) beyond ``repetition_stats``: mean word length, alphabetic-
+    word fraction, symbol-to-word ratio, and stopword presence, plus
+    the combined boolean filter verdict.
+
+    A pure narrow map over the scan (token array materialized once;
+    all counts are single linear passes), so at 100 TB this rides the
+    scan like every other text signal.  Every ratio is exact-integer
+    derived and each threshold compares identically in any engine, so
+    ``passes_gopher`` is oracle-portable too.
+
+    Gates applied (document passes when ALL hold):
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and ... occurrences / words) < 0.1
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 occurrences of common English stopwords
+    """
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    staged = df.select(
+        id_col, F.col(text_col).alias("__t"), _tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks").cast("bigint")
+    sum_len = F.expr(
+        "aggregate(__toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+    )
+    n_alpha = F.expr(
+        "size(filter(__toks, x -> x rlike '[a-zA-Z]'))"
+    ).cast("bigint")
+    n_sym = (
+        F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(__t, '\\\\.\\\\.\\\\.', 0)"))
+    ).cast("bigint")
+    n_stop = F.expr(
+        f"size(filter(__toks, x -> array_contains(array({arr}), x)))"
+    ).cast("bigint")
+    mean_len = sum_len.cast("double") / n.cast("double")
+    frac_alpha = n_alpha.cast("double") / n.cast("double")
+    sym_ratio = n_sym.cast("double") / n.cast("double")
+    return staged.select(
+        id_col,
+        n.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        (
+            (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+            & (sym_ratio < 0.1)
+            & (frac_alpha >= 0.8)
+            & (n_stop >= 2)
+        ).alias("passes_gopher"),
+    )
+
+
 def _runlen_max(arr: str) -> str:
     """Max run length over a SORTED string array = count of the most
     frequent value, in one O(n) ``aggregate`` pass (no per-distinct

@@ -162,9 +162,9 @@ _PRIORITY: list[str] = [
     "multimodal_bmp_meta",
     "q_stream_dedup_watermark",
     "q_stream_windowed_counts",
-    "q_stream_sessionize",
-    "q_stream_dedup",
-    "q_stream_static_join",
+    "text_gopher_quality",
+    "samp_temperature",
+    "q_range_join_binned",
 ]
 
 

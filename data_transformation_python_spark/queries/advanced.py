@@ -378,3 +378,48 @@ def q_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaker is needed (unlike ROWS frames, where peer order would
     be nondeterministic)."""
     return _sql_on_view(spark, sf_dir, "orders", _RANGE_FRAME_SQL, "orders_rangef_v")
+
+
+# --------------------------------------------------------------------------
+# binned range join — point-in-interval join without the
+# broadcast-nested-loop O(N·M) plan (operators/range_join.py)
+# --------------------------------------------------------------------------
+_RANGE_JOIN_ORACLE = """
+WITH tiers AS (
+  SELECT CAST(i AS BIGINT) AS tier_id,
+         CAST(-1000 + i * 550 AS DOUBLE) AS lo,
+         CAST(-300 + i * 550 AS DOUBLE) AS hi
+  FROM generate_series(0, 19) AS t(i))
+SELECT t.tier_id,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c JOIN tiers t ON c.c_acctbal BETWEEN t.lo AND t.hi
+GROUP BY 1
+"""
+
+
+@query("q_range_join_binned", oracle=_RANGE_JOIN_ORACLE)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers joined to OVERLAPPING balance tiers (20 intervals of
+    width 700 every 550) through the binned range join: intervals
+    explode onto fixed-width buckets, points map to one bucket, and
+    the join is a plain equi-join on the bucket id + exact re-check —
+    never the broadcast-nested-loop plan Spark gives a raw BETWEEN
+    join.  The oracle runs the naive BETWEEN join; identical results
+    prove the binning introduces no false positives/negatives at
+    bucket boundaries (the overlap makes boundary rows multi-match)."""
+    from ..operators.range_join import range_join_binned
+
+    tiers = spark.range(20).select(
+        F.col("id").alias("tier_id"),
+        (F.lit(-1000.0) + F.col("id") * 550.0).alias("lo"),
+        (F.lit(-300.0) + F.col("id") * 550.0).alias("hi"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = range_join_binned(cust, tiers, "c_acctbal", "lo", "hi", 500.0)
+    return joined.groupBy("tier_id").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )

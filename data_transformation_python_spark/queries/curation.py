@@ -226,6 +226,41 @@ def samp_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# temperature-based mixture sampling — per-source quotas ∝ sqrt(n)
+# --------------------------------------------------------------------------
+_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+w AS (SELECT g, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM counts),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+quota AS (SELECT g, (200 * wt) // tw AS q FROM w, tot),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+           AS BIGINT) AS rk
+  FROM documents)
+SELECT r.doc_id, r.source, r.rk
+FROM ranked r JOIN quota ON r.source = quota.g
+WHERE r.rk <= quota.q
+"""
+
+
+@query("samp_temperature", oracle=_TEMPERATURE_ORACLE)
+def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha = 0.5) mixture sampling: each source's
+    quota is proportional to the integer square root of its size, so
+    small sources are up-weighted relative to raw counts — the
+    standard multi-source pretraining mixture dial.  Quotas are exact
+    integer arithmetic from a control-plane aggregate; admission is
+    the deterministic md5 order within each source (one shuffle on
+    the source key)."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.temperature_mixture_sample(docs, "doc_id", "source", 200)
+
+
+# --------------------------------------------------------------------------
 # TF-IDF-style top terms per document — exact rational scoring
 # (tf * N / df: integer products, one correctly-rounded division —
 # no logarithms, which differ in the last ulp across libm builds)

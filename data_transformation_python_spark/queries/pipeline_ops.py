@@ -423,6 +423,52 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# text analysis: remaining Gopher quality gates (mean word length,
+# alpha-word fraction, symbol ratio, stopword presence + verdict)
+# --------------------------------------------------------------------------
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(toks,
+              x -> list_contains(['the','a','and','of','to','is'], x)))
+              AS BIGINT) AS n_stopwords
+  FROM t),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len,
+         CAST(n_alpha AS DOUBLE) / n_tokens AS frac_alpha_words,
+         CAST(n_sym AS DOUBLE) / n_tokens AS symbol_word_ratio,
+         n_stopwords
+  FROM m)
+SELECT doc_id, n_tokens, mean_word_len, frac_alpha_words,
+       symbol_word_ratio, n_stopwords,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio < 0.1 AND frac_alpha_words >= 0.8
+        AND n_stopwords >= 2) AS passes_gopher
+FROM r
+"""
+
+
+@query("text_gopher_quality", oracle=_GOPHER_ORACLE)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher §A1.1 quality gates (mean word length,
+    alphabetic-word fraction, symbol-to-word ratio, stopword count)
+    plus the combined pass/fail verdict — a shuffle-free narrow map;
+    with ``text_repetition_stats`` this completes the Gopher document
+    filter."""
+    return tx.gopher_quality(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing: binary payload + Arrow-batched feature UDF
 # (decoder itself is stubbed — see operators/multimodal.py)
 # --------------------------------------------------------------------------

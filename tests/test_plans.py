@@ -269,3 +269,19 @@ def test_repetition_stats_is_shuffle_free(spark):
     plan = _plan(spark, "text_repetition_stats")
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_gopher_quality_is_shuffle_free(spark):
+    # the remaining Gopher gates are the same narrow-map shape as
+    # repetition_stats — no Exchange, no explode
+    plan = _plan(spark, "text_gopher_quality")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_range_join_binned_avoids_nested_loop(spark):
+    # the whole point of the binned range join: an equi-join on the
+    # bucket id, never the O(N*M) nested-loop plan of a raw BETWEEN
+    plan = _plan(spark, "q_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
