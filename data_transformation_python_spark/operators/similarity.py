@@ -345,6 +345,60 @@ def _neardup_lsh_verified(
     )
 
 
+def _lloyd_update_passes(
+    qn: DataFrame,
+    id_col: str,
+    cents: list[tuple[int, list[int]]],
+    d: int,
+    passes: int,
+    converge: bool = True,
+) -> tuple[list[tuple[int, list[int]]], int, bool]:
+    """Run up to ``passes`` exact-integer Lloyd update passes over the
+    materialized quantized corpus (columns ``__v``/``__nrm``): each
+    pass is ONE map-side-combinable aggregate keyed by the
+    literal-centroid argmin, and the loop stops early at the integer
+    fixed point.  Shared by ``kmeans_lloyd`` and the refined-centroid
+    IVF path.  Returns (centroids, passes_run, converged)."""
+    passes_run, converged = 0, False
+    for _ in range(max(passes, 0)):
+        sums = (
+            qn.groupBy(
+                F.expr(f"({_literal_argmin_sql(cents)}).cid").alias("cluster")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.expr(f"CAST(element_at(__v, {p + 1}) AS BIGINT)")
+                    ).alias(f"s{p}")
+                    for p in range(d)
+                ],
+            )
+            .collect()
+        )
+        new_cents = [
+            (
+                int(r["cluster"]),
+                [
+                    (
+                        2 * (int(r[f"s{p}"]) + KMEANS_OFFSET * int(r["n"]))
+                        + int(r["n"])
+                    )
+                    // (2 * int(r["n"]))
+                    - KMEANS_OFFSET
+                    for p in range(d)
+                ],
+            )
+            for r in sorted(sums, key=lambda r: int(r["cluster"]))
+        ]
+        passes_run += 1
+        if converge and new_cents == cents:
+            converged = True
+            break
+        cents = new_cents
+    return cents, passes_run, converged
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -353,16 +407,18 @@ def ivf_topk(
     nprobe: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_passes: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are bucketed by
     nearest centroid; each query searches only its ``nprobe`` nearest
     centroid buckets.
 
-    Centroids here are a deterministic sample (every
-    ``centroid_stride``-th vector) — a production system would run
-    k-means, but the *search structure* (assign → probe → rank) is
-    identical and this keeps the operator fully reproducible (and
-    oracle-verifiable).  Distances use exact quantized integers;
+    Centroids start as a deterministic sample (every
+    ``centroid_stride``-th vector); with ``refine_passes > 0`` they
+    are refined by that many exact-integer Lloyd update passes first
+    (``_lloyd_update_passes``) — the production k-means→IVF path,
+    still fully reproducible (and oracle-verifiable, since the update
+    arithmetic is exact).  Distances use exact quantized integers;
     assignment ties break to the smaller centroid id.
 
     Scale: the candidate set per query is |corpus| * nprobe / n_centroids
@@ -376,11 +432,30 @@ def ivf_topk(
     # query vectors, neighbor vectors); inlined it would re-scan and
     # re-quantize the corpus each time
     qn = materialize(quantized(df, vec_col, id_col))
-    cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col("__v").alias("__cv"),
-        F.col("__nrm").alias("__cn"),
-    )
+    if refine_passes > 0:
+        init = (
+            qn.filter((F.col(id_col) % centroid_stride) == 0)
+            .select(id_col, "__v")
+            .collect()
+        )
+        cents = sorted(
+            (int(r[id_col]), [int(x) for x in r["__v"]]) for r in init
+        )
+        d0 = len(cents[0][1]) if cents else 0
+        cents, _, _ = _lloyd_update_passes(qn, id_col, cents, d0, refine_passes)
+        cent = df.sparkSession.createDataFrame(
+            [
+                (cid, [float(x) for x in cv], float(sum(x * x for x in cv)))
+                for cid, cv in cents
+            ],
+            "cid bigint, __cv array<double>, __cn double",
+        )
+    else:
+        cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cn"),
+        )
     # squared distance = |v|^2 + |c|^2 - 2 v·c (all exact integers)
     dist2 = (
         F.col("__nrm")
@@ -681,48 +756,14 @@ def kmeans_lloyd(
     )
     spark = df.sparkSession
     d = len(cents[0][1]) if cents else 0
-    passes_run, converged = 0, False
-    for _ in range(max(assign_passes - 1, 0)):
-        # per-cluster element-wise sums as d parallel SUM aggregates
-        # keyed by the argmin expression: the argmin is the groupBy
-        # key (evaluated ONCE per row), partials combine map-side, and
-        # nothing explodes — a posexplode here would collapse into the
-        # projection and re-evaluate the argmin per array element
-        sums = (
-            qn.groupBy(
-                F.expr(f"({_literal_argmin_sql(cents)}).cid").alias("cluster")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.expr(f"CAST(element_at(__v, {p + 1}) AS BIGINT)")
-                    ).alias(f"s{p}")
-                    for p in range(d)
-                ],
-            )
-            .collect()
-        )
-        new_cents = [
-            (
-                int(r["cluster"]),
-                [
-                    (
-                        2 * (int(r[f"s{p}"]) + KMEANS_OFFSET * int(r["n"]))
-                        + int(r["n"])
-                    )
-                    // (2 * int(r["n"]))
-                    - KMEANS_OFFSET
-                    for p in range(d)
-                ],
-            )
-            for r in sorted(sums, key=lambda r: int(r["cluster"]))
-        ]
-        passes_run += 1
-        if converge and new_cents == cents:
-            converged = True
-            break
-        cents = new_cents
+    # per-cluster element-wise sums as d parallel SUM aggregates keyed
+    # by the argmin expression: the argmin is the groupBy key
+    # (evaluated ONCE per row), partials combine map-side, and nothing
+    # explodes — a posexplode here would collapse into the projection
+    # and re-evaluate the argmin per array element
+    cents, passes_run, converged = _lloyd_update_passes(
+        qn, id_col, cents, d, max(assign_passes - 1, 0), converge
+    )
     if stats is not None:
         stats["passes_run"] = passes_run
         stats["converged"] = converged

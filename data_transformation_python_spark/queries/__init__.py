@@ -161,7 +161,7 @@ _PRIORITY: list[str] = [
     "text_repetition_stats",
     "multimodal_bmp_meta",
     "q_stream_dedup_watermark",
-    "q_stream_windowed_counts",
+    "sim_ivf_kmeans_topk",
     "text_gopher_quality",
     "samp_temperature",
     "q_range_join_binned",

@@ -190,6 +190,77 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity: IVF over kmeans-REFINED centroids — the production
+# k-means→IVF build path (one exact-integer Lloyd update on the
+# stride sample, then the same assign→probe→rank search)
+# --------------------------------------------------------------------------
+_IVF_KMEANS_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+a0 AS (SELECT vec_id, cid FROM (
+   SELECT n.vec_id, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c0.cn - 2 * list_dot_product(n.v, c0.cv),
+                                      c0.cid) AS rn
+   FROM n CROSS JOIN c0) t WHERE rn = 1),
+s0 AS (SELECT a0.cid, gs.d AS d,
+              CAST(SUM(CAST(n.v[gs.d + 1] AS BIGINT)) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS nm
+       FROM a0 JOIN n USING (vec_id)
+       CROSS JOIN generate_series(0, 63) AS gs(d)
+       GROUP BY 1, 2),
+u1 AS (SELECT cid, d,
+              (2 * (s + 1000000 * nm) + nm) // (2 * nm) - 1000000 AS c
+       FROM s0),
+c1 AS (SELECT cid, list(CAST(c AS DOUBLE) ORDER BY d) AS cv FROM u1 GROUP BY cid),
+cent AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn FROM c1),
+pairs AS (
+  SELECT n.vec_id, cent.cid,
+         n.nrm + cent.cn - 2 * list_dot_product(n.v, cent.cv) AS d2
+  FROM n CROSS JOIN cent),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs WHERE vec_id < 10) t WHERE rn <= 3),
+cand AS (
+  SELECT p.query_id, a.neighbor_id FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  WHERE a.neighbor_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qv.v, nv.v) / sqrt(qv.nrm * nv.nrm) AS cosine_sim
+  FROM cand c
+  JOIN n qv ON qv.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_ivf_kmeans_topk", oracle=_IVF_KMEANS_ORACLE)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over kmeans-refined centroids: the stride sample is
+    improved by one exact-integer Lloyd update pass before the
+    assign→probe→rank search — the production ANN build (k-means then
+    IVF), end-to-end deterministic so the oracle can replay both the
+    refinement and the search in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, query_ids=range(10), k=5, centroid_stride=50, nprobe=3,
+        refine_passes=1,
+    )
+
+
+# --------------------------------------------------------------------------
 # similarity: Johnson-Lindenstrauss ±1 random projection (embedding
 # compression before ANN — exact integer components, shuffle-free)
 # --------------------------------------------------------------------------
