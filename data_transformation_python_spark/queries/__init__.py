@@ -164,6 +164,7 @@ _PRIORITY: list[str] = [
     "sim_ivf_kmeans_topk",
     "text_gopher_quality",
     "samp_temperature",
+    "multimodal_avi_meta",
     "q_range_join_binned",
 ]
 

@@ -397,6 +397,68 @@ def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.bmp_metadata(mm.synth_bmp_table(docs))
 
 
+# --------------------------------------------------------------------------
+# multimodal video — REAL AVI codec round-trip (synthesize a genuine
+# RIFF container with uncompressed DIB frames, walk+decode it back);
+# the oracle replays the per-frame pixel formula in plain SQL
+# --------------------------------------------------------------------------
+_AVI_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS w,
+         2 + doc_id % 4 AS h,
+         2 + doc_id % 5 AS nf,
+         CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 16 WHEN 2 THEN 20
+                         WHEN 3 THEN 25 ELSE 40 END AS fps
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, nf, fps,
+         unnest(generate_series(0, nf * w * h - 1)) AS p
+  FROM dims),
+ch AS (
+  SELECT doc_id,
+         p // (w * h) AS f, (p % (w * h)) % w AS x, (p % (w * h)) // w AS y
+  FROM px),
+vals AS (
+  SELECT doc_id,
+         (doc_id * 7 + f * 29 + x * 19 + y * 23) % 256 AS r,
+         (doc_id * 5 + f * 31 + x * 11 + y * 17) % 256 AS g,
+         (doc_id * 3 + f * 37 + x * 7  + y * 13) % 256 AS b
+  FROM ch),
+sums AS (
+  SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+  FROM vals GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.fps AS BIGINT) AS fps,
+       CAST(s.sr AS BIGINT) AS sum_r,
+       CAST(s.sg AS BIGINT) AS sum_g,
+       CAST(s.sb AS BIGINT) AS sum_b,
+       CAST((d.doc_id * 7) % 256 AS BIGINT) AS px000_r,
+       CAST((d.doc_id * 5) % 256 AS BIGINT) AS px000_g,
+       CAST((d.doc_id * 3) % 256 AS BIGINT) AS px000_b
+FROM dims d JOIN sums s USING (doc_id)
+"""
+
+
+@query("multimodal_avi_meta", oracle=_AVI_ORACLE)
+def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata extraction with a REAL container codec: each row
+    gets a genuine uncompressed AVI (RIFF tree: avih main header, strl
+    stream headers, movi DIB frames) and ``avi_metadata`` walks the
+    chunks and decodes every frame back — completing the third
+    modality.  The oracle replays the per-frame channel formula in
+    SQL; frame-0's top-left pixel pins frame AND row order, so a
+    walker that misreads chunk alignment or frame layout fails the
+    hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.avi_metadata(mm.synth_avi_table(docs))
+
+
 @query("multimodal_wav_meta", oracle=_WAV_ORACLE)
 def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio metadata extraction with a REAL codec: each row gets a

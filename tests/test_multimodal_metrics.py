@@ -171,3 +171,68 @@ def test_synth_bmp_roundtrip_matches_formula(spark):
         assert got["sum_g"] == int(g.astype("int64").sum())
         assert got["sum_b"] == int(b.astype("int64").sum())
         assert got["px00_r"] == int(r[0, 0])
+
+
+def test_avi_walker_handles_junk_chunks_and_dc_fourcc(spark):
+    """The RIFF walker must survive chunks our writer never emits:
+    a JUNK padding chunk with an ODD size (word alignment), an idx1
+    index, and compressed-flavor '00dc' frame ids."""
+    import struct
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _avi_frame_channels,
+        _dib_frame_bytes,
+        _riff_chunk,
+        avi_metadata,
+    )
+
+    w, h, nf, fps = 3, 2, 2, 25
+    frames = [
+        _dib_frame_bytes(*_avi_frame_channels(9, f, w, h), w, h)
+        for f in range(nf)
+    ]
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0, nf, 0, 1, 0, w, h
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih))
+    junk = _riff_chunk(b"JUNK", b"\x01\x02\x03")  # odd size → pad byte
+    movi = _riff_chunk(
+        b"LIST",
+        b"movi" + b"".join(_riff_chunk(b"00dc", fr) for fr in frames),
+    )
+    idx1 = _riff_chunk(b"idx1", struct.pack("<4sIII", b"00dc", 0, 4, 1))
+    data = _riff_chunk(b"RIFF", b"AVI " + hdrl + junk + movi + idx1)
+    df = spark.createDataFrame(
+        [(9, bytearray(data))], "doc_id long, payload binary"
+    )
+    row = avi_metadata(df).first()
+    assert (row["width"], row["height"], row["n_frames"], row["fps"]) == (
+        3, 2, 2, 25,
+    )
+    r0, _, _ = _avi_frame_channels(9, 0, w, h)
+    assert row["px000_r"] == int(r0[0, 0])
+
+
+def test_synth_avi_roundtrip_matches_formula(spark):
+    from data_transformation_python_spark.operators.multimodal import (
+        _avi_dims,
+        _avi_frame_channels,
+        avi_metadata,
+        synth_avi_table,
+    )
+
+    df = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    rows = {
+        r["doc_id"]: r for r in avi_metadata(synth_avi_table(df)).collect()
+    }
+    for doc_id in (7, 123):
+        w, h, nf, fps = _avi_dims(doc_id)
+        got = rows[doc_id]
+        assert (got["width"], got["height"], got["n_frames"], got["fps"]) == (
+            w, h, nf, fps,
+        )
+        exp_r = sum(
+            int(_avi_frame_channels(doc_id, f, w, h)[0].astype("int64").sum())
+            for f in range(nf)
+        )
+        assert got["sum_r"] == exp_r
