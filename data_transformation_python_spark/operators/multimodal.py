@@ -296,15 +296,14 @@ def _bmp_channels(doc_id: int, w: int, h: int):
     return r, g, b
 
 
-def _write_bmp(doc_id: int) -> bytes:
-    """A genuine uncompressed 24-bit BMP: BITMAPFILEHEADER +
+def _bmp_payload_from_rgb(r, g, b, w: int, h: int) -> bytes:
+    """Assemble a genuine uncompressed 24-bit BMP from h×w channel
+    arrays (y indexed from the top): BITMAPFILEHEADER +
     BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
     import struct
 
     import numpy as np
 
-    w, h = _bmp_dims(doc_id)
-    r, g, b = _bmp_channels(doc_id, w, h)
     pad = (4 - (w * 3) % 4) % 4
     rows = []
     for y in range(h - 1, -1, -1):  # positive height ⇒ bottom row first
@@ -318,6 +317,48 @@ def _write_bmp(doc_id: int) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
     return header + dib + pixels
+
+
+def _write_bmp(doc_id: int) -> bytes:
+    w, h = _bmp_dims(doc_id)
+    r, g, b = _bmp_channels(doc_id, w, h)
+    return _bmp_payload_from_rgb(r, g, b, w, h)
+
+
+def resize_bmp_images(
+    df: DataFrame, width: int, height: int
+) -> DataFrame:
+    """REAL image resize for uncompressed BMP payloads: parse the
+    pixel array, nearest-neighbor index it to (width, height)
+    (``src = (dst · src_dim) div dst_dim`` — pure integer math, so the
+    oracle can replay the exact mapping), and re-encode a valid BMP.
+    Arrow-batched ``mapInPandas``; the generic byte-truncation
+    plumbing stub (``resize_images``) remains for opaque payloads."""
+    import numpy as np
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                w, h, px = _parse_bmp(bytes(payload))
+                xs = (np.arange(width, dtype=np.int64) * w) // width
+                ys = (np.arange(height, dtype=np.int64) * h) // height
+                res = px[np.ix_(ys, xs)]
+                payloads.append(
+                    _bmp_payload_from_rgb(
+                        res[..., 0], res[..., 1], res[..., 2], width, height
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=RESIZE_SCHEMA)
 
 
 def _parse_bmp(data: bytes):
@@ -548,6 +589,73 @@ def synth_avi_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def sample_avi_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling for uncompressed AVI payloads: walk
+    the container, decode the frames, keep every ``every_n``-th one
+    (original frame index preserved), and emit each as a standalone
+    BMP payload — the decode→sample→re-encode shape a frame-level
+    training pipeline uses.  One output row per sampled frame (a
+    bounded explode); the byte-slice plumbing stub
+    (``sample_frames``) remains for opaque payloads."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, _, _, frames = _parse_avi(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    px = frames[f]
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    payloads.append(
+                        _bmp_payload_from_rgb(
+                            px[..., 0], px[..., 1], px[..., 2], w, h
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def bmp_channel_sums(
+    df: DataFrame,
+    payload_col: str = "frame_payload",
+    id_cols: tuple[str, ...] = ("doc_id", "frame_idx"),
+) -> DataFrame:
+    """Exact per-payload RGB channel sums for BMP payload columns
+    keyed by arbitrary id columns (e.g. (doc, frame) after
+    ``sample_avi_frames``)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [next(f for f in df.schema.fields if f.name == c) for c in id_cols]
+        + [
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: list(pdf[c]) for c in id_cols}
+            sums_r, sums_g, sums_b = [], [], []
+            for payload in pdf[payload_col]:
+                _, _, px = _parse_bmp(bytes(payload))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                sums_r.append(int(s[0]))
+                sums_g.append(int(s[1]))
+                sums_b.append(int(s[2]))
+            out["sum_r"], out["sum_g"], out["sum_b"] = sums_r, sums_g, sums_b
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=schema)
 
 
 def avi_metadata(df: DataFrame) -> DataFrame:

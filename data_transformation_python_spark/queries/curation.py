@@ -459,6 +459,100 @@ def multimodal_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.avi_metadata(mm.synth_avi_table(docs))
 
 
+# --------------------------------------------------------------------------
+# multimodal image resize — REAL nearest-neighbor pixel transform
+# (integer src-index mapping, so the oracle replays it exactly)
+# --------------------------------------------------------------------------
+_BMP_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 19)) AS p FROM dims),
+m AS (
+  SELECT doc_id,
+         ((p % 5) * w) // 5 AS x,
+         ((p // 5) * h) // 4 AS y
+  FROM px),
+vals AS (
+  SELECT doc_id,
+         (doc_id * 7 + x * 19 + y * 23) % 256 AS r,
+         (doc_id * 5 + x * 11 + y * 17) % 256 AS g,
+         (doc_id * 3 + x * 7  + y * 13) % 256 AS b
+  FROM m),
+sums AS (
+  SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+  FROM vals GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(20 AS BIGINT) AS n_pixels,
+       CAST(s.sr AS BIGINT) AS sum_r,
+       CAST(s.sg AS BIGINT) AS sum_g,
+       CAST(s.sb AS BIGINT) AS sum_b,
+       CAST((d.doc_id * 7) % 256 AS BIGINT) AS px00_r,
+       CAST((d.doc_id * 5) % 256 AS BIGINT) AS px00_g,
+       CAST((d.doc_id * 3) % 256 AS BIGINT) AS px00_b
+FROM dims d JOIN sums s USING (doc_id)
+"""
+
+
+@query("multimodal_bmp_resize", oracle=_BMP_RESIZE_ORACLE)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: synthesize BMPs, nearest-neighbor resize
+    every one to 5×4 (integer source-index mapping), and parse the
+    RESIZED file back.  The oracle recomputes each destination pixel
+    from the mapping formula, so a resampler that misindexes rows,
+    columns, or the re-encoded layout fails the hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    resized = mm.resize_bmp_images(mm.synth_bmp_table(docs), 5, 4)
+    return mm.bmp_metadata(resized.select("doc_id", "payload"))
+
+
+# --------------------------------------------------------------------------
+# multimodal video frame sampling — REAL decode→sample→re-encode
+# --------------------------------------------------------------------------
+_AVI_FRAMES_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS f
+  FROM dims),
+px AS (
+  SELECT doc_id, w, h, f, unnest(generate_series(0, w * h - 1)) AS p
+  FROM fr),
+vals AS (
+  SELECT doc_id, f,
+         (doc_id * 7 + f * 29 + (p % w) * 19 + (p // w) * 23) % 256 AS r,
+         (doc_id * 5 + f * 31 + (p % w) * 11 + (p // w) * 17) % 256 AS g,
+         (doc_id * 3 + f * 37 + (p % w) * 7  + (p // w) * 13) % 256 AS b
+  FROM px)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM vals GROUP BY doc_id, f
+"""
+
+
+@query("multimodal_avi_frames", oracle=_AVI_FRAMES_ORACLE)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: synthesize AVIs, decode and keep
+    every 2nd frame re-encoded as a standalone BMP, then parse THOSE
+    payloads back to per-frame channel sums — the full
+    decode→sample→re-encode→verify loop, one row per sampled frame.
+    The oracle replays the even-frame pixel formula."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    frames = mm.sample_avi_frames(mm.synth_avi_table(docs), every_n=2)
+    return mm.bmp_channel_sums(frames)
+
+
 @query("multimodal_wav_meta", oracle=_WAV_ORACLE)
 def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio metadata extraction with a REAL codec: each row gets a
