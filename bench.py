@@ -202,6 +202,13 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ("text_fingerprint", lambda: tx.fingerprints(docs)),
         ("text_token_freq", lambda: tx.token_frequencies(docs)),
         ("text_tfidf_topterms", tfidf),
+        ("text_gopher_quality", lambda: tx.gopher_quality(docs)),
+        (
+            "samp_temperature",
+            lambda: sp.temperature_mixture_sample(
+                strata, "doc_id", "stratum", 20000
+            ),
+        ),
         (
             "decontam_ngram",
             lambda: dd.contamination_hits(
