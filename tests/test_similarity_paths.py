@@ -164,3 +164,32 @@ def test_random_projection_preserves_relative_distance(spark, emb):
     # fixture's random embeddings give ~3.9×; near-dup-heavy corpora
     # give much more)
     assert stats["hi"] > 2 * stats["lo"]
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark, emb):
+    """Refined centroids partition the space better: on the fixture,
+    1 Lloyd update lifts IVF recall vs exact top-k (28/50 vs 25/50 —
+    deterministic data, exact arithmetic, so these are stable)."""
+    from data_transformation_python_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, range(10), k=5).collect()
+    }
+
+    def recall(refine_passes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, range(10), k=5, centroid_stride=50, nprobe=3,
+                refine_passes=refine_passes,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r0 >= 0.4  # nprobe=3 of ~10 buckets must beat random
+    assert r1 >= r0   # refinement must not hurt on this fixture
