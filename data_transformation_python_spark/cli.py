@@ -336,7 +336,10 @@ def serve(ctx: Context, watch, poll_interval):
         w.poll_once()
         return
     w.start()
-    click.echo(f"Watching {ctx.config.models_dir} (Ctrl-C to stop)")
+    click.echo(
+        f"Watching {ctx.config.models_dir} via {w.backend_name} "
+        "(Ctrl-C to stop)"
+    )
     try:
         import time
 

@@ -2,19 +2,86 @@
 files.
 
 The reference uses the watchdog library (reference: src/framework/
-watcher.py:19-148); watchdog is not available here, so this is a
-dependency-free polling watcher: an mtime snapshot diff on an
-interval, invoking a callback with (event_kind, path) and invalidating
-the parser cache — same observable behavior (reference:
-parser.py:469-481 cache invalidation)."""
+watcher.py:19-148); watchdog is not available here, so this ships two
+dependency-free backends behind one API:
+
+- **inotify** (Linux, default when available): the kernel's file
+  event interface via ctypes on libc — genuinely event-driven, the
+  same mechanism watchdog's Linux observer uses.  Events act as a
+  *trigger* for the shared snapshot-diff pass, so event-mask edge
+  cases (rename storms, editor tmpfile dances) can never produce a
+  wrong diff — they only decide WHEN the diff runs.
+- **polling** (fallback anywhere): an mtime snapshot diff on an
+  interval.
+
+Both invoke a callback with (event_kind, path) and invalidate the
+parser cache — same observable behavior as the reference
+(parser.py:469-481 cache invalidation); inotify just cuts the
+detection latency from the poll interval to milliseconds.
+"""
 
 from __future__ import annotations
 
+import ctypes
+import os
+import select
 import threading
 import time
 from pathlib import Path
 
 WATCHED_SUFFIXES = {".sql", ".yml", ".yaml"}
+
+
+class _Inotify:
+    """Minimal ctypes binding of Linux inotify(7), used purely as a
+    wake-up trigger (callers rescan; event payloads are drained, not
+    interpreted)."""
+
+    #: MODIFY | CLOSE_WRITE | CREATE | DELETE | MOVED_FROM | MOVED_TO
+    #: | DELETE_SELF
+    _MASK = 0x2 | 0x8 | 0x100 | 0x200 | 0x40 | 0x80 | 0x400
+
+    def __init__(self, root: Path):
+        self._libc = ctypes.CDLL(None, use_errno=True)
+        fd = self._libc.inotify_init1(0)
+        if fd < 0:
+            raise OSError(ctypes.get_errno(), "inotify_init1 failed")
+        self.fd = fd
+        self._watched: set[str] = set()
+        self.add_watches(root)
+
+    def add_watches(self, root: Path) -> None:
+        """Watch ``root`` and every subdirectory (idempotent — call
+        again after a rescan to cover newly created directories)."""
+        dirs = [root] + [p for p in root.rglob("*") if p.is_dir()]
+        for d in dirs:
+            sp = str(d)
+            if sp in self._watched:
+                continue
+            wd = self._libc.inotify_add_watch(
+                self.fd, sp.encode(), ctypes.c_uint32(self._MASK)
+            )
+            if wd >= 0:
+                self._watched.add(sp)
+
+    def wait(self, timeout: float) -> bool:
+        """Block up to ``timeout`` seconds for any filesystem event
+        under the watched tree; drain the fd and report whether
+        anything fired."""
+        ready, _, _ = select.select([self.fd], [], [], timeout)
+        if not ready:
+            return False
+        try:
+            os.read(self.fd, 65536)
+        except OSError:
+            pass
+        return True
+
+    def close(self) -> None:
+        try:
+            os.close(self.fd)
+        except OSError:
+            pass
 
 
 class ModelWatcher:
@@ -24,14 +91,31 @@ class ModelWatcher:
         callback,
         parser=None,
         poll_interval: float = 1.0,
+        backend: str = "auto",
     ):
+        """``backend``: ``auto`` (inotify when the kernel offers it,
+        else polling), ``inotify`` (required — raises if unavailable),
+        or ``polling``."""
         self.models_dir = Path(models_dir)
         self.callback = callback
         self.parser = parser
         self.poll_interval = poll_interval
+        self.backend = backend
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._snapshot: dict[Path, float] = {}
+        self._inotify: _Inotify | None = None
+        if backend in ("auto", "inotify"):
+            try:
+                self._inotify = _Inotify(self.models_dir)
+            except Exception:
+                if backend == "inotify":
+                    raise
+                self._inotify = None
+
+    @property
+    def backend_name(self) -> str:
+        return "inotify" if self._inotify is not None else "polling"
 
     def _scan(self) -> dict[Path, float]:
         out: dict[Path, float] = {}
@@ -71,8 +155,17 @@ class ModelWatcher:
 
         def _loop():
             while not self._stop.is_set():
-                time.sleep(self.poll_interval)
-                self.poll_once()
+                if self._inotify is not None:
+                    if self._inotify.wait(self.poll_interval):
+                        # editors write in bursts — let the burst land,
+                        # then run ONE diff over the settled tree
+                        time.sleep(0.05)
+                        self._inotify.wait(0)  # drain the burst tail
+                        self.poll_once()
+                        self._inotify.add_watches(self.models_dir)
+                else:
+                    time.sleep(self.poll_interval)
+                    self.poll_once()
 
         self._thread = threading.Thread(target=_loop, daemon=True)
         self._thread.start()
@@ -81,3 +174,5 @@ class ModelWatcher:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+        if self._inotify is not None:
+            self._inotify.close()

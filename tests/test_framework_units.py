@@ -445,3 +445,37 @@ def test_spark_lineage_union_and_explode(spark):
     }
     assert cols["doc_id"].sources == [("lin_docs", "doc_id")]
     assert cols["tok"].sources == [("lin_docs", "text")]
+
+
+def test_watcher_inotify_backend_is_event_driven(tmp_path):
+    """On Linux the watcher must run on real kernel events: with a
+    5-second poll interval, a file write must still be reported in
+    well under a second — impossible for the polling backend."""
+    import time as _time
+
+    events = []
+    w = ModelWatcher(
+        tmp_path,
+        lambda ev, p: events.append((ev, p.name)),
+        poll_interval=5.0,
+    )
+    assert w.backend_name == "inotify"
+    w.start()
+    try:
+        _time.sleep(0.2)  # let the loop reach select()
+        (tmp_path / "fast.sql").write_text("SELECT 1")
+        deadline = _time.time() + 2.0
+        while _time.time() < deadline and ("created", "fast.sql") not in events:
+            _time.sleep(0.05)
+        assert ("created", "fast.sql") in events
+        # new subdirectories get watches too (the rescan re-registers)
+        sub = tmp_path / "silver"
+        sub.mkdir()
+        _time.sleep(0.3)  # burst settle + watch registration
+        (sub / "nested.sql").write_text("SELECT 2")
+        deadline = _time.time() + 2.0
+        while _time.time() < deadline and ("created", "nested.sql") not in events:
+            _time.sleep(0.05)
+        assert ("created", "nested.sql") in events
+    finally:
+        w.stop()
