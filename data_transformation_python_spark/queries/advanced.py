@@ -423,3 +423,89 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# winsorized robust aggregation — exact order-statistic clipping
+# (percentile_disc picks REAL data values, so both engines clip at
+# bit-identical thresholds; interpolated percentiles would not be
+# oracle-portable)
+# --------------------------------------------------------------------------
+_WINSORIZE_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(18,4)))
+            AS DOUBLE) AS winsorized_sum
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("q_winsorize_values", oracle=_WINSORIZE_ORACLE)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) aggregation: per event type, clip
+    values to the exact [p05, p95] order statistics and sum the
+    clipped values — the robust-stats pass a quality pipeline runs
+    before thresholding on means.  Two shuffles on the group key (one
+    for the bounds, one for the final agg); the small bounds side is
+    broadcast back.  ``percentile_disc`` is a within-group sort — at
+    100 TB the sort is bounded per group, never corpus-wide."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("value"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("int")
+        .alias("c"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("c").cast("bigint").alias("n_clipped"),
+        F.sum(F.col("w").cast("decimal(18,4)")).cast("double").alias("winsorized_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# equi-width value histogram — one shuffle on the bucket id
+# --------------------------------------------------------------------------
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("q_value_histogram", oracle=_HISTOGRAM_ORACLE)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (width 50): the bucket id
+    is a narrow map over the scan and the count is one
+    map-side-combinable aggregate — distribution profiling at any
+    scale.  FLOOR of the same double division is bit-identical on
+    both engines; min/max route through DECIMAL for the usual
+    portability contract."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(F.col("value").cast("decimal(18,4)")).cast("double").alias("min_value"),
+            F.max(F.col("value").cast("decimal(18,4)")).cast("double").alias("max_value"),
+        )
+    )
