@@ -254,6 +254,67 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# foreachBatch CDC upsert — the continuous-ingest merge pattern: each
+# micro-batch applies the BATCH keyed-upsert operator to a catalog
+# table; verified against batch keep-latest-per-key
+# --------------------------------------------------------------------------
+_STREAM_UPSERT_ORACLE = """
+SELECT user_id, event_id, event_type,
+       CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value, ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+@query("q_stream_foreachbatch_upsert", oracle=_STREAM_UPSERT_ORACLE)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert via ``foreachBatch``: the event stream
+    lands in a catalog table through the SAME keyed-merge operator the
+    batch path uses (operators/merge.py), keeping the latest row per
+    user — the batch/streaming unification claim exercised on the
+    WRITE side (the other streaming queries verify reads).  The final
+    table must equal batch keep-latest-per-key exactly; (user_id, ts)
+    is unique in the fixture, so the result is deterministic."""
+    import tempfile
+
+    from ..streaming.jobs import foreach_batch_upsert
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    target = f"stream_upsert_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(target, ["user_id"], spark=spark)
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dtps_stream_upsert_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(target)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+            "ts",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    return out
+
+
+# --------------------------------------------------------------------------
 # stream-static join — streaming fact enriched by a broadcast batch
 # dimension, verified against the equivalent batch join+aggregate
 # --------------------------------------------------------------------------
