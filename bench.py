@@ -131,7 +131,12 @@ def corpus_scale_entries(spark, corpus_dir: str):
         pairs = dd.ngram_jaccard_pairs(
             docs, threshold=0.5, max_doc_freq=50
         ).select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
-        return connected_components(pairs, "src", "dst", shuffle_partitions=8)
+        # force the distributed frontier iteration: this entry is the
+        # scale evidence for the big-graph path (the size-probed driver
+        # fast path would otherwise absorb this corpus's small pair set)
+        return connected_components(
+            pairs, "src", "dst", shuffle_partitions=8, max_driver_edges=0
+        )
 
     def tfidf():
         from pyspark.sql.window import Window

@@ -63,7 +63,19 @@ def _run(spark, fn, edges):
 def test_cc_algorithms_agree_on_random_graphs(spark, edges):
     edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
     want = _union_find(edges)
+    # default hits the size-probed driver fast path on graphs this small
     assert _run(spark, connected_components, edges) == want
+    # force the distributed frontier iteration — must agree exactly
+    assert (
+        _run(
+            spark,
+            lambda df, s, d, **kw: connected_components(
+                df, s, d, max_driver_edges=0, **kw
+            ),
+            edges,
+        )
+        == want
+    )
     assert _run(spark, connected_components_two_phase, edges) == want
 
 
