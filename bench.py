@@ -208,6 +208,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ("text_token_freq", lambda: tx.token_frequencies(docs)),
         ("text_tfidf_topterms", tfidf),
         ("text_gopher_quality", lambda: tx.gopher_quality(docs)),
+        ("text_signals", lambda: tx.text_signals(docs)),
         (
             "samp_temperature",
             lambda: sp.temperature_mixture_sample(

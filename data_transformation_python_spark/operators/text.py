@@ -228,6 +228,90 @@ def pii_scrub(
     )
 
 
+def text_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """EVERY per-document quality signal in ONE staged narrow map —
+    the shape an actual 100 TB curation pass uses: the token array is
+    materialized once and all signals (Gopher gates, repetition
+    metrics, language ID, content fingerprint) come from the same
+    scan, no joins between signal operators, no shuffle at all.
+
+    Emits: n_tokens, mean_word_len, frac_alpha_words,
+    symbol_word_ratio, n_stopwords, passes_gopher, max_token_count,
+    dup_3gram_frac, predicted_lang, content_hash.
+    """
+    gram = (
+        lambda n: f"array_sort(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> array_join(slice(__toks, i + 1, {n}), ' ')))"
+    )
+
+    def stop_count(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"size(filter(__toks, x -> array_contains(array({words}), x)))"
+
+    staged = df.select(
+        id_col, F.col(text_col).alias("__t"), _tokens(text_col).alias("__toks")
+    ).select(
+        id_col,
+        F.col("__t"),
+        F.expr("size(__toks)").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "aggregate(__toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("__sum_len"),
+        F.expr("size(filter(__toks, x -> x rlike '[a-zA-Z]'))")
+        .cast("bigint")
+        .alias("__n_alpha"),
+        F.expr(stop_count("en")).cast("bigint").alias("n_stopwords"),
+        F.expr("array_sort(__toks)").alias("__s1"),
+        F.expr(f"if(size(__toks) >= 3, {gram(3)}, array())").alias("__s3"),
+        F.expr(stop_count("de")).cast("bigint").alias("__s_de"),
+        F.expr(stop_count("es")).cast("bigint").alias("__s_es"),
+    )
+    n = F.col("n_tokens")
+    mean_len = F.col("__sum_len").cast("double") / n.cast("double")
+    frac_alpha = F.col("__n_alpha").cast("double") / n.cast("double")
+    n_sym = (
+        F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(__t, '\\\\.\\\\.\\\\.', 0)"))
+    ).cast("bigint")
+    sym_ratio = n_sym.cast("double") / n.cast("double")
+    predicted = (
+        F.when(
+            (F.col("n_stopwords") >= F.greatest(F.col("__s_de"), F.col("__s_es")))
+            & (F.col("n_stopwords") > 0),
+            "en",
+        )
+        .when((F.col("__s_de") >= F.col("__s_es")) & (F.col("__s_de") > 0), "de")
+        .when(F.col("__s_es") > 0, "es")
+        .otherwise("unknown")
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_word_ratio"),
+        "n_stopwords",
+        (
+            (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+            & (sym_ratio < 0.1)
+            & (frac_alpha >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("passes_gopher"),
+        F.expr(_runlen_max("__s1")).cast("bigint").alias("max_token_count"),
+        F.expr(
+            f"if(n_tokens >= 3, 1.0 - {_runlen_distinct('__s3')} / "
+            f"CAST(n_tokens - 2 AS DOUBLE), 0.0)"
+        )
+        .cast("double")
+        .alias("dup_3gram_frac"),
+        predicted.alias("predicted_lang"),
+        F.md5(F.lower(F.trim(F.col("__t")))).alias("content_hash"),
+    )
+
+
 def gopher_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -566,3 +566,94 @@ def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.wav_metadata(mm.synth_wav_table(docs))
+
+
+# --------------------------------------------------------------------------
+# END-TO-END curation pipeline: every text signal from ONE narrow map
+# (operators/text.text_signals) + canonical exact-dup keeper, then the
+# combined keep/drop verdict — the actual shape of a pretraining
+# quality-filter pass: one corpus scan, one shuffle (content hash)
+# --------------------------------------------------------------------------
+_PIPELINE_FILTER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(toks,
+              x -> list_contains(['the','a','and','of','to','is'], x)))
+              AS BIGINT) AS s_en,
+         CAST(len(list_filter(toks,
+              x -> list_contains(['der','die','das','und','ist','ein'], x)))
+              AS BIGINT) AS s_de,
+         CAST(len(list_filter(toks,
+              x -> list_contains(['el','la','los','y','es','un'], x)))
+              AS BIGINT) AS s_es,
+         md5(lower(trim(text))) AS content_hash
+  FROM t),
+rep AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(toks) - 2 > 0
+              THEN 1.0 - len(list_distinct(g3)) / CAST(len(toks) - 2 AS DOUBLE)
+              ELSE 0.0 END AS DOUBLE) AS dup_3gram_frac
+  FROM (SELECT doc_id, toks,
+               list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+        FROM t)),
+scored AS (
+  SELECT s.doc_id, s.n_tokens, s.content_hash,
+         CAST(s.sum_len AS DOUBLE) / s.n_tokens AS mean_word_len,
+         CAST(s.n_alpha AS DOUBLE) / s.n_tokens AS frac_alpha,
+         CAST(s.n_sym AS DOUBLE) / s.n_tokens AS sym_ratio,
+         s.s_en, s.s_de, s.s_es, r.dup_3gram_frac
+  FROM sig s JOIN rep r USING (doc_id)),
+flt AS (
+  SELECT *,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND sym_ratio < 0.1 AND frac_alpha >= 0.8 AND s_en >= 2)
+           AS passes_gopher,
+         CASE WHEN s_en >= GREATEST(s_de, s_es) AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_es > 0 THEN 'es' ELSE 'unknown' END AS predicted_lang,
+         ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM scored)
+SELECT doc_id, n_tokens,
+       CAST(mean_word_len AS DOUBLE) AS mean_word_len,
+       CAST(dup_3gram_frac AS DOUBLE) AS dup_3gram_frac
+FROM flt
+WHERE passes_gopher AND dup_3gram_frac < 0.3
+  AND predicted_lang = 'en' AND rn = 1
+"""
+
+
+@query("curation_pipeline_filter", oracle=_PIPELINE_FILTER_ORACLE)
+def curation_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining quality filter: Gopher gates +
+    repetition threshold + language gate + canonical exact-dup keeper,
+    with EVERY per-document signal computed in one staged narrow map
+    (``text_signals``) — one corpus scan, and the only shuffle is the
+    content-hash dedup window.  Composing the individual operators by
+    joining their outputs would shuffle four times; this is the shape
+    that survives 100 TB."""
+    from pyspark.sql.window import Window
+
+    from ..operators import text as tx
+
+    sig = tx.text_signals(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        sig.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("passes_gopher")
+            & (F.col("dup_3gram_frac") < 0.3)
+            & (F.col("predicted_lang") == "en")
+            & (F.col("__rn") == 1)
+        )
+        .select("doc_id", "n_tokens", "mean_word_len", "dup_3gram_frac")
+    )
