@@ -209,6 +209,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ("text_tfidf_topterms", tfidf),
         ("text_gopher_quality", lambda: tx.gopher_quality(docs)),
         ("text_signals", lambda: tx.text_signals(docs)),
+        ("text_chunk_windows", lambda: tx.chunk_documents(docs, 32, 8)),
         (
             "samp_temperature",
             lambda: sp.temperature_mixture_sample(

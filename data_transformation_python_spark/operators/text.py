@@ -228,6 +228,53 @@ def pii_scrub(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking a training/RAG ingest runs before
+    embedding or packing.  Chunk i covers tokens
+    ``[i·step, i·step + chunk_tokens)`` with ``step = chunk_tokens −
+    overlap``; the last chunk may be short; docs shorter than one
+    chunk yield exactly one.
+
+    A controlled explode (fan-out = n_tokens/step) over a narrow map —
+    no shuffle; chunk text is emitted as an md5 witness so verification
+    never ships full documents.  Chunk count uses pure integer
+    arithmetic (``(n − overlap + step − 1) div step``) so the oracle
+    replays it exactly.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    staged = df.select(id_col, _tokens(text_col).alias("__toks")).select(
+        id_col,
+        "__toks",
+        F.expr(
+            f"greatest(1, (size(__toks) - {overlap} + {step - 1}) div {step})"
+        ).alias("__n_chunks"),
+    )
+    return staged.select(
+        id_col,
+        F.explode(F.expr("sequence(0, __n_chunks - 1)")).alias("chunk_idx"),
+        "__toks",
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(f"size(slice(__toks, chunk_idx * {step} + 1, {chunk_tokens}))")
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.expr(
+            f"md5(array_join(slice(__toks, chunk_idx * {step} + 1, "
+            f"{chunk_tokens}), ' '))"
+        ).alias("chunk_hash"),
+    )
+
+
 def text_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -540,6 +540,42 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# text: context-window chunking with overlap
+# --------------------------------------------------------------------------
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+d AS (
+  SELECT doc_id, toks,
+         GREATEST(1, (len(toks) - 16 + 111) // 112) AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM d)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * 112 + 1, chunk_idx * 112 + 128))
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+             list_slice(toks, chunk_idx * 112 + 1, chunk_idx * 112 + 128), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
+@query("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (128-token windows, 16-token overlap):
+    one row per chunk with its exact token count and an md5 witness of
+    the chunk text — a bounded explode over a narrow map, no shuffle,
+    integer-exact chunk counts replayed by the oracle."""
+    return tx.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=128, overlap=16
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing: binary payload + Arrow-batched feature UDF
 # (decoder itself is stubbed — see operators/multimodal.py)
 # --------------------------------------------------------------------------
