@@ -320,7 +320,7 @@ def text_signals(
     frac_alpha = F.col("__n_alpha").cast("double") / n.cast("double")
     n_sym = (
         F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
-        + F.size(F.expr(r"regexp_extract_all(__t, '\\\\.\\\\.\\\\.', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(__t, '\\.\\.\\.', 0)"))
     ).cast("bigint")
     sym_ratio = n_sym.cast("double") / n.cast("double")
     predicted = (
@@ -392,7 +392,7 @@ def gopher_quality(
     ).cast("bigint")
     n_sym = (
         F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
-        + F.size(F.expr(r"regexp_extract_all(__t, '\\\\.\\\\.\\\\.', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(__t, '\\.\\.\\.', 0)"))
     ).cast("bigint")
     n_stop = F.expr(
         f"size(filter(__toks, x -> array_contains(array({arr}), x)))"

@@ -145,3 +145,26 @@ def test_contamination_counts_distinct_shared_ngrams(spark):
     bench = spark.createDataFrame([(9, shared)], ["doc_id", "text"])
     rows = {r["doc_id"]: r["n_shared_ngrams"] for r in contamination_hits(train, bench, n=8).collect()}
     assert rows == {1: 2}  # both 8-grams of the shared window, doc 2 clean
+
+
+def test_gopher_symbol_ratio_counts_hash_and_ellipsis(spark):
+    """The fixture corpus contains no '#' or '...' so oracle parity
+    can't see a broken symbol regex (this exact bug shipped once:
+    over-escaped '\\.\\.\\.' matched nothing and the gate was
+    silently '#-only').  Pin the counts on symbol-bearing text, for
+    both the standalone gate and the fused text_signals."""
+    from data_transformation_python_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is # fine ... truly"),
+            (2, "### ... ... #"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (tx.gopher_quality, tx.text_signals):
+        rows = {r["doc_id"]: r for r in fn(df).collect()}
+        # doc 1: one '#' + one '...' over 13 words
+        assert rows[1]["symbol_word_ratio"] == 2 / 13
+        # doc 2: '###' → 3 + lone '#' → 1, plus two '...' = 6 over 4
+        assert rows[2]["symbol_word_ratio"] == 6 / 4
