@@ -90,6 +90,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
     each — at scale you size planes ≈ log2(N), exactly the dial the
     operators expose)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from data_transformation_python_spark.operators import dedup as dd
     from data_transformation_python_spark.operators import sampling as sp
@@ -210,6 +211,23 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ("text_gopher_quality", lambda: tx.gopher_quality(docs)),
         ("text_signals", lambda: tx.text_signals(docs)),
         ("text_chunk_windows", lambda: tx.chunk_documents(docs, 32, 8)),
+        (
+            # the end-to-end keep/drop pass: one scan + one shuffle
+            "curation_pipeline_filter",
+            lambda: tx.text_signals(docs)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("content_hash").orderBy("doc_id")
+                ),
+            )
+            .filter(
+                F.col("passes_gopher")
+                & (F.col("dup_3gram_frac") < 0.9)
+                & (F.col("__rn") == 1)
+            )
+            .select("doc_id", "n_tokens", "mean_word_len", "dup_3gram_frac"),
+        ),
         (
             "samp_temperature",
             lambda: sp.temperature_mixture_sample(

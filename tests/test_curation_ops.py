@@ -168,3 +168,22 @@ def test_gopher_symbol_ratio_counts_hash_and_ellipsis(spark):
         assert rows[1]["symbol_word_ratio"] == 2 / 13
         # doc 2: '###' → 3 + lone '#' → 1, plus two '...' = 6 over 4
         assert rows[2]["symbol_word_ratio"] == 6 / 4
+
+
+def test_language_id_branches_and_ties(spark):
+    """The fixture corpus is English-ish, so the de/es branches and
+    the tie-priority rule (en > de > es) are invisible to oracle
+    parity — pin them directly."""
+    from data_transformation_python_spark.operators import text as tx
+
+    texts = {
+        1: ("der und das ist ein gut", "de"),
+        2: ("el la los y es un bien", "es"),
+        3: ("the der el a die la", "en"),  # 2-2-2 tie → en priority
+        4: ("xyz qrs", "unknown"),
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in tx.language_id(df).collect()}
+    assert got == {i: lang for i, (_, lang) in texts.items()}
