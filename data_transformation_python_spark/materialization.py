@@ -53,6 +53,51 @@ class Materialization:
     def _select_df(self, select_sql: str) -> DataFrame:
         return self.spark.sql(select_sql)
 
+    def _align_to_target(
+        self, target_table: str, df: DataFrame, policy: str
+    ) -> DataFrame:
+        """Schema-drift handling for incremental writes — the dbt
+        ``on_schema_change`` contract (a reference gap; the reference
+        lets the warehouse throw).  Policies:
+
+        - ``ignore`` (default): keep the target's schema — new source
+          columns are dropped, target columns missing from the source
+          are null-filled; the write never fails on drift.
+        - ``append_new_columns``: new source columns are added to the
+          target first (``ALTER TABLE ADD COLUMNS`` — metadata-only
+          for parquet tables; old files read the column as NULL),
+          then the source is aligned.
+        - ``fail``: any difference raises with the exact column sets.
+
+        Always returns the source projected in target-column order
+        (append-by-position safety costs nothing when there is no
+        drift)."""
+        tgt_fields = self.spark.table(target_table).schema.fields
+        tgt_names = [f.name for f in tgt_fields]
+        new_cols = [c for c in df.columns if c not in tgt_names]
+        missing = [f.name for f in tgt_fields if f.name not in df.columns]
+        if (new_cols or missing) and policy == "fail":
+            raise MaterializationError(
+                f"schema drift on {target_table} (on_schema_change=fail): "
+                f"new source columns {new_cols}, missing target columns "
+                f"{missing}"
+            )
+        if new_cols and policy == "append_new_columns":
+            ddl = ", ".join(
+                f"`{c}` {df.schema[c].dataType.simpleString()}"
+                for c in new_cols
+            )
+            self.spark.sql(f"ALTER TABLE {target_table} ADD COLUMNS ({ddl})")
+            tgt_fields = self.spark.table(target_table).schema.fields
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in tgt_fields
+            ]
+        )
+
     def _overwrite_table(self, target: str, df: DataFrame, partition_by=None) -> int:
         writer = df.write.mode("overwrite").format("parquet")
         if partition_by:
@@ -271,7 +316,11 @@ class IncrementalMaterialization(Materialization):
             # materialization.py:263-268, A6)
             row = self.spark.table(target_table).selectExpr(f"max({tc}) AS wm").first()
             wm = str(row["wm"]) if row and row["wm"] is not None else None
-        delta = self._select_df(select_sql)
+        delta = self._align_to_target(
+            target_table,
+            self._select_df(select_sql),
+            config.get("on_schema_change", "ignore"),
+        )
         if wm is not None:
             # watermark predicate injection (P4) on the DataFrame plan —
             # pushed down by Catalyst to the source scan.  The literal
@@ -298,7 +347,11 @@ class IncrementalMaterialization(Materialization):
                 "unique_key incremental requires config unique_key"
             )
         keys = [k.strip() for k in key.split("|")]
-        source = self._select_df(select_sql)
+        source = self._align_to_target(
+            target_table,
+            self._select_df(select_sql),
+            config.get("on_schema_change", "ignore"),
+        )
         # same config+meta resolution as the initial load: a model
         # declaring merge_buckets under meta.cdc must stay bucketed on
         # every incremental run, not just the first write
@@ -323,9 +376,11 @@ class IncrementalMaterialization(Materialization):
 
     # -- append (reference: materialization.py:391-446, C3/S9) ---------
     def _append_incremental(self, model_name, target_table, select_sql, config):
-        self._select_df(select_sql).write.mode("append").format("parquet").saveAsTable(
-            target_table
-        )
+        self._align_to_target(
+            target_table,
+            self._select_df(select_sql),
+            config.get("on_schema_change", "ignore"),
+        ).write.mode("append").format("parquet").saveAsTable(target_table)
         return self._ok(model_name, target_table, incremental_strategy="append")
 
 

@@ -424,3 +424,81 @@ def test_bucketed_cdc_merge_handles_emptied_bucket(stack):
     r = stack["mx"].execute_model("cdc_bucketed")
     assert r["success"]
     assert spark.table(tbl).count() == 0
+
+
+def test_on_schema_change_ignore_default(stack):
+    """Drifted MODEL SELECT (the dbt scenario: the model SQL changed
+    between runs): default policy keeps the target schema — new
+    columns dropped, removed ones null-filled, write succeeds."""
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1,)], "id bigint")
+    _write_model(
+        stack,
+        "inc_drift_ig",
+        "-- config: materialized=incremental, incremental_strategy=append\n"
+        "SELECT id, 'a' AS v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_drift_ig")["success"]
+    _write_source(stack, [(2,)], "id bigint")
+    _write_model(
+        stack,
+        "inc_drift_ig",
+        "-- config: materialized=incremental, incremental_strategy=append\n"
+        "SELECT id, 9.5 AS extra FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_drift_ig")["success"]
+    tbl = spark.table(f"{db}.inc_drift_ig")
+    assert set(tbl.columns) == {"id", "v"}
+    rows = {r["id"]: r for r in tbl.collect()}
+    assert rows[1]["v"] == "a"
+    assert rows[2]["v"] is None  # null-filled, not failed
+
+
+def test_on_schema_change_append_new_columns(stack):
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1,)], "id bigint")
+    cfg = (
+        "-- config: materialized=incremental, incremental_strategy=append,"
+        " on_schema_change=append_new_columns\n"
+    )
+    _write_model(
+        stack,
+        "inc_drift_add",
+        cfg + "SELECT id, 'a' AS v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_drift_add")["success"]
+    _write_source(stack, [(2,)], "id bigint")
+    _write_model(
+        stack,
+        "inc_drift_add",
+        cfg + "SELECT id, 'b' AS v, 9.5 AS extra FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_drift_add")["success"]
+    tbl = spark.table(f"{db}.inc_drift_add")
+    assert set(tbl.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r for r in tbl.collect()}
+    assert rows[1]["extra"] is None  # old files read the new col as NULL
+    assert rows[2]["extra"] == 9.5
+
+
+def test_on_schema_change_fail(stack):
+    _write_source(stack, [(1,)], "id bigint")
+    cfg = (
+        "-- config: materialized=incremental, incremental_strategy=append,"
+        " on_schema_change=fail\n"
+    )
+    _write_model(
+        stack,
+        "inc_drift_fail",
+        cfg + "SELECT id, 'a' AS v FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("inc_drift_fail")["success"]
+    _write_source(stack, [(2,)], "id bigint")
+    _write_model(
+        stack,
+        "inc_drift_fail",
+        cfg + "SELECT id, 9.5 AS extra FROM {{ source('raw','feed') }}",
+    )
+    res = stack["mx"].execute_model("inc_drift_fail")
+    assert not res.get("success")
+    assert "schema drift" in str(res.get("error", ""))
