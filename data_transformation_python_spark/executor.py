@@ -196,6 +196,29 @@ class ModelExecutor:
                 else []
             )
             raw_rel = f"{rel}__raw" if nanos_cols else rel
+            # Source files can evolve BETWEEN CLI invocations while the
+            # persistent metastore keeps the schema frozen at first
+            # registration — probe the parquet footer and re-register
+            # on drift (CREATE IF NOT EXISTS would silently keep the
+            # stale column set).
+            if st.format.lower() == "parquet":
+                try:
+                    import pyarrow.dataset as ds
+
+                    file_cols = [
+                        f.name.lower()
+                        for f in ds.dataset(st.path, format="parquet").schema
+                    ]
+                except Exception:
+                    file_cols = None
+                if file_cols and spark.catalog.tableExists(raw_rel):
+                    cat_cols = [
+                        f.name.lower() for f in spark.table(raw_rel).schema.fields
+                    ]
+                    if cat_cols != file_cols:
+                        spark.sql(f"DROP TABLE IF EXISTS {raw_rel}")
+                        if raw_rel != rel:
+                            spark.sql(f"DROP VIEW IF EXISTS {rel}")
             opts = ", ".join(
                 [f"path '{st.path}'"]
                 + [f"{k} '{v}'" for k, v in st.options.items()]

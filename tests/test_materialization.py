@@ -502,3 +502,23 @@ def test_on_schema_change_fail(stack):
     res = stack["mx"].execute_model("inc_drift_fail")
     assert not res.get("success")
     assert "schema drift" in str(res.get("error", ""))
+
+
+def test_source_reregisters_on_file_schema_drift(stack):
+    """Persistent-metastore hazard: a file-backed source registered in
+    an earlier CLI invocation keeps its frozen schema even after the
+    files gained a column — a fresh executor must detect the footer
+    drift and re-register instead of silently serving the stale set."""
+    from data_transformation_python_spark.executor import ModelExecutor
+
+    spark, db = stack["spark"], stack["db"]
+    _write_source(stack, [(1, "a")], "id bigint, v string")
+    rel = stack["mx"]._source_relation("raw", "feed")
+    assert set(spark.table(rel).columns) == {"id", "v"}
+    # files evolve; a NEW process (fresh executor, same metastore)
+    _write_source(stack, [(2, "b", 9.5)], "id bigint, v string, extra double")
+    mx2 = ModelExecutor(
+        stack["mx"].executor, stack["parser"], stack["mx"].config
+    )
+    rel2 = mx2._source_relation("raw", "feed")
+    assert set(spark.table(rel2).columns) == {"id", "v", "extra"}
