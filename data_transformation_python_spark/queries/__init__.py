@@ -105,13 +105,14 @@ def _register_all() -> None:
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
 # rotated STALEST-FIRST each round: the 43 queries whose last driver
-# check was round 2 lead, then this round's changed/new code
-# (repetition-stats rewrite; new BMP + watermarked-dedup queries; the
-# streaming family whose shared _events_stream probe changed).  The
-# rest stay honest via the local DuckDB parity suite
-# (tests/test_oracle_parity.py), which always runs the full registry.
-# Names absent from the registry are ignored; registered names absent
-# from this list keep registration order.
+# check was round 2 lead, then this round's changed/new code (the
+# repetition-stats rewrite and the new BMP/AVI codec, watermarked
+# dedup, kmeans-IVF, Gopher-gate, temperature-sampling, and range-join
+# queries).  Everything past position 50 stays honest via the local
+# DuckDB parity suite (tests/test_oracle_parity.py) and the committed
+# PARITY_r{N}.json full-registry sweep.  Names absent from the
+# registry are ignored; registered names absent from this list keep
+# registration order.
 _PRIORITY: list[str] = [
     # --- last driver-checked in round 2 (stalest) ---
     "q_quantiles",
