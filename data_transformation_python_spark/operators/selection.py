@@ -1,0 +1,94 @@
+"""Distributed selection: EXACT global order statistics without a
+global sort.
+
+A global percentile over 100 TB cannot sort the corpus (a total sort
+is a single-reducer tail) and ``percentile_disc`` as a global
+aggregate funnels every value through one group.  The standard scale
+algorithm is iterative histogram refinement (the selection analogue of
+binary search): one aggregate computes min/max + fixed-width bin
+counts, the driver locates the bin containing the target rank
+(control-plane: ``bins`` numbers), and the search recurses into that
+bin — the candidate set shrinks by ~``bins``× per round, so a 10^11-row
+corpus needs 3-4 rounds before an exact small sort finishes the job.
+
+Determinism: the returned value is an actual data value at the
+SQL-standard ``percentile_disc`` rank (smallest value whose cumulative
+count ≥ ⌈q·n⌉), so any engine agrees exactly — the bin boundaries are
+internal and never affect the result.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def global_percentile_disc(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    bins: int = 1024,
+    exact_threshold: int = 100_000,
+) -> DataFrame:
+    """Exact global discrete percentiles of ``col`` (NULLs ignored)
+    for each fraction in ``qs``.  Returns (quantile, value) rows.
+
+    ``exact_threshold`` is the candidate-set size below which the
+    remaining rows are resolved by a bounded sort-limit; ``bins``
+    trades rounds against per-round aggregate width.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    n = vals.count()
+    out: list[tuple[float, float]] = []
+    for q in sorted(qs):
+        if n == 0:
+            break
+        k = max(1, math.ceil(q * n))  # 1-based SQL-standard rank
+        cur, rank = vals, k
+        while True:
+            cnt = cur.count()
+            if cnt <= exact_threshold:
+                row = (
+                    cur.orderBy("v")
+                    .limit(rank)
+                    .orderBy(F.desc("v"))
+                    .limit(1)
+                    .first()
+                )
+                out.append((q, float(row["v"])))
+                break
+            stats = cur.agg(
+                F.min("v").alias("mn"), F.max("v").alias("mx")
+            ).first()
+            mn, mx = float(stats["mn"]), float(stats["mx"])
+            if mn == mx:
+                out.append((q, mn))
+                break
+            width = (mx - mn) / bins
+            # the SAME bin expression bins and filters, so boundary
+            # rounding can never drop or double-count a row
+            bin_expr = F.least(
+                F.lit(bins - 1), F.floor((F.col("v") - F.lit(mn)) / F.lit(width))
+            ).cast("int")
+            hist = {
+                r["b"]: r["c"]
+                for r in cur.select(bin_expr.alias("b"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            cum, sel = 0, bins - 1
+            for b in range(bins):
+                c = hist.get(b, 0)
+                if cum + c >= rank:
+                    sel = b
+                    rank -= cum
+                    break
+                cum += c
+            cur = cur.filter(bin_expr == sel)
+    return spark.createDataFrame(
+        out or [(None, None)], "quantile double, value double"
+    ).filter("quantile IS NOT NULL")

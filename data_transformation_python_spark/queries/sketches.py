@@ -188,3 +188,41 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("approx_within_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXACT global percentiles by iterative histogram refinement — the
+# distributed-selection scale path (operators/selection.py); the
+# approx_percentile query above is the sketched counterpart
+# --------------------------------------------------------------------------
+_GLOBAL_PCT_ORACLE = """
+WITH s AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+  FROM events WHERE value IS NOT NULL),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s),
+t AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS quantile)
+SELECT t.quantile,
+       CAST((SELECT value FROM s, n
+             WHERE rn = GREATEST(1, CAST(ceil(t.quantile * n.c) AS BIGINT)))
+         AS DOUBLE) AS value
+FROM t
+"""
+
+
+@query("q_global_percentile_exact", oracle=_GLOBAL_PCT_ORACLE)
+def q_global_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of event values with no global sort:
+    iterative histogram refinement narrows the candidate range by
+    ~bins× per round (min/max + bin counts are one map-side
+    aggregate; the driver holds only the bin histogram), then a
+    bounded sort resolves the final rank.  Dials are set small here
+    (bins=16, exact_threshold=100) so the gate actually exercises
+    several refinement rounds; at 100 TB you'd run bins=4096 and a
+    ~1M exact threshold — 3 rounds.  The oracle computes the same
+    SQL-standard percentile_disc rank by direct row numbering."""
+    from ..operators.selection import global_percentile_disc
+
+    ev = load(spark, sf_dir, "events")
+    return global_percentile_disc(
+        ev, "value", [0.5, 0.9, 0.99], bins=16, exact_threshold=100
+    )
