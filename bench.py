@@ -251,6 +251,21 @@ def corpus_scale_entries(spark, corpus_dir: str):
             "sim_random_projection",
             lambda: sim.random_projection(emb, out_dim=8),
         ),
+        (
+            # distributed selection at production-ish dials over the
+            # 50k quantized norms (several refinement rounds)
+            "sim_norm_percentiles",
+            lambda: __import__(
+                "data_transformation_python_spark.operators.selection",
+                fromlist=["global_percentile_disc"],
+            ).global_percentile_disc(
+                sim.quantized(emb).select(F.col("__nrm").alias("v")),
+                "v",
+                [0.5, 0.99],
+                bins=64,
+                exact_threshold=2000,
+            ),
+        ),
     ]
 
 
