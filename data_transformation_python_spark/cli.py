@@ -310,8 +310,14 @@ def lineage(ctx: Context, model, dot, analyzed):
 @cli.command()
 @click.option("--watch/--no-watch", default=True)
 @click.option("--poll-interval", default=1.0, type=float)
+@click.option(
+    "--backend",
+    type=click.Choice(["auto", "inotify", "polling"]),
+    default="auto",
+    help="file-watch backend: kernel inotify (Linux), polling, or auto",
+)
 @click.pass_obj
-def serve(ctx: Context, watch, poll_interval):
+def serve(ctx: Context, watch, poll_interval, backend):
     """Hot-reload loop: re-run impacted models on file change
     (reference: cli.py:312-339, C8)."""
     from .watcher import ModelWatcher
@@ -331,7 +337,10 @@ def serve(ctx: Context, watch, poll_interval):
                         r = mx.execute_model(m)
                         click.echo(f"  rebuilt {m}: success={r.get('success')}")
 
-    w = ModelWatcher(ctx.config.models_dir, on_change, ctx.parser, poll_interval)
+    w = ModelWatcher(
+        ctx.config.models_dir, on_change, ctx.parser, poll_interval,
+        backend=backend,
+    )
     if not watch:
         w.poll_once()
         return

@@ -402,3 +402,41 @@ def q_var_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"start_date": "1997-06-01", "min_amount": 150000, "status": "O"},
     )
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# connector round-trips (sources/io.py): the non-parquet formats must
+# preserve every value exactly — gated, not just unit-tested
+# --------------------------------------------------------------------------
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.io import read_source, write_sink
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = os.path.join(tempfile.mkdtemp(prefix=f"dtps_{fmt}_rt_"), f"nation_{fmt}")
+    write_sink(nation, path, fmt=fmt)
+    # explicit schema: the round-trip must preserve TYPES, not re-infer
+    return read_source(spark, path, fmt=fmt, schema=nation.schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query("q_source_csv_roundtrip", oracle=_NATION_ORACLE)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round-trip: write the nation table through the
+    sink (quoted headers), read it back with the original schema, and
+    hash-compare against the parquet truth — commas and quoting in
+    free-text comments must survive exactly."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("q_source_json_roundtrip", oracle=_NATION_ORACLE)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round-trip, same contract as the CSV
+    gate."""
+    return _roundtrip(spark, sf_dir, "json")
