@@ -288,3 +288,32 @@ def test_write_sink_target_rows_per_file(spark, tmp_path):
     )
     assert len(per_file) >= 10
     assert max(r["count"] for r in per_file) <= 100
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The write_sink bucketing knob must actually buy the co-located
+    join: two tables bucketed+sorted on the key join with NO Exchange
+    on either side (broadcast disabled to force the sort-merge path)."""
+    import uuid as _uuid
+
+    from data_transformation_python_spark.sources.io import write_sink
+
+    db = f"bkt_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        left = spark.range(1000).selectExpr("id AS k", "id * 2 AS a")
+        right = spark.range(1000).selectExpr("id AS k", "id * 3 AS b")
+        write_sink(left, f"{db}.bkt_left", bucket_by=(8, ["k"]))
+        write_sink(right, f"{db}.bkt_right", bucket_by=(8, ["k"]))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(f"{db}.bkt_left").join(
+            spark.table(f"{db}.bkt_right"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

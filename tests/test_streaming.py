@@ -159,3 +159,29 @@ def test_stateful_sessionize(spark, tmp_path):
         tail = next(r for r in rows if r is not s)
         assert tail["session_start"] == _ts("2024-01-01 12:00:00")
         assert tail["n_events"] == 1
+
+
+def test_streaming_state_under_rocksdb_provider(spark, sf_dir):
+    """Production state posture: the RocksDB state-store provider
+    (bounded executor memory, changelog to the checkpoint dir) must
+    produce byte-identical results to the default HDFS-backed store —
+    pinned by running the gated windowed-count query under it."""
+    from data_transformation_python_spark.queries import all_queries
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    q = all_queries()["q_stream_windowed_counts"]
+    base = {tuple(r) for r in q(spark, sf_dir).collect()}
+    try:
+        spark.conf.set(key, rocks)
+        got = {tuple(r) for r in q(spark, sf_dir).collect()}
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert got == base and len(got) > 0
