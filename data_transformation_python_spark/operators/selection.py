@@ -68,6 +68,19 @@ def global_percentile_disc(
                 out.append((q, mn))
                 break
             width = (mx - mn) / bins
+            if not math.isfinite(width) or width <= 0:
+                # ulp-close range (width underflows) or non-finite
+                # values: binning can't subdivide — resolve the rank
+                # exactly (slow path, but only on degenerate data)
+                row = (
+                    cur.orderBy("v")
+                    .limit(rank)
+                    .orderBy(F.desc("v"))
+                    .limit(1)
+                    .first()
+                )
+                out.append((q, float(row["v"])))
+                break
             # the SAME bin expression bins and filters, so boundary
             # rounding can never drop or double-count a row
             bin_expr = F.least(
