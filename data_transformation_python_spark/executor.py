@@ -198,35 +198,38 @@ class ModelExecutor:
             raw_rel = f"{rel}__raw" if nanos_cols else rel
             # Source files can evolve BETWEEN CLI invocations while the
             # persistent metastore keeps the schema frozen at first
-            # registration — probe the parquet footer and re-register
-            # on drift (CREATE IF NOT EXISTS would silently keep the
-            # stale column set).
+            # registration — fingerprint the full arrow footer schema
+            # (names AND types, so nanos↔micros vintage flips count as
+            # drift too) into TBLPROPERTIES and re-register on change.
+            # Re-registration drops BOTH possible objects under either
+            # name/type (a vintage flip also flips which name is the
+            # view and which the table).
+            sig = None
             if st.format.lower() == "parquet":
                 try:
+                    import hashlib
+
                     import pyarrow.dataset as ds
 
-                    file_cols = [
-                        f.name.lower()
-                        for f in ds.dataset(st.path, format="parquet").schema
-                    ]
+                    sig = hashlib.md5(
+                        str(ds.dataset(st.path, format="parquet").schema).encode()
+                    ).hexdigest()
                 except Exception:
-                    file_cols = None
-                if file_cols and spark.catalog.tableExists(raw_rel):
-                    cat_cols = [
-                        f.name.lower() for f in spark.table(raw_rel).schema.fields
-                    ]
-                    if cat_cols != file_cols:
-                        spark.sql(f"DROP TABLE IF EXISTS {raw_rel}")
-                        if raw_rel != rel:
-                            spark.sql(f"DROP VIEW IF EXISTS {rel}")
+                    sig = None
+                stored = self._stored_source_sig(rel)
+                if sig is not None and stored is not None and stored != sig:
+                    for name in (rel, f"{rel}__raw"):
+                        self._drop_table_or_view(name)
             opts = ", ".join(
                 [f"path '{st.path}'"]
                 + [f"{k} '{v}'" for k, v in st.options.items()]
             )
             if nanos_cols:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            props = f" TBLPROPERTIES ('dtps.source_sig' = '{sig}')" if sig else ""
             spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {raw_rel} USING {st.format} OPTIONS ({opts})"
+                f"CREATE TABLE IF NOT EXISTS {raw_rel} USING {st.format} "
+                f"OPTIONS ({opts}){props}"
             )
             if nanos_cols:
                 cols = ", ".join(
@@ -240,6 +243,35 @@ class ModelExecutor:
                 )
             self._registered_sources.add(rel)
         return rel
+
+    def _stored_source_sig(self, rel: str) -> str | None:
+        """The footer-schema fingerprint recorded when the source was
+        last registered — read from whichever object (plain table or
+        nanos-vintage ``__raw`` table) exists; None when neither does
+        or the property was never written (pre-fingerprint
+        registrations fall back to re-registering on next drift)."""
+        spark = self.executor.spark
+        for name in (f"{rel}__raw", rel):
+            if not spark.catalog.tableExists(name):
+                continue
+            try:
+                rows = spark.sql(
+                    f"SHOW TBLPROPERTIES {name} ('dtps.source_sig')"
+                ).collect()
+                if rows and "does not have property" not in str(rows[0]["value"]):
+                    return rows[0]["value"]
+            except Exception:
+                pass
+            return None
+        return None
+
+    def _drop_table_or_view(self, name: str) -> None:
+        spark = self.executor.spark
+        for stmt in (f"DROP VIEW IF EXISTS {name}", f"DROP TABLE IF EXISTS {name}"):
+            try:
+                spark.sql(stmt)
+            except Exception:
+                continue
 
     # -- placeholder resolution (reference: executor.py:399-444) -------
     def resolve_refs_and_sources(self, sql: str, this_table: str) -> str:

@@ -139,6 +139,8 @@ _DERIVED_OPEN_RE = re.compile(r"\b(FROM|JOIN)\s*\(", re.IGNORECASE)
 _NOT_AN_ALIAS = {
     "on", "where", "group", "order", "having", "limit", "union", "join",
     "left", "right", "inner", "outer", "cross", "full", "using",
+    "except", "intersect", "minus", "natural", "lateral", "qualify",
+    "window", "distribute", "cluster", "sort",
 }
 
 

@@ -72,10 +72,17 @@ class Materialization:
         Always returns the source projected in target-column order
         (append-by-position safety costs nothing when there is no
         drift)."""
+        # Spark resolves column names case-insensitively; matching here
+        # must too, or a case-only rename would null-fill a column the
+        # source actually provides (ignore), raise spuriously (fail),
+        # or ALTER-add a duplicate (append_new_columns).
         tgt_fields = self.spark.table(target_table).schema.fields
-        tgt_names = [f.name for f in tgt_fields]
-        new_cols = [c for c in df.columns if c not in tgt_names]
-        missing = [f.name for f in tgt_fields if f.name not in df.columns]
+        tgt_lower = {f.name.lower() for f in tgt_fields}
+        src_by_lower = {c.lower(): c for c in df.columns}
+        new_cols = [c for c in df.columns if c.lower() not in tgt_lower]
+        missing = [
+            f.name for f in tgt_fields if f.name.lower() not in src_by_lower
+        ]
         if (new_cols or missing) and policy == "fail":
             raise MaterializationError(
                 f"schema drift on {target_table} (on_schema_change=fail): "
@@ -91,8 +98,8 @@ class Materialization:
             tgt_fields = self.spark.table(target_table).schema.fields
         return df.select(
             *[
-                F.col(f.name)
-                if f.name in df.columns
+                F.col(src_by_lower[f.name.lower()]).alias(f.name)
+                if f.name.lower() in src_by_lower
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in tgt_fields
             ]

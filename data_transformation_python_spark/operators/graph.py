@@ -43,14 +43,21 @@ def _driver_union_find(edge_rows) -> list[tuple]:
         for n in (a, b):
             if n not in parent:
                 parent[n] = n
+        # a NULL endpoint registers its node but never unions — the
+        # distributed iteration's join semantics (NULL matches nothing)
+        if a is None or b is None:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[rb] = ra
     comp_min: dict = {}
     for n in parent:
         r = find(n)
-        if r not in comp_min or n < comp_min[r]:
+        if n is not None and (
+            r not in comp_min or comp_min[r] is None or n < comp_min[r]
+        ):
             comp_min[r] = n
+        comp_min.setdefault(r, n)
     return [(n, comp_min[find(n)]) for n in parent]
 
 

@@ -143,9 +143,14 @@ def temperature_mixture_sample(
     weights = {g: math.isqrt(int(n)) for g, n in counts.items()}
     total_w = sum(weights.values()) or 1
     quota = {g: (target_total * w) // total_w for g, w in weights.items()}
+    # NULL group key: sortable via the (is-null, str) key, matched via
+    # isNull (an equality predicate would silently drop those rows)
     quota_expr = F.lit(0)
-    for g, q in sorted(quota.items()):
-        quota_expr = F.when(F.col(group_col) == g, F.lit(q)).otherwise(quota_expr)
+    for g, q in sorted(
+        quota.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+    ):
+        match = F.col(group_col).isNull() if g is None else F.col(group_col) == g
+        quota_expr = F.when(match, F.lit(q)).otherwise(quota_expr)
     w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
     return (
         df.select(id_col, group_col)

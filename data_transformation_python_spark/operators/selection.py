@@ -5,11 +5,13 @@ A global percentile over 100 TB cannot sort the corpus (a total sort
 is a single-reducer tail) and ``percentile_disc`` as a global
 aggregate funnels every value through one group.  The standard scale
 algorithm is iterative histogram refinement (the selection analogue of
-binary search): one aggregate computes min/max + fixed-width bin
-counts, the driver locates the bin containing the target rank
-(control-plane: ``bins`` numbers), and the search recurses into that
-bin — the candidate set shrinks by ~``bins``× per round, so a 10^11-row
-corpus needs 3-4 rounds before an exact small sort finishes the job.
+binary search): ONE aggregate per round computes fixed-width bin
+counts over the candidate range, the driver (holding only ``bins``
+numbers) locates the bin containing the target rank, and the search
+recurses into that bin's analytic bounds — no per-round count or
+min/max jobs, and the candidate set shrinks by ~``bins``× per round,
+so a 10^11-row corpus needs 3-4 rounds before an exact bounded sort
+finishes the job.
 
 Determinism: the returned value is an actual data value at the
 SQL-standard ``percentile_disc`` rank (smallest value whose cumulative
@@ -25,6 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _exact_rank(cur: DataFrame, rank: int) -> float:
+    """Resolve the ``rank``-th smallest value of a SMALL candidate set
+    with a bounded sort-limit."""
+    row = cur.orderBy("v").limit(rank).orderBy(F.desc("v")).limit(1).first()
+    return float(row["v"])
+
+
 def global_percentile_disc(
     df: DataFrame,
     col: str,
@@ -37,54 +46,46 @@ def global_percentile_disc(
 
     ``exact_threshold`` is the candidate-set size below which the
     remaining rows are resolved by a bounded sort-limit; ``bins``
-    trades rounds against per-round aggregate width.
+    trades rounds against per-round aggregate width.  One combined
+    count/min/max aggregate runs up front (shared by every quantile);
+    each refinement round costs exactly one histogram aggregate —
+    the round's count and bounds come from the PREVIOUS histogram
+    (the selected bin's count and analytic edges), not extra jobs.
     """
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
-    n = vals.count()
+    g = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).first()
+    n = g["n"]
     out: list[tuple[float, float]] = []
     for q in sorted(qs):
         if n == 0:
             break
-        k = max(1, math.ceil(q * n))  # 1-based SQL-standard rank
-        cur, rank = vals, k
+        rank = max(1, math.ceil(q * n))
+        cur, cnt = vals, n
+        lo, hi = float(g["mn"]), float(g["mx"])
         while True:
-            cnt = cur.count()
             if cnt <= exact_threshold:
-                row = (
-                    cur.orderBy("v")
-                    .limit(rank)
-                    .orderBy(F.desc("v"))
-                    .limit(1)
-                    .first()
-                )
-                out.append((q, float(row["v"])))
+                out.append((q, _exact_rank(cur, rank)))
                 break
-            stats = cur.agg(
-                F.min("v").alias("mn"), F.max("v").alias("mx")
-            ).first()
-            mn, mx = float(stats["mn"]), float(stats["mx"])
-            if mn == mx:
-                out.append((q, mn))
+            if lo == hi:
+                out.append((q, lo))
                 break
-            width = (mx - mn) / bins
+            width = (hi - lo) / bins
             if not math.isfinite(width) or width <= 0:
                 # ulp-close range (width underflows) or non-finite
-                # values: binning can't subdivide — resolve the rank
-                # exactly (slow path, but only on degenerate data)
-                row = (
-                    cur.orderBy("v")
-                    .limit(rank)
-                    .orderBy(F.desc("v"))
-                    .limit(1)
-                    .first()
-                )
-                out.append((q, float(row["v"])))
+                # values: binning can't subdivide — resolve exactly
+                # (slow path, only on degenerate data)
+                out.append((q, _exact_rank(cur, rank)))
                 break
             # the SAME bin expression bins and filters, so boundary
             # rounding can never drop or double-count a row
             bin_expr = F.least(
-                F.lit(bins - 1), F.floor((F.col("v") - F.lit(mn)) / F.lit(width))
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
             ).cast("int")
             hist = {
                 r["b"]: r["c"]
@@ -102,6 +103,10 @@ def global_percentile_disc(
                     break
                 cum += c
             cur = cur.filter(bin_expr == sel)
+            cnt = hist.get(sel, 0)
+            new_lo = lo + sel * width
+            hi = hi if sel == bins - 1 else lo + (sel + 1) * width
+            lo = new_lo
     return spark.createDataFrame(
         out or [(None, None)], "quantile double, value double"
     ).filter("quantile IS NOT NULL")

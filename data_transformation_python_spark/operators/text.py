@@ -275,6 +275,54 @@ def chunk_documents(
     )
 
 
+def _stop_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(__toks, x -> array_contains(array({words}), x)))"
+
+
+def _gopher_staged_cols() -> list[Column]:
+    """Stage-2 intermediate columns for the Gopher gates, over a frame
+    holding ``__t``/``__toks`` — shared by ``gopher_quality`` and
+    ``text_signals`` so the gate definition exists exactly once."""
+    return [
+        F.expr("size(__toks)").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "aggregate(__toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("__sum_len"),
+        F.expr("size(filter(__toks, x -> x rlike '[a-zA-Z]'))")
+        .cast("bigint")
+        .alias("__n_alpha"),
+        F.expr(_stop_count_sql("en")).cast("bigint").alias("n_stopwords"),
+    ]
+
+
+def _gopher_final_cols() -> dict[str, Column]:
+    """The Gopher metrics + combined verdict over the staged columns.
+    THE single definition of the gate thresholds (mean word length in
+    [3, 10], symbol ratio < 0.1, ≥ 80% alphabetic words, ≥ 2 English
+    stopwords) — both query surfaces read this dict."""
+    n = F.col("n_tokens")
+    mean_len = F.col("__sum_len").cast("double") / n.cast("double")
+    frac_alpha = F.col("__n_alpha").cast("double") / n.cast("double")
+    n_sym = (
+        F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(__t, '\\.\\.\\.', 0)"))
+    ).cast("bigint")
+    sym_ratio = n_sym.cast("double") / n.cast("double")
+    return {
+        "mean_word_len": mean_len,
+        "frac_alpha_words": frac_alpha,
+        "symbol_word_ratio": sym_ratio,
+        "passes_gopher": (
+            (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+            & (sym_ratio < 0.1)
+            & (frac_alpha >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ),
+    }
+
+
 def text_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -292,37 +340,18 @@ def text_signals(
         lambda n: f"array_sort(transform(sequence(0, size(__toks) - {n}), "
         f"i -> array_join(slice(__toks, i + 1, {n}), ' ')))"
     )
-
-    def stop_count(lang: str) -> str:
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        return f"size(filter(__toks, x -> array_contains(array({words}), x)))"
-
     staged = df.select(
         id_col, F.col(text_col).alias("__t"), _tokens(text_col).alias("__toks")
     ).select(
         id_col,
         F.col("__t"),
-        F.expr("size(__toks)").cast("bigint").alias("n_tokens"),
-        F.expr(
-            "aggregate(__toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
-        ).alias("__sum_len"),
-        F.expr("size(filter(__toks, x -> x rlike '[a-zA-Z]'))")
-        .cast("bigint")
-        .alias("__n_alpha"),
-        F.expr(stop_count("en")).cast("bigint").alias("n_stopwords"),
+        *_gopher_staged_cols(),
         F.expr("array_sort(__toks)").alias("__s1"),
         F.expr(f"if(size(__toks) >= 3, {gram(3)}, array())").alias("__s3"),
-        F.expr(stop_count("de")).cast("bigint").alias("__s_de"),
-        F.expr(stop_count("es")).cast("bigint").alias("__s_es"),
+        F.expr(_stop_count_sql("de")).cast("bigint").alias("__s_de"),
+        F.expr(_stop_count_sql("es")).cast("bigint").alias("__s_es"),
     )
-    n = F.col("n_tokens")
-    mean_len = F.col("__sum_len").cast("double") / n.cast("double")
-    frac_alpha = F.col("__n_alpha").cast("double") / n.cast("double")
-    n_sym = (
-        F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
-        + F.size(F.expr(r"regexp_extract_all(__t, '\\.\\.\\.', 0)"))
-    ).cast("bigint")
-    sym_ratio = n_sym.cast("double") / n.cast("double")
+    m = _gopher_final_cols()
     predicted = (
         F.when(
             (F.col("n_stopwords") >= F.greatest(F.col("__s_de"), F.col("__s_es")))
@@ -336,17 +365,11 @@ def text_signals(
     return staged.select(
         id_col,
         "n_tokens",
-        mean_len.alias("mean_word_len"),
-        frac_alpha.alias("frac_alpha_words"),
-        sym_ratio.alias("symbol_word_ratio"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["frac_alpha_words"].alias("frac_alpha_words"),
+        m["symbol_word_ratio"].alias("symbol_word_ratio"),
         "n_stopwords",
-        (
-            (mean_len >= 3.0)
-            & (mean_len <= 10.0)
-            & (sym_ratio < 0.1)
-            & (frac_alpha >= 0.8)
-            & (F.col("n_stopwords") >= 2)
-        ).alias("passes_gopher"),
+        m["passes_gopher"].alias("passes_gopher"),
         F.expr(_runlen_max("__s1")).cast("bigint").alias("max_token_count"),
         F.expr(
             f"if(n_tokens >= 3, 1.0 - {_runlen_distinct('__s3')} / "
@@ -365,55 +388,28 @@ def gopher_quality(
     """The remaining Gopher document-quality gates (Rae et al. 2021
     §A1.1) beyond ``repetition_stats``: mean word length, alphabetic-
     word fraction, symbol-to-word ratio, and stopword presence, plus
-    the combined boolean filter verdict.
+    the combined boolean filter verdict.  The gate expressions and
+    thresholds are defined once (``_gopher_final_cols``) and shared
+    with ``text_signals``, so the two surfaces can never drift.
 
     A pure narrow map over the scan (token array materialized once;
     all counts are single linear passes), so at 100 TB this rides the
     scan like every other text signal.  Every ratio is exact-integer
     derived and each threshold compares identically in any engine, so
     ``passes_gopher`` is oracle-portable too.
-
-    Gates applied (document passes when ALL hold):
-    - mean word length in [3, 10]
-    - symbol-to-word ratio (# and ... occurrences / words) < 0.1
-    - ≥ 80% of words contain an alphabetic character
-    - ≥ 2 occurrences of common English stopwords
     """
-    arr = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     staged = df.select(
         id_col, F.col(text_col).alias("__t"), _tokens(text_col).alias("__toks")
-    )
-    n = F.size("__toks").cast("bigint")
-    sum_len = F.expr(
-        "aggregate(__toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
-    )
-    n_alpha = F.expr(
-        "size(filter(__toks, x -> x rlike '[a-zA-Z]'))"
-    ).cast("bigint")
-    n_sym = (
-        F.size(F.expr(r"regexp_extract_all(__t, '#', 0)"))
-        + F.size(F.expr(r"regexp_extract_all(__t, '\\.\\.\\.', 0)"))
-    ).cast("bigint")
-    n_stop = F.expr(
-        f"size(filter(__toks, x -> array_contains(array({arr}), x)))"
-    ).cast("bigint")
-    mean_len = sum_len.cast("double") / n.cast("double")
-    frac_alpha = n_alpha.cast("double") / n.cast("double")
-    sym_ratio = n_sym.cast("double") / n.cast("double")
+    ).select(id_col, "__t", *_gopher_staged_cols())
+    m = _gopher_final_cols()
     return staged.select(
         id_col,
-        n.alias("n_tokens"),
-        mean_len.alias("mean_word_len"),
-        frac_alpha.alias("frac_alpha_words"),
-        sym_ratio.alias("symbol_word_ratio"),
-        n_stop.alias("n_stopwords"),
-        (
-            (mean_len >= 3.0)
-            & (mean_len <= 10.0)
-            & (sym_ratio < 0.1)
-            & (frac_alpha >= 0.8)
-            & (n_stop >= 2)
-        ).alias("passes_gopher"),
+        "n_tokens",
+        m["mean_word_len"].alias("mean_word_len"),
+        m["frac_alpha_words"].alias("frac_alpha_words"),
+        m["symbol_word_ratio"].alias("symbol_word_ratio"),
+        "n_stopwords",
+        m["passes_gopher"].alias("passes_gopher"),
     )
 
 

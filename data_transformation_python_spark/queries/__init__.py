@@ -166,7 +166,11 @@ _PRIORITY: list[str] = [
     "text_gopher_quality",
     "samp_temperature",
     "multimodal_avi_meta",
-    "q_range_join_binned",
+    # exactly 50 names: later additions (range join, resize/frame
+    # codecs, winsorize, selection, connector round-trips, …) wait for
+    # the round-6 rotation — they are covered THIS round by the local
+    # parity suite, the committed PARITY_r05.json sweep, and their
+    # plan/property tests.
 ]
 
 

@@ -158,11 +158,16 @@ class ModelWatcher:
                 if self._inotify is not None:
                     if self._inotify.wait(self.poll_interval):
                         # editors write in bursts — let the burst land,
-                        # then run ONE diff over the settled tree
+                        # then run ONE diff over the settled tree.
+                        # Watches for any NEW directories are added
+                        # BEFORE the diff: a file written into a fresh
+                        # directory after the diff then still raises an
+                        # event on the new watch (adding after the diff
+                        # would leave a window where it raises nothing).
                         time.sleep(0.05)
                         self._inotify.wait(0)  # drain the burst tail
-                        self.poll_once()
                         self._inotify.add_watches(self.models_dir)
+                        self.poll_once()
                 else:
                     time.sleep(self.poll_interval)
                     self.poll_once()

@@ -479,3 +479,14 @@ def test_watcher_inotify_backend_is_event_driven(tmp_path):
         assert ("created", "nested.sql") in events
     finally:
         w.stop()
+
+
+def test_derived_table_before_set_operation_keyword():
+    """A set-operation keyword after a derived table must not be
+    consumed as its alias (EXCEPT swallowed -> bogus 'except'
+    relation)."""
+    sql = "SELECT x FROM (SELECT x FROM t) EXCEPT SELECT x FROM u"
+    cols = extract_column_lineage(sql)
+    srcs = {s for cl in cols for s in cl.sources}
+    assert ("t", "x") in srcs
+    assert not any(tbl == "except" for tbl, _ in srcs)

@@ -131,3 +131,47 @@ def test_source_layer_normalizes_nanos(vanilla_conf, nanos_dir):
         assert got == {1: _TS[0], 2: _TS[1], 3: _TS[2]}
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_source_vintage_flip_micros_to_nanos(vanilla_conf, tmp_path):
+    """Vintage transition on a REGISTERED source: first registration
+    sees TIMESTAMP(MICROS) (plain external table), then the files are
+    re-written as TIMESTAMP(NANOS).  The footer fingerprint must
+    detect the type-only drift, drop the old object, and re-register
+    the nanos layout (raw table + normalizing view) — previously this
+    crashed on CREATE VIEW over the leftover table."""
+    from types import SimpleNamespace
+
+    from data_transformation_python_spark.config import SourceRegistry
+    from data_transformation_python_spark.executor import (
+        ModelExecutor,
+        SparkExecutor,
+    )
+
+    spark = vanilla_conf
+    d = tmp_path / "flip"
+    d.mkdir()
+    micros = pa.table({"event_id": pa.array([1], pa.int64()),
+                       "ts": pa.array([_TS[0]], pa.timestamp("us"))})
+    pq.write_table(micros, d / "events.parquet")
+    registry = SourceRegistry(
+        {"sources": {"raw": {"tables": {"events": {
+            "path": str(d / "events.parquet"), "format": "parquet"}}}}}
+    )
+    db = f"flip_{uuid.uuid4().hex[:8]}"
+    ex = SparkExecutor(spark, database=db)
+    try:
+        mx1 = ModelExecutor(ex, None, SimpleNamespace(sources=registry))
+        rel = mx1._source_relation("raw", "events")
+        assert dict(spark.table(rel).dtypes)["ts"].startswith("timestamp")
+        # rewrite the SAME path as nanos vintage
+        nanos = pa.table({"event_id": pa.array([1], pa.int64()),
+                          "ts": pa.array([_TS[0]], pa.timestamp("ns"))})
+        pq.write_table(nanos, d / "events.parquet", store_schema=False)
+        mx2 = ModelExecutor(ex, None, SimpleNamespace(sources=registry))
+        rel2 = mx2._source_relation("raw", "events")
+        out = spark.sql(f"SELECT event_id, ts FROM {rel2}")
+        assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+        assert out.first()["ts"] == _TS[0]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
