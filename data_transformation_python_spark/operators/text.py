@@ -492,3 +492,53 @@ def repetition_stats(
         .cast("double")
         .alias("dup_3gram_frac"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Hashed-feature linear quality scorer — the fastText-style
+    "model-based quality filter" stage of a curation pipeline, run as
+    a shuffle-free narrow map.
+
+    The real production pattern: train a linear classifier offline
+    over hashed bag-of-words features, broadcast the weight vector,
+    and score every document with one pass (the hashing trick makes
+    the feature space a fixed ``n_buckets`` regardless of vocabulary).
+    The plumbing here is exactly that — token → md5 bucket → weight →
+    sum — with one substitution: the weight table is a DETERMINISTIC
+    function of the bucket id (``bucket % 1001 - 500``, integers in
+    [-500, 500]) instead of learned floats, so the DuckDB oracle can
+    replay the identical score bit-for-bit.  Swapping in learned
+    weights is a one-line change (map the bucket through a broadcast
+    lookup instead of the modular formula).
+
+    All arithmetic before the final division is 64-bit integer
+    (exact); the mean is one int/int double division (correctly
+    rounded, engine-portable).  Zero shuffles, zero UDFs — the whole
+    scorer is a single codegen'd projection.
+    """
+    bucket = (
+        f"pmod(CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT), {n_buckets})"
+    )
+    weight_sum = (
+        f"aggregate(transform(split({text_col}, ' '),"
+        f" t -> {bucket} % 1001 - 500),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    n_tokens = F.size(_tokens(text_col)).cast("bigint")
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.expr(weight_sum).cast("bigint").alias("logit_sum"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "logit_sum",
+        (F.col("logit_sum").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("mean_token_weight"),
+        (F.col("logit_sum") > 0).alias("quality_label"),
+    )

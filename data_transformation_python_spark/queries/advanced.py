@@ -509,3 +509,105 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("value").cast("decimal(18,4)")).cast("double").alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ordered funnel over the event stream — per-user stage progression
+# (view -> click-after-view -> purchase-after-click), the canonical
+# product-analytics shape.  Each stage is one groupBy(user) aggregate
+# over a filtered slice joined to the previous stage's per-user
+# timestamp; stage frames shrink monotonically, so every join after
+# the first runs against an already-reduced side.  Counts cross-join
+# as one-row frames (no data movement).
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_clicked_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchased_after,
+       CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS view_to_purchase_rate
+"""
+
+
+@query("q_event_funnel", oracle=_FUNNEL_ORACLE)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_after"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_after"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .withColumn(
+            "view_to_purchase_rate",
+            F.col("n_purchased_after").cast("double")
+            / F.col("n_viewed").cast("double"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# weekly retention cohorts — users bucketed by first-activity week,
+# activity counted per week offset.  Week ids are integer arithmetic
+# on days-since-a-fixed-Monday (engine-portable; no week-truncation
+# semantics to disagree on).  Two shuffles: first-activity per user,
+# then the (cohort, offset) distinct-user aggregate.
+# --------------------------------------------------------------------------
+_RETENTION_ORACLE = """
+WITH wk AS (SELECT user_id,
+                   date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS w
+            FROM events),
+first AS (SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY 1)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(wk.w - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active_users
+FROM wk JOIN first f ON wk.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("q_retention_cohorts", oracle=_RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7 AS BIGINT)"
+        ).alias("w"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            (F.col("w") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_users"))
+    )

@@ -657,3 +657,39 @@ def curation_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "mean_word_len", "dup_3gram_frac")
     )
+
+
+# --------------------------------------------------------------------------
+# per-source corpus profile — the "which domains do I keep, and at
+# what mixture weight" report that drives curation decisions: volume,
+# token mass, exact-duplicate load, and language purity per source.
+# One map-side-combinable aggregate (the distinct-hash count rides the
+# same shuffle); scale-independent output (one row per source).
+# --------------------------------------------------------------------------
+_DOMAIN_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_docs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@query("curation_domain_stats", oracle=_DOMAIN_ORACLE)
+def curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_english"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean_chars"),
+    )

@@ -440,3 +440,11 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines connector round-trip, same contract as the CSV
     gate."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@query("q_source_orc_roundtrip", oracle=_NATION_ORACLE)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip (columnar like parquet, ACID-table
+    interchange format) — same exact-preservation contract as the CSV
+    and JSON gates."""
+    return _roundtrip(spark, sf_dir, "orc")

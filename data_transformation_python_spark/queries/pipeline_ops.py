@@ -729,3 +729,50 @@ def sim_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_q",
         "n_vectors",
     )
+
+
+# --------------------------------------------------------------------------
+# repeated n-token spans — exact-substring dedup candidates (Lee et
+# al. 2022 at cluster scale: rolling n-gram hashes instead of a
+# single-machine suffix array)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_repeated_spans",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8),
+sp AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS span_hash FROM idx)
+SELECT span_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM sp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.repeated_spans(load(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# hashed-feature linear quality scorer (fastText-filter shape; the
+# deterministic weight table makes the score oracle-replayable)
+# --------------------------------------------------------------------------
+@query(
+    "text_quality_classifier",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 4096 % 1001 - 500
+         )) AS BIGINT) AS logit_sum
+  FROM documents)
+SELECT doc_id, n_tokens, logit_sum,
+       CAST(logit_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_weight,
+       logit_sum > 0 AS quality_label
+FROM scored
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_classifier(load(spark, sf_dir, "documents"))

@@ -187,3 +187,78 @@ def test_language_id_branches_and_ties(spark):
     )
     got = {r["doc_id"]: r["predicted_lang"] for r in tx.language_id(df).collect()}
     assert got == {i: lang for i, (_, lang) in texts.items()}
+
+
+def test_repeated_spans_detects_duplicated_block(spark):
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.dedup import repeated_spans
+
+    block = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " aaa bbb"),
+            (2, "ccc " + block),
+            (3, "unrelated text entirely different tokens " + " ".join(
+                f"u{i}" for i in range(8))),
+            (4, block + " " + block),  # intra-doc repeat
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_spans(docs, n=8, min_docs=2).collect()
+    import hashlib
+
+    h = hashlib.md5(block.encode()).hexdigest()
+    row = next(r for r in out if r.span_hash == h)
+    # docs 1, 2, 4 carry the block; doc 4 twice
+    assert row.n_docs == 3
+    assert row.n_occurrences >= 4
+    assert row.first_doc_id == 1
+    # doc 3's spans are unique -> never emitted
+    assert all(r.n_docs >= 2 for r in out)
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    import hashlib
+
+    from data_transformation_python_spark.operators.text import quality_classifier
+
+    rows = [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha alpha")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        s = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % 4096 % 1001 - 500
+            for t in toks
+        )
+        assert out[doc_id].logit_sum == s
+        assert out[doc_id].n_tokens == len(toks)
+        assert out[doc_id].mean_token_weight == s / len(toks)
+        assert out[doc_id].quality_label == (s > 0)
+
+
+def test_funnel_counts_are_monotone(spark):
+    from data_transformation_python_spark.queries import all_queries
+
+    row = all_queries()["q_event_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_viewed >= row.n_clicked_after >= row.n_purchased_after >= 0
+
+
+def test_retention_offset_zero_covers_every_user(spark):
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.queries import all_queries, load
+
+    out = all_queries()["q_retention_cohorts"](spark, "/root/testdata/sf0.001")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    n_users = ev.select("user_id").distinct().count()
+    at_zero = (
+        out.filter(F.col("week_offset") == 0)
+        .agg(F.sum("n_active_users"))
+        .collect()[0][0]
+    )
+    # every user is active in their own cohort week
+    assert at_zero == n_users
+    # offsets never negative
+    assert out.filter(F.col("week_offset") < 0).count() == 0

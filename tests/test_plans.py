@@ -285,3 +285,27 @@ def test_range_join_binned_avoids_nested_loop(spark):
     plan = _plan(spark, "q_range_join_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    # the whole scorer is one codegen'd projection: hash, weight, sum
+    plan = _plan(spark, "text_quality_classifier")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_repeated_spans_single_shuffle_no_join(spark):
+    # shingle explode is map-side; the only exchange is the groupBy on
+    # the span hash (partial aggregation collapses repeats before it)
+    plan = _plan(spark, "dedup_repeated_spans")
+    assert "Join" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_funnel_stage_joins_shrink(spark):
+    # stage filters must reach the event scans (each stage reads only
+    # its event_type slice, not the whole table post-scan)
+    plan = _plan(spark, "q_event_funnel")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
