@@ -776,3 +776,51 @@ FROM scored
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_classifier(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# incremental batch-vs-corpus dedup — the production ingest shape:
+# band-key index probe + exact verify, never all-pairs.  The split
+# (doc_id % 5) stands in for "today's batch" vs "accepted corpus".
+# --------------------------------------------------------------------------
+_INCR_DEDUP_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sig AS (SELECT doc_id,
+  MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+  MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+  MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+  MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+cands AS (SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.new_doc_id, c.corpus_doc_id, CAST(COUNT(*) AS BIGINT) AS ni
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.new_doc_id
+          JOIN sh b ON b.doc_id = c.corpus_doc_id AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT new_doc_id, corpus_doc_id, ni AS n_intersect,
+       CAST(sa.n + sb.n - ni AS BIGINT) AS n_union,
+       CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_doc_id
+JOIN sizes sb ON sb.doc_id = corpus_doc_id
+WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+"""
+
+
+@query("dedup_incremental_batch", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_dedup(new, corpus, threshold=0.5)

@@ -441,3 +441,77 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming ingest dedup against a static corpus index — the
+# continuous form of dedup_incremental_batch: arriving documents band
+# themselves with ROW-LOCAL minhash expressions (no aggregation on
+# the stream), probe the broadcast corpus band index, and the pair
+# count is the query's only stateful operator.
+# --------------------------------------------------------------------------
+_STREAM_INDEX_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sig AS (SELECT doc_id,
+  MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+  MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+  MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+  MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig)
+SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_dedup_index", oracle=_STREAM_INDEX_ORACLE)
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission control: the document stream is
+    LSH-banded per row (``rowlocal_band_keys`` — min over the shingle
+    array needs no stream aggregation), probed against the static
+    corpus index via a broadcast stream-static join, and candidate
+    pairs aggregate band hits.  At 100 TB the index is the persisted
+    band-key table bucketed by (band, bkey); the stream side never
+    shuffles for the probe, and state is bounded by matched pairs,
+    not corpus size."""
+    from ..operators.dedup import band_keys, rowlocal_band_keys
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    index = band_keys(corpus).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "bkey"
+    )
+    nb = rowlocal_band_keys(stream).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "bkey"
+    )
+    hits = nb.join(F.broadcast(index), ["band", "bkey"]).groupBy(
+        "new_doc_id", "corpus_doc_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    name = f"stream_dedup_idx_{uuid.uuid4().hex[:8]}"
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -262,3 +262,54 @@ def test_retention_offset_zero_covers_every_user(spark):
     assert at_zero == n_users
     # offsets never negative
     assert out.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_incremental_dedup_flags_exact_copy_not_novel(spark):
+    from data_transformation_python_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different corpus content " + " ".join(
+            f"c{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),  # exact copy of corpus doc 1
+            (101, " ".join(f"novel{i}" for i in range(25))),  # novel
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(new, corpus, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.new_doc_id, r.corpus_doc_id) == (100, 1)
+    assert r.jaccard == 1.0
+    assert r.n_intersect == r.n_union == 28  # 30 tokens -> 28 3-gram shingles
+
+
+def test_incremental_dedup_never_pairs_within_sides(spark):
+    # two identical docs inside the SAME side must not be reported
+    from data_transformation_python_spark.operators.dedup import incremental_dedup
+
+    text = " ".join(f"x{i}" for i in range(20))
+    corpus = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100, " ".join(f"y{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    assert incremental_dedup(new, corpus).count() == 0
+
+
+def test_rowlocal_band_keys_equal_aggregated_band_keys(spark):
+    # the streaming-legal (no-aggregation) banding must produce the
+    # exact key set of the batch groupBy path — min over the shingle
+    # array == min over the distinct shingle set
+    from data_transformation_python_spark.operators.dedup import (
+        band_keys,
+        rowlocal_band_keys,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = set(map(tuple, band_keys(docs).collect()))
+    b = set(map(tuple, rowlocal_band_keys(docs).collect()))
+    assert a == b and len(a) > 0
