@@ -166,8 +166,18 @@ def corpus_scale_entries(spark, corpus_dir: str):
             .select("doc_id", "token", "score", "rank")
         )
 
+    def incremental():
+        # "today's batch" = 2% of the corpus probing the other 98%'s
+        # band index — the production ingest shape at corpus scale
+        new = docs.filter("doc_id % 50 = 0")
+        corpus = docs.filter("doc_id % 50 != 0")
+        return dd.incremental_dedup(new, corpus, threshold=0.5)
+
     return [
         ("dedup_exact", lambda: dd.exact_duplicates(docs)),
+        ("dedup_repeated_spans", lambda: dd.repeated_spans(docs, n=8)),
+        ("dedup_incremental", incremental),
+        ("text_quality_classifier", lambda: tx.quality_classifier(docs)),
         ("dedup_minhash_lsh", lambda: dd.minhash_lsh_candidates(docs)),
         ("dedup_pipeline_survivors", survivors),
         ("dedup_simhash", simhash),
