@@ -105,12 +105,43 @@ class Materialization:
             ]
         )
 
-    def _overwrite_table(self, target: str, df: DataFrame, partition_by=None) -> int:
+    def _overwrite_table(
+        self, target: str, df: DataFrame, partition_by=None, cluster_by=None
+    ) -> int:
+        df = self._apply_clustering(df, cluster_by)
         writer = df.write.mode("overwrite").format("parquet")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.saveAsTable(target)
         return -1  # row count not collected by default (extra job)
+
+    @staticmethod
+    def _apply_clustering(df: DataFrame, cluster_by) -> DataFrame:
+        """Clustered layout (the Snowflake/Delta CLUSTER BY analogue,
+        expressed with vanilla Spark): range-repartition on the
+        cluster keys, then sort within each partition.  Every output
+        file then covers a narrow, non-overlapping key range, so
+        parquet row-group min/max stats prune reads on those keys —
+        the cheap 80% of Z-ordering for single-dimension predicates.
+        The range boundaries come from Spark's reservoir sample of
+        the keys, so file sizes stay balanced even on skewed data.
+
+        ``cluster_by`` is a column list, optionally with a leading
+        integer file-count dial (config ``cluster_files``) carried as
+        the tuple's first element by the caller; without it Spark
+        (and AQE) pick the partition count, which may coalesce small
+        tables to one file."""
+        if not cluster_by:
+            return df
+        n = None
+        cols = list(cluster_by)
+        if cols and isinstance(cols[0], int):
+            n, cols = cols[0], cols[1:]
+        if n:
+            df = df.repartitionByRange(n, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        return df.sortWithinPartitions(*cols)
 
     @staticmethod
     def _staging_name(target: str) -> str:
@@ -194,7 +225,23 @@ class Materialization:
     def _partition_by(config) -> list | None:
         """Parse config partition_by once for every strategy (the
         on-disk layout control — Spark's answer to CLUSTER BY)."""
-        pb = (config or {}).get("partition_by")
+        return Materialization._layout_cols(config, "partition_by")
+
+    @staticmethod
+    def _cluster_by(config) -> list | None:
+        """Parse config cluster_by: range-clustered file layout
+        (non-overlapping key ranges per file → min/max pruning).
+        Optional ``cluster_files: N`` pins the output file count
+        (prepended as an int; see ``_apply_clustering``)."""
+        cols = Materialization._layout_cols(config, "cluster_by")
+        if not cols:
+            return None
+        n = (config or {}).get("cluster_files")
+        return [int(n), *cols] if n else cols
+
+    @staticmethod
+    def _layout_cols(config, key: str) -> list | None:
+        pb = (config or {}).get(key)
         if isinstance(pb, str) and pb:
             return [p.strip() for p in pb.split("|") if p.strip()]
         if isinstance(pb, (list, tuple)) and pb:
@@ -230,7 +277,8 @@ class TableMaterialization(Materialization):
 
     def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
         pb = self._partition_by(config)
-        self._overwrite_table(target_table, self._select_df(select_sql), pb)
+        cb = self._cluster_by(config)
+        self._overwrite_table(target_table, self._select_df(select_sql), pb, cb)
         return self._ok(model_name, target_table)
 
 

@@ -693,3 +693,78 @@ def curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"))
         .alias("mean_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic training shuffle order — shard + in-shard position
+# derived from md5 of the id.  NOT a global row_number (that is a
+# single-partition sort); shards are windowed independently, so the
+# shuffle order is reproducible AND parallel at any scale: the
+# training reader consumes shards in order.
+# --------------------------------------------------------------------------
+_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16
+           AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT)
+         AS pos
+FROM keyed
+"""
+
+
+@query("samp_shuffle_order", oracle=_SHUFFLE_ORACLE)
+def samp_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+            )
+            % 16
+        ).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# key-skew profile — the diagnostic you run BEFORE choosing a join /
+# aggregation strategy at scale: the heaviest keys and their share of
+# the table.  One combinable count aggregate; the top-k is a
+# deterministic ordered limit over the (small) per-key counts.
+# --------------------------------------------------------------------------
+_SKEW_ORACLE = """
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT user_id, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM counts, tot
+ORDER BY n DESC, user_id
+LIMIT 10
+"""
+
+
+@query("q_skew_profile", oracle=_SKEW_ORACLE)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias("share"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )

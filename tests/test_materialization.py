@@ -522,3 +522,37 @@ def test_source_reregisters_on_file_schema_drift(stack):
     )
     rel2 = mx2._source_relation("raw", "feed")
     assert set(spark.table(rel2).columns) == {"id", "v", "extra"}
+
+
+def test_cluster_by_produces_disjoint_file_ranges(stack):
+    from pyspark.sql import functions as F
+
+    _write_source(
+        stack,
+        [(i, f"v{i}") for i in range(2000)],
+        "id bigint, v string",
+    )
+    # shuffle the input so clustering has real work to do
+    _write_model(
+        stack,
+        "clustered",
+        "-- config: materialized=table, cluster_by=id, cluster_files=8\n"
+        "SELECT * FROM {{ source('raw','feed') }} ORDER BY md5(CAST(id AS STRING))",
+    )
+    r = stack["mx"].execute_model("clustered")
+    assert r["success"], r
+    spark, db = stack["spark"], stack["db"]
+    tbl = spark.table(f"{db}.clustered")
+    assert tbl.count() == 2000
+    # per-file id ranges must not overlap: that disjointness is what
+    # lets parquet min/max stats prune scans on the cluster key
+    ranges = (
+        tbl.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1  # range repartition actually split the data
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi < b.lo, (a, b)
