@@ -313,3 +313,21 @@ def test_rowlocal_band_keys_equal_aggregated_band_keys(spark):
     a = set(map(tuple, band_keys(docs).collect()))
     b = set(map(tuple, rowlocal_band_keys(docs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_new_text_ops_tolerate_null_and_empty_text(spark):
+    # nulls must flow through as nulls (no crash, no fabricated rows);
+    # empty text is one empty token
+    from data_transformation_python_spark.operators.dedup import repeated_spans
+    from data_transformation_python_spark.operators.text import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e f g h i j")],
+        "doc_id bigint, text string",
+    )
+    qc = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    assert qc[1].logit_sum is None and qc[1].quality_label is None
+    assert qc[2].n_tokens == 1  # split('') -> ['']
+    assert qc[3].n_tokens == 10
+    # spans: null text and short docs drop out; no pair rows expected
+    assert repeated_spans(docs, n=8).count() == 0
