@@ -262,6 +262,19 @@ def corpus_scale_entries(spark, corpus_dir: str):
             lambda: sim.random_projection(emb, out_dim=8),
         ),
         (
+            # PQ at scale-sized dials: 100-centroid codebooks per
+            # subspace over 50k vectors; encode is one narrow map
+            "sim_pq_codes",
+            lambda: sim.pq_encode(emb, m=4, centroid_stride=500),
+        ),
+        (
+            "sim_pq_adc_topk",
+            lambda: sim.pq_adc_topk(
+                emb, query_ids=range(10), k=5, m=4, centroid_stride=500
+            ),
+        ),
+        ("dedup_span_dup_stats", lambda: dd.span_dup_stats(docs, n=8)),
+        (
             # distributed selection at production-ish dials over the
             # 50k quantized norms (several refinement rounds)
             "sim_norm_percentiles",

@@ -786,3 +786,164 @@ def kmeans_lloyd(
         .join(F.broadcast(norms), "cluster_id")
         .select("cluster_id", "n_members", "centroid_norm", "inertia")
     )
+
+
+def pq_codebook(qn: DataFrame, id_col: str, centroid_stride: int):
+    """Stride-sampled codebook rows (cid, quantized vector) — k × d
+    integers of driver state, shared by encode and serve so the
+    quantization pass runs once per caller."""
+    return sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in qn.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(id_col, "__v")
+        .collect()
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    centroid_stride: int = 50,
+    cent_rows=None,
+) -> DataFrame:
+    """Product-quantization encoding — the memory side of production
+    ANN (IVF-PQ): split each vector into ``m`` subspaces and store,
+    per subspace, only the id of the nearest codebook centroid.  A
+    d-dim float vector becomes m small codes (here the sampled
+    centroid's id, so the oracle can replay the exact codebook).
+
+    Codebooks are deterministic stride samples of the corpus's own
+    subvectors (the same bootstrap ``ivf_topk`` uses; swap in
+    Lloyd-refined codebooks per subspace via ``kmeans_lloyd`` for the
+    production build).  Assignment is the literal-centroid argmin as
+    ONE narrow map per row across all m subspaces — no join, no
+    shuffle, no Python: the codebook (k × d integers) is embedded as
+    constant struct-arrays, exactly like IVF assignment.
+
+    Returns (id, codes array<bigint>[m], pq_err double): ``pq_err``
+    is the total squared quantization error (exact integer arithmetic
+    in doubles), the quality dial for choosing m/k.
+
+    Scale posture: the collect is k × d integers of driver state
+    (codebook build), the encode pass is shuffle-free, and the output
+    is m bigints per vector — the 100 TB memory win that makes
+    billion-vector ANN fit a cluster's RAM.
+    """
+    dim = _probe_dim(df, vec_col)
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    sub = dim // m
+    qn = quantized(df, vec_col, id_col)
+    if cent_rows is None:
+        cent_rows = pq_codebook(qn, id_col, centroid_stride)
+    if not cent_rows:
+        raise ValueError("empty codebook: no rows matched the stride")
+    staged = qn.select(
+        id_col,
+        *[
+            F.expr(f"slice(__v, {j * sub + 1}, {sub})").alias(f"__v{j}")
+            for j in range(m)
+        ],
+    ).select(
+        id_col,
+        *[F.col(f"__v{j}") for j in range(m)],
+        *[
+            F.expr(DOT_EXPR.format(a=f"__v{j}", b=f"__v{j}")).alias(f"__n{j}")
+            for j in range(m)
+        ],
+    )
+    picks = []
+    for j in range(m):
+        cents_j = [(cid, v[j * sub : (j + 1) * sub]) for cid, v in cent_rows]
+        expr = (
+            _literal_argmin_sql(cents_j)
+            .replace("__nrm", f"__n{j}")
+            .replace("__v", f"__v{j}")
+        )
+        picks.append(F.expr(expr).alias(f"__p{j}"))
+    coded = staged.select(id_col, *picks)
+    return coded.select(
+        id_col,
+        F.array(*[F.col(f"__p{j}.cid") for j in range(m)]).alias("codes"),
+        sum(F.col(f"__p{j}.d2") for j in range(m)).alias("pq_err"),
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 4,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the serving path of
+    IVF-PQ: queries stay exact, the corpus is m codes per vector, and
+    the approximate distance is a table lookup, never a d-dim dot
+    against raw vectors.
+
+    Formulated as joins, so it is fully distributed with a tiny
+    broadcast: the distance table (query × subspace × centroid, all
+    exact integers) is |Q|·m·k rows; codes posexplode to (vec, j,
+    cid); one broadcast join + a map-side-combinable sum per
+    (query, vec) + a per-query window gives the top-k.  Corpus-side
+    state is only the m codes per vector — the entire point of PQ at
+    100 TB.
+
+    Ties break on (distance, vec_id); ranks are dense 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    from .transform import materialize
+
+    sub_dim = _probe_dim(df, vec_col) // m
+    qn = quantized(df, vec_col, id_col)
+    cent_rows = pq_codebook(qn, id_col, centroid_stride)
+    # Materialized: the posexplode below would otherwise inline the
+    # m literal-argmin expressions into the generator and re-evaluate
+    # the whole codebook scan per exploded row (measured ~12x).
+    codes = materialize(
+        pq_encode(df, vec_col, id_col, m, centroid_stride, cent_rows=cent_rows)
+    )
+    q_rows = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in qn.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, "__v")
+        .collect()
+    )
+    dtab = df.sparkSession.createDataFrame(
+        [
+            (
+                qid,
+                j,
+                cid,
+                float(
+                    sum(
+                        (qv[j * sub_dim + i] - cv[j * sub_dim + i]) ** 2
+                        for i in range(sub_dim)
+                    )
+                ),
+            )
+            for qid, qv in q_rows
+            for cid, cv in cent_rows
+            for j in range(m)
+        ],
+        "query_id bigint, j int, cid bigint, d2 double",
+    )
+    exploded = codes.select(
+        id_col, F.posexplode("codes").alias("j", "cid")
+    )
+    scored = (
+        exploded.join(F.broadcast(dtab), ["j", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_d2", "rank")
+    )

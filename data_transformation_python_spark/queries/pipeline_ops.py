@@ -824,3 +824,107 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dd.incremental_dedup(new, corpus, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# per-document boilerplate load — fraction of a doc's spans repeated
+# elsewhere in the corpus (the removal-policy signal over
+# dedup_repeated_spans)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_span_dup_stats",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8),
+sp AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS span_hash FROM idx),
+rep AS (SELECT span_hash FROM sp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN rep.span_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated_spans,
+       CAST(SUM(CASE WHEN rep.span_hash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeated_frac
+FROM sp LEFT JOIN rep ON sp.span_hash = rep.span_hash
+GROUP BY doc_id
+""",
+)
+def dedup_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.span_dup_stats(load(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# product-quantization codes — the IVF-PQ memory side: m codebook ids
+# per vector + exact squared quantization error
+# --------------------------------------------------------------------------
+_PQ_ORACLE = """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT q.vec_id, js.j, q.v[js.j*16+1 : js.j*16+16] AS vj FROM q, js),
+cent AS (SELECT q.vec_id AS cid, js.j, q.v[js.j*16+1 : js.j*16+16] AS cj
+         FROM q, js WHERE q.vec_id % 50 = 0),
+d AS (SELECT sub.vec_id, sub.j, cent.cid,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (sub.vj[i] - cent.cj[i]) * (sub.vj[i] - cent.cj[i]))) AS d2
+      FROM sub JOIN cent ON sub.j = cent.j),
+best AS (SELECT vec_id, j, cid, d2,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+         FROM d)
+SELECT vec_id,
+       list(cid ORDER BY j) AS codes,
+       CAST(SUM(d2) AS DOUBLE) AS pq_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@query("sim_pq_codes", oracle=_PQ_ORACLE)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_encode(
+        load(spark, sf_dir, "embeddings"), m=4, centroid_stride=50
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ asymmetric-distance top-k — serving over codes: distance-table
+# broadcast join + per-query window (exact queries, coded corpus)
+# --------------------------------------------------------------------------
+_PQ_ADC_ORACLE = """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT q.vec_id, js.j, q.v[js.j*16+1 : js.j*16+16] AS vj FROM q, js),
+cent AS (SELECT q.vec_id AS cid, js.j, q.v[js.j*16+1 : js.j*16+16] AS cj
+         FROM q, js WHERE q.vec_id % 50 = 0),
+dists AS (SELECT sub.vec_id, sub.j, cent.cid,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (sub.vj[i] - cent.cj[i]) * (sub.vj[i] - cent.cj[i]))) AS d2
+      FROM sub JOIN cent ON sub.j = cent.j),
+codes AS (SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+            FROM dists) WHERE rn = 1),
+dtab AS (SELECT d.vec_id AS query_id, d.j, d.cid, d.d2 FROM dists d WHERE d.vec_id < 10),
+scored AS (SELECT dtab.query_id, codes.vec_id, CAST(SUM(dtab.d2) AS DOUBLE) AS adc_d2
+           FROM codes JOIN dtab ON codes.j = dtab.j AND codes.cid = dtab.cid
+           GROUP BY 1, 2),
+ranked AS (SELECT query_id, vec_id, adc_d2,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_d2, vec_id) AS BIGINT) AS rank
+           FROM scored)
+SELECT query_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("sim_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_adc_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_ids=range(10),
+        k=5,
+        m=4,
+        centroid_stride=50,
+    )

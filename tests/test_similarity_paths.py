@@ -193,3 +193,43 @@ def test_ivf_kmeans_refinement_improves_recall(spark, emb):
     r0, r1 = recall(0), recall(1)
     assert r0 >= 0.4  # nprobe=3 of ~10 buckets must beat random
     assert r1 >= r0   # refinement must not hurt on this fixture
+
+
+def test_pq_error_monotone_in_codebook_size(spark):
+    # halving the stride gives a SUPERSET codebook (vec_id%25==0 ⊇
+    # %50==0), so per-row quantization error can only improve
+    from pyspark.sql import functions as F
+
+    from data_transformation_python_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e50 = {r.vec_id: r.pq_err for r in pq_encode(emb, centroid_stride=50).collect()}
+    e25 = {r.vec_id: r.pq_err for r in pq_encode(emb, centroid_stride=25).collect()}
+    assert set(e50) == set(e25)
+    assert all(e25[v] <= e50[v] for v in e50)
+    assert sum(e25.values()) < sum(e50.values())
+
+
+def test_pq_codes_are_valid_centroid_ids(spark):
+    from data_transformation_python_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = pq_encode(emb, m=4, centroid_stride=50).collect()
+    valid = {r.vec_id for r in emb.select("vec_id").collect() if r.vec_id % 50 == 0}
+    for r in rows:
+        assert len(r.codes) == 4
+        assert all(c in valid for c in r.codes)
+        assert r.pq_err >= 0
+
+
+def test_pq_adc_ranks_are_dense_and_bounded(spark):
+    from data_transformation_python_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_adc_topk(emb, query_ids=range(5), k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == set(range(5))
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]
