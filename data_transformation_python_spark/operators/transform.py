@@ -99,3 +99,45 @@ def clone_schema(spark, source_table: str, target_table: str) -> None:
     spark.table(source_table).limit(0).write.mode("errorifexists").format(
         "parquet"
     ).saveAsTable(target_table)
+
+
+def profile_columns(
+    df: DataFrame, columns: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """Single-pass column profile — the data-quality report a pipeline
+    runs before trusting a new source: per column, null count, (near-)
+    distinct count, and lexicographic min/max (values cast to string
+    so one long-form schema covers every column type).
+
+    ONE aggregation job for all columns: the wide one-row aggregate is
+    unpivoted with ``stack`` into (col_name, n_rows, n_nulls,
+    n_distinct, min_value, max_value).  With ``approx=True`` the
+    distinct counts use HLL (approx_count_distinct) — at 100 TB the
+    exact multi-column COUNT DISTINCT expands the aggregate per
+    column, so wide profiles should pass approx unless a verifier
+    needs exact numbers.
+    """
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__null_{c}"),
+            distinct(c).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_value, max_value)",
+        "__n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

@@ -448,3 +448,42 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchange format) — same exact-preservation contract as the CSV
     and JSON gates."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+# --------------------------------------------------------------------------
+# single-pass column profile — per-column nulls / exact distincts /
+# string-cast min-max over orders, long form (T-family companion:
+# what you run BEFORE writing dq tests for a new source)
+# --------------------------------------------------------------------------
+_PROFILE_ORACLE = """
+WITH w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+         MIN(CAST(o_orderkey AS VARCHAR)) AS min_k, MAX(CAST(o_orderkey AS VARCHAR)) AS max_k,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_s,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+         MIN(CAST(o_orderstatus AS VARCHAR)) AS min_s, MAX(CAST(o_orderstatus AS VARCHAR)) AS max_s,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_p,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_p,
+         MIN(CAST(o_orderpriority AS VARCHAR)) AS min_p, MAX(CAST(o_orderpriority AS VARCHAR)) AS max_p,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_d,
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_d,
+         MIN(CAST(o_orderdate AS VARCHAR)) AS min_d, MAX(CAST(o_orderdate AS VARCHAR)) AS max_d
+  FROM orders)
+SELECT 'o_orderkey' AS col_name, n_rows, null_k AS n_nulls, nd_k AS n_distinct,
+       min_k AS min_value, max_k AS max_value FROM w
+UNION ALL SELECT 'o_orderstatus', n_rows, null_s, nd_s, min_s, max_s FROM w
+UNION ALL SELECT 'o_orderpriority', n_rows, null_p, nd_p, min_p, max_p FROM w
+UNION ALL SELECT 'o_orderdate', n_rows, null_d, nd_d, min_d, max_d FROM w
+"""
+
+
+@query("q_profile_orders", oracle=_PROFILE_ORACLE)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transform import profile_columns
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )

@@ -53,7 +53,7 @@ def test_cli_plan_fresh_project_creates_all(proj):
     r = CliRunner().invoke(cli, ["--project-dir", proj, "plan"])
     assert r.exit_code == 0, r.output
     out = json.loads(r.output)
-    assert out["summary"]["create"] == 6
+    assert out["summary"]["create"] == 7
     assert out["summary"]["no_change"] == 0
 
 

@@ -49,3 +49,33 @@ def test_clone_schema(spark):
         assert dst.schema == spark.table(f"{db}.src").schema
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from data_transformation_python_spark.operators.transform import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id bigint, v string",
+    )
+    out = {r.col_name: r for r in profile_columns(df, ["id", "v"]).collect()}
+    assert out["id"].n_rows == 4
+    assert out["id"].n_nulls == 1
+    assert out["id"].n_distinct == 3
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "3")
+    assert out["v"].n_nulls == 1
+    assert out["v"].n_distinct == 2
+    assert (out["v"].min_value, out["v"].max_value) == ("a", "b")
+
+
+def test_profile_columns_approx_mode_single_aggregate(spark):
+    from data_transformation_python_spark.operators.transform import profile_columns
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+    out = {r.col_name: r for r in profile_columns(df, ["id", "v"], approx=True).collect()}
+    # HLL is approximate on the wide column, tight on the small one
+    assert out["v"].n_distinct == 7
+    assert abs(out["id"].n_distinct - 1000) < 60
+    # approx profile must not contain the exact-distinct Expand plan
+    plan = profile_columns(df, ["id", "v"], approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
