@@ -535,6 +535,65 @@ class CDCRetirementMaterialization(Materialization):
         )
 
 
+class SnapshotMaterialization(Materialization):
+    """dbt-style snapshot: SCD2 history over a mutable source without
+    a CDC feed (operators/snapshot.py).  Config:
+
+    - ``unique_key`` (required, ``|``-separated)
+    - ``strategy``: ``check`` (default) or ``timestamp``
+    - ``check_cols``: ``|``-separated (default: all non-key columns)
+    - ``updated_at``: source column for the timestamp strategy
+    - ``invalidate_hard_deletes``: close versions whose key left the
+      source (default false)
+    - ``snapshot_at``: literal batch timestamp (tests / replay);
+      defaults to the driver clock at run time
+
+    The reference's SCD2 is CDC-driven (cdc_retirement); snapshots
+    self-detect changes, covering sources with no change feed."""
+
+    name = "snapshot"
+
+    def materialize(self, model_name, target_table, select_sql, config, meta, full_refresh=False):
+        from .operators.snapshot import initial_snapshot, snapshot_merge
+
+        key = (config or {}).get("unique_key")
+        if not key:
+            raise MaterializationError("snapshot materialization requires unique_key")
+        keys = [k.strip() for k in key.split("|")]
+        strategy = (config or {}).get("strategy", "check")
+        updated_at = (config or {}).get("updated_at")
+        hard_deletes = str(
+            (config or {}).get("invalidate_hard_deletes", "")
+        ).lower() in ("1", "true", "yes")
+        ts = (config or {}).get("snapshot_at")
+        if ts is None:
+            import datetime as _dt
+
+            ts = _dt.datetime.now(_dt.timezone.utc).replace(
+                tzinfo=None, microsecond=0
+            )
+        batch = self._select_df(select_sql)
+        check_cols = self._layout_cols(config, "check_cols") or [
+            c for c in batch.columns if c not in keys
+        ]
+        pb = self._partition_by(config)
+        if full_refresh or not self.executor.table_exists(target_table):
+            self._overwrite_table(target_table, initial_snapshot(batch, ts), pb)
+            return self._ok(model_name, target_table, initial=True)
+        merged = snapshot_merge(
+            self.spark.table(target_table),
+            batch,
+            keys,
+            check_cols,
+            ts,
+            strategy=strategy,
+            updated_at=updated_at,
+            invalidate_hard_deletes=hard_deletes,
+        )
+        self._swap_in(target_table, merged, pb)
+        return self._ok(model_name, target_table)
+
+
 class MaterializationStrategyFactory:
     """(reference: materialization.py:636-690)"""
 
@@ -545,6 +604,7 @@ class MaterializationStrategyFactory:
         "incremental": IncrementalMaterialization,
         "cdc": CDCMaterialization,
         "cdc_retirement": CDCRetirementMaterialization,
+        "snapshot": SnapshotMaterialization,
     }
 
     @classmethod

@@ -487,3 +487,67 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot SCD2 (check strategy + hard-delete invalidation) — two
+# deterministic runs replayed in one plan, oracle replays both in SQL
+# --------------------------------------------------------------------------
+_SNAPSHOT_ORACLE = """
+WITH b1 AS (SELECT c_custkey AS id, c_name AS v FROM customer WHERE c_custkey % 3 != 0),
+b2 AS (SELECT c_custkey AS id,
+              CASE WHEN c_custkey % 5 = 0 THEN c_name || '!' ELSE c_name END AS v
+       FROM customer WHERE c_custkey % 2 != 0),
+closed AS (
+  SELECT b1.id, b1.v, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '2024-01-02 00:00:00' AS valid_to, FALSE AS is_current
+  FROM b1 LEFT JOIN b2 ON b1.id = b2.id
+  WHERE b2.id IS NULL OR b1.v != b2.v),
+kept AS (
+  SELECT b1.id, b1.v, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM b1 JOIN b2 ON b1.id = b2.id AND b1.v = b2.v),
+fresh AS (
+  SELECT b2.id, b2.v, TIMESTAMP '2024-01-02 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM b2 LEFT JOIN b1 ON b1.id = b2.id
+  WHERE b1.id IS NULL OR b1.v != b2.v)
+SELECT id, v, CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to, is_current FROM closed
+UNION ALL SELECT * FROM kept
+UNION ALL SELECT * FROM fresh
+"""
+
+
+@query("q_snapshot_scd2", oracle=_SNAPSHOT_ORACLE)
+def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot check-strategy semantics under the oracle: batch 1
+    initializes, batch 2 changes every %5 key, drops the %3-excluded
+    overlap complement, and adds the evens' complement — closed /
+    kept / fresh versions must match the SQL replay exactly."""
+    from ..operators.snapshot import initial_snapshot, snapshot_merge
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    b1 = cust.filter("c_custkey % 3 != 0").selectExpr(
+        "c_custkey AS id", "c_name AS v"
+    )
+    b2 = cust.filter("c_custkey % 2 != 0").selectExpr(
+        "c_custkey AS id",
+        "CASE WHEN c_custkey % 5 = 0 THEN c_name || '!' ELSE c_name END AS v",
+    )
+    target = initial_snapshot(b1, "2024-01-01 00:00:00")
+    return snapshot_merge(
+        target,
+        b2,
+        ["id"],
+        ["v"],
+        "2024-01-02 00:00:00",
+        strategy="check",
+        invalidate_hard_deletes=True,
+    ).select(
+        "id",
+        "v",
+        F.col("valid_from").cast("timestamp"),
+        F.col("valid_to").cast("timestamp"),
+        "is_current",
+    )

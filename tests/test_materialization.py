@@ -556,3 +556,100 @@ def test_cluster_by_produces_disjoint_file_ranges(stack):
     assert len(ranges) > 1  # range repartition actually split the data
     for a, b in zip(ranges, ranges[1:]):
         assert a.hi < b.lo, (a, b)
+
+
+def _snap_rows(stack, name):
+    return sorted(
+        (
+            (r.id, r.v, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in stack["spark"].table(f"{stack['db']}.{name}").collect()
+        )
+    )
+
+
+def test_snapshot_check_strategy_full_lifecycle(stack):
+    _write_source(stack, [(1, "a"), (2, "b")], "id bigint, v string")
+    _write_model(
+        stack,
+        "snap",
+        "-- config: materialized=snapshot, unique_key=id, "
+        "snapshot_at=2024-01-01 00:00:00\n"
+        "SELECT * FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("snap")["success"]
+    rows = _snap_rows(stack, "snap")
+    assert len(rows) == 2 and all(r[4] for r in rows)  # both open
+
+    # run 2: id 1 changed, id 2 unchanged, id 3 new
+    _write_source(stack, [(1, "a2"), (2, "b"), (3, "c")], "id bigint, v string")
+    _write_model(
+        stack,
+        "snap",
+        "-- config: materialized=snapshot, unique_key=id, "
+        "snapshot_at=2024-01-02 00:00:00\n"
+        "SELECT * FROM {{ source('raw','feed') }}",
+    )
+    assert stack["mx"].execute_model("snap")["success"]
+    rows = _snap_rows(stack, "snap")
+    assert len(rows) == 4
+    closed = [r for r in rows if not r[4]]
+    assert closed == [(1, "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00", False)]
+    opens = {r[0]: r for r in rows if r[4]}
+    assert opens[1][1] == "a2" and opens[1][2] == "2024-01-02 00:00:00"
+    assert opens[2][1] == "b" and opens[2][2] == "2024-01-01 00:00:00"  # untouched
+    assert opens[3][1] == "c"
+
+    # run 3: identical source -> no new versions (idempotent)
+    assert stack["mx"].execute_model("snap")["success"]
+    assert len(_snap_rows(stack, "snap")) == 4
+
+
+def test_snapshot_invalidate_hard_deletes(stack):
+    _write_source(stack, [(1, "a"), (2, "b")], "id bigint, v string")
+    base = (
+        "-- config: materialized=snapshot, unique_key=id, "
+        "invalidate_hard_deletes=true, snapshot_at={ts}\n"
+        "SELECT * FROM {{{{ source('raw','feed') }}}}"
+    )
+    _write_model(stack, "snap_hd", base.format(ts="2024-01-01 00:00:00"))
+    assert stack["mx"].execute_model("snap_hd")["success"]
+    _write_source(stack, [(2, "b")], "id bigint, v string")
+    _write_model(stack, "snap_hd", base.format(ts="2024-01-02 00:00:00"))
+    assert stack["mx"].execute_model("snap_hd")["success"]
+    rows = _snap_rows(stack, "snap_hd")
+    assert (1, "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00", False) in rows
+    assert [r for r in rows if r[4]] == [
+        (2, "b", "2024-01-01 00:00:00", "None", True)
+    ]
+
+
+def test_snapshot_timestamp_strategy(stack):
+    _write_source(
+        stack,
+        [(1, "a", "2024-01-01 06:00:00")],
+        "id bigint, v string, updated_at string",
+    )
+    base = (
+        "-- config: materialized=snapshot, unique_key=id, strategy=timestamp, "
+        "updated_at=upd_ts, snapshot_at={ts}\n"
+        "SELECT id, v, CAST(updated_at AS TIMESTAMP) AS upd_ts "
+        "FROM {{{{ source('raw','feed') }}}}"
+    )
+    _write_model(stack, "snap_ts", base.format(ts="2024-01-01 12:00:00"))
+    assert stack["mx"].execute_model("snap_ts")["success"]
+    # source row touched AFTER the first snapshot -> new version
+    _write_source(
+        stack,
+        [(1, "a9", "2024-01-02 06:00:00")],
+        "id bigint, v string, updated_at string",
+    )
+    _write_model(stack, "snap_ts", base.format(ts="2024-01-02 12:00:00"))
+    assert stack["mx"].execute_model("snap_ts")["success"]
+    rows = sorted(
+        (r.id, r.v, str(r.valid_to), r.is_current)
+        for r in stack["spark"].table(f"{stack['db']}.snap_ts").collect()
+    )
+    assert rows == [
+        (1, "a", "2024-01-02 12:00:00", False),
+        (1, "a9", "None", True),
+    ]
