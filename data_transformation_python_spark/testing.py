@@ -128,3 +128,84 @@ class TestRunner:
                     TestResult("custom", f.stem, None, False, error=str(e).split("\n")[0])
                 )
         return results
+
+
+class AnomalyTests:
+    """History-aware data-quality checks (beyond the reference's
+    stateless T1-T6): volume anomaly against trailing run history and
+    source freshness with an injectable clock.  Both are single
+    aggregates — no row collection, scale-independent."""
+
+    VOLUME_KEY = "__dq_volume_history"
+
+    def __init__(self, spark, state):
+        self.spark = spark
+        self.state = state
+
+    def volume_anomaly(
+        self,
+        model: str,
+        table: str,
+        tolerance_pct: float = 50.0,
+        window: int = 7,
+        record: bool = True,
+    ) -> TestResult:
+        """Row count vs the trailing-``window`` mean of PREVIOUS runs:
+        fails when it deviates more than ``tolerance_pct`` percent —
+        the "did the upstream feed silently halve/explode" guard.
+        First run (no history) passes vacuously and seeds history."""
+        n = self.spark.table(table).count()
+        hist = self.state.get_incremental_state(model, self.VOLUME_KEY) or []
+        try:
+            if record:
+                self.state.set_incremental_state(
+                    model, self.VOLUME_KEY, (hist + [int(n)])[-window:]
+                )
+            if not hist:
+                return TestResult(model, "volume_anomaly", None, True, rows_failed=0)
+            mean = sum(hist[-window:]) / len(hist[-window:])
+            deviates = mean > 0 and abs(n - mean) > (tolerance_pct / 100.0) * mean
+            return TestResult(
+                model,
+                "volume_anomaly",
+                None,
+                not deviates,
+                rows_failed=int(abs(n - mean)) if deviates else 0,
+            )
+        except Exception as e:  # history store must never crash the run
+            return TestResult(
+                model, "volume_anomaly", None, False, error=str(e).split("\n")[0]
+            )
+
+    def freshness(
+        self,
+        model: str,
+        table: str,
+        column: str,
+        max_lag_hours: float,
+        as_of=None,
+    ) -> TestResult:
+        """dbt source-freshness: fails when ``max(column)`` is older
+        than ``max_lag_hours`` before ``as_of`` (injectable for tests
+        and backfills; defaults to the driver clock)."""
+        import datetime as _dt
+
+        if as_of is None:
+            as_of = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        elif isinstance(as_of, str):
+            as_of = _dt.datetime.fromisoformat(as_of)
+        row = (
+            self.spark.table(table)
+            .agg(F.max(F.col(column).cast("timestamp")).alias("m"))
+            .first()
+        )
+        latest = row["m"]
+        if latest is None:
+            return TestResult(
+                model, "freshness", column, False, error="no data / all-NULL column"
+            )
+        lag_h = (as_of - latest).total_seconds() / 3600.0
+        fresh = lag_h <= max_lag_hours
+        return TestResult(
+            model, "freshness", column, fresh, rows_failed=0 if fresh else 1
+        )

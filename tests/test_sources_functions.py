@@ -317,3 +317,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_volume_anomaly_seeds_then_flags_explosion(spark, tmp_path):
+    import uuid
+
+    from data_transformation_python_spark.state import create_state_manager
+    from data_transformation_python_spark.testing import AnomalyTests
+
+    state = create_state_manager(tmp_path / "state", "dev")
+    at = AnomalyTests(spark, state)
+    name = f"vol_{uuid.uuid4().hex[:8]}"
+    spark.range(100).createOrReplaceTempView(name)
+    r1 = at.volume_anomaly("m", name)
+    assert r1.passed  # no history yet: vacuous pass, seeds history
+    r2 = at.volume_anomaly("m", name)
+    assert r2.passed  # same volume
+    spark.range(1000).createOrReplaceTempView(name)
+    spark.catalog.dropTempView(name)
+    spark.range(1000).createOrReplaceTempView(name)
+    r3 = at.volume_anomaly("m", name)
+    assert not r3.passed  # 10x explosion vs trailing mean
+    assert r3.rows_failed > 0
+
+
+def test_freshness_with_injected_clock(spark, tmp_path):
+    from data_transformation_python_spark.state import create_state_manager
+    from data_transformation_python_spark.testing import AnomalyTests
+
+    at = AnomalyTests(spark, create_state_manager(tmp_path / "state", "dev"))
+    spark.sql(
+        "SELECT TIMESTAMP '2024-01-10 00:00:00' AS ts"
+    ).createOrReplaceTempView("fresh_t")
+    ok = at.freshness("m", "fresh_t", "ts", 48, as_of="2024-01-11 00:00:00")
+    assert ok.passed
+    stale = at.freshness("m", "fresh_t", "ts", 12, as_of="2024-01-11 00:00:00")
+    assert not stale.passed and stale.rows_failed == 1
