@@ -229,7 +229,7 @@ def test(ctx: Context, model):
     """Run schema.yml + custom SQL data-quality tests."""
     registry = ModelRegistry(ctx.config.models_dir)
     mx = ctx.model_executor()
-    runner = TestRunner(mx.executor, registry, ctx.config.tests_dir)
+    runner = TestRunner(mx.executor, registry, ctx.config.tests_dir, state=ctx.state)
     results = []
     names = [model] if model else sorted(registry.models)
     for n in names:

@@ -31,11 +31,20 @@ class TestResult:
 
 
 class TestRunner:
-    def __init__(self, executor, registry=None, tests_dir: str | Path | None = None):
+    def __init__(
+        self,
+        executor,
+        registry=None,
+        tests_dir: str | Path | None = None,
+        state=None,
+    ):
         self.executor = executor
         self.spark = executor.spark
         self.registry = registry
         self.tests_dir = Path(tests_dir) if tests_dir else None
+        # optional state manager enables the history-aware tests
+        # (volume_anomaly); without it they fail with a clear error
+        self.state = state
 
     # -- builtin tests (T1-T4) -----------------------------------------
     def test_unique(self, table: str, column: str) -> int:
@@ -86,6 +95,27 @@ class TestRunner:
             elif tname == "range":
                 failed = self.test_range(
                     table, column, params.get("min"), params.get("max")
+                )
+            elif tname == "volume_anomaly":
+                if self.state is None:
+                    return TestResult(
+                        model, tname, column, False,
+                        error="volume_anomaly needs a state manager "
+                        "(TestRunner(..., state=...))",
+                    )
+                return AnomalyTests(self.spark, self.state).volume_anomaly(
+                    model,
+                    table,
+                    tolerance_pct=float(params.get("tolerance_pct", 50.0)),
+                    window=int(params.get("window", 7)),
+                )
+            elif tname == "freshness":
+                return AnomalyTests(self.spark, self.state).freshness(
+                    model,
+                    table,
+                    column or params.get("column"),
+                    max_lag_hours=float(params.get("max_lag_hours", 24.0)),
+                    as_of=params.get("as_of"),
                 )
             else:
                 return TestResult(

@@ -353,3 +353,31 @@ def test_freshness_with_injected_clock(spark, tmp_path):
     assert ok.passed
     stale = at.freshness("m", "fresh_t", "ts", 12, as_of="2024-01-11 00:00:00")
     assert not stale.passed and stale.rows_failed == 1
+
+
+def test_declarative_volume_anomaly_and_freshness_via_runner(spark, tmp_path):
+    import uuid
+
+    from data_transformation_python_spark.state import create_state_manager
+    from data_transformation_python_spark.testing import TestRunner
+
+    class _Ex:  # minimal executor facade
+        def __init__(self, s):
+            self.spark = s
+
+    state = create_state_manager(tmp_path / "state", "dev")
+    runner = TestRunner(_Ex(spark), state=state)
+    name = f"decl_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        "SELECT TIMESTAMP '2024-01-10 00:00:00' AS ts"
+    ).createOrReplaceTempView(name)
+    r = runner._run_one("m", name, None, "volume_anomaly")
+    assert r.passed
+    r2 = runner._run_one(
+        "m", name, "ts",
+        {"freshness": {"max_lag_hours": 12, "as_of": "2024-01-11 00:00:00"}},
+    )
+    assert not r2.passed
+    # missing state -> clear declarative error, not a crash
+    r3 = TestRunner(_Ex(spark))._run_one("m", name, None, "volume_anomaly")
+    assert not r3.passed and "state manager" in (r3.error or "")
