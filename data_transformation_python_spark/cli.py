@@ -1,5 +1,5 @@
 """CLI: run / run-all / plan / list / deps / validate / test /
-backfill / lineage / serve.
+backfill / explain / lineage / serve.
 
 Port of the reference CLI verbs (reference: src/framework/cli.py:44-339)
 on click, with one behavioral upgrade flagged in SURVEY §3.2: run-all
@@ -256,6 +256,27 @@ def backfill(ctx: Context, model, start_date, end_date, interval_days, vars_str)
     ok = all(r.get("success") for r in results)
     click.echo(json.dumps({"success": ok, "slices": len(results)}, default=str))
     sys.exit(0 if ok else 1)
+
+
+@cli.command()
+@click.argument("model")
+@click.option(
+    "--mode",
+    default="formatted",
+    type=click.Choice(["simple", "extended", "formatted", "cost"]),
+    help="Spark explain mode; 'cost' shows CBO row/size estimates "
+    "(populated for tables ANALYZEd via the analyze config).",
+)
+@click.pass_obj
+def explain(ctx: Context, model, mode):
+    """Physical plan of a model's compiled SELECT — the scale review
+    tool: check pushdown, pruning, and join strategies before
+    materializing."""
+    mx = ctx.model_executor()
+    _, final_sql, _ = mx.compile_model(model)
+    rows = ctx.spark.sql(f"EXPLAIN {mode.upper()} {final_sql}").collect()
+    for r in rows:
+        click.echo(r[0])
 
 
 @cli.command()

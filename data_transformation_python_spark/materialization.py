@@ -642,9 +642,26 @@ class Materializer:
                 policy=(config or {}).get("on_orphaned_staging", "error"),
                 partition_by=strategy._partition_by(config),
             )
-        return strategy.materialize(
+        result = strategy.materialize(
             model_name, target_table, select_sql, config or {}, meta or {}, full_refresh
         )
+        # CBO statistics: `analyze: true` computes table-level stats
+        # (size/rows — drives broadcast decisions and join reordering),
+        # `analyze: columns` adds per-column NDV/min/max histograms.
+        # One metadata job after a successful physical write; views and
+        # temp views have no files to analyze.
+        mode = str((config or {}).get("analyze", "")).lower()
+        if (
+            mode in ("true", "1", "yes", "columns")
+            and result.get("success")
+            and materialized not in ("view", "temp_table")
+        ):
+            sql = f"ANALYZE TABLE {target_table} COMPUTE STATISTICS"
+            if mode == "columns":
+                sql += " FOR ALL COLUMNS"
+            self.executor.spark.sql(sql)
+            result["analyzed"] = mode
+        return result
 
 
 # Retain the OBSOLETE_COL export for callers inspecting CDC tables.

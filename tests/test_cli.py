@@ -63,3 +63,11 @@ def test_cli_lineage(proj):
     out = json.loads(r.output)
     cols = {c["column"] for c in out["silver_orders"]}
     assert "amount" in cols and "status" in cols
+
+
+def test_cli_explain_shows_physical_plan(proj):
+    r = CliRunner().invoke(
+        cli, ["--project-dir", proj, "explain", "bronze_orders"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "Physical Plan" in r.output or "Scan" in r.output

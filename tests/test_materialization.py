@@ -653,3 +653,27 @@ def test_snapshot_timestamp_strategy(stack):
         (1, "a", "2024-01-02 12:00:00", False),
         (1, "a9", "None", True),
     ]
+
+
+def test_analyze_config_populates_cbo_stats(stack):
+    _write_source(stack, [(i, f"v{i % 5}") for i in range(200)], "id bigint, v string")
+    _write_model(
+        stack,
+        "analyzed_t",
+        "-- config: materialized=table, analyze=columns\n"
+        "SELECT * FROM {{ source('raw','feed') }}",
+    )
+    r = stack["mx"].execute_model("analyzed_t")
+    assert r["success"] and r.get("analyzed") == "columns"
+    spark, db = stack["spark"], stack["db"]
+    desc = {
+        row.info_name: row.info_value
+        for row in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {db}.analyzed_t"
+        ).selectExpr("col_name AS info_name", "data_type AS info_value").collect()
+    }
+    assert "200 rows" in desc.get("Statistics", "")
+    # column-level NDV present for v (5 distinct)
+    col = spark.sql(f"DESCRIBE EXTENDED {db}.analyzed_t v").collect()
+    stats = {r[0]: r[1] for r in col}
+    assert stats.get("distinct_count") == "5"
