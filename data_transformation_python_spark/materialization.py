@@ -137,11 +137,22 @@ class Materialization:
         cols = list(cluster_by)
         if cols and isinstance(cols[0], int):
             n, cols = cols[0], cols[1:]
+        drop_after = None
+        if len(cols) == 1 and cols[0].startswith("zorder(") and cols[0].endswith(")"):
+            # multi-dimensional clustering: cluster_by=zorder(a|b) —
+            # interleaved-bit key gives every file locality in every
+            # listed dimension (operators/transform.py:zorder_column)
+            from .operators.transform import zorder_column
+
+            zcols = [c.strip() for c in cols[0][7:-1].split("|") if c.strip()]
+            df, key = zorder_column(df, zcols)
+            cols, drop_after = [key], key
         if n:
             df = df.repartitionByRange(n, *cols)
         else:
             df = df.repartitionByRange(*cols)
-        return df.sortWithinPartitions(*cols)
+        df = df.sortWithinPartitions(*cols)
+        return df.drop(drop_after) if drop_after else df
 
     @staticmethod
     def _staging_name(target: str) -> str:
@@ -232,8 +243,14 @@ class Materialization:
         """Parse config cluster_by: range-clustered file layout
         (non-overlapping key ranges per file → min/max pruning).
         Optional ``cluster_files: N`` pins the output file count
-        (prepended as an int; see ``_apply_clustering``)."""
-        cols = Materialization._layout_cols(config, "cluster_by")
+        (prepended as an int; see ``_apply_clustering``).  The value
+        ``zorder(a|b)`` passes through whole — the pipes inside the
+        parens are dimension separators, not column separators."""
+        raw = (config or {}).get("cluster_by")
+        if isinstance(raw, str) and raw.strip().startswith("zorder("):
+            cols = [raw.strip()]
+        else:
+            cols = Materialization._layout_cols(config, "cluster_by")
         if not cols:
             return None
         n = (config or {}).get("cluster_files")

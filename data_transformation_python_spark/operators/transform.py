@@ -141,3 +141,53 @@ def profile_columns(
         "(col_name, n_nulls, n_distinct, min_value, max_value)",
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def zorder_column(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Append a Z-order (Morton) key over ``cols``: each column is
+    min/max-scaled into 2^bits buckets (one tiny probe job), and the
+    bucket bits are interleaved into one BIGINT — sorting by it gives
+    every output file locality in EVERY listed dimension, so parquet
+    min/max stats prune scans on any of them (the multi-column case
+    single-key clustering cannot serve).
+
+    The interleave is pure integer expressions inside codegen; NULLs
+    and constant columns land in bucket 0.  Linear bucketing is the
+    deterministic choice (rank-based Z-ordering needs a full sort per
+    dimension); heavy skew concentrates buckets — pre-transform the
+    column (e.g. log) if that matters.  Returns (df_with_key,
+    key_column_name).
+    """
+    probe = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    n = len(cols)
+    max_bucket = (1 << bits) - 1
+    bucket_exprs = []
+    for i, c in enumerate(cols):
+        lo, hi = probe[f"__lo_{i}"], probe[f"__hi_{i}"]
+        if lo is None or hi is None or hi <= lo:
+            bucket_exprs.append("CAST(0 AS BIGINT)")
+            continue
+        scale = max_bucket / (hi - lo)
+        bucket_exprs.append(
+            f"CAST(least({max_bucket}, greatest(0, "
+            f"floor((coalesce(CAST({c} AS DOUBLE), {lo}) - {lo}) * {scale!r})"
+            f")) AS BIGINT)"
+        )
+    terms = []
+    for i in range(n):
+        for b in range(bits):
+            shift = b * n + i
+            terms.append(f"shiftleft(shiftright(__zb{i}, {b}) & 1, {shift})")
+    key = "__zorder_key"
+    staged = df.select(
+        "*", *[F.expr(e).alias(f"__zb{i}") for i, e in enumerate(bucket_exprs)]
+    )
+    out = staged.select(
+        *df.columns, F.expr(" + ".join(terms)).cast("bigint").alias(key)
+    )
+    return out, key

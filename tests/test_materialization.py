@@ -677,3 +677,41 @@ def test_analyze_config_populates_cbo_stats(stack):
     col = spark.sql(f"DESCRIBE EXTENDED {db}.analyzed_t v").collect()
     stats = {r[0]: r[1] for r in col}
     assert stats.get("distinct_count") == "5"
+
+
+def test_zorder_clustering_gives_locality_in_both_dimensions(stack):
+    from pyspark.sql import functions as F
+
+    # two independent uniform dimensions derived from the id
+    _write_source(
+        stack,
+        [(i, (i * 37) % 1000, (i * 61) % 1000) for i in range(4000)],
+        "id bigint, x bigint, y bigint",
+    )
+    _write_model(
+        stack,
+        "zordered",
+        "-- config: materialized=table, cluster_by=zorder(x|y), cluster_files=16\n"
+        "SELECT * FROM {{ source('raw','feed') }}",
+    )
+    r = stack["mx"].execute_model("zordered")
+    assert r["success"], r
+    spark, db = stack["spark"], stack["db"]
+    tbl = spark.table(f"{db}.zordered")
+    assert tbl.count() == 4000
+    assert "__zorder_key" not in tbl.columns  # helper dropped
+    spans = (
+        tbl.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) > 4
+    # Z-order: EVERY file covers a narrow slab of BOTH dimensions —
+    # single-key clustering would leave one dimension's span ~full
+    mean_sx = sum(r.sx for r in spans) / len(spans)
+    mean_sy = sum(r.sy for r in spans) / len(spans)
+    assert mean_sx < 600 and mean_sy < 600, (mean_sx, mean_sy)
