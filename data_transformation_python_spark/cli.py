@@ -109,7 +109,7 @@ def run(ctx: Context, model, vars_str, dry_run, full_refresh):
 
 @cli.command("run-all")
 @click.option("--vars", "vars_str", default=None)
-@click.option("--select", default=None, help="comma-separated target models")
+@click.option("--select", default=None, help="comma-separated selectors: model (with upstream), model+ (with downstream), +model+ (both)")
 @click.option("--parallelism", default=4, type=int)
 @click.option("--full-refresh", is_flag=True, default=False)
 @click.pass_obj

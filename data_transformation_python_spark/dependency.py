@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 
 
 from .errors import CircularDependencyError as _BaseCircularDependencyError
+from .errors import DependencyError
 
 
 class CircularDependencyError(_BaseCircularDependencyError):
@@ -153,15 +154,32 @@ class DependencyGraph:
         return levels
 
     def get_execution_order(self, targets: list[str] | None = None) -> list[list[str]]:
-        """Execution levels restricted to targets + their transitive
-        dependencies (reference: dependency.py:279-308)."""
+        """Execution levels restricted to a selection (reference:
+        dependency.py:279-308, extended with dbt-style graph
+        selectors):
+
+        - ``model``  → the model plus its transitive upstream
+          dependencies (everything needed to build it)
+        - ``model+`` → the model plus its transitive *downstream*
+          dependents (rebuild-the-consumers shape); downstream
+          models' other parents are NOT pulled in (dbt semantics —
+          they are assumed already built)
+        - ``+model+`` → both closures
+        """
         levels = self.topological_sort()
         if targets is None:
             return levels
         wanted: set[str] = set()
         for t in targets:
-            wanted.add(t)
-            wanted |= self.get_dependencies(t, recursive=True)
+            down = t.endswith("+")
+            name = t.strip("+")
+            if name not in self.nodes:
+                raise DependencyError(f"unknown model in --select: {name!r}")
+            wanted.add(name)
+            if not down or t.startswith("+"):
+                wanted |= self.get_dependencies(name, recursive=True)
+            if down:
+                wanted |= self.get_dependents(name, recursive=True)
         return [lv for lv in ([n for n in level if n in wanted] for level in levels) if lv]
 
     # -- impact analysis (reference: dependency.py:310-330) ------------

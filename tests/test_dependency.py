@@ -109,3 +109,25 @@ def test_parallel_executor_graceful_degradation():
 def test_to_dot():
     dot = _diamond().to_dot()
     assert '"raw" -> "left";' in dot
+
+
+def test_selector_closures_upstream_downstream_both():
+    import pytest
+
+    from data_transformation_python_spark.dependency import DependencyGraph
+    from data_transformation_python_spark.errors import DependencyError
+
+    g = DependencyGraph()
+    # a -> b -> c,  a -> d (diamond-free chain + side branch)
+    g.add_model("a", [])
+    g.add_model("b", ["a"])
+    g.add_model("c", ["b"])
+    g.add_model("d", ["a"])
+
+    flat = lambda lv: [n for level in lv for n in level]
+    assert flat(g.get_execution_order(["b"])) == ["a", "b"]  # upstream closure
+    assert flat(g.get_execution_order(["b+"])) == ["b", "c"]  # downstream only
+    assert flat(g.get_execution_order(["+b+"])) == ["a", "b", "c"]
+    assert flat(g.get_execution_order(["a+"])) == ["a", "b", "d", "c"]
+    with pytest.raises(DependencyError):
+        g.get_execution_order(["nope"])
