@@ -233,3 +233,28 @@ def test_pq_adc_ranks_are_dense_and_bounded(spark):
     assert set(by_q) == set(range(5))
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3]
+
+
+def test_lloyd_blas_partials_match_literal_aggregate(spark):
+    # the BLAS corpus pass must be bit-identical to the literal-argmin
+    # aggregate it replaces (same counts, sums, inertia, same clusters)
+    from data_transformation_python_spark.operators import similarity as S
+    from data_transformation_python_spark.operators.transform import materialize
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qn = materialize(S.quantized(emb))
+    cents = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["__v"]])
+        for r in qn.filter("vec_id % 50 = 0").select("vec_id", "__v").collect()
+    )
+    d = len(cents[0][1])
+    # literal: stats on the same fixed centroids (no update passes)
+    lit = {
+        r.cluster_id: (r.n_members, r.centroid_norm, r.inertia)
+        for r in S.kmeans_lloyd(emb, stride=50, assign_passes=1).collect()
+    }
+    blas = {
+        cid: (n, sum(x * x for x in dict(cents)[cid]), inertia)
+        for cid, n, _, inertia in S._lloyd_partials_blas(qn, cents, d)
+    }
+    assert lit == blas
