@@ -99,3 +99,89 @@ def test_random_query_parity(spark, pred_idx, key_idx, agg_idx):
     con.close()
 
     assert sorted(srows) == sorted(drows), spark_sql
+
+
+_DOC_PREDS = ["1 = 1", "doc_id % 4 != 1", "doc_id % 2 = 0", "doc_id < 300"]
+
+
+@given(
+    n=st.integers(3, 10),
+    min_docs=st.integers(2, 3),
+    pred_i=st.integers(0, len(_DOC_PREDS) - 1),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_repeated_spans_parity(spark, n, min_docs, pred_i):
+    # randomized span-dedup parity: every (span length, min-docs,
+    # filter) combination must match the SQL replay bit-for-bit
+    from data_transformation_python_spark.operators.dedup import repeated_spans
+
+    pred = _DOC_PREDS[pred_i]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(pred)
+    srows = sorted(
+        tuple(_canon(v) for v in r)
+        for r in repeated_spans(docs, n=n, min_docs=min_docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs_fz AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    drows = sorted(
+        tuple(_canon(v) for v in r)
+        for r in con.execute(f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_fz WHERE {pred}),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+        FROM toks WHERE len(t) >= {n}),
+sp AS (SELECT doc_id, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS span_hash FROM idx)
+SELECT span_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM sp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+""").fetchall()
+    )
+    con.close()
+    assert srows == drows, (n, min_docs, pred)
+
+
+@given(n_buckets=st.sampled_from([64, 256, 1024, 4096, 65536]))
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_classifier_bucket_parity(spark, n_buckets):
+    from data_transformation_python_spark.operators.text import quality_classifier
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    srows = sorted(
+        tuple(_canon(v) for v in r)
+        for r in quality_classifier(docs, n_buckets=n_buckets).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs_qc AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    drows = sorted(
+        tuple(_canon(v) for v in r)
+        for r in con.execute(f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           t -> CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % {n_buckets} % 1001 - 500
+         )) AS BIGINT) AS logit_sum
+  FROM docs_qc)
+SELECT doc_id, n_tokens, logit_sum,
+       CAST(logit_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_weight,
+       logit_sum > 0 AS quality_label
+FROM scored
+""").fetchall()
+    )
+    con.close()
+    assert srows == drows, n_buckets
