@@ -167,10 +167,13 @@ _PRIORITY: list[str] = [
     "samp_temperature",
     "multimodal_avi_meta",
     # exactly 50 names: later additions (range join, resize/frame
-    # codecs, winsorize, selection, connector round-trips, …) wait for
-    # the round-6 rotation — they are covered THIS round by the local
-    # parity suite, the committed PARITY_r05.json sweep, and their
-    # plan/property tests.
+    # codecs, winsorize, selection, connector round-trips, and the
+    # round-5 wave — repeated spans, incremental/streaming index
+    # dedup, PQ + ADC, funnel/retention, profiling, snapshot SCD2,
+    # shuffle order, skew profile, ORC …) wait for the round-6
+    # rotation — they are covered THIS round by the local parity
+    # suite, the committed PARITY_r05.json full-registry sweep, and
+    # their plan/property tests.
 ]
 
 
