@@ -372,6 +372,26 @@ def main() -> None:
         ).mode("overwrite").save()
     except Exception:
         pass
+    # Warm the explode+window shape (first run pays ~4 s of JIT that
+    # otherwise lands on whichever tfidf/rank query goes first) and
+    # spin up the Arrow Python workers (first mapInPandas pays worker
+    # fork + import).
+    try:
+        spark.range(100).selectExpr(
+            "id", "explode(sequence(0, 3)) AS j"
+        ).selectExpr(
+            "id", "j", "row_number() OVER (PARTITION BY id ORDER BY j) AS rn"
+        ).write.format("noop").mode("overwrite").save()
+
+        def _noopb(batches):
+            for pdf in batches:
+                yield pdf
+
+        spark.range(100).mapInPandas(_noopb, "id bigint").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

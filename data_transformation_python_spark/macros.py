@@ -132,8 +132,50 @@ GROUP BY {group_by}
 """
 
 
+def exact_dedup(
+    source_table: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> str:
+    """Exact-dedup codegen (beyond the reference — bridges the
+    LLM-pipeline dedup family into model SQL): keep the minimum-id
+    row per content hash.  Emitted as an aggregate + self-join on the
+    keeper ids (no ``SELECT * EXCEPT`` dependence, no window over the
+    full row set); Catalyst turns the keeper side into a
+    broadcast/shuffled semi-structure sized by DISTINCT contents."""
+    return f"""
+SELECT s.*
+FROM {source_table} s
+JOIN (
+    SELECT MIN({id_column}) AS __keep_id
+    FROM {source_table}
+    GROUP BY md5({text_column})
+) k ON s.{id_column} = k.__keep_id
+"""
+
+
+def simhash_signatures(
+    source_table: str,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    bits: int = 16,
+) -> str:
+    """SimHash signature codegen over a model/source table — the SQL
+    twin of operators/dedup.simhash_sql, usable directly inside a
+    model body for near-dup candidate tables."""
+    from .operators.dedup import simhash_sql
+
+    return simhash_sql(
+        f"SELECT {id_column} AS doc_id, {text_column} AS text"
+        f" FROM {source_table}",
+        bits=bits,
+        dialect="spark",
+    )
+
+
 def register_macros(jinja_env: Environment) -> None:
-    """Install macros as Jinja globals (reference: macros.py:199-216)."""
+    """Install macros as Jinja globals (reference: macros.py:199-216;
+    ``exact_dedup``/``simhash_signatures`` are beyond-reference)."""
     jinja_env.globals.update(
         cdc_merge=cdc_merge,
         cdc_columns=cdc_columns,
@@ -141,4 +183,6 @@ def register_macros(jinja_env: Environment) -> None:
         bronze_load=bronze_load,
         silver_clean=silver_clean,
         gold_aggregate=gold_aggregate,
+        exact_dedup=exact_dedup,
+        simhash_signatures=simhash_signatures,
     )

@@ -715,3 +715,43 @@ def test_zorder_clustering_gives_locality_in_both_dimensions(stack):
     mean_sx = sum(r.sx for r in spans) / len(spans)
     mean_sy = sum(r.sy for r in spans) / len(spans)
     assert mean_sx < 600 and mean_sy < 600, (mean_sx, mean_sy)
+
+
+def test_exact_dedup_macro_model(stack):
+    _write_source(
+        stack,
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        "doc_id bigint, text string",
+    )
+    _write_model(
+        stack,
+        "deduped",
+        "-- config: materialized=table\n"
+        "{{ exact_dedup(source('raw','feed'), 'text', 'doc_id') }}",
+    )
+    r = stack["mx"].execute_model("deduped")
+    assert r["success"], r
+    rows = sorted(
+        (x.doc_id, x.text)
+        for x in stack["spark"].table(f"{stack['db']}.deduped").collect()
+    )
+    assert rows == [(1, "same text"), (3, "other text")]
+
+
+def test_simhash_macro_model(stack):
+    _write_source(
+        stack,
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id bigint, text string",
+    )
+    _write_model(
+        stack,
+        "sigs",
+        "-- config: materialized=table\n"
+        "{{ simhash_signatures(source('raw','feed')) }}",
+    )
+    r = stack["mx"].execute_model("sigs")
+    assert r["success"], r
+    rows = {x.doc_id: x.simhash for x in stack["spark"].table(
+        f"{stack['db']}.sigs").collect()}
+    assert set(rows) == {1, 2} and all(0 <= v < 2**16 for v in rows.values())
