@@ -104,11 +104,13 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round: the 43 queries whose last driver
-# check was round 2 lead, then this round's changed/new code (the
-# repetition-stats rewrite and the new BMP/AVI codec, watermarked
-# dedup, kmeans-IVF, Gopher-gate, temperature-sampling, and range-join
-# queries).  Everything past position 50 stays honest via the local
+# rotated STALEST-FIRST each round: 41 queries whose last driver
+# check was round 2 lead (q_cube_grouping / q_grouping_sets ceded
+# their slots to the BLAS-strategy gates — changed code outranks
+# re-checking unchanged stale code), then this round's changed/new
+# code (the BLAS kmeans/PQ gates, the repetition-stats rewrite and
+# the new BMP/AVI codec, watermarked dedup, kmeans-IVF, Gopher-gate,
+# temperature-sampling queries).  Everything past position 50 stays honest via the local
 # DuckDB parity suite (tests/test_oracle_parity.py) and the committed
 # PARITY_r{N}.json full-registry sweep.  Names absent from the
 # registry are ignored; registered names absent from this list keep
@@ -116,13 +118,11 @@ def _register_all() -> None:
 _PRIORITY: list[str] = [
     # --- last driver-checked in round 2 (stalest) ---
     "q_quantiles",
-    "q_cube_grouping",
     "q_lag_lead",
     "q_salted_join",
     "sim_lsh_buckets",
     "dedup_pipeline_survivors",
     "text_quality_filter",
-    "q_grouping_sets",
     "q_range_frame_trailing",
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -159,6 +159,8 @@ _PRIORITY: list[str] = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     # --- changed or new this round ---
+    "sim_kmeans_blas",
+    "sim_pq_codes_blas",
     "text_repetition_stats",
     "multimodal_bmp_meta",
     "q_stream_dedup_watermark",

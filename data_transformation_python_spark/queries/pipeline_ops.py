@@ -928,3 +928,27 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         centroid_stride=50,
     )
+
+
+# --------------------------------------------------------------------------
+# BLAS-path gates: identical semantics at a codebook size past the
+# literal/Arrow crossover (k*d > 2000), so the driver oracle verifies
+# the Arrow BLAS strategy itself, not only the literal plan the small
+# fixtures pick.  The oracles are the same replays at stride 10.
+# --------------------------------------------------------------------------
+@query("sim_kmeans_blas", oracle=_KMEANS_ORACLE.replace("% 50", "% 10"))
+def sim_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass Lloyd at k=50 (stride 10): k*d = 3200 forces the
+    Arrow-BLAS update/stats passes; the SQL oracle replays the exact
+    same integer arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(emb, stride=10, assign_passes=2)
+
+
+@query("sim_pq_codes_blas", oracle=_PQ_ORACLE.replace("% 50", "% 10"))
+def sim_pq_codes_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode with a 50-centroid codebook per subspace — past the
+    crossover, so the Arrow path runs under the oracle."""
+    return sim.pq_encode(
+        load(spark, sf_dir, "embeddings"), m=4, centroid_stride=10
+    )
