@@ -195,7 +195,9 @@ class Materialization:
             f"on_orphaned_staging: recover|drop to resolve automatically."
         )
 
-    def _swap_in(self, target: str, df: DataFrame, partition_by=None) -> None:
+    def _swap_in(
+        self, target: str, df: DataFrame, partition_by=None, cluster_by=None
+    ) -> None:
         """Materialize ``df`` (which may read ``target``) via a staging
         table, then rewrite target from staging.  Required because
         vanilla Spark cannot overwrite a parquet table it is reading
@@ -209,9 +211,11 @@ class Materialization:
         run's ``recover_orphaned_staging`` janitor then restores or
         surfaces it."""
         staging = self._staging_name(target)
-        self._overwrite_table(staging, df, partition_by)
+        self._overwrite_table(staging, df, partition_by, cluster_by)
         try:
-            self._overwrite_table(target, self.spark.table(staging), partition_by)
+            self._overwrite_table(
+                target, self.spark.table(staging), partition_by, cluster_by
+            )
         except Exception as exc:
             raise MaterializationError(
                 f"rewrite of {target} failed mid-swap; staging table "
@@ -340,10 +344,15 @@ class IncrementalMaterialization(Materialization):
                     self.spark, target_table, self._select_df(select_sql), keys, mb
                 )
             else:
+                # clustered layout applies to the initial full build;
+                # later appends/merges write their delta unclustered
+                # (re-clustering history every run would rewrite the
+                # table — at scale, periodic compaction re-sorts)
                 self._overwrite_table(
                     target_table,
                     self._select_df(select_sql),
                     self._partition_by(config),
+                    self._cluster_by(config),
                 )
             if strategy == "time":
                 self._store_watermark(model_name, target_table, config)
@@ -441,7 +450,12 @@ class IncrementalMaterialization(Materialization):
             )
         target = self.spark.table(target_table)
         merged = merge_upsert(target, source, keys)
-        self._swap_in(target_table, merged, self._partition_by(config))
+        self._swap_in(
+            target_table,
+            merged,
+            self._partition_by(config),
+            self._cluster_by(config),
+        )
         return self._ok(
             model_name, target_table, incremental_strategy="unique_key", keys=keys
         )

@@ -755,3 +755,40 @@ def test_simhash_macro_model(stack):
     rows = {x.doc_id: x.simhash for x in stack["spark"].table(
         f"{stack['db']}.sigs").collect()}
     assert set(rows) == {1, 2} and all(0 <= v < 2**16 for v in rows.values())
+
+
+def test_unique_key_incremental_preserves_clustering(stack):
+    from pyspark.sql import functions as F
+
+    _write_source(
+        stack,
+        [(i, i * 10) for i in range(1000)],
+        "id bigint, amount bigint",
+    )
+    base = (
+        "-- config: materialized=incremental, incremental_strategy=unique_key, "
+        "unique_key=id, cluster_by=id, cluster_files=4\n"
+        "SELECT * FROM {{ source('raw','feed') }}"
+    )
+    _write_model(stack, "inc_clustered", base)
+    assert stack["mx"].execute_model("inc_clustered")["success"]
+    # second run: changed rows MERGE and the rewrite re-clusters
+    _write_source(
+        stack,
+        [(i, i * 10 + 1) for i in range(500, 1500)],
+        "id bigint, amount bigint",
+    )
+    _write_model(stack, "inc_clustered", base)
+    assert stack["mx"].execute_model("inc_clustered")["success"]
+    tbl = stack["spark"].table(f"{stack['db']}.inc_clustered")
+    assert tbl.count() == 1500
+    ranges = (
+        tbl.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi < b.lo, (a, b)
