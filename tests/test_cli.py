@@ -71,3 +71,23 @@ def test_cli_explain_shows_physical_plan(proj):
     )
     assert r.exit_code == 0, r.output
     assert "Physical Plan" in r.output or "Scan" in r.output
+
+
+def test_cli_run_all_downstream_selector(proj):
+    # build everything once; the downstream selector then models the
+    # real usage — rebuild the consumers of a changed model (dbt
+    # semantics: other parents are assumed already built)
+    r0 = CliRunner().invoke(cli, ["--project-dir", proj, "run-all"])
+    assert r0.exit_code == 0, r0.output
+    r = CliRunner().invoke(
+        cli,
+        ["--project-dir", proj, "run-all", "--select", "silver_orders+"],
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    ran = {x["model"] for x in out["results"]}
+    # downstream closure of silver_orders — not bronze, not events
+    assert "silver_orders" in ran
+    assert "gold_daily_revenue" in ran and "gold_customer_totals" in ran
+    assert "gold_orders_clustered" in ran
+    assert "bronze_orders" not in ran and "events_hourly" not in ran
