@@ -1,5 +1,5 @@
 """CLI: run / run-all / plan / list / deps / validate / test /
-backfill / explain / lineage / serve.
+backfill / explain / compact / lineage / serve.
 
 Port of the reference CLI verbs (reference: src/framework/cli.py:44-339)
 on click, with one behavioral upgrade flagged in SURVEY §3.2: run-all
@@ -256,6 +256,41 @@ def backfill(ctx: Context, model, start_date, end_date, interval_days, vars_str)
     ok = all(r.get("success") for r in results)
     click.echo(json.dumps({"success": ok, "slices": len(results)}, default=str))
     sys.exit(0 if ok else 1)
+
+
+@cli.command()
+@click.argument("table")
+@click.option("--cluster-by", "cluster_by", default=None,
+              help="pipe-separated cluster columns, or zorder(a|b)")
+@click.option("--cluster-files", "cluster_files", default=None, type=int)
+@click.pass_obj
+def compact(ctx: Context, table, cluster_by, cluster_files):
+    """Rewrite a table with a (re-)clustered file layout — the
+    periodic compaction that restores min/max pruning after
+    incremental appends/merges fragment it.  TABLE is a model name
+    (resolved against the project database) or a qualified table."""
+    from .materialization import TableMaterialization
+
+    mx = ctx.model_executor()
+    target = table if "." in table else mx.full_table_name(table)
+    strat = TableMaterialization(mx.executor, ctx.state)
+    cfg = {}
+    if cluster_by:
+        cfg["cluster_by"] = cluster_by
+    if cluster_files:
+        cfg["cluster_files"] = cluster_files
+    df = ctx.spark.table(target)
+    n_before = df.inputFiles()
+    strat._swap_in(
+        target, df, strat._partition_by(cfg), strat._cluster_by(cfg)
+    )
+    n_after = ctx.spark.table(target).inputFiles()
+    click.echo(json.dumps({
+        "table": target,
+        "files_before": len(n_before),
+        "files_after": len(n_after),
+        "clustered_by": cluster_by,
+    }))
 
 
 @cli.command()

@@ -91,3 +91,17 @@ def test_cli_run_all_downstream_selector(proj):
     assert "gold_daily_revenue" in ran and "gold_customer_totals" in ran
     assert "gold_orders_clustered" in ran
     assert "bronze_orders" not in ran and "events_hourly" not in ran
+
+
+def test_cli_compact_reclusters_table(proj):
+    r0 = CliRunner().invoke(cli, ["--project-dir", proj, "run-all"])
+    assert r0.exit_code == 0, r0.output
+    r = CliRunner().invoke(
+        cli,
+        ["--project-dir", proj, "compact", "gold_orders_clustered",
+         "--cluster-by", "order_date", "--cluster-files", "2"],
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output.strip().splitlines()[-1])
+    assert out["files_after"] == 2
+    assert out["files_before"] >= out["files_after"]
