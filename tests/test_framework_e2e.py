@@ -99,7 +99,9 @@ def test_time_incremental_rerun_appends_nothing_new(project, spark):
 def test_data_quality_suite(project):
     config = project["config"]
     registry = ModelRegistry(config.models_dir)
-    runner = TestRunner(project["ex"], registry, config.tests_dir)
+    runner = TestRunner(
+        project["ex"], registry, config.tests_dir, state=project["state"]
+    )
     results = runner.run_model_tests(
         "silver_orders", f"{project['db']}.silver_orders"
     )
@@ -109,6 +111,7 @@ def test_data_quality_suite(project):
     assert by_name[("not_null", "order_id")].passed
     assert by_name[("accepted_values", "status")].passed
     assert by_name[("range", "amount")].passed
+    assert by_name[("volume_anomaly", None)].passed  # first run seeds
 
     custom = runner.run_custom_sql_tests()
     assert custom and all(r.passed for r in custom), [
