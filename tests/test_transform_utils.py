@@ -79,3 +79,21 @@ def test_profile_columns_approx_mode_single_aggregate(spark):
     # approx profile must not contain the exact-distinct Expand plan
     plan = profile_columns(df, ["id", "v"], approx=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_zorder_column_handles_nulls_and_constant_dims(spark):
+    from data_transformation_python_spark.operators.transform import zorder_column
+
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, 10, 5), (3, 20, 5), (4, 30, 5)],
+        "id bigint, x bigint, c bigint",
+    )
+    out, key = zorder_column(df, ["x", "c"])
+    rows = {r.id: r[key] for r in out.collect()}
+    assert len(rows) == 4
+    # constant dim contributes bucket 0 everywhere; null lands at the
+    # min bucket (keys still well-defined and deterministic)
+    assert rows[1] == rows[2]  # null -> lo -> same bucket as min value
+    assert rows[2] < rows[3] < rows[4]
+    # key column name returned and present
+    assert key in out.columns and key not in df.columns
