@@ -768,3 +768,34 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# source freshness as data: max event time and lag vs a fixed as-of
+# (the deterministic, oracle-replayable form of the freshness dq test
+# — production swaps the literal for the run clock)
+# --------------------------------------------------------------------------
+_FRESHNESS_ORACLE = """
+SELECT CAST(MAX(ts) AS TIMESTAMP) AS latest_ts,
+       CAST(date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00')
+            AS BIGINT) AS lag_seconds,
+       date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00')
+         <= 72 * 3600 AS is_fresh
+FROM events
+"""
+
+
+@query("q_source_freshness", oracle=_FRESHNESS_ORACLE)
+def q_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    as_of = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    return ev.agg(
+        F.max("ts").cast("timestamp").alias("latest_ts"),
+        (F.unix_timestamp(as_of) - F.unix_timestamp(F.max("ts")))
+        .cast("bigint")
+        .alias("lag_seconds"),
+        (
+            (F.unix_timestamp(as_of) - F.unix_timestamp(F.max("ts")))
+            <= 72 * 3600
+        ).alias("is_fresh"),
+    )
