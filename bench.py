@@ -245,6 +245,28 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
+            # mixture quota at corpus scale: admit docs per stratum in
+            # md5 order until a 200k-token budget fills (one shuffle +
+            # a group-local cumulative window)
+            "samp_token_quota",
+            lambda: strata.select(
+                "doc_id",
+                "stratum",
+                F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            )
+            .withColumn(
+                "cum_tokens",
+                F.sum("n_tokens")
+                .over(
+                    Window.partitionBy("stratum")
+                    .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                .cast("bigint"),
+            )
+            .filter(F.col("cum_tokens") <= 200000),
+        ),
+        (
             "decontam_ngram",
             lambda: dd.contamination_hits(
                 docs.filter("doc_id % 1000 != 0"),

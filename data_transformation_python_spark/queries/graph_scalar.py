@@ -134,3 +134,22 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs/floor/ceil/sqrt, NULLIF/COALESCE/CASE, modulo booleans."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_scalar_v")
     return spark.sql(_SCALAR_SQL.format(t="orders_scalar_v"))
+
+
+@query("dedup_cc_twophase", oracle=_CC_ORACLE)
+def dedup_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate groups via the O(log n)-round large-star/
+    small-star algorithm (Kiveris et al.) — the web-scale/
+    high-diameter path, gated against the identical recursive-CTE
+    oracle as the frontier variant (components are canonical
+    min-labels, so both algorithms must agree bit-for-bit)."""
+    from ..operators.graph import connected_components_two_phase
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    cc = connected_components_two_phase(pairs, "src", "dst", shuffle_partitions=4)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint")
+    )
