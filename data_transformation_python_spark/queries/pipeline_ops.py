@@ -873,17 +873,28 @@ best AS (SELECT vec_id, j, cid, d2,
                 ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
          FROM d)
 SELECT vec_id,
-       list(cid ORDER BY j) AS codes,
+       array_to_string(list(cid ORDER BY j), '|') AS codes,
        CAST(SUM(d2) AS DOUBLE) AS pq_err
 FROM best WHERE rn = 1
 GROUP BY vec_id
 """
 
 
+def _serialize_codes(df: DataFrame) -> DataFrame:
+    """Flatten the ``array<bigint>`` codes column to a '|'-joined
+    string for the oracle gate: the driver canonicalizer sorts rows
+    with pandas and cannot hash list cells.  ``pq_encode`` keeps its
+    array return for API callers; only the gate surface serializes."""
+    return df.withColumn(
+        "codes",
+        F.concat_ws("|", F.transform("codes", lambda c: c.cast("string"))),
+    )
+
+
 @query("sim_pq_codes", oracle=_PQ_ORACLE)
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.pq_encode(
-        load(spark, sf_dir, "embeddings"), m=4, centroid_stride=50
+    return _serialize_codes(
+        sim.pq_encode(load(spark, sf_dir, "embeddings"), m=4, centroid_stride=50)
     )
 
 
@@ -949,6 +960,6 @@ def sim_kmeans_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pq_codes_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode with a 50-centroid codebook per subspace — past the
     crossover, so the Arrow path runs under the oracle."""
-    return sim.pq_encode(
-        load(spark, sf_dir, "embeddings"), m=4, centroid_stride=10
+    return _serialize_codes(
+        sim.pq_encode(load(spark, sf_dir, "embeddings"), m=4, centroid_stride=10)
     )

@@ -69,6 +69,22 @@ def _assert_no_decimal(name, df):
     assert not bad, f"{name}: DECIMAL columns in final output: {bad}"
 
 
+def _assert_no_complex(name, df):
+    """Oracle-gated projections must be flat scalars: the driver
+    canonicalizer sorts rows with pandas, and list/struct/map cells
+    raise ``TypeError: unhashable type`` before any comparison runs
+    (proven failure mode — sim_pq_codes_blas, round 5).  Serialize
+    arrays to a joined string in the gate surface instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: complex-typed columns in final output: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(all_queries().keys()))
 def test_query_matches_oracle(spark, sf_dir, name):
     oracles = all_oracles()
@@ -80,6 +96,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     sdf = all_queries()[name](spark, sf_dir)
     _assert_no_decimal(name, sdf)
+    _assert_no_complex(name, sdf)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
