@@ -309,7 +309,11 @@ def explain(ctx: Context, model, mode):
     materializing."""
     mx = ctx.model_executor()
     _, final_sql, _ = mx.compile_model(model)
-    rows = ctx.spark.sql(f"EXPLAIN {mode.upper()} {final_sql}").collect()
+    # 'simple' is not an EXPLAIN keyword in Spark SQL (only LOGICAL/
+    # FORMATTED/EXTENDED/CODEGEN/COST parse) — bare EXPLAIN is the
+    # simple mode.
+    kw = "" if mode == "simple" else f" {mode.upper()}"
+    rows = ctx.spark.sql(f"EXPLAIN{kw} {final_sql}").collect()
     for r in rows:
         click.echo(r[0])
 

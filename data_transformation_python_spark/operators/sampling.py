@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .text import n_tokens_col
 from pyspark.sql.window import Window
 
 
@@ -86,7 +88,7 @@ def pack_sequences(
     The window is partitioned by the group key: each group's
     cumulative sum is an independent partition-local pass, so the
     operator scales with the largest group, never the corpus."""
-    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    n_tokens = n_tokens_col(text_col)
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)

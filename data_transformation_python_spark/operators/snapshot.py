@@ -71,7 +71,13 @@ def snapshot_merge(
     elif strategy == "timestamp":
         if not updated_at:
             raise ValueError("timestamp strategy requires updated_at")
-        changed_pred = F.col(f"s.{updated_at}") > F.col("t.valid_from")
+        # null-safe: a NULL updated_at makes `>` evaluate to NULL,
+        # which would fail the closed, kept, AND fresh filters below
+        # and silently drop the key's open row — treat NULL as
+        # "unchanged" so the open version survives.
+        changed_pred = F.coalesce(
+            F.col(f"s.{updated_at}") > F.col("t.valid_from"), F.lit(False)
+        )
     else:
         raise ValueError(f"unknown snapshot strategy {strategy!r}")
 

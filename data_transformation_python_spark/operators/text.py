@@ -25,6 +25,18 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def n_tokens_col(text_col: str) -> Column:
+    """Whitespace token count, explicitly NULL for NULL text.
+
+    ``F.size`` on a NULL array returns NULL under the default
+    ``spark.sql.legacy.sizeOfNull=false`` but -1 under the legacy
+    setting; the explicit guard makes the oracle-matching NULL
+    independent of session config."""
+    return F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.size(_tokens(text_col)).cast("bigint"))
+
+
 def token_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -529,7 +541,7 @@ def quality_classifier(
         f" t -> {bucket} % 1001 - 500),"
         f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    n_tokens = F.size(_tokens(text_col)).cast("bigint")
+    n_tokens = n_tokens_col(text_col)
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),

@@ -598,8 +598,12 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     wk = ev.select(
         "user_id",
+        # FLOOR, not `div`: Spark's `div` truncates toward zero while
+        # DuckDB's `//` floors — they diverge for dates before the
+        # 1970-01-05 anchor (negative datediff).
         F.expr(
-            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7 AS BIGINT)"
+            "CAST(FLOOR(datediff(CAST(ts AS DATE), DATE '1970-01-05') / 7.0D)"
+            " AS BIGINT)"
         ).alias("w"),
     )
     first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))

@@ -217,7 +217,7 @@ def samp_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        tx.n_tokens_col("text").alias("n_tokens"),
     )
     return (
         toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
@@ -683,7 +683,7 @@ def curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+        F.sum(tx.n_tokens_col("text")).cast("bigint").alias("total_tokens"),
         (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
         .cast("bigint")
         .alias("n_exact_dup_docs"),

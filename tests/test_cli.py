@@ -73,6 +73,17 @@ def test_cli_explain_shows_physical_plan(proj):
     assert "Physical Plan" in r.output or "Scan" in r.output
 
 
+@pytest.mark.parametrize("mode", ["simple", "extended", "formatted", "cost"])
+def test_cli_explain_every_mode_parses(proj, mode):
+    # 'simple' is not an EXPLAIN keyword in Spark SQL — it must map to
+    # bare EXPLAIN, and all four advertised choices must succeed.
+    r = CliRunner().invoke(
+        cli, ["--project-dir", proj, "explain", "bronze_orders", "--mode", mode]
+    )
+    assert r.exit_code == 0, r.output
+    assert "Plan" in r.output or "Scan" in r.output
+
+
 def test_cli_run_all_downstream_selector(proj):
     # build everything once; the downstream selector then models the
     # real usage — rebuild the consumers of a changed model (dbt

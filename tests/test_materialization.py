@@ -655,6 +655,42 @@ def test_snapshot_timestamp_strategy(stack):
     ]
 
 
+def test_snapshot_timestamp_null_updated_at_keeps_open_row(stack):
+    """A NULL updated_at must read as 'unchanged', not silently drop
+    the key's open version (the `>` predicate evaluates to NULL and
+    would otherwise fail closed, kept, AND fresh filters)."""
+    _write_source(
+        stack,
+        [(1, "a", "2024-01-01 06:00:00"), (2, "b", "2024-01-01 06:00:00")],
+        "id bigint, v string, updated_at string",
+    )
+    base = (
+        "-- config: materialized=snapshot, unique_key=id, strategy=timestamp, "
+        "updated_at=upd_ts, snapshot_at={ts}\n"
+        "SELECT id, v, CAST(updated_at AS TIMESTAMP) AS upd_ts "
+        "FROM {{{{ source('raw','feed') }}}}"
+    )
+    _write_model(stack, "snap_nul", base.format(ts="2024-01-01 12:00:00"))
+    assert stack["mx"].execute_model("snap_nul")["success"]
+    # run 2: id 1's updated_at goes NULL (unchanged), id 2 touched
+    _write_source(
+        stack,
+        [(1, "a", None), (2, "b9", "2024-01-02 06:00:00")],
+        "id bigint, v string, updated_at string",
+    )
+    _write_model(stack, "snap_nul", base.format(ts="2024-01-02 12:00:00"))
+    assert stack["mx"].execute_model("snap_nul")["success"]
+    rows = sorted(
+        (r.id, r.v, str(r.valid_to), r.is_current)
+        for r in stack["spark"].table(f"{stack['db']}.snap_nul").collect()
+    )
+    assert rows == [
+        (1, "a", "None", True),  # survived the NULL updated_at
+        (2, "b", "2024-01-02 12:00:00", False),
+        (2, "b9", "None", True),
+    ]
+
+
 def test_analyze_config_populates_cbo_stats(stack):
     _write_source(stack, [(i, f"v{i % 5}") for i in range(200)], "id bigint, v string")
     _write_model(
