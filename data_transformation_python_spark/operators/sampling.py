@@ -17,9 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
 
 from .text import n_tokens_col
-from pyspark.sql.window import Window
 
 
 def _hash_key(id_col: str) -> Column:
@@ -145,17 +146,30 @@ def temperature_mixture_sample(
     weights = {g: math.isqrt(int(n)) for g, n in counts.items()}
     total_w = sum(weights.values()) or 1
     quota = {g: (target_total * w) // total_w for g, w in weights.items()}
-    # NULL group key: sortable via the (is-null, str) key, matched via
-    # isNull (an equality predicate would silently drop those rows)
-    quota_expr = F.lit(0)
-    for g, q in sorted(
-        quota.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
-    ):
-        match = F.col(group_col).isNull() if g is None else F.col(group_col) == g
-        quota_expr = F.when(match, F.lit(q)).otherwise(quota_expr)
+    # quotas join back as a BROADCAST dimension (one row per source),
+    # not a chained literal CASE: at thousands of sources a CASE tree
+    # grows the expression/analysis cost linearly while the broadcast
+    # hash join stays a single O(1)-lookup plan node.  Null-safe join
+    # keeps legitimately-NULL source keys.
+    group_type = df.schema[group_col].dataType
+    quota_df = df.sparkSession.createDataFrame(
+        [(g, q) for g, q in quota.items()],
+        StructType(
+            [
+                StructField("__qg", group_type, True),
+                StructField("__quota", LongType(), False),
+            ]
+        ),
+    )
     w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
     return (
         df.select(id_col, group_col)
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= quota_expr)
+        .join(
+            F.broadcast(quota_df),
+            F.col(group_col).eqNullSafe(F.col("__qg")),
+            "left",
+        )
+        .filter(F.col("rk") <= F.coalesce(F.col("__quota"), F.lit(0)))
+        .drop("__qg", "__quota")
     )
