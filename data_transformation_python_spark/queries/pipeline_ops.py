@@ -963,3 +963,76 @@ def sim_pq_codes_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serialize_codes(
         sim.pq_encode(load(spark, sf_dir, "embeddings"), m=4, centroid_stride=10)
     )
+
+
+# --------------------------------------------------------------------------
+# multi-round convergence gate: THREE assignment passes / TWO exact
+# integer centroid updates at stride 10 — the Arrow-BLAS update path
+# runs across several rounds toward the fixed point, not just one
+# round trip.  The oracle replays both update rounds; because the
+# arithmetic is an exact integer fixed point, early convergence on
+# the Spark side is indistinguishable from the oracle's unconditional
+# second update (a fixed-point update is the identity).
+# --------------------------------------------------------------------------
+_KMEANS3_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 10 = 0),
+a0 AS (SELECT vec_id, cid FROM (
+   SELECT n.vec_id, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c0.cn - 2 * list_dot_product(n.v, c0.cv),
+                                      c0.cid) AS rn
+   FROM n CROSS JOIN c0) t WHERE rn = 1),
+s0 AS (SELECT a0.cid, gs.d AS d,
+              CAST(SUM(CAST(n.v[gs.d + 1] AS BIGINT)) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS nm
+       FROM a0 JOIN n USING (vec_id)
+       CROSS JOIN generate_series(0, 63) AS gs(d)
+       GROUP BY 1, 2),
+u1 AS (SELECT cid, d,
+              (2 * (s + 1000000 * nm) + nm) // (2 * nm) - 1000000 AS c
+       FROM s0),
+c1 AS (SELECT cid, list(CAST(c AS DOUBLE) ORDER BY d) AS cv FROM u1 GROUP BY cid),
+c1n AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn FROM c1),
+a1 AS (SELECT vec_id, cid FROM (
+   SELECT n.vec_id, c1n.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c1n.cn - 2 * list_dot_product(n.v, c1n.cv),
+                                      c1n.cid) AS rn
+   FROM n CROSS JOIN c1n) t WHERE rn = 1),
+s1 AS (SELECT a1.cid, gs.d AS d,
+              CAST(SUM(CAST(n.v[gs.d + 1] AS BIGINT)) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS nm
+       FROM a1 JOIN n USING (vec_id)
+       CROSS JOIN generate_series(0, 63) AS gs(d)
+       GROUP BY 1, 2),
+u2 AS (SELECT cid, d,
+              (2 * (s + 1000000 * nm) + nm) // (2 * nm) - 1000000 AS c
+       FROM s1),
+c2 AS (SELECT cid, list(CAST(c AS DOUBLE) ORDER BY d) AS cv FROM u2 GROUP BY cid),
+c2n AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn FROM c2),
+a2 AS (SELECT vec_id, cid, d2 FROM (
+   SELECT n.vec_id, c2n.cid,
+          n.nrm + c2n.cn - 2 * list_dot_product(n.v, c2n.cv) AS d2,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c2n.cn - 2 * list_dot_product(n.v, c2n.cv),
+                                      c2n.cid) AS rn
+   FROM n CROSS JOIN c2n) t WHERE rn = 1)
+SELECT a2.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(ANY_VALUE(c2n.cn) AS BIGINT) AS centroid_norm,
+       CAST(SUM(a2.d2) AS BIGINT) AS inertia
+FROM a2 JOIN c2n ON a2.cid = c2n.cid
+GROUP BY 1
+"""
+
+
+@query("sim_kmeans_converged", oracle=_KMEANS3_ORACLE)
+def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-pass Lloyd at stride 10: the BLAS update branch runs for
+    multiple rounds; early fixed-point exit is exact-arithmetic
+    equivalent to the oracle's unconditional two updates."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(emb, stride=10, assign_passes=3)
