@@ -720,3 +720,106 @@ def bmp_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=BMP_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image: PPM (Netpbm P6) codec — a SECOND real image format through
+# the same mapInPandas harness and meta schema as BMP, demonstrating
+# the codec tier is pluggable: a new format only supplies a byte
+# writer + parser; batching, schema, and oracle plumbing are shared.
+# PPM is top-down unpadded RGB (vs BMP's bottom-up padded BGR), so a
+# decoder that confuses the two layouts fails the pixel-pin columns.
+# --------------------------------------------------------------------------
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 5 + doc_id % 11, 3 + doc_id % 6
+
+
+def _write_ppm(doc_id: int) -> bytes:
+    """Genuine binary PPM (P6): ASCII header `P6\\n<w> <h>\\n255\\n`
+    followed by top-down, unpadded RGB triplets."""
+    import numpy as np
+
+    w, h = _ppm_dims(doc_id)
+    r, g, b = _bmp_channels(doc_id, w, h)  # shared channel congruences
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = r, g, b
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+
+def _parse_ppm(data: bytes):
+    """Parse any binary PPM (P6), honoring the real Netpbm header
+    grammar: `#` comments and arbitrary whitespace between tokens,
+    arbitrary maxval ≤ 255.  Returns (width, height, pixels) with
+    ``pixels`` h×w×3 uint8 RGB, row 0 = image top."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM payload (missing P6 magic)")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment runs to end of line
+            while data[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    arr = np.frombuffer(data, dtype=np.uint8, offset=pos, count=w * h * 3)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def synth_ppm_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL binary-PPM payload per row — the second image
+    ingest format (see ``synth_bmp_table``)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_write_ppm(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def ppm_metadata(df: DataFrame) -> DataFrame:
+    """Decode PPM payloads through the shared image-meta surface
+    (same output schema as ``bmp_metadata`` — downstream consumers
+    are format-agnostic)."""
+    import numpy as np
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in BMP_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, px = _parse_ppm(bytes(payload))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["px00_r"].append(int(px[0, 0, 0]))
+                out["px00_g"].append(int(px[0, 0, 1]))
+                out["px00_b"].append(int(px[0, 0, 2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=BMP_META_SCHEMA)

@@ -381,6 +381,28 @@ FROM dims d JOIN sums s USING (doc_id)
 """
 
 
+# same channel congruences as BMP, PPM's own dims grid (5+id%11 ×
+# 3+id%6) — one oracle template, format-specific dimensions
+_PPM_ORACLE = _BMP_ORACLE.replace(
+    "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h",
+    "5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h",
+)
+
+
+@query("multimodal_ppm_meta", oracle=_PPM_ORACLE)
+def multimodal_ppm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image codec through the same harness: genuine
+    binary PPM (P6, top-down unpadded RGB — the opposite layout of
+    BMP) synthesized per row and parsed back by a header-grammar-aware
+    decoder.  Proves the codec tier is pluggable: the new format adds
+    only a writer + parser; the mapInPandas batching, meta schema, and
+    oracle template are shared with BMP."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.ppm_metadata(mm.synth_ppm_table(docs))
+
+
 @query("multimodal_bmp_meta", oracle=_BMP_ORACLE)
 def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image metadata extraction with a REAL codec: each row gets a

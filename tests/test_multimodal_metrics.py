@@ -236,3 +236,38 @@ def test_synth_avi_roundtrip_matches_formula(spark):
             for f in range(nf)
         )
         assert got["sum_r"] == exp_r
+
+
+def test_ppm_parser_honors_netpbm_header_grammar():
+    """Real-world PPMs carry comments and arbitrary whitespace in the
+    header — the parser must follow the Netpbm grammar, not just the
+    bytes our writer emits."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import _parse_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    foreign = (
+        b"P6 # comment right after magic\n"
+        b"# a full-line comment\n"
+        b"  3\n\n2 # trailing comment\n255\n" + px.tobytes()
+    )
+    w, h, out = _parse_ppm(foreign)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(out, px)
+
+
+def test_synth_ppm_roundtrip_matches_formula(spark):
+    """Writer → parser round-trip reproduces the channel congruences
+    with PPM's top-down unpadded layout (opposite of BMP)."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators import multimodal as mm
+
+    for doc_id in (0, 7, 42):
+        w, h, px = mm._parse_ppm(mm._write_ppm(doc_id))
+        assert (w, h) == mm._ppm_dims(doc_id)
+        r, g, b = mm._bmp_channels(doc_id, w, h)
+        assert np.array_equal(px[..., 0], r)
+        assert np.array_equal(px[..., 1], g)
+        assert np.array_equal(px[..., 2], b)
