@@ -464,6 +464,17 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json artifact keeps only the tail of
+    # stdout, which truncates the ~160-entry timing dict; mirror the
+    # full payload to a file so every entry (incl. TPC-H) stays
+    # auditable and diffable round-over-round.
+    try:
+        full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCHFULL.json")
+        with open(full, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

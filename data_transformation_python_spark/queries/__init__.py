@@ -116,66 +116,66 @@ def _register_all() -> None:
 # registry are ignored; registered names absent from this list keep
 # registration order.
 _PRIORITY: list[str] = [
-    # --- last driver-checked in round 2 (stalest) ---
-    "q_quantiles",
-    "q_lag_lead",
-    "q_salted_join",
-    "sim_lsh_buckets",
-    "dedup_pipeline_survivors",
-    "text_quality_filter",
-    "q_range_frame_trailing",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q_monthly_revenue",
-    "q_top_customers",
-    "q_window_rank",
-    "q_running_total",
-    "q_rollup_returnflag",
-    "q_union_nations",
-    "q_intersect_custkeys",
-    "q_except_customers",
-    "q_customers_without_orders",
-    "q_region_rollup",
-    "q_above_nation_average",
-    "q_status_matrix",
-    "q_silver_clean",
-    "q_incremental_watermark",
-    "q_cdc_merge",
-    "q_cdc_retirement",
-    "q_dq_tests",
-    "q_gold_aggregate",
-    "q_var_substitution",
-    "dedup_connected_components",
-    "q_string_agg",
-    "q_scalar_functions",
-    "dedup_exact",
+    # --- never driver-checked before round 6 (the verification-debt
+    # backlog called out by the round-5 verdict), incl. this round's
+    # two new gates (sim_kmeans_converged, multimodal_ppm_meta) ---
+    "q_global_percentile_exact",
+    "q_stream_foreachbatch_upsert",
+    "q_stream_dedup_index",
+    "q_range_join_binned",
+    "q_winsorize_values",
+    "q_value_histogram",
+    "q_event_funnel",
+    "q_retention_cohorts",
+    "q_source_csv_roundtrip",
+    "q_source_json_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_profile_orders",
+    "q_snapshot_scd2",
+    "dedup_cc_twophase",
+    "text_chunk_windows",
+    "dedup_repeated_spans",
+    "text_quality_classifier",
+    "dedup_incremental_batch",
+    "dedup_span_dup_stats",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_kmeans_converged",
+    "multimodal_ppm_meta",
+    "multimodal_bmp_resize",
+    "multimodal_avi_frames",
+    "curation_pipeline_filter",
+    "curation_domain_stats",
+    "samp_shuffle_order",
+    "q_skew_profile",
+    "q_source_freshness",
+    # --- changed this round: the PQ gate serialization fix (driver-red
+    # in r5), the temperature quota-join refactor, and everything on
+    # the rewritten shingle/Jaccard path ---
+    "sim_pq_codes_blas",
+    "samp_temperature",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    # --- changed or new this round ---
-    "sim_kmeans_blas",
-    "sim_pq_codes_blas",
-    "text_repetition_stats",
-    "multimodal_bmp_meta",
-    "q_stream_dedup_watermark",
-    "sim_ivf_kmeans_topk",
-    "text_gopher_quality",
-    "samp_temperature",
-    "multimodal_avi_meta",
-    # exactly 50 names: later additions (range join, resize/frame
-    # codecs, winsorize, selection, connector round-trips, and the
-    # round-5 wave — repeated spans, incremental/streaming index
-    # dedup, PQ + ADC, funnel/retention, profiling, snapshot SCD2,
-    # shuffle order, skew profile, ORC …) wait for the round-6
-    # rotation — they are covered THIS round by the local parity
-    # suite, the committed PARITY_r05.json full-registry sweep, and
-    # their plan/property tests.
+    "dedup_connected_components",
+    "dedup_pipeline_survivors",
+    "decontam_ngram",
+    # --- stalest remaining: r2-era, then r4-era names not in the r5
+    # window ---
+    "q_cube_grouping",
+    "q_grouping_sets",
+    "dedup_simhash_pairs",
+    "q_approx_percentile",
+    "q_approx_distinct",
+    "q_stream_windowed_counts",
+    "q_stream_sessionize",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_asof_join",
+    "q_sessionize_batch",
+    "sim_random_projection",
+    # exactly 50 names; everything else stays covered this round by
+    # the local parity suite and the committed PARITY_r06.json sweep.
 ]
 
 
