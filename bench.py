@@ -140,31 +140,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
         )
 
     def tfidf():
-        from pyspark.sql.window import Window
-
-        toks = docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-        )
-        tf = toks.groupBy("doc_id", "token").agg(
-            F.count(F.lit(1)).cast("bigint").alias("tf")
-        )
-        docfreq = toks.groupBy("token").agg(
-            F.countDistinct("doc_id").cast("bigint").alias("df")
-        )
-        n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
-        return (
-            tf.join(docfreq, "token")
-            .join(F.broadcast(n_docs))
-            .withColumn(
-                "score",
-                (F.col("tf") * F.col("n_docs")).cast("double")
-                / F.col("df").cast("double"),
-            )
-            .withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= 3)
-            .select("doc_id", "token", "score", "rank")
-        )
+        return tx.tfidf_topterms(docs, top_n=3)
 
     def incremental():
         # "today's batch" = 2% of the corpus probing the other 98%'s

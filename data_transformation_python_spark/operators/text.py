@@ -192,6 +192,79 @@ def rolling_fingerprints(
     )
 
 
+def term_counts_rle(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document (token, tf) pairs computed ENTIRELY map-side: the
+    token array is sorted in-row, run starts are one O(n) ``filter``
+    pass, and each run's length is the gap to the next start — so the
+    exploded output is already aggregated and the corpus never pays a
+    (doc, token) shuffle just to count within-document occurrences
+    (the repetition-stats lesson applied to TF).  Each (doc, token)
+    appears exactly once, which also makes downstream document
+    frequency a plain ``count(*)`` with map-side partial aggregation
+    instead of a two-phase ``countDistinct``."""
+    pairs = (
+        "transform(sequence(0, size(__st) - 1), k -> named_struct("
+        "'token', __s[__st[k]], "
+        "'tf', CAST(IF(k = size(__st) - 1, size(__s), __st[k + 1]) - __st[k] AS BIGINT)))"
+    )
+    return (
+        df.select(
+            id_col, F.expr(f"array_sort(split({text_col}, ' '))").alias("__s")
+        )
+        .select(
+            id_col,
+            "__s",
+            F.expr(
+                "filter(sequence(0, size(__s) - 1),"
+                " i -> i = 0 OR __s[i] != __s[i - 1])"
+            ).alias("__st"),
+        )
+        .select(id_col, F.explode(F.expr(pairs)).alias("__p"))
+        .select(id_col, F.col("__p.token").alias("token"), F.col("__p.tf").alias("tf"))
+    )
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-N distinguishing terms per document by the rational
+    relevance score tf·N/df (TF-IDF ordering without the log —
+    monotone in the same ranking for fixed tf, exactly portable:
+    integer products, one IEEE division).
+
+    Shuffle budget after the map-side-RLE rewrite: ONE shuffle on
+    token (the tf⋈df join; document frequency is a map-side-combined
+    count over the already-unique (doc, token) stream and lands on the
+    same key) and ONE window shuffle on doc — the third shuffle the
+    naive explode→groupBy plan pays for within-document counting is
+    gone."""
+    from pyspark.sql.window import Window
+
+    tf = term_counts_rle(df, text_col, id_col)
+    docfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "token")
+    return (
+        tf.join(docfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "token", "score", "rank")
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

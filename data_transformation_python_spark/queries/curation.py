@@ -292,35 +292,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by the rational
     relevance score tf·N/df (the TF-IDF ordering without the log —
     monotone in the same ranking for fixed tf, and exactly portable:
-    integer products, one IEEE division).  Shuffles: one on
-    (doc, token), one on token for document frequency, one window on
-    doc — all key-partitioned, no corpus-wide sort."""
+    integer products, one IEEE division).  Within-document counting is
+    a map-side run-length pass (operators/text.py:term_counts_rle), so
+    the only shuffles left are the token join and the per-doc window —
+    no corpus-wide sort, no (doc, token) count shuffle."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    docfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
-    return (
-        tf.join(docfreq, "token")
-        .join(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            (F.col("tf") * F.col("n_docs")).cast("double")
-            / F.col("df").cast("double"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "token", "score", "rank")
-    )
+    return tx.tfidf_topterms(docs, top_n=3)
 
 
 # --------------------------------------------------------------------------
