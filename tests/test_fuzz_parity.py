@@ -185,3 +185,35 @@ FROM scored
     )
     con.close()
     assert srows == drows, n_buckets
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=12
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_term_counts_rle_matches_explode_groupby(spark, texts):
+    """The map-side RLE term counter must agree with the naive
+    explode→groupBy on arbitrary space-laden strings (repeats, empty
+    tokens, single-token docs, all-space docs)."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators.text import term_counts_rle
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    naive = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    got = sorted(map(tuple, term_counts_rle(df).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
