@@ -52,8 +52,18 @@ def global_percentile_disc(
     the round's count and bounds come from the PREVIOUS histogram
     (the selected bin's count and analytic edges), not extra jobs.
     """
+    from .transform import materialize
+
     spark = df.sparkSession
-    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    # Materialize the PRUNED single-value column once: every
+    # refinement round (histogram + filter) re-reads these values, and
+    # without the checkpoint the full upstream plan (often an
+    # expensive projection, e.g. vector quantization) re-executes per
+    # round.  The checkpoint is one double per row — the cheapest
+    # possible representation of the input at any scale.
+    vals = materialize(
+        df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    )
     g = vals.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("mn"),
