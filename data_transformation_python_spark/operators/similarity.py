@@ -285,25 +285,63 @@ def _neardup_lsh_verified(
     ``qn`` lets a caller that already materialized the quantized
     corpus (cosine_neardup_pairs' size probe) hand it over instead of
     paying a second quantization pass."""
+    import numpy as np
+    import pandas as pd
+
     from .transform import materialize
 
     if not dim:
         dim = _probe_dim(df, vec_col)
     if qn is None:
         qn = materialize(quantized(df, vec_col, id_col))
-    band_exprs = []
-    for b in range(bands):
-        bits = []
-        for j in range(planes_per_band):
-            p = b * planes_per_band + j
-            comp = DOT_EXPR.format(a="__v", b=_plane_array_sql(p, dim))
-            bits.append(f"(CASE WHEN {comp} > 0 THEN '1' ELSE '0' END)")
-        band_exprs.append("concat(" + ", ".join(bits) + ")")
-    banded = qn.select(
-        F.col(id_col),
-        F.posexplode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias(
-            "band", "bucket"
-        ),
+    # All bands×planes sign bits in ONE Arrow BLAS pass: the SQL
+    # higher-order-function dot (zip_with+aggregate) is interpreted
+    # per element — at 128 planes × 64 dims that is ~8k lambda evals
+    # and 128 array allocations per row; `block @ P` is one matmul.
+    # Determinism is unchanged: quantized components are exact
+    # integers, ±1 planes keep every partial sum integral (< 2^53),
+    # so the float64 matmul is exact and the sign bits match the SQL
+    # formula bit-for-bit.  Bucket keys pack the band's bits into an
+    # int64 (internal to this operator — 8-byte shuffle keys instead
+    # of 16-char strings).
+    n_planes = bands * planes_per_band
+    plane_mat = np.array(
+        [[_plane_sign(p, d) for p in range(n_planes)] for d in range(dim)],
+        dtype=np.float64,
+    )
+    bc_planes = df.sparkSession.sparkContext.broadcast(plane_mat)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    def _band_batches(batches):
+        P = bc_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            bits = (block @ P) > 0
+            buckets = np.stack(
+                [
+                    bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+                    @ weights
+                    for b in range(bands)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, bands),
+                    "band": np.tile(
+                        np.arange(bands, dtype=np.int32), len(ids)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    banded = qn.select(id_col, "__v").mapInPandas(
+        _band_batches, schema=f"{id_col} bigint, band int, bucket bigint"
     )
     # pairs within each (band, bucket) group: sorted member list →
     # JVM-side combination arrays → one explode; distinct across bands
