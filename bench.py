@@ -273,6 +273,14 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ),
         ("dedup_span_dup_stats", lambda: dd.span_dup_stats(docs, n=8)),
         (
+            # SemDeDup at scale dials: 100 clusters over 50k vectors,
+            # Arrow-BLAS assignment, within-cluster exact verify
+            "dedup_semantic_clusters",
+            lambda: sim.semantic_cluster_dedup(
+                emb, threshold=0.9, centroid_stride=500
+            ),
+        ),
+        (
             # distributed selection at production-ish dials over the
             # 50k quantized norms (several refinement rounds)
             "sim_norm_percentiles",

@@ -104,17 +104,16 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round: 41 queries whose last driver
-# check was round 2 lead (q_cube_grouping / q_grouping_sets ceded
-# their slots to the BLAS-strategy gates — changed code outranks
-# re-checking unchanged stale code), then this round's changed/new
-# code (the BLAS kmeans/PQ gates, the repetition-stats rewrite and
-# the new BMP/AVI codec, watermarked dedup, kmeans-IVF, Gopher-gate,
-# temperature-sampling queries).  Everything past position 50 stays honest via the local
-# DuckDB parity suite (tests/test_oracle_parity.py) and the committed
-# PARITY_r{N}.json full-registry sweep.  Names absent from the
-# registry are ignored; registered names absent from this list keep
-# registration order.
+# rotated STALEST-FIRST each round.  Round 6 spends the whole window
+# on verification debt: the 30 queries no driver window has ever
+# checked (plus this round's three new gates), then everything whose
+# behavior changed this round (PQ serialization fix, temperature
+# quota join, the rewritten shingle/Jaccard path), then the stalest
+# r2-/r4-era names.  Everything past position 50 stays honest via the
+# local DuckDB parity suite (tests/test_oracle_parity.py) and the
+# committed PARITY_r{N}.json full-registry sweep.  Names absent from
+# the registry are ignored; registered names absent from this list
+# keep registration order.
 _PRIORITY: list[str] = [
     # --- never driver-checked before round 6 (the verification-debt
     # backlog called out by the round-5 verdict), incl. this round's
@@ -173,7 +172,7 @@ _PRIORITY: list[str] = [
     "q_stream_stream_join",
     "q_asof_join",
     "q_sessionize_batch",
-    "sim_random_projection",
+    "dedup_semantic_clusters",
     # exactly 50 names; everything else stays covered this round by
     # the local parity suite and the committed PARITY_r06.json sweep.
 ]

@@ -1036,3 +1036,40 @@ def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent to the oracle's unconditional two updates."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.kmeans_lloyd(emb, stride=10, assign_passes=3)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup semantic-cluster dedup: cluster (stride centroids, argmin
+# assignment), then mark vectors having a higher-similarity lower-id
+# neighbor WITHIN their cluster — the published recipe for cutting
+# embedding dedup from O(N²) to Σ|cluster|² (Abbas et al. 2023).
+# --------------------------------------------------------------------------
+_SEMANTIC_DEDUP_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+a0 AS (SELECT vec_id, cid FROM (
+   SELECT n.vec_id, c0.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY n.nrm + c0.cn - 2 * list_dot_product(n.v, c0.cv),
+                                      c0.cid) AS rn
+   FROM n CROSS JOIN c0) t WHERE rn = 1),
+v AS (SELECT a0.vec_id, a0.cid, n.v, n.nrm FROM a0 JOIN n USING (vec_id)),
+dropped AS (SELECT DISTINCT y.vec_id
+            FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE list_dot_product(x.v, y.v) / sqrt(x.nrm * y.nrm) >= 0.9)
+SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cid,
+       v.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+FROM v
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_SEMANTIC_DEDUP_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: stride-50 centroids, exact
+    integer cosine within clusters at threshold 0.9; is_kept pins the
+    deterministic keep-lowest-id policy the oracle replays."""
+    return sim.semantic_cluster_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.9, centroid_stride=50
+    )
