@@ -226,3 +226,62 @@ def q_global_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_percentile_disc(
         ev, "value", [0.5, 0.9, 0.99], bins=16, exact_threshold=100
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate token counts (Cormode &
+# Muthukrishnan 2005).  The gate builds the d×w sketch over the
+# documents token stream, then point-estimates the exact top-5 tokens
+# — est must be >= truth (upper-bound property) and both engines
+# replay the identical md5 bucket arithmetic.
+# --------------------------------------------------------------------------
+_CMS_ORACLE = """
+WITH toks AS (
+  SELECT t AS token FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t != ''),
+cells AS (
+  SELECT r, CAST(('0x' || substr(md5(r || ':' || token), 1, 6)) AS BIGINT) % 1024 AS bucket
+  FROM toks, unnest(generate_series(0, 3)) AS g(r)),
+sketch AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks
+  GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 5),
+probes AS (
+  SELECT token, exact_count, g.r,
+         CAST(('0x' || substr(md5(g.r || ':' || token), 1, 6)) AS BIGINT) % 1024 AS bucket
+  FROM exact, unnest(generate_series(0, 3)) AS g(r))
+SELECT p.token, ANY_VALUE(p.exact_count) AS exact_count,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
+FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY p.token
+"""
+
+
+@query("sketch_countmin_tokens", oracle=_CMS_ORACLE)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS build + point estimates for the exact top-5 tokens: the
+    sketch is one map-side-combined shuffle of 4×1024 cells (constant
+    size at any corpus scale; merging sketches IS the partial
+    aggregation), the probe join broadcasts 20 cells."""
+    from pyspark.sql.window import Window
+
+    from ..operators import sketch as sk
+
+    docs = load(spark, sf_dir, "documents")
+    cms = sk.countmin_build(docs, depth=4, width=1024)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    w = Window.orderBy(F.desc("exact_count"), F.asc("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+    return top.join(
+        sk.countmin_estimate(cms, top.select("token"), depth=4, width=1024),
+        "token",
+    ).select("token", "exact_count", "cms_estimate")

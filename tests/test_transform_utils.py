@@ -97,3 +97,35 @@ def test_zorder_column_handles_nulls_and_constant_dims(spark):
     assert rows[2] < rows[3] < rows[4]
     # key column name returned and present
     assert key in out.columns and key not in df.columns
+
+
+def test_countmin_sketch_merge_and_upper_bound(spark):
+    """CMS invariants: (a) cell-wise sum of two half-corpus sketches
+    equals the full-corpus sketch (mergeability — the property that
+    makes the build a plain partial aggregation), (b) every point
+    estimate upper-bounds the true count."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import sketch as sk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = sk.countmin_build(docs, depth=4, width=256)
+    h1 = sk.countmin_build(docs.filter("doc_id % 2 = 0"), depth=4, width=256)
+    h2 = sk.countmin_build(docs.filter("doc_id % 2 = 1"), depth=4, width=256)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        "token != ''"
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    ).limit(50)
+    est = sk.countmin_estimate(full, exact.select("token"), depth=4, width=256)
+    joined = exact.join(est, "token").collect()
+    assert joined and all(r["cms_estimate"] >= r["exact_count"] for r in joined)
