@@ -106,7 +106,9 @@ def _register_all() -> None:
 # queries per round, so iteration order is a verification budget,
 # rotated STALEST-FIRST each round.  Round 6 spends the whole window
 # on verification debt: the 30 queries no driver window has ever
-# checked (plus this round's three new gates), then everything whose
+# checked (plus this round's four new gates — sim_kmeans_converged,
+# multimodal_ppm_meta, dedup_semantic_clusters,
+# sketch_countmin_tokens), then everything whose
 # behavior changed this round (PQ serialization fix, temperature
 # quota join, the rewritten shingle/Jaccard path), then the stalest
 # r2-/r4-era names.  Everything past position 50 stays honest via the
@@ -171,8 +173,8 @@ _PRIORITY: list[str] = [
     "q_stream_static_join",
     "q_stream_stream_join",
     "q_asof_join",
-    "q_sessionize_batch",
     "dedup_semantic_clusters",
+    "sketch_countmin_tokens",
     # exactly 50 names; everything else stays covered this round by
     # the local parity suite and the committed PARITY_r06.json sweep.
 ]
