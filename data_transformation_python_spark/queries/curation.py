@@ -364,6 +364,24 @@ _PPM_ORACLE = _BMP_ORACLE.replace(
     "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h",
     "5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h",
 )
+_PNG_ORACLE = _BMP_ORACLE.replace(
+    "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h",
+    "6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h",
+)
+
+
+@query("multimodal_png_meta", oracle=_PNG_ORACLE)
+def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real COMPRESSED image codec round-trip: genuine 8-bit RGB
+    PNGs (zlib-DEFLATE IDAT, CRC'd chunks) synthesized per row and
+    decoded back by a full scanline-filter-reconstructing parser
+    (filters 0-4 — stdlib zlib + numpy, no external codec libs).
+    The oracle replays the channel formula; a decoder that botches
+    inflate, filter reconstruction, or chunk CRCs fails the hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.png_metadata(mm.synth_png_table(docs))
 
 
 @query("multimodal_ppm_meta", oracle=_PPM_ORACLE)

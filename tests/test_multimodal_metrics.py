@@ -271,3 +271,74 @@ def test_synth_ppm_roundtrip_matches_formula(spark):
         assert np.array_equal(px[..., 0], r)
         assert np.array_equal(px[..., 1], g)
         assert np.array_equal(px[..., 2], b)
+
+
+def test_png_parser_reconstructs_all_filter_types():
+    """A real PNG decoder must reconstruct Sub/Up/Average/Paeth
+    scanlines, not just the filter-0 lines our writer emits — encode a
+    foreign image using every filter type and require exact decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_transformation_python_spark.operators import multimodal as mm
+
+    rng = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    stride = 5 * 3
+    lines, prev = [], np.zeros(stride, np.int64)
+    for y, f in enumerate([1, 2, 3, 4]):
+        cur = rng[y].reshape(-1).astype(np.int64)
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    w, h, out = mm._parse_png(png)
+    assert (w, h) == (5, 4)
+    assert np.array_equal(out, rng)
+
+
+def test_png_parser_rejects_corrupt_crc():
+    import pytest
+
+    from data_transformation_python_spark.operators import multimodal as mm
+
+    payload = bytearray(mm._write_png(3))
+    payload[len(mm._PNG_SIG) + 10] ^= 0xFF  # flip a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        mm._parse_png(bytes(payload))
+
+
+def test_synth_png_roundtrip_matches_formula(spark):
+    import numpy as np
+
+    from data_transformation_python_spark.operators import multimodal as mm
+
+    for doc_id in (0, 7, 42):
+        w, h, px = mm._parse_png(mm._write_png(doc_id))
+        assert (w, h) == mm._png_dims(doc_id)
+        r, g, b = mm._bmp_channels(doc_id, w, h)
+        assert np.array_equal(px[..., 0], r)
+        assert np.array_equal(px[..., 1], g)
+        assert np.array_equal(px[..., 2], b)
