@@ -93,6 +93,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
     from pyspark.sql.window import Window
 
     from data_transformation_python_spark.operators import dedup as dd
+    from data_transformation_python_spark.operators import multimodal as mm
     from data_transformation_python_spark.operators import sampling as sp
     from data_transformation_python_spark.operators import similarity as sim
     from data_transformation_python_spark.operators import text as tx
@@ -272,6 +273,12 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         ("dedup_span_dup_stats", lambda: dd.span_dup_stats(docs, n=8)),
+        (
+            # compressed-image codec throughput: 50k real PNGs
+            # encoded + decoded through Arrow batches
+            "multimodal_png_roundtrip",
+            lambda: mm.png_metadata(mm.synth_png_table(docs)),
+        ),
         (
             # SemDeDup at scale dials: 100 clusters over 50k vectors,
             # Arrow-BLAS assignment, within-cluster exact verify

@@ -106,8 +106,8 @@ def _register_all() -> None:
 # queries per round, so iteration order is a verification budget,
 # rotated STALEST-FIRST each round.  Round 6 spends the whole window
 # on verification debt: the 30 queries no driver window has ever
-# checked (plus this round's four new gates — sim_kmeans_converged,
-# multimodal_ppm_meta, dedup_semantic_clusters,
+# checked (plus this round's five new gates — sim_kmeans_converged,
+# multimodal_ppm_meta, multimodal_png_meta, dedup_semantic_clusters,
 # sketch_countmin_tokens), then everything whose
 # behavior changed this round (PQ serialization fix, temperature
 # quota join, the rewritten shingle/Jaccard path), then the stalest
@@ -118,8 +118,7 @@ def _register_all() -> None:
 # keep registration order.
 _PRIORITY: list[str] = [
     # --- never driver-checked before round 6 (the verification-debt
-    # backlog called out by the round-5 verdict), incl. this round's
-    # two new gates (sim_kmeans_converged, multimodal_ppm_meta) ---
+    # backlog called out by the round-5 verdict) ---
     "q_global_percentile_exact",
     "q_stream_foreachbatch_upsert",
     "q_stream_dedup_index",
@@ -172,7 +171,7 @@ _PRIORITY: list[str] = [
     "q_stream_dedup",
     "q_stream_static_join",
     "q_stream_stream_join",
-    "q_asof_join",
+    "multimodal_png_meta",
     "dedup_semantic_clusters",
     "sketch_countmin_tokens",
     # exactly 50 names; everything else stays covered this round by
