@@ -77,7 +77,21 @@ def global_percentile_disc(
         rank = max(1, math.ceil(q * n))
         cur, cnt = vals, n
         lo, hi = float(g["mn"]), float(g["mx"])
+        # Round budget: each round shrinks the candidate range by
+        # ~``bins``×, so 64 rounds cover ≥2^64 dynamic range — any
+        # real distribution resolves far earlier.  The budget exists
+        # for pathological value sets (e.g. denormals next to ±0.0,
+        # hypothesis-found) where candidates stop separating: at
+        # bins=2 the range would otherwise have to halve ~1100 times
+        # (one Spark job each) to split ±5e-324 from ±0.0.  On
+        # exhaustion the remaining bin resolves exactly — a bounded
+        # sort-limit, still the SQL-standard order statistic.
+        rounds_left = 64
         while True:
+            if rounds_left <= 0:
+                out.append((q, _exact_rank(cur, rank)))
+                break
+            rounds_left -= 1
             if cnt <= exact_threshold:
                 out.append((q, _exact_rank(cur, rank)))
                 break
@@ -92,10 +106,20 @@ def global_percentile_disc(
                 out.append((q, _exact_rank(cur, rank)))
                 break
             # the SAME bin expression bins and filters, so boundary
-            # rounding can never drop or double-count a row
-            bin_expr = F.least(
-                F.lit(bins - 1),
-                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+            # rounding can never drop or double-count a row WITHIN a
+            # round; the clamp must cover BOTH ends because a row can
+            # survive the previous round's bin filter while sitting a
+            # rounding error below this round's lo (floor((x-lo)/width)
+            # can equal sel even though x < lo + sel*width exactly) —
+            # unclamped it would bin to -1, vanish from the histogram
+            # AND the filter, and corrupt the rank accounting
+            # (hypothesis-found with -0.0/denormal values).
+            bin_expr = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                ),
             ).cast("int")
             hist = {
                 r["b"]: r["c"]

@@ -47,3 +47,28 @@ def test_refinement_matches_sorted_rank(spark, values, q, bins):
     }
     expected = sorted(values)[max(1, math.ceil(q * len(values))) - 1]
     assert got[q] == expected
+
+
+def test_denormal_and_negative_zero_edge(spark):
+    """Regression (hypothesis-found): values a rounding error below a
+    refined bin's lower bound used to bin to -1, vanish from both the
+    histogram and the filter, and corrupt the rank accounting; and at
+    bins=2 the ±5e-324 / ±0.0 split needs ~1100 halvings, so the
+    round budget must bail to exact resolution instead of looping."""
+    import math
+
+    values = [
+        -0.0, 6.103515625e-05, 5e-324, -1000000.0, -0.99999, 1.1,
+        1.192092896e-07, -74535.10177902947, -5e-324, -0.5,
+        -6.103515625e-05, -1.5161532621983215e-34, 1.1,
+        -80509.13360719103, 999999.9999999999,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    got = {
+        r["quantile"]: r["value"]
+        for r in global_percentile_disc(
+            df, "value", [0.5], bins=2, exact_threshold=3
+        ).collect()
+    }
+    expected = sorted(values)[max(1, math.ceil(0.5 * len(values))) - 1]
+    assert got[0.5] == expected
