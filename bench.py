@@ -357,6 +357,22 @@ def bench_framework_run_all(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _drop_checkpoints(spark) -> None:
+    """Unpersist every lingering persisted/localCheckpointed RDD.
+
+    ``materialize()`` cuts lineage via localCheckpoint, whose blocks
+    live in driver block storage for the session's lifetime; across
+    ~170 bench entries they accumulate into a heap-OOM.  Between
+    entries every previous entry's plan is fully consumed, so
+    dropping the blocks is safe (outside the bench, short-lived
+    sessions never accumulate enough to care)."""
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -415,6 +431,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # one bad query must not kill the record
             errors[name] = str(e).split("\n")[0][:200]
+        _drop_checkpoints(spark)
 
     # framework layer end-to-end: parse → DAG → level-parallel
     # materialization of the whole example project
@@ -442,6 +459,7 @@ def main() -> None:
                     timings[name + tag] = round(time.perf_counter() - t0, 4)
                 except Exception as e:
                     errors[name + tag] = str(e).split("\n")[0][:200]
+                _drop_checkpoints(spark)
 
     total = round(sum(timings.values()), 4)
     payload = {

@@ -70,6 +70,17 @@ def get_spark(
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+        # PySpark's 1g default driver heap is wrong for a local[N]
+        # "cluster" where the driver JVM IS every executor: a long
+        # session accumulates shuffle + block-storage (checkpoint)
+        # state across hundreds of jobs and OOMs (observed: the full
+        # bench run at N=32 died at stage ~1255 with Java heap space).
+        # Effective only at JVM launch — an already-running session
+        # keeps its heap (Spark ignores the conf then).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         if warehouse_dir:
             builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
             derby_home = os.path.dirname(os.path.abspath(warehouse_dir)) or "."
