@@ -45,13 +45,24 @@ def countmin_build(
     same projection, and the ONLY shuffle is the final groupBy over
     d×w cells, fully collapsed by map-side partial aggregation.
     """
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return countmin_build_tokens(toks, depth=depth, width=width)
+
+
+def countmin_build_tokens(
+    toks: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """CMS cells for a pre-tokenized frame (column ``token``) — the
+    building block batch AND streaming builds share: a micro-batch's
+    cells merge into the running sketch by plain cell-wise addition,
+    so continuous maintenance is an append + aggregate, no custom
+    state store needed."""
     cells = ", ".join(
         f"named_struct('r', {r}, 'bucket', {_bucket_expr(r, 'token', width)})"
         for r in range(depth)
     )
-    toks = df.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).filter(F.col("token") != "")
     return (
         toks.select(F.explode(F.expr(f"array({cells})")).alias("c"))
         .groupBy(

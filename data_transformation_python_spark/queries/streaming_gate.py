@@ -515,3 +515,95 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming Count-Min maintenance — each micro-batch appends its own
+# CMS cells via foreachBatch; the running sketch is their cell-wise
+# sum (the mergeability invariant live), probed for the heaviest
+# users and verified against the batch replay, which is EXACT because
+# merge-by-addition is associative over micro-batch partitions.
+# --------------------------------------------------------------------------
+_STREAM_CMS_ORACLE = """
+WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS token FROM events),
+cells AS (
+  SELECT r, CAST(('0x' || substr(md5(r || ':' || token), 1, 6)) AS BIGINT) % 1024 AS bucket
+  FROM toks, unnest(generate_series(0, 3)) AS g(r)),
+sketch AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks
+  GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 5),
+probes AS (
+  SELECT token, exact_count, g.r,
+         CAST(('0x' || substr(md5(g.r || ':' || token), 1, 6)) AS BIGINT) % 1024 AS bucket
+  FROM exact, unnest(generate_series(0, 3)) AS g(r))
+SELECT p.token, ANY_VALUE(p.exact_count) AS exact_count,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
+FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY p.token
+"""
+
+
+@query("q_stream_countmin_merge", oracle=_STREAM_CMS_ORACLE)
+def q_stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-user detection over the event stream: every micro-batch
+    builds its own CMS cells (``countmin_build_tokens``) and APPENDS
+    them to a catalog table; the live sketch is the cell-wise sum at
+    read time — a log-structured mergeable sketch with no custom
+    state store.  Stream-merged counts equal the batch sketch exactly
+    (addition is associative), so the gate is bit-checkable: the
+    merged sketch's estimates for the true top-5 users must match the
+    batch oracle replay."""
+    import tempfile
+
+    from ..operators import sketch as sk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("token")
+    )
+    target = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {target} (r INT, bucket BIGINT, cnt BIGINT) USING parquet"
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sk.countmin_build_tokens(batch_df).write.insertInto(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dtps_stream_cms_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sketch = (
+        spark.table(target)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    toks = events.select(F.col("user_id").cast("string").alias("token"))
+    w = Window.orderBy(F.desc("exact_count"), F.asc("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+    out = (
+        top.join(
+            sk.countmin_estimate(sketch, top.select("token")), "token"
+        )
+        .select("token", "exact_count", "cms_estimate")
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    return out
