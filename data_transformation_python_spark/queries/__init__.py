@@ -106,9 +106,10 @@ def _register_all() -> None:
 # queries per round, so iteration order is a verification budget,
 # rotated STALEST-FIRST each round.  Round 6 spends the whole window
 # on verification debt: the 30 queries no driver window has ever
-# checked (plus this round's five new gates — sim_kmeans_converged,
+# checked (plus this round's six new gates — sim_kmeans_converged,
 # multimodal_ppm_meta, multimodal_png_meta, dedup_semantic_clusters,
-# sketch_countmin_tokens), then everything whose
+# sketch_countmin_tokens, q_stream_countmin_merge), then everything
+# whose
 # behavior changed this round (PQ serialization fix, temperature
 # quota join, the rewritten shingle/Jaccard path), then the stalest
 # r2-/r4-era names.  Everything past position 50 stays honest via the
@@ -169,8 +170,8 @@ _PRIORITY: list[str] = [
     "q_stream_windowed_counts",
     "q_stream_sessionize",
     "q_stream_dedup",
-    "q_stream_static_join",
     "q_stream_stream_join",
+    "q_stream_countmin_merge",
     "multimodal_png_meta",
     "dedup_semantic_clusters",
     "sketch_countmin_tokens",
