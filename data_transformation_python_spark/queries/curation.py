@@ -368,6 +368,24 @@ _PNG_ORACLE = _BMP_ORACLE.replace(
     "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h",
     "6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h",
 )
+_GIF_ORACLE = _BMP_ORACLE.replace(
+    "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h",
+    "4 + doc_id % 7 AS w, 3 + doc_id % 5 AS h",
+)
+
+
+@query("multimodal_gif_meta", oracle=_GIF_ORACLE)
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second compressed image codec: genuine GIF87a with REAL
+    variable-width LZW (growing string table, early width change,
+    KwKwK, CLEAR resets at table overflow) plus palette indexing —
+    all stdlib+numpy.  The oracle replays the channel formula; a
+    decoder with the classic one-entry-lag width bug fails the
+    hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.gif_metadata(mm.synth_gif_table(docs))
 
 
 @query("multimodal_png_meta", oracle=_PNG_ORACLE)

@@ -342,3 +342,38 @@ def test_synth_png_roundtrip_matches_formula(spark):
         assert np.array_equal(px[..., 0], r)
         assert np.array_equal(px[..., 1], g)
         assert np.array_equal(px[..., 2], b)
+
+
+def test_gif_lzw_roundtrip_and_width_transitions():
+    """The LZW pair must agree through every width transition, the
+    KwKwK case, and 4096-entry table overflow CLEAR resets — the
+    places real-world GIF decoders classically break."""
+    import random
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode([5] * 1000, 4), 4) == [5] * 1000  # KwKwK runs
+    seq = [(i * 7 + 3) % 16 for i in range(5000)]
+    assert _lzw_decode(_lzw_encode(seq, 4), 4) == seq
+    rng = random.Random(7)
+    big = [rng.randrange(16) for _ in range(120000)]  # forces CLEAR resets
+    assert _lzw_decode(_lzw_encode(big, 4), 4) == big
+    small = [rng.randrange(4) for _ in range(30000)]  # min code size 2
+    assert _lzw_decode(_lzw_encode(small, 2), 2) == small
+
+
+def test_synth_gif_roundtrip_matches_formula(spark):
+    import numpy as np
+
+    from data_transformation_python_spark.operators import multimodal as mm
+
+    for doc_id in (0, 9, 23, 34):
+        w, h, px = mm._parse_gif(mm._write_gif(doc_id))
+        assert (w, h) == mm._gif_dims(doc_id)
+        r, g, b = mm._bmp_channels(doc_id, w, h)
+        assert np.array_equal(px[..., 0], r)
+        assert np.array_equal(px[..., 1], g)
+        assert np.array_equal(px[..., 2], b)
