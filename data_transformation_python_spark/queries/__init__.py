@@ -108,7 +108,8 @@ def _register_all() -> None:
 # on verification debt: the 30 queries no driver window has ever
 # checked (plus this round's six new gates — sim_kmeans_converged,
 # multimodal_ppm_meta, multimodal_png_meta, dedup_semantic_clusters,
-# sketch_countmin_tokens, q_stream_countmin_merge), then everything
+# sketch_countmin_tokens, q_stream_countmin_merge,
+# multimodal_gif_meta), then everything
 # whose
 # behavior changed this round (PQ serialization fix, temperature
 # quota join, the rewritten shingle/Jaccard path), then the stalest
@@ -169,8 +170,8 @@ _PRIORITY: list[str] = [
     "q_approx_distinct",
     "q_stream_windowed_counts",
     "q_stream_sessionize",
-    "q_stream_dedup",
     "q_stream_stream_join",
+    "multimodal_gif_meta",
     "q_stream_countmin_merge",
     "multimodal_png_meta",
     "dedup_semantic_clusters",
