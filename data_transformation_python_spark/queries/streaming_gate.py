@@ -66,7 +66,12 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle materializes every configured partition as a task (and a
     # state dir).  200 default partitions → 200 tasks for a small
     # window count; size to the parallelism actually available.
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -133,7 +138,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete output mode emits every session (including tails that a
     timeout-based emitter would still be holding)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
@@ -187,7 +197,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production variant, ``dropDuplicatesWithinWatermark``, runs as
     its own gated query: q_stream_dedup_watermark.)"""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = _events_stream(spark, sf_dir)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
@@ -228,7 +243,12 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both re-deliveries sit 1 s apart, well inside the horizon, so the
     surviving key set must equal batch DISTINCT exactly."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = _events_stream(spark, sf_dir)
     redelivered = stream.select(
         "event_id",
@@ -282,7 +302,12 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import foreach_batch_upsert
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = _events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
@@ -340,7 +365,12 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan a 100-TB ingest wants.  State is bounded by the
     aggregation keys only (segments × types), not the join."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment"))
@@ -393,7 +423,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state O(window) rather than O(stream).  The oracle is the batch
     self-join with the identical predicate."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Stateful streaming pays a per-partition state-store init on
+    # EVERY micro-batch; at fixture scale that fixed cost dominates
+    # (stream-stream join measured 3x faster at 8 partitions,
+    # identical results).  On a real cluster size this to the state
+    # volume — it is pinned by the first checkpoint.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def _side(event_type: str) -> DataFrame:
         return _events_stream(spark, sf_dir).where(
