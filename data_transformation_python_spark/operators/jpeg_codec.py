@@ -1,0 +1,433 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + stdlib —
+no external codec library.
+
+Scope: sequential baseline DCT (SOF0), 8-bit, three components with
+1x1 sampling (no chroma subsampling), no restart markers.  The
+encoder DEFINES its Huffman tables in DHT segments (fixed-length
+canonical codes over the symbols actually present — any valid JPEG
+table set is legal; the standard Annex-K tables are merely typical),
+and the decoder builds its code tables from whatever DHT segments the
+stream carries, so it reads its own output AND any other baseline
+1x1-sampled JPEG.
+
+Everything is deterministic: float64 DCT matrices, explicit
+round-half-away quantization, fixed YCbCr matrices — encode(x) is a
+pure function of x, and decode(encode(x)) is bit-stable, which is
+what the pipeline tests pin (JPEG is lossy, so unlike the PNG/GIF
+paths there is no exact formula replay; the oracle-less gate is
+rows-only by design).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K.1 example luminance/chrominance quantization
+# tables (the de-facto standard), scaled by the libjpeg quality curve.
+_QT_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_QT_CHR = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = (np.sqrt(0.125) if _k == 0 else 0.5) * np.cos(
+            (2 * _n + 1) * _k * np.pi / 16
+        )
+
+
+def _quality_tables(quality: int):
+    q = min(100, max(1, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    qt = []
+    for base in (_QT_LUM, _QT_CHR):
+        t = np.floor((base * scale + 50) / 100)
+        qt.append(np.clip(t, 1, 255).astype(np.int64))
+    return qt
+
+
+def _round_half_away(x):
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per the JPEG magnitude coding: negative
+    values store their one's-complement in ``size`` bits."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+class _BitWriter:
+    """MSB-first bit stream with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _canonical_table(symbols: list[int]):
+    """Fixed-length canonical Huffman over the used symbol set: all
+    codes get length L with 2^L > n (so no code is all ones).  Returns
+    (bits[1..16], ordered symbols, {symbol: (code, length)})."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    length = max(1, n.bit_length()) if n else 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 17
+    bits[length] = n
+    codes = {s: (i, length) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], syms: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits[1:17]) + bytes(syms)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _component_blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples (edge replicate) and split into 8x8 blocks,
+    raster order.  Returns (n_blocks, 8, 8) float64 level-shifted."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    hb, wb = p.shape[0] // 8, p.shape[1] // 8
+    return (
+        p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        hb,
+        wb,
+    )
+
+
+def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an h×w×3 uint8 RGB array as a baseline JFIF JPEG."""
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qt_l, qt_c = _quality_tables(quality)
+    comps = []
+    for idx, (plane, qt) in enumerate(((y, qt_l), (cb, qt_c), (cr, qt_c))):
+        blocks, _, _ = _component_blocks(np.clip(_round_half_away(plane), 0, 255))
+        coef = np.einsum("kn,bnm,ml->bkl", _C, blocks, _C.T)
+        quant = _round_half_away(coef / qt[None, :, :]).astype(np.int64)
+        comps.append(quant.reshape(len(quant), 64)[:, _ZIGZAG])
+    # run-length symbols per component class (luma=0, chroma=1)
+    dc_syms: list[list[int]] = [[], []]
+    ac_syms: list[list[int]] = [[], []]
+    seqs = []  # per component: list of (dc_size, dc_bits, [(sym, size, bits)])
+    for ci, zz in enumerate(comps):
+        cls = 0 if ci == 0 else 1
+        prev_dc = 0
+        comp_seq = []
+        for blk in zz:
+            size, bits = _magnitude(int(blk[0]) - prev_dc)
+            prev_dc = int(blk[0])
+            dc_syms[cls].append(size)
+            acs = []
+            run = 0
+            nz = np.nonzero(blk[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        acs.append((0xF0, 0, 0))
+                        ac_syms[cls].append(0xF0)
+                        run = 0
+                    continue
+                s, bts = _magnitude(v)
+                acs.append(((run << 4) | s, s, bts))
+                ac_syms[cls].append((run << 4) | s)
+                run = 0
+            if last < 63:
+                acs.append((0x00, 0, 0))  # EOB
+                ac_syms[cls].append(0x00)
+            comp_seq.append((size, bits, acs))
+        seqs.append(comp_seq)
+    tables = {}
+    dht = b""
+    for cls in (0, 1):
+        for tc, syms in ((0, dc_syms[cls]), (1, ac_syms[cls])):
+            bits_arr, ordered, codes = _canonical_table(syms or [0])
+            tables[(tc, cls)] = codes
+            dht += _dht_segment(tc, cls, bits_arr, ordered)
+    bw = _BitWriter()
+    n_blocks = len(comps[0])
+    for bi in range(n_blocks):
+        for ci in range(3):
+            cls = 0 if ci == 0 else 1
+            size, bits, acs = seqs[ci][bi]
+            code, ln = tables[(0, cls)][size]
+            bw.put(code, ln)
+            if size:
+                bw.put(bits, size)
+            for sym, s, bts in acs:
+                code, ln = tables[(1, cls)][sym]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bts, s)
+    scan = bw.flush()
+    qt_seg = b""
+    for tq, qt in ((0, qt_l), (1, qt_c)):
+        body = bytes([tq]) + bytes(int(qt.reshape(64)[_ZIGZAG][i]) for i in range(64))
+        qt_seg += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(
+        ">BHHB", 8, h, w, 3
+    ) + b"".join(
+        struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+        for cid in (1, 2, 3)
+    )
+    sos = bytes([3]) + b"".join(
+        bytes([cid, (cls << 4) | cls])
+        for cid, cls in ((1, 0), (2, 1), (3, 1))
+    ) + bytes([0, 63, 0])
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + qt_seg
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + dht
+        + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first reader over entropy data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_decode_table(bits: list[int], syms: list[int]):
+    """(code, length) → symbol from a DHT's BITS/HUFFVAL arrays."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            table[(code, ln)] = syms[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG with 1x1 sampling into h×w×3
+    uint8 RGB.  Parses DQT/SOF0/DHT/SOS from the stream (any valid
+    Huffman tables, not just this encoder's)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps_cfg = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.int64)
+                qt = np.zeros(64, np.int64)
+                qt[_ZIGZAG] = zz
+                qts[tq] = qt.reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline")
+            comps_cfg = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                if samp != 0x11:
+                    raise NotImplementedError("only 1x1 sampling")
+                comps_cfg.append((cid, tq))
+            sof = (h, w, nc)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = [0] + list(body[off + 1 : off + 17])
+                n = sum(bits)
+                syms = list(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, syms)
+                off += 17 + n
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_cfg = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_cfg.append((cs, tt >> 4, tt & 0xF))
+            scan_data = data[pos:]
+            return _decode_scan(scan_data, sof, comps_cfg, scan_cfg, qts, huff)
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(scan_data, sof, comps_cfg, scan_cfg, qts, huff):
+    h, w, nc = sof
+    br = _BitReader(scan_data)
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+
+    def read_symbol(table) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    planes = [np.zeros((hb * 8, wb * 8)) for _ in range(nc)]
+    prev_dc = [0] * nc
+    cid_to_tq = dict(comps_cfg)
+    for by in range(hb):
+        for bx in range(wb):
+            for ci, (cs, td, ta) in enumerate(scan_cfg):
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                zz = np.zeros(64, np.int64)
+                size = read_symbol(dc_tab)
+                diff = _extend(br.bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_tab)
+                    if sym == 0x00:
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                block = np.zeros(64, np.int64)
+                block[_ZIGZAG] = zz
+                qt = qts[cid_to_tq[cs]]
+                coef = block.reshape(8, 8).astype(np.float64) * qt
+                pix = _C.T @ coef @ _C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    y, cb, cr = (
+        np.clip(_round_half_away(p[:h, :w]), 0, 255) for p in planes
+    )
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack(
+        [np.clip(_round_half_away(c), 0, 255) for c in (r, g, b)], axis=-1
+    )
+    return out.astype(np.uint8)

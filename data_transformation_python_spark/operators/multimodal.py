@@ -3,12 +3,13 @@ columns + typed metadata, processed with Arrow-batched pandas UDFs via
 ``mapInPandas``.  All three modalities decode with REAL codecs:
 audio (PCM WAV via the stdlib ``wave`` module — ``wav_metadata``),
 images (uncompressed 24-bit BMP via ``struct``+numpy, binary PPM/P6,
-and COMPRESSED 8-bit RGB PNG — zlib-DEFLATE + full scanline-filter
-reconstruction, both stdlib), and video (uncompressed-DIB AVI RIFF).
-Only entropy-coded formats whose codecs are genuinely absent from
-this environment (JPEG's Huffman-DCT, MP4's H.26x) remain stubbed,
-while their Spark-side plumbing (schema, batching, partition shape)
-is real.
+COMPRESSED 8-bit RGB PNG — zlib-DEFLATE + full scanline-filter
+reconstruction, GIF87a with a real variable-width LZW, and baseline
+JPEG via the pure-numpy T.81 codec in ``jpeg_codec.py``), and video
+(uncompressed-DIB AVI RIFF).  Only MP4/H.26x video remains stubbed
+(a motion-compensated video codec is genuinely out of scope), while
+its Spark-side plumbing (schema, batching, partition shape) is
+real.
 
 Pattern: at 100 TB the media bytes stay columnar in parquet; decode /
 feature-extract runs inside executors on Arrow batches, never on the
@@ -55,9 +56,10 @@ def decode_media(payload: bytes, kind: str):
     stdlib-decodable formats: ``wav`` (RIFF/PCM via ``wave``) and
     ``bmp`` (uncompressed 24-bit via ``struct`` — see ``_parse_bmp``),
     ``ppm`` (binary Netpbm — ``_parse_ppm``), ``png`` (zlib DEFLATE +
-    filter reconstruction — ``_parse_png``), and ``avi`` frames.
-    Entropy-coded formats (JPEG, MP4) require codec libraries not
-    installed here and stay honestly stubbed."""
+    filter reconstruction — ``_parse_png``), ``gif`` (LZW —
+    ``_parse_gif``), ``jpeg`` (baseline T.81 — ``jpeg_codec``), and
+    ``avi`` frames.  MP4/H.26x video requires codec libraries not
+    installed here and stays honestly stubbed."""
     import io
 
     import numpy as np
@@ -73,6 +75,12 @@ def decode_media(payload: bytes, kind: str):
         return _parse_ppm(bytes(payload))[2]
     if kind == "png":
         return _parse_png(bytes(payload))[2]
+    if kind == "gif":
+        return _parse_gif(bytes(payload))[2]
+    if kind == "jpeg":
+        from .jpeg_codec import jpeg_decode
+
+        return jpeg_decode(bytes(payload))
     if kind == "avi":
         return _parse_avi(bytes(payload))[4]
     raise NotImplementedError(
@@ -1255,3 +1263,89 @@ def gif_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=BMP_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image: baseline JPEG — the last image format, via the pure-numpy
+# T.81 codec in operators/jpeg_codec.py (FDCT + quantization + DHT-
+# defined canonical Huffman; the decoder parses DQT/SOF0/DHT/SOS and
+# reads any baseline 1x1-sampled JPEG).  JPEG is LOSSY, so the gate
+# pins parsed dimensions plus a decoded-fidelity bound instead of an
+# exact pixel replay; determinism still holds (encode and decode are
+# pure functions), which the unit tests assert bit-exactly.
+# --------------------------------------------------------------------------
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    return 9 + doc_id % 10, 8 + doc_id % 7  # multiple MCUs + ragged edges
+
+
+def _write_jpeg(doc_id: int, quality: int = 95) -> bytes:
+    import numpy as np
+
+    from .jpeg_codec import jpeg_encode
+
+    w, h = _jpeg_dims(doc_id)
+    r, g, b = _bmp_channels(doc_id, w, h)
+    px = np.stack([r, g, b], axis=-1)
+    return jpeg_encode(px, quality=quality)
+
+
+def synth_jpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_write_jpeg(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+JPEG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_metadata(df: DataFrame, min_psnr_db: float = 30.0) -> DataFrame:
+    """Decode JPEG payloads and verify fidelity against the known
+    source formula: dimensions come from the parsed SOF0 and
+    ``psnr_ok`` asserts the decoded pixels sit within ``min_psnr_db``
+    of the original — a broken Huffman/DCT/colorspace stage collapses
+    PSNR and fails the gate."""
+    import numpy as np
+
+    from .jpeg_codec import jpeg_decode
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in JPEG_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                px = jpeg_decode(bytes(payload))
+                h, w = px.shape[:2]
+                r, g, b = _bmp_channels(int(doc_id), w, h)
+                src = np.stack([r, g, b], axis=-1).astype(np.float64)
+                mse = ((px.astype(np.float64) - src) ** 2).mean()
+                psnr = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["psnr_ok"].append(bool(psnr >= min_psnr_db))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=JPEG_META_SCHEMA)

@@ -374,6 +374,34 @@ _GIF_ORACLE = _BMP_ORACLE.replace(
 )
 
 
+_JPEG_ORACLE = """
+SELECT doc_id,
+       CAST(9 + doc_id % 10 AS BIGINT) AS width,
+       CAST(8 + doc_id % 7 AS BIGINT) AS height,
+       CAST((9 + doc_id % 10) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+       TRUE AS psnr_ok
+FROM documents
+"""
+
+
+@query("multimodal_jpeg_meta", oracle=_JPEG_ORACLE)
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG through the pure-numpy T.81 codec
+    (operators/jpeg_codec.py): FDCT + quality-scaled quantization +
+    DHT-defined canonical Huffman on encode; a general marker parser
+    (DQT/SOF0/DHT/SOS, byte unstuffing, magnitude decoding, IDCT) on
+    decode.  JPEG is lossy, so the oracle pins the PARSED dimensions
+    and a decoded-fidelity flag (PSNR ≥ 30 dB vs the source formula,
+    computed executor-side from the actual decode) rather than exact
+    pixels — a broken Huffman/DCT/colorspace stage collapses PSNR and
+    goes red; bit-determinism of encode/decode is pinned by the unit
+    tests."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.jpeg_metadata(mm.synth_jpeg_table(docs))
+
+
 @query("multimodal_gif_meta", oracle=_GIF_ORACLE)
 def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second compressed image codec: genuine GIF87a with REAL

@@ -377,3 +377,70 @@ def test_synth_gif_roundtrip_matches_formula(spark):
         assert np.array_equal(px[..., 0], r)
         assert np.array_equal(px[..., 1], g)
         assert np.array_equal(px[..., 2], b)
+
+
+def test_jpeg_codec_roundtrip_determinism_and_fidelity():
+    """encode/decode are pure functions (bit-stable across calls) and
+    the lossy roundtrip stays within sane PSNR at q=95; a smooth
+    gradient decodes near-losslessly while actually compressing."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 33, 3)).astype(np.uint8)
+    enc = jpeg_encode(img, quality=95)
+    assert jpeg_encode(img, quality=95) == enc  # bit-deterministic
+    dec = jpeg_decode(enc)
+    assert dec.shape == img.shape
+    assert np.array_equal(jpeg_decode(enc), dec)
+    mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 30
+    xs, ys = np.arange(48), np.arange(24)
+    smooth = np.stack(
+        [((xs[None, :] + 2 * ys[:, None]) % 256).astype(np.uint8)] * 3, axis=-1
+    )
+    e2 = jpeg_encode(smooth, 95)
+    assert len(e2) < smooth.size  # genuinely compressed
+    mse2 = ((jpeg_decode(e2).astype(float) - smooth.astype(float)) ** 2).mean()
+    assert mse2 < 0.5  # near-lossless on smooth content
+
+
+def test_jpeg_decoder_rejects_progressive_and_junk():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_transformation_python_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x01")
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg_encode(img))
+    sof_at = bytes(enc).find(b"\xff\xc0")
+    enc[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jpeg_decode(bytes(enc))
+
+
+def test_jpeg_quality_dial_trades_size_for_error():
+    import numpy as np
+
+    from data_transformation_python_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    e_lo, e_hi = jpeg_encode(img, 30), jpeg_encode(img, 95)
+    assert len(e_lo) < len(e_hi)
+    err = lambda e: ((jpeg_decode(e).astype(float) - img.astype(float)) ** 2).mean()
+    assert err(e_lo) > err(e_hi)
