@@ -109,7 +109,8 @@ def _register_all() -> None:
 # checked (plus this round's six new gates — sim_kmeans_converged,
 # multimodal_ppm_meta, multimodal_png_meta, dedup_semantic_clusters,
 # sketch_countmin_tokens, q_stream_countmin_merge,
-# multimodal_gif_meta, multimodal_jpeg_meta), then everything
+# multimodal_gif_meta, multimodal_jpeg_meta, multimodal_mjpeg_meta),
+# then everything
 # whose
 # behavior changed this round (PQ serialization fix, temperature
 # quota join, the rewritten shingle/Jaccard path), then the stalest
@@ -168,8 +169,8 @@ _PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     "q_approx_percentile",
     "q_approx_distinct",
-    "q_stream_sessionize",
     "multimodal_jpeg_meta",
+    "multimodal_mjpeg_meta",
     "q_stream_stream_join",
     "multimodal_gif_meta",
     "q_stream_countmin_merge",

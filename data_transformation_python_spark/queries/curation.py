@@ -862,3 +862,34 @@ def q_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 72 * 3600
         ).alias("is_fresh"),
     )
+
+
+# --------------------------------------------------------------------------
+# compressed VIDEO: MJPEG-in-AVI — the AVI walker + per-frame JPEG
+# decode composed; gated on container metadata + per-frame fidelity
+# (lossy, so no exact pixel replay — same contract as the JPEG gate).
+# --------------------------------------------------------------------------
+_MJPEG_ORACLE = """
+SELECT doc_id,
+       CAST(10 + doc_id % 7 AS BIGINT) AS width,
+       CAST(9 + doc_id % 5 AS BIGINT) AS height,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 16 WHEN 2 THEN 20
+                            WHEN 3 THEN 25 ELSE 40 END AS BIGINT) AS fps,
+       TRUE AS psnr_ok
+FROM documents
+"""
+
+
+@query("multimodal_mjpeg_meta", oracle=_MJPEG_ORACLE)
+def multimodal_mjpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED video: genuine MJPEG AVIs ('MJPG' fourcc,
+    per-frame baseline JPEG '00dc' chunks) synthesized per row, then
+    container-walked and frame-decoded back.  Every frame must clear
+    30 dB PSNR against the source formula and the avih metadata must
+    match — composition of the RIFF walker and the pure-numpy T.81
+    codec."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.mjpeg_metadata(mm.synth_mjpeg_table(docs))

