@@ -96,7 +96,8 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 class _BitWriter:
-    """MSB-first bit stream with 0xFF byte stuffing."""
+    """MSB-first bit stream with 0xFF byte stuffing (byte-level spill
+    — a per-bit loop here dominated the whole encoder)."""
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -104,22 +105,21 @@ class _BitWriter:
         self.n = 0
 
     def put(self, bits: int, width: int) -> None:
-        for i in range(width - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((bits >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        self.acc = (self.acc << width) | (bits & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
-            self.acc <<= 8 - self.n
-            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
+            byte = ((self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)) & 0xFF
+            self.out.append(byte)  # pad with 1s per spec
+            if byte == 0xFF:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
@@ -259,35 +259,44 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
 
 
 class _BitReader:
-    """MSB-first reader over entropy data with 0xFF00 unstuffing."""
+    """MSB-first reader over entropy data.
+
+    The scan is unstuffed ONCE up front (0xFF00 → 0xFF, stopping at
+    the first real marker) and unpacked into a numpy bit array; reads
+    are then pure index arithmetic — the per-bit branchy loop this
+    replaces dominated the whole decoder."""
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+        clean = bytearray()
+        i = 0
+        while i < len(data):
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1] if i + 1 < len(data) else None
+                if nxt == 0x00:
+                    clean.append(0xFF)
+                    i += 2
+                    continue
+                break  # a real marker (EOI, ...) ends the entropy data
+            clean.append(b)
+            i += 1
+        self._bits = np.unpackbits(np.frombuffer(bytes(clean), np.uint8))
+        self._pow = 1 << np.arange(15, -1, -1, dtype=np.int64)
+        self.i = 0
 
     def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy stream")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        if self.i >= len(self._bits):
+            raise ValueError("truncated entropy stream")
+        v = int(self._bits[self.i])
+        self.i += 1
+        return v
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        j = self.i + k
+        if j > len(self._bits):
+            raise ValueError("truncated entropy stream")
+        v = int(self._bits[self.i : j] @ self._pow[16 - k :])
+        self.i = j
         return v
 
 
@@ -380,7 +389,19 @@ def _decode_scan(scan_data, sof, comps_cfg, scan_cfg, qts, huff):
     br = _BitReader(scan_data)
     hb, wb = (h + 7) // 8, (w + 7) // 8
 
-    def read_symbol(table) -> int:
+    fixed_len = {}
+    for key, table in huff.items():
+        lens = {ln for _, ln in table}
+        fixed_len[key] = lens.pop() if len(lens) == 1 else None
+
+    def read_symbol(key) -> int:
+        table = huff[key]
+        fl = fixed_len[key]
+        if fl is not None:  # single-length table: one aligned read
+            sym = table.get((br.bits(fl), fl))
+            if sym is None:
+                raise ValueError("invalid Huffman code")
+            return sym
         code, ln = 0, 0
         while ln <= 16:
             code = (code << 1) | br.bit()
@@ -395,15 +416,14 @@ def _decode_scan(scan_data, sof, comps_cfg, scan_cfg, qts, huff):
     for by in range(hb):
         for bx in range(wb):
             for ci, (cs, td, ta) in enumerate(scan_cfg):
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
                 zz = np.zeros(64, np.int64)
-                size = read_symbol(dc_tab)
+                size = read_symbol((0, td))
                 diff = _extend(br.bits(size), size) if size else 0
                 prev_dc[ci] += diff
                 zz[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
-                    sym = read_symbol(ac_tab)
+                    sym = read_symbol((1, ta))
                     if sym == 0x00:
                         break
                     run, size = sym >> 4, sym & 0xF

@@ -1310,7 +1310,16 @@ def synth_jpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "payload": [_write_jpeg(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(_batches, schema=schema)
+    # codec work is CPU-heavy per row: spread the id column across
+    # the executor cores BEFORE the Arrow stage (a one-column
+    # shuffle of bigints) — the source table may sit in one
+    # parquet partition, which would serialize every encode.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
 
 
 JPEG_META_SCHEMA = T.StructType(
@@ -1429,7 +1438,16 @@ def synth_mjpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_batches, schema=schema)
+    # codec work is CPU-heavy per row: spread the id column across
+    # the executor cores BEFORE the Arrow stage (a one-column
+    # shuffle of bigints) — the source table may sit in one
+    # parquet partition, which would serialize every encode.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
 
 
 MJPEG_META_SCHEMA = T.StructType(
