@@ -780,6 +780,8 @@ def _parse_ppm(data: bytes):
     pos, tokens = 2, []
     while len(tokens) < 3:
         c = data[pos : pos + 1]
+        if c == b"":  # end-of-data mid-header: b''.isspace() is False,
+            raise ValueError("truncated PPM header")  # so stop explicitly
         if c == b"#":  # comment runs to end of line
             while data[pos : pos + 1] not in (b"\n", b""):
                 pos += 1
@@ -787,7 +789,12 @@ def _parse_ppm(data: bytes):
             pos += 1
         else:
             start = pos
-            while not data[pos : pos + 1].isspace():
+            while True:
+                c = data[pos : pos + 1]
+                if c == b"":
+                    raise ValueError("truncated PPM header")
+                if c.isspace():
+                    break
                 pos += 1
             tokens.append(int(data[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raster
@@ -1406,8 +1413,10 @@ def _write_mjpeg_avi(doc_id: int, quality: int = 95) -> bytes:
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, max_size, 0, 0)
         + struct.pack("<4h", 0, 0, w, h)
     )
+    # Exactly 40 bytes (biSize..biClrImportant) so biSize=40 is truthful
+    # for external AVI consumers that honor BITMAPINFOHEADER.
     strf = struct.pack(
-        "<Iii2H4s6I", 40, w, h, 1, 24, b"MJPG", max_size, 0, 0, 0, 0, 0
+        "<Iii2H4s5I", 40, w, h, 1, 24, b"MJPG", max_size, 0, 0, 0, 0
     )
     strl = _riff_chunk(
         b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)

@@ -941,6 +941,28 @@ def semantic_cluster_dedup(
         F.col("__nrm").alias("__cn"),
     )
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if not cent_rows:
+        # No id is a multiple of centroid_stride (ids not anchored at
+        # 0): anchor on the smallest id instead so there is always one
+        # centroid and np.stack below never sees an empty list.  A
+        # genuinely empty input yields one empty collect and falls
+        # through to an empty result via the normal path.
+        cent_rows = (
+            qn.orderBy(F.col(id_col).asc())
+            .limit(1)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col("__v").alias("__cv"),
+                F.col("__nrm").alias("__cn"),
+            )
+            .collect()
+        )
+        if not cent_rows:
+            return qn.select(
+                id_col,
+                F.col(id_col).cast("bigint").alias("cid"),
+                F.lit(True).alias("is_kept"),
+            ).limit(0)
     n_cent = len(cent_rows)
     c_dim = len(cent_rows[0]["__cv"]) if cent_rows else 0
     if cent_rows and n_cent * c_dim <= max_literal_cells:

@@ -93,9 +93,13 @@ def countmin_estimate(
         F.col("c.r").cast("int").alias("r"),
         F.col("c.bucket").cast("bigint").alias("bucket"),
     )
+    # LEFT join + coalesce(0): a cell the sketch never incremented has no
+    # row, and the CMS point estimate must treat it as count 0 (an unseen
+    # token estimates to 0, not NULL / dropped).  The sketch side is the
+    # broadcast side here (bounded d×w cells); probes stream through it.
     return (
-        F.broadcast(probes)
-        .join(sketch, ["r", "bucket"])
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy("token")
         .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
     )

@@ -257,6 +257,18 @@ def test_ppm_parser_honors_netpbm_header_grammar():
     assert np.array_equal(out, px)
 
 
+def test_ppm_parser_rejects_truncated_header():
+    """Regression: a payload that ends mid-header must raise a clear
+    ValueError instead of looping forever past the end of the data."""
+    import pytest
+
+    from data_transformation_python_spark.operators.multimodal import _parse_ppm
+
+    for bad in (b"P6", b"P6 3", b"P6 # comment", b"P6 3 2", b"P6\n3 2 25"):
+        with pytest.raises(ValueError, match="truncated PPM header"):
+            _parse_ppm(bad)
+
+
 def test_synth_ppm_roundtrip_matches_formula(spark):
     """Writer → parser round-trip reproduces the channel congruences
     with PPM's top-down unpadded layout (opposite of BMP)."""

@@ -258,3 +258,35 @@ def test_lloyd_blas_partials_match_literal_aggregate(spark):
         for cid, n, _, inertia in S._lloyd_partials_blas(qn, cents, d)
     }
     assert lit == blas
+
+
+def test_semantic_cluster_dedup_ids_not_anchored_at_zero(spark):
+    """Regression: when no vec_id is a multiple of centroid_stride
+    (ids not anchored at 0), the operator must fall back to a
+    smallest-id centroid instead of np.stack([]) raising ValueError."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import similarity as S
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") * F.lit(2) + F.lit(1))  # all odd
+        .limit(200)
+    )
+    out = S.semantic_cluster_dedup(emb, centroid_stride=2)  # odd % 2 == 1 always
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["cid"] is not None for r in rows)
+    # single fallback centroid => one cluster, and at least the anchor kept
+    assert any(r["is_kept"] for r in rows)
+
+
+def test_semantic_cluster_dedup_empty_input(spark):
+    from data_transformation_python_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 0"
+    )
+    out = S.semantic_cluster_dedup(emb, centroid_stride=50)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cid", "is_kept"}

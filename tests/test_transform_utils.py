@@ -129,3 +129,26 @@ def test_countmin_sketch_merge_and_upper_bound(spark):
     est = sk.countmin_estimate(full, exact.select("token"), depth=4, width=256)
     joined = exact.join(est, "token").collect()
     assert joined and all(r["cms_estimate"] >= r["exact_count"] for r in joined)
+
+
+def test_countmin_estimate_unseen_token_is_zero_not_dropped(spark):
+    """A probe token with an empty cell must estimate as 0 (missing
+    sketch cells count as zero), never be dropped from the output or
+    min'd over only its nonzero cells."""
+    from data_transformation_python_spark.operators import sketch as sk
+
+    corpus = spark.createDataFrame([("alpha",), ("alpha",), ("beta",)], "token string")
+    # Wide sketch so a synthetic probe token almost surely misses every
+    # cell; correctness of the assertion only needs estimate <= upper
+    # bound and presence in the output.
+    sketch = sk.countmin_build_tokens(corpus, depth=4, width=65536)
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-seen-token-xyzzy",)], "token string"
+    )
+    rows = {
+        r["token"]: r["cms_estimate"]
+        for r in sk.countmin_estimate(sketch, probes, depth=4, width=65536).collect()
+    }
+    assert rows["alpha"] == 2
+    assert "never-seen-token-xyzzy" in rows  # not dropped by inner join
+    assert rows["never-seen-token-xyzzy"] == 0
