@@ -58,8 +58,11 @@ def decode_media(payload: bytes, kind: str):
     ``ppm`` (binary Netpbm — ``_parse_ppm``), ``png`` (zlib DEFLATE +
     filter reconstruction — ``_parse_png``), ``gif`` (LZW —
     ``_parse_gif``), ``jpeg`` (baseline T.81 — ``jpeg_codec``), and
-    ``avi`` frames.  MP4/H.26x video requires codec libraries not
-    installed here and stays honestly stubbed."""
+    ``avi`` frames (uncompressed DIB and MJPEG), and ``ipv``
+    inter-frame-predicted video (MPEG-1-shaped I/P pictures —
+    ``video_codec``).  Only standards-conformant H.264/H.265 and MP4
+    demuxing require codec libraries not installed here and stay
+    honestly stubbed."""
     import io
 
     import numpy as np
@@ -83,9 +86,14 @@ def decode_media(payload: bytes, kind: str):
         return jpeg_decode(bytes(payload))
     if kind == "avi":
         return _parse_avi(bytes(payload))[4]
+    if kind == "ipv":
+        from .video_codec import ipv_decode
+
+        return ipv_decode(bytes(payload))[3]
     raise NotImplementedError(
         f"media decoding for kind={kind!r} requires codec libraries "
-        "not available in this environment"
+        "not available in this environment (H.264/H.265 entropy "
+        "decoding and MP4 demuxing)"
     )
 
 
@@ -1505,3 +1513,237 @@ def mjpeg_metadata(df: DataFrame, min_psnr_db: float = 30.0) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=MJPEG_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# video: inter-frame-predicted I/P pictures (operators/video_codec.py)
+# — the last modality tier.  Unlike the MJPEG/AVI fixtures (whose
+# channel formulas the SQL oracle replays), the IPV fixture content is
+# TEMPORALLY COHERENT — a static sawtooth background plus a small
+# moving bright block — because that is the workload temporal
+# prediction exists for: P-pictures code only the object's motion
+# residual, which the gate demonstrates via coded-size stats.
+# Fidelity is driver-checked through pinned integer-dB PSNR constants
+# (multimodal_codec_psnr), not a formula replay: the codec is lossy
+# but bit-deterministic.
+# --------------------------------------------------------------------------
+def _ipv_dims(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, n_frames, fps, gop) — all deterministic."""
+    return (
+        16 + doc_id % 9,
+        12 + doc_id % 7,
+        4 + doc_id % 5,
+        AVI_FPS_CHOICES[doc_id % 5],
+        4,
+    )
+
+
+def _ipv_frame_channels(doc_id: int, f: int, w: int, h: int):
+    """Per-frame RGB channels: a temporally-static spatial sawtooth
+    background (range 32..127, so the moving object never clips) with
+    a 3×3 block at +96 that advances every frame.  Deterministic pure
+    function of (doc_id, f)."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    chans = []
+    for mul_x, mul_y, base in ((5, 3, 7), (3, 5, 11), (7, 2, 13)):
+        c = (doc_id * base + x * mul_x + y * mul_y) % 96 + 32
+        chans.append(np.broadcast_to(c, (h, w)).copy())
+    ox = (doc_id + 2 * f) % (w - 3)
+    oy = (doc_id // 3 + f) % (h - 3)
+    for c in chans:
+        c[oy : oy + 3, ox : ox + 3] += 96
+    return tuple(c.astype(np.uint8) for c in chans)
+
+
+def _write_ipv(doc_id: int, quality: int = 95) -> bytes:
+    import numpy as np
+
+    from .video_codec import ipv_encode
+
+    w, h, nf, fps, gop = _ipv_dims(doc_id)
+    frames = [
+        np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
+        for f in range(nf)
+    ]
+    return ipv_encode(frames, fps=fps, quality=quality, gop=gop)
+
+
+def synth_ipv_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL IPV1 inter-frame-predicted video payload per
+    row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_write_ipv(int(i)) for i in ids]}
+            )
+
+    # codec work is CPU-heavy per row: spread ids across executor
+    # cores BEFORE the Arrow stage (one-column bigint shuffle).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+IPV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.LongType()),
+        T.StructField("n_iframes", T.LongType()),
+        T.StructField("n_pframes", T.LongType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+        T.StructField("pframes_smaller", T.BooleanType()),
+    ]
+)
+
+
+def ipv_metadata(df: DataFrame, min_psnr_db: float = 30.0) -> DataFrame:
+    """Decode IPV1 streams: container metadata, frame-type census,
+    per-frame fidelity against the source formula, and the
+    inter-frame evidence — ``pframes_smaller`` asserts the mean
+    P-picture payload is smaller than the mean I-picture payload,
+    i.e. temporal prediction actually removed bits (a codec that
+    silently intra-coded everything goes red)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .video_codec import ipv_decode
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in IPV_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                data = bytes(payload)
+                w, h, fps, frames, ftypes = ipv_decode(data)
+                # second pass over the container for coded sizes
+                sizes = {"I": [], "P": []}
+                pos = 4 + _struct.calcsize("<4H2B")
+                while pos + 5 <= len(data):
+                    ft, ln = _struct.unpack_from("<BI", data, pos)
+                    sizes["I" if ft == 0 else "P"].append(ln)
+                    pos += 5 + ln
+                ok = True
+                for f, px in enumerate(frames):
+                    src = np.stack(
+                        _ipv_frame_channels(int(doc_id), f, w, h), axis=-1
+                    ).astype(np.float64)
+                    mse = ((px.astype(np.float64) - src) ** 2).mean()
+                    psnr = (
+                        float("inf")
+                        if mse == 0
+                        else 10.0 * np.log10(255.0**2 / mse)
+                    )
+                    ok = ok and psnr >= min_psnr_db
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["fps"].append(fps)
+                out["n_iframes"].append(ftypes.count("I"))
+                out["n_pframes"].append(ftypes.count("P"))
+                out["psnr_ok"].append(bool(ok))
+                out["pframes_smaller"].append(
+                    bool(
+                        sizes["P"]
+                        and np.mean(sizes["P"]) < np.mean(sizes["I"])
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=IPV_META_SCHEMA)
+
+
+CODEC_PSNR_SCHEMA = T.StructType(
+    [
+        T.StructField("codec", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("psnr_fl", T.LongType()),
+    ]
+)
+
+
+def _codec_min_psnr(codec: str, doc_id: int) -> float:
+    """Minimum per-frame PSNR (dB) of encode→decode vs the source
+    formula for one fixture id — the scalar the pinned-constant gate
+    floors.  Pure function of (codec, doc_id)."""
+    import numpy as np
+
+    from .jpeg_codec import jpeg_decode
+    from .video_codec import ipv_decode
+
+    if codec == "jpeg":
+        w, h = _jpeg_dims(doc_id)
+        px = jpeg_decode(_write_jpeg(doc_id))
+        srcs = [np.stack(_bmp_channels(doc_id, w, h), axis=-1)]
+        decs = [px]
+    elif codec == "mjpeg":
+        w, h, nf, fps, decs = _parse_avi(_write_mjpeg_avi(doc_id))
+        srcs = [
+            np.stack(_avi_frame_channels(doc_id, f, w, h), axis=-1)
+            for f in range(nf)
+        ]
+    elif codec == "ipv":
+        w, h, fps, decs, _ = ipv_decode(_write_ipv(doc_id))
+        srcs = [
+            np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
+            for f in range(len(decs))
+        ]
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    worst = float("inf")
+    for src, dec in zip(srcs, decs):
+        mse = ((dec.astype(np.float64) - src.astype(np.float64)) ** 2).mean()
+        if mse > 0:
+            worst = min(worst, 10.0 * float(np.log10(255.0**2 / mse)))
+    return worst
+
+
+def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
+    """(codec, doc_id, psnr_fl) over a fixed probe id set for every
+    lossy codec: psnr_fl = FLOOR(min frame PSNR dB) as an integer the
+    driver hash-compares against constants pinned in the oracle — so
+    a partially-broken IDCT/Huffman/prediction stage shifts a value
+    and goes red at the driver, not just in pytest (lossy codecs have
+    no formula replay; bit-determinism makes the constants stable)."""
+    import math
+
+    probes = spark.range(n_ids).selectExpr("id AS doc_id").crossJoin(
+        spark.createDataFrame(
+            [("jpeg",), ("mjpeg",), ("ipv",)], "codec string"
+        )
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in CODEC_PSNR_SCHEMA.fieldNames()}
+            for codec, doc_id in zip(pdf["codec"], pdf["doc_id"].astype("int64")):
+                out["codec"].append(str(codec))
+                out["doc_id"].append(int(doc_id))
+                out["psnr_fl"].append(
+                    int(math.floor(_codec_min_psnr(str(codec), int(doc_id))))
+                )
+            yield pd.DataFrame(out)
+
+    par = spark.sparkContext.defaultParallelism
+    return probes.repartition(par).mapInPandas(
+        _batches, schema=CODEC_PSNR_SCHEMA
+    )

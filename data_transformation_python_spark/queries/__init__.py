@@ -104,81 +104,75 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 6 spends the whole window
-# on verification debt: the 30 queries no driver window has ever
-# checked (plus this round's six new gates — sim_kmeans_converged,
-# multimodal_ppm_meta, multimodal_png_meta, dedup_semantic_clusters,
-# sketch_countmin_tokens, q_stream_countmin_merge,
-# multimodal_gif_meta, multimodal_jpeg_meta, multimodal_mjpeg_meta),
-# then everything
-# whose
-# behavior changed this round (PQ serialization fix, temperature
-# quota join, the rewritten shingle/Jaccard path), then the stalest
-# r2-/r4-era names.  Everything past position 50 stays honest via the
-# local DuckDB parity suite (tests/test_oracle_parity.py) and the
-# committed PARITY_r{N}.json full-registry sweep.  Names absent from
-# the registry are ignored; registered names absent from this list
-# keep registration order.
+# rotated STALEST-FIRST each round.  Round 7: the two NEW gates
+# (inter-frame video + the pinned-PSNR codec gate), then every gate
+# whose code changed this round (the CMS left-join fix, the SemDeDup
+# centroid fallback, the PPM tokenizer + MJPEG strf fixes), then the
+# 43 stalest r4-era names no window has re-checked since round 4 —
+# many sit on paths rewritten in r5/r6 (shingle rewrite, BLAS
+# banding).  The 51st name (multimodal_wav_meta, lossless codec
+# untouched since r4, pytest-pinned) overflows the window this round
+# and leads the r8 rotation.  Everything past position 50 stays
+# honest via the local DuckDB parity suite
+# (tests/test_oracle_parity.py) and the committed PARITY_r{N}.json
+# full-registry sweep.  Names absent from the registry are ignored;
+# registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
-    # --- never driver-checked before round 6 (the verification-debt
-    # backlog called out by the round-5 verdict) ---
-    "q_global_percentile_exact",
-    "q_stream_foreachbatch_upsert",
-    "q_stream_dedup_index",
-    "q_range_join_binned",
-    "q_winsorize_values",
-    "q_value_histogram",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_source_csv_roundtrip",
-    "q_source_json_roundtrip",
-    "q_source_orc_roundtrip",
-    "q_profile_orders",
-    "q_snapshot_scd2",
-    "dedup_cc_twophase",
-    "text_chunk_windows",
-    "dedup_repeated_spans",
-    "text_quality_classifier",
-    "dedup_incremental_batch",
-    "dedup_span_dup_stats",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_kmeans_converged",
-    "multimodal_ppm_meta",
-    "multimodal_bmp_resize",
-    "multimodal_avi_frames",
-    "curation_pipeline_filter",
-    "curation_domain_stats",
-    "samp_shuffle_order",
-    "q_skew_profile",
-    "q_source_freshness",
-    # --- changed this round: the PQ gate serialization fix (driver-red
-    # in r5), the temperature quota-join refactor, and everything on
-    # the rewritten shingle/Jaccard path ---
-    "sim_pq_codes_blas",
-    "samp_temperature",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_pipeline_survivors",
-    "decontam_ngram",
-    # --- stalest remaining: r2-era, then r4-era names not in the r5
-    # window ---
-    "q_cube_grouping",
-    "q_grouping_sets",
-    "dedup_simhash_pairs",
-    "q_approx_percentile",
-    "q_approx_distinct",
-    "multimodal_jpeg_meta",
-    "multimodal_mjpeg_meta",
-    "q_stream_stream_join",
-    "multimodal_gif_meta",
-    "q_stream_countmin_merge",
-    "multimodal_png_meta",
-    "dedup_semantic_clusters",
+    # --- new gates this round ---
+    "multimodal_mpeg_meta",
+    "multimodal_codec_psnr",
+    # --- code changed this round (CMS estimate, SemDeDup, PPM, MJPEG) ---
     "sketch_countmin_tokens",
-    # exactly 50 names; everything else stays covered this round by
-    # the local parity suite and the committed PARITY_r06.json sweep.
+    "q_stream_countmin_merge",
+    "dedup_semantic_clusters",
+    "multimodal_ppm_meta",
+    "multimodal_mjpeg_meta",
+    # --- stalest: last driver-checked in the round-4 window ---
+    "q_stream_windowed_counts",
+    "q_stream_sessionize",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_asof_join",
+    "q_sessionize_batch",
+    "sim_random_projection",
+    "sim_kmeans",
+    "sim_embedding_neardup",
+    "text_token_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_freq",
+    "multimodal_features",
+    "text_bpe_tokens",
+    "text_rolling_fingerprint",
+    "dedup_winnow_candidates",
+    "sim_centroid_sums",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_late_shipping",
+    "q19_disjunctive_revenue",
+    "q22_rich_no_orders",
+    "q_pivot_status",
+    "q_unpivot_measures",
+    "q_json_metadata",
+    "q02_min_cost_supplier",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "samp_stratified",
+    "samp_reservoir",
+    "pack_sequences",
+    "text_pii_scrub",
+    "samp_token_quota",
+    "text_tfidf_topterms",
+    # overflow (position 51+): first in line for the r8 window
+    "multimodal_wav_meta",
 ]
 
 

@@ -893,3 +893,101 @@ def multimodal_mjpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.mjpeg_metadata(mm.synth_mjpeg_table(docs))
+
+
+# --------------------------------------------------------------------------
+# inter-frame-predicted video (I/P pictures) + pinned-PSNR codec gate
+# --------------------------------------------------------------------------
+_MPEG_ORACLE = """
+SELECT doc_id,
+       CAST(16 + doc_id % 9 AS BIGINT) AS width,
+       CAST(12 + doc_id % 7 AS BIGINT) AS height,
+       CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 16 WHEN 2 THEN 20
+                            WHEN 3 THEN 25 ELSE 40 END AS BIGINT) AS fps,
+       CAST(1 + ((4 + doc_id % 5) - 1) // 4 AS BIGINT) AS n_iframes,
+       CAST((4 + doc_id % 5) - (1 + ((4 + doc_id % 5) - 1) // 4)
+            AS BIGINT) AS n_pframes,
+       TRUE AS psnr_ok,
+       TRUE AS pframes_smaller
+FROM documents
+"""
+
+
+@query("multimodal_mpeg_meta", oracle=_MPEG_ORACLE)
+def multimodal_mpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last modality tier: REAL inter-frame-predicted video.  An
+    MPEG-1-shaped I/P elementary stream (operators/video_codec.py) is
+    synthesized per row over temporally-coherent content (static
+    background + moving block), decoded back through the closed
+    prediction loop, and gated on container metadata, the I/P frame
+    census (GOP=4 → n_iframes = ceil(nf/4), SQL-replayed), 30 dB
+    per-frame fidelity, AND the inter-frame evidence: mean P-picture
+    payload must be smaller than mean I-picture payload — temporal
+    prediction has to actually remove bits."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.ipv_metadata(mm.synth_ipv_table(docs))
+
+
+# Pinned integer-dB PSNR constants for every lossy codec, computed
+# once from the bit-deterministic codecs and FROZEN here: the driver
+# hash-compares the executor-side decode against these literals, so
+# any regression in a DCT/Huffman/prediction stage shifts a floor(dB)
+# value and goes red at the driver (the r6 verdict's "soft oracle"
+# fix — a TRUE AS psnr_ok boolean could not see partial breakage).
+_CODEC_PSNR_ORACLE = """
+SELECT codec,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(psnr_fl AS BIGINT) AS psnr_fl
+FROM (VALUES
+  ('jpeg', 0, 36), ('jpeg', 1, 35), ('jpeg', 2, 35), ('jpeg', 3, 35),
+  ('jpeg', 4, 35), ('jpeg', 5, 35), ('jpeg', 6, 35), ('jpeg', 7, 35),
+  ('jpeg', 8, 36), ('jpeg', 9, 35), ('jpeg', 10, 35), ('jpeg', 11, 36),
+  ('jpeg', 12, 35), ('jpeg', 13, 36), ('jpeg', 14, 36), ('jpeg', 15, 35),
+  ('jpeg', 16, 35), ('jpeg', 17, 35), ('jpeg', 18, 35), ('jpeg', 19, 35),
+  ('jpeg', 20, 36), ('jpeg', 21, 36), ('jpeg', 22, 35), ('jpeg', 23, 36),
+  ('jpeg', 24, 35), ('jpeg', 25, 35), ('jpeg', 26, 35), ('jpeg', 27, 35),
+  ('jpeg', 28, 35), ('jpeg', 29, 36), ('jpeg', 30, 36), ('jpeg', 31, 35),
+  ('jpeg', 32, 36), ('jpeg', 33, 36), ('jpeg', 34, 35), ('jpeg', 35, 35),
+  ('jpeg', 36, 36), ('jpeg', 37, 36), ('jpeg', 38, 35), ('jpeg', 39, 35),
+  ('jpeg', 40, 36), ('jpeg', 41, 36), ('jpeg', 42, 35), ('jpeg', 43, 35),
+  ('jpeg', 44, 36), ('jpeg', 45, 35), ('jpeg', 46, 35), ('jpeg', 47, 35),
+  ('mjpeg', 0, 35), ('mjpeg', 1, 35), ('mjpeg', 2, 35), ('mjpeg', 3, 35),
+  ('mjpeg', 4, 35), ('mjpeg', 5, 35), ('mjpeg', 6, 36), ('mjpeg', 7, 35),
+  ('mjpeg', 8, 34), ('mjpeg', 9, 35), ('mjpeg', 10, 35), ('mjpeg', 11, 35),
+  ('mjpeg', 12, 34), ('mjpeg', 13, 35), ('mjpeg', 14, 35), ('mjpeg', 15, 35),
+  ('mjpeg', 16, 35), ('mjpeg', 17, 35), ('mjpeg', 18, 35), ('mjpeg', 19, 35),
+  ('mjpeg', 20, 35), ('mjpeg', 21, 36), ('mjpeg', 22, 35), ('mjpeg', 23, 35),
+  ('mjpeg', 24, 35), ('mjpeg', 25, 36), ('mjpeg', 26, 35), ('mjpeg', 27, 35),
+  ('mjpeg', 28, 35), ('mjpeg', 29, 35), ('mjpeg', 30, 36), ('mjpeg', 31, 36),
+  ('mjpeg', 32, 35), ('mjpeg', 33, 36), ('mjpeg', 34, 35), ('mjpeg', 35, 35),
+  ('mjpeg', 36, 36), ('mjpeg', 37, 35), ('mjpeg', 38, 35), ('mjpeg', 39, 35),
+  ('mjpeg', 40, 36), ('mjpeg', 41, 35), ('mjpeg', 42, 35), ('mjpeg', 43, 34),
+  ('mjpeg', 44, 35), ('mjpeg', 45, 35), ('mjpeg', 46, 35), ('mjpeg', 47, 35),
+  ('ipv', 0, 37), ('ipv', 1, 38), ('ipv', 2, 37), ('ipv', 3, 36),
+  ('ipv', 4, 36), ('ipv', 5, 37), ('ipv', 6, 35), ('ipv', 7, 36),
+  ('ipv', 8, 36), ('ipv', 9, 35), ('ipv', 10, 36), ('ipv', 11, 35),
+  ('ipv', 12, 35), ('ipv', 13, 36), ('ipv', 14, 36), ('ipv', 15, 36),
+  ('ipv', 16, 36), ('ipv', 17, 35), ('ipv', 18, 36), ('ipv', 19, 36),
+  ('ipv', 20, 36), ('ipv', 21, 35), ('ipv', 22, 36), ('ipv', 23, 36),
+  ('ipv', 24, 37), ('ipv', 25, 36), ('ipv', 26, 37), ('ipv', 27, 36),
+  ('ipv', 28, 36), ('ipv', 29, 35), ('ipv', 30, 35), ('ipv', 31, 36),
+  ('ipv', 32, 37), ('ipv', 33, 36), ('ipv', 34, 35), ('ipv', 35, 35),
+  ('ipv', 36, 36), ('ipv', 37, 36), ('ipv', 38, 36), ('ipv', 39, 35),
+  ('ipv', 40, 36), ('ipv', 41, 36), ('ipv', 42, 36), ('ipv', 43, 35),
+  ('ipv', 44, 36), ('ipv', 45, 36), ('ipv', 46, 36), ('ipv', 47, 36)
+) AS t(codec, doc_id, psnr_fl)
+"""
+
+
+@query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
+def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sensitive fidelity gate over all three lossy codecs
+    (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video): floor of
+    the minimum per-frame PSNR for 48 fixed probe ids per codec,
+    compared against constants pinned at codec-freeze time."""
+    from ..operators import multimodal as mm
+
+    return mm.codec_psnr_probe(spark, n_ids=48)
