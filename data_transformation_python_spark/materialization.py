@@ -29,7 +29,7 @@ from .operators.cdc_retirement import (
     apply_cdc_retirement,
     initial_cdc_load,
 )
-from .operators.merge import apply_cdc_merge, merge_upsert
+
 
 
 def strip_trailing_semicolon(sql: str) -> str:
@@ -236,6 +236,31 @@ class Materialization:
         ).get("merge_buckets")
         return int(mb) if mb else None
 
+    def _merge_backend(self, config, meta):
+        """Resolve the model's MERGE backend (operators/
+        merge_backend.py).  Explicit ``merge_backend`` config/meta
+        wins; the legacy ``merge_buckets`` opt-in keeps selecting the
+        bucketed backend; default is the catalog-agnostic join
+        rewrite — behavior-identical to the pre-seam code paths."""
+        from .operators.merge_backend import resolve_merge_backend
+
+        name = (config or {}).get("merge_backend") or (
+            (meta or {}).get("cdc") or {}
+        ).get("merge_backend")
+        if not name:
+            name = "bucketed" if self._merge_buckets(config, meta) else "rewrite"
+        return resolve_merge_backend(str(name))
+
+    def _merge_context(self, config, cluster: bool = True):
+        from .operators.merge_backend import MergeContext
+
+        return MergeContext(
+            spark=self.spark,
+            swap_in=self._swap_in,
+            partition_by=self._partition_by(config),
+            cluster_by=self._cluster_by(config) if cluster else None,
+        )
+
     @staticmethod
     def _partition_by(config) -> list | None:
         """Parse config partition_by once for every strategy (the
@@ -436,28 +461,17 @@ class IncrementalMaterialization(Materialization):
         # same config+meta resolution as the initial load: a model
         # declaring merge_buckets under meta.cdc must stay bucketed on
         # every incremental run, not just the first write
-        mb = self._merge_buckets(config, meta or {})
-        if mb:
-            from .operators.bucketed_merge import merge_upsert_bucketed
-
-            stats = merge_upsert_bucketed(self.spark, target_table, source, keys)
-            return self._ok(
-                model_name,
-                target_table,
-                incremental_strategy="unique_key",
-                keys=keys,
-                **stats,
-            )
-        target = self.spark.table(target_table)
-        merged = merge_upsert(target, source, keys)
-        self._swap_in(
-            target_table,
-            merged,
-            self._partition_by(config),
-            self._cluster_by(config),
+        backend = self._merge_backend(config, meta or {})
+        stats = backend.upsert(
+            self._merge_context(config), target_table, source, keys
         )
         return self._ok(
-            model_name, target_table, incremental_strategy="unique_key", keys=keys
+            model_name,
+            target_table,
+            incremental_strategy="unique_key",
+            keys=keys,
+            merge_backend=backend.name,
+            **stats,
         )
 
     # -- append (reference: materialization.py:391-446, C3/S9) ---------
@@ -503,28 +517,22 @@ class CDCMaterialization(Materialization):
             else:
                 self._overwrite_table(target_table, batch.drop(*drop), pb)
             return self._ok(model_name, target_table, initial=True)
-        if mb:
-            from .operators.bucketed_merge import cdc_merge_bucketed
-
-            stats = cdc_merge_bucketed(
-                self.spark,
-                target_table,
-                batch,
-                keys,
-                op_col=op_col,
-                ts_col=ts_col if ts_col in batch.columns else None,
-            )
-            return self._ok(model_name, target_table, keys=keys, **stats)
-        target = self.spark.table(target_table)
-        merged = apply_cdc_merge(
-            target,
+        backend = self._merge_backend(config, meta)
+        stats = backend.cdc_merge(
+            self._merge_context(config, cluster=False),
+            target_table,
             batch,
             keys,
             op_col=op_col,
             ts_col=ts_col if ts_col in batch.columns else None,
         )
-        self._swap_in(target_table, merged, pb)
-        return self._ok(model_name, target_table, keys=keys)
+        return self._ok(
+            model_name,
+            target_table,
+            keys=keys,
+            merge_backend=backend.name,
+            **stats,
+        )
 
 
 class CDCRetirementMaterialization(Materialization):

@@ -828,3 +828,102 @@ def test_unique_key_incremental_preserves_clustering(stack):
     assert len(ranges) > 1
     for a, b in zip(ranges, ranges[1:]):
         assert a.hi < b.lo, (a, b)
+
+
+class TestMergeBackendContract:
+    """The merge_backend seam (operators/merge_backend.py): every
+    executable backend leaves the table in the same logical state,
+    the default is behavior-identical 'rewrite', and the MERGE-SQL
+    backend emits the reference's clause structure + fails loudly on
+    a catalog without row-level MERGE."""
+
+    SCHEMA = (
+        "id bigint, v string, __CDC_OPERATION string, "
+        "__CDC_TIMESTAMP timestamp_ntz"
+    )
+    BATCH1 = [(i, f"v{i}", "I", None) for i in range(1, 9)]
+    BATCH2 = [
+        (2, "b2", "U", None),
+        (1, None, "D", None),
+        (9, "new", "I", None),
+        (11, "skip", "D", None),
+    ]
+    EXPECT = {i: f"v{i}" for i in range(3, 9)} | {2: "b2", 9: "new"}
+
+    def _run(self, stack, name, cfg):
+        _write_source(stack, self.BATCH1, self.SCHEMA)
+        _write_model(
+            stack, name, cfg + "SELECT * FROM {{ source('raw','feed') }}"
+        )
+        assert stack["mx"].execute_model(name)["success"]
+        _write_source(stack, self.BATCH2, self.SCHEMA)
+        r = stack["mx"].execute_model(name)
+        assert r["success"]
+        rows = {
+            r_.id: r_.v
+            for r_ in stack["spark"].table(f"{stack['db']}.{name}").collect()
+        }
+        return r, rows
+
+    def test_backends_agree_and_default_unchanged(self, stack):
+        r_def, rows_def = self._run(
+            stack, "mb_default", "-- config: materialized=cdc, unique_key=id\n"
+        )
+        r_rw, rows_rw = self._run(
+            stack,
+            "mb_rewrite",
+            "-- config: materialized=cdc, unique_key=id, merge_backend=rewrite\n",
+        )
+        r_bk, rows_bk = self._run(
+            stack,
+            "mb_bucketed",
+            "-- config: materialized=cdc, unique_key=id, merge_buckets=4\n",
+        )
+        assert rows_def == rows_rw == rows_bk == self.EXPECT
+        assert r_def["merge_backend"] == "rewrite"  # default unchanged
+        assert r_rw["merge_backend"] == "rewrite"
+        assert r_bk["merge_backend"] == "bucketed"
+        assert r_bk["affected_buckets"] >= 1
+
+    def test_merge_into_emits_reference_clauses_and_fails_loudly(self, stack):
+        from data_transformation_python_spark.errors import MaterializationError
+        from data_transformation_python_spark.operators.merge_backend import (
+            SqlMergeBackend,
+        )
+
+        sql = SqlMergeBackend.cdc_sql(
+            "t1", ["id"], ["id", "v"], "__CDC_OPERATION"
+        )
+        # the reference's MERGE clause list (materialization.py:576-593)
+        assert "WHEN MATCHED AND COALESCE(s.__CDC_OPERATION, 'U') = 'D' THEN DELETE" in sql
+        assert "IN ('U', 'I') THEN UPDATE SET t.v = s.v" in sql
+        assert "WHEN NOT MATCHED AND COALESCE(s.__CDC_OPERATION, 'U') != 'D'" in sql
+        up = SqlMergeBackend.upsert_sql("t1", ["id"], ["id", "v"])
+        assert up.startswith("MERGE INTO t1 t USING __merge_source s ON t.id = s.id")
+        assert MaterializationError is not None
+        r2 = self._second_run(
+            stack,
+            "mb_sql",
+            "-- config: materialized=cdc, unique_key=id, merge_backend=merge_into\n",
+        )
+        assert not r2["success"] and "MERGE-capable" in r2["error"]
+
+    def _second_run(self, stack, name, cfg):
+        """Initial load (no merge involved) then the merge run,
+        returning the second result dict (execute_model converts
+        errors to success=False unless fail_fast)."""
+        _write_source(stack, self.BATCH1, self.SCHEMA)
+        _write_model(
+            stack, name, cfg + "SELECT * FROM {{ source('raw','feed') }}"
+        )
+        assert stack["mx"].execute_model(name)["success"]
+        _write_source(stack, self.BATCH2, self.SCHEMA)
+        return stack["mx"].execute_model(name)
+
+    def test_unknown_backend_rejected(self, stack):
+        r2 = self._second_run(
+            stack,
+            "mb_bogus",
+            "-- config: materialized=cdc, unique_key=id, merge_backend=bogus\n",
+        )
+        assert not r2["success"] and "unknown merge_backend" in r2["error"]
