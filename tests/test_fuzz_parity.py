@@ -217,3 +217,122 @@ def test_term_counts_rle_matches_explode_groupby(spark, texts):
     got = sorted(map(tuple, term_counts_rle(df).collect()))
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# codec property fuzz: the two subtlest state machines in the codec
+# tier — PNG scanline-filter reconstruction and GIF variable-width LZW
+# (round-trip == identity over random inputs, incl. the 12-bit table
+# overflow boundary).  The forward PNG filters here are an independent
+# reference implementation straight from the spec (RFC 2083 §6), so
+# the test is encoder-free: filter-with-spec → decode-with-repo.
+# ---------------------------------------------------------------------------
+
+
+def _png_forward_filter(px, ftypes):
+    """Apply the spec's FORWARD filters per scanline (the direction
+    our writer doesn't implement for types 1-4) and wrap into a valid
+    PNG byte stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = w * 3
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y in range(h):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int64)
+        ft = ftypes[y % len(ftypes)]
+        enc = np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+    from data_transformation_python_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    ftypes=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_scanline_filters_roundtrip_identity(seed, w, h, ftypes):
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import _parse_png
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.int64
+    ).astype(np.uint8)
+    pw, ph, out = _parse_png(_png_forward_filter(px, ftypes))
+    assert (pw, ph) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    min_code_size=st.integers(2, 8),
+    n=st.integers(0, 3000),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_identity(seed, min_code_size, n):
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    indices = rng.integers(0, 1 << min_code_size, size=n).tolist()
+    assert _lzw_decode(_lzw_encode(indices, min_code_size), min_code_size) == indices
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_gif_lzw_table_overflow_boundary(seed):
+    """Force the string table past 4095 entries (code width pinned at
+    12, CLEAR emitted, table rebuilt) — incompressible random bytes
+    add ~1 entry per symbol, so 12k symbols guarantees >1 overflow.
+    Also pins the early-width-change handshake at every width step on
+    a maximally adversarial stream."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    indices = rng.integers(0, 256, size=12_000).tolist()
+    assert _lzw_decode(_lzw_encode(indices, 8), 8) == indices
