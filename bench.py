@@ -163,10 +163,12 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ("sim_cosine_topk", lambda: sim.cosine_topk(emb, query_ids=range(10), k=5)),
         (
             # forced onto the distributed LSH+verify path (N^2 over
-            # budget) with scale-sized buckets: 16 planes ~ log2(50k)+
+            # budget) with AUTO-sized band width (ceil(log2 n)+1 —
+            # keeps bucket occupancy <1, candidate pairs linear in n;
+            # the fixed-16 dial went ~n^2.6 at 300k-500k docs)
             "sim_embedding_neardup",
             lambda: sim.cosine_neardup_pairs(
-                emb, threshold=0.8, lsh_planes_per_band=16, lsh_bands=8
+                emb, threshold=0.8, lsh_planes_per_band=None, lsh_bands=8
             ),
         ),
         (

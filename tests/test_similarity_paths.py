@@ -290,3 +290,37 @@ def test_semantic_cluster_dedup_empty_input(spark):
     out = S.semantic_cluster_dedup(emb, centroid_stride=50)
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "cid", "is_kept"}
+
+
+def test_neardup_auto_plane_width_linear_dial(spark):
+    """lsh_planes_per_band=None sizes band width to ceil(log2 n)+1 and
+    still finds planted near-exact duplicates through the LSH+verify
+    path (forced by a tiny broadcast budget)."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import similarity as S
+
+    base = spark.range(300).selectExpr(
+        "id * 2 AS vec_id",
+        "transform(sequence(0, 15), d -> CAST(pmod(xxhash64(id, d), 1000) AS DOUBLE) / 500 - 1.0) AS embedding",
+    )
+    dups = base.select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 1.0001)").alias("embedding"),
+    )
+    emb = base.unionByName(dups)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pairs = S.cosine_neardup_pairs(
+            emb,
+            threshold=0.95,
+            max_broadcast_cells=10,  # force the LSH path
+            max_pair_cells=10,
+            lsh_planes_per_band=None,
+        ).collect()
+    found = {(r.vec_id_1, r.vec_id_2) for r in pairs}
+    # identical-direction duplicates collide in EVERY band regardless
+    # of auto width -> all 300 planted pairs must be found
+    assert all((2 * i, 2 * i + 1) in found for i in range(300))
