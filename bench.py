@@ -276,6 +276,35 @@ def corpus_scale_entries(spark, corpus_dir: str):
         ),
         ("dedup_span_dup_stats", lambda: dd.span_dup_stats(docs, n=8)),
         (
+            # mergeable-membership pre-filter at corpus scale: bloom
+            # over the 2% benchmark split's tokens, probe the rest
+            "sketch_bloom_decontam",
+            lambda: __import__(
+                "data_transformation_python_spark.operators.sketch",
+                fromlist=["bloom_build_tokens", "bloom_probe"],
+            ).bloom_probe(
+                __import__(
+                    "data_transformation_python_spark.operators.sketch",
+                    fromlist=["bloom_build_tokens"],
+                ).bloom_build_tokens(
+                    docs.filter("doc_id % 50 = 0")
+                    .select(F.explode(F.split("text", " ")).alias("token"))
+                    .filter("token != ''")
+                    .distinct(),
+                    m_bits=262144,
+                    k=4,
+                ),
+                # probe the raw token stream — bloom_probe's final
+                # groupBy(token) dedups, so a pre-distinct would just
+                # add a second full shuffle
+                docs.filter("doc_id % 50 != 0")
+                .select(F.explode(F.split("text", " ")).alias("token"))
+                .filter("token != ''"),
+                m_bits=262144,
+                k=4,
+            ),
+        ),
+        (
             # compressed-image codec throughput: 50k real PNGs
             # encoded + decoded through Arrow batches
             "multimodal_png_roundtrip",

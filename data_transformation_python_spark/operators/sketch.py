@@ -103,3 +103,92 @@ def countmin_estimate(
         .groupBy("token")
         .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the membership-side companion of the
+# CMS above, with the same mergeable-cells shape: the bit array is
+# stored as (chunk, bits) rows of 32 bits per BIGINT chunk, so two
+# filters merge by per-chunk BIT_OR — which in Spark is again just
+# the partial aggregation the groupBy already performs, one
+# map-side-combined shuffle of m/32 cells regardless of corpus size.
+# 32 (not 64) bits per chunk keeps every mask positive, sidestepping
+# sign-bit divergence between engines' two's-complement handling.
+#
+# Pipeline use: the cheap decontamination pre-filter — build over the
+# benchmark side's fingerprints, probe the corpus, and only rows the
+# filter says MAYBE run the exact (expensive) containment check.  No
+# false negatives by construction; false-positive rate ≈ (1 - e^(-kn/m))^k.
+#
+# Determinism contract: bit index for hash row i = first 12 md5
+# nibbles of "bi:token" mod m — engine-portable exactly like
+# _bucket_expr (Spark ``conv``, DuckDB ``'0x' ||`` parse), so the
+# filter and every probe replay bit-identically in the SQL oracle.
+# ---------------------------------------------------------------------------
+def _bit_expr(i: int, token_sql: str, m_bits: int) -> str:
+    """Engine-portable global bit index for hash row ``i``."""
+    return (
+        f"CAST(conv(substr(md5(concat('b{i}:', {token_sql})), 1, 12), 16, 10)"
+        f" AS BIGINT) % {m_bits}"
+    )
+
+
+def bloom_build_tokens(
+    toks: DataFrame, m_bits: int = 32768, k: int = 4
+) -> DataFrame:
+    """Build the Bloom bit array over a token frame (column
+    ``token``): (chunk, bits) rows, ≤ m/32 of them — control-plane
+    sized at any corpus scale.  One narrow map emits each token's k
+    (chunk, mask) cells; the ONLY shuffle is the BIT_OR groupBy,
+    collapsed by map-side partial aggregation (BIT_OR is associative
+    and idempotent, so this same aggregate IS the merge of any number
+    of per-split/per-micro-batch filters)."""
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    cells = ", ".join(
+        f"named_struct('chunk', ({_bit_expr(i, 'token', m_bits)}) div 32, "
+        f"'mask', shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({_bit_expr(i, 'token', m_bits)}) % 32 AS INT)))"
+        for i in range(k)
+    )
+    return (
+        toks.select(F.explode(F.expr(f"array({cells})")).alias("c"))
+        .groupBy(F.col("c.chunk").cast("bigint").alias("chunk"))
+        .agg(F.expr("bit_or(c.mask)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, tokens: DataFrame, m_bits: int = 32768, k: int = 4
+) -> DataFrame:
+    """(token, maybe_present): true iff ALL k of the token's bits are
+    set.  The filter side broadcasts (≤ m/32 rows); probes stream
+    through it.  A missing chunk row means those 32 bits are all
+    zero, so the LEFT join + COALESCE(bits, 0) makes never-seen
+    tokens definitively absent rather than dropped (the CMS
+    estimate's missing-cell lesson, applied here from the start)."""
+    cells = ", ".join(
+        f"named_struct('chunk', ({_bit_expr(i, 'token', m_bits)}) div 32, "
+        f"'mask', shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({_bit_expr(i, 'token', m_bits)}) % 32 AS INT)))"
+        for i in range(k)
+    )
+    probes = tokens.select(
+        "token", F.explode(F.expr(f"array({cells})")).alias("c")
+    ).select(
+        "token",
+        F.col("c.chunk").cast("bigint").alias("chunk"),
+        F.col("c.mask").cast("bigint").alias("mask"),
+    )
+    return (
+        probes.join(F.broadcast(bloom), ["chunk"], "left")
+        .withColumn(
+            "__hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            ),
+        )
+        .groupBy("token")
+        .agg(F.expr("bool_and(__hit)").alias("maybe_present"))
+    )

@@ -285,3 +285,72 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.countmin_estimate(cms, top.select("token"), depth=4, width=1024),
         "token",
     ).select("token", "exact_count", "cms_estimate")
+
+
+_BLOOM_ORACLE = """
+WITH bench AS (
+  SELECT DISTINCT t AS token
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE doc_id % 10 = 0 AND t != ''),
+cells AS (
+  SELECT b.chunk, BIT_OR(b.mask) AS bits FROM (
+    SELECT CAST(('0x' || substr(md5('b' || g.i || ':' || token), 1, 12)) AS BIGINT) % 32768 // 32 AS chunk,
+           (CAST(1 AS BIGINT) << CAST(CAST(('0x' || substr(md5('b' || g.i || ':' || token), 1, 12)) AS BIGINT) % 32768 % 32 AS INT)) AS mask
+    FROM bench, unnest(generate_series(0, 3)) AS g(i)) b
+  GROUP BY b.chunk),
+probes AS (
+  SELECT DISTINCT t AS token
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE doc_id % 10 = 1 AND t != ''
+  ORDER BY token LIMIT 200),
+probe_cells AS (
+  SELECT token,
+         CAST(('0x' || substr(md5('b' || g.i || ':' || token), 1, 12)) AS BIGINT) % 32768 // 32 AS chunk,
+         (CAST(1 AS BIGINT) << CAST(CAST(('0x' || substr(md5('b' || g.i || ':' || token), 1, 12)) AS BIGINT) % 32768 % 32 AS INT)) AS mask
+  FROM probes, unnest(generate_series(0, 3)) AS g(i))
+SELECT p.token,
+       BOOL_AND((COALESCE(c.bits, 0) & p.mask) != 0) AS maybe_present,
+       BOOL_AND(p.token IN (SELECT token FROM bench)) AS exactly_present
+FROM probe_cells p LEFT JOIN cells c ON c.chunk = p.chunk
+GROUP BY p.token
+"""
+
+
+@query("sketch_bloom_decontam", oracle=_BLOOM_ORACLE)
+def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter — the cheap first stage of
+    benchmark decontamination at corpus scale: build the filter over
+    the benchmark split's distinct tokens (ONE bit_or-combined
+    shuffle of ≤ m/32 BIGINT chunks — mergeable and constant-sized at
+    any corpus), probe 200 corpus tokens, and emit the filter verdict
+    NEXT TO exact membership, driver-hashing both the
+    no-false-negative guarantee and the deterministic false-positive
+    pattern.  Only maybe_present rows would proceed to the exact
+    n-gram containment join (operators/dedup.py contamination_hits)."""
+    from ..operators import sketch as sk
+
+    docs = load(spark, sf_dir, "documents")
+
+    def toks(pred: str) -> DataFrame:
+        return (
+            docs.filter(pred)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .distinct()
+        )
+
+    bench = toks("doc_id % 10 = 0")
+    bloom = sk.bloom_build_tokens(bench, m_bits=32768, k=4)
+    probes = toks("doc_id % 10 = 1").orderBy("token").limit(200)
+    return (
+        sk.bloom_probe(bloom, probes, m_bits=32768, k=4)
+        .join(
+            probes.withColumn("__in", F.lit(True)).join(
+                bench.withColumn("exactly_present", F.lit(True)), "token", "left"
+            ).select(
+                "token", F.coalesce("exactly_present", F.lit(False)).alias("exactly_present")
+            ),
+            "token",
+        )
+        .select("token", "maybe_present", "exactly_present")
+    )

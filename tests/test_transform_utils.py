@@ -152,3 +152,49 @@ def test_countmin_estimate_unseen_token_is_zero_not_dropped(spark):
     assert rows["alpha"] == 2
     assert "never-seen-token-xyzzy" in rows  # not dropped by inner join
     assert rows["never-seen-token-xyzzy"] == 0
+
+
+def test_bloom_filter_merge_no_false_negatives_and_probe_zero(spark):
+    """Bloom invariants: (a) BIT_OR merge of two half-corpus filters
+    equals the full-corpus filter (mergeability — the build IS the
+    partial aggregation), (b) every inserted token probes present (no
+    false negatives), (c) a probe over an EMPTY filter is
+    definitively absent, not dropped (missing-chunk handling)."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import sketch as sk
+
+    toks = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(200)], "token string"
+    )
+    full = sk.bloom_build_tokens(toks, m_bits=4096, k=4)
+    h1 = sk.bloom_build_tokens(toks.filter("token < 'tok3'"), m_bits=4096, k=4)
+    h2 = sk.bloom_build_tokens(toks.filter("token >= 'tok3'"), m_bits=4096, k=4)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("chunk")
+        .agg(F.expr("bit_or(bits)").cast("bigint").alias("bits"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    probed = sk.bloom_probe(full, toks, m_bits=4096, k=4).collect()
+    assert len(probed) == 200 and all(r["maybe_present"] for r in probed)
+    empty = sk.bloom_build_tokens(toks.limit(0), m_bits=4096, k=4)
+    rows = sk.bloom_probe(empty, toks.limit(5), m_bits=4096, k=4).collect()
+    assert len(rows) == 5 and not any(r["maybe_present"] for r in rows)
+
+
+def test_bloom_filter_false_positive_rate_in_expected_band(spark):
+    """4k inserted tokens into m=32768, k=4 → theoretical FP rate
+    (1-e^(-kn/m))^4 ≈ 2.4%; 2k never-inserted probes must land well
+    inside an order-of-magnitude band (a broken hash or mask path
+    yields ~0% or ~100%)."""
+    from data_transformation_python_spark.operators import sketch as sk
+
+    ins = spark.range(4000).selectExpr("concat('in', id) AS token")
+    out = spark.range(2000).selectExpr("concat('out', id) AS token")
+    bloom = sk.bloom_build_tokens(ins, m_bits=32768, k=4)
+    rows = sk.bloom_probe(bloom, out, m_bits=32768, k=4).collect()
+    fp = sum(1 for r in rows if r["maybe_present"]) / len(rows)
+    assert 0.001 < fp < 0.15, fp
