@@ -173,3 +173,39 @@ def temperature_mixture_sample(
         .filter(F.col("rk") <= F.coalesce(F.col("__quota"), F.lit(0)))
         .drop("__qg", "__quota")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): each row draws key = ln(u)/w with u a
+    deterministic uniform in (0,1] from md5(id); the global top-k by
+    key is distributed exactly as k weighted draws without
+    replacement.  The pipeline use: quality-weighted corpus selection
+    (weight = a quality/importance score) where plain Bernoulli
+    over/under-shoots small high-value strata.
+
+    Plan shape: one narrow map for the key, then ``orderBy().limit(k)``
+    — Spark compiles that to TakeOrderedAndProject (per-partition
+    top-k heaps, driver merges k rows), NOT a global sort shuffle, so
+    the cost is one scan regardless of corpus size.
+
+    Determinism: u has 48 explicit bits from md5 and both engines
+    evaluate ln/division within 1 ulp, so orderings agree except for
+    keys within ~1 ulp — probability ~2^-47 per pair; the id
+    tiebreaker pins exact ties.  Rows with weight <= 0 are excluded
+    (a zero-weight row must never be drawn)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 48))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", F.log(u) / F.col(weight_col))
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

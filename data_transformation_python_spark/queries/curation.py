@@ -991,3 +991,33 @@ def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as mm
 
     return mm.codec_psnr_probe(spark, n_ids=48)
+
+
+_WEIGHTED_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
+            / 281474976710656.0)
+           / length(string_split(text, ' ')) AS wkey
+  FROM documents
+  WHERE length(string_split(text, ' ')) > 0)
+SELECT doc_id, n_tokens
+FROM keyed ORDER BY wkey DESC, doc_id LIMIT 50
+"""
+
+
+@query("samp_weighted", oracle=_WEIGHTED_ORACLE)
+def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES, operators/sampling.py): 50 docs drawn with probability
+    proportional to token count via deterministic ln(u)/w keys — the
+    quality-weighted selection dial.  Plan is a narrow map +
+    TakeOrderedAndProject (per-partition top-k, no global sort
+    shuffle); the oracle replays the identical key formula."""
+    docs = load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return sp.weighted_sample_topk(weighted, "doc_id", "n_tokens", 50)

@@ -72,3 +72,34 @@ def test_denormal_and_negative_zero_edge(spark):
     }
     expected = sorted(values)[max(1, math.ceil(0.5 * len(values))) - 1]
     assert got[0.5] == expected
+
+
+def test_weighted_sample_topk_plan_and_bias(spark):
+    """A-ES weighted sampling: (a) the physical plan is
+    TakeOrderedAndProject (per-partition heaps), never a global Sort
+    +Exchange; (b) heavier rows are drawn more often — with weights
+    1000:1 the heavy minority must dominate the sample; (c) weight<=0
+    rows are never drawn; (d) deterministic across calls."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(1000.0))
+        .when(F.col("id") < 110, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    out = weighted_sample_topk(df, "doc_id", "w", 50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == 50
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 40  # 100 rows at weight 1000 vs 1890 at weight 1
+    assert not any(100 <= i < 110 for i in ids)  # zero-weight excluded
+    assert ids == [r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 50).collect()]
