@@ -104,15 +104,17 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 7: the two NEW gates
-# (inter-frame video + the pinned-PSNR codec gate), then every gate
+# rotated STALEST-FIRST each round.  Round 7: the four NEW gates
+# (inter-frame video, pinned-PSNR codec gate, Bloom decontamination,
+# weighted sampling), then every gate
 # whose code changed this round (the CMS left-join fix, the SemDeDup
 # centroid fallback, the PPM tokenizer + MJPEG strf fixes), then the
-# 43 stalest r4-era names no window has re-checked since round 4 —
+# 41 stalest r4-era names no window has re-checked since round 4 —
 # many sit on paths rewritten in r5/r6 (shingle rewrite, BLAS
-# banding).  The 51st name (multimodal_wav_meta, lossless codec
-# untouched since r4, pytest-pinned) overflows the window this round
-# and leads the r8 rotation.  Everything past position 50 stays
+# banding).  Three r4-era names (samp_token_quota,
+# text_tfidf_topterms, multimodal_wav_meta — all pytest- and local-
+# parity-pinned) overflow the 50-window this round and lead the r8
+# rotation.  Everything past position 50 stays
 # honest via the local DuckDB parity suite
 # (tests/test_oracle_parity.py) and the committed PARITY_r{N}.json
 # full-registry sweep.  Names absent from the registry are ignored;
@@ -121,6 +123,8 @@ _PRIORITY: list[str] = [
     # --- new gates this round ---
     "multimodal_mpeg_meta",
     "multimodal_codec_psnr",
+    "sketch_bloom_decontam",
+    "samp_weighted",
     # --- code changed this round (CMS estimate, SemDeDup, PPM, MJPEG) ---
     "sketch_countmin_tokens",
     "q_stream_countmin_merge",
@@ -169,9 +173,9 @@ _PRIORITY: list[str] = [
     "samp_reservoir",
     "pack_sequences",
     "text_pii_scrub",
+    # overflow (position 51+): first in line for the r8 window
     "samp_token_quota",
     "text_tfidf_topterms",
-    # overflow (position 51+): first in line for the r8 window
     "multimodal_wav_meta",
 ]
 
