@@ -268,6 +268,10 @@ def ipv_encode(
     if not frames:
         raise ValueError("empty frame list")
     h, w = frames[0].shape[:2]
+    if max(w, h, len(frames), fps) > 0xFFFF:
+        raise ValueError("IPV1 header fields are u16: dims/frames/fps must be < 65536")
+    if not 0 < gop <= 0xFF or not 0 < quality <= 100:
+        raise ValueError("gop must be 1..255 and quality 1..100")
     hb, wb = (h + 7) // 8, (w + 7) // 8
     out = bytearray(
         _MAGIC + struct.pack("<4H2B", w, h, len(frames), fps, quality, gop)
