@@ -1021,3 +1021,48 @@ def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
     return sp.weighted_sample_topk(weighted, "doc_id", "n_tokens", 50)
+
+
+_MP4_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         18 + 2 * (doc_id % 8) AS w,
+         14 + 2 * (doc_id % 6) AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, nf, f.f, p.p
+  FROM dims,
+       unnest(generate_series(0, nf - 1)) AS f(f),
+       unnest(generate_series(0, w * h - 1)) AS p(p)),
+luma AS (
+  SELECT doc_id,
+         SUM((doc_id * 7 + f * 29 + (p % w) * 19 + (p // w) * 23) % 256) AS s
+  FROM px GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(CASE d.doc_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 16 WHEN 2 THEN 20
+                              WHEN 3 THEN 25 ELSE 40 END AS BIGINT) AS fps,
+       CAST(l.s AS BIGINT) AS sum_luma,
+       CAST((d.doc_id * 7) % 256 AS BIGINT) AS px000
+FROM dims d JOIN luma l USING (doc_id)
+"""
+
+
+@query("multimodal_mp4_meta", oracle=_MP4_ORACLE)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264-in-MP4: a standards-conformant AVC bitstream (I_PCM
+    macroblock subset — Exp-Golomb SPS/PPS/IDR-slice syntax, NAL
+    emulation-prevention escaping, SPS frame cropping exercised on
+    every row) muxed into a real ISO BMFF container (avcC + sample
+    tables), demuxed and decoded back executor-side.  I_PCM is
+    lossless and the fixture is grayscale (chroma exactly 128), so
+    unlike the DCT codecs this gate is PIXEL-EXACT: the oracle
+    replays the luma formula sums; one bit wrong anywhere in the
+    box walk, Exp-Golomb, or slice parse shifts them."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.mp4_metadata(mm.synth_mp4_table(docs))
