@@ -977,15 +977,28 @@ FROM (VALUES
   ('ipv', 32, 37), ('ipv', 33, 36), ('ipv', 34, 35), ('ipv', 35, 35),
   ('ipv', 36, 36), ('ipv', 37, 36), ('ipv', 38, 36), ('ipv', 39, 35),
   ('ipv', 40, 36), ('ipv', 41, 36), ('ipv', 42, 36), ('ipv', 43, 35),
-  ('ipv', 44, 36), ('ipv', 45, 36), ('ipv', 46, 36), ('ipv', 47, 36)
+  ('ipv', 44, 36), ('ipv', 45, 36), ('ipv', 46, 36), ('ipv', 47, 36),
+  ('adpcm', 0, 21), ('adpcm', 1, 22), ('adpcm', 2, 22), ('adpcm', 3, 23),
+  ('adpcm', 4, 23), ('adpcm', 5, 23), ('adpcm', 6, 24), ('adpcm', 7, 24),
+  ('adpcm', 8, 24), ('adpcm', 9, 25), ('adpcm', 10, 25), ('adpcm', 11, 25),
+  ('adpcm', 12, 26), ('adpcm', 13, 26), ('adpcm', 14, 26), ('adpcm', 15, 26),
+  ('adpcm', 16, 27), ('adpcm', 17, 27), ('adpcm', 18, 27), ('adpcm', 19, 27),
+  ('adpcm', 20, 28), ('adpcm', 21, 28), ('adpcm', 22, 28), ('adpcm', 23, 24),
+  ('adpcm', 24, 25), ('adpcm', 25, 25), ('adpcm', 26, 25), ('adpcm', 27, 26),
+  ('adpcm', 28, 26), ('adpcm', 29, 26), ('adpcm', 30, 26), ('adpcm', 31, 27),
+  ('adpcm', 32, 27), ('adpcm', 33, 27), ('adpcm', 34, 28), ('adpcm', 35, 28),
+  ('adpcm', 36, 28), ('adpcm', 37, 28), ('adpcm', 38, 29), ('adpcm', 39, 29),
+  ('adpcm', 40, 29), ('adpcm', 41, 28), ('adpcm', 42, 29), ('adpcm', 43, 29),
+  ('adpcm', 44, 29), ('adpcm', 45, 29), ('adpcm', 46, 25), ('adpcm', 47, 26)
 ) AS t(codec, doc_id, psnr_fl)
 """
 
 
 @query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
 def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-sensitive fidelity gate over all three lossy codecs
-    (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video): floor of
+    """Hash-sensitive fidelity gate over all four lossy codecs
+    (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video, IMA ADPCM
+    audio — SNR dB for the audio clip): floor of
     the minimum per-frame PSNR for 48 fixed probe ids per codec,
     compared against constants pinned at codec-freeze time."""
     from ..operators import multimodal as mm
@@ -1066,3 +1079,74 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.mp4_metadata(mm.synth_mp4_table(docs))
+
+
+_ADPCM_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 600 + (doc_id % 50) * 20 AS n FROM documents)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST((n + 120) // 121 AS BIGINT) AS n_blocks,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       TRUE AS block_headers_exact
+FROM dims
+"""
+
+
+@query("multimodal_adpcm_meta", oracle=_ADPCM_ORACLE)
+def multimodal_adpcm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed audio: IMA ADPCM (WAV tag 0x0011, 4-bit
+    differential coding, per-block predictor/index headers, fact
+    chunk) written and parsed by the pure-integer state machine in
+    operators/multimodal.py.  The oracle replays container metadata
+    (sample count, 121-samples-per-64-byte-block layout) and pins
+    ``block_headers_exact``: every block's first sample is stored
+    verbatim in its header, so it must equal the triangle-wave
+    formula EXACTLY — a broken block walk or header parse goes red;
+    the coded samples' fidelity is hash-pinned in
+    multimodal_codec_psnr (SNR integers)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = mm.synth_adpcm_table(docs)
+
+    def _batches(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_frames": [],
+                "n_blocks": [], "duration_ms": [], "block_headers_exact": [],
+            }
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                rate, ba, n, dec = mm._parse_adpcm_wav(bytes(payload))
+                spb = (ba - 4) * 2 + 1
+                src = mm._adpcm_pcm(int(doc_id))
+                ok = all(
+                    int(dec[k]) == int(src[k]) for k in range(0, n, spb)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(n)
+                out["n_blocks"].append((n + spb - 1) // spb)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["block_headers_exact"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_blocks", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("block_headers_exact", T.BooleanType()),
+        ]
+    )
+    return payloads.mapInPandas(_batches, schema=schema)
