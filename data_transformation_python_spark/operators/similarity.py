@@ -1283,3 +1283,122 @@ def _pq_encode_blas(
 
     schema = f"{id_col} bigint, codes array<bigint>, pq_err double"
     return qn.select(id_col, "__v").mapInPandas(_blocks, schema=schema)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 3,
+    m: int = 4,
+    pq_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ serving — the production ANN architecture (Jégou et al.
+    2011 "Product Quantization for Nearest Neighbor Search"; the
+    FAISS IVFPQ index): a coarse quantizer routes each query to its
+    ``nprobe`` nearest inverted lists, and ranking within the probed
+    lists uses ASYMMETRIC DISTANCE COMPUTATION over the corpus's PQ
+    codes — so the search touches |corpus|·nprobe/n_lists candidates
+    and reads only m small code ids per candidate, never the full
+    vectors.  Composes the repo's IVF routing (ivf_topk) with its PQ
+    machinery (pq_codebook/pq_encode/ADC).
+
+    Plan shape: coarse assignment is one broadcast-centroid
+    aggregation (map-side-combinable min-struct — no window over the
+    corpus); probing is a |queries|×C window; the ADC distance table
+    is |queries|·m·k_pq rows built driver-side and BROADCAST (like a
+    broadcast-join build side); candidate scoring is one join from
+    the probed lists to the exploded codes plus one groupBy — at
+    scale the memory-resident state per executor is codes (m bytes a
+    vector) + the broadcast tables, which is the reason IVF-PQ is the
+    100 TB serving layout.
+
+    Determinism: same exact-integer contract as the parts it
+    composes; ties break on (adc_d2, neighbor_id).
+    """
+    from pyspark.sql.window import Window
+
+    from .transform import materialize
+
+    sub_dim = _probe_dim(df, vec_col) // m
+    qn = materialize(quantized(df, vec_col, id_col))
+    cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+    dist2 = (
+        F.col("__nrm")
+        + F.col("__cn")
+        - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
+    )
+    assign = (
+        qn.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", dist2)
+        .groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "cid")).alias("__m"))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col("__m.cid").alias("cid")
+        )
+    )
+    w_probe = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
+    probes = (
+        qn.filter(F.col(id_col).isin(list(query_ids)))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d2", dist2)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    # PQ side: codebook + codes (materialized once), ADC table per query
+    cent_rows = pq_codebook(qn, id_col, pq_stride)
+    codes = materialize(
+        pq_encode(df, vec_col, id_col, m, pq_stride, cent_rows=cent_rows)
+    )
+    q_rows = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in qn.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, "__v")
+        .collect()
+    )
+    dtab = df.sparkSession.createDataFrame(
+        [
+            (
+                qid,
+                j,
+                pq_cid,
+                float(
+                    sum(
+                        (qv[j * sub_dim + i] - cv[j * sub_dim + i]) ** 2
+                        for i in range(sub_dim)
+                    )
+                ),
+            )
+            for qid, qv in q_rows
+            for pq_cid, cv in cent_rows
+            for j in range(m)
+        ],
+        "query_id bigint, j int, pq_cid bigint, d2 double",
+    )
+    cand = probes.join(assign, "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("j", "pq_cid"),
+    )
+    scored = (
+        cand.join(exploded, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "j", "pq_cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

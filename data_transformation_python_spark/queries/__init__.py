@@ -104,14 +104,15 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 7: the six NEW gates
+# rotated STALEST-FIRST each round.  Round 7: the seven NEW gates
 # (inter-frame video, pinned-PSNR codec gate, H.264-in-MP4, IMA-ADPCM
-# audio, Bloom decontamination, weighted sampling), then every gate
+# audio, IVF-PQ serving, Bloom decontamination, weighted sampling),
+# then every gate
 # whose code changed this round (the CMS left-join fix, the SemDeDup
 # centroid fallback, the PPM tokenizer + MJPEG strf fixes), then the
 # 41 stalest r4-era names no window has re-checked since round 4 —
 # many sit on paths rewritten in r5/r6 (shingle rewrite, BLAS
-# banding).  Five r4-era names (pack_sequences, text_pii_scrub, samp_token_quota,
+# banding).  Six r4-era names (samp_reservoir, pack_sequences, text_pii_scrub, samp_token_quota,
 # text_tfidf_topterms, multimodal_wav_meta — all pytest- and local-
 # parity-pinned) overflow the 50-window this round and lead the r8
 # rotation.  Everything past position 50 stays
@@ -125,6 +126,7 @@ _PRIORITY: list[str] = [
     "multimodal_codec_psnr",
     "multimodal_mp4_meta",
     "multimodal_adpcm_meta",
+    "sim_ivfpq_topk",
     "sketch_bloom_decontam",
     "samp_weighted",
     # --- code changed this round (CMS estimate, SemDeDup, PPM, MJPEG) ---
@@ -172,8 +174,8 @@ _PRIORITY: list[str] = [
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "samp_stratified",
-    "samp_reservoir",
     # overflow (position 51+): first in line for the r8 window
+    "samp_reservoir",
     "pack_sequences",
     "text_pii_scrub",
     "samp_token_quota",

@@ -1073,3 +1073,71 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_cluster_dedup(
         load(spark, sf_dir, "embeddings"), threshold=0.9, centroid_stride=50
     )
+
+
+_IVFPQ_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT n.vec_id, cent.cid,
+         n.nrm + cent.cn - 2 * list_dot_product(n.v, cent.cv) AS d2
+  FROM n CROSS JOIN cent),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs WHERE vec_id < 10) t WHERE rn <= 3),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT q.vec_id, js.j, q.v[js.j*16+1 : js.j*16+16] AS vj FROM q, js),
+pqcent AS (SELECT q.vec_id AS pq_cid, js.j, q.v[js.j*16+1 : js.j*16+16] AS cj
+           FROM q, js WHERE q.vec_id % 50 = 0),
+dists AS (SELECT sub.vec_id, sub.j, pqcent.pq_cid,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (sub.vj[i] - pqcent.cj[i]) * (sub.vj[i] - pqcent.cj[i]))) AS d2
+          FROM sub JOIN pqcent ON sub.j = pqcent.j),
+codes AS (SELECT vec_id AS neighbor_id, j, pq_cid FROM (
+            SELECT vec_id, j, pq_cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, pq_cid) AS rn
+            FROM dists) WHERE rn = 1),
+dtab AS (SELECT d.vec_id AS query_id, d.j, d.pq_cid, d.d2 FROM dists d WHERE d.vec_id < 10),
+cand AS (
+  SELECT p.query_id, a.neighbor_id FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  WHERE a.neighbor_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(dt.d2) AS DOUBLE) AS adc_d2
+  FROM cand c
+  JOIN codes co ON co.neighbor_id = c.neighbor_id
+  JOIN dtab dt ON dt.query_id = c.query_id AND dt.j = co.j AND dt.pq_cid = co.pq_cid
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_d2,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving (FAISS-style): coarse lists route each query to
+    nprobe inverted lists; ranking inside the probed lists is
+    asymmetric-distance over PQ codes — m code bytes per candidate,
+    never full vectors.  The oracle replays coarse routing AND the
+    subspace quantization + ADC sums exactly (all integer
+    arithmetic)."""
+    return sim.ivfpq_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_ids=range(10),
+        k=5,
+        centroid_stride=50,
+        nprobe=3,
+        m=4,
+        pq_stride=50,
+    )

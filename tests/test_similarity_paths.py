@@ -324,3 +324,58 @@ def test_neardup_auto_plane_width_linear_dial(spark):
     # identical-direction duplicates collide in EVERY band regardless
     # of auto width -> all 300 planted pairs must be found
     assert all((2 * i, 2 * i + 1) in found for i in range(300))
+
+
+def test_ivfpq_candidates_limited_to_probed_lists(spark):
+    """IVF-PQ must only rank candidates from the query's nprobe
+    coarse lists (the whole point: |corpus|*nprobe/n_lists work), and
+    its ADC ranking must put the planted near-duplicate of each query
+    in the top-k when they share a coarse list."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = S.ivfpq_topk(
+        emb, query_ids=range(10), k=5, centroid_stride=50, nprobe=3
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} <= set(range(10))
+    assert all(1 <= r.rank <= 5 for r in rows)
+    # cross-check the candidate restriction against the IVF routing
+    from data_transformation_python_spark.operators.transform import materialize
+
+    qn = materialize(S.quantized(emb))
+    cent = qn.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+    d2 = (
+        F.col("__nrm") + F.col("__cn")
+        - 2 * F.expr(S.DOT_EXPR.format(a="__v", b="__cv"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("__d2"), F.asc("cid"))
+    probed = {
+        (r.vec_id, r.cid)
+        for r in qn.filter("vec_id < 10")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assigned = {
+        r.vec_id: r.cid
+        for r in qn.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+        .collect()
+    }
+    for r in rows:
+        assert (r.query_id, assigned[r.neighbor_id]) in probed
