@@ -59,7 +59,13 @@ def build_scaled_corpus(spark, n_docs: int, dim: int = 64) -> str:
         END AS text
         """,
     )
-    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # fixed file count: scan parallelism for the corpus entries is
+    # then identical across runs (a varying layout made e.g.
+    # text_rolling_fingerprint swing 0.7-2.7 s run-to-run with zero
+    # within-run spread)
+    docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
     base_v = (
         f"transform(sequence(0, {dim - 1}), d -> "
         f"CAST(conv(substr(md5(concat({key}, ':', d)), 1, 6), 16, 10) AS DOUBLE)"
@@ -79,7 +85,7 @@ def build_scaled_corpus(spark, n_docs: int, dim: int = 64) -> str:
         END AS embedding
         """,
     )
-    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     return out
 
 
