@@ -59,11 +59,12 @@ def build_scaled_corpus(spark, n_docs: int, dim: int = 64) -> str:
         END AS text
         """,
     )
-    # fixed file count: scan parallelism for the corpus entries is
-    # then identical across runs (a varying layout made e.g.
-    # text_rolling_fingerprint swing 0.7-2.7 s run-to-run with zero
-    # within-run spread)
-    docs.repartition(32).write.mode("overwrite").parquet(
+    # fixed file count + id-ordered layout: scan parallelism for the
+    # corpus entries is then identical across runs (a varying layout
+    # made e.g. text_rolling_fingerprint swing 0.7-2.7 s run-to-run
+    # with zero within-run spread); range partitioning keeps ids
+    # contiguous per file like the original spark.range layout
+    docs.repartitionByRange(32, "doc_id").write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
     base_v = (
@@ -85,7 +86,9 @@ def build_scaled_corpus(spark, n_docs: int, dim: int = 64) -> str:
         END AS embedding
         """,
     )
-    emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    emb.repartitionByRange(32, "vec_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
     return out
 
 

@@ -107,7 +107,7 @@ def test_bench_corpus_structure_and_determinism(spark, tmp_path):
         cosine_neardup_pairs,
     )
 
-    pairs = cosine_neardup_pairs(emb.limit(500), threshold=0.95)
+    pairs = cosine_neardup_pairs(emb.filter("vec_id < 500"), threshold=0.95)
     assert pairs.filter(
         (F.col("vec_id_2") == F.col("vec_id_1") + 1) & (F.col("vec_id_1") % 10 == 0)
     ).count() == 50
