@@ -283,6 +283,22 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 emb, query_ids=range(10), k=5, m=4, centroid_stride=500
             ),
         ),
+        (
+            # combined IVF routing + PQ ADC serving at scale dials:
+            # the candidate set is |corpus|*nprobe/n_lists and the
+            # per-candidate state is m code bytes — wall-clock should
+            # be flat-ish in corpus size once routing dominates
+            "sim_ivfpq_topk",
+            lambda: sim.ivfpq_topk(
+                emb,
+                query_ids=range(10),
+                k=5,
+                centroid_stride=500,
+                nprobe=3,
+                m=4,
+                pq_stride=500,
+            ),
+        ),
         ("dedup_span_dup_stats", lambda: dd.span_dup_stats(docs, n=8)),
         (
             # mergeable-membership pre-filter at corpus scale: bloom

@@ -318,8 +318,9 @@ def _parse_sps(rbsp: bytes) -> dict:
         raise NotImplementedError("high-profile SPS not supported")
     log2_mfn = br.ue() + 4
     poc_type = br.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        br.ue()
+        log2_max_poc_lsb = br.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1")
     br.ue()  # max_num_ref_frames
@@ -338,7 +339,7 @@ def _parse_sps(rbsp: bytes) -> dict:
     return {
         "profile": profile, "level": level, "w": w, "h": h,
         "mb_w": mb_w, "mb_h": mb_h, "log2_max_frame_num": log2_mfn,
-        "poc_type": poc_type,
+        "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
     }
 
 
@@ -354,7 +355,13 @@ def _parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("slice groups (FMO)")
     br.ue(); br.ue(); br.u(1); br.u(2); br.se(); br.se(); br.se()
     dbf_present = br.u(1)
-    return {"pps_id": pps_id, "dbf_present": dbf_present}
+    br.u(1)  # constrained_intra_pred_flag
+    redundant_present = br.u(1)
+    return {
+        "pps_id": pps_id,
+        "dbf_present": dbf_present,
+        "redundant_present": redundant_present,
+    }
 
 
 def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
@@ -385,10 +392,25 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
             br.u(sps["log2_max_frame_num"])
             if ntype == 5:
                 br.ue()  # idr_pic_id
+            if sps["poc_type"] == 0:
+                br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+            if pps["redundant_present"]:
+                br.ue()  # redundant_pic_cnt
+            nal_ref_idc = (nal[0] >> 5) & 0x3
+            if ntype == 5:
                 br.u(1); br.u(1)  # dec_ref_pic_marking (IDR form)
+            elif nal_ref_idc != 0:
+                # dec_ref_pic_marking, non-IDR form (7.3.3.3)
+                if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+                    raise NotImplementedError(
+                        "adaptive reference-picture marking (MMCO)"
+                    )
             br.se()  # slice_qp_delta
             if pps["dbf_present"]:
-                if br.ue() == 0:  # disable_deblocking_filter_idc
+                # alpha/beta offsets are present whenever
+                # disable_deblocking_filter_idc != 1 (7.3.3), i.e. for
+                # idc 0 AND 2 — not only idc 0.
+                if br.ue() != 1:
                     br.se(); br.se()
             mbw, mbh = sps["mb_w"], sps["mb_h"]
             y = np.zeros((mbh * 16, mbw * 16), np.uint8)

@@ -133,13 +133,30 @@ class SqlMergeBackend(MergeBackend):
     name = "merge_into"
 
     @staticmethod
-    def upsert_sql(target_table: str, keys: Sequence[str], cols: Sequence[str]) -> str:
+    def _source_view_name(target_table: str) -> str:
+        """Per-invocation unique source-view name.  DAG levels run in
+        parallel threads sharing one SparkSession (dependency.py
+        ThreadPoolExecutor), so a fixed name would let one model's
+        createOrReplaceTempView clobber another's source batch before
+        its MERGE executes."""
+        import uuid
+
+        safe = "".join(c if c.isalnum() else "_" for c in target_table)
+        return f"__merge_source_{safe}_{uuid.uuid4().hex[:12]}"
+
+    @staticmethod
+    def upsert_sql(
+        target_table: str,
+        keys: Sequence[str],
+        cols: Sequence[str],
+        source_view: str = "__merge_source",
+    ) -> str:
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
         ins_cols = ", ".join(cols)
         ins_vals = ", ".join(f"s.{c}" for c in cols)
         return (
-            f"MERGE INTO {target_table} t USING __merge_source s ON {on} "
+            f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )
@@ -150,6 +167,7 @@ class SqlMergeBackend(MergeBackend):
         keys: Sequence[str],
         cols: Sequence[str],
         op_col: str,
+        source_view: str = "__merge_source",
     ) -> str:
         # COALESCE(op,'U') defaulting exactly as the reference emits
         # (reference materialization.py:581); clause order matters:
@@ -160,7 +178,7 @@ class SqlMergeBackend(MergeBackend):
         ins_cols = ", ".join(cols)
         ins_vals = ", ".join(f"s.{c}" for c in cols)
         return (
-            f"MERGE INTO {target_table} t USING __merge_source s ON {on} "
+            f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
             f"WHEN MATCHED AND {op} = '{OP_DELETE}' THEN DELETE "
             f"WHEN MATCHED AND {op} IN ('{OP_UPDATE}', '{OP_INSERT}') "
             f"THEN UPDATE SET {sets} "
@@ -168,8 +186,10 @@ class SqlMergeBackend(MergeBackend):
             f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )
 
-    def _run(self, ctx: MergeContext, sql: str, source: DataFrame) -> dict:
-        source.createOrReplaceTempView("__merge_source")
+    def _run(
+        self, ctx: MergeContext, sql: str, source: DataFrame, view: str
+    ) -> dict:
+        source.createOrReplaceTempView(view)
         try:
             ctx.spark.sql(sql)
         except Exception as e:  # parquet tables cannot MERGE — say so
@@ -179,13 +199,14 @@ class SqlMergeBackend(MergeBackend):
                 f"catalog rejected the statement: {str(e).splitlines()[0]}"
             ) from e
         finally:
-            ctx.spark.catalog.dropTempView("__merge_source")
+            ctx.spark.catalog.dropTempView(view)
         return {"backend_sql": sql}
 
     def upsert(self, ctx, target_table, source, keys):
         cols = ctx.spark.table(target_table).columns
+        view = self._source_view_name(target_table)
         return self._run(
-            ctx, self.upsert_sql(target_table, keys, cols), source
+            ctx, self.upsert_sql(target_table, keys, cols, view), source, view
         )
 
     def cdc_merge(self, ctx, target_table, batch, keys, op_col, ts_col):
@@ -195,8 +216,9 @@ class SqlMergeBackend(MergeBackend):
         src = batch
         if ts_col and ts_col in src.columns:
             src = dedup_keep_latest(src, keys, [ts_col])
+        view = self._source_view_name(target_table)
         return self._run(
-            ctx, self.cdc_sql(target_table, keys, cols, op_col), src
+            ctx, self.cdc_sql(target_table, keys, cols, op_col, view), src, view
         )
 
 

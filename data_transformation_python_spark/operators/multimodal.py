@@ -1754,9 +1754,12 @@ def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
             for codec, doc_id in zip(pdf["codec"], pdf["doc_id"].astype("int64")):
                 out["codec"].append(str(codec))
                 out["doc_id"].append(int(doc_id))
-                out["psnr_fl"].append(
-                    int(math.floor(_codec_min_psnr(str(codec), int(doc_id))))
-                )
+                # clamp: a lossless probe yields PSNR=inf, and
+                # floor(inf) raises OverflowError — cap at a sentinel
+                # 999 dB so a zero-error round-trip produces a row
+                # instead of failing the Arrow batch
+                psnr = min(_codec_min_psnr(str(codec), int(doc_id)), 999.0)
+                out["psnr_fl"].append(int(math.floor(psnr)))
             yield pd.DataFrame(out)
 
     par = spark.sparkContext.defaultParallelism

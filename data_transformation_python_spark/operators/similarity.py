@@ -100,8 +100,9 @@ def cosine_topk(
     nested loop per partition, no shuffle; ranking shuffles only the
     per-query candidate rows.
     """
+    query_ids = list(query_ids)
     qn = quantized(df, vec_col, id_col)
-    queries = qn.filter(F.col(id_col).isin(list(query_ids))).select(
+    queries = qn.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__qv"),
         F.col("__nrm").alias("__qn"),
@@ -141,7 +142,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     max_broadcast_cells: int = 16_000_000,
     max_pair_cells: int = 400_000_000,
-    lsh_planes_per_band: int | None = 8,
+    lsh_planes_per_band: int | None = None,
     lsh_bands: int = 16,
 ) -> DataFrame:
     """All corpus pairs above a cosine threshold.
@@ -166,17 +167,21 @@ def cosine_neardup_pairs(
       S-curve (see ``_neardup_lsh_verified``); exact-by-construction
       only the broadcast path is.
 
-    ``lsh_planes_per_band=None`` auto-sizes the band width to
-    ``ceil(log2(n)) + 1`` so expected bucket occupancy stays < 1 at
-    ANY corpus size — candidate pairs (and therefore the verify join)
-    then grow linearly in n instead of quadratically (measured: with
-    the dial pinned at 16, 300k→500k rows cost 9.8→36.2 s, ~n^2.6
-    locally; auto-sized it is near-linear — SCALING.md "Measured
-    scaling exponents").  The trade is the standard LSH one: wider
-    bands lower per-band recall at a FIXED similarity (compensate
-    with more bands, cost ∝ bands), while recall for near-exact
-    duplicates (sim → 1) stays ≈ 1 at any width — the dedup shape
-    this operator feeds.
+    ``lsh_planes_per_band=None`` (the DEFAULT) auto-sizes the band
+    width to ``ceil(log2(n)) + 1`` so expected bucket occupancy stays
+    < 1 at ANY corpus size — candidate pairs (and therefore the
+    verify join) then grow linearly in n instead of quadratically
+    (measured: with the dial pinned at 16, 300k→500k rows cost
+    9.8→36.2 s, ~n^2.6 locally; auto-sized it is near-linear —
+    SCALING.md "Measured scaling exponents").  Auto became the
+    default in round 8 precisely because of that measurement: a
+    pinned width is a quadratic plan waiting for a big corpus.  Pass
+    an integer width as an explicit recall dial only when you know
+    the corpus size; the trade is the standard LSH one: wider bands
+    lower per-band recall at a FIXED similarity (compensate with more
+    bands, cost ∝ bands), while recall for near-exact duplicates
+    (sim → 1) stays ≈ 1 at any width — the dedup shape this operator
+    feeds.
 
     Determinism: quantized components are integers, so every partial
     sum (BLAS or SQL ``aggregate``) is an exact integer < 2^53 —
@@ -546,6 +551,7 @@ def ivf_topk(
 
     from .transform import materialize
 
+    query_ids = list(query_ids)
     # quantize ONCE — four subtrees below read it (assign, probes,
     # query vectors, neighbor vectors); inlined it would re-scan and
     # re-quantize the corpus each time
@@ -660,7 +666,7 @@ def ivf_topk(
     # side BEFORE the centroid cross join, then a tiny window is fine
     w_assign = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
     probes = (
-        qn.filter(F.col(id_col).isin(list(query_ids)))
+        qn.filter(F.col(id_col).isin(query_ids))
         .crossJoin(F.broadcast(cent))
         .withColumn("__d2", dist2)
         .withColumn("__rn", F.row_number().over(w_assign))
@@ -1185,6 +1191,7 @@ def pq_adc_topk(
 
     from .transform import materialize
 
+    query_ids = list(query_ids)
     sub_dim = _probe_dim(df, vec_col) // m
     qn = quantized(df, vec_col, id_col)
     cent_rows = pq_codebook(qn, id_col, centroid_stride)
@@ -1196,7 +1203,7 @@ def pq_adc_topk(
     )
     q_rows = sorted(
         (int(r[0]), [int(x) for x in r[1]])
-        for r in qn.filter(F.col(id_col).isin(list(query_ids)))
+        for r in qn.filter(F.col(id_col).isin(query_ids))
         .select(id_col, "__v")
         .collect()
     )
@@ -1323,6 +1330,9 @@ def ivfpq_topk(
 
     from .transform import materialize
 
+    # normalize once: a one-shot iterator consumed by the probes
+    # filter below would silently leave the q_rows collect empty
+    query_ids = list(query_ids)
     sub_dim = _probe_dim(df, vec_col) // m
     qn = materialize(quantized(df, vec_col, id_col))
     cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
@@ -1346,7 +1356,7 @@ def ivfpq_topk(
     )
     w_probe = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
     probes = (
-        qn.filter(F.col(id_col).isin(list(query_ids)))
+        qn.filter(F.col(id_col).isin(query_ids))
         .crossJoin(F.broadcast(cent))
         .withColumn("__d2", dist2)
         .withColumn("__rn", F.row_number().over(w_probe))
@@ -1360,7 +1370,7 @@ def ivfpq_topk(
     )
     q_rows = sorted(
         (int(r[0]), [int(x) for x in r[1]])
-        for r in qn.filter(F.col(id_col).isin(list(query_ids)))
+        for r in qn.filter(F.col(id_col).isin(query_ids))
         .select(id_col, "__v")
         .collect()
     )

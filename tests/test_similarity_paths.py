@@ -35,8 +35,14 @@ def test_lsh_path_is_exact_on_found_pairs_and_meets_recall(spark, emb):
     exact = _pairs(cosine_neardup_pairs(emb, threshold=THRESHOLD))
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
+        # width pinned to PLANES so the analytic S-curve bound below
+        # is computable; the auto default (None → ceil(log2 n)+1) has
+        # its own test (test_neardup_auto_plane_width_linear_dial)
         lsh_df = cosine_neardup_pairs(
-            emb, threshold=THRESHOLD, max_broadcast_cells=1
+            emb,
+            threshold=THRESHOLD,
+            max_broadcast_cells=1,
+            lsh_planes_per_band=PLANES,
         )
         approx = _pairs(lsh_df)
     # switching to the approximate path must be loudly signalled
