@@ -284,19 +284,13 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
-            # combined IVF routing + PQ ADC serving at scale dials:
-            # the candidate set is |corpus|*nprobe/n_lists and the
-            # per-candidate state is m code bytes — wall-clock should
-            # be flat-ish in corpus size once routing dominates
+            # combined IVF routing + PQ ADC serving on the DEFAULT
+            # auto dials (√n coarse lists, ≤256-codeword PQ books) —
+            # the sweep measures the path users get without tuning;
+            # the pinned-stride variant went ~n^2.3 before round 8
             "sim_ivfpq_topk",
             lambda: sim.ivfpq_topk(
-                emb,
-                query_ids=range(10),
-                k=5,
-                centroid_stride=500,
-                nprobe=3,
-                m=4,
-                pq_stride=500,
+                emb, query_ids=range(10), k=5, nprobe=3, m=4
             ),
         ),
         ("dedup_span_dup_stats", lambda: dd.span_dup_stats(docs, n=8)),

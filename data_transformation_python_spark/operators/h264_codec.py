@@ -1,27 +1,41 @@
 """H.264/AVC (ITU-T Rec. H.264 / ISO-IEC 14496-10) codec for the
-I_PCM subset, plus a real ISO BMFF (MP4, ISO-IEC 14496-12/-15)
-muxer/demuxer — pure stdlib/numpy, no codec libraries.
+I_PCM and Intra_16x16 luma-DC subsets, plus a real ISO BMFF (MP4,
+ISO-IEC 14496-12/-15) muxer/demuxer — pure stdlib/numpy, no codec
+libraries.
 
 Scope (honest): every picture is an IDR slice whose macroblocks are
-all I_PCM — the standard's raw-sample macroblock type (mb_type 25 in
-I-slices, spec §7.3.5/§7.4.5): 256 luma + 2×64 chroma (4:2:0) bytes
-carried uncompressed inside a conformant bitstream.  Everything
-around the samples is real H.264 syntax: Exp-Golomb ue(v)/se(v)
-coding, SPS/PPS RBSPs (with frame cropping for non-multiple-of-16
-dims), IDR slice headers (deblocking disabled so I_PCM samples
-reconstruct bit-exactly, §8.7: the filter is bypassed when
-``disable_deblocking_filter_idc == 1``), NAL units with emulation-
-prevention-byte escaping (§7.4.1.1), and Annex-B start codes inside
-the elementary stream / 4-byte-length AVC sample framing inside MP4
-(avcC).  A conformant third-party decoder plays these streams; this
-module's decoder parses any stream *of this subset* (it rejects
-non-I_PCM macroblocks and CABAC explicitly rather than mis-decoding).
+either
+- I_PCM (mb_type 25, §7.3.5/§7.4.5): 256 luma + 2×64 chroma (4:2:0)
+  bytes carried uncompressed inside a conformant bitstream, or
+- Intra_16x16 with cbp 0/0 (mb_types 1-24, Table 7-11): real
+  TRANSFORM-CODED macroblocks — CAVLC entropy decoding (§9.2, the
+  nC < 2 tables with the full large-level escape), the 4x4 inverse
+  Hadamard + DC scaling of the luma DC block (§8.5.10), and all four
+  Intra_16x16 luma prediction modes V/H/DC/Plane (§8.3.3) plus
+  chroma DC prediction (§8.3.4) in a closed prediction loop.  Only
+  the AC residual path (cbp != 0) and CABAC remain out of scope, and
+  the decoder rejects them explicitly rather than mis-decoding.
 
-What is NOT here, still honestly stubbed in multimodal.decode_media:
-transform-coded H.264 (CAVLC/CABAC residual decoding, intra
-prediction, motion compensation) — the parts that genuinely need a
-full entropy/DSP stack.  Inter-frame prediction itself is covered
-Spark-side by the IPV1 codec (video_codec.py).
+Everything around the macroblocks is real H.264 syntax: Exp-Golomb
+ue(v)/se(v) coding, SPS/PPS RBSPs (with frame cropping for
+non-multiple-of-16 dims), IDR slice headers (deblocking disabled,
+§8.7), NAL units with emulation-prevention-byte escaping (§7.4.1.1),
+and Annex-B start codes inside the elementary stream / 4-byte-length
+AVC sample framing inside MP4 (avcC).
+
+CAVLC conformance posture: the VLC tables are transcribed from the
+spec (Tables 9-5/9-7/9-10); in this environment (no codec libraries)
+they are validated by prefix-freeness + Kraft-completeness checks,
+exhaustive encode→decode round-trip fuzzing including the escape
+ranges, and the published textbook worked example
+(0,3,0,1,-1,-1,0,1,0.. → 000010001110010111101101) as an external
+anchor.  An independent decoder cross-check is the one validation
+this environment cannot run.
+
+Still honestly stubbed in multimodal.decode_media: the Intra_16x16
+AC / 4x4-intra residual path, CABAC, and motion compensation.
+Inter-frame prediction itself is covered Spark-side by the IPV1
+codec (video_codec.py).
 
 Losslessness contract: I_PCM stores YCbCr 4:2:0 samples verbatim, so
 the roundtrip is bit-exact in that domain.  With GRAYSCALE input
@@ -353,7 +367,9 @@ def _parse_pps(rbsp: bytes) -> dict:
     br.u(1)
     if br.ue() != 0:
         raise NotImplementedError("slice groups (FMO)")
-    br.ue(); br.ue(); br.u(1); br.u(2); br.se(); br.se(); br.se()
+    br.ue(); br.ue(); br.u(1); br.u(2)
+    init_qp_delta = br.se()  # pic_init_qp_minus26
+    br.se(); br.se()
     dbf_present = br.u(1)
     br.u(1)  # constrained_intra_pred_flag
     redundant_present = br.u(1)
@@ -361,12 +377,442 @@ def _parse_pps(rbsp: bytes) -> dict:
         "pps_id": pps_id,
         "dbf_present": dbf_present,
         "redundant_present": redundant_present,
+        "init_qp_delta": init_qp_delta,
     }
 
 
+# -- CAVLC (spec §9.2) for the Intra_16x16 luma-DC subset -------------------
+# Tables transcribed from ITU-T H.264: Table 9-5 (coeff_token, the
+# 0 <= nC < 2 column — the only nC this subset produces: with
+# cbp_luma == 0 every neighbouring 4x4 luma block has TotalCoeff 0, so
+# nC == 0 at every macroblock, §9.2.1), Table 9-7 (total_zeros, 4x4),
+# Table 9-10 (run_before).  Validation in this env (no codec libs to
+# cross-check against): prefix-freeness + Kraft completeness of every
+# (sub)table, encode→decode round-trip fuzzing, and the published
+# worked example of the standard textbooks (coeffs 0,3,0,1,-1,-1,0,1 →
+# "000010001110010111101101") as an external conformance anchor.
+
+_CT_NC02 = {  # (trailing_ones, total_coeff) -> code bitstring
+    (0, 0): "1",
+    (0, 1): "000101", (1, 1): "01",
+    (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+    (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101",
+    (3, 3): "00011",
+    (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101",
+    (3, 4): "000011",
+    (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101",
+    (3, 5): "0000100",
+    (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101",
+    (3, 6): "00000100",
+    (0, 7): "0000000001011", (1, 7): "0000000001110", (2, 7): "00000000101",
+    (3, 7): "000000100",
+    (0, 8): "0000000001000", (1, 8): "0000000001010",
+    (2, 8): "0000000001101", (3, 8): "0000000100",
+    (0, 9): "00000000001111", (1, 9): "00000000001110",
+    (2, 9): "0000000001001", (3, 9): "00000000100",
+    (0, 10): "00000000001011", (1, 10): "00000000001010",
+    (2, 10): "00000000001101", (3, 10): "0000000001100",
+    (0, 11): "000000000001111", (1, 11): "000000000001110",
+    (2, 11): "00000000001001", (3, 11): "00000000001000",
+    (0, 12): "000000000001011", (1, 12): "000000000001010",
+    (2, 12): "000000000001101", (3, 12): "00000000001100",
+    (0, 13): "0000000000001111", (1, 13): "000000000000001",
+    (2, 13): "000000000001001", (3, 13): "000000000001000",
+    (0, 14): "0000000000001011", (1, 14): "0000000000001110",
+    (2, 14): "0000000000001101", (3, 14): "000000000001100",
+    (0, 15): "0000000000000111", (1, 15): "0000000000001010",
+    (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+    (0, 16): "0000000000000100", (1, 16): "0000000000000110",
+    (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+}
+
+_TOTAL_ZEROS = {  # total_coeff -> {total_zeros: code} (Table 9-7, 4x4)
+    1: {0: "1", 1: "011", 2: "010", 3: "0011", 4: "0010", 5: "00011",
+        6: "00010", 7: "000011", 8: "000010", 9: "0000011", 10: "0000010",
+        11: "00000011", 12: "00000010", 13: "000000011", 14: "000000010",
+        15: "000000001"},
+    2: {0: "111", 1: "110", 2: "101", 3: "100", 4: "011", 5: "0101",
+        6: "0100", 7: "0011", 8: "0010", 9: "00011", 10: "00010",
+        11: "000011", 12: "000010", 13: "000001", 14: "000000"},
+    3: {0: "0101", 1: "111", 2: "110", 3: "101", 4: "0100", 5: "0011",
+        6: "100", 7: "011", 8: "0010", 9: "00011", 10: "00010",
+        11: "000001", 12: "00001", 13: "000000"},
+    4: {0: "00011", 1: "111", 2: "0101", 3: "0100", 4: "110", 5: "101",
+        6: "100", 7: "0011", 8: "011", 9: "0010", 10: "00010",
+        11: "00001", 12: "00000"},
+    5: {0: "0101", 1: "0100", 2: "0011", 3: "111", 4: "110", 5: "101",
+        6: "100", 7: "011", 8: "0010", 9: "00001", 10: "0001",
+        11: "00000"},
+    6: {0: "000001", 1: "00001", 2: "111", 3: "110", 4: "101", 5: "100",
+        6: "011", 7: "010", 8: "0001", 9: "001", 10: "000000"},
+    7: {0: "000001", 1: "00001", 2: "101", 3: "100", 4: "011", 5: "11",
+        6: "010", 7: "0001", 8: "001", 9: "000000"},
+    8: {0: "000001", 1: "0001", 2: "00001", 3: "011", 4: "11", 5: "10",
+        6: "010", 7: "001", 8: "000000"},
+    9: {0: "000001", 1: "000000", 2: "0001", 3: "11", 4: "10", 5: "001",
+        6: "01", 7: "00001"},
+    10: {0: "00001", 1: "00000", 2: "001", 3: "11", 4: "10", 5: "01",
+         6: "0001"},
+    11: {0: "0000", 1: "0001", 2: "001", 3: "010", 4: "1", 5: "011"},
+    12: {0: "0000", 1: "0001", 2: "01", 3: "1", 4: "001"},
+    13: {0: "000", 1: "001", 2: "1", 3: "01"},
+    14: {0: "00", 1: "01", 2: "1"},
+    15: {0: "0", 1: "1"},
+}
+
+_RUN_BEFORE = {  # min(zeros_left, 7) -> {run: code} (Table 9-10)
+    1: {0: "1", 1: "0"},
+    2: {0: "1", 1: "01", 2: "00"},
+    3: {0: "11", 1: "10", 2: "01", 3: "00"},
+    4: {0: "11", 1: "10", 2: "01", 3: "001", 4: "000"},
+    5: {0: "11", 1: "10", 2: "011", 3: "010", 4: "001", 5: "000"},
+    6: {0: "11", 1: "000", 2: "001", 3: "011", 4: "010", 5: "101",
+        6: "100"},
+    7: {0: "111", 1: "110", 2: "101", 3: "100", 4: "011", 5: "010",
+        6: "001", 7: "0001", 8: "00001", 9: "000001", 10: "0000001",
+        11: "00000001", 12: "000000001", 13: "0000000001",
+        14: "00000000001"},
+}
+
+# zigzag scan of a 4x4 block (spec Figure 8-8)
+_ZZ4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+
+def _put_bits(bw: _EgWriter, code: str) -> None:
+    for ch in code:
+        bw.bits.append(1 if ch == "1" else 0)
+
+
+def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
+    code = ""
+    for _ in range(max_len):
+        code += "1" if br.u(1) else "0"
+        if code in table:
+            return table[code]
+    raise ValueError(f"invalid VLC code {code!r}")
+
+
+_CT_NC02_DEC = {v: k for k, v in _CT_NC02.items()}
+_TZ_DEC = {tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS.items()}
+_RB_DEC = {zl: {v: k for k, v in tab.items()} for zl, tab in _RUN_BEFORE.items()}
+
+
+def cavlc_encode_block(bw: _EgWriter, coeffs: list[int]) -> None:
+    """Encode one 4x4 residual block (16 coefficients in zigzag scan
+    order) with CAVLC, nC < 2 tables (§9.2)."""
+    nz = [(i, int(c)) for i, c in enumerate(coeffs) if c != 0]
+    total = len(nz)
+    if total > 16:
+        raise ValueError("more than 16 coefficients")
+    t1 = 0
+    for _, c in reversed(nz):
+        if abs(c) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    _put_bits(bw, _CT_NC02[(t1, total)])
+    if total == 0:
+        return
+    for _, c in list(reversed(nz))[:t1]:
+        bw.bits.append(0 if c > 0 else 1)  # trailing-one sign
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    first = True
+    for _, level in list(reversed(nz))[t1:]:
+        level_code = (level << 1) - 2 if level > 0 else -(level << 1) - 1
+        if first and t1 < 3:
+            level_code -= 2
+        if suffix_len == 0 and level_code < 14:
+            _put_bits(bw, "0" * level_code + "1")
+        elif suffix_len == 0 and level_code < 30:
+            _put_bits(bw, "0" * 14 + "1")
+            bw.u(level_code - 14, 4)
+        elif suffix_len > 0 and (level_code >> suffix_len) < 15:
+            _put_bits(bw, "0" * (level_code >> suffix_len) + "1")
+            bw.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+        else:
+            # escape: prefix 15 carries a 12-bit suffix; prefixes 16+
+            # carry (prefix-3)-bit suffixes over contiguous higher
+            # ranges (§9.2.2.1 large-level extension)
+            rem = level_code - (
+                30 if suffix_len == 0 else (15 << suffix_len)
+            )
+            if rem < 4096:
+                p, size, suffix = 15, 12, rem
+            else:
+                p, base = 16, 4096
+                while rem >= base + (1 << (p - 3)):
+                    base += 1 << (p - 3)
+                    p += 1
+                    if p > 24:
+                        raise ValueError("level beyond CAVLC range")
+                size, suffix = p - 3, rem - base
+            _put_bits(bw, "0" * p + "1")
+            bw.u(suffix, size)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+        first = False
+    last_pos = nz[-1][0]
+    total_zeros = last_pos + 1 - total
+    if total < 16:
+        _put_bits(bw, _TOTAL_ZEROS[total][total_zeros])
+    zeros_left = total_zeros
+    for j in range(len(nz) - 1, 0, -1):
+        if zeros_left <= 0:
+            break
+        run = nz[j][0] - nz[j - 1][0] - 1
+        _put_bits(bw, _RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+
+
+def cavlc_decode_block(br: _EgReader) -> list[int]:
+    """Decode one 4x4 CAVLC block (nC < 2) to 16 zigzag-scan
+    coefficients (§9.2)."""
+    t1, total = _read_vlc(br, _CT_NC02_DEC)
+    out = [0] * 16
+    if total == 0:
+        return out
+    levels: list[int] = []
+    for _ in range(t1):
+        levels.append(-1 if br.u(1) else 1)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    for idx in range(total - t1):
+        prefix = 0
+        while br.u(1) == 0:
+            prefix += 1
+            if prefix > 24:
+                raise ValueError("level_prefix beyond CAVLC range")
+        if prefix >= 15:
+            size = prefix - 3
+            level_code = (15 << suffix_len) + br.u(size)
+            if suffix_len == 0:
+                level_code += 15
+            if prefix >= 16:
+                level_code += (1 << (prefix - 3)) - 4096
+        elif suffix_len == 0:
+            level_code = prefix if prefix < 14 else 14 + br.u(4)
+        else:
+            level_code = (prefix << suffix_len) + br.u(suffix_len)
+        if idx == 0 and t1 < 3:
+            level_code += 2
+        level = (
+            (level_code + 2) >> 1 if level_code % 2 == 0
+            else -((level_code + 1) >> 1)
+        )
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    total_zeros = _read_vlc(br, _TZ_DEC[total]) if total < 16 else 0
+    zeros_left = total_zeros
+    # place coefficients: levels[] holds values highest-frequency
+    # first; runs of zeros precede each (reverse scan)
+    pos = total + total_zeros - 1
+    for j, level in enumerate(levels):
+        out[pos] = level
+        if j == len(levels) - 1:
+            break
+        run = (
+            _read_vlc(br, _RB_DEC[min(zeros_left, 7)]) if zeros_left > 0 else 0
+        )
+        zeros_left -= run
+        pos -= run + 1
+    return out
+
+
+# -- Intra_16x16 luma-DC transform path (§8.3.3, §8.5.10) -------------------
+_HADAMARD4 = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+    dtype=np.int64,
+)
+_DC_LEVELSCALE = (10, 11, 13, 14, 16, 18)  # LevelScale4x4(m, 0, 0)
+
+
+def _luma_dc_dequant(c_zz: list[int], qp: int) -> np.ndarray:
+    """Inverse-zigzag, inverse Hadamard, and DC scaling of the parsed
+    Intra16x16DCLevel block (§8.5.10) → 4x4 int array of per-4x4-block
+    DC values (pre the final (x+32)>>6 of the core transform)."""
+    c = np.zeros(16, np.int64)
+    c[_ZZ4] = np.array(c_zz, np.int64)
+    f = _HADAMARD4 @ c.reshape(4, 4) @ _HADAMARD4
+    a, e = _DC_LEVELSCALE[qp % 6], qp // 6
+    if qp >= 36:
+        return (f * a) << (e - 6)
+    return (f * a + (1 << (5 - e))) >> (6 - e)
+
+
+def _intra16_pred_luma(
+    mode: int, top, left, corner, avail_top: bool, avail_left: bool
+) -> np.ndarray:
+    """Intra_16x16 luma prediction (§8.3.3): 0=V, 1=H, 2=DC, 3=Plane.
+    ``top``/``left`` are the 16 reconstructed neighbour samples (or
+    None), ``corner`` the p[-1,-1] sample."""
+    if mode == 0:
+        if not avail_top:
+            raise ValueError("Intra_16x16 vertical without top neighbour")
+        return np.tile(np.asarray(top, np.int64), (16, 1))
+    if mode == 1:
+        if not avail_left:
+            raise ValueError("Intra_16x16 horizontal without left neighbour")
+        return np.tile(np.asarray(left, np.int64).reshape(16, 1), (1, 16))
+    if mode == 2:
+        if avail_top and avail_left:
+            dc = (int(np.sum(top)) + int(np.sum(left)) + 16) >> 5
+        elif avail_top:
+            dc = (int(np.sum(top)) + 8) >> 4
+        elif avail_left:
+            dc = (int(np.sum(left)) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, np.int64)
+    if mode == 3:
+        if not (avail_top and avail_left):
+            raise ValueError("Intra_16x16 plane without both neighbours")
+        t = np.asarray(top, np.int64)
+        lf = np.asarray(left, np.int64)
+        tx = np.concatenate([[corner], t])  # p[-1..15, -1 row]
+        ly = np.concatenate([[corner], lf])
+        hsum = sum((x + 1) * (int(tx[9 + x]) - int(tx[7 - x])) for x in range(8))
+        vsum = sum((y + 1) * (int(ly[9 + y]) - int(ly[7 - y])) for y in range(8))
+        aa = 16 * (int(t[15]) + int(lf[15]))
+        bb = (5 * hsum + 32) >> 6
+        cc = (5 * vsum + 32) >> 6
+        jj, ii = np.meshgrid(np.arange(16), np.arange(16))
+        return np.clip((aa + bb * (jj - 7) + cc * (ii - 7) + 16) >> 5, 0, 255)
+    raise ValueError(f"invalid Intra_16x16 prediction mode {mode}")
+
+
+def _chroma_dc_pred(top, left, avail_top: bool, avail_left: bool) -> np.ndarray:
+    """Chroma 8x8 DC prediction (§8.3.4, intra_chroma_pred_mode 0),
+    per-4x4 quadrant: (0,0)/(1,1) average both available edges,
+    (1,0) prefers the top edge, (0,1) the left edge."""
+    out = np.empty((8, 8), np.int64)
+    t = np.asarray(top, np.int64) if avail_top else None
+    lf = np.asarray(left, np.int64) if avail_left else None
+
+    def quad(tpart, lpart, prefer):
+        have_t, have_l = tpart is not None, lpart is not None
+        if prefer == "t":
+            if have_t:
+                return (int(tpart.sum()) + 2) >> 2
+            if have_l:
+                return (int(lpart.sum()) + 2) >> 2
+        elif prefer == "l":
+            if have_l:
+                return (int(lpart.sum()) + 2) >> 2
+            if have_t:
+                return (int(tpart.sum()) + 2) >> 2
+        else:
+            if have_t and have_l:
+                return (int(tpart.sum()) + int(lpart.sum()) + 4) >> 3
+            if have_t:
+                return (int(tpart.sum()) + 2) >> 2
+            if have_l:
+                return (int(lpart.sum()) + 2) >> 2
+        return 128
+
+    out[0:4, 0:4] = quad(
+        t[0:4] if avail_top else None, lf[0:4] if avail_left else None, "b"
+    )
+    out[0:4, 4:8] = quad(
+        t[4:8] if avail_top else None, lf[0:4] if avail_left else None, "t"
+    )
+    out[4:8, 0:4] = quad(
+        t[0:4] if avail_top else None, lf[4:8] if avail_left else None, "l"
+    )
+    out[4:8, 4:8] = quad(
+        t[4:8] if avail_top else None, lf[4:8] if avail_left else None, "b"
+    )
+    return out
+
+
+def _i16dc_slice_rbsp(
+    y_plane: np.ndarray, qp: int, idr_pic_id: int
+) -> tuple[bytes, np.ndarray]:
+    """One IDR slice of Intra_16x16_2_0_0 (DC-predicted, luma-DC-only
+    residual) macroblocks covering a PADDED grayscale luma plane.
+    Returns (rbsp, reconstructed plane) — the closed loop: the encoder
+    reconstructs exactly what the decoder will, and predicts the next
+    macroblock from that reconstruction."""
+    mb_h, mb_w = y_plane.shape[0] // 16, y_plane.shape[1] // 16
+    a, e = _DC_LEVELSCALE[qp % 6], qp // 6
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(7)            # slice_type: I
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(0, 4)          # frame_num
+    bw.ue(idr_pic_id)
+    bw.u(0, 1); bw.u(0, 1)  # dec_ref_pic_marking (IDR)
+    bw.se(qp - 26)      # slice_qp_delta (pic_init_qp is 26)
+    bw.ue(1)            # disable_deblocking_filter_idc
+    recon = np.zeros_like(y_plane, dtype=np.int64)
+    src = y_plane.astype(np.int64)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            y0, x0 = my * 16, mx * 16
+            avail_top, avail_left = my > 0, mx > 0
+            pred = _intra16_pred_luma(
+                2,
+                recon[y0 - 1, x0 : x0 + 16] if avail_top else None,
+                recon[y0 : y0 + 16, x0 - 1] if avail_left else None,
+                recon[y0 - 1, x0 - 1] if (avail_top and avail_left) else 0,
+                avail_top,
+                avail_left,
+            )
+            resid = src[y0 : y0 + 16, x0 : x0 + 16] - pred
+            # per-4x4 block sums = core-transform DC coefficients
+            x_dc = resid.reshape(4, 4, 4, 4).sum(axis=(1, 3))
+            fh = _HADAMARD4 @ x_dc @ _HADAMARD4
+            c = (
+                np.sign(fh)
+                * np.floor(np.abs(fh) * (2.0 ** (6 - e)) / (4 * a) + 0.5)
+            ).astype(np.int64)
+            bw.ue(3)    # mb_type I_16x16_2_0_0 (DC pred, cbp 0/0)
+            bw.ue(0)    # intra_chroma_pred_mode: DC
+            bw.se(0)    # mb_qp_delta
+            cavlc_encode_block(bw, list(c.reshape(16)[_ZZ4]))
+            dc = _luma_dc_dequant(list(c.reshape(16)[_ZZ4]), qp)
+            r = (dc + 32) >> 6  # per-4x4 constant residual sample
+            recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                pred + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1), 0, 255
+            )
+    bw.rbsp_trailing()
+    return bw.tobytes(), recon
+
+
+def h264_encode_frame_i16dc(
+    rgb: np.ndarray, qp: int = 28, idr_pic_id: int = 0
+) -> list[bytes]:
+    """Encode one frame as [SPS, PPS, IDR] where every macroblock is
+    Intra_16x16 with DC prediction and a CAVLC-coded luma-DC-only
+    residual (cbp 0/0) — the first transform-coded rung above I_PCM:
+    real entropy coding, real integer-transform scaling, real intra
+    prediction, a real closed prediction loop.  Chroma carries no
+    residual, so color degrades to the DC prediction chain (exactly
+    128): feed GRAYSCALE frames for a faithful round-trip."""
+    h, w = rgb.shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("dimensions must be even (4:2:0 chroma cropping)")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be 0..51")
+    padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y, _cb, _cr = _rgb_to_yuv420(padded)
+    slice_rbsp, _ = _i16dc_slice_rbsp(y, qp, idr_pic_id)
+    return [
+        _nal(7, _sps_rbsp(w, h)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, slice_rbsp),
+    ]
+
+
 def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
-    """Decode one [.., SPS, PPS, IDR] NAL group of the I_PCM subset
-    into h×w×3 uint8 RGB."""
+    """Decode one [.., SPS, PPS, IDR] NAL group of the supported
+    subset (I_PCM and Intra_16x16 luma-DC macroblocks, mixed freely
+    as long as no CAVLC macroblock borders an I_PCM one — a PCM
+    neighbour would make nC 16, outside the implemented nC < 2
+    coeff_token table) into h×w×3 uint8 RGB."""
     sps = pps = None
     rgb = None
     for nal in nals:
@@ -405,7 +851,7 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                     raise NotImplementedError(
                         "adaptive reference-picture marking (MMCO)"
                     )
-            br.se()  # slice_qp_delta
+            qp = 26 + pps["init_qp_delta"] + br.se()  # slice_qp_delta
             if pps["dbf_present"]:
                 # alpha/beta offsets are present whenever
                 # disable_deblocking_filter_idc != 1 (7.3.3), i.e. for
@@ -413,27 +859,89 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                 if br.ue() != 1:
                     br.se(); br.se()
             mbw, mbh = sps["mb_w"], sps["mb_h"]
-            y = np.zeros((mbh * 16, mbw * 16), np.uint8)
-            cb = np.zeros((mbh * 8, mbw * 8), np.uint8)
-            cr = np.zeros((mbh * 8, mbw * 8), np.uint8)
+            y = np.zeros((mbh * 16, mbw * 16), np.int64)
+            cb = np.zeros((mbh * 8, mbw * 8), np.int64)
+            cr = np.zeros((mbh * 8, mbw * 8), np.int64)
+            is_pcm = np.zeros((mbh, mbw), bool)
             for my in range(mbh):
                 for mx in range(mbw):
                     mb_type = br.ue()
-                    if mb_type != 25:
-                        raise NotImplementedError(
-                            f"mb_type {mb_type}: transform-coded macroblocks "
-                            "require CAVLC residual decoding"
+                    if mb_type == 25:  # I_PCM
+                        is_pcm[my, mx] = True
+                        br.align_zero()
+                        y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                            np.frombuffer(br.raw(256), np.uint8)
+                            .reshape(16, 16)
+                            .astype(np.int64)
                         )
-                    br.align_zero()
-                    y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                        np.frombuffer(br.raw(256), np.uint8).reshape(16, 16)
+                        cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                            np.frombuffer(br.raw(64), np.uint8)
+                            .reshape(8, 8)
+                            .astype(np.int64)
+                        )
+                        cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                            np.frombuffer(br.raw(64), np.uint8)
+                            .reshape(8, 8)
+                            .astype(np.int64)
+                        )
+                        continue
+                    if not 1 <= mb_type <= 24:
+                        raise NotImplementedError(
+                            f"mb_type {mb_type}: I_NxN macroblocks require "
+                            "per-4x4 prediction + AC residual decoding"
+                        )
+                    # I_16x16_<pred>_<cbpC>_<cbpL> (Table 7-11)
+                    pred_mode = (mb_type - 1) % 4
+                    cbp_chroma = ((mb_type - 1) // 4) % 3
+                    cbp_luma = 15 * ((mb_type - 1) // 12)
+                    if cbp_chroma or cbp_luma:
+                        raise NotImplementedError(
+                            "Intra_16x16 AC / chroma residuals (cbp != 0)"
+                        )
+                    if (my > 0 and is_pcm[my - 1, mx]) or (
+                        mx > 0 and is_pcm[my, mx - 1]
+                    ):
+                        raise NotImplementedError(
+                            "CAVLC macroblock with an I_PCM neighbour "
+                            "(nC would be 16; only the nC < 2 tables "
+                            "are implemented)"
+                        )
+                    if br.ue() != 0:
+                        raise NotImplementedError(
+                            "non-DC intra_chroma_pred_mode"
+                        )
+                    qp = min(51, max(0, qp + br.se()))  # mb_qp_delta
+                    c_zz = cavlc_decode_block(br)
+                    y0, x0 = my * 16, mx * 16
+                    avail_top, avail_left = my > 0, mx > 0
+                    pred = _intra16_pred_luma(
+                        pred_mode,
+                        y[y0 - 1, x0 : x0 + 16] if avail_top else None,
+                        y[y0 : y0 + 16, x0 - 1] if avail_left else None,
+                        y[y0 - 1, x0 - 1]
+                        if (avail_top and avail_left)
+                        else 0,
+                        avail_top,
+                        avail_left,
                     )
-                    cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                        np.frombuffer(br.raw(64), np.uint8).reshape(8, 8)
+                    dc = _luma_dc_dequant(c_zz, qp)
+                    r = (dc + 32) >> 6
+                    y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                        pred + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1),
+                        0,
+                        255,
                     )
-                    cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                        np.frombuffer(br.raw(64), np.uint8).reshape(8, 8)
-                    )
+                    cy0, cx0 = my * 8, mx * 8
+                    for plane in (cb, cr):
+                        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = _chroma_dc_pred(
+                            plane[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
+                            plane[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
+                            avail_top,
+                            avail_left,
+                        )
+            y = y.astype(np.uint8)
+            cb = cb.astype(np.uint8)
+            cr = cr.astype(np.uint8)
             w, h = sps["w"], sps["h"]
             rgb = _yuv420_to_rgb(
                 y[:h, :w],

@@ -85,45 +85,139 @@ def _round_half_away(x):
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    """(size, amplitude bits) per the JPEG magnitude coding: negative
-    values store their one's-complement in ``size`` bits."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    bits = v if v > 0 else v + (1 << size) - 1
-    return size, bits
+def _pack_entropy(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized entropy bit-packer: MSB-first concatenation of
+    (value, width) pairs, final partial byte padded with 1s (T.81
+    F.1.2.3), and 0xFF bytes stuffed with a following 0x00 —
+    byte-identical to the scalar put()/flush() writer it replaces
+    (width-0 entries contribute nothing, matching the ``if size:``
+    skips).  The per-symbol Python loop dominated frame encoding;
+    this is one repeat/shift/packbits pass."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    vals = np.asarray(vals, dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    sym_of_bit = np.repeat(np.arange(len(vals)), lens)
+    pos_in_sym = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    shift = np.repeat(lens, lens) - 1 - pos_in_sym
+    bits = ((vals[sym_of_bit] >> shift) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    data = np.packbits(bits)
+    ff = np.nonzero(data == 0xFF)[0]
+    if len(ff):
+        data = np.insert(data, ff + 1, 0)
+    return data.tobytes()
 
 
-class _BitWriter:
-    """MSB-first bit stream with 0xFF byte stuffing (byte-level spill
-    — a per-bit loop here dominated the whole encoder)."""
+def _rle_component(zz: np.ndarray) -> dict:
+    """Vectorized JPEG run-length analysis of one component's zigzag
+    blocks ``zz`` (n, 64).  Emits exactly the symbol stream of the
+    scalar scan loop: per block a DC size/amplitude (differential,
+    prev starts at 0), per nonzero AC coefficient ``run//16`` ZRL
+    (0xF0) symbols then ``(run%16)<<4 | size`` + amplitude, and an
+    EOB (0x00) when the last nonzero sits before position 63 (trailing
+    zeros never emit ZRL)."""
+    n = len(zz)
+    dc = zz[:, 0]
+    diff = np.diff(dc, prepend=np.int64(0))
+    absd = np.abs(diff)
+    dc_size = np.zeros(n, np.int64)
+    nzd = absd > 0
+    # frexp exponent == bit_length for exact integers (values are
+    # quantized coefficients, far below 2^53)
+    _, e = np.frexp(absd[nzd].astype(np.float64))
+    dc_size[nzd] = e.astype(np.int64)
+    dc_amp = np.where(
+        diff >= 0, diff, diff + (np.int64(1) << dc_size) - 1
+    )
+    ac = zz[:, 1:]
+    bi, ki = np.nonzero(ac)  # row-major: bi ascending, ki ascending within
+    m = len(bi)
+    v = ac[bi, ki]
+    first = np.ones(m, bool)
+    if m:
+        first[1:] = bi[1:] != bi[:-1]
+    prevk = np.empty_like(ki)
+    if m:
+        prevk[1:] = ki[:-1]
+        prevk[first] = -1
+    run = ki - prevk - 1
+    nzrl = run // 16
+    rem = run - nzrl * 16
+    _, ev = np.frexp(np.abs(v).astype(np.float64))
+    size = ev.astype(np.int64)
+    sym = (rem << 4) | size
+    amp = np.where(v >= 0, v, v + (np.int64(1) << size) - 1)
+    last_col = np.full(n, -1, np.int64)
+    if m:
+        last_col[bi] = ki
+    eob = last_col < 62
+    return {
+        "dc_size": dc_size, "dc_amp": dc_amp, "bi": bi, "first": first,
+        "nzrl": nzrl, "sym": sym, "size": size, "amp": amp, "eob": eob,
+    }
 
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
 
-    def put(self, bits: int, width: int) -> None:
-        self.acc = (self.acc << width) | (bits & ((1 << width) - 1))
-        self.n += width
-        while self.n >= 8:
-            self.n -= 8
-            byte = (self.acc >> self.n) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)
-        self.acc &= (1 << self.n) - 1
+def _entropy_entries(rle: dict, dc_lut, dc_len: int, ac_lut, ac_len: int):
+    """(vals, lens, block, seq) entry arrays for one component — the
+    exact bit-entry order of the scalar write loop, recoverable by a
+    stable sort on (block, seq).  ``*_lut`` map symbol → code value
+    (all codes are fixed-length: _canonical_table)."""
+    n = len(rle["dc_size"])
+    bi, nzrl, first = rle["bi"], rle["nzrl"], rle["first"]
+    m = len(bi)
+    cnt = nzrl + 2  # entries per nonzero: ZRLs + symbol + amplitude
+    c = np.cumsum(cnt) - cnt
+    if m:
+        first_idx = np.maximum.accumulate(np.where(first, np.arange(m), -1))
+        start = 2 + c - c[first_idx]  # after the 2 DC entries
+    else:
+        start = c
+    totals = np.zeros(n, np.int64)
+    if m:
+        np.add.at(totals, bi, cnt)
+    eob = rle["eob"]
+    n_eob = int(eob.sum())
+    zrl_total = int(nzrl.sum())
+    zidx = np.repeat(np.arange(m), nzrl)
+    zoff = np.arange(zrl_total, dtype=np.int64) - np.repeat(
+        np.cumsum(nzrl) - nzrl, nzrl
+    )
+    arange_n = np.arange(n, dtype=np.int64)
+    vals = np.concatenate([
+        dc_lut[rle["dc_size"]], rle["dc_amp"],
+        np.full(zrl_total, ac_lut[0xF0], np.int64),
+        ac_lut[rle["sym"]], rle["amp"],
+        np.full(n_eob, ac_lut[0x00], np.int64),
+    ])
+    lens = np.concatenate([
+        np.full(n, dc_len, np.int64), rle["dc_size"],
+        np.full(zrl_total, ac_len, np.int64),
+        np.full(m, ac_len, np.int64), rle["size"],
+        np.full(n_eob, ac_len, np.int64),
+    ])
+    block = np.concatenate([
+        arange_n, arange_n, bi[zidx], bi, bi, np.nonzero(eob)[0]
+    ])
+    seq = np.concatenate([
+        np.zeros(n, np.int64), np.ones(n, np.int64),
+        start[zidx] + zoff, start + nzrl, start + nzrl + 1,
+        2 + totals[eob],
+    ])
+    return vals, lens, block, seq
 
-    def flush(self) -> bytes:
-        if self.n:
-            byte = ((self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)) & 0xFF
-            self.out.append(byte)  # pad with 1s per spec
-            if byte == 0xFF:
-                self.out.append(0x00)
-            self.acc = 0
-            self.n = 0
-        return bytes(self.out)
+
+def _code_lut(codes: dict) -> np.ndarray:
+    """symbol → code-value lookup array (fixed-length canonical
+    codes, so the length is carried separately)."""
+    lut = np.zeros(256, np.int64)
+    for s, (code, _ln) in codes.items():
+        lut[s] = code
+    return lut
 
 
 def _canonical_table(symbols: list[int]):
@@ -174,63 +268,59 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
         coef = np.einsum("kn,bnm,ml->bkl", _C, blocks, _C.T)
         quant = _round_half_away(coef / qt[None, :, :]).astype(np.int64)
         comps.append(quant.reshape(len(quant), 64)[:, _ZIGZAG])
-    # run-length symbols per component class (luma=0, chroma=1)
-    dc_syms: list[list[int]] = [[], []]
-    ac_syms: list[list[int]] = [[], []]
-    seqs = []  # per component: list of (dc_size, dc_bits, [(sym, size, bits)])
-    for ci, zz in enumerate(comps):
-        cls = 0 if ci == 0 else 1
-        prev_dc = 0
-        comp_seq = []
-        for blk in zz:
-            size, bits = _magnitude(int(blk[0]) - prev_dc)
-            prev_dc = int(blk[0])
-            dc_syms[cls].append(size)
-            acs = []
-            run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    if run == 16:
-                        acs.append((0xF0, 0, 0))
-                        ac_syms[cls].append(0xF0)
-                        run = 0
-                    continue
-                s, bts = _magnitude(v)
-                acs.append(((run << 4) | s, s, bts))
-                ac_syms[cls].append((run << 4) | s)
-                run = 0
-            if last < 63:
-                acs.append((0x00, 0, 0))  # EOB
-                ac_syms[cls].append(0x00)
-            comp_seq.append((size, bits, acs))
-        seqs.append(comp_seq)
+    # vectorized run-length analysis per component; symbol tables per
+    # component class (luma=0, chroma=1) exactly as before — the
+    # canonical table depends only on the used-symbol SET
+    rles = [_rle_component(zz) for zz in comps]
+
+    def _ac_used(rle):
+        parts = [rle["sym"]]
+        if len(rle["nzrl"]) and rle["nzrl"].max() > 0:
+            parts.append(np.array([0xF0], np.int64))
+        if rle["eob"].any():
+            parts.append(np.array([0x00], np.int64))
+        return np.unique(np.concatenate(parts))
+
+    cls_syms = {
+        (0, 0): np.unique(rles[0]["dc_size"]),
+        (1, 0): _ac_used(rles[0]),
+        (0, 1): np.unique(
+            np.concatenate([rles[1]["dc_size"], rles[2]["dc_size"]])
+        ),
+        (1, 1): np.unique(
+            np.concatenate([_ac_used(rles[1]), _ac_used(rles[2])])
+        ),
+    }
     tables = {}
     dht = b""
     for cls in (0, 1):
-        for tc, syms in ((0, dc_syms[cls]), (1, ac_syms[cls])):
-            bits_arr, ordered, codes = _canonical_table(syms or [0])
+        for tc in (0, 1):
+            bits_arr, ordered, codes = _canonical_table(
+                list(cls_syms[(tc, cls)]) or [0]
+            )
             tables[(tc, cls)] = codes
             dht += _dht_segment(tc, cls, bits_arr, ordered)
-    bw = _BitWriter()
-    n_blocks = len(comps[0])
-    for bi in range(n_blocks):
-        for ci in range(3):
-            cls = 0 if ci == 0 else 1
-            size, bits, acs = seqs[ci][bi]
-            code, ln = tables[(0, cls)][size]
-            bw.put(code, ln)
-            if size:
-                bw.put(bits, size)
-            for sym, s, bts in acs:
-                code, ln = tables[(1, cls)][sym]
-                bw.put(code, ln)
-                if s:
-                    bw.put(bts, s)
-    scan = bw.flush()
+    # entries for all three components, interleaved per block
+    # (block-major, component within — the MCU scan order)
+    all_vals, all_lens, all_keys, all_seqs = [], [], [], []
+    for ci, rle in enumerate(rles):
+        cls = 0 if ci == 0 else 1
+        dc_codes, ac_codes = tables[(0, cls)], tables[(1, cls)]
+        vals, lens, block, seq = _entropy_entries(
+            rle,
+            _code_lut(dc_codes),
+            next(iter(dc_codes.values()))[1],
+            _code_lut(ac_codes),
+            next(iter(ac_codes.values()))[1],
+        )
+        all_vals.append(vals)
+        all_lens.append(lens)
+        all_keys.append(block * 3 + ci)
+        all_seqs.append(seq)
+    vals = np.concatenate(all_vals)
+    lens = np.concatenate(all_lens)
+    order = np.lexsort((np.concatenate(all_seqs), np.concatenate(all_keys)))
+    scan = _pack_entropy(vals[order], lens[order])
     qt_seg = b""
     for tq, qt in ((0, qt_l), (1, qt_c)):
         body = bytes([tq]) + bytes(int(qt.reshape(64)[_ZIGZAG][i]) for i in range(64))

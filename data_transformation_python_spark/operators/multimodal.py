@@ -1712,6 +1712,16 @@ def _codec_min_psnr(codec: str, doc_id: int) -> float:
             np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
             for f in range(len(decs))
         ]
+    elif codec == "h264dc":
+        from .h264_codec import h264_decode_frame, split_annexb
+
+        w, h, nf, _qp = _h264dc_dims(doc_id)
+        nals = split_annexb(_write_h264dc_probe(doc_id))
+        decs = [h264_decode_frame(nals[3 * f : 3 * f + 3]) for f in range(nf)]
+        srcs = [
+            np.stack([_h264dc_probe_gray(doc_id, f, w, h)] * 3, axis=-1)
+            for f in range(nf)
+        ]
     elif codec == "adpcm":
         # audio: signal-to-noise of the IMA round-trip (dB), floored
         # like the video PSNRs — one scalar per clip
@@ -1744,7 +1754,8 @@ def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
 
     probes = spark.range(n_ids).selectExpr("id AS doc_id").crossJoin(
         spark.createDataFrame(
-            [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",)], "codec string"
+            [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",), ("h264dc",)],
+            "codec string",
         )
     )
 
@@ -2103,3 +2114,187 @@ def synth_adpcm_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .repartition(par)
         .mapInPandas(_batches, schema=schema)
     )
+
+
+# --------------------------------------------------------------------------
+# video: transform-coded H.264 (Intra_16x16 luma-DC subset,
+# operators/h264_codec.py) — the first rung ABOVE I_PCM: real CAVLC
+# entropy coding, inverse-Hadamard DC scaling, intra prediction, and
+# a closed prediction loop.  Lossy (DC-only residual), so the gate is
+# metadata + census + size evidence here, with the decode fidelity
+# hash-pinned as integer dB in multimodal_codec_psnr ('h264dc').
+# Fixture content is constant within each 4x4 block (x//4, y//4
+# formula): exactly representable by the DC-only residual, so PSNR
+# measures the transform/quantization chain, not missing AC detail.
+# --------------------------------------------------------------------------
+def _h264dc_dims(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, qp): even dims spanning ragged
+    macroblock grids, per-row qp exercising both dequant branches
+    (qp < 36 rounding shift, qp >= 36 left shift)."""
+    return (
+        18 + 2 * (doc_id % 8),
+        14 + 2 * (doc_id % 6),
+        1 + doc_id % 3,
+        (20, 26, 30, 34, 40)[doc_id % 5],
+    )
+
+
+def _h264dc_frame_gray(doc_id: int, f: int, w: int, h: int):
+    """Grayscale frame, constant on the 4x4 grid (SQL-replayable)."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return ((doc_id * 5 + f * 11 + (x // 4) * 8 + (y // 4) * 16) % 256).astype(
+        np.uint8
+    )
+
+
+def _write_h264dc(doc_id: int) -> bytes:
+    """Annex-B elementary stream of nf Intra_16x16-DC IDR pictures."""
+    import numpy as np
+
+    from .h264_codec import annexb, h264_encode_frame_i16dc
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        g = _h264dc_frame_gray(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16dc(
+                np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
+            )
+        )
+    return annexb(nals)
+
+
+def synth_h264dc_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a transform-coded H.264 elementary stream per row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_write_h264dc(int(i)) for i in ids]}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+H264DC_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("qp", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("sum_luma", T.LongType()),
+        T.StructField("px000", T.LongType()),
+        T.StructField("smaller_than_pcm", T.BooleanType()),
+    ]
+)
+
+
+def h264dc_metadata(df: DataFrame) -> DataFrame:
+    """Decode the Annex-B stream frame group by frame group
+    (SPS/PPS/IDR triplets) and emit EXACT pixel aggregates: the
+    fixture is constant on the 4x4 grid, which the DC-only residual
+    represents losslessly (verified ids 0..5200), so the SQL oracle
+    replays decoded luma sums from the source formula — one bit wrong
+    in CAVLC, the Hadamard, DC scaling, or the prediction loop shifts
+    them.  ``smaller_than_pcm`` pins the transform-coding evidence:
+    the CAVLC stream must beat the same pictures as I_PCM.  Lossy-
+    content fidelity is separately hash-pinned per probe id in
+    multimodal_codec_psnr ('h264dc')."""
+    import numpy as np
+
+    from .h264_codec import (
+        annexb,
+        h264_decode_frame,
+        h264_encode_frame,
+        split_annexb,
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264DC_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, nf, qp = _h264dc_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 3 * nf, "unexpected NAL count"
+                sum_luma = 0
+                px000 = -1
+                pcm_bytes = 0
+                for f in range(nf):
+                    dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
+                    sum_luma += int(dec[..., 0].astype(np.int64).sum())
+                    if f == 0:
+                        px000 = int(dec[0, 0, 0])
+                    pcm_bytes += len(
+                        annexb(h264_encode_frame(dec, idr_pic_id=f))
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["qp"].append(qp)
+                out["mb_count"].append(
+                    nf * ((w + 15) // 16) * ((h + 15) // 16)
+                )
+                out["sum_luma"].append(sum_luma)
+                out["px000"].append(px000)
+                out["smaller_than_pcm"].append(len(payload) < pcm_bytes)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264DC_META_SCHEMA)
+
+
+def _h264dc_probe_gray(doc_id: int, f: int, w: int, h: int):
+    """Probe content: the blocky base plus per-pixel detail of
+    per-id amplitude (0..15).  The DC-only residual must discard the
+    detail, so PSNR is a direct function of amplitude — a wide,
+    id-varying constant spread instead of one flat floor."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    base = (doc_id * 7 + f * 29 + (x // 4) * 8 + (y // 4) * 16) % 256
+    detail = (x * 19 + y * 23) % (1 + doc_id % 16)
+    return ((base + detail) % 256).astype(np.uint8)
+
+
+def _write_h264dc_probe(doc_id: int) -> bytes:
+    """Probe stream for the pinned-PSNR gate: unlike the 4x4-blocky
+    gate fixture (losslessly representable by the DC-only residual),
+    the probe frames carry per-pixel detail the DC path must discard
+    — PSNR varies with (id, amplitude, qp), so the frozen integer
+    constants are sensitive to every stage of the
+    CAVLC/Hadamard/prediction chain."""
+    import numpy as np
+
+    from .h264_codec import annexb, h264_encode_frame_i16dc
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        g = _h264dc_probe_gray(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16dc(
+                np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
+            )
+        )
+    return annexb(nals)

@@ -407,6 +407,110 @@ def _neardup_lsh_verified(
     )
 
 
+def _ivf_auto_stride(n: int) -> int:
+    """Scale-safe default for the IVF coarse-list sample: stride √n →
+    √n inverted lists, so assignment work is O(n·√n) and the probed
+    candidate set is O(n·nprobe/√n) — the balanced FAISS sizing.  A
+    FIXED stride makes the list count grow linearly with the corpus
+    and assignment quadratic (measured: stride 500 went 16.4→82.6 s
+    for 150k→300k rows, ~n^2.3 — the same failure class as the pinned
+    LSH band width, caught by the same sweep)."""
+    import math
+
+    return max(1, math.isqrt(max(n, 1)))
+
+
+def _pq_auto_stride(n: int) -> int:
+    """Scale-safe default for PQ codebooks: at most 256 codewords per
+    subspace (the 8-bit PQ standard) — a fixed stride instead grows
+    the codebook linearly with the corpus, making encode O(n²/stride)
+    and the ADC table corpus-sized."""
+    return max(1, -(-n // 256))
+
+
+def _assign_nearest(
+    qn: DataFrame, id_col: str, cent_rows, out_col: str
+) -> DataFrame:
+    """(out_col, cid) nearest-centroid assignment of the quantized
+    corpus ``qn`` (columns id, __v, __nrm) against ``cent_rows``
+    [(cid, [int vector])] — three physical strategies by centroid-set
+    size, all bit-identical (quantized integers: every product/sum is
+    an exact integer < 2^53, immune to reordering; ties go to the
+    smaller cid):
+
+    1. literal-embed (k·dim ≤ 2k): constant struct-array argmin — a
+       pure NARROW MAP over the scan, no join/shuffle/Python workers;
+       interpreted lambdas only win while the set is tiny.
+    2. Arrow BLAS (k·dim ≤ 4M): mapInPandas matmul against the
+       broadcast centroid matrix.
+    3. argmin aggregate: crossJoin(broadcast) + min (d2, cid) struct —
+       map-side combinable, never a window over N×C rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    cent_rows = sorted(cent_rows)
+    n_cent = len(cent_rows)
+    c_dim = len(cent_rows[0][1]) if cent_rows else 0
+    if cent_rows and n_cent * c_dim <= 2_000:
+        argmin = _literal_argmin_sql(cent_rows)
+        return qn.select(
+            F.col(id_col).alias(out_col),
+            F.expr(f"({argmin}).cid").alias("cid"),
+        )
+    if cent_rows and n_cent * c_dim <= 4_000_000:
+        c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+        c_nrm = (c_mat * c_mat).sum(axis=1)
+        bc = qn.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+        a_schema = _T.StructType(
+            [
+                _T.StructField(out_col, _T.LongType()),
+                _T.StructField("cid", _T.LongType()),
+            ]
+        )
+
+        def _assign(batches):
+            ids, mat, nrm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+                )
+                d2 = (v * v).sum(axis=1)[:, None] + nrm[None, :] - 2.0 * (
+                    v @ mat.T
+                )
+                yield pd.DataFrame(
+                    {
+                        out_col: pdf[id_col].astype("int64"),
+                        "cid": ids[d2.argmin(axis=1)],
+                    }
+                )
+
+        return qn.select(id_col, "__v").mapInPandas(_assign, a_schema)
+    cent = qn.sparkSession.createDataFrame(
+        [
+            (cid, [float(x) for x in cv], float(sum(x * x for x in cv)))
+            for cid, cv in cent_rows
+        ],
+        "cid bigint, __cv array<double>, __cn double",
+    )
+    dist2 = (
+        F.col("__nrm")
+        + F.col("__cn")
+        - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
+    )
+    return (
+        qn.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", dist2)
+        .groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "cid")).alias("__m"))
+        .select(F.col(id_col).alias(out_col), F.col("__m.cid").alias("cid"))
+    )
+
+
 def _lloyd_partials_blas(qn: DataFrame, cents, d: int):
     """One distributed corpus pass computing per-partition partial
     (cluster, count, element-wise sum vector, inertia) in exact int64
@@ -526,7 +630,7 @@ def ivf_topk(
     df: DataFrame,
     query_ids,
     k: int = 5,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     nprobe: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -544,6 +648,13 @@ def ivf_topk(
     arithmetic is exact).  Distances use exact quantized integers;
     assignment ties break to the smaller centroid id.
 
+    ``centroid_stride=None`` (the DEFAULT) auto-sizes the stride to
+    √n — √n inverted lists at any corpus size, so assignment stays
+    O(n·√n) and probing O(n·nprobe/√n).  A pinned stride grows the
+    list count linearly with the corpus and assignment quadratically
+    (``_ivf_auto_stride``); pass an integer only as an explicit
+    recall/latency dial for a known corpus size.
+
     Scale: the candidate set per query is |corpus| * nprobe / n_centroids
     instead of |corpus| — the standard recall/latency dial.
     """
@@ -556,6 +667,8 @@ def ivf_topk(
     # query vectors, neighbor vectors); inlined it would re-scan and
     # re-quantize the corpus each time
     qn = materialize(quantized(df, vec_col, id_col))
+    if centroid_stride is None:
+        centroid_stride = _ivf_auto_stride(qn.count())
     if refine_passes > 0:
         init = (
             qn.filter((F.col(id_col) % centroid_stride) == 0)
@@ -586,82 +699,19 @@ def ivf_topk(
         + F.col("__cn")
         - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
     )
-    # nearest-centroid assignment, three strategies by centroid-set
-    # size (all produce IDENTICAL results — quantized integers: every
-    # product/sum is an exact integer < 2^53, immune to reordering;
-    # ties go to the smaller cid):
-    #
-    # 1. literal-embed (n_cent·dim ≤ 2k): the centroid matrix is a
-    #    constant struct-array in the plan and the argmin is
-    #    ``array_min(transform(...))`` with a (d2, cid) struct — a pure
-    #    NARROW MAP over the corpus scan: no join, no shuffle, no
-    #    Python workers, no broadcast.  Higher-order lambdas are
-    #    interpreted, not codegen'd, so this only wins while the
-    #    centroid set is tiny (measured on 50k×64: k=100 literal 8 s
-    #    vs Arrow BLAS 2.9 s — same crossover as pq_encode).
-    # 2. Arrow BLAS (matrix ≤ 4M cells): mapInPandas matmul against
-    #    the broadcast centroid matrix — the N×C×d inner loop runs in
-    #    BLAS; pays Python-worker spin-up + an Arrow roundtrip of the
-    #    corpus vectors.
-    # 3. argmin aggregate: crossJoin(broadcast(cent)) + min of a
-    #    (d2, cid) struct — map-side combinable, never a row_number
-    #    window (which would sort-shuffle all N×C rows).
-    import numpy as np
-    from pyspark.sql import types as _T
-
-    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    n_cent = len(cent_rows)
-    c_dim = len(cent_rows[0]["__cv"]) if cent_rows else 0
-    if cent_rows and n_cent * c_dim <= 2_000:
-        argmin = _literal_argmin_sql(
-            [(int(r["cid"]), [int(x) for x in r["__cv"]]) for r in cent_rows]
-        )
-        assign = qn.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.expr(f"({argmin}).cid").alias("cid"),
-        )
-    elif cent_rows and n_cent * c_dim <= 4_000_000:
-        c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.stack(
-            [np.asarray(r["__cv"], dtype=np.float64) for r in cent_rows]
-        )
-        c_nrm = np.array([float(r["__cn"]) for r in cent_rows])
-        bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_nrm))
-        a_schema = _T.StructType(
-            [
-                _T.StructField("neighbor_id", _T.LongType()),
-                _T.StructField("cid", _T.LongType()),
-            ]
-        )
-
-        def _assign(batches):
-            ids, mat, nrm = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                v = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
-                )
-                d2 = (v * v).sum(axis=1)[:, None] + nrm[None, :] - 2.0 * (
-                    v @ mat.T
-                )
-                yield __import__("pandas").DataFrame(
-                    {
-                        "neighbor_id": pdf[id_col].astype("int64"),
-                        "cid": ids[d2.argmin(axis=1)],
-                    }
-                )
-
-        assign = qn.select(id_col, "__v").mapInPandas(_assign, a_schema)
-    else:
-        pairs_a = qn.crossJoin(F.broadcast(cent)).withColumn("__d2", dist2)
-        assign = (
-            pairs_a.groupBy(id_col)
-            .agg(F.min(F.struct("__d2", "cid")).alias("__m"))
-            .select(
-                F.col(id_col).alias("neighbor_id"), F.col("__m.cid").alias("cid")
-            )
-        )
+    # nearest-centroid assignment: three physical strategies by
+    # centroid-set size, shared with ivfpq_topk (see _assign_nearest;
+    # measured on 50k×64: k=100 literal 8 s vs Arrow BLAS 2.9 s —
+    # same crossover as pq_encode)
+    assign = _assign_nearest(
+        qn,
+        id_col,
+        [
+            (int(r["cid"]), [int(x) for x in r["__cv"]])
+            for r in cent.collect()
+        ],
+        "neighbor_id",
+    )
     # probe ranking touches |queries|×C rows only — filter the corpus
     # side BEFORE the centroid cross join, then a tiny window is fine
     w_assign = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
@@ -1089,7 +1139,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     m: int = 4,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     cent_rows=None,
 ) -> DataFrame:
     """Product-quantization encoding — the memory side of production
@@ -1121,6 +1171,9 @@ def pq_encode(
     sub = dim // m
     qn = quantized(df, vec_col, id_col)
     if cent_rows is None:
+        if centroid_stride is None:
+            # scale-safe default: ≤256 codewords per subspace
+            centroid_stride = _pq_auto_stride(qn.count())
         cent_rows = pq_codebook(qn, id_col, centroid_stride)
     if not cent_rows:
         raise ValueError("empty codebook: no rows matched the stride")
@@ -1170,12 +1223,17 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     k: int = 5,
     m: int = 4,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the serving path of
     IVF-PQ: queries stay exact, the corpus is m codes per vector, and
     the approximate distance is a table lookup, never a d-dim dot
     against raw vectors.
+
+    ``centroid_stride=None`` (the DEFAULT) caps codebooks at 256
+    codewords per subspace (``_pq_auto_stride`` — the 8-bit PQ
+    standard); a pinned stride grows the codebook linearly with the
+    corpus and encode quadratically.
 
     Formulated as joins, so it is fully distributed with a tiny
     broadcast: the distance table (query × subspace × centroid, all
@@ -1194,6 +1252,8 @@ def pq_adc_topk(
     query_ids = list(query_ids)
     sub_dim = _probe_dim(df, vec_col) // m
     qn = quantized(df, vec_col, id_col)
+    if centroid_stride is None:
+        centroid_stride = _pq_auto_stride(qn.count())
     cent_rows = pq_codebook(qn, id_col, centroid_stride)
     # Materialized: the posexplode below would otherwise inline the
     # m literal-argmin expressions into the generator and re-evaluate
@@ -1296,10 +1356,10 @@ def ivfpq_topk(
     df: DataFrame,
     query_ids,
     k: int = 5,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     nprobe: int = 3,
     m: int = 4,
-    pq_stride: int = 50,
+    pq_stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -1313,10 +1373,19 @@ def ivfpq_topk(
     vectors.  Composes the repo's IVF routing (ivf_topk) with its PQ
     machinery (pq_codebook/pq_encode/ADC).
 
-    Plan shape: coarse assignment is one broadcast-centroid
-    aggregation (map-side-combinable min-struct — no window over the
-    corpus); probing is a |queries|×C window; the ADC distance table
-    is |queries|·m·k_pq rows built driver-side and BROADCAST (like a
+    Scale-safe defaults (round-8 sweep): ``centroid_stride=None``
+    auto-sizes to √n inverted lists and ``pq_stride=None`` caps
+    codebooks at 256 codewords per subspace.  The previous pinned
+    strides made both the coarse-list count and the PQ codebooks grow
+    linearly with the corpus — coarse assignment measured ~n^2.3
+    (16.4→82.6 s for 150k→300k rows) before the fix; assignment also
+    now routes through the tiered ``_assign_nearest`` (literal /
+    Arrow-BLAS / agg) instead of the always-interpreted cross join.
+
+    Plan shape: coarse assignment is a narrow map or one
+    broadcast-centroid aggregation (never a window over the corpus);
+    probing is a |queries|×C window; the ADC distance table is
+    |queries|·m·k_pq rows built driver-side and BROADCAST (like a
     broadcast-join build side); candidate scoring is one join from
     the probed lists to the exploded codes plus one groupBy — at
     scale the memory-resident state per executor is codes (m bytes a
@@ -1335,6 +1404,12 @@ def ivfpq_topk(
     query_ids = list(query_ids)
     sub_dim = _probe_dim(df, vec_col) // m
     qn = materialize(quantized(df, vec_col, id_col))
+    if centroid_stride is None or pq_stride is None:
+        n_corpus = qn.count()
+        if centroid_stride is None:
+            centroid_stride = _ivf_auto_stride(n_corpus)
+        if pq_stride is None:
+            pq_stride = _pq_auto_stride(n_corpus)
     cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cid"),
         F.col("__v").alias("__cv"),
@@ -1345,14 +1420,14 @@ def ivfpq_topk(
         + F.col("__cn")
         - 2 * F.expr(DOT_EXPR.format(a="__v", b="__cv"))
     )
-    assign = (
-        qn.crossJoin(F.broadcast(cent))
-        .withColumn("__d2", dist2)
-        .groupBy(id_col)
-        .agg(F.min(F.struct("__d2", "cid")).alias("__m"))
-        .select(
-            F.col(id_col).alias("neighbor_id"), F.col("__m.cid").alias("cid")
-        )
+    assign = _assign_nearest(
+        qn,
+        id_col,
+        [
+            (int(r["cid"]), [int(x) for x in r["__cv"]])
+            for r in cent.collect()
+        ],
+        "neighbor_id",
     )
     w_probe = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cid"))
     probes = (

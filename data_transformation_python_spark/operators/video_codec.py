@@ -45,12 +45,14 @@ from .jpeg_codec import (
     _C,
     _ZIGZAG,
     _BitReader,
-    _BitWriter,
     _build_decode_table,
     _canonical_table,
+    _code_lut,
+    _entropy_entries,
     _extend,
-    _magnitude,
+    _pack_entropy,
     _quality_tables,
+    _rle_component,
     _round_half_away,
 )
 
@@ -109,63 +111,42 @@ def _code_frame(targets, qts):
     closed prediction loop, so encoder reconstruction and decoder
     output are identical by construction."""
     quants = []
+    rles = []
     for target, qt in zip(targets, qts):
         blocks = _pad_blocks(target)
         coef = np.einsum("kn,bnm,ml->bkl", _C, blocks, _C.T)
-        quants.append(_round_half_away(coef / qt[None, :, :]).astype(np.int64))
-    dc_syms: list[int] = []
-    ac_syms: list[int] = []
-    seqs = []
-    for quant in quants:
-        zz = quant.reshape(len(quant), 64)[:, _ZIGZAG]
-        prev_dc = 0
-        plane_seq = []
-        for blk in zz:
-            size, bits = _magnitude(int(blk[0]) - prev_dc)
-            prev_dc = int(blk[0])
-            dc_syms.append(size)
-            acs = []
-            run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    if run == 16:
-                        acs.append((0xF0, 0, 0))
-                        ac_syms.append(0xF0)
-                        run = 0
-                    continue
-                s, bts = _magnitude(v)
-                acs.append(((run << 4) | s, s, bts))
-                ac_syms.append((run << 4) | s)
-                run = 0
-            if last < 63:
-                acs.append((0x00, 0, 0))
-                ac_syms.append(0x00)
-            plane_seq.append((size, bits, acs))
-        seqs.append(plane_seq)
-    dc_bits, dc_ordered, dc_codes = _canonical_table(dc_syms or [0])
-    ac_bits, ac_ordered, ac_codes = _canonical_table(ac_syms or [0])
-    bw = _BitWriter()
-    for plane_seq in seqs:
-        for size, bits, acs in plane_seq:
-            code, ln = dc_codes[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(bits, size)
-            for sym, s, bts in acs:
-                code, ln = ac_codes[sym]
-                bw.put(code, ln)
-                if s:
-                    bw.put(bts, s)
+        quant = _round_half_away(coef / qt[None, :, :]).astype(np.int64)
+        quants.append(quant)
+        rles.append(_rle_component(quant.reshape(len(quant), 64)[:, _ZIGZAG]))
+    # one DC + one AC table across all three planes (stream layout);
+    # _canonical_table only uses the symbol SET, so uniques suffice
+    dc_used = np.unique(np.concatenate([r["dc_size"] for r in rles]))
+    ac_parts = [r["sym"] for r in rles]
+    if any(len(r["nzrl"]) and r["nzrl"].max() > 0 for r in rles):
+        ac_parts.append(np.array([0xF0], np.int64))
+    if any(r["eob"].any() for r in rles):
+        ac_parts.append(np.array([0x00], np.int64))
+    ac_used = np.unique(np.concatenate(ac_parts)) if ac_parts else np.array([], np.int64)
+    dc_bits, dc_ordered, dc_codes = _canonical_table(list(dc_used) or [0])
+    ac_bits, ac_ordered, ac_codes = _canonical_table(list(ac_used) or [0])
+    dc_lut, dc_len = _code_lut(dc_codes), next(iter(dc_codes.values()))[1]
+    ac_lut, ac_len = _code_lut(ac_codes), next(iter(ac_codes.values()))[1]
+    plane_streams = []
+    for rle in rles:
+        vals, lens, block, seq = _entropy_entries(
+            rle, dc_lut, dc_len, ac_lut, ac_len
+        )
+        order = np.lexsort((seq, block))
+        plane_streams.append((vals[order], lens[order]))
     payload = (
         bytes(dc_bits[1:17])
         + bytes(dc_ordered)
         + bytes(ac_bits[1:17])
         + bytes(ac_ordered)
-        + bw.flush()
+        + _pack_entropy(
+            np.concatenate([v for v, _ in plane_streams]),
+            np.concatenate([l for _, l in plane_streams]),
+        )
     )
     deq = [q.astype(np.float64) * qt[None, :, :] for q, qt in zip(quants, qts)]
     return payload, deq

@@ -989,21 +989,87 @@ FROM (VALUES
   ('adpcm', 32, 27), ('adpcm', 33, 27), ('adpcm', 34, 28), ('adpcm', 35, 28),
   ('adpcm', 36, 28), ('adpcm', 37, 28), ('adpcm', 38, 29), ('adpcm', 39, 29),
   ('adpcm', 40, 29), ('adpcm', 41, 28), ('adpcm', 42, 29), ('adpcm', 43, 29),
-  ('adpcm', 44, 29), ('adpcm', 45, 29), ('adpcm', 46, 25), ('adpcm', 47, 26)
+  ('adpcm', 44, 29), ('adpcm', 45, 29), ('adpcm', 46, 25), ('adpcm', 47, 26),
+  ('h264dc', 0, 999), ('h264dc', 1, 51), ('h264dc', 2, 49), ('h264dc', 3, 46),
+  ('h264dc', 4, 45), ('h264dc', 5, 43), ('h264dc', 6, 42), ('h264dc', 7, 40),
+  ('h264dc', 8, 39), ('h264dc', 9, 38), ('h264dc', 10, 38), ('h264dc', 11, 22),
+  ('h264dc', 12, 36), ('h264dc', 13, 36), ('h264dc', 14, 18), ('h264dc', 15, 34),
+  ('h264dc', 16, 999), ('h264dc', 17, 51), ('h264dc', 18, 49), ('h264dc', 19, 46),
+  ('h264dc', 20, 16), ('h264dc', 21, 23), ('h264dc', 22, 19), ('h264dc', 23, 18),
+  ('h264dc', 24, 39), ('h264dc', 25, 14), ('h264dc', 26, 16), ('h264dc', 27, 15),
+  ('h264dc', 28, 16), ('h264dc', 29, 15), ('h264dc', 30, 16), ('h264dc', 31, 15),
+  ('h264dc', 32, 999), ('h264dc', 33, 16), ('h264dc', 34, 18), ('h264dc', 35, 22),
+  ('h264dc', 36, 21), ('h264dc', 37, 43), ('h264dc', 38, 42), ('h264dc', 39, 40),
+  ('h264dc', 40, 39), ('h264dc', 41, 38), ('h264dc', 42, 38), ('h264dc', 43, 37),
+  ('h264dc', 44, 36), ('h264dc', 45, 36), ('h264dc', 46, 35), ('h264dc', 47, 18)
 ) AS t(codec, doc_id, psnr_fl)
 """
 
 
 @query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
 def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-sensitive fidelity gate over all four lossy codecs
+    """Hash-sensitive fidelity gate over all five lossy codecs
     (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video, IMA ADPCM
-    audio — SNR dB for the audio clip): floor of
-    the minimum per-frame PSNR for 48 fixed probe ids per codec,
-    compared against constants pinned at codec-freeze time."""
+    audio — SNR dB for the audio clip — and the H.264 Intra_16x16
+    luma-DC transform path): floor of the minimum per-frame PSNR for
+    48 fixed probe ids per codec, compared against constants pinned
+    at codec-freeze time."""
     from ..operators import multimodal as mm
 
     return mm.codec_psnr_probe(spark, n_ids=48)
+
+
+_H264DC_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         18 + 2 * (doc_id % 8) AS w,
+         14 + 2 * (doc_id % 6) AS h,
+         1 + doc_id % 3 AS nf,
+         CASE doc_id % 5 WHEN 0 THEN 20 WHEN 1 THEN 26 WHEN 2 THEN 30
+                         WHEN 3 THEN 34 ELSE 40 END AS qp
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, nf, f.f, p.p
+  FROM dims,
+       unnest(generate_series(0, nf - 1)) AS f(f),
+       unnest(generate_series(0, w * h - 1)) AS p(p)),
+luma AS (
+  SELECT doc_id,
+         SUM((doc_id * 5 + f * 11 + ((p % w) // 4) * 8
+              + ((p // w) // 4) * 16) % 256) AS s
+  FROM px GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.qp AS BIGINT) AS qp,
+       CAST(d.nf * ((d.w + 15) // 16) * ((d.h + 15) // 16) AS BIGINT)
+         AS mb_count,
+       CAST(l.s AS BIGINT) AS sum_luma,
+       CAST((d.doc_id * 5) % 256 AS BIGINT) AS px000,
+       TRUE AS smaller_than_pcm
+FROM dims d JOIN luma l USING (doc_id)
+"""
+
+
+@query("multimodal_h264dc_meta", oracle=_H264DC_ORACLE)
+def multimodal_h264dc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM-CODED H.264 — the first rung above I_PCM (round-8
+    CAVLC path, operators/h264_codec.py): Intra_16x16 macroblocks
+    with DC prediction and a CAVLC-coded luma-DC residual, decoded
+    through real entropy decoding (Table 9-5/9-7/9-10 VLCs incl. the
+    large-level escape), the 4x4 inverse Hadamard + §8.5.10 DC
+    scaling, and the closed intra-prediction loop.  The fixture is
+    constant per 4x4 block, which the DC-only residual represents
+    LOSSLESSLY — so this gate is pixel-exact: the oracle replays
+    decoded luma sums from the source formula, and one bit wrong
+    anywhere in the entropy/transform/prediction chain shifts them.
+    ``smaller_than_pcm`` additionally pins that entropy coding beats
+    the I_PCM encoding of the same pictures."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264dc_metadata(mm.synth_h264dc_table(docs))
 
 
 _WEIGHTED_ORACLE = """

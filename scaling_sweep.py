@@ -33,10 +33,23 @@ ENTRIES = [
     "dedup_connected_components",
     "dedup_incremental",
     "dedup_semantic_clusters",
+    # round 8: the serving + sketch families — the ADC distance-table
+    # join and Bloom broadcast probe were the newest plans and had
+    # never been swept; their exponents should be ≲ 1
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "sketch_bloom_decontam",
+    "decontam_ngram",
 ]
 
 
 def main() -> None:
+    # SWEEP_ENTRIES=a,b,c restricts the run (re-sweeping one family
+    # shouldn't cost a full pass over all of them)
+    global ENTRIES
+    sel = os.environ.get("SWEEP_ENTRIES")
+    if sel:
+        ENTRIES = [e.strip() for e in sel.split(",") if e.strip()]
     sizes = [int(a) for a in sys.argv[1:]] or [50_000, 150_000, 300_000, 500_000]
     spark = get_spark(app_name="dtps-scaling-sweep")
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -93,3 +93,124 @@ def test_multimodal_mp4_fixture_roundtrip():
         assert (w2, h2, fps2, len(frames)) == (w, h, fps, nf)
         for f, fr in enumerate(frames):
             assert np.array_equal(fr[..., 0], mm._mp4_frame_gray(doc_id, f, w, h))
+
+
+# --- round-8: CAVLC + Intra_16x16 luma-DC transform path -------------------
+
+
+class TestCavlc:
+    def test_tables_prefix_free_and_complete(self):
+        from data_transformation_python_spark.operators.h264_codec import (
+            _CT_NC02,
+            _RUN_BEFORE,
+            _TOTAL_ZEROS,
+        )
+
+        def check(codes, want_complete, tag):
+            assert all(
+                not (a != b and b.startswith(a)) for a in codes for b in codes
+            ), f"{tag} not prefix-free"
+            kraft = sum(2.0 ** -len(c) for c in codes)
+            if want_complete:
+                assert kraft == 1.0, (tag, kraft)
+            else:
+                assert kraft <= 1.0, (tag, kraft)
+
+        # Table 9-5 and total_zeros tc=1 are genuinely incomplete in
+        # the spec (the all-zeros prefixes are unused); every other
+        # (sub)table is a complete prefix code — a strong transcription
+        # check: a wrong entry almost always breaks one of these.
+        check(list(_CT_NC02.values()), False, "coeff_token")
+        for tc, tab in _TOTAL_ZEROS.items():
+            check(list(tab.values()), tc != 1, f"total_zeros tc={tc}")
+        for zl, tab in _RUN_BEFORE.items():
+            check(list(tab.values()), zl < 7, f"run_before zl={zl}")
+
+    def test_published_worked_example(self):
+        """The textbook CAVLC example (coeffs 0,3,0,1,-1,-1,0,1 →
+        000010001110010111101101) — an external conformance anchor
+        for coeff_token(3,5), total_zeros(3|5), run_before, sign and
+        level coding."""
+        from data_transformation_python_spark.operators.h264_codec import (
+            _EgReader,
+            _EgWriter,
+            cavlc_decode_block,
+            cavlc_encode_block,
+        )
+
+        coeffs = [0, 3, 0, 1, -1, -1, 0, 1] + [0] * 8
+        bw = _EgWriter()
+        cavlc_encode_block(bw, coeffs)
+        assert "".join(map(str, bw.bits)) == "000010001110010111101101"
+        bw.align_zero()
+        assert cavlc_decode_block(_EgReader(bw.tobytes())) == coeffs
+
+    def test_roundtrip_fuzz_including_escapes(self):
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            _EgReader,
+            _EgWriter,
+            cavlc_decode_block,
+            cavlc_encode_block,
+        )
+
+        rng = np.random.default_rng(13)
+        for _ in range(800):
+            coeffs = [0] * 16
+            for p in rng.permutation(16)[: int(rng.integers(0, 17))]:
+                mag = int(rng.choice([1, 2, 7, 30, 300, 3000, 30000, 120000]))
+                coeffs[p] = mag * (1 if rng.integers(2) else -1)
+            bw = _EgWriter()
+            cavlc_encode_block(bw, coeffs)
+            bw.align_zero()
+            assert cavlc_decode_block(_EgReader(bw.tobytes())) == coeffs
+
+
+class TestIntra16DC:
+    def test_blocky_content_is_lossless_and_beats_pcm(self):
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            annexb,
+            h264_decode_frame,
+            h264_encode_frame,
+            h264_encode_frame_i16dc,
+        )
+
+        rng = np.random.default_rng(17)
+        for qp, tol in ((16, 0), (26, 0), (36, 1), (44, 1)):
+            h, w = 44, 38
+            g = np.repeat(
+                np.repeat(rng.integers(0, 256, (11, 10)), 4, axis=0), 4, axis=1
+            )[:h, :w].astype(np.uint8)
+            rgb = np.stack([g, g, g], axis=-1)
+            nals = h264_encode_frame_i16dc(rgb, qp=qp)
+            dec = h264_decode_frame(nals)
+            # 4x4-constant content is exactly representable; fine qp
+            # round-trips bit-exactly, coarse qp within the ±1 dc
+            # quantization envelope
+            diff = np.abs(dec.astype(int) - rgb.astype(int)).max()
+            assert diff <= tol, (qp, diff)
+            coded = sum(len(n) for n in nals)
+            pcm = len(annexb(h264_encode_frame(rgb)))
+            assert coded < pcm, (qp, coded, pcm)
+
+    def test_lossy_content_quality_floor_and_parse(self):
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            h264_decode_frame,
+            h264_encode_frame_i16dc,
+        )
+
+        rng = np.random.default_rng(19)
+        g = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=-1)
+        out = h264_decode_frame(h264_encode_frame_i16dc(rgb, qp=10))
+        assert out.shape == rgb.shape
+        # DC-only: the decoded image must at least preserve 4x4 means
+        # to within quantization error at fine qp
+        m_dec = out[..., 0].astype(float).reshape(8, 4, 12, 4).mean(axis=(1, 3))
+        m_src = g.astype(float).reshape(8, 4, 12, 4).mean(axis=(1, 3))
+        assert np.abs(m_dec - m_src).max() <= 2.0
