@@ -187,6 +187,12 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
+            # same operator on the DEFAULT dials (auto sqrt(n) lists)
+            # — the path users get without tuning; swept for scale
+            "sim_ivf_topk_auto",
+            lambda: sim.ivf_topk(emb, query_ids=range(10), k=5, nprobe=3),
+        ),
+        (
             "samp_stratified",
             lambda: sp.stratified_hash_sample(
                 strata, "doc_id", "stratum", {"s0": "4000", "s1": "8000"}
@@ -336,6 +342,12 @@ def corpus_scale_entries(spark, corpus_dir: str):
             lambda: sim.semantic_cluster_dedup(
                 emb, threshold=0.9, centroid_stride=500
             ),
+        ),
+        (
+            # SemDeDup on the DEFAULT auto stride (sqrt(n) — balanced
+            # assignment/verify); swept for scale like ivfpq
+            "dedup_semantic_auto",
+            lambda: sim.semantic_cluster_dedup(emb, threshold=0.9),
         ),
         (
             # distributed selection at production-ish dials over the

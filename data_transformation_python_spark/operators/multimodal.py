@@ -58,11 +58,14 @@ def decode_media(payload: bytes, kind: str):
     ``ppm`` (binary Netpbm — ``_parse_ppm``), ``png`` (zlib DEFLATE +
     filter reconstruction — ``_parse_png``), ``gif`` (LZW —
     ``_parse_gif``), ``jpeg`` (baseline T.81 — ``jpeg_codec``), and
-    ``avi`` frames (uncompressed DIB and MJPEG), and ``ipv``
+    ``avi`` frames (uncompressed DIB and MJPEG), ``ipv``
     inter-frame-predicted video (MPEG-1-shaped I/P pictures —
-    ``video_codec``).  Only standards-conformant H.264/H.265 and MP4
-    demuxing require codec libraries not installed here and stay
-    honestly stubbed."""
+    ``video_codec``), ``mp4`` (real ISO BMFF demux + the AVC I_PCM
+    and CAVLC Intra_16x16-DC subsets — ``h264_codec``), and ``h264``
+    Annex-B elementary streams of those subsets.  Only the H.264
+    AC-residual path, CABAC, motion compensation, and H.265 stay
+    honestly stubbed (they need a full codec stack not in this
+    environment)."""
     import io
 
     import numpy as np
@@ -94,11 +97,19 @@ def decode_media(payload: bytes, kind: str):
         from .h264_codec import mp4_read
 
         return mp4_read(bytes(payload))[3]
+    if kind == "h264":
+        from .h264_codec import h264_decode_frame, split_annexb
+
+        nals = split_annexb(bytes(payload))
+        return [
+            h264_decode_frame(nals[i : i + 3])
+            for i in range(0, len(nals), 3)
+        ]
     raise NotImplementedError(
         f"media decoding for kind={kind!r} requires codec libraries "
-        "not available in this environment (transform-coded H.264 — "
-        "CAVLC/CABAC residuals, motion compensation — and H.265; the "
-        "I_PCM AVC subset and MP4 demux are real, see h264_codec)"
+        "not available in this environment (H.264 beyond the I_PCM "
+        "and CAVLC Intra_16x16-DC subsets — AC residuals, CABAC, "
+        "motion compensation — and H.265; see h264_codec)"
     )
 
 

@@ -977,7 +977,7 @@ def kmeans_lloyd(
 def semantic_cluster_dedup(
     df: DataFrame,
     threshold: float = 0.9,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_literal_cells: int = 2_000,
@@ -1002,6 +1002,16 @@ def semantic_cluster_dedup(
     cost is bounded by the largest cluster, never the corpus.  All
     similarity math is exact quantized integers (identical across
     engines and both assignment tiers).
+
+    ``centroid_stride=None`` (the DEFAULT) auto-sizes the stride to
+    √n — the balance point of the two cost terms (assignment is
+    n·k·d = n²d/stride flops, within-cluster verify is ~n·stride
+    pair dots; equal at stride = √n, both O(n^1.5·d)).  A pinned
+    stride makes the centroid count grow linearly with the corpus
+    and assignment quadratic — the same failure class the round-8
+    sweep measured on ivfpq_topk.  Larger auto clusters also mean
+    the within-cluster search sees MORE candidate pairs than a
+    pinned-50 stride once n > 2500, so recall only improves.
     """
     import numpy as np
     import pandas as pd
@@ -1010,6 +1020,8 @@ def semantic_cluster_dedup(
     from .transform import materialize
 
     qn = materialize(quantized(df, vec_col, id_col))
+    if centroid_stride is None:
+        centroid_stride = _ivf_auto_stride(qn.count())
     cent = qn.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cid"),
         F.col("__v").alias("__cv"),

@@ -40,6 +40,8 @@ ENTRIES = [
     "sim_pq_adc_topk",
     "sketch_bloom_decontam",
     "decontam_ngram",
+    "sim_ivf_topk_auto",
+    "dedup_semantic_auto",
 ]
 
 

@@ -927,3 +927,21 @@ class TestMergeBackendContract:
             "-- config: materialized=cdc, unique_key=id, merge_backend=bogus\n",
         )
         assert not r2["success"] and "unknown merge_backend" in r2["error"]
+
+
+def test_merge_into_source_views_are_per_invocation_unique():
+    """Parallel DAG levels share one SparkSession; a fixed source
+    temp-view name let one model's registration clobber another's
+    batch before its MERGE ran (round-8 advice fix)."""
+    from data_transformation_python_spark.operators.merge_backend import (
+        SqlMergeBackend,
+    )
+
+    names = {
+        SqlMergeBackend._source_view_name("db.tbl_a") for _ in range(50)
+    } | {SqlMergeBackend._source_view_name("db.tbl_b") for _ in range(50)}
+    assert len(names) == 100
+    assert all(n.startswith("__merge_source_db_tbl_") for n in names)
+    # the generated SQL references whatever view name is passed in
+    sql = SqlMergeBackend.upsert_sql("t", ["id"], ["id", "v"], "my_view_7")
+    assert "USING my_view_7 s" in sql
