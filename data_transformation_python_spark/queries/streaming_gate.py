@@ -654,3 +654,128 @@ def q_stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {target}")
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming ANN serving — a stream of query vectors routed through the
+# static IVF index: row-local quantization + literal-centroid argmin
+# (stateless narrow maps, streaming-legal), a broadcast stream-static
+# join to the pre-assigned corpus list, exact-integer cosine, and a
+# per-query top-1 aggregation.  The production serving shape: the
+# index is batch-built once; queries arrive continuously and never
+# shuffle for the probe.
+# --------------------------------------------------------------------------
+_STREAM_ANN_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+corpus AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+queries AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM corpus WHERE vec_id % 50 = 1),
+ca AS (SELECT vec_id AS neighbor_id, cid, v, nrm FROM (
+   SELECT c.*, ct.cid,
+          ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                             ORDER BY c.nrm + ct.cn - 2 * list_dot_product(c.v, ct.cv),
+                                      ct.cid) AS rn
+   FROM corpus c CROSS JOIN cent ct) t WHERE rn = 1),
+qa AS (SELECT vec_id AS query_id, cid, v, nrm FROM (
+   SELECT qq.*, ct.cid,
+          ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+                             ORDER BY qq.nrm + ct.cn - 2 * list_dot_product(qq.v, ct.cv),
+                                      ct.cid) AS rn
+   FROM queries qq CROSS JOIN cent ct) t WHERE rn = 1),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         list_dot_product(qa.v, ca.v) / sqrt(qa.nrm * ca.nrm) AS cosine_sim
+  FROM qa JOIN ca USING (cid))
+SELECT query_id, neighbor_id, cosine_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn = 1
+"""
+
+
+@query("q_stream_ann_route", oracle=_STREAM_ANN_ORACLE)
+def q_stream_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving over the static IVF index (X4 serving
+    composed with X12): 20% of the embeddings table arrives as a
+    query STREAM; the other 80% is the batch-built corpus.  Routing
+    is the literal-centroid argmin — a constant-folded narrow map, so
+    the stream needs no state and no shuffle to find its coarse list;
+    candidates come from ONE broadcast stream-static join on cid, and
+    the exact quantized-integer cosine ranks them with a per-query
+    max-struct aggregation (top-1, ties to the smaller neighbor id).
+    At 100 TB the corpus assignment is the persisted inverted index
+    bucketed by cid; per-query work is |corpus|/n_lists candidate
+    dots, and stream state is one row per open query."""
+    from ..operators.similarity import (
+        DOT_EXPR,
+        QUANT_EXPR,
+        _literal_argmin_sql,
+        quantized,
+    )
+    from ..operators.transform import materialize
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = quantized(emb.filter(F.col("vec_id") % 5 != 0))
+    cents = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["__v"]])
+        for r in corpus.filter(F.col("vec_id") % 50 == 1)
+        .select("vec_id", "__v")
+        .collect()
+    )
+    argmin = _literal_argmin_sql(cents)
+    index = materialize(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"({argmin}).cid").alias("cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cn"),
+        )
+    )
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(QUANT_EXPR.format(col="embedding")).alias("__v"),
+        )
+        .withColumn("__nrm", F.expr(DOT_EXPR.format(a="__v", b="__v")))
+        .withColumn("cid", F.expr(f"({argmin}).cid"))
+    )
+    scored = (
+        stream.join(F.broadcast(index), "cid")
+        .withColumn(
+            "cosine_sim",
+            F.expr(DOT_EXPR.format(a="__v", b="__cv"))
+            / F.sqrt(F.col("__nrm") * F.col("__cn")),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine_sim"), (-F.col("neighbor_id")).alias("__nn")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "query_id",
+            (-F.col("__b.__nn")).cast("bigint").alias("neighbor_id"),
+            F.col("__b.cosine_sim").alias("cosine_sim"),
+        )
+    )
+    name = f"stream_ann_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
