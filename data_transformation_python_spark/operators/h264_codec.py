@@ -617,6 +617,13 @@ def cavlc_decode_block(br: _EgReader) -> list[int]:
         run = (
             _read_vlc(br, _RB_DEC[min(zeros_left, 7)]) if zeros_left > 0 else 0
         )
+        if run > zeros_left:
+            # the zeros_left >= 7 table carries codes for runs up to
+            # 14, so a corrupted stream can decode a run larger than
+            # the zeros remaining — without this check pos goes
+            # negative and Python's negative indexing would corrupt
+            # the block silently instead of failing
+            raise ValueError("run_before exceeds remaining zeros")
         zeros_left -= run
         pos -= run + 1
     return out

@@ -214,3 +214,27 @@ class TestIntra16DC:
         m_dec = out[..., 0].astype(float).reshape(8, 4, 12, 4).mean(axis=(1, 3))
         m_src = g.astype(float).reshape(8, 4, 12, 4).mean(axis=(1, 3))
         assert np.abs(m_dec - m_src).max() <= 2.0
+
+
+def test_cavlc_decode_rejects_corruption_cleanly():
+    """Random byte soup must either decode to a block or raise a
+    clean ValueError/NotImplementedError — never IndexError or a
+    silently corrupted block (negative-run guard)."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.h264_codec import (
+        _EgReader,
+        cavlc_decode_block,
+    )
+
+    rng = np.random.default_rng(23)
+    outcomes = {"ok": 0, "clean_error": 0}
+    for _ in range(2000):
+        blob = bytes(rng.integers(0, 256, size=int(rng.integers(1, 24))).astype(np.uint8))
+        try:
+            out = cavlc_decode_block(_EgReader(blob))
+            assert len(out) == 16
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["clean_error"] += 1
+    assert outcomes["ok"] + outcomes["clean_error"] == 2000
