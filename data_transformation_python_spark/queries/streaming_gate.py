@@ -779,3 +779,144 @@ def q_stream_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming PQ-ADC serving — the other half of the serving story
+# (q_stream_ann_route covers IVF routing): each STREAMED query builds
+# its own asymmetric-distance table row-locally against the constant
+# codebook (the real ADC economics: O(m·k·sub) once per query), then
+# scores the broadcast PQ-coded corpus with m table LOOKUPS per
+# candidate — never a d-dim dot, never stream state beyond the final
+# per-query top-1 aggregation.
+# --------------------------------------------------------------------------
+_STREAM_PQ_ORACLE = """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+corpus AS (SELECT * FROM q WHERE vec_id % 199 <> 0),
+queries AS (SELECT * FROM q WHERE vec_id % 199 = 0),
+cent AS (SELECT c.vec_id AS cid, js.j, c.v[js.j*16+1 : js.j*16+16] AS cj
+         FROM corpus c, js WHERE c.vec_id % 50 = 1),
+dists_c AS (SELECT c.vec_id, ct.j, ct.cid,
+              list_sum(list_transform(generate_series(1, 16),
+                i -> (c.v[ct.j*16+i] - ct.cj[i]) * (c.v[ct.j*16+i] - ct.cj[i]))) AS d2
+            FROM corpus c JOIN cent ct ON TRUE),
+codes AS (SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+            FROM dists_c) t WHERE rn = 1),
+dtab AS (SELECT qq.vec_id AS query_id, ct.j, ct.cid,
+              list_sum(list_transform(generate_series(1, 16),
+                i -> (qq.v[ct.j*16+i] - ct.cj[i]) * (qq.v[ct.j*16+i] - ct.cj[i]))) AS d2
+         FROM queries qq JOIN cent ct ON TRUE),
+scored AS (SELECT dtab.query_id, codes.vec_id AS neighbor_id,
+                  CAST(SUM(dtab.d2) AS DOUBLE) AS adc_d2
+           FROM codes JOIN dtab ON codes.j = dtab.j AND codes.cid = dtab.cid
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_d2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn = 1
+"""
+
+
+@query("q_stream_pq_serve", oracle=_STREAM_PQ_ORACLE)
+def q_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ-ADC serving: the corpus lives as m=4 PQ codes per
+    vector (batch pq_encode, broadcast with pre-resolved codebook
+    ordinals); each streamed query computes its m·k distance table
+    ROW-LOCALLY against the literal codebook (a constant-folded
+    nested transform — no stream state, no shuffle), and candidate
+    scoring is m ``element_at`` lookups per corpus code row inside a
+    stream-static broadcast join.  One per-query min-struct
+    aggregation returns the nearest neighbor (ties to the smaller
+    id).  All arithmetic is exact quantized integers, so the DuckDB
+    oracle replays codebook build, code assignment, table build, and
+    ADC sums bit-exactly."""
+    from ..operators import similarity as sim
+    from ..operators.similarity import QUANT_EXPR
+    from ..operators.transform import materialize
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 199 != 0)
+    qn_c = sim.quantized(corpus)
+    cent_rows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["__v"]])
+        for r in qn_c.filter(F.col("vec_id") % 50 == 1)
+        .select("vec_id", "__v")
+        .collect()
+    )
+    m = 4
+    dim = len(cent_rows[0][1])
+    sub = dim // m
+    k = len(cent_rows)
+    # corpus → codes → codebook ORDINALS (cid order = sorted cids)
+    cid_to_idx = ", ".join(
+        f"{cid}L, {i}" for i, (cid, _) in enumerate(cent_rows)
+    )
+    codes_df = materialize(
+        sim.pq_encode(corpus, m=m, cent_rows=cent_rows)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"transform(codes, c -> element_at(map({cid_to_idx}), c))"
+            ).alias("__ci"),
+        )
+    )
+    # per-query ADC table: concat over subspaces of the distances to
+    # every codebook entry — built once per streamed row
+    sq = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+    parts = []
+    for j in range(m):
+        subvecs = ", ".join(
+            "array(" + ", ".join(f"{x}.0D" for x in cv[j * sub : (j + 1) * sub]) + ")"
+            for _, cv in cent_rows
+        )
+        parts.append(
+            f"transform(array({subvecs}), c -> "
+            + sq.format(a=f"slice(__v, {j * sub + 1}, {sub})", b="c")
+            + ")"
+        )
+    dtab_expr = "concat(" + ", ".join(parts) + ")"
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % 199 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(QUANT_EXPR.format(col="embedding")).alias("__v"),
+        )
+        .withColumn("__dtab", F.expr(dtab_expr))
+        .drop("__v")
+    )
+    adc = (
+        f"aggregate(zip_with(__ci, sequence(0, {m - 1}), "
+        f"(ci, j) -> element_at(__dtab, j * {k} + ci + 1)), "
+        "0D, (a, x) -> a + x)"
+    )
+    scored = (
+        stream.join(F.broadcast(codes_df), F.lit(True), "inner")
+        .withColumn("adc_d2", F.expr(adc))
+        .groupBy("query_id")
+        .agg(F.min(F.struct("adc_d2", "neighbor_id")).alias("__b"))
+        .select(
+            "query_id",
+            F.col("__b.neighbor_id").alias("neighbor_id"),
+            F.col("__b.adc_d2").alias("adc_d2"),
+        )
+    )
+    name = f"stream_pq_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
