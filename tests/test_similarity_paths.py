@@ -385,3 +385,53 @@ def test_ivfpq_candidates_limited_to_probed_lists(spark):
     }
     for r in rows:
         assert (r.query_id, assigned[r.neighbor_id]) in probed
+
+
+def test_assign_nearest_tier_plan_shapes(spark):
+    """The three physical strategies behind _assign_nearest must keep
+    their plan shapes: literal = pure narrow map (no Python workers,
+    no exchange), BLAS = one MapInPandas (no join), large = broadcast
+    + partial aggregate (never a window over N×C rows)."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators.similarity import (
+        _assign_nearest,
+        quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qn = quantized(emb)
+    rows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["__v"]])
+        for r in qn.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "__v")
+        .collect()
+    )
+    dim = len(rows[0][1])
+
+    def plan_of(cent_rows):
+        df = _assign_nearest(qn, "vec_id", cent_rows, "neighbor_id")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # literal tier: k*dim <= 2000
+    lit_rows = rows[: max(1, 2000 // dim)]
+    p1 = plan_of(lit_rows)
+    assert "MapInPandas" not in p1 and "Exchange" not in p1, p1[:800]
+
+    # BLAS tier: force k*dim into (2000, 4M]
+    blas_rows = rows * ((2000 // dim) // len(rows) + 2)
+    blas_rows = [(cid + i, v) for i, (cid, v) in enumerate(blas_rows)]
+    assert 2_000 < len(blas_rows) * dim <= 4_000_000
+    p2 = plan_of(sorted(blas_rows))
+    assert "MapInPandas" in p2 and "Join" not in p2, p2[:800]
+
+    # aggregate tier: monkeypatch-free trigger via a huge synthetic
+    # centroid count is too slow; instead assert the code path by
+    # plan on a >4M-cell set built from repeated rows
+    big_rows = sorted(
+        (i, rows[i % len(rows)][1]) for i in range(4_000_000 // dim + 2)
+    )
+    df3 = _assign_nearest(qn, "vec_id", big_rows, "neighbor_id")
+    p3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in p3 and "Broadcast" in p3, p3[:800]
+    assert "Window" not in p3
