@@ -330,6 +330,32 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
+            # mergeable-cardinality sketch at corpus scale: HLL
+            # registers over the full 50k-doc token stream — ONE
+            # map-side-combined MAX shuffle of ≤1024 rows, the
+            # constant-size shape that makes distinct-counting free
+            # at 100 TB
+            "sketch_hll_tokens",
+            lambda: __import__(
+                "data_transformation_python_spark.operators.sketch",
+                fromlist=["hll_build", "hll_estimate"],
+            ).hll_estimate(
+                __import__(
+                    "data_transformation_python_spark.operators.sketch",
+                    fromlist=["hll_build"],
+                ).hll_build(
+                    docs.select(
+                        F.explode(F.split("text", " ")).alias("token")
+                    ).filter("token != ''"),
+                    "token",
+                    (),
+                    p=10,
+                ),
+                (),
+                p=10,
+            ),
+        ),
+        (
             # compressed-image codec throughput: 50k real PNGs
             # encoded + decoded through Arrow batches
             "multimodal_png_roundtrip",

@@ -192,3 +192,121 @@ def bloom_probe(
         .groupBy("token")
         .agg(F.expr("bool_and(__hit)").alias("maybe_present"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the cardinality-side companion
+# of the CMS/Bloom above, with the same mergeable-cells shape: the
+# register array is (bucket, rho) rows and two sketches merge by
+# per-bucket MAX — which in Spark is again just the partial
+# aggregation the groupBy already performs, one map-side-combined
+# shuffle of ≤ m registers per group regardless of corpus size.
+#
+# Both engines ship their own HLL (approx_count_distinct /
+# approx_distinct) but their sketches are NOT portable — this one is:
+# the hash is the same engine-portable md5 arithmetic as the
+# CMS/Bloom cells, and rho (leading-zero rank) is derived from the
+# EXACT integer bit length length(bin(w)) (identical unpadded binary
+# strings in Spark and DuckDB), so the registers replay
+# bit-identically in the SQL oracle.
+#
+# The estimator is made hash-comparable too: the harmonic sum
+# Σ 2^(-M_j) is computed in FIXED POINT as the exact BIGINT
+# Σ 2^(q+1-M_j) (q = 48-p bits of rank domain; ≤ m·2^(q+1) ≤ 2^49,
+# no overflow, no float-summation order sensitivity), and the final
+# estimate is one correctly-rounded IEEE division/multiplication
+# chain over exact integers — identical across engines.  The
+# small-range branch (E ≤ 2.5m with empty registers) uses linear
+# counting m·ln(m/V) on exact integers.
+# ---------------------------------------------------------------------------
+def _hll_exprs(value_sql: str, p: int) -> tuple[str, str]:
+    """Engine-portable (bucket, rho) for one value: 48-bit md5 prefix,
+    low p bits route, remaining q = 48-p bits rank (Spark dialect)."""
+    q = 48 - p
+    h = f"CAST(conv(substr(md5({value_sql}), 1, 12), 16, 10) AS BIGINT)"
+    bucket = f"({h}) % {1 << p}"
+    w = f"({h}) div {1 << p}"
+    rho = (
+        f"CAST({q + 1} - (CASE WHEN ({w}) = 0 THEN 0"
+        f" ELSE length(bin({w})) END) AS INT)"
+    )
+    return bucket, rho
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str = "token",
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """HLL registers (group..., bucket, rho) over ``value_col``: one
+    narrow map emits each value's (bucket, rank) cell; the ONLY
+    shuffle is the MAX groupBy over ≤ 2^p registers per group,
+    collapsed by map-side partial aggregation (MAX is associative and
+    idempotent, so this same aggregate IS the merge of any number of
+    per-split/per-micro-batch sketches)."""
+    bucket, rho = _hll_exprs(value_col, p)
+    return (
+        df.select(
+            *group_cols,
+            F.expr(bucket).cast("bigint").alias("bucket"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """Branch-selected HLL estimate per group from (bucket, rho)
+    registers: (group..., v_zero, harmonic_fp, hll_estimate).
+    harmonic_fp is the exact fixed-point BIGINT Σ 2^(q+1-M_j)
+    including empty registers at M=0, so the float work is a single
+    deterministic division — the whole row hash-compares across
+    engines."""
+    m, q = 1 << p, 48 - p
+    scale = 1 << (q + 1)
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    agg = registers.groupBy(*group_cols).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        # coalesce(.., 0): a GLOBAL (ungrouped) aggregate over an
+        # empty register frame still emits one row with a NULL sum —
+        # the empty sketch must estimate 0 via the linear-counting
+        # branch, not propagate NULL
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({q + 1} - rho AS INT))"
+                )
+            ),
+            F.lit(0),
+        ).alias("__present_fp"),
+    )
+    return (
+        agg.withColumn(
+            "harmonic_fp",
+            (F.col("v_zero") * F.lit(scale) + F.col("__present_fp")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "__raw",
+            F.expr(
+                f"{alpha} * {m}.0 * {m}.0 * CAST({scale} AS DOUBLE)"
+                " / CAST(harmonic_fp AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                f"CAST(floor(CASE WHEN __raw <= {int(2.5 * m)}.0 AND v_zero > 0"
+                f" THEN {m}.0 * ln({m}.0 / CAST(v_zero AS DOUBLE))"
+                " ELSE __raw END) AS BIGINT)"
+            ),
+        )
+        .select(*group_cols, "v_zero", "harmonic_fp", "hll_estimate")
+    )

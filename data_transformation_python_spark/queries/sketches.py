@@ -316,6 +316,80 @@ GROUP BY p.token
 """
 
 
+_HLL_ORACLE = """
+WITH vals AS (
+  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS token FROM orders),
+cells AS (
+  SELECT o_orderpriority,
+         CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) % 1024 AS bucket,
+         CAST(39 - (CASE WHEN CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) // 1024 = 0 THEN 0
+              ELSE length(bin(CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) // 1024)) END) AS INT) AS rho
+  FROM vals),
+regs AS (SELECT o_orderpriority, bucket, MAX(rho) AS rho FROM cells GROUP BY 1, 2),
+agg AS (
+  SELECT o_orderpriority, CAST(1024 - COUNT(*) AS BIGINT) AS v_zero,
+         SUM(CAST(1 AS BIGINT) << CAST(39 - rho AS INT)) AS present_fp
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT o_orderpriority, v_zero,
+         CAST(v_zero * 549755813888 + present_fp AS BIGINT) AS harmonic_fp,
+         (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * CAST(549755813888 AS DOUBLE)
+           / CAST(v_zero * 549755813888 + present_fp AS DOUBLE) AS raw
+  FROM agg),
+hll AS (
+  SELECT o_orderpriority, v_zero, harmonic_fp,
+         CAST(floor(CASE WHEN raw <= 2560.0 AND v_zero > 0
+              THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE)) ELSE raw END) AS BIGINT) AS hll_estimate
+  FROM est),
+exact AS (
+  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1)
+SELECT e.o_orderpriority, e.exact_distinct, h.v_zero, h.harmonic_fp, h.hll_estimate,
+       CAST(CASE WHEN ABS(h.hll_estimate - e.exact_distinct)
+                      <= 0.10 * e.exact_distinct THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
+FROM exact e JOIN hll h ON e.o_orderpriority = h.o_orderpriority
+"""
+
+
+@query("sketch_hll_distinct", oracle=_HLL_ORACLE)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketch.py hll_build /
+    hll_estimate): unlike the q_approx_distinct gate (which can only
+    check each engine's OWN opaque HLL through an error bound), this
+    sketch's registers AND estimate hash-compare bit-exactly — md5
+    routing, exact bin()-length ranks, fixed-point BIGINT harmonic
+    sum, one deterministic IEEE division.  The build is one
+    map-side-combined MAX shuffle of ≤ 1024 registers per group at
+    any corpus scale; the 10% gate is ~3σ of the m=1024 standard
+    error (measured ≤ 6% across sf0.001-0.1)."""
+    from ..operators import sketch as sk
+
+    orders = load(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("token")
+    )
+    regs = sk.hll_build(vals, "token", ("o_orderpriority",), p=10)
+    est = sk.hll_estimate(regs, ("o_orderpriority",), p=10)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_distinct",
+        "v_zero",
+        "harmonic_fp",
+        "hll_estimate",
+        F.when(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            <= 0.10 * F.col("exact_distinct"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_10pct"),
+    )
+
+
 @query("sketch_bloom_decontam", oracle=_BLOOM_ORACLE)
 def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pre-filter — the cheap first stage of

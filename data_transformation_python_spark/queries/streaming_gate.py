@@ -920,3 +920,112 @@ def q_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming HyperLogLog maintenance — each micro-batch appends its own
+# HLL registers via foreachBatch; the running sketch is their
+# per-bucket MAX (the mergeability invariant live), estimated and
+# verified against the batch replay, which is EXACT because
+# merge-by-MAX is associative and idempotent over micro-batch
+# partitions.  The cardinality-side twin of q_stream_countmin_merge.
+# --------------------------------------------------------------------------
+_STREAM_HLL_ORACLE = """
+WITH vals AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS token FROM events),
+cells AS (
+  SELECT CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) % 1024 AS bucket,
+         CAST(39 - (CASE WHEN CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) // 1024 = 0 THEN 0
+              ELSE length(bin(CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) // 1024)) END) AS INT) AS rho
+  FROM vals),
+regs AS (SELECT bucket, MAX(rho) AS rho FROM cells GROUP BY 1),
+agg AS (
+  SELECT CAST(1024 - COUNT(*) AS BIGINT) AS v_zero,
+         SUM(CAST(1 AS BIGINT) << CAST(39 - rho AS INT)) AS present_fp
+  FROM regs),
+est AS (
+  SELECT v_zero,
+         CAST(v_zero * 549755813888 + present_fp AS BIGINT) AS harmonic_fp,
+         (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * CAST(549755813888 AS DOUBLE)
+           / CAST(v_zero * 549755813888 + present_fp AS DOUBLE) AS raw
+  FROM agg)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS exact_distinct,
+       v_zero, harmonic_fp,
+       CAST(floor(CASE WHEN raw <= 2560.0 AND v_zero > 0
+            THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE)) ELSE raw END) AS BIGINT) AS hll_estimate,
+       CAST(CASE WHEN ABS(CAST(floor(CASE WHEN raw <= 2560.0 AND v_zero > 0
+                 THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE)) ELSE raw END) AS BIGINT)
+                 - (SELECT COUNT(*) FROM vals)) <= 0.10 * (SELECT COUNT(*) FROM vals)
+            THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
+FROM est
+"""
+
+
+@query("q_stream_hll_merge", oracle=_STREAM_HLL_ORACLE)
+def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality over the event stream: every
+    micro-batch builds its own HLL registers
+    (operators/sketch.py hll_build) and APPENDS them to a catalog
+    table; the live sketch is the per-bucket MAX at read time — a
+    log-structured mergeable sketch with no custom state store.
+    Stream-merged registers equal the batch sketch exactly (MAX is
+    associative and idempotent), so the whole row — registers summary,
+    fixed-point harmonic sum, estimate — is bit-checkable against the
+    batch oracle replay."""
+    import tempfile
+
+    from ..operators import sketch as sk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("token")
+    )
+    target = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {target} (bucket BIGINT, rho INT) USING parquet"
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sk.hll_build(batch_df, "token", (), p=10).write.insertInto(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dtps_stream_hll_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = (
+        spark.table(target)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = sk.hll_estimate(merged, (), p=10)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = events.agg(
+        F.countDistinct(F.col("user_id").cast("string"))
+        .cast("bigint")
+        .alias("exact_distinct")
+    )
+    out = (
+        exact.join(est, F.lit(True), "inner")
+        .select(
+            "exact_distinct",
+            "v_zero",
+            "harmonic_fp",
+            "hll_estimate",
+            F.when(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("within_10pct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    return out

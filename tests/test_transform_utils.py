@@ -198,3 +198,52 @@ def test_bloom_filter_false_positive_rate_in_expected_band(spark):
     rows = sk.bloom_probe(bloom, out, m_bits=32768, k=4).collect()
     fp = sum(1 for r in rows if r["maybe_present"]) / len(rows)
     assert 0.001 < fp < 0.15, fp
+
+
+def test_hll_merge_equals_full_build_and_insensitive_to_dups(spark):
+    """HLL invariants: (a) per-bucket MAX merge of two half-corpus
+    register sets equals the full-corpus registers (mergeability —
+    the build IS the partial aggregation), (b) registers are
+    duplicate-insensitive (MAX is idempotent), so a corpus with every
+    value repeated 3x builds the identical sketch."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import sketch as sk
+
+    vals = spark.range(3000).selectExpr("concat('v', id) AS token")
+    full = sk.hll_build(vals, "token", (), p=8)
+    h1 = sk.hll_build(vals.filter("id % 2 = 0"), "token", (), p=8)
+    h2 = sk.hll_build(vals.filter("id % 2 = 1"), "token", (), p=8)
+    merged = (
+        h1.unionByName(h2).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    tripled = vals.unionByName(vals).unionByName(vals)
+    assert sorted(map(tuple, sk.hll_build(tripled, "token", (), p=8).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hll_estimate_accuracy_both_branches(spark):
+    """Estimate accuracy across the two estimator branches: linear
+    counting (n << m: 100 distinct into m=1024) and the raw harmonic
+    estimator (n >> m: 30k distinct into m=256, std err 1.04/sqrt(m)
+    = 6.5% — assert within 4 sigma).  Also: the empty sketch
+    estimates 0."""
+    from data_transformation_python_spark.operators import sketch as sk
+
+    small = spark.range(100).selectExpr("concat('s', id) AS token")
+    est = sk.hll_estimate(sk.hll_build(small, "token", (), p=10), (), p=10)
+    r = est.collect()[0]
+    assert abs(r["hll_estimate"] - 100) <= 10, r
+    big = spark.range(30000).selectExpr("concat('b', id) AS token")
+    est = sk.hll_estimate(sk.hll_build(big, "token", (), p=8), (), p=8)
+    r = est.collect()[0]
+    assert abs(r["hll_estimate"] - 30000) <= 0.26 * 30000, r
+    empty = sk.hll_build(small.limit(0), "token", (), p=10)
+    # the ungrouped aggregate always emits one row; an empty sketch
+    # must estimate exactly 0 through the linear-counting branch
+    r = sk.hll_estimate(empty, (), p=10).collect()[0]
+    assert r["v_zero"] == 1024 and r["hll_estimate"] == 0, r
