@@ -104,19 +104,19 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: the six NEW gates
+# rotated STALEST-FIRST each round.  Round 8: the seven NEW gates
 # (portable HyperLogLog batch + streaming merge, the KMV bottom-k
-# overlap sketch, streaming ANN routing, streaming PQ-ADC serving,
-# the CAVLC Intra_16x16-DC H.264 subset), then the six r4-era names
-# that overflowed the r7 window,
+# overlap sketch, the edit-distance LSH-confirm stage, streaming ANN
+# routing, streaming PQ-ADC serving, the CAVLC Intra_16x16-DC H.264
+# subset), then the six r4-era names that overflowed the r7 window,
 # then the r5-era names — ordered so the ones sitting on code that
 # changed in r7/r8 go first (q_cdc_* after the merge-seam refactor +
 # the per-invocation view-name race fix; the similarity/dedup family
 # after the auto-LSH default flip and the assignment-tier pinning),
-# the long r5 SQL/window tail after.  multimodal_avi_meta and five
-# TPC-H shapes (q01/q03/q04/q05/q06 — structurally frozen since r1,
-# locally parity-green every round) overflow the 50-window this
-# round and lead the r9 rotation.  Everything past position 50 stays
+# the long r5 SQL/window tail after.  multimodal_bmp_meta,
+# multimodal_avi_meta and five TPC-H shapes (q01/q03/q04/q05/q06 —
+# structurally frozen since r1, locally parity-green every round)
+# overflow the 50-window this round and lead the r9 rotation.  Everything past position 50 stays
 # honest via the local DuckDB parity suite
 # (tests/test_oracle_parity.py) and the committed PARITY_r{N}.json
 # full-registry sweep.  Names absent from the registry are ignored;
@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "sketch_hll_distinct",
     "q_stream_hll_merge",
     "sketch_kmv_overlap",
+    "dedup_editdist_verify",
     "q_stream_ann_route",
     "q_stream_pq_serve",
     "multimodal_h264dc_meta",

@@ -103,6 +103,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# exact edit-distance verification of the LSH candidates — the
+# recall-then-confirm pipeline shape: the band join prunes to
+# near-dup candidates, JVM-side levenshtein confirms, and the
+# integer relative-distance filter replays bit-identically.
+# --------------------------------------------------------------------------
+# the candidate CTEs are _MINHASH_ORACLE's WITH-prefix verbatim (one
+# source of truth for the banding semantics); only the final SELECT
+# is replaced by the verify stage
+_EDITDIST_ORACLE = (
+    _MINHASH_ORACLE.rstrip().rsplit("SELECT DISTINCT", 1)[0]
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+v AS (
+  SELECT c.doc_id_1, c.doc_id_2,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         CAST(GREATEST(length(da.text), length(db.text), 1) AS BIGINT) AS max_len
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_id_1
+  JOIN documents db ON db.doc_id = c.doc_id_2)
+SELECT doc_id_1, doc_id_2, edit_distance, max_len
+FROM v WHERE edit_distance * 100 <= 20 * max_len
+"""
+)
+
+
+@query("dedup_editdist_verify", oracle=_EDITDIST_ORACLE)
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-recall → exact-confirm: minhash band candidates verified by
+    JVM-side levenshtein (operators/dedup.py editdist_verify), pairs
+    kept at relative edit distance ≤ 20% of the longer text.  The
+    quadratic per-pair cost is bounded by the candidate count; the
+    corpus streams through both text joins (candidate side
+    broadcast)."""
+    docs = load(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    return dd.editdist_verify(docs, cand, max_rel_dist_pct=20)
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints (same generated SQL, two dialects)
 # --------------------------------------------------------------------------
 @query(

@@ -331,3 +331,33 @@ def test_new_text_ops_tolerate_null_and_empty_text(spark):
     assert qc[3].n_tokens == 10
     # spans: null text and short docs drop out; no pair rows expected
     assert repeated_spans(docs, n=8).count() == 0
+
+
+def test_editdist_verify_boundary_and_broadcast_shape(spark):
+    """The integer relative-distance filter keeps a pair AT the
+    threshold (d*100 == pct*max_len) and drops one just above; the
+    physical plan must broadcast the candidate side, never the
+    corpus."""
+    from data_transformation_python_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaa"),          # len 10
+            (2, "aaaaaaaabb"),          # d=2 vs doc 1 -> 20% of 10: AT threshold
+            (3, "aaaaaaabbb"),          # d=3 vs doc 1 -> 30%: above
+            (4, "aaaaaaaaaa"),          # identical to 1 -> d=0
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_id_1 bigint, doc_id_2 bigint"
+    )
+    out = dd.editdist_verify(docs, cand, max_rel_dist_pct=20)
+    rows = {(r.doc_id_1, r.doc_id_2): r.edit_distance for r in out.collect()}
+    assert rows == {(1, 2): 2, (1, 4): 0}, rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both joins broadcast the candidate-derived side (BuildRight for
+    # the bare pairs, BuildLeft for the pair+text intermediate); the
+    # corpus never shuffles or broadcasts (no sort-merge fallback)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "BuildLeft" in plan and "BuildRight" in plan, plan
