@@ -403,3 +403,120 @@ def kmv_overlap_estimate(
         )
         .select("kth_hash", "n_shared", "union_est", "intersect_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / mergeable heavy-hitters summary (Misra & Gries 1982;
+# Agarwal et al. 2013 "Mergeable Summaries") — the deterministic
+# frequent-items member of the sketch family: where Count-Min answers
+# "how often does THIS token appear" (point query, upper bound), MG
+# answers "WHICH tokens are frequent" with a two-sided bound and NO
+# hashing at all.
+#
+# Canonical order-free construction (so the summary — not just its
+# guarantees — replays bit-exactly in the SQL oracle): compress a
+# count vector by θ = the (k+1)-th largest count (0 when ≤ k items),
+# keep {item → cnt − θ : cnt > θ}.  This equals running classic MG
+# decrements to completion on the aggregated multiset, is independent
+# of stream order, and keeps ≤ k rows.  Guarantee per kept item:
+#   w ≤ true_count ≤ w + θ,   θ ≤ N/(k+1)
+# and every item with true_count > θ is present.  Merging two
+# summaries = add weights (absent → 0), re-compress with the merged
+# θ_m; the error intervals ADD (θ = θ_a + θ_b + θ_m), which is the
+# mergeable-summaries theorem — shard/time-window summaries combine
+# control-plane-side without re-scanning data.
+#
+# Scale shape: the build is one map-side-combined count shuffle
+# followed by TakeOrderedAndProject (per-partition top-(k+1), driver
+# merge — no global sort); everything after runs on ≤ k+1 rows.
+# ---------------------------------------------------------------------------
+def _mg_compress(counts: DataFrame, k: int) -> DataFrame:
+    """Compress an (item, w) count frame to the canonical ≤ k-row MG
+    summary (item, w, theta) with theta = this compression's loss.
+
+    θ comes from a whole-frame window over the ≤ k+1-row top frame
+    (NOT a second aggregate over ``counts`` — that would re-execute
+    the full count subtree, doubling the corpus scan; the
+    single-partition window is over control-plane rows only)."""
+    top = counts.orderBy(F.col("w").desc(), F.col("item")).limit(k + 1)
+    return (
+        top.withColumn(
+            "theta",
+            F.expr(
+                f"CAST(CASE WHEN count(*) OVER"
+                f" (PARTITION BY 1) = {k + 1}"
+                " THEN min(w) OVER (PARTITION BY 1) ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .filter(F.col("w") > F.col("theta"))
+        .select(
+            "item",
+            (F.col("w") - F.col("theta")).cast("bigint").alias("w"),
+            F.col("theta"),
+        )
+    )
+
+
+def mg_build(df: DataFrame, value_col: str = "item", k: int = 32) -> DataFrame:
+    """Heavy-hitters summary of a value stream (multiset — repeats are
+    counts): ≤ k rows (item, w, theta).  The only data-sized work is
+    the map-side-combined count shuffle."""
+    counts = (
+        df.select(F.col(value_col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return _mg_compress(counts, k)
+
+
+def mg_merge(sa: DataFrame, sb: DataFrame, k: int = 32) -> DataFrame:
+    """Merge two MG summaries: add weights item-wise (absent → 0),
+    re-compress, and carry the summed error bound
+    theta = theta_a + theta_b + theta_merge.  Runs entirely on
+    ≤ 2k control-plane rows, and each input frame is referenced
+    EXACTLY once (θ_a/θ_b are recovered from the joined rows via a
+    whole-frame window, not a second aggregate — a second reference
+    would re-execute the input's entire count pipeline).
+
+    Caveat (documented, unreachable for non-degenerate corpora): a
+    count vector whose top k+1 values are ALL tied compresses to an
+    empty summary, losing its θ; merging such a summary treats its
+    θ as 0 and the upper bound no longer covers the dropped ties.
+    """
+    joined = (
+        sa.select("item", F.col("w").alias("wa"), F.col("theta").alias("__ta"))
+        .join(
+            sb.select(
+                "item", F.col("w").alias("wb"), F.col("theta").alias("__tb")
+            ),
+            "item",
+            "full_outer",
+        )
+    )
+    combined = joined.select(
+        "item",
+        (
+            F.coalesce(F.col("wa"), F.lit(0))
+            + F.coalesce(F.col("wb"), F.lit(0))
+        ).cast("bigint").alias("w"),
+        F.expr(
+            "CAST(coalesce(max(__ta) OVER (PARTITION BY 1), 0)"
+            " + coalesce(max(__tb) OVER (PARTITION BY 1), 0) AS BIGINT)"
+        ).alias("__tab"),
+    )
+    top = combined.orderBy(F.col("w").desc(), F.col("item")).limit(k + 1)
+    return (
+        top.withColumn(
+            "__tm",
+            F.expr(
+                f"CAST(CASE WHEN count(*) OVER (PARTITION BY 1) = {k + 1}"
+                " THEN min(w) OVER (PARTITION BY 1) ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .filter(F.col("w") > F.col("__tm"))
+        .select(
+            "item",
+            (F.col("w") - F.col("__tm")).cast("bigint").alias("w"),
+            (F.col("__tm") + F.col("__tab")).cast("bigint").alias("theta"),
+        )
+    )

@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "sketch_hll_distinct",
     "q_stream_hll_merge",
     "sketch_kmv_overlap",
+    "sketch_mg_heavyhitters",
     "dedup_editdist_verify",
     "q_stream_ann_route",
     "q_stream_pq_serve",

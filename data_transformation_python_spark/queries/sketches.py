@@ -527,3 +527,110 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intersect_within_20pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters: WHICH tokens are frequent, with
+# a deterministic two-sided bound and no hashing — the shard-summary
+# shape at 100 TB: each shard/time window emits ≤ k rows, summaries
+# merge control-plane-side (error intervals add), no re-scan.  The
+# summary itself (not just its guarantee) replays bit-exactly: the
+# canonical compression is θ = (k+1)-th largest count, all integer.
+# --------------------------------------------------------------------------
+_MG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t AS item
+  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+       unnest(list_transform(range(1, len(a)),
+              i -> a[i] || ' ' || a[i + 1])) AS u(t)),
+ca AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS w FROM toks
+       WHERE doc_id % 2 = 0 GROUP BY item),
+cb AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS w FROM toks
+       WHERE doc_id % 2 = 1 GROUP BY item),
+topa AS (SELECT * FROM ca ORDER BY w DESC, item LIMIT 33),
+tha AS (SELECT CAST(CASE WHEN COUNT(*) = 33 THEN MIN(w) ELSE 0 END AS BIGINT) AS th
+        FROM topa),
+sa AS (SELECT item, CAST(w - th AS BIGINT) AS w, th AS theta
+       FROM topa, tha WHERE w > th),
+topb AS (SELECT * FROM cb ORDER BY w DESC, item LIMIT 33),
+thb AS (SELECT CAST(CASE WHEN COUNT(*) = 33 THEN MIN(w) ELSE 0 END AS BIGINT) AS th
+        FROM topb),
+sb AS (SELECT item, CAST(w - th AS BIGINT) AS w, th AS theta
+       FROM topb, thb WHERE w > th),
+comb AS (
+  SELECT COALESCE(a.item, b.item) AS item,
+         CAST(COALESCE(a.w, 0) + COALESCE(b.w, 0) AS BIGINT) AS w
+  FROM sa a FULL OUTER JOIN sb b ON a.item = b.item),
+topm AS (SELECT * FROM comb ORDER BY w DESC, item LIMIT 33),
+thm AS (SELECT CAST(CASE WHEN COUNT(*) = 33 THEN MIN(w) ELSE 0 END AS BIGINT) AS th
+        FROM topm),
+sm AS (SELECT t.item, CAST(t.w - m.th AS BIGINT) AS w,
+              CAST(m.th
+                   + (SELECT COALESCE(MAX(theta), 0) FROM sa)
+                   + (SELECT COALESCE(MAX(theta), 0) FROM sb) AS BIGINT) AS theta
+       FROM topm t, thm m WHERE t.w > m.th),
+top20 AS (SELECT * FROM sm ORDER BY w DESC, item LIMIT 20),
+exact AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY item)
+SELECT s.item, s.w, s.theta, e.exact_cnt,
+       CAST(CASE WHEN e.exact_cnt >= s.w THEN 1 ELSE 0 END AS BIGINT) AS lower_ok,
+       CAST(CASE WHEN e.exact_cnt <= s.w + s.theta THEN 1 ELSE 0 END AS BIGINT) AS upper_ok
+FROM top20 s JOIN exact e ON e.item = s.item
+"""
+
+
+@query("sketch_mg_heavyhitters", oracle=_MG_ORACLE)
+def sketch_mg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters (operators/sketch.py
+    mg_build / mg_merge) over the corpus BIGRAM stream (916 distinct
+    at sf0.01 ≫ k=32, so the lossy θ-compression branch is the one
+    exercised — unigrams would fit exactly), built as two
+    half-corpus shard summaries (doc_id parity) merged
+    control-plane-side: each build is one map-side-combined count
+    shuffle + TakeOrderedAndProject (per-partition top-(k+1), no
+    global sort); the merge runs on ≤ 2k rows.  The top-20 merged
+    heavy hitters are emitted NEXT TO their exact counts with the
+    two-sided w ≤ exact ≤ w + θ guarantee driver-hashed (lower_ok /
+    upper_ok must be all-1 — a theorem, not a tolerance)."""
+    from ..operators import sketch as sk
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2),"
+                    " i -> concat_ws(' ', __t[i], __t[i + 1]))"
+                )
+            ).alias("item"),
+        )
+    )
+    sa = sk.mg_build(toks.filter("doc_id % 2 = 0").select("item"), "item", k=32)
+    sb = sk.mg_build(toks.filter("doc_id % 2 = 1").select("item"), "item", k=32)
+    merged = sk.mg_merge(sa, sb, k=32)
+    top20 = merged.orderBy(F.col("w").desc(), F.col("item")).limit(20)
+    exact = toks.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        F.broadcast(top20)
+        .join(exact, "item")
+        .select(
+            "item",
+            "w",
+            "theta",
+            "exact_cnt",
+            F.when(F.col("exact_cnt") >= F.col("w"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("lower_ok"),
+            F.when(F.col("exact_cnt") <= F.col("w") + F.col("theta"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("upper_ok"),
+        )
+    )

@@ -284,3 +284,53 @@ def test_kmv_merge_identity_and_exact_small_sets(spark):
         sk.kmv_build(sa, k=256), sk.kmv_build(sb, k=256), k=256
     ).collect()[0]
     assert est["union_est"] == 60 and est["intersect_est"] == 20, est
+
+
+def test_mg_summary_bounds_merge_and_exact_branch(spark):
+    """Misra-Gries invariants: (1) exact branch — ≤ k distinct items
+    gives θ=0 and exact counts; (2) lossy branch — θ = (k+1)-th
+    largest count, summary ≤ k rows, every stored weight satisfies
+    w ≤ true ≤ w + θ; (3) merge — weights add, θs add, bounds still
+    contain the combined exact counts, and every item with
+    true > θ_total survives the merge."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import sketch as sk
+
+    # skewed multiset: item 'h0' x 100, 'h1' x 50, then 40 singletons
+    rows = [("h0",)] * 100 + [("h1",)] * 50 + [(f"t{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "item string")
+
+    # (1) exact branch
+    small = spark.createDataFrame(rows[:150], "item string")  # 2 items
+    s = {r["item"]: (r["w"], r["theta"]) for r in sk.mg_build(small, k=8).collect()}
+    assert s == {"h0": (100, 0), "h1": (50, 0)}, s
+
+    # (2) lossy branch: 42 distinct items, k=8 -> θ = 9th largest = 1
+    summ = sk.mg_build(df, k=8).collect()
+    assert len(summ) <= 8
+    theta = summ[0]["theta"]
+    assert theta == 1, summ
+    exact = {"h0": 100, "h1": 50}
+    for r in summ:
+        true = exact.get(r["item"], 1)
+        assert r["w"] <= true <= r["w"] + theta, (r, true)
+
+    # (3) merge of two skewed halves
+    half_a = spark.createDataFrame(
+        [("h0",)] * 60 + [(f"a{i}",) for i in range(30)], "item string"
+    )
+    half_b = spark.createDataFrame(
+        [("h0",)] * 40 + [("h1",)] * 50 + [(f"b{i}",) for i in range(30)],
+        "item string",
+    )
+    merged = sk.mg_merge(sk.mg_build(half_a, k=8), sk.mg_build(half_b, k=8), k=8)
+    got = {r["item"]: (r["w"], r["theta"]) for r in merged.collect()}
+    assert len(got) <= 8
+    combined_exact = {"h0": 100, "h1": 50}
+    theta_m = next(iter(got.values()))[1]
+    for item, true in combined_exact.items():
+        # both are far above θ_total, so they MUST be present in-bound
+        assert item in got, (item, got)
+        w = got[item][0]
+        assert w <= true <= w + theta_m, (item, w, theta_m, true)
