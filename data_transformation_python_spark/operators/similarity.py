@@ -1499,3 +1499,110 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the FAISS "SQ" family member): per-dimension
+# min/max calibration, each component stored as one 0..255 code —
+# 4x compression over float32 with NO codebook training, the
+# middle rung between raw vectors and PQ on the serving-memory ladder.
+#
+# Everything is exact integer arithmetic on the milli-unit grid
+# (round(x*1000), BIGINT): code = floor((v-mn)*255 / (mx-mn)),
+# reconstruction = mn + floor(code*(mx-mn) / 255), distances are
+# integer sums of squares — numerators are non-negative by
+# construction, so Spark's truncating `div` and DuckDB's flooring `//`
+# agree and the whole path (codes, reconstructions, distances, ranks)
+# replays bit-exactly in the SQL oracle.
+#
+# Scale shape: calibration is ONE map-side-combined (dim, min, max)
+# shuffle of d groups; encoding is a narrow map under a 1-row
+# broadcast; serving broadcasts the query block and streams the coded
+# corpus — per-candidate state is d bytes, never a float vector.
+# ---------------------------------------------------------------------------
+def sq8_stats(qn: DataFrame) -> DataFrame:
+    """Per-dimension calibration over a quantized frame (column
+    ``__v``): ONE row (mn array<bigint>, mx array<bigint>).  The only
+    shuffle is the d-group min/max aggregate (map-side combined)."""
+    ex = qn.select(F.posexplode("__v").alias("i", "x"))
+    per = ex.groupBy("i").agg(
+        F.min("x").cast("bigint").alias("mn"),
+        F.max("x").cast("bigint").alias("mx"),
+    )
+    return per.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)"
+        ).alias("mn"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)"
+        ).alias("mx"),
+    )
+
+
+_SQ8_CODE_EXPR = (
+    "transform(sequence(0, size(__v) - 1),"
+    " i -> ((CAST(__v[i] AS BIGINT) - mn[i]) * 255)"
+    " div greatest(mx[i] - mn[i], 1))"
+)
+_SQ8_RECON_EXPR = (
+    "transform(codes, (c, i) -> mn[i] + (c * (mx[i] - mn[i])) div 255)"
+)
+
+
+def sq8_encode(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes array<bigint> of 0..255) under the broadcast 1-row
+    calibration — the stored serving state, d bytes per vector."""
+    qn = quantized(df, vec_col, id_col)
+    return qn.crossJoin(F.broadcast(sq8_stats(qn))).select(
+        id_col, F.expr(_SQ8_CODE_EXPR).alias("codes")
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: queries stay exact milli-unit integers,
+    corpus candidates are reconstructed from their 8-bit codes row-
+    locally (decode is two integer ops per dimension — no table, no
+    codebook).  Broadcast query block × streamed coded corpus; the
+    only shuffle is the per-query candidate window."""
+    query_ids = list(query_ids)
+    qn = quantized(df, vec_col, id_col)
+    stats = sq8_stats(qn)
+    corpus = (
+        qn.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_SQ8_CODE_EXPR).alias("codes"),
+            "mn",
+            "mx",
+        )
+        .select(
+            "neighbor_id", F.expr(_SQ8_RECON_EXPR).alias("__recon")
+        )
+    )
+    queries = qn.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.expr("transform(__v, x -> CAST(x AS BIGINT))").alias("__qv"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "sq8_d2",
+        F.expr(
+            "aggregate(zip_with(__qv, __recon, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("sq8_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sq8_d2", "rank")
+    )

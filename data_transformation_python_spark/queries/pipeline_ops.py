@@ -1183,3 +1183,50 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         pq_stride=50,
     )
+
+
+# --------------------------------------------------------------------------
+# similarity serving: SQ8 scalar quantization — per-dimension min/max
+# calibration, 8-bit codes, row-local integer reconstruction (no
+# codebook, no distance table).  The middle rung between raw floats
+# and PQ on the serving-memory ladder; every stage is exact integer
+# arithmetic, so codes, reconstructions, distances, and ranks replay
+# bit-identically in the oracle.
+# --------------------------------------------------------------------------
+_SQ8_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+per AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        FROM q, unnest(generate_series(1, 64)) AS g(i) GROUP BY i),
+st AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM per),
+recon AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64),
+           i -> mn[i] + ((((v[i] - mn[i]) * 255) // GREATEST(mx[i] - mn[i], 1))
+                         * (mx[i] - mn[i])) // 255) AS r
+  FROM q, st),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, rc.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> (qv[i] - rc.r[i]) * (qv[i] - rc.r[i]))) AS BIGINT) AS sq8_d2
+  FROM qs CROSS JOIN recon rc WHERE rc.vec_id <> query_id)
+SELECT query_id, neighbor_id, sq8_d2, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sq8_d2, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_sq8_topk", oracle=_SQ8_ORACLE)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric top-k (operators/similarity.py sq8_encode /
+    sq8_topk): calibration is one d-group min/max shuffle broadcast
+    back as a single row; the corpus streams as 8-bit codes (d bytes
+    per vector) reconstructed row-locally with two integer ops per
+    dimension; the broadcast query block scores against it with no
+    corpus shuffle — only the per-query top-k window moves rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(emb, query_ids=range(10), k=5)

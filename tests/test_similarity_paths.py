@@ -435,3 +435,49 @@ def test_assign_nearest_tier_plan_shapes(spark):
     p3 = df3._jdf.queryExecution().executedPlan().toString()
     assert "Aggregate" in p3 and "Broadcast" in p3, p3[:800]
     assert "Window" not in p3
+
+
+def test_sq8_codes_bounds_recon_error_and_plan(spark):
+    """SQ8 invariants: every code is 0..255; reconstruction error per
+    dimension is bounded by the quantization step ((mx-mn)//255 + 1,
+    two floor-divs); serving finds the exact nearest neighbor on a
+    well-separated fixture; the corpus side never shuffles (broadcast
+    joins only)."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import similarity as sim
+
+    # 3 tight clusters around distinct anchors, dim 8
+    import itertools
+
+    anchors = [[0.0] * 8, [5.0] * 8, [-3.0, 3.0] * 4]
+    rows = []
+    for ci, a in enumerate(anchors):
+        for j in range(4):
+            rows.append(
+                (ci * 10 + j, [x + 0.001 * ((ci * 4 + j) % 7) for x in a])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    codes = {r["vec_id"]: r["codes"] for r in sim.sq8_encode(df).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+
+    # reconstruction error bound, checked in exact integer space
+    qn = sim.quantized(df).collect()
+    st = sim.sq8_stats(sim.quantized(df)).collect()[0]
+    for r in qn:
+        for i, v in enumerate(r["__v"]):
+            mn, mx = st["mn"][i], st["mx"][i]
+            c = ((int(v) - mn) * 255) // max(mx - mn, 1)
+            recon = mn + (c * (mx - mn)) // 255
+            assert abs(int(v) - recon) <= (mx - mn) // 255 + 1
+
+    out = sim.sq8_topk(df, query_ids=[0, 10, 20], k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    # rank-1 neighbor of each query is a member of its own cluster
+    for q in (0, 10, 20):
+        assert got[(q, 1)] // 10 == q // 10, got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
