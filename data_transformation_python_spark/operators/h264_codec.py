@@ -7,13 +7,17 @@ Scope (honest): every picture is an IDR slice whose macroblocks are
 either
 - I_PCM (mb_type 25, §7.3.5/§7.4.5): 256 luma + 2×64 chroma (4:2:0)
   bytes carried uncompressed inside a conformant bitstream, or
-- Intra_16x16 with cbp 0/0 (mb_types 1-24, Table 7-11): real
-  TRANSFORM-CODED macroblocks — CAVLC entropy decoding (§9.2, the
-  nC < 2 tables with the full large-level escape), the 4x4 inverse
-  Hadamard + DC scaling of the luma DC block (§8.5.10), and all four
-  Intra_16x16 luma prediction modes V/H/DC/Plane (§8.3.3) plus
-  chroma DC prediction (§8.3.4) in a closed prediction loop.  Only
-  the AC residual path (cbp != 0) and CABAC remain out of scope, and
+- Intra_16x16 with cbp_luma 0 and cbp_chroma 0 or 1 (mb_types 1-24,
+  Table 7-11): real TRANSFORM-CODED macroblocks — CAVLC entropy
+  decoding (§9.2: the nC < 2 tables with the full large-level escape
+  AND the nC == -1 chroma-DC column with Table 9-9(a) total_zeros),
+  the 4x4 inverse Hadamard + DC scaling of the luma DC block
+  (§8.5.10), the 2x2 inverse Hadamard + DC scaling of the chroma DC
+  blocks (§8.5.11, QPc via Table 8-15) — REAL COLOR through the
+  transform path — and all four Intra_16x16 luma prediction modes
+  V/H/DC/Plane (§8.3.3) plus quadrant chroma DC prediction (§8.3.4)
+  in a closed prediction loop.  Only the AC residual paths
+  (cbp_luma 15 / cbp_chroma 2) and CABAC remain out of scope, and
   the decoder rejects them explicitly rather than mis-decoding.
 
 Everything around the macroblocks is real H.264 syntax: Exp-Golomb
@@ -477,6 +481,27 @@ _RUN_BEFORE = {  # min(zeros_left, 7) -> {run: code} (Table 9-10)
 # zigzag scan of a 4x4 block (spec Figure 8-8)
 _ZZ4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
 
+# Table 9-5, the nC == -1 column (ChromaDCLevel, §9.2.1: chroma DC
+# blocks ALWAYS use nC = -1 — no neighbour bookkeeping).  14 codes;
+# their Kraft sum is exactly 1 (asserted in tests), the strongest
+# structural check available in an env with no codec libs to
+# cross-validate against.
+_CT_NCM1 = {  # (trailing_ones, total_coeff) -> code bitstring
+    (0, 0): "01",
+    (0, 1): "000111", (1, 1): "1",
+    (0, 2): "000100", (1, 2): "000110", (2, 2): "001",
+    (0, 3): "000011", (1, 3): "0000011", (2, 3): "0000010",
+    (3, 3): "000101",
+    (0, 4): "000010", (1, 4): "00000011", (2, 4): "00000010",
+    (3, 4): "0000000",
+}
+
+_TOTAL_ZEROS_CDC = {  # Table 9-9(a): total_zeros for 2x2 chroma DC
+    1: {0: "1", 1: "01", 2: "001", 3: "000"},
+    2: {0: "1", 1: "01", 2: "00"},
+    3: {0: "1", 1: "0"},
+}
+
 
 def _put_bits(bw: _EgWriter, code: str) -> None:
     for ch in code:
@@ -493,24 +518,37 @@ def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
 
 
 _CT_NC02_DEC = {v: k for k, v in _CT_NC02.items()}
+_CT_NCM1_DEC = {v: k for k, v in _CT_NCM1.items()}
 _TZ_DEC = {tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS.items()}
+_TZ_CDC_DEC = {
+    tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS_CDC.items()
+}
 _RB_DEC = {zl: {v: k for k, v in tab.items()} for zl, tab in _RUN_BEFORE.items()}
 
 
-def cavlc_encode_block(bw: _EgWriter, coeffs: list[int]) -> None:
-    """Encode one 4x4 residual block (16 coefficients in zigzag scan
-    order) with CAVLC, nC < 2 tables (§9.2)."""
+def cavlc_encode_block(
+    bw: _EgWriter,
+    coeffs: list[int],
+    ct_table: dict | None = None,
+    tz_table: dict | None = None,
+    max_coeff: int = 16,
+) -> None:
+    """Encode one residual block (``max_coeff`` coefficients in scan
+    order) with CAVLC (§9.2).  Defaults are the 4x4 nC < 2 tables;
+    pass ``_CT_NCM1``/``_TOTAL_ZEROS_CDC``/4 for 2x2 chroma DC."""
+    ct_table = _CT_NC02 if ct_table is None else ct_table
+    tz_table = _TOTAL_ZEROS if tz_table is None else tz_table
     nz = [(i, int(c)) for i, c in enumerate(coeffs) if c != 0]
     total = len(nz)
-    if total > 16:
-        raise ValueError("more than 16 coefficients")
+    if total > max_coeff:
+        raise ValueError(f"more than {max_coeff} coefficients")
     t1 = 0
     for _, c in reversed(nz):
         if abs(c) == 1 and t1 < 3:
             t1 += 1
         else:
             break
-    _put_bits(bw, _CT_NC02[(t1, total)])
+    _put_bits(bw, ct_table[(t1, total)])
     if total == 0:
         return
     for _, c in list(reversed(nz))[:t1]:
@@ -555,8 +593,8 @@ def cavlc_encode_block(bw: _EgWriter, coeffs: list[int]) -> None:
         first = False
     last_pos = nz[-1][0]
     total_zeros = last_pos + 1 - total
-    if total < 16:
-        _put_bits(bw, _TOTAL_ZEROS[total][total_zeros])
+    if total < max_coeff:
+        _put_bits(bw, tz_table[total][total_zeros])
     zeros_left = total_zeros
     for j in range(len(nz) - 1, 0, -1):
         if zeros_left <= 0:
@@ -566,11 +604,19 @@ def cavlc_encode_block(bw: _EgWriter, coeffs: list[int]) -> None:
         zeros_left -= run
 
 
-def cavlc_decode_block(br: _EgReader) -> list[int]:
-    """Decode one 4x4 CAVLC block (nC < 2) to 16 zigzag-scan
-    coefficients (§9.2)."""
-    t1, total = _read_vlc(br, _CT_NC02_DEC)
-    out = [0] * 16
+def cavlc_decode_block(
+    br: _EgReader,
+    ct_dec: dict | None = None,
+    tz_dec: dict | None = None,
+    max_coeff: int = 16,
+) -> list[int]:
+    """Decode one CAVLC block to ``max_coeff`` scan-order coefficients
+    (§9.2).  Defaults are the 4x4 nC < 2 tables; pass
+    ``_CT_NCM1_DEC``/``_TZ_CDC_DEC``/4 for 2x2 chroma DC."""
+    ct_dec = _CT_NC02_DEC if ct_dec is None else ct_dec
+    tz_dec = _TZ_DEC if tz_dec is None else tz_dec
+    t1, total = _read_vlc(br, ct_dec)
+    out = [0] * max_coeff
     if total == 0:
         return out
     levels: list[int] = []
@@ -605,7 +651,7 @@ def cavlc_decode_block(br: _EgReader) -> list[int]:
             suffix_len = 1
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
-    total_zeros = _read_vlc(br, _TZ_DEC[total]) if total < 16 else 0
+    total_zeros = _read_vlc(br, tz_dec[total]) if total < max_coeff else 0
     zeros_left = total_zeros
     # place coefficients: levels[] holds values highest-frequency
     # first; runs of zeros precede each (reverse scan)
@@ -648,6 +694,42 @@ def _luma_dc_dequant(c_zz: list[int], qp: int) -> np.ndarray:
     if qp >= 36:
         return (f * a) << (e - 6)
     return (f * a + (1 << (5 - e))) >> (6 - e)
+
+
+# -- chroma DC transform path (§8.5.11, Table 8-15) --------------------------
+# QPc as a function of qPI for qPI > 29 (below 30 they are equal).
+_QPC_HIGH = (29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36,
+             37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def _chroma_qpc(qp: int) -> int:
+    """Luma QP → chroma QPc (chroma_qp_index_offset 0, Table 8-15)."""
+    return qp if qp < 30 else _QPC_HIGH[qp - 30]
+
+
+def _chroma_dc_dequant(c4: list[int], qpc: int) -> np.ndarray:
+    """Inverse 2x2 Hadamard + DC scaling of the parsed ChromaDCLevel
+    block (§8.5.11) → 2x2 int array of per-4x4-block DC values (pre
+    the final (x+32)>>6 of the core transform).  The 4 coefficients
+    arrive in raster scan (no zigzag for 2x2)."""
+    c = np.asarray(c4, np.int64).reshape(2, 2)
+    f = _H2 @ c @ _H2
+    return (f * _DC_LEVELSCALE[qpc % 6]) << (qpc // 6) >> 5
+
+
+def _chroma_dc_quant(resid8: np.ndarray, qpc: int) -> list[int]:
+    """Forward 2x2 chroma-DC path for an 8x8 residual: per-4x4 sums →
+    forward Hadamard → quantize so the decoder's §8.5.11 chain
+    reproduces the DC as closely as the step allows."""
+    dc = resid8.reshape(2, 4, 2, 4).sum(axis=(1, 3))
+    fh = _H2 @ dc @ _H2
+    a, e = _DC_LEVELSCALE[qpc % 6], qpc // 6
+    # decoder chain: c -> f = H(Hc H)H = 4K dc -> dcC = f*a*2^e/32;
+    # target dcC = 4*dc (so (dcC+32)>>6 is the block mean), hence
+    # K = 32/(a*2^e)
+    c = np.sign(fh) * np.floor(np.abs(fh) * 32.0 / (a * (1 << e)) + 0.5)
+    return [int(v) for v in c.astype(np.int64).reshape(4)]
 
 
 def _intra16_pred_luma(
@@ -814,6 +896,142 @@ def h264_encode_frame_i16dc(
     ]
 
 
+def _i16cdc_slice_rbsp(
+    y_plane: np.ndarray,
+    cb_plane: np.ndarray,
+    cr_plane: np.ndarray,
+    qp: int,
+    idr_pic_id: int,
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """One IDR slice of Intra_16x16_2_1_0 macroblocks (DC-predicted,
+    luma-DC residual + 2x2 CHROMA-DC residual, cbp 1/0): the first
+    cbp != 0 rung — real color, still DC-only.  Closed loop on all
+    three planes."""
+    mb_h, mb_w = y_plane.shape[0] // 16, y_plane.shape[1] // 16
+    a, e = _DC_LEVELSCALE[qp % 6], qp // 6
+    qpc = _chroma_qpc(qp)
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(7)            # slice_type: I
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(0, 4)          # frame_num
+    bw.ue(idr_pic_id)
+    bw.u(0, 1); bw.u(0, 1)  # dec_ref_pic_marking (IDR)
+    bw.se(qp - 26)      # slice_qp_delta (pic_init_qp is 26)
+    bw.ue(1)            # disable_deblocking_filter_idc
+    rec_y = np.zeros_like(y_plane, dtype=np.int64)
+    rec_cb = np.zeros_like(cb_plane, dtype=np.int64)
+    rec_cr = np.zeros_like(cr_plane, dtype=np.int64)
+    src_y = y_plane.astype(np.int64)
+    src_c = (cb_plane.astype(np.int64), cr_plane.astype(np.int64))
+    rec_c = (rec_cb, rec_cr)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            y0, x0 = my * 16, mx * 16
+            avail_top, avail_left = my > 0, mx > 0
+            pred = _intra16_pred_luma(
+                2,
+                rec_y[y0 - 1, x0 : x0 + 16] if avail_top else None,
+                rec_y[y0 : y0 + 16, x0 - 1] if avail_left else None,
+                rec_y[y0 - 1, x0 - 1] if (avail_top and avail_left) else 0,
+                avail_top,
+                avail_left,
+            )
+            resid = src_y[y0 : y0 + 16, x0 : x0 + 16] - pred
+            x_dc = resid.reshape(4, 4, 4, 4).sum(axis=(1, 3))
+            fh = _HADAMARD4 @ x_dc @ _HADAMARD4
+            c = (
+                np.sign(fh)
+                * np.floor(np.abs(fh) * (2.0 ** (6 - e)) / (4 * a) + 0.5)
+            ).astype(np.int64)
+            bw.ue(7)    # mb_type I_16x16_2_1_0 (DC pred, cbp 1/0)
+            bw.ue(0)    # intra_chroma_pred_mode: DC
+            bw.se(0)    # mb_qp_delta
+            cavlc_encode_block(bw, list(c.reshape(16)[_ZZ4]))
+            dc = _luma_dc_dequant(list(c.reshape(16)[_ZZ4]), qp)
+            r = (dc + 32) >> 6
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                pred + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1), 0, 255
+            )
+            # chroma: DC residual per component, Cb then Cr (§7.3.5.3.3)
+            cy0, cx0 = my * 8, mx * 8
+            for src_p, rec_p in zip(src_c, rec_c):
+                cpred = _chroma_dc_pred(
+                    rec_p[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
+                    rec_p[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
+                    avail_top,
+                    avail_left,
+                )
+                cresid = src_p[cy0 : cy0 + 8, cx0 : cx0 + 8] - cpred
+                cc = _chroma_dc_quant(cresid, qpc)
+                cavlc_encode_block(
+                    bw, cc, _CT_NCM1, _TOTAL_ZEROS_CDC, max_coeff=4
+                )
+                dcc = _chroma_dc_dequant(cc, qpc)
+                cr_ = (dcc + 32) >> 6
+                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    cpred + np.repeat(np.repeat(cr_, 4, axis=0), 4, axis=1),
+                    0,
+                    255,
+                )
+    bw.rbsp_trailing()
+    return bw.tobytes(), rec_y, rec_cb, rec_cr
+
+
+def h264_encode_frame_i16cdc_yuv(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    crop_w: int,
+    crop_h: int,
+    qp: int = 28,
+    idr_pic_id: int = 0,
+) -> list[bytes]:
+    """YUV-plane-level Intra_16x16_2_1_0 encode (y is crop_h-padded to
+    the macroblock grid already or gets padded here; cb/cr are the
+    half-size 4:2:0 planes).  Exists so fixtures designed for EXACT
+    quantization in YUV space are not disturbed by RGB→YUV rounding."""
+    if crop_w % 2 or crop_h % 2:
+        raise ValueError("crop dimensions must be even")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be 0..51")
+    h, w = y.shape
+    py, px = -h % 16, -w % 16
+    y = np.pad(y, ((0, py), (0, px)), mode="edge")
+    cb = np.pad(cb, ((0, (-cb.shape[0]) % 8), (0, (-cb.shape[1]) % 8)), mode="edge")
+    cr = np.pad(cr, ((0, (-cr.shape[0]) % 8), (0, (-cr.shape[1]) % 8)), mode="edge")
+    slice_rbsp, _, _, _ = _i16cdc_slice_rbsp(y, cb, cr, qp, idr_pic_id)
+    return [
+        _nal(7, _sps_rbsp(crop_w, crop_h)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, slice_rbsp),
+    ]
+
+
+def h264_encode_frame_i16cdc(
+    rgb: np.ndarray, qp: int = 28, idr_pic_id: int = 0
+) -> list[bytes]:
+    """Encode one frame as [SPS, PPS, IDR] where every macroblock is
+    Intra_16x16_2_1_0: DC prediction, CAVLC luma-DC residual AND a
+    CAVLC 2x2 chroma-DC residual (cbp_chroma = 1) — the first
+    cbp != 0 macroblock type, carrying REAL COLOR through the
+    transform path (per-4x4-chroma-block DC; chroma AC stays out of
+    scope along with luma AC and CABAC)."""
+    h, w = rgb.shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("dimensions must be even (4:2:0 chroma cropping)")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be 0..51")
+    padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_yuv420(padded)
+    slice_rbsp, _, _, _ = _i16cdc_slice_rbsp(y, cb, cr, qp, idr_pic_id)
+    return [
+        _nal(7, _sps_rbsp(w, h)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, slice_rbsp),
+    ]
+
+
 def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
     """Decode one [.., SPS, PPS, IDR] NAL group of the supported
     subset (I_PCM and Intra_16x16 luma-DC macroblocks, mixed freely
@@ -901,9 +1119,10 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 * ((mb_type - 1) // 12)
-                    if cbp_chroma or cbp_luma:
+                    if cbp_chroma == 2 or cbp_luma:
                         raise NotImplementedError(
-                            "Intra_16x16 AC / chroma residuals (cbp != 0)"
+                            "Intra_16x16 AC residuals (luma cbp 15 / "
+                            "chroma cbp 2)"
                         )
                     if (my > 0 and is_pcm[my - 1, mx]) or (
                         mx > 0 and is_pcm[my, mx - 1]
@@ -939,13 +1158,28 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                         255,
                     )
                     cy0, cx0 = my * 8, mx * 8
+                    qpc = _chroma_qpc(qp)
                     for plane in (cb, cr):
-                        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = _chroma_dc_pred(
+                        cpred = _chroma_dc_pred(
                             plane[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
                             plane[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
                             avail_top,
                             avail_left,
                         )
+                        if cbp_chroma:
+                            # ChromaDCLevel, Cb then Cr (§7.3.5.3.3)
+                            cc = cavlc_decode_block(
+                                br, _CT_NCM1_DEC, _TZ_CDC_DEC, max_coeff=4
+                            )
+                            dcc = _chroma_dc_dequant(cc, qpc)
+                            rc = (dcc + 32) >> 6
+                            cpred = np.clip(
+                                cpred
+                                + np.repeat(np.repeat(rc, 4, axis=0), 4, axis=1),
+                                0,
+                                255,
+                            )
+                        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = cpred
             y = y.astype(np.uint8)
             cb = cb.astype(np.uint8)
             cr = cr.astype(np.uint8)

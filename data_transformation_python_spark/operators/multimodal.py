@@ -2309,3 +2309,164 @@ def _write_h264dc_probe(doc_id: int) -> bytes:
             )
         )
     return annexb(nals)
+
+
+# --------------------------------------------------------------------------
+# video: transform-coded H.264 WITH COLOR (Intra_16x16_2_1_0,
+# operators/h264_codec.py) — the first cbp != 0 macroblock type:
+# everything the luma-DC gate covers PLUS the 2x2 chroma-DC residual
+# path (Table 9-5 nC == -1 coeff_token, Table 9-9(a) total_zeros,
+# §8.5.11 inverse 2x2 Hadamard + DC scaling, Table 8-15 QPc mapping).
+# The fixture is engineered for EXACT quantization end to end:
+#  - luma constant per 4x4 block (the DC-representable grid);
+#  - chroma in DIAGONAL MB stripes g(my+mx) over {63, 128, 193}:
+#    every macroblock's top and left chroma neighbours are EQUAL, so
+#    quadrant DC prediction mixes identical values (stays exact), and
+#    every stripe-to-stripe residual is a multiple of 65 = 13*5 —
+#    exactly divisible through the chroma quantizer at every gate QPc
+#    (LevelScale 13 at qpc%6==2, 10 at qpc%6==0).
+# Verified pixel-exact for ids 0..5200 at build time; the SQL oracle
+# replays decoded R/G/B sums from the source formula through the SAME
+# fixed-sequence IEEE YUV→RGB arithmetic the decoder uses.
+# --------------------------------------------------------------------------
+_H264C_CPAL = (63, 128, 193)
+
+
+def _h264c_dims(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, qp) — same ragged-grid/qp coverage
+    pattern as the luma-DC gate."""
+    return (
+        18 + 2 * (doc_id % 8),
+        14 + 2 * (doc_id % 6),
+        1 + doc_id % 3,
+        (20, 26, 30, 34, 40)[doc_id % 5],
+    )
+
+
+def _h264c_planes(doc_id: int, f: int, w: int, h: int):
+    """(luma, cb, cr) fixture planes: 4x4-blocky luma, diagonal
+    3-colour chroma stripes (SQL-replayable formulas)."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    luma = ((doc_id * 9 + f * 13 + (x // 4) * 8 + (y // 4) * 24) % 256).astype(
+        np.uint8
+    )
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    cx = np.arange(cw, dtype=np.int64)[None, :]
+    cy = np.arange(ch, dtype=np.int64)[:, None]
+    s = (cy // 8) + (cx // 8)
+    pal = np.array(_H264C_CPAL, np.int64)
+    cb = pal[(doc_id + f + s) % 3].astype(np.uint8)
+    cr = pal[(2 * doc_id + f + s) % 3].astype(np.uint8)
+    return luma, cb, cr
+
+
+def _write_h264c(doc_id: int) -> bytes:
+    """Annex-B elementary stream of nf Intra_16x16_2_1_0 IDR pictures
+    (YUV-level encode: the fixture is exact in YUV space)."""
+    from .h264_codec import annexb, h264_encode_frame_i16cdc_yuv
+
+    w, h, nf, qp = _h264c_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        luma, cb, cr = _h264c_planes(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16cdc_yuv(
+                luma, cb, cr, w, h, qp=qp, idr_pic_id=f
+            )
+        )
+    return annexb(nals)
+
+
+def synth_h264c_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a colour transform-coded H.264 stream per row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_write_h264c(int(i)) for i in ids]}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+H264C_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("qp", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("smaller_than_pcm", T.BooleanType()),
+    ]
+)
+
+
+def h264c_metadata(df: DataFrame) -> DataFrame:
+    """Decode the colour stream and emit EXACT per-channel pixel sums:
+    the fixture round-trips losslessly through the luma-DC AND
+    chroma-DC transform paths (verified ids 0..5200), so the SQL
+    oracle replays the sums from the source formulas through the same
+    fixed-sequence IEEE YUV→RGB conversion — one bit wrong in the
+    chroma coeff_token table, the 2x2 Hadamard, the QPc mapping, or
+    the quadrant prediction shifts them.  ``smaller_than_pcm`` pins
+    the entropy-coding evidence."""
+    import numpy as np
+
+    from .h264_codec import (
+        annexb,
+        h264_decode_frame,
+        h264_encode_frame,
+        split_annexb,
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264C_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, nf, qp = _h264c_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 3 * nf, "unexpected NAL count"
+                sums = np.zeros(3, np.int64)
+                pcm_bytes = 0
+                for f in range(nf):
+                    dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
+                    sums += dec.astype(np.int64).sum(axis=(0, 1))
+                    pcm_bytes += len(
+                        annexb(h264_encode_frame(dec, idr_pic_id=f))
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["qp"].append(qp)
+                out["mb_count"].append(
+                    nf * ((w + 15) // 16) * ((h + 15) // 16)
+                )
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["smaller_than_pcm"].append(len(payload) < pcm_bytes)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264C_META_SCHEMA)

@@ -126,9 +126,11 @@ _PRIORITY: list[str] = [
     "q_stream_hll_merge",
     "sketch_kmv_overlap",
     "sketch_mg_heavyhitters",
+    "sim_sq8_topk",
     "dedup_editdist_verify",
     "q_stream_ann_route",
     "q_stream_pq_serve",
+    "multimodal_h264c_meta",
     "multimodal_h264dc_meta",
     "samp_reservoir",
     "pack_sequences",

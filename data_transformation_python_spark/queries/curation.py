@@ -1216,3 +1216,69 @@ def multimodal_adpcm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return payloads.mapInPandas(_batches, schema=schema)
+
+
+_H264C_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         18 + 2 * (doc_id % 8) AS w,
+         14 + 2 * (doc_id % 6) AS h,
+         1 + doc_id % 3 AS nf,
+         CASE doc_id % 5 WHEN 0 THEN 20 WHEN 1 THEN 26 WHEN 2 THEN 30
+                         WHEN 3 THEN 34 ELSE 40 END AS qp
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, nf, f.f, (p.p % w) AS x, (p.p // w) AS y
+  FROM dims,
+       unnest(generate_series(0, nf - 1)) AS f(f),
+       unnest(generate_series(0, w * h - 1)) AS p(p)),
+yuv AS (
+  SELECT doc_id,
+    CAST((doc_id * 9 + f * 13 + (x // 4) * 8 + (y // 4) * 24) % 256
+         AS DOUBLE) AS yy,
+    CAST(CASE (doc_id + f + (y // 16) + (x // 16)) % 3
+         WHEN 0 THEN 63 WHEN 1 THEN 128 ELSE 193 END AS DOUBLE) AS cb,
+    CAST(CASE (2 * doc_id + f + (y // 16) + (x // 16)) % 3
+         WHEN 0 THEN 63 WHEN 1 THEN 128 ELSE 193 END AS DOUBLE) AS cr
+  FROM px),
+rgb AS (
+  SELECT doc_id,
+    GREATEST(LEAST(floor(yy + 1.402 * (cr - 128.0) + 0.5), 255), 0) AS r,
+    GREATEST(LEAST(floor(yy - 0.344136 * (cb - 128.0)
+                            - 0.714136 * (cr - 128.0) + 0.5), 255), 0) AS g,
+    GREATEST(LEAST(floor(yy + 1.772 * (cb - 128.0) + 0.5), 255), 0) AS b
+  FROM yuv),
+sums AS (
+  SELECT doc_id, CAST(SUM(r) AS BIGINT) AS sum_r,
+         CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b
+  FROM rgb GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.qp AS BIGINT) AS qp,
+       CAST(d.nf * ((d.w + 15) // 16) * ((d.h + 15) // 16) AS BIGINT)
+         AS mb_count,
+       s.sum_r, s.sum_g, s.sum_b,
+       TRUE AS smaller_than_pcm
+FROM dims d JOIN sums s USING (doc_id)
+"""
+
+
+@query("multimodal_h264c_meta", oracle=_H264C_ORACLE)
+def multimodal_h264c_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM-CODED H.264 WITH COLOR — the first cbp != 0
+    macroblock type (Intra_16x16_2_1_0, operators/h264_codec.py):
+    everything the luma-DC gate exercises PLUS the 2x2 chroma-DC
+    residual path (nC == -1 coeff_token column of Table 9-5,
+    Table 9-9(a) total_zeros, §8.5.11 inverse 2x2 Hadamard + DC
+    scaling, Table 8-15 QPc mapping) through the closed quadrant
+    chroma prediction loop.  The fixture is exact-by-construction
+    (chroma stripes over {63,128,193}: residuals divisible by 65 at
+    every gate QPc), so the gate is pixel-exact per CHANNEL: the
+    oracle replays decoded R/G/B sums from the source formulas
+    through the decoder's own fixed-sequence IEEE YUV→RGB."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264c_metadata(mm.synth_h264c_table(docs))

@@ -238,3 +238,138 @@ def test_cavlc_decode_rejects_corruption_cleanly():
         except (ValueError, NotImplementedError):
             outcomes["clean_error"] += 1
     assert outcomes["ok"] + outcomes["clean_error"] == 2000
+
+
+# --- round-8: chroma-DC residual path (Intra_16x16_2_1_0) -------------------
+
+
+class TestChromaDC:
+    def test_chroma_tables_prefix_free_and_complete(self):
+        from data_transformation_python_spark.operators.h264_codec import (
+            _CT_NCM1,
+            _TOTAL_ZEROS_CDC,
+        )
+
+        def check(codes, tag):
+            assert all(
+                not (a != b and b.startswith(a)) for a in codes for b in codes
+            ), f"{tag} not prefix-free"
+            assert sum(2.0 ** -len(c) for c in codes) == 1.0, tag
+
+        # unlike the nC<2 column, the chroma-DC column and all three
+        # 2x2 total_zeros tables are COMPLETE prefix codes (Kraft
+        # sum exactly 1) — the strongest structural transcription
+        # check available without codec libs
+        check(list(_CT_NCM1.values()), "coeff_token nC=-1")
+        for tc, tab in _TOTAL_ZEROS_CDC.items():
+            check(list(tab.values()), f"total_zeros_cdc tc={tc}")
+
+    def test_chroma_block_roundtrip_fuzz(self):
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            _CT_NCM1,
+            _CT_NCM1_DEC,
+            _EgReader,
+            _EgWriter,
+            _TOTAL_ZEROS_CDC,
+            _TZ_CDC_DEC,
+            cavlc_decode_block,
+            cavlc_encode_block,
+        )
+
+        rng = np.random.default_rng(29)
+        for _ in range(600):
+            coeffs = [0] * 4
+            for p in rng.permutation(4)[: int(rng.integers(0, 5))]:
+                mag = int(rng.choice([1, 2, 5, 30, 300, 5000]))
+                coeffs[p] = mag * (1 if rng.integers(2) else -1)
+            bw = _EgWriter()
+            cavlc_encode_block(bw, coeffs, _CT_NCM1, _TOTAL_ZEROS_CDC, 4)
+            bw.align_zero()
+            got = cavlc_decode_block(
+                _EgReader(bw.tobytes()), _CT_NCM1_DEC, _TZ_CDC_DEC, 4
+            )
+            assert got == coeffs, (coeffs, got)
+
+    def test_qpc_mapping_table(self):
+        from data_transformation_python_spark.operators.h264_codec import (
+            _chroma_qpc,
+        )
+
+        assert [_chroma_qpc(q) for q in (0, 29, 30, 33, 37, 39, 43, 51)] == [
+            0, 29, 29, 32, 34, 35, 37, 39,
+        ]
+
+    def test_color_frame_roundtrip_exact_on_designed_fixture(self):
+        """Block-constant YUV content with stripe-structured chroma
+        round-trips EXACTLY through the full cbp=1 chain at every gate
+        qp — the property the multimodal_h264c_meta oracle relies on."""
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            _i16cdc_slice_rbsp,
+        )
+
+        pal = np.array([63, 128, 193], np.int64)
+        rng = np.random.default_rng(31)
+        for qp in (20, 26, 30, 34, 40):
+            mbw, mbh = 3, 2
+            y = np.zeros((mbh * 16, mbw * 16), np.uint8)
+            for by in range(0, mbh * 16, 4):
+                for bx in range(0, mbw * 16, 4):
+                    y[by : by + 4, bx : bx + 4] = rng.integers(0, 32) * 8
+            cy, cx = np.meshgrid(
+                np.arange(mbh * 8) // 8, np.arange(mbw * 8) // 8, indexing="ij"
+            )
+            cb = pal[(cy + cx) % 3].astype(np.uint8)
+            cr = pal[(cy + cx + 1) % 3].astype(np.uint8)
+            _, ry, rcb, rcr = _i16cdc_slice_rbsp(y, cb, cr, qp, 0)
+            assert np.array_equal(ry, y)
+            assert np.array_equal(rcb, cb), qp
+            assert np.array_equal(rcr, cr), qp
+
+    def test_color_roundtrip_psnr_and_pcm_comparison(self):
+        """Arbitrary colour content: the cbp=1 stream must decode with
+        bounded chroma error on 8x8-constant colour and stay smaller
+        than I_PCM; luma-AC-and-above mb_types still rejected."""
+        import numpy as np
+        import pytest
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            annexb,
+            h264_decode_frame,
+            h264_encode_frame,
+            h264_encode_frame_i16cdc,
+            split_annexb,
+        )
+
+        rng = np.random.default_rng(37)
+        rgb = np.zeros((24, 40, 3), np.uint8)
+        for by in range(0, 24, 8):
+            for bx in range(0, 40, 8):
+                rgb[by : by + 8, bx : bx + 8] = rng.integers(0, 256, 3)
+        nals = h264_encode_frame_i16cdc(rgb, qp=26)
+        dec = h264_decode_frame(nals)
+        err = np.abs(dec.astype(int) - rgb.astype(int))
+        # the only loss on 8x8-constant colour is RGB<->YUV rounding
+        assert err.max() <= 1, err.max()
+        assert len(annexb(nals)) < len(annexb(h264_encode_frame(rgb)))
+        # a cbp_chroma=2 (chroma AC) macroblock must still fail loudly
+        from data_transformation_python_spark.operators.h264_codec import (
+            _EgReader,
+            _EgWriter,
+            _nal,
+            _pps_rbsp,
+            _sps_rbsp,
+        )
+
+        bw = _EgWriter()
+        bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+        bw.u(0, 1); bw.u(0, 1); bw.se(0); bw.ue(1)
+        bw.ue(11)  # I_16x16_2_2_0: cbp_chroma == 2
+        bw.rbsp_trailing()
+        bad = [_nal(7, _sps_rbsp(16, 16)), _nal(8, _pps_rbsp()),
+               _nal(5, bw.tobytes())]
+        with pytest.raises(NotImplementedError):
+            h264_decode_frame(bad)
