@@ -9,6 +9,8 @@ integer counts so results are engine-portable for oracle checks.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -627,3 +629,197 @@ def quality_classifier(
         .alias("mean_token_weight"),
         (F.col("logit_sum") > 0).alias("quality_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016) — the tokenizer-TRAINING
+# operator: learn the first k byte-pair merges from the corpus.  The
+# industrial shape: the only corpus-sized work is ONE word-histogram
+# shuffle (map-side combined); every iteration after that runs on the
+# VOCABULARY-sized state (word, count, symbol array) — pair counting
+# is a vocab-sized map-side-combined aggregate, the argmax is a
+# control-plane row, and the merge application is a narrow map.  At
+# 100 TB the corpus is touched once; the k-step loop costs k small
+# jobs over millions of vocab rows, not the corpus.
+#
+# Greedy-left merge semantics (the BPE standard) are implemented
+# DECLARATIVELY so the oracle replays them bit-exactly: candidate
+# positions (s[j]=x, s[j+1]=y) are resolved with the gaps-and-islands
+# window trick — within each run of consecutive candidates, keep the
+# 0th, 2nd, 4th... — which equals left-to-right scanning ("a a a"
+# merges to "aa a", never "a aa").  Ties in pair counts break on
+# (count DESC, left, right): fully deterministic.
+# ---------------------------------------------------------------------------
+_BPE_VIEW_SEQ = itertools.count()
+
+
+def bpe_charsplit_expr(col: str, dialect: str) -> str:
+    """Symbol initialization: one single-character symbol per char."""
+    if dialect == "spark":
+        return f"transform(sequence(1, length({col})), i -> substr({col}, i, 1))"
+    return f"list_transform(generate_series(1, length({col})), i -> {col}[i])"
+
+
+def bpe_pair_count_sql(source_sql: str, dialect: str) -> str:
+    """Pair-count + argmax over a (word, cnt, syms) relation — ONE row
+    (a, b, c).  slice/generate_series yields an empty position list
+    for single-symbol words on both engines (Spark's sequence() would
+    run DESCENDING for size 1 — hence the slice form)."""
+    if dialect == "spark":
+        pos = (
+            "LATERAL VIEW explode(slice(sequence(0, size(syms)), 1,"
+            " greatest(size(syms) - 1, 0))) t AS j"
+        )
+        a, b = "syms[j]", "syms[j + 1]"
+        src = f"({source_sql}) {pos}"
+    else:
+        src = (
+            f"({source_sql}),"
+            " unnest(generate_series(1, len(syms) - 1)) AS t(j)"
+        )
+        a, b = "syms[j]", "syms[j + 1]"
+    return (
+        f"SELECT {a} AS a, {b} AS b, CAST(SUM(cnt) AS BIGINT) AS c\n"
+        f"FROM {src}\nGROUP BY 1, 2\nORDER BY c DESC, a, b\nLIMIT 1"
+    )
+
+
+def bpe_merge_apply_sql(
+    source_sql: str, dialect: str, x_sql: str, y_sql: str
+) -> str:
+    """Apply ONE merge (x, y) -> xy to a (word, cnt, syms) relation
+    with greedy-left overlap resolution (gaps-and-islands over
+    candidate positions).  ``x_sql``/``y_sql`` are SQL expressions —
+    quoted literals on the Spark side, scalar subqueries in the
+    unrolled oracle."""
+    if dialect == "spark":
+        pos = "LATERAL VIEW explode(sequence(0, size(syms) - 1)) t AS j"
+        src = f"({source_sql}) {pos}"
+        last = "size(syms) - 1"
+        rebuild = (
+            "filter(transform(array_sort(collect_list(struct(j, sym))),"
+            " s -> s.sym), v -> v IS NOT NULL)"
+        )
+    else:
+        src = (
+            f"({source_sql}),"
+            " unnest(generate_series(1, len(syms))) AS t(j)"
+        )
+        last = "len(syms)"
+        rebuild = "list(sym ORDER BY j) FILTER (WHERE sym IS NOT NULL)"
+    return f"""
+WITH __e AS (
+  SELECT word, cnt, j, syms[j] AS sj, syms[j + 1] AS sj1,
+         CASE WHEN j < {last} AND syms[j] = {x_sql}
+                   AND syms[j + 1] = {y_sql} THEN 1 ELSE 0 END AS cand
+  FROM {src}),
+__i1 AS (
+  SELECT *, CASE WHEN cand = 1 THEN j - ROW_NUMBER() OVER
+         (PARTITION BY word, cand ORDER BY j) END AS isl
+  FROM __e),
+__i2 AS (
+  SELECT *, CASE WHEN cand = 1 AND (j - MIN(j) OVER
+         (PARTITION BY word, isl)) % 2 = 0 THEN 1 ELSE 0 END AS keep
+  FROM __i1),
+__i3 AS (
+  SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY j), 0)
+         AS covered
+  FROM __i2),
+__m AS (
+  SELECT word, cnt, j,
+         CASE WHEN keep = 1 THEN sj || sj1
+              WHEN covered = 1 THEN NULL ELSE sj END AS sym
+  FROM __i3)
+SELECT word, cnt, {rebuild} AS syms
+FROM __m GROUP BY word, cnt
+"""
+
+
+def bpe_learn(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges from the corpus; returns the
+    control-plane merge table (step, left_sym, right_sym, merged,
+    pair_count) — k rows, the artifact a tokenizer trainer ships.
+
+    One corpus shuffle (the word histogram), then k vocab-sized
+    iterations, each materialized (localCheckpoint) so the plan stays
+    flat instead of growing 4^k by CTE inlining.  The per-step argmax
+    is a 1-row collect — control-plane, exactly like k-means
+    centroids.  Temp view names are per-invocation unique (parallel
+    DAG levels share one session)."""
+    spark = df.sparkSession
+    from .transform import materialize
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cur = words.select(
+        "word", "cnt", F.expr(bpe_charsplit_expr("word", "spark")).alias("syms")
+    )
+    view = f"__bpe_cur_{next(_BPE_VIEW_SEQ)}"
+    merges: list[tuple] = []
+    try:
+        for step in range(k):
+            cur = materialize(cur)
+            cur.createOrReplaceTempView(view)
+            best = spark.sql(
+                bpe_pair_count_sql(f"SELECT * FROM {view}", "spark")
+            ).collect()
+            if not best or best[0]["c"] is None:
+                break
+            x, y, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+            merges.append((step, x, y, x + y, c))
+            xq, yq = x.replace("'", "''"), y.replace("'", "''")
+            cur = spark.sql(
+                bpe_merge_apply_sql(
+                    f"SELECT * FROM {view}", "spark", f"'{xq}'", f"'{yq}'"
+                )
+            )
+    finally:
+        spark.catalog.dropTempView(view)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def bpe_learn_oracle_sql(k: int = 8) -> str:
+    """The DuckDB twin: the SAME stage SQL (other dialect) unrolled
+    into one query — s0 → (pair count, argmax, merge apply) × k —
+    with each step's argmax surfaced through scalar subqueries and
+    the merge table assembled by UNION ALL."""
+    parts = [
+        "WITH w0 AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
+        " WHERE t <> '' GROUP BY 1),",
+        "s0 AS (SELECT word, cnt, "
+        + bpe_charsplit_expr("word", "duckdb")
+        + " AS syms FROM w0)",
+    ]
+    for i in range(k):
+        pair = bpe_pair_count_sql(f"SELECT * FROM s{i}", "duckdb")
+        # MATERIALIZED is load-bearing: each b{i} is referenced three
+        # times and each s{i} twice — default CTE inlining would grow
+        # the plan ~4^k (measured: k=8 never finishes)
+        parts.append(
+            f",b{i} AS MATERIALIZED ({pair})"
+        )
+        merge = bpe_merge_apply_sql(
+            f"SELECT * FROM s{i}",
+            "duckdb",
+            f"(SELECT a FROM b{i})",
+            f"(SELECT b FROM b{i})",
+        ).strip()
+        # the stage body is itself a WITH query nested inside the CTE
+        parts.append(f",s{i + 1} AS MATERIALIZED ({merge})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, c AS pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return "\n".join(parts) + "\n" + union + "\nORDER BY step"

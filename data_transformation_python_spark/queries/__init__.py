@@ -127,6 +127,7 @@ _PRIORITY: list[str] = [
     "sketch_kmv_overlap",
     "sketch_mg_heavyhitters",
     "sim_sq8_topk",
+    "text_bpe_learn",
     "dedup_editdist_verify",
     "q_stream_ann_route",
     "q_stream_pq_serve",

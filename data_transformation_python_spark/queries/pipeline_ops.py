@@ -1230,3 +1230,22 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle — only the per-query top-k window moves rows."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.sq8_topk(emb, query_ids=range(10), k=5)
+
+
+# --------------------------------------------------------------------------
+# text: BPE merge LEARNING — the tokenizer-training operator.  One
+# corpus shuffle (word histogram), then k vocabulary-sized iterations;
+# greedy-left merge semantics replay declaratively (gaps-and-islands)
+# so the learned merge table is bit-exact against the unrolled oracle.
+# --------------------------------------------------------------------------
+@query("text_bpe_learn", oracle=tx.bpe_learn_oracle_sql(8))
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus
+    (operators/text.py bpe_learn): the merge table (step, pair,
+    count) a tokenizer trainer ships.  Corpus-sized work is ONE
+    map-side-combined word-histogram shuffle; each iteration's pair
+    count + argmax + merge application runs on the vocab-sized symbol
+    state, materialized per step so the plan stays flat.  Tie-breaks
+    on (count DESC, left, right) make every step deterministic; the
+    DuckDB twin unrolls the same stage SQL with MATERIALIZED CTEs."""
+    return tx.bpe_learn(load(spark, sf_dir, "documents"), k=8)

@@ -361,3 +361,37 @@ def test_editdist_verify_boundary_and_broadcast_shape(spark):
     # corpus never shuffles or broadcasts (no sort-merge fallback)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     assert "BuildLeft" in plan and "BuildRight" in plan, plan
+
+
+def test_bpe_learn_semantics_greedy_left_ties_and_exhaustion(spark):
+    """BPE merge learning: (1) counts weighted by word frequency pick
+    the right first merge; (2) greedy-left overlap resolution inside
+    runs ('aaa' yields one 'aa' pair occurrence, not two); (3) learned
+    merges compose into multi-character symbols; (4) ties break on
+    (count DESC, left, right); (5) the loop stops early when no pairs
+    remain."""
+    from data_transformation_python_spark.operators.text import bpe_learn
+
+    # corpus: 'abab' x3, 'aaa' x2, 'cd' x2  (space-tokenized words)
+    docs = spark.createDataFrame(
+        [("abab abab abab aaa aaa cd cd",)], "text string"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_learn(docs, k=10).collect()
+    ]
+    # pair COUNTING follows the BPE standard (subword-nmt get_stats):
+    # overlapping occurrences both count — 'aaa' yields (a,a) twice.
+    # step 0: (a,b)=6 from abab x3; (a,a)=2x2=4; (b,a)=3; (c,d)=2
+    assert got[0] == (0, "a", "b", "ab", 6), got
+    # step 1: abab->[ab,ab] x3 gives (ab,ab)=3; (a,a)=4 wins
+    assert got[1] == (1, "a", "a", "aa", 4), got
+    # step 2: merge APPLICATION was greedy-left: aaa -> [aa, a] (one
+    # occurrence, never [a, aa] or double-merge) -> (aa,a)=2;
+    # (ab,ab)=3 wins
+    assert got[2] == (2, "ab", "ab", "abab", 3), got
+    # step 3: tie (aa,a)=2 vs (c,d)=2 -> lexicographic: 'aa' < 'c'
+    assert got[3] == (3, "aa", "a", "aaa", 2), got
+    assert got[4] == (4, "c", "d", "cd", 2), got
+    # all words are single symbols now: loop must stop early
+    assert len(got) == 5, got
