@@ -1029,3 +1029,104 @@ def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {target}")
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming Misra-Gries heavy hitters: log-structured like the CMS and
+# HLL maintenance gates — each micro-batch appends its map-side-
+# combined (item, partial_count) cells; the merge at read time is a
+# plain SUM (batch-split INVARIANT, so the served summary is
+# bit-identical to a batch build — unlike merging per-batch
+# θ-compressions, whose error would depend on micro-batch boundaries);
+# the MG θ-compression is the SERVING view over the summed counts.
+# --------------------------------------------------------------------------
+_STREAM_MG_ORACLE = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS item,
+                  CAST(COUNT(*) AS BIGINT) AS w
+           FROM events GROUP BY 1),
+topc AS (SELECT * FROM c ORDER BY w DESC, item LIMIT 33),
+th AS (SELECT CAST(CASE WHEN COUNT(*) = 33 THEN MIN(w) ELSE 0 END AS BIGINT)
+         AS th FROM topc),
+sm AS (SELECT item, CAST(w - th AS BIGINT) AS w, th AS theta
+       FROM topc, th WHERE w > th),
+top10 AS (SELECT * FROM sm ORDER BY w DESC, item LIMIT 10)
+SELECT s.item, s.w, s.theta, e.w AS exact_cnt,
+       CAST(CASE WHEN e.w >= s.w THEN 1 ELSE 0 END AS BIGINT) AS lower_ok,
+       CAST(CASE WHEN e.w <= s.w + s.theta THEN 1 ELSE 0 END AS BIGINT)
+         AS upper_ok
+FROM top10 s JOIN c e ON e.item = s.item
+"""
+
+
+@query("q_stream_mg_merge", oracle=_STREAM_MG_ORACLE)
+def q_stream_mg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users over the event stream: every micro-batch
+    appends its own map-side-combined (item, count) partials to a
+    catalog table; the live summary is SUM-merge + MG θ-compression
+    (operators/sketch.py _mg_compress) at read time.  SUM is
+    batch-split invariant, so the served top-10 — weights, θ, bounds
+    — replays bit-exactly against the batch oracle no matter how the
+    trigger carved micro-batches (appending per-batch θ-compressions
+    instead would bound per-batch state by k but make θ depend on
+    batch boundaries; documented trade-off)."""
+    import tempfile
+
+    from ..operators import sketch as sk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    target = f"stream_mg_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {target} (item STRING, w BIGINT) USING parquet")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+            .write.insertInto(target)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dtps_stream_mg_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    counts = (
+        spark.table(target)
+        .groupBy("item")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    top10 = (
+        sk._mg_compress(counts, k=32)
+        .orderBy(F.col("w").desc(), F.col("item"))
+        .limit(10)
+    )
+    out = (
+        F.broadcast(top10)
+        .join(counts.withColumnRenamed("w", "exact_cnt"), "item")
+        .select(
+            "item",
+            "w",
+            "theta",
+            "exact_cnt",
+            F.when(F.col("exact_cnt") >= F.col("w"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("lower_ok"),
+            F.when(
+                F.col("exact_cnt") <= F.col("w") + F.col("theta"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("upper_ok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    return out
