@@ -390,6 +390,55 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 exact_threshold=2000,
             ),
         ),
+        (
+            # LSH recall -> exact levenshtein confirm: the quadratic
+            # per-pair cost is bounded by the band-join candidate
+            # count, so corpus scaling should track the candidate
+            # count, not n^2
+            "dedup_editdist_verify",
+            lambda: dd.editdist_verify(
+                docs,
+                dd.minhash_lsh_candidates(docs),
+                max_rel_dist_pct=20,
+            ),
+        ),
+        (
+            # mergeable heavy hitters over the corpus bigram stream:
+            # one map-side-combined count shuffle + TakeOrdered — the
+            # cost profile of a plain count, whatever the corpus
+            "sketch_mg_heavyhitters",
+            lambda: __import__(
+                "data_transformation_python_spark.operators.sketch",
+                fromlist=["mg_build"],
+            ).mg_build(
+                docs.select(
+                    F.split(F.col("text"), " ").alias("__t")
+                )
+                .filter(F.size("__t") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(__t) - 2),"
+                            " i -> concat_ws(' ', __t[i], __t[i + 1]))"
+                        )
+                    ).alias("item")
+                ),
+                "item",
+                k=32,
+            ),
+        ),
+        (
+            # SQ8 serving at corpus scale: d-group calibration
+            # broadcast + coded-corpus stream; no corpus shuffle
+            "sim_sq8_topk",
+            lambda: sim.sq8_topk(emb, query_ids=range(10), k=5),
+        ),
+        (
+            # BPE training: corpus work is ONE word histogram; the
+            # 4 merge iterations run on vocab-sized state
+            "text_bpe_learn",
+            lambda: tx.bpe_learn(docs, k=4),
+        ),
     ]
 
 

@@ -1606,3 +1606,113 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sq8_d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (sign bits) + Hamming shortlist + exact rerank —
+# the 1-bit rung of the quantization ladder (below SQ8 and PQ):
+# 32x compression, candidate generation by popcount over packed words
+# (whole-stage-codegen bit ops, no floats), then exact cosine rerank
+# of the tiny shortlist.  Sign bits are packed into 32-bit halves
+# carried in BIGINTs (the Bloom-filter chunk pattern) so no engine
+# needs wrapping 2^63 arithmetic; hamming = bit_count(xor) summed
+# over the two halves replays bit-exactly in SQL.
+# ---------------------------------------------------------------------------
+def _bq_word_expr(lo: int, hi: int) -> str:
+    """Packed sign word for dimensions [lo, hi): bit (d-lo) set iff
+    quantized component d is positive."""
+    return (
+        f"aggregate(sequence({lo}, {hi - 1}),"
+        " CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc + CASE WHEN __v[i] > 0 THEN"
+        f" CAST(shiftleft(CAST(1 AS BIGINT), i - {lo}) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def bq_encode(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, sig_lo, sig_hi): 64 sign bits in two 32-bit halves — the
+    stored serving state, 8 bytes per vector.  A pure narrow map."""
+    dim = _probe_dim(df, vec_col)
+    if dim > 64:
+        raise ValueError("bq_encode packs at most 64 dimensions")
+    half = min(32, dim)
+    qn = quantized(df, vec_col, id_col)
+    return qn.select(
+        id_col,
+        F.expr(_bq_word_expr(0, half)).alias("sig_lo"),
+        (
+            F.expr(_bq_word_expr(half, dim)) if dim > half else F.lit(0).cast("bigint")
+        ).alias("sig_hi"),
+    )
+
+
+def bq_hamming_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    shortlist: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage serving: Hamming shortlist over packed sign words
+    (broadcast queries × streamed 8-byte codes, popcount only), then
+    exact integer-cosine rerank of the ≤ shortlist rows per query.
+    The corpus never shuffles; float work is confined to the
+    shortlist.  Output: (query_id, neighbor_id, hamming, cosine_sim,
+    rank), ranks by (cosine DESC, neighbor_id)."""
+    query_ids = list(query_ids)
+    qn = quantized(df, vec_col, id_col)
+    sigs = bq_encode(df, vec_col, id_col)
+    q_sigs = sigs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sig_lo").alias("__qlo"),
+        F.col("sig_hi").alias("__qhi"),
+    )
+    ham = (
+        sigs.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q_sigs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(sig_lo ^ __qlo)"
+                " + bit_count(sig_hi ^ __qhi) AS BIGINT)"
+            ),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    short = (
+        ham.withColumn("__sr", F.row_number().over(w_short))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    corpus = qn.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+    queries = qn.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qn"),
+    )
+    scored = (
+        F.broadcast(short)
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.expr(DOT_EXPR.format(a="__qv", b="__cv"))
+            / F.sqrt(F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
+    )

@@ -128,6 +128,8 @@ _PRIORITY: list[str] = [
     "sketch_mg_heavyhitters",
     "sim_sq8_topk",
     "text_bpe_learn",
+    "q_stream_mg_merge",
+    "sim_bq_hamming_topk",
     "dedup_editdist_verify",
     "q_stream_ann_route",
     "q_stream_pq_serve",

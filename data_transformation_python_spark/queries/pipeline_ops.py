@@ -1249,3 +1249,58 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (count DESC, left, right) make every step deterministic; the
     DuckDB twin unrolls the same stage SQL with MATERIALIZED CTEs."""
     return tx.bpe_learn(load(spark, sf_dir, "documents"), k=8)
+
+
+# --------------------------------------------------------------------------
+# similarity serving: binary quantization — the 1-bit rung of the
+# quantization ladder (32x compression): popcount Hamming shortlist
+# over packed sign words, exact integer-cosine rerank of the
+# shortlist.  Sign packing, hamming, shortlist, and rerank all replay
+# bit-exactly (the packed halves are plain BIGINT sums).
+# --------------------------------------------------------------------------
+_BQ_ORACLE = """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM q),
+sig AS (SELECT vec_id,
+  CAST(list_sum(list_transform(generate_series(1, 32),
+       i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+  CAST(list_sum(list_transform(generate_series(33, 64),
+       i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 33)
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+  FROM q),
+qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 10),
+ham AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         CAST(bit_count(xor(s.lo, qlo)) + bit_count(xor(s.hi, qhi)) AS BIGINT)
+           AS hamming
+  FROM qs CROSS JOIN sig s WHERE s.vec_id <> query_id),
+short AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id) AS sr
+    FROM ham) t WHERE sr <= 20),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.hamming,
+         list_dot_product(qv.v, nv.v) / sqrt(qv.nrm * nv.nrm) AS cosine_sim
+  FROM short c
+  JOIN n qv ON qv.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, hamming, cosine_sim, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_bq_hamming_topk", oracle=_BQ_ORACLE)
+def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized serving (operators/similarity.py bq_encode /
+    bq_hamming_topk): 64 sign bits per vector in two 32-bit halves
+    (8 bytes — 32x under float32), Hamming shortlist by
+    whole-stage-codegen popcount with NO corpus shuffle, exact
+    integer-cosine rerank confined to ≤ 20 rows per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.bq_hamming_topk(emb, query_ids=range(10), k=5, shortlist=20)

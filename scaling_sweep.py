@@ -45,6 +45,13 @@ ENTRIES = [
     # round 8b: the HLL register build — constant-output MAX shuffle,
     # should be flat-to-linear in corpus size
     "sketch_hll_tokens",
+    # round 8c: the newest plans — candidate-bounded levenshtein
+    # confirm, the MG count-shuffle, SQ8 broadcast serving, and the
+    # vocab-iteration BPE trainer; all should be ≲ linear
+    "dedup_editdist_verify",
+    "sketch_mg_heavyhitters",
+    "sim_sq8_topk",
+    "text_bpe_learn",
 ]
 
 

@@ -481,3 +481,37 @@ def test_sq8_codes_bounds_recon_error_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan[:1200]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bq_packing_hamming_recall_and_plan(spark):
+    """Binary quantization: packed halves reproduce per-dimension
+    signs; identical vectors have hamming 0 and opposite-sign vectors
+    hamming = dim; serving finds the exact nearest neighbor on a
+    well-separated fixture; shortlist stage never shuffles the
+    corpus."""
+    import pyspark.sql.functions as F
+
+    from data_transformation_python_spark.operators import similarity as sim
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    rows = [
+        (0, base),
+        (1, [v * -1.0 for v in base]),              # antipode: hamming 64
+        (2, [v + 0.01 for v in base]),              # same signs: hamming 0
+        (3, [(-v if i < 4 else v) + 0.002 * i for i, v in enumerate(base)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sigs = {r["vec_id"]: (r["sig_lo"], r["sig_hi"]) for r in sim.bq_encode(df).collect()}
+    # recompute signs from the packed words
+    for vid, vec in rows:
+        lo, hi = sigs[vid]
+        for i, v in enumerate(vec):
+            bit = (lo >> i) & 1 if i < 32 else (hi >> (i - 32)) & 1
+            assert bit == (1 if round(v * 1000) > 0 else 0), (vid, i)
+
+    out = sim.bq_hamming_topk(df, query_ids=[0], k=3, shortlist=3)
+    got = {r["neighbor_id"]: (r["hamming"], r["rank"]) for r in out.collect()}
+    assert got[2][0] == 0 and got[2][1] == 1, got       # sign-identical wins
+    assert got[1][0] == 64, got                          # antipode distance
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:1200]
