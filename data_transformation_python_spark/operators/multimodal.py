@@ -1723,11 +1723,16 @@ def _codec_min_psnr(codec: str, doc_id: int) -> float:
             np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
             for f in range(len(decs))
         ]
-    elif codec == "h264dc":
+    elif codec in ("h264dc", "h264ac"):
         from .h264_codec import h264_decode_frame, split_annexb
 
         w, h, nf, _qp = _h264dc_dims(doc_id)
-        nals = split_annexb(_write_h264dc_probe(doc_id))
+        payload = (
+            _write_h264ac_probe(doc_id)
+            if codec == "h264ac"
+            else _write_h264dc_probe(doc_id)
+        )
+        nals = split_annexb(payload)
         decs = [h264_decode_frame(nals[3 * f : 3 * f + 3]) for f in range(nf)]
         srcs = [
             np.stack([_h264dc_probe_gray(doc_id, f, w, h)] * 3, axis=-1)
@@ -1765,7 +1770,8 @@ def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
 
     probes = spark.range(n_ids).selectExpr("id AS doc_id").crossJoin(
         spark.createDataFrame(
-            [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",), ("h264dc",)],
+            [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",), ("h264dc",),
+             ("h264ac",)],
             "codec string",
         )
     )
@@ -2470,3 +2476,26 @@ def h264c_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=H264C_META_SCHEMA)
+
+
+def _write_h264ac_probe(doc_id: int) -> bytes:
+    """Probe stream for the pinned-PSNR gate over the luma-AC path
+    (Intra_16x16_2_1_1, single-coefficient subset): SAME detail
+    content as the h264dc probe, so the pinned h264ac constants are
+    directly comparable — the AC coefficient captures part of the
+    per-pixel detail the DC-only path must discard, and the gate's
+    per-id constants pin exactly how much."""
+    import numpy as np
+
+    from .h264_codec import annexb, h264_encode_frame_i16ac
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        g = _h264dc_probe_gray(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16ac(
+                np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
+            )
+        )
+    return annexb(nals)

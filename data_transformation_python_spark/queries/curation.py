@@ -1001,19 +1001,33 @@ FROM (VALUES
   ('h264dc', 32, 999), ('h264dc', 33, 16), ('h264dc', 34, 18), ('h264dc', 35, 22),
   ('h264dc', 36, 21), ('h264dc', 37, 43), ('h264dc', 38, 42), ('h264dc', 39, 40),
   ('h264dc', 40, 39), ('h264dc', 41, 38), ('h264dc', 42, 38), ('h264dc', 43, 37),
-  ('h264dc', 44, 36), ('h264dc', 45, 36), ('h264dc', 46, 35), ('h264dc', 47, 18)
+  ('h264dc', 44, 36), ('h264dc', 45, 36), ('h264dc', 46, 35), ('h264dc', 47, 18),
+  ('h264ac', 0, 999), ('h264ac', 1, 51), ('h264ac', 2, 49), ('h264ac', 3, 46),
+  ('h264ac', 4, 45), ('h264ac', 5, 44), ('h264ac', 6, 42), ('h264ac', 7, 40),
+  ('h264ac', 8, 39), ('h264ac', 9, 38), ('h264ac', 10, 39), ('h264ac', 11, 23),
+  ('h264ac', 12, 36), ('h264ac', 13, 36), ('h264ac', 14, 18), ('h264ac', 15, 36),
+  ('h264ac', 16, 999), ('h264ac', 17, 51), ('h264ac', 18, 49), ('h264ac', 19, 46),
+  ('h264ac', 20, 18), ('h264ac', 21, 25), ('h264ac', 22, 20), ('h264ac', 23, 20),
+  ('h264ac', 24, 39), ('h264ac', 25, 16), ('h264ac', 26, 17), ('h264ac', 27, 16),
+  ('h264ac', 28, 18), ('h264ac', 29, 17), ('h264ac', 30, 18), ('h264ac', 31, 18),
+  ('h264ac', 32, 999), ('h264ac', 33, 25), ('h264ac', 34, 22), ('h264ac', 35, 24),
+  ('h264ac', 36, 23), ('h264ac', 37, 43), ('h264ac', 38, 42), ('h264ac', 39, 40),
+  ('h264ac', 40, 41), ('h264ac', 41, 38), ('h264ac', 42, 38), ('h264ac', 43, 37),
+  ('h264ac', 44, 36), ('h264ac', 45, 37), ('h264ac', 46, 37), ('h264ac', 47, 20)
 ) AS t(codec, doc_id, psnr_fl)
 """
 
 
 @query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
 def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-sensitive fidelity gate over all five lossy codecs
+    """Hash-sensitive fidelity gate over all six lossy codecs
     (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video, IMA ADPCM
-    audio — SNR dB for the audio clip — and the H.264 Intra_16x16
-    luma-DC transform path): floor of the minimum per-frame PSNR for
-    48 fixed probe ids per codec, compared against constants pinned
-    at codec-freeze time."""
+    audio — SNR dB for the audio clip — the H.264 Intra_16x16 luma-DC
+    transform path, and the round-8 luma-AC path h264ac, whose pinned
+    constants are >= the h264dc ones on every probe id: the single AC
+    coefficient must only ever ADD detail): floor of the minimum
+    per-frame PSNR for 48 fixed probe ids per codec, compared against
+    constants pinned at codec-freeze time."""
     from ..operators import multimodal as mm
 
     return mm.codec_psnr_probe(spark, n_ids=48)

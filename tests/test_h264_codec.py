@@ -373,3 +373,126 @@ class TestChromaDC:
                _nal(5, bw.tobytes())]
         with pytest.raises(NotImplementedError):
             h264_decode_frame(bad)
+
+
+# --- round-8: luma-AC residual path (Intra_16x16_2_1_1) ---------------------
+
+
+class TestLumaAC:
+    def test_transform_quant_chain_accuracy_tracks_qp(self):
+        """The full X -> Cf -> quantize -> LevelScale dequant ->
+        inverse-transform -> >>6 chain must be near-lossless at tiny
+        qp and degrade monotonically-in-class as qp grows."""
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            _ac_dequant,
+            _fwd_transform4x4,
+            _inv_transform4x4,
+            _mf4x4,
+        )
+
+        rng = np.random.default_rng(41)
+        max_err = {}
+        for qp in (4, 10, 20, 30, 40):
+            e = qp // 6
+            mf = _mf4x4(qp % 6)
+            fq = (1 << (15 + e)) // 3
+            worst = 0
+            for _ in range(150):
+                x = rng.integers(-80, 80, (4, 4)).astype(np.int64)
+                w = _fwd_transform4x4(x)
+                c = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+                xr = (_inv_transform4x4(_ac_dequant(c, qp)) + 32) >> 6
+                worst = max(worst, int(np.abs(xr - x).max()))
+            max_err[qp] = worst
+        assert max_err[4] <= 1, max_err
+        assert max_err[10] <= 3, max_err
+        assert max_err[40] >= max_err[10], max_err
+
+    def test_blk_scan_is_z_order(self):
+        from data_transformation_python_spark.operators.h264_codec import (
+            _BLK_SCAN,
+        )
+
+        assert _BLK_SCAN[:8] == [
+            (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+        ]
+        assert sorted(_BLK_SCAN) == [(x, y) for x in range(4) for y in range(4)]
+
+    def test_ac_beats_dc_on_gradient_and_roundtrip_is_deterministic(self):
+        import numpy as np
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            h264_decode_frame,
+            h264_encode_frame_i16ac,
+            h264_encode_frame_i16cdc,
+        )
+
+        h, w = 32, 48
+        x = np.arange(w)[None, :]
+        g = (((x * 5) + 0 * np.arange(h)[:, None]) % 256).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=-1)
+
+        def psnr(d):
+            mse = ((d.astype(float) - rgb.astype(float)) ** 2).mean()
+            return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+        ac = h264_decode_frame(h264_encode_frame_i16ac(rgb, qp=26))
+        dc = h264_decode_frame(h264_encode_frame_i16cdc(rgb, qp=26))
+        assert psnr(ac) > psnr(dc) + 5, (psnr(ac), psnr(dc))
+        ac2 = h264_decode_frame(h264_encode_frame_i16ac(rgb, qp=26))
+        assert np.array_equal(ac, ac2)
+
+    def test_single_ac_constraint_keeps_nc_below_2_and_decoder_enforces(self):
+        """Every encoded AC block carries <= 1 coefficient, so nC <= 1
+        everywhere (the conformance envelope of the implemented
+        table); a hand-built stream that would need nC >= 2 is
+        rejected loudly."""
+        import numpy as np
+        import pytest
+
+        from data_transformation_python_spark.operators.h264_codec import (
+            _EgReader,
+            _EgWriter,
+            _nal,
+            _pps_rbsp,
+            _sps_rbsp,
+            cavlc_encode_block,
+            h264_decode_frame,
+            split_annexb,
+            h264_encode_frame_i16ac,
+        )
+
+        rng = np.random.default_rng(43)
+        rgb = rng.integers(0, 256, (34, 50, 3)).astype(np.uint8)
+        nals = h264_encode_frame_i16ac(rgb, qp=20)
+        h264_decode_frame(nals)  # random content decodes fine
+
+        # adversarial stream: one MB whose first two AC blocks carry
+        # 2 coefficients each -> block 3 (right of blk 1, below blk 0
+        # ... z-scan neighbors) derives nC = 2 -> must be rejected
+        bw = _EgWriter()
+        bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+        bw.u(0, 1); bw.u(0, 1); bw.se(0); bw.ue(1)
+        bw.ue(19)   # I_16x16_2_1_1
+        bw.ue(0)    # chroma pred DC
+        bw.se(0)    # mb_qp_delta
+        cavlc_encode_block(bw, [0] * 16)          # luma DC: empty
+        two = [3, 1] + [0] * 13
+        cavlc_encode_block(bw, two, max_coeff=15)  # blk 0: 2 coeffs
+        cavlc_encode_block(bw, two, max_coeff=15)  # blk 1: 2 coeffs
+        cavlc_encode_block(bw, [0] * 15, max_coeff=15)  # blk 2
+        # blk 3 has left=blk2? no: z-scan blk3 is at (1,1): left =
+        # (0,1)=blk2 (tc 0), top = (1,0)=blk1 (tc 2) -> nC=(0+2+1)>>1=1
+        # ... keep writing blocks with 2 coeffs until one derives >= 2
+        for _ in range(13):
+            cavlc_encode_block(bw, two, max_coeff=15)
+        bw.rbsp_trailing()
+        bad = [
+            _nal(7, _sps_rbsp(16, 16)),
+            _nal(8, _pps_rbsp()),
+            _nal(5, bw.tobytes()),
+        ]
+        with pytest.raises(NotImplementedError, match="nC >= 2"):
+            h264_decode_frame(bad)
