@@ -823,3 +823,137 @@ def bpe_learn_oracle_sql(k: int = 8) -> str:
         for i in range(k)
     )
     return "\n".join(parts) + "\n" + union + "\nORDER BY step"
+
+
+def lm_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Count-based bigram language-model scoring with stupid backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the CCNet-style quality signal: documents whose
+    tokens are predictable under a corpus-trained LM score high,
+    gibberish and boilerplate-free noise score low.
+
+    Per token: P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}) when the
+    bigram was seen, else 0.4 * c(w_i) / N (backoff to the unigram,
+    alpha = 2/5 exact).  The first token scores c(w_1) / N.  Every
+    probability is quantized to ``floor(scale * num / den)`` computed
+    with BIGINT ``DIV`` — no floats anywhere, so the DuckDB oracle
+    replays the scores bit-exactly.  (Bound: ``scale * count`` must
+    fit int64 — with scale 1e6 that is ~9e12 occurrences of one
+    token/bigram; raise to DECIMAL math past that.)
+
+    Scale posture: ONE position explode feeds everything — the unigram
+    table, the bigram table, and the scoring rows all derive from the
+    same materialized (doc, i, prev, cur) frame, so the corpus text is
+    shingled exactly once.  Counting is two map-side-combined
+    groupBys; scoring is three equi-joins on token keys (the canonical
+    distributed-LM shape) that AQE converts to broadcasts when the
+    vocab / bigram tables fit, and the final per-document rollup is
+    one groupBy on doc_id.
+
+    Returns (doc_id, n_tokens, sum_prob_q, avg_prob_q, n_backoff):
+    all BIGINT; sum/avg are in scale-quantized probability units.
+    """
+    from .transform import materialize
+
+    toks = df.select(
+        id_col,
+        F.expr(f"filter(split({text_col}, ' '), x -> x <> '')").alias("__t"),
+    ).filter(F.size("__t") >= 1)
+    pos_expr = (
+        "transform(sequence(1, size(__t)), i -> struct("
+        "i AS i, element_at(__t, i) AS cur,"
+        " CASE WHEN i > 1 THEN element_at(__t, i - 1) END AS prev))"
+    )
+    pos = materialize(
+        toks.select(id_col, F.explode(F.expr(pos_expr)).alias("__s")).select(
+            id_col,
+            F.col("__s.i").alias("i"),
+            F.col("__s.cur").alias("cur"),
+            F.col("__s.prev").alias("prev"),
+        )
+    )
+    uni = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("n_total"))
+    bi = (
+        pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    scored = (
+        pos.join(uni, "cur")
+        .join(
+            uni.select(
+                F.col("cur").alias("prev"), F.col("c_uni").alias("c_prev")
+            ),
+            "prev",
+            "left",
+        )
+        .join(bi, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "q",
+            F.expr(
+                f"CASE WHEN prev IS NULL THEN ({scale} * c_uni) DIV n_total"
+                f" WHEN c_bi IS NOT NULL THEN ({scale} * c_bi) DIV c_prev"
+                f" ELSE (2 * {scale} * c_uni) DIV (5 * n_total) END"
+            ),
+        )
+        .withColumn(
+            "is_backoff",
+            (F.col("prev").isNotNull() & F.col("c_bi").isNull()).cast("int"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("q").cast("bigint").alias("sum_prob_q"),
+        F.expr("SUM(q) DIV COUNT(1)").cast("bigint").alias("avg_prob_q"),
+        F.sum("is_backoff").cast("bigint").alias("n_backoff"),
+    )
+
+
+def lm_backoff_oracle_sql(scale: int = 1_000_000) -> str:
+    """DuckDB twin of ``lm_backoff_score``: identical integer
+    quantization (``//`` is BIGINT floor-div on positives, matching
+    Spark ``DIV``)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, s.i AS i, s.cur AS cur, s.prev AS prev
+  FROM (SELECT doc_id,
+        unnest(list_transform(range(1, len(t) + 1),
+               i -> {{'i': i, 'cur': t[i],
+                     'prev': CASE WHEN i > 1 THEN t[i-1] END}})) AS s
+        FROM toks WHERE len(t) >= 1)),
+uni AS (
+  SELECT cur, CAST(COUNT(*) AS BIGINT) AS c_uni FROM pos GROUP BY 1),
+total AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_total FROM uni),
+bi AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+  FROM pos WHERE prev IS NOT NULL GROUP BY 1, 2),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prev IS NULL THEN ({scale} * u.c_uni) // t.n_total
+              WHEN b.c_bi IS NOT NULL THEN ({scale} * b.c_bi) // up.c_uni
+              ELSE (2 * {scale} * u.c_uni) // (5 * t.n_total) END AS q,
+         CASE WHEN p.prev IS NOT NULL AND b.c_bi IS NULL
+              THEN 1 ELSE 0 END AS is_backoff
+  FROM pos p
+  JOIN uni u ON p.cur = u.cur
+  LEFT JOIN uni up ON p.prev = up.cur
+  LEFT JOIN bi b ON p.prev = b.prev AND p.cur = b.cur
+  CROSS JOIN total t)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(q) AS BIGINT) AS sum_prob_q,
+       CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_prob_q,
+       CAST(SUM(is_backoff) AS BIGINT) AS n_backoff
+FROM scored GROUP BY doc_id
+"""

@@ -797,6 +797,46 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# maximal duplicated-span extraction (the ExactSubstr removal step:
+# merge consecutive duplicated n-gram positions into cut ranges)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_span_extract",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8),
+sp AS (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(t[i:i+7], ' ')) AS span_hash FROM idx),
+rep AS (SELECT span_hash FROM sp
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT s.doc_id, s.pos FROM sp s JOIN rep r USING (span_hash)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM dup)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len_tokens
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.duplicated_span_extract(
+        load(spark, sf_dir, "documents"), n=8, min_docs=2
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram stupid-backoff LM quality scoring (integer-quantized
+# probabilities; CCNet-style predictability signal)
+# --------------------------------------------------------------------------
+@query("text_lm_backoff", oracle=tx.lm_backoff_oracle_sql())
+def text_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lm_backoff_score(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # hashed-feature linear quality scorer (fastText-filter shape; the
 # deterministic weight table makes the score oracle-replayable)
 # --------------------------------------------------------------------------
