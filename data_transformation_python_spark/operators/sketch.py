@@ -520,3 +520,134 @@ def mg_merge(sa: DataFrame, sb: DataFrame, k: int = 32) -> DataFrame:
             (F.col("__tm") + F.col("__tab")).cast("bigint").alias("theta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# integer log-histogram quantile sketch (HDR-histogram / DDSketch
+# family: bounded relative error, mergeable by cell-wise addition)
+# --------------------------------------------------------------------------
+def hdr_build(
+    df: DataFrame,
+    value_sql: str,
+    m: int = 64,
+) -> DataFrame:
+    """Fixed-shape log₂ histogram over a positive BIGINT expression —
+    the mergeable quantile sketch (HdrHistogram; DDSketch, Masson et
+    al. VLDB 2019, with an integer base-2 index instead of a float
+    log): bucket = 64·e + sub where e = ⌊log₂ v⌋ via the bit length
+    and sub = ⌊v·m / 2^e⌋ - m subdivides each octave into ``m``
+    cells, giving relative error ≤ 1/m per served bound.
+
+    Everything is BIGINT bit arithmetic (``length(bin(v))``, shifts,
+    ``DIV``) — no float log — so the sketch replays bit-exactly in the
+    SQL oracle.  The build is ONE map-side-combined groupBy over at
+    most 63·m cells regardless of input size, and two sketches merge
+    by adding counts cell-wise — the same aggregate — so per-split /
+    per-micro-batch partials compose into the corpus sketch for free.
+
+    Values < 1 are clamped into bucket 0's octave start (v=1);
+    callers scale to an integer domain first (e.g. cents).
+    """
+    v = f"GREATEST(CAST({value_sql} AS BIGINT), 1)"
+    e = f"(length(bin({v})) - 1)"
+    p2 = f"shiftleft(CAST(1 AS BIGINT), {e})"
+    bucket = f"{e} * {m} + (({v} * {m}) DIV {p2} - {m})"
+    return (
+        df.select(F.expr(bucket).cast("bigint").alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    m: int = 64,
+) -> DataFrame:
+    """Serve percentile bounds from an ``hdr_build`` histogram: the
+    smallest bucket whose cumulative count reaches ⌈pct·N/100⌉
+    contains the pct-quantile, and its [lo, hi] value range bounds it
+    within a factor (m+1)/m.
+
+    The cumulative window and the per-percentile argmin run over the
+    SKETCH (≤ 63·m rows), not the data — sketch-sized single-partition
+    work, identical at any corpus scale.  Rank arithmetic is integer
+    (⌈x⌉ as (x + 99) DIV 100); bucket → value bounds invert the build
+    mapping with shifts and DIV only.
+
+    Returns (quantile_pct, n_total, bucket_id, est_lo, est_hi) —
+    all BIGINT.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_total", F.expr("CAST(sum(cnt) OVER (PARTITION BY 1) AS BIGINT)")
+    )
+    pct_df = cum.sparkSession.createDataFrame(
+        [(int(p),) for p in pcts], "quantile_pct bigint"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(pct_df))
+        .filter(F.expr("cum >= (quantile_pct * n_total + 99) DIV 100"))
+        .groupBy("quantile_pct")
+        .agg(
+            F.min("bucket_id").cast("bigint").alias("bucket_id"),
+            F.max("n_total").cast("bigint").alias("n_total"),
+        )
+    )
+    e = f"(bucket_id DIV {m})"
+    sub = f"(bucket_id % {m})"
+    p2 = f"shiftleft(CAST(1 AS BIGINT), {e})"
+    return hit.select(
+        "quantile_pct",
+        "n_total",
+        "bucket_id",
+        F.expr(f"CAST(({p2} * ({m} + {sub})) DIV {m} AS BIGINT)").alias(
+            "est_lo"
+        ),
+        # largest integer still mapping to this cell: cells narrower
+        # than one integer (octaves below 2^log2(m)) collapse to
+        # est_hi == est_lo instead of inverting
+        F.expr(
+            f"CAST(({p2} * ({m} + {sub} + 1) - 1) DIV {m} AS BIGINT)"
+        ).alias("est_hi"),
+    )
+
+
+def hdr_oracle_sql(value_sql: str, pcts: tuple[int, ...], m: int = 64) -> str:
+    """DuckDB twin of hdr_build + hdr_quantiles (``//`` = ``DIV``,
+    ``<<`` = ``shiftleft``, ``bin`` identical minimal binary)."""
+    v = f"GREATEST(CAST({value_sql} AS BIGINT), 1)"
+    e = f"(length(bin({v})) - 1)"
+    p2 = f"(CAST(1 AS BIGINT) << {e})"
+    pct_rows = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+WITH vals AS (
+  SELECT {e} * {m} + (({v} * {m}) // {p2} - {m}) AS bucket_id
+  FROM lineitem),
+hist AS (
+  SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1),
+cum AS (
+  SELECT bucket_id, cnt,
+         SUM(cnt) OVER (ORDER BY bucket_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+  FROM hist),
+pcts(quantile_pct) AS (VALUES {pct_rows}),
+hit AS (
+  SELECT quantile_pct,
+         CAST(MIN(bucket_id) AS BIGINT) AS bucket_id,
+         CAST(MAX(n_total) AS BIGINT) AS n_total
+  FROM cum CROSS JOIN pcts
+  WHERE cum >= (quantile_pct * n_total + 99) // 100
+  GROUP BY quantile_pct)
+SELECT quantile_pct, n_total, bucket_id,
+       CAST(((CAST(1 AS BIGINT) << (bucket_id // {m}))
+             * ({m} + bucket_id % {m})) // {m} AS BIGINT) AS est_lo,
+       CAST(((CAST(1 AS BIGINT) << (bucket_id // {m}))
+             * ({m} + bucket_id % {m} + 1) - 1) // {m} AS BIGINT) AS est_hi
+FROM hit
+"""

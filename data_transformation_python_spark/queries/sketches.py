@@ -634,3 +634,30 @@ def sketch_mg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("upper_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantile sketch: mergeable log-bucket percentiles over
+# lineitem price cents (bounded relative error 1/64, zero floats)
+# --------------------------------------------------------------------------
+_HDR_VALUE = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+from ..operators.sketch import hdr_oracle_sql as _hdr_oracle_sql  # noqa: E402
+
+
+@query(
+    "sketch_hdr_quantiles",
+    oracle=_hdr_oracle_sql(_HDR_VALUE, (50, 90, 99)),
+)
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extended price (cents) from a 63×64-cell
+    log₂ histogram: the build is one map-side-combined groupBy whose
+    output size is constant in corpus size; serving is sketch-sized
+    window work.  Identical cell-wise-sum semantics make the same
+    aggregate the merge operator for per-split or per-micro-batch
+    partials."""
+    from ..operators import sketch as sk
+
+    li = load(spark, sf_dir, "lineitem")
+    hist = sk.hdr_build(li, _HDR_VALUE)
+    return sk.hdr_quantiles(hist, (50, 90, 99))

@@ -334,3 +334,48 @@ def test_mg_summary_bounds_merge_and_exact_branch(spark):
         assert item in got, (item, got)
         w = got[item][0]
         assert w <= true <= w + theta_m, (item, w, theta_m, true)
+
+
+def test_hdr_quantile_bounds_and_merge(spark):
+    """HDR histogram invariants: (a) cell-wise sum of two half-corpus
+    histograms equals the full-corpus histogram (mergeability); (b)
+    every served [est_lo, est_hi] bucket contains the exact
+    ceil(pct*N/100)-ranked value, and the bucket width respects the
+    (m+1)/m relative-error bound."""
+    import numpy as np
+    from data_transformation_python_spark.operators import sketch as sk
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(1, 50, 400),
+            rng.integers(1000, 90_000, 500),
+            rng.integers(10_000_000, 20_000_000, 100),
+        ]
+    ).astype("int64")
+    df = spark.createDataFrame([(int(v),) for v in vals], "v bigint")
+
+    full = sk.hdr_build(df, "v").toPandas().set_index("bucket_id")["cnt"]
+    h1 = sk.hdr_build(df.filter("v % 2 = 0"), "v").toPandas()
+    h2 = sk.hdr_build(df.filter("v % 2 = 1"), "v").toPandas()
+    merged = (
+        h1.set_index("bucket_id")["cnt"]
+        .add(h2.set_index("bucket_id")["cnt"], fill_value=0)
+        .astype("int64")
+    )
+    assert merged.sort_index().equals(full.sort_index())
+
+    pcts = (10, 50, 90, 99)
+    served = (
+        sk.hdr_quantiles(sk.hdr_build(df, "v"), pcts)
+        .toPandas()
+        .set_index("quantile_pct")
+    )
+    svals = np.sort(vals)
+    n = len(svals)
+    for p in pcts:
+        rank = -(-p * n // 100)  # ceil
+        exact = int(svals[rank - 1])
+        lo, hi = int(served.loc[p, "est_lo"]), int(served.loc[p, "est_hi"])
+        assert lo <= exact <= hi, (p, lo, exact, hi)
+        assert (hi + 1) * 64 <= lo * 65 + 64, (p, lo, hi)
