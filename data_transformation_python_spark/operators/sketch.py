@@ -617,7 +617,12 @@ def hdr_quantiles(
     )
 
 
-def hdr_oracle_sql(value_sql: str, pcts: tuple[int, ...], m: int = 64) -> str:
+def hdr_oracle_sql(
+    value_sql: str,
+    pcts: tuple[int, ...],
+    m: int = 64,
+    table: str = "lineitem",
+) -> str:
     """DuckDB twin of hdr_build + hdr_quantiles (``//`` = ``DIV``,
     ``<<`` = ``shiftleft``, ``bin`` identical minimal binary)."""
     v = f"GREATEST(CAST({value_sql} AS BIGINT), 1)"
@@ -627,7 +632,7 @@ def hdr_oracle_sql(value_sql: str, pcts: tuple[int, ...], m: int = 64) -> str:
     return f"""
 WITH vals AS (
   SELECT {e} * {m} + (({v} * {m}) // {p2} - {m}) AS bucket_id
-  FROM lineitem),
+  FROM {table}),
 hist AS (
   SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1),
 cum AS (

@@ -1130,3 +1130,60 @@ def q_stream_mg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {target}")
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming HDR-histogram quantiles: per-micro-batch log-bucket
+# partials appended to a catalog table, cell-wise-summed at read time
+# --------------------------------------------------------------------------
+_STREAM_HDR_VALUE = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+from ..operators.sketch import hdr_oracle_sql as _hdr_oracle  # noqa: E402
+
+_STREAM_HDR_ORACLE = _hdr_oracle(
+    _STREAM_HDR_VALUE, (50, 90, 99), table="events"
+)
+
+
+@query("q_stream_hdr_merge", oracle=_STREAM_HDR_ORACLE)
+def q_stream_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-value percentiles over the stream: every micro-batch
+    builds its own HDR log-histogram (operators/sketch.py hdr_build)
+    and APPENDS the (bucket_id, cnt) cells to a catalog table; the
+    live sketch is the per-bucket SUM at read time — the same
+    log-structured mergeable-sketch serving shape as the HLL/CMS/MG
+    gates, with bounded state (≤ 63·64 cells per batch) and no custom
+    state store.  Cell-wise sum is exactly the batch build, so served
+    p50/p90/p99 bounds replay bit-identically in the batch oracle."""
+    import tempfile
+
+    from ..operators import sketch as sk
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream(spark, sf_dir).select("value")
+    target = f"stream_hdr_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {target} (bucket_id BIGINT, cnt BIGINT) USING parquet"
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sk.hdr_build(batch_df, _STREAM_HDR_VALUE).write.insertInto(target)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dtps_stream_hdr_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = (
+        spark.table(target)
+        .groupBy("bucket_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    out = sk.hdr_quantiles(merged, (50, 90, 99)).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    return out
