@@ -105,6 +105,7 @@ def corpus_scale_entries(spark, corpus_dir: str):
     from data_transformation_python_spark.operators import multimodal as mm
     from data_transformation_python_spark.operators import sampling as sp
     from data_transformation_python_spark.operators import similarity as sim
+    from data_transformation_python_spark.operators import sketch as sk
     from data_transformation_python_spark.operators import text as tx
     from data_transformation_python_spark.operators.dedup import simhash_sql
     from data_transformation_python_spark.operators.graph import (
@@ -438,6 +439,30 @@ def corpus_scale_entries(spark, corpus_dir: str):
             # 4 merge iterations run on vocab-sized state
             "text_bpe_learn",
             lambda: tx.bpe_learn(docs, k=4),
+        ),
+        (
+            # maximal-span extraction: shingle explode + broadcast
+            # membership probe + per-doc gaps-and-islands window
+            "dedup_span_extract",
+            lambda: dd.duplicated_span_extract(docs, n=8),
+        ),
+        (
+            # bigram stupid-backoff LM scoring: one position explode
+            # feeds unigram/bigram counts and the scoring joins
+            "text_lm_backoff",
+            lambda: tx.lm_backoff_score(docs),
+        ),
+        (
+            # HDR quantile sketch: constant-cell histogram build +
+            # sketch-sized serving window
+            "sketch_hdr_quantiles",
+            lambda: sk.hdr_quantiles(
+                sk.hdr_build(
+                    docs.selectExpr("CAST(length(text) AS BIGINT) AS v"),
+                    "v",
+                ),
+                (50, 90, 99),
+            ),
         ),
     ]
 

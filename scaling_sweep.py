@@ -52,6 +52,13 @@ ENTRIES = [
     "sketch_mg_heavyhitters",
     "sim_sq8_topk",
     "text_bpe_learn",
+    # round 8d: maximal-span extraction (broadcast probe + per-doc
+    # window), bigram stupid-backoff LM scoring (count joins), and
+    # the constant-cell HDR quantile sketch — expected ≲ linear, with
+    # hdr flat-ish (output size is constant in corpus size)
+    "dedup_span_extract",
+    "text_lm_backoff",
+    "sketch_hdr_quantiles",
 ]
 
 
