@@ -391,6 +391,10 @@ class IncrementalMaterialization(Materialization):
             return self._unique_key_incremental(
                 model_name, target_table, select_sql, config, meta
             )
+        if strategy == "aggregate":
+            return self._aggregate_incremental(
+                model_name, target_table, select_sql, config
+            )
         return self._append_incremental(model_name, target_table, select_sql, config)
 
     # -- time (reference: materialization.py:211-312, C1) --------------
@@ -472,6 +476,88 @@ class IncrementalMaterialization(Materialization):
             keys=keys,
             merge_backend=backend.name,
             **stats,
+        )
+
+    # -- aggregate (no reference counterpart: dbt-class engines force a
+    # full recompute of aggregate models; this maintains them) --------
+    def _aggregate_incremental(self, model_name, target_table, select_sql, config):
+        """Incrementally maintained aggregate state: the model's SQL
+        (self-filtered to new source rows via ``is_incremental()``)
+        emits PARTIAL aggregates per group; this strategy combines
+        them into the existing state with the per-measure combiner
+        declared in config (``agg_columns: "cnt:sum|last_ts:max"``,
+        default ``sum``) — only decomposable combiners (sum/max/min)
+        are accepted, because only those make partial ∪ partial = full.
+
+        Scale posture: the expensive corpus scan happens only over the
+        DELTA (the model's own incremental filter pushes down to the
+        source scan); the combine is state ∪ delta-partials → one
+        groupBy on the group keys, where BOTH sides are groups-sized —
+        bounded by cardinality, not corpus size.  A full recompute of
+        a 100 TB fact table becomes a groups-sized merge per run.  The
+        write is the crash-safe staging swap (the plan reads the table
+        it replaces)."""
+        group_by = config.get("group_by")
+        if not group_by:
+            raise MaterializationError(
+                "aggregate incremental requires config group_by"
+            )
+        keys = [k.strip() for k in group_by.split("|") if k.strip()]
+        combiners = {}
+        for item in (config.get("agg_columns") or "").split("|"):
+            item = item.strip()
+            if not item:
+                continue
+            col, _, comb = item.partition(":")
+            comb = (comb or "sum").strip().lower()
+            if comb not in ("sum", "max", "min"):
+                raise MaterializationError(
+                    f"aggregate incremental combiner must be sum|max|min, "
+                    f"got {comb!r} for column {col.strip()!r}"
+                )
+            combiners[col.strip()] = comb
+        delta = self._align_to_target(
+            target_table,
+            self._select_df(select_sql),
+            config.get("on_schema_change", "ignore"),
+        )
+        state = self.spark.table(target_table)
+        missing = [k for k in keys if k not in state.columns]
+        if missing:
+            raise MaterializationError(
+                f"aggregate incremental group_by columns {missing} not in "
+                f"target {target_table} columns {state.columns}"
+            )
+        measures = [c for c in state.columns if c not in keys]
+        fns = {"sum": F.sum, "max": F.max, "min": F.min}
+        aggs = [
+            fns[combiners.get(c, "sum")](F.col(c))
+            # sum() widens longs/decimals; pin every measure back to
+            # the state schema so repeated maintenance never drifts
+            # the table's types
+            .cast(state.schema[c].dataType)
+            .alias(c)
+            for c in measures
+        ]
+        combined = (
+            state.select(*state.columns)
+            .unionByName(delta.select(*state.columns))
+            .groupBy(*keys)
+            .agg(*aggs)
+            .select(*state.columns)
+        )
+        self._swap_in(
+            target_table,
+            combined,
+            self._partition_by(config),
+            self._cluster_by(config),
+        )
+        return self._ok(
+            model_name,
+            target_table,
+            incremental_strategy="aggregate",
+            keys=keys,
+            combiners={c: combiners.get(c, "sum") for c in measures},
         )
 
     # -- append (reference: materialization.py:391-446, C3/S9) ---------

@@ -551,3 +551,75 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("timestamp"),
         "is_current",
     )
+
+
+# --------------------------------------------------------------------------
+# incrementally-maintained aggregate state (incremental_strategy =
+# aggregate — no reference counterpart: dbt-class engines force a full
+# recompute of aggregate models)
+# --------------------------------------------------------------------------
+_INC_AGG_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY o_custkey
+"""
+
+
+@query("q_incremental_aggregate", oracle=_INC_AGG_ORACLE)
+def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL aggregate-incremental strategy: the initial
+    build aggregates batch 1 (orders with o_orderkey % 3 != 0) into a
+    catalog state table, then a maintenance run feeds batch 2's
+    partial aggregates through the sum/sum/max combine (groups-sized
+    state ∪ delta-partials → one groupBy, crash-safe staging swap).
+    The maintained state must equal the one-shot full aggregate —
+    exact DECIMAL sums and BIGINT counts make the comparison
+    bit-strict."""
+    import uuid as _uuid
+
+    from ..executor import SparkExecutor
+    from ..materialization import IncrementalMaterialization
+
+    orders = load(spark, sf_dir, "orders")
+    src = f"q_incagg_src_{_uuid.uuid4().hex[:8]}"
+    orders.createOrReplaceTempView(src)
+    target = f"incagg_{_uuid.uuid4().hex[:8]}"
+    mx = IncrementalMaterialization(SparkExecutor(spark))
+    cfg = {
+        "incremental_strategy": "aggregate",
+        "group_by": "o_custkey",
+        "agg_columns": "n_orders:sum|total:sum|max_key:max",
+    }
+
+    def batch_sql(pred: str) -> str:
+        return (
+            "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+            " AS DECIMAL(18,2)) AS total,"
+            f" CAST(MAX(o_orderkey) AS BIGINT) AS max_key FROM {src}"
+            f" WHERE {pred} GROUP BY o_custkey"
+        )
+
+    r1 = mx.materialize(
+        "q_incagg", target, batch_sql("o_orderkey % 3 != 0"), cfg, {}
+    )
+    assert r1.get("initial"), r1
+    r2 = mx.materialize(
+        "q_incagg", target, batch_sql("o_orderkey % 3 = 0"), cfg, {}
+    )
+    assert r2.get("incremental_strategy") == "aggregate", r2
+    out = (
+        spark.table(target)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("total").cast("double").alias("total"),
+            "max_key",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    spark.catalog.dropTempView(src)
+    return out

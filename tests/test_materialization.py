@@ -945,3 +945,91 @@ def test_merge_into_source_views_are_per_invocation_unique():
     # the generated SQL references whatever view name is passed in
     sql = SqlMergeBackend.upsert_sql("t", ["id"], ["id", "v"], "my_view_7")
     assert "USING my_view_7 s" in sql
+
+
+def test_aggregate_incremental_maintains_state(stack):
+    """aggregate strategy: the model emits delta partials (its own
+    is_incremental() filter) and the strategy combines them into the
+    state with declared per-measure combiners — final state equals a
+    full recompute over all source rows, types pinned, and the old
+    rows are NOT rescanned (the delta filter excludes them)."""
+    spark, db = stack["spark"], stack["db"]
+    _write_source(
+        stack,
+        [
+            ("a", "2024-01-01 10:00:00", 5.0),
+            ("a", "2024-01-02 10:00:00", 7.0),
+            ("b", "2024-01-02 11:00:00", 1.0),
+        ],
+        "k string, ts string, v double",
+    )
+    _write_model(
+        stack,
+        "inc_agg",
+        "-- config: materialized=incremental, incremental_strategy=aggregate,"
+        " group_by=k, agg_columns=cnt:sum|total:sum|last_ts:max\n"
+        "SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+        "       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,\n"
+        "       MAX(CAST(ts AS TIMESTAMP_NTZ)) AS last_ts\n"
+        "FROM {{ source('raw','feed') }}\n"
+        "{% if is_incremental() %}\n"
+        "WHERE CAST(ts AS TIMESTAMP_NTZ) > (SELECT MAX(last_ts) FROM {{ this() }})\n"
+        "{% endif %}\n"
+        "GROUP BY k",
+    )
+    r1 = stack["mx"].execute_model("inc_agg")
+    assert r1["success"] and r1.get("initial"), r1
+    t = f"{db}.inc_agg"
+    got1 = {r["k"]: (r["cnt"], str(r["total"])) for r in spark.table(t).collect()}
+    assert got1 == {"a": (2, "12.00"), "b": (1, "1.00")}
+
+    # batch 2: one genuinely new row per group + one OLD row re-sent
+    # (must be excluded by the model's own watermark filter, not
+    # double-counted by the combine)
+    _write_source(
+        stack,
+        [
+            ("a", "2024-01-01 10:00:00", 5.0),  # old, re-sent
+            ("a", "2024-01-03 10:00:00", 3.0),
+            ("b", "2024-01-04 10:00:00", 2.0),
+            ("c", "2024-01-05 10:00:00", 9.0),  # brand-new group
+        ],
+        "k string, ts string, v double",
+    )
+    r2 = stack["mx"].execute_model("inc_agg")
+    assert r2["success"] and r2.get("incremental_strategy") == "aggregate", r2
+    assert r2.get("combiners") == {
+        "cnt": "sum",
+        "total": "sum",
+        "last_ts": "max",
+    }
+    out = spark.table(t)
+    got2 = {
+        r["k"]: (r["cnt"], str(r["total"]), str(r["last_ts"]))
+        for r in out.collect()
+    }
+    assert got2 == {
+        "a": (3, "15.00", "2024-01-03 10:00:00"),
+        "b": (2, "3.00", "2024-01-04 10:00:00"),
+        "c": (1, "9.00", "2024-01-05 10:00:00"),
+    }
+    # combine must not widen the declared types run over run
+    assert dict(out.dtypes) == {
+        "k": "string",
+        "cnt": "bigint",
+        "total": "decimal(18,2)",
+        "last_ts": "timestamp_ntz",
+    }
+    # unknown combiner rejected loudly
+    _write_model(
+        stack,
+        "inc_agg_bad",
+        "-- config: materialized=incremental, incremental_strategy=aggregate,"
+        " group_by=k, agg_columns=cnt:avg\n"
+        "SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM"
+        " {{ source('raw','feed') }} GROUP BY k",
+    )
+    r3 = stack["mx"].execute_model("inc_agg_bad")
+    assert r3["success"]  # initial build is a plain overwrite
+    r4 = stack["mx"].execute_model("inc_agg_bad")
+    assert not r4["success"] and "sum|max|min" in str(r4.get("error", r4))
