@@ -748,6 +748,19 @@ def bpe_learn(
     is a 1-row collect — control-plane, exactly like k-means
     centroids.  Temp view names are per-invocation unique (parallel
     DAG levels share one session)."""
+    _, merges = _bpe_train(df, text_col, k)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(
+    df: DataFrame, text_col: str, k: int
+) -> tuple[DataFrame, list[tuple]]:
+    """Shared trainer core: returns (final word→syms segmentation —
+    the vocab-sized tokenizer cache — and the learned merge list)."""
     spark = df.sparkSession
     from .transform import materialize
 
@@ -779,20 +792,16 @@ def bpe_learn(
                     f"SELECT * FROM {view}", "spark", f"'{xq}'", f"'{yq}'"
                 )
             )
+        cur = materialize(cur)
     finally:
         spark.catalog.dropTempView(view)
-    return spark.createDataFrame(
-        merges,
-        "step bigint, left_sym string, right_sym string,"
-        " merged string, pair_count bigint",
-    )
+    return cur, merges
 
 
-def bpe_learn_oracle_sql(k: int = 8) -> str:
-    """The DuckDB twin: the SAME stage SQL (other dialect) unrolled
-    into one query — s0 → (pair count, argmax, merge apply) × k —
-    with each step's argmax surfaced through scalar subqueries and
-    the merge table assembled by UNION ALL."""
+def _bpe_oracle_ctes(k: int) -> list[str]:
+    """The unrolled learn pipeline as CTE parts — s0 → (pair count,
+    argmax, merge apply) × k — shared by the learn and tokenize
+    oracles."""
     parts = [
         "WITH w0 AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt"
         " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
@@ -817,6 +826,14 @@ def bpe_learn_oracle_sql(k: int = 8) -> str:
         ).strip()
         # the stage body is itself a WITH query nested inside the CTE
         parts.append(f",s{i + 1} AS MATERIALIZED ({merge})")
+    return parts
+
+
+def bpe_learn_oracle_sql(k: int = 8) -> str:
+    """The DuckDB twin: the SAME stage SQL (other dialect) unrolled
+    into one query, with each step's argmax surfaced through scalar
+    subqueries and the merge table assembled by UNION ALL."""
+    parts = _bpe_oracle_ctes(k)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, c AS pair_count FROM b{i}"
@@ -957,3 +974,60 @@ SELECT doc_id,
        CAST(SUM(is_backoff) AS BIGINT) AS n_backoff
 FROM scored GROUP BY doc_id
 """
+
+
+def bpe_tokenize_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Train ``k`` BPE merges on the corpus, then tokenize every
+    document under the learned vocabulary — the full tokenizer
+    train→apply composition, via the distinct-WORD cache: merges are
+    applied to the vocab-sized (word, syms) table only, and documents
+    get their piece counts through one equi-join on the word.  This
+    is how production tokenizers run at corpus scale (a 100 TB corpus
+    has a bounded distinct-word set; re-segmenting every occurrence
+    would redo identical work billions of times).
+
+    Returns (doc_id, n_words, n_pieces): pieces are exact counts
+    under the greedy-left merge semantics of ``bpe_learn``, so the
+    result replays bit-exactly in the unrolled SQL oracle.
+    """
+    seg, _ = _bpe_train(df, text_col, k)
+    word_pieces = seg.select(
+        "word", F.size("syms").cast("bigint").alias("__np")
+    )
+    docwords = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docwords.join(word_pieces, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__np").cast("bigint").alias("n_pieces"),
+        )
+    )
+
+
+def bpe_tokenize_oracle_sql(k: int = 4) -> str:
+    """DuckDB twin of ``bpe_tokenize_stats``: the unrolled learn
+    stages, then the per-document piece-count join against the final
+    segmentation s{k}."""
+    parts = _bpe_oracle_ctes(k)
+    return (
+        "\n".join(parts)
+        + f"""
+,docwords AS (
+  SELECT doc_id, t AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> '')
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(s.syms)) AS BIGINT) AS n_pieces
+FROM docwords d JOIN s{k} s ON d.word = s.word
+GROUP BY d.doc_id
+"""
+    )

@@ -1344,3 +1344,11 @@ def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cosine rerank confined to ≤ 20 rows per query."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.bq_hamming_topk(emb, query_ids=range(10), k=5, shortlist=20)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer train -> apply composition (distinct-word cache)
+# --------------------------------------------------------------------------
+@query("text_bpe_tokenize", oracle=tx.bpe_tokenize_oracle_sql(4))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bpe_tokenize_stats(load(spark, sf_dir, "documents"), k=4)
