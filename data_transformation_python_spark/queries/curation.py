@@ -1296,3 +1296,53 @@ def multimodal_h264c_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.h264c_metadata(mm.synth_h264c_table(docs))
+
+
+# --------------------------------------------------------------------------
+# multimodal audio — windowed frame features (VAD front-end): decoded
+# PCM → per-20ms-frame integer energy/peak/zero-crossings; the oracle
+# replays the synth formula, the windowing, and the sign-change count
+# --------------------------------------------------------------------------
+_WAV_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, 400 + (doc_id % 100) * 40 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM f),
+v AS (
+  SELECT doc_id, n, i, i // 160 AS frame_idx,
+         ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS a
+  FROM s),
+lead_v AS (
+  SELECT doc_id, frame_idx, i, a,
+         LEAD(a) OVER (PARTITION BY doc_id ORDER BY i) AS a2
+  FROM v),
+w AS (
+  SELECT doc_id, frame_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(ABS(a)) AS BIGINT) AS energy_abs,
+         CAST(MAX(ABS(a)) AS BIGINT) AS peak
+  FROM v GROUP BY doc_id, frame_idx),
+z AS (
+  SELECT doc_id, frame_idx,
+         CAST(COUNT(*) FILTER (WHERE (a < 0) <> (a2 < 0)) AS BIGINT) AS zc
+  FROM lead_v
+  WHERE a2 IS NOT NULL AND i % 160 <> 159
+  GROUP BY doc_id, frame_idx)
+SELECT w.doc_id, CAST(w.frame_idx AS BIGINT) AS frame_idx,
+       w.n_samples, w.energy_abs, w.peak,
+       CAST(COALESCE(z.zc, 0) AS BIGINT) AS zero_crossings
+FROM w LEFT JOIN z ON w.doc_id = z.doc_id AND w.frame_idx = z.frame_idx
+"""
+
+
+@query("multimodal_wav_frames", oracle=_WAV_FRAMES_ORACLE)
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over REAL WAV payloads: the decode and
+    per-frame reductions are vectorized numpy inside Arrow batches,
+    one output row per 160-sample frame — the voice-activity /
+    segmentation feature table.  Integer-exact, so the oracle's SQL
+    replay of synth + windowing + sign-change counting is bit-strict."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.wav_frame_features(mm.synth_wav_table(docs))
