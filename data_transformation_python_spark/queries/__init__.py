@@ -104,24 +104,37 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: the seven NEW gates
-# (portable HyperLogLog batch + streaming merge, the KMV bottom-k
-# overlap sketch, the edit-distance LSH-confirm stage, streaming ANN
-# routing, streaming PQ-ADC serving, the CAVLC Intra_16x16-DC H.264
-# subset), then the six r4-era names that overflowed the r7 window,
-# then the r5-era names — ordered so the ones sitting on code that
-# changed in r7/r8 go first (q_cdc_* after the merge-seam refactor +
-# the per-invocation view-name race fix; the similarity/dedup family
-# after the auto-LSH default flip and the assignment-tier pinning),
-# the long r5 SQL/window tail after.  multimodal_bmp_meta,
-# multimodal_avi_meta and five TPC-H shapes (q01/q03/q04/q05/q06 —
-# structurally frozen since r1, locally parity-green every round)
-# overflow the 50-window this round and lead the r9 rotation.  Everything past position 50 stays
-# honest via the local DuckDB parity suite
+# rotated STALEST-FIRST each round.  Round 8: first the seven
+# NEVER-CHECKED gates added late in the round (the aggregate-
+# incremental strategy, maximal-span extraction, stupid-backoff LM
+# scoring, the HDR quantile sketch batch + streaming merge, the BPE
+# train→tokenize composition, windowed audio frame features), then
+# the earlier round-8 additions (portable HyperLogLog batch +
+# streaming merge, the KMV bottom-k overlap sketch, the edit-distance
+# LSH-confirm stage, streaming ANN routing, streaming PQ-ADC serving,
+# the CAVLC Intra_16x16-DC H.264 subset), then the r4-era names that
+# overflowed the r7 window, then the r5-era names — ordered so the
+# ones sitting on code that changed in r7/r8 go first (q_cdc_* after
+# the merge-seam refactor + the per-invocation view-name race fix;
+# the similarity/dedup family after the auto-LSH default flip and the
+# assignment-tier pinning), the long r5 SQL/window tail after.  The
+# seven new front entries push q_intersect_custkeys …
+# q_dq_tests (r5-era set-op/DQ shapes, structurally frozen, locally
+# parity-green every round) past position 50 — they join
+# multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
+# shapes at the head of the r9 rotation.  Everything past position 50
+# stays honest via the local DuckDB parity suite
 # (tests/test_oracle_parity.py) and the committed PARITY_r{N}.json
 # full-registry sweep.  Names absent from the registry are ignored;
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
+    "q_incremental_aggregate",
+    "dedup_span_extract",
+    "text_lm_backoff",
+    "sketch_hdr_quantiles",
+    "q_stream_hdr_merge",
+    "text_bpe_tokenize",
+    "multimodal_wav_frames",
     "sketch_hll_distinct",
     "q_stream_hll_merge",
     "sketch_kmv_overlap",
