@@ -512,3 +512,119 @@ def test_ipv1_closed_loop_no_drift(seed, gop, quality, nf):
     m23 = np.mean([mse(a, b) for a, b in zip(g2, g3)])
     assert m12 <= m01 * 0.6 + 1e-6, (m01, m12)
     assert m23 <= m01 * 0.6 + 1e-6, (m01, m23)
+
+
+@given(seed=st.integers(0, 2**31 - 1), n_docs=st.integers(4, 12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_span_extract_matches_python_reference(spark, seed, n_docs):
+    """Maximal-span extraction vs an independent pure-Python oracle:
+    plant shared blocks into random token streams; every extracted
+    (start, len) range must exactly equal the reference's merge of
+    duplicated n-gram positions."""
+    import random
+
+    from data_transformation_python_spark.operators.dedup import (
+        duplicated_span_extract,
+    )
+
+    n = 4
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [f"s{i}" for i in range(6)]  # the planted duplicate block
+    docs = []
+    for d in range(n_docs):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(n, 25))]
+        if d % 2 == 0:  # plant the block in half the docs
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + shared + toks[pos:]
+        docs.append((d, " ".join(toks)))
+
+    # pure-Python reference: duplicated n-gram positions → islands
+    grams: dict[tuple, set] = {}
+    tok_lists = {d: t.split(" ") for d, t in docs}
+    for d, toks in tok_lists.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+    expected = set()
+    for d, toks in tok_lists.items():
+        dup = sorted(
+            i
+            for i in range(len(toks) - n + 1)
+            if len(grams[tuple(toks[i : i + n])]) >= 2
+        )
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                expected.add((d, run[0], run[-1] - run[0] + n))
+                run = []
+            if p is not None:
+                run.append(p)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len_tokens"])
+        for r in duplicated_span_extract(df, n=n, min_docs=2).collect()
+    }
+    assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_lm_backoff_matches_python_reference(spark, seed):
+    """Stupid-backoff LM scores vs an independent pure-Python oracle
+    (integer-quantized probabilities, identical DIV semantics)."""
+    import random
+
+    from data_transformation_python_spark.operators.text import (
+        lm_backoff_score,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(8)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for d in range(6)
+    ]
+    SCALE = 1_000_000
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for _, t in docs:
+        toks = t.split(" ")
+        for i, w in enumerate(toks):
+            uni[w] = uni.get(w, 0) + 1
+            if i:
+                bi[(toks[i - 1], w)] = bi.get((toks[i - 1], w), 0) + 1
+    N = sum(uni.values())
+    expected = {}
+    for d, t in docs:
+        toks = t.split(" ")
+        sq = nb = 0
+        for i, w in enumerate(toks):
+            if i == 0:
+                sq += (SCALE * uni[w]) // N
+            elif (toks[i - 1], w) in bi:
+                sq += (SCALE * bi[(toks[i - 1], w)]) // uni[toks[i - 1]]
+            else:
+                sq += (2 * SCALE * uni[w]) // (5 * N)
+                nb += 1
+        expected[d] = (len(toks), sq, sq // len(toks), nb)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["sum_prob_q"],
+            r["avg_prob_q"],
+            r["n_backoff"],
+        )
+        for r in lm_backoff_score(df).collect()
+    }
+    assert got == expected
