@@ -615,3 +615,74 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# robust outlier detection — exact grouped median/MAD (the
+# median-absolute-deviation screen quality pipelines run where a
+# stddev rule would be wrecked by the outliers it hunts)
+# --------------------------------------------------------------------------
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events),
+med AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+           AS med_c
+  FROM v GROUP BY event_type),
+dev AS (
+  SELECT v.event_type, v.c, med.med_c, ABS(v.c - med.med_c) AS d
+  FROM v JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)
+           AS mad_c
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(dev.med_c) AS BIGINT) AS median_cents,
+       CAST(MAX(mad.mad_c) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@query("q_mad_outliers", oracle=_MAD_ORACLE)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped median/MAD outlier screen on exact integer cents: per
+    event type, median via percentile_disc (within-group sort, bounded
+    per group — never corpus-wide), deviations against the broadcast
+    medians, MAD as the median deviation, flag |v - med| > 3·MAD.
+    Two grouped order-statistic shuffles + two broadcast joins; every
+    comparison is BIGINT so the verdict replays bit-exactly."""
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .alias("med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("c") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)")
+        .alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("med_c").cast("bigint").alias("median_cents"),
+            F.max("mad_c").cast("bigint").alias("mad_cents"),
+            F.sum(
+                (F.col("d") > 3 * F.col("mad_c")).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
