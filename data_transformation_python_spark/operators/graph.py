@@ -280,3 +280,102 @@ def connected_components_two_phase(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank by a FIXED number of synchronous iterations
+    in integer arithmetic: r_{t+1}(v) = ((100-d)·scale + d·Σ_{u→v}
+    (r_t(u)·w(u,v)) DIV W_out(u)) DIV 100 — every step is BIGINT
+    multiply/DIV, so the trajectory (not just the limit) replays
+    bit-exactly in an unrolled SQL oracle.  Dangling mass is dropped
+    (the standard simplification; deterministic on both engines).
+
+    Scale posture: the classic iterative-join shape — each iteration
+    is one shuffle join of the rank vector against the edge list on
+    src plus one groupBy on dst, with the rank vector materialized
+    per step (lineage cut, plan stays flat like the k-means / BPE /
+    frontier-CC loops).  Nodes-sized state, edges-sized work per
+    iteration, O(iterations) rounds — Pregel's PageRank as DataFrame
+    plans.
+
+    Returns (node, rank_q) with rank_q in scale-quantized units.
+    """
+    from .transform import materialize
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    wout = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = materialize(e.join(wout, "src"))
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_q"))
+    base = (100 - damping_pct) * scale
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_q * w) DIV w_out").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c_sum"))
+        )
+        ranks = materialize(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                F.expr(
+                    f"CAST(({base} + {damping_pct} * coalesce(c_sum, 0))"
+                    " DIV 100 AS BIGINT)"
+                ).alias("rank_q"),
+            )
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin: the same synchronous updates unrolled as CTE
+    stages r0 → r{k} over an ``edges_sql`` relation producing
+    (src, dst, w)."""
+    base = (100 - damping_pct) * scale
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        ",wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out"
+        " FROM e0 GROUP BY src)",
+        ",e AS (SELECT e0.src, e0.dst, CAST(e0.w AS BIGINT) AS w, wout.w_out"
+        " FROM e0 JOIN wout USING (src))",
+        ",nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e"
+        " UNION SELECT dst AS node FROM e))",
+        f",r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_q FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f",c{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" SUM((r.rank_q * e.w) // e.w_out) AS c_sum"
+            f" FROM e JOIN r{i} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f",r{i + 1} AS MATERIALIZED (SELECT nodes.node,"
+            f" CAST(({base} + {damping_pct} * COALESCE(c{i}.c_sum, 0)) // 100"
+            f" AS BIGINT) AS rank_q"
+            f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return "\n".join(parts) + f"\nSELECT node, rank_q FROM r{iterations}"

@@ -153,3 +153,53 @@ def dedup_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").cast("bigint")
     )
+
+
+# --------------------------------------------------------------------------
+# weighted PageRank over the token bigram graph — the iterative-join
+# fixed-point family (Pregel's PageRank as DataFrame plans)
+# --------------------------------------------------------------------------
+_PR_EDGES_SQL = """
+SELECT t[i] AS src, t[i + 1] AS dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+     unnest(range(1, len(t))) AS u(i)
+GROUP BY 1, 2
+"""
+
+
+def _pr_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, iterations=3)
+
+
+@query("graph_pagerank_tokens", oracle=_pr_oracle())
+def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token centrality under 3 synchronous weighted-PageRank
+    iterations over the corpus bigram graph — integer-quantized ranks
+    so the whole trajectory replays bit-exactly in the unrolled
+    oracle.  Edge derivation is one corpus explode + groupBy; each
+    iteration is an edges⋈ranks shuffle join + a dst groupBy on
+    nodes-sized state."""
+    from ..operators.graph import pagerank_fixed
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("__t")
+    ).filter(F.size("__t") >= 2)
+    edges = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) AS src,"
+                    " element_at(__t, i + 1) AS dst))"
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return pagerank_fixed(edges, iterations=3)

@@ -91,3 +91,37 @@ def test_two_phase_star_and_isolated_shapes(spark):
     edges = [(5, 1), (5, 9), (5, 7), (2, 3)]
     got = _run(spark, connected_components_two_phase, edges)
     assert got == {1: 1, 5: 1, 7: 1, 9: 1, 2: 2, 3: 2}
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Integer PageRank vs an independent pure-Python fixed-point on a
+    small weighted digraph (including a dangling node and a sink)."""
+    from data_transformation_python_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    edges = [
+        (1, 2, 3),
+        (1, 3, 1),
+        (2, 3, 2),
+        (3, 1, 1),
+        (4, 1, 5),  # 4 has out-edges; 5 is reachable-only (dangling)
+        (2, 5, 1),
+    ]
+    SCALE, D, K = 1_000_000, 85, 3
+    wout: dict[int, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    r = {n: SCALE for n in nodes}
+    for _ in range(K):
+        c = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            c[d] += (r[s] * w) // wout[s]
+        r = {n: ((100 - D) * SCALE + D * c[n]) // 100 for n in nodes}
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {
+        row["node"]: row["rank_q"]
+        for row in pagerank_fixed(df, iterations=K).collect()
+    }
+    assert got == r
