@@ -2570,3 +2570,115 @@ def wav_frame_features(df: DataFrame, frame_len: int = 160) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=WAV_FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# video: scene-cut detection over a LOSSLESS H.264 round-trip —
+# per-adjacent-frame SAD (sum of absolute luma differences), the
+# standard shot-boundary signal video curation pipelines threshold on
+# --------------------------------------------------------------------------
+def _scene_dims(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, n_frames, fps, cut_frame): even dims (4:2:0),
+    non-multiple-of-16 (SPS cropping exercised), a planted scene
+    change at cut_frame."""
+    return (
+        18 + 2 * (doc_id % 5),
+        14 + 2 * (doc_id % 4),
+        6 + doc_id % 3,
+        10,
+        3 + doc_id % 2,
+    )
+
+
+def _scene_frame_gray(doc_id: int, f: int, w: int, h: int, cut: int):
+    """Two-scene frame formula (replayed by the SQL oracle): scene A
+    before the cut, a differently-parameterized scene B from it."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    if f < cut:
+        v = (doc_id * 7 + f * 29 + x * 19 + y * 23) % 256
+    else:
+        v = (doc_id * 13 + f * 31 + x * 17 + y * 11 + 97) % 256
+    return v.astype(np.uint8)
+
+
+def synth_scene_mp4_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL H.264-in-MP4 payload with a planted scene change
+    (I_PCM subset — lossless, so decoded pixels equal the formula)."""
+    import numpy as np
+
+    from .h264_codec import h264_encode_frame, mp4_write
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _one(doc_id: int) -> bytes:
+        w, h, nf, fps, cut = _scene_dims(doc_id)
+        frames_nals = []
+        for f in range(nf):
+            g = _scene_frame_gray(doc_id, f, w, h, cut)
+            frames_nals.append(
+                h264_encode_frame(np.stack([g, g, g], axis=-1), idr_pic_id=f)
+            )
+        return mp4_write(frames_nals, w, h, fps)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_one(int(i)) for i in ids]}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col).repartition(par).mapInPandas(_batches, schema=schema)
+    )
+
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("sad", T.LongType()),
+        T.StructField("mean_sad_x100", T.LongType()),
+    ]
+)
+
+
+def mp4_scene_cuts(df: DataFrame) -> DataFrame:
+    """Demux + decode MP4/AVC payloads and emit the shot-boundary
+    signal: for every adjacent frame pair, the exact luma SAD
+    (Σ|a−b| over pixels, BIGINT) plus the per-pixel mean ×100 (integer
+    DIV) — what a video curation pipeline thresholds to split shots.
+    The codec subset is lossless on grayscale, so the oracle replays
+    the two-scene formula and the SAD arithmetic bit-exactly — any
+    decode drift anywhere in the container/NAL/slice path shifts the
+    sums.  One output row per (doc, frame>=1); rows independent,
+    Arrow-batched, no shuffle."""
+    import numpy as np
+
+    from .h264_codec import mp4_read
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in SCENE_CUT_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, fps, frames = mp4_read(bytes(payload))
+                lumas = [fr[..., 0].astype(np.int64) for fr in frames]
+                for f in range(1, len(lumas)):
+                    sad = int(np.abs(lumas[f] - lumas[f - 1]).sum())
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["sad"].append(sad)
+                    out["mean_sad_x100"].append(sad * 100 // (w * h))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=SCENE_CUT_SCHEMA)

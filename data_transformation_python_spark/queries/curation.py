@@ -1346,3 +1346,54 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.wav_frame_features(mm.synth_wav_table(docs))
+
+
+# --------------------------------------------------------------------------
+# multimodal video — shot-boundary (scene-cut) SAD signal over a
+# lossless H.264 round-trip; the oracle replays the two-scene pixel
+# formula and the SAD arithmetic exactly
+# --------------------------------------------------------------------------
+_SCENE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         18 + 2 * (doc_id % 5) AS w,
+         14 + 2 * (doc_id % 4) AS h,
+         6 + doc_id % 3 AS nf,
+         3 + doc_id % 2 AS cut
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, nf, cut, f.f, p.p % w AS x, p.p // w AS y
+  FROM dims,
+       unnest(generate_series(1, nf - 1)) AS f(f),
+       unnest(generate_series(0, w * h - 1)) AS p(p)),
+vals AS (
+  SELECT doc_id, w, h, f,
+         CASE WHEN f < cut
+              THEN (doc_id * 7 + f * 29 + x * 19 + y * 23) % 256
+              ELSE (doc_id * 13 + f * 31 + x * 17 + y * 11 + 97) % 256
+         END AS a,
+         CASE WHEN f - 1 < cut
+              THEN (doc_id * 7 + (f - 1) * 29 + x * 19 + y * 23) % 256
+              ELSE (doc_id * 13 + (f - 1) * 31 + x * 17 + y * 11 + 97) % 256
+         END AS b
+  FROM px)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(SUM(ABS(a - b)) AS BIGINT) AS sad,
+       CAST(SUM(ABS(a - b)) * 100 // (w * h) AS BIGINT) AS mean_sad_x100
+FROM vals GROUP BY doc_id, f, w, h
+"""
+
+
+@query("multimodal_scene_cuts", oracle=_SCENE_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary signal through the full real pipeline: two-scene
+    synthetic video → standards-conformant H.264 I_PCM in a real MP4
+    → demux → decode → exact per-adjacent-frame luma SAD.  Lossless
+    subset + grayscale fixture ⇒ the SQL replay is bit-strict end to
+    end; the planted cut frame shows up as the SAD spike a curation
+    pipeline thresholds."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.mp4_scene_cuts(mm.synth_scene_mp4_table(docs))
