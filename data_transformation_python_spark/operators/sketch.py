@@ -656,3 +656,44 @@ SELECT quantile_pct, n_total, bucket_id,
              * ({m} + bucket_id % {m} + 1) - 1) // {m} AS BIGINT) AS est_hi
 FROM hit
 """
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    m_bits: int = 32768,
+    k: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter (Bloom-pruned) join: build the Bloom filter over
+    the SMALL side's join keys, collect its ≤ m/32 chunk words to the
+    driver (control-plane, like k-means centroids), and prefilter the
+    BIG side with a pure row-local expression — every probe is k
+    element_at/bitwise-AND ops inside codegen, no join, no shuffle —
+    before the exact equi-join.  No false negatives, so the result is
+    IDENTICAL to the plain join; the win is shuffle volume: rows that
+    cannot match never enter the exchange (the semi-join-reduction /
+    Spark-runtime-bloom-filter shape, here as an explicit operator
+    with a portable md5 hash).
+
+    The md5 probe is computed per row, so this prunes the SHUFFLE,
+    not the parquet scan — at 100 TB that is the expensive half of a
+    selective join (the scan is column-pruned regardless).
+    """
+    keys_as_tokens = small.select(
+        F.col(key_col).cast("string").alias("token")
+    )
+    bloom = bloom_build_tokens(keys_as_tokens, m_bits=m_bits, k=k)
+    words = [0] * (m_bits // 32)
+    for r in bloom.collect():  # control-plane: <= m/32 rows
+        words[int(r["chunk"])] = int(r["bits"])
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    tok = f"CAST({key_col} AS STRING)"
+    cond = " AND ".join(
+        f"(element_at({arr}, CAST(({_bit_expr(i, tok, m_bits)}) div 32"
+        f" AS INT) + 1) & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bit_expr(i, tok, m_bits)}) % 32 AS INT))) != 0"
+        for i in range(k)
+    )
+    return big.filter(F.expr(cond)).join(small, key_col, how)

@@ -661,3 +661,48 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     hist = sk.hdr_build(li, _HDR_VALUE)
     return sk.hdr_quantiles(hist, (50, 90, 99))
+
+
+# --------------------------------------------------------------------------
+# Bloom-pruned (runtime-filter) join: identical result to the plain
+# join — the Bloom prefilter has no false negatives — with the big
+# side cut before the shuffle
+# --------------------------------------------------------------------------
+_BLOOM_JOIN_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey % 97 = 0) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@query("sketch_bloom_join", oracle=_BLOOM_JOIN_ORACLE)
+def sketch_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the ~1%-selective orders side builds a
+    Bloom filter whose chunk words ship driver-side (control-plane);
+    lineitem is prefiltered by a pure codegen expression (k md5
+    probes + bitwise AND against an array literal) before the exact
+    equi-join, so non-matching rows never enter the exchange.  No
+    false negatives ⇒ bit-identical to the plain join the oracle
+    runs."""
+    from ..operators import sketch as sk
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("__price"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderkey % 97 = 0")
+        .select("o_orderkey", "o_orderstatus")
+    )
+    joined = sk.bloom_prune_join(li, orders, "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("__price").cast("double").alias("revenue"),
+    )

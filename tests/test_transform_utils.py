@@ -379,3 +379,31 @@ def test_hdr_quantile_bounds_and_merge(spark):
         lo, hi = int(served.loc[p, "est_lo"]), int(served.loc[p, "est_hi"])
         assert lo <= exact <= hi, (p, lo, exact, hi)
         assert (hi + 1) * 64 <= lo * 65 + 64, (p, lo, hi)
+
+
+def test_bloom_prune_join_identical_and_prunes(spark):
+    """bloom_prune_join: (a) result identical to the plain join (no
+    false negatives); (b) the prefilter is a row-local Filter on the
+    big side BEFORE any exchange (shuffle-volume cut, not a join);
+    (c) the pruned row count is near the true match count (FP rate
+    small at m=32768, k=4)."""
+    from data_transformation_python_spark.operators import sketch as sk
+
+    big = spark.range(0, 20_000).selectExpr("id AS k", "id * 3 AS payload")
+    small = spark.range(0, 20_000).filter("id % 100 = 0").selectExpr(
+        "id AS k", "id % 7 AS tag"
+    )
+    joined = sk.bloom_prune_join(big, small, "k")
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan  # the literal-array probe is in the plan
+    # the prefilter alone (before the join) keeps ~matches + FP only
+    cond_df = sk.bloom_prune_join(
+        big, small, "k", how="left_semi"
+    )
+    n = cond_df.count()
+    true_matches = 200
+    assert true_matches <= n <= true_matches + 0.01 * 20_000, n
