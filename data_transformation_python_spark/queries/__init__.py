@@ -118,9 +118,9 @@ def _register_all() -> None:
 # the merge-seam refactor + the per-invocation view-name race fix;
 # the similarity/dedup family after the auto-LSH default flip and the
 # assignment-tier pinning), the long r5 SQL/window tail after.  The
-# seven new front entries push q_intersect_custkeys …
-# q_dq_tests (r5-era set-op/DQ shapes, structurally frozen, locally
-# parity-green every round) past position 50 — they join
+# eleven new front entries push q_window_rank … q_dq_tests (r5-era
+# window/set-op/DQ shapes, structurally frozen, locally parity-green
+# every round) past position 50 — they join
 # multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
 # shapes at the head of the r9 rotation.  Everything past position 50
 # stays honest via the local DuckDB parity suite
@@ -129,6 +129,10 @@ def _register_all() -> None:
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
     "q_incremental_aggregate",
+    "sketch_bloom_join",
+    "graph_pagerank_tokens",
+    "multimodal_scene_cuts",
+    "q_mad_outliers",
     "dedup_span_extract",
     "text_lm_backoff",
     "sketch_hdr_quantiles",
