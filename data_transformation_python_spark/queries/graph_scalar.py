@@ -203,3 +203,64 @@ def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     return pagerank_fixed(edges, iterations=3)
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val/test split — the split unit is the near-dup
+# CONNECTED COMPONENT, so duplicated documents can never straddle
+# train and eval (the classic contamination bug)
+# --------------------------------------------------------------------------
+_SPLIT_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT i.d1, i.d2 FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.d1
+  JOIN sizes sb ON sb.doc_id = i.d2
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.a, r.lbl FROM r JOIN edges e ON e.b = r.node
+  ) SELECT * FROM r),
+comp AS (
+  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+  FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN comp USING (doc_id)),
+bucketed AS (
+  SELECT doc_id, component,
+         CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 6))
+              AS BIGINT) % 100 AS bucket
+  FROM assigned)
+SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
+@query("dedup_leakage_split", oracle=_SPLIT_ORACLE)
+def dedup_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition gate: verified n-gram Jaccard pairs → connected
+    components → component-keyed deterministic md5 split buckets —
+    every near-dup cluster lands whole in one of train/val/test.
+    Same doc-freq winnowing gate and frontier CC as the dedup gates;
+    the split assignment is pure integer/md5 arithmetic, bit-exact in
+    the oracle."""
+    return dd.leakage_safe_split(load(spark, sf_dir, "documents"))
