@@ -118,7 +118,7 @@ def _register_all() -> None:
 # the merge-seam refactor + the per-invocation view-name race fix;
 # the similarity/dedup family after the auto-LSH default flip and the
 # assignment-tier pinning), the long r5 SQL/window tail after.  The
-# eleven new front entries push q_window_rank … q_dq_tests (r5-era
+# twelve new front entries push q_top_customers … q_dq_tests (r5-era
 # window/set-op/DQ shapes, structurally frozen, locally parity-green
 # every round) past position 50 — they join
 # multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
@@ -129,6 +129,7 @@ def _register_all() -> None:
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
     "q_incremental_aggregate",
+    "dedup_leakage_split",
     "sketch_bloom_join",
     "graph_pagerank_tokens",
     "multimodal_scene_cuts",
