@@ -453,6 +453,33 @@ def corpus_scale_entries(spark, corpus_dir: str):
             lambda: tx.lm_backoff_score(docs),
         ),
         (
+            # PageRank: edge derivation is the corpus-sized part (one
+            # explode + groupBy); iterations run on vocab-sized state
+            "graph_pagerank_tokens",
+            lambda: __import__(
+                "data_transformation_python_spark.operators.graph",
+                fromlist=["pagerank_fixed"],
+            ).pagerank_fixed(
+                docs.selectExpr(
+                    "filter(split(text, ' '), x -> x <> '') AS __t"
+                )
+                .filter(F.size("__t") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(__t) - 1),"
+                            " i -> struct(element_at(__t, i) AS src,"
+                            " element_at(__t, i + 1) AS dst))"
+                        )
+                    ).alias("__e")
+                )
+                .select("__e.src", "__e.dst")
+                .groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("w")),
+                iterations=3,
+            ),
+        ),
+        (
             # HDR quantile sketch: constant-cell histogram build +
             # sketch-sized serving window
             "sketch_hdr_quantiles",

@@ -59,6 +59,9 @@ ENTRIES = [
     "dedup_span_extract",
     "text_lm_backoff",
     "sketch_hdr_quantiles",
+    # round 8e: PageRank — edge build is the corpus-sized half, the
+    # 3 iterations run on vocab-sized state; expected ≲ linear
+    "graph_pagerank_tokens",
 ]
 
 
