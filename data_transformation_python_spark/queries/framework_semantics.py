@@ -602,24 +602,26 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" WHERE {pred} GROUP BY o_custkey"
         )
 
-    r1 = mx.materialize(
-        "q_incagg", target, batch_sql("o_orderkey % 3 != 0"), cfg, {}
-    )
-    assert r1.get("initial"), r1
-    r2 = mx.materialize(
-        "q_incagg", target, batch_sql("o_orderkey % 3 = 0"), cfg, {}
-    )
-    assert r2.get("incremental_strategy") == "aggregate", r2
-    out = (
-        spark.table(target)
-        .select(
-            "o_custkey",
-            "n_orders",
-            F.col("total").cast("double").alias("total"),
-            "max_key",
+    try:
+        r1 = mx.materialize(
+            "q_incagg", target, batch_sql("o_orderkey % 3 != 0"), cfg, {}
         )
-        .localCheckpoint(eager=True)
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {target}")
-    spark.catalog.dropTempView(src)
-    return out
+        assert r1.get("initial"), r1
+        r2 = mx.materialize(
+            "q_incagg", target, batch_sql("o_orderkey % 3 = 0"), cfg, {}
+        )
+        assert r2.get("incremental_strategy") == "aggregate", r2
+        return (
+            spark.table(target)
+            .select(
+                "o_custkey",
+                "n_orders",
+                F.col("total").cast("double").alias("total"),
+                "max_key",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        spark.sql(f"DROP TABLE IF EXISTS __stg_{target}")
+        spark.catalog.dropTempView(src)
