@@ -308,6 +308,8 @@ def pagerank_fixed(
 
     Returns (node, rank_q) with rank_q in scale-quantized units.
     """
+    from pyspark import StorageLevel
+
     from .transform import materialize
 
     e = edges.select(
@@ -316,11 +318,20 @@ def pagerank_fixed(
         F.col(weight_col).cast("bigint").alias("w"),
     )
     wout = e.groupBy("src").agg(F.sum("w").alias("w_out"))
-    e = materialize(e.join(wout, "src"))
-    nodes = materialize(
+    # The edge table is reused every iteration but never re-derived
+    # from an iterated plan, so it needs CACHING, not a lineage cut:
+    # persist(MEMORY_AND_DISK) spills edge blocks past executor memory
+    # (a localCheckpoint here pinned the whole edge table in block
+    # storage and OOM'd the 500k-doc sweep point; at cluster scale the
+    # edge list is a table, not driver-adjacent memory).  Only the
+    # nodes-sized rank vector — the plan that GROWS per iteration —
+    # gets the eager materialize.
+    e = e.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_q"))
     base = (100 - damping_pct) * scale
@@ -343,6 +354,8 @@ def pagerank_fixed(
                 ).alias("rank_q"),
             )
         )
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 
