@@ -789,6 +789,61 @@ class Materializer:
         return result
 
 
+
+def compact_table(
+    executor,
+    table: str,
+    target_file_mb: int = 128,
+    cluster_by=None,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction — the periodic maintenance pass every
+    incremental/append/CDC table needs at scale: each merge or
+    micro-batch appends its own files, and a 100 TB table ingested in
+    thousands of batches degenerates into millions of tiny files
+    whose open/footer costs dominate scans.
+
+    Sizes the rewrite from the table's ACTUAL on-disk bytes
+    (``ceil(total_bytes / target_file_mb)`` output files), re-applies
+    the clustered layout if asked (range partition + sort ⇒ min/max
+    row-group pruning is restored for the whole table, not just the
+    initial build), and swaps atomically-as-possible via the staging
+    protocol (``_swap_in`` — the crash-safe path every rewrite in
+    this engine uses).  No-op (returns ``{"compacted": False}``) when
+    the table already has fewer than ``min_files`` files.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity of style)
+
+    spark = executor.spark
+    df = spark.table(table)
+    files = df.inputFiles()
+    if len(files) < min_files:
+        return {"compacted": False, "n_files": len(files)}
+    # total bytes via the JVM filesystem (inputFiles returns URIs)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(conf)
+        total += fs.getFileStatus(path).getLen()
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    mat = Materialization(executor)
+    if cluster_by:
+        out = mat._apply_clustering(df, [n_out] + list(cluster_by))
+    else:
+        out = df.repartition(n_out)
+    mat._swap_in(table, out)
+    return {
+        "compacted": True,
+        "n_files_before": len(files),
+        "bytes_before": total,
+        "n_files_target": n_out,
+    }
+
+
 # Retain the OBSOLETE_COL export for callers inspecting CDC tables.
 __all__ = [
     "Materialization",
@@ -802,4 +857,5 @@ __all__ = [
     "Materializer",
     "OBSOLETE_COL",
     "strip_trailing_semicolon",
+    "compact_table",
 ]

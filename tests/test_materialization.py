@@ -1033,3 +1033,37 @@ def test_aggregate_incremental_maintains_state(stack):
     assert r3["success"]  # initial build is a plain overwrite
     r4 = stack["mx"].execute_model("inc_agg_bad")
     assert not r4["success"] and "sum|max|min" in str(r4.get("error", r4))
+
+
+def test_compact_table_reduces_files_preserves_data(stack):
+    """compact_table: many tiny append files -> sized rewrite via the
+    staging swap; contents identical, file count collapses, clustered
+    layout re-applied when asked, no-op below min_files."""
+    from data_transformation_python_spark.materialization import (
+        compact_table,
+    )
+
+    spark, db = stack["spark"], stack["db"]
+    t = f"{db}.compactme"
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id bigint, k bigint"
+    ).repartition(10).write.saveAsTable(t)
+    for b in range(5):  # five tiny append batches
+        spark.createDataFrame(
+            [(1000 + b * 10 + i, i % 7) for i in range(10)],
+            "id bigint, k bigint",
+        ).repartition(2).write.mode("append").saveAsTable(t)
+    before = sorted(map(tuple, spark.table(t).collect()))
+    n_before = len(spark.table(t).inputFiles())
+    assert n_before >= 15
+    r = compact_table(stack["mx"].executor, t, cluster_by=["k"])
+    assert r["compacted"] and r["n_files_before"] == n_before
+    spark.catalog.refreshTable(t)
+    after = sorted(map(tuple, spark.table(t).collect()))
+    assert after == before
+    assert len(spark.table(t).inputFiles()) < n_before
+    # second pass: already compact -> no-op at min_files above count
+    r2 = compact_table(
+        stack["mx"].executor, t, min_files=10_000
+    )
+    assert r2 == {"compacted": False, "n_files": len(spark.table(t).inputFiles())}
