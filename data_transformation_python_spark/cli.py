@@ -263,16 +263,30 @@ def backfill(ctx: Context, model, start_date, end_date, interval_days, vars_str)
 @click.option("--cluster-by", "cluster_by", default=None,
               help="pipe-separated cluster columns, or zorder(a|b)")
 @click.option("--cluster-files", "cluster_files", default=None, type=int)
+@click.option("--target-file-mb", "target_file_mb", default=None, type=int,
+              help="size the rewrite from on-disk bytes instead of an"
+                   " explicit file count (ceil(bytes / target-file-mb))")
 @click.pass_obj
-def compact(ctx: Context, table, cluster_by, cluster_files):
+def compact(ctx: Context, table, cluster_by, cluster_files, target_file_mb):
     """Rewrite a table with a (re-)clustered file layout — the
     periodic compaction that restores min/max pruning after
     incremental appends/merges fragment it.  TABLE is a model name
-    (resolved against the project database) or a qualified table."""
-    from .materialization import TableMaterialization
+    (resolved against the project database) or a qualified table.
+    With --target-file-mb the output file count is derived from the
+    table's actual bytes (materialization.compact_table)."""
+    from .materialization import TableMaterialization, compact_table
 
     mx = ctx.model_executor()
     target = table if "." in table else mx.full_table_name(table)
+    if target_file_mb is not None and cluster_files is None:
+        r = compact_table(
+            mx.executor,
+            target,
+            target_file_mb=target_file_mb,
+            cluster_by=[cluster_by] if cluster_by else None,
+        )
+        click.echo(json.dumps({"table": target, **r}))
+        return
     strat = TableMaterialization(mx.executor, ctx.state)
     cfg = {}
     if cluster_by:
@@ -416,6 +430,7 @@ def serve(ctx: Context, watch, poll_interval, backend):
             time.sleep(1)
     except KeyboardInterrupt:
         w.stop()
+
 
 
 def main():

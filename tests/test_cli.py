@@ -116,3 +116,9 @@ def test_cli_compact_reclusters_table(proj):
     out = json.loads(r.output.strip().splitlines()[-1])
     assert out["files_after"] == 2
     assert out["files_before"] >= out["files_after"]
+
+
+def test_cli_compact_sized_mode_registered():
+    r = CliRunner().invoke(cli, ["compact", "--help"])
+    assert r.exit_code == 0
+    assert "--target-file-mb" in r.output and "--cluster-by" in r.output
