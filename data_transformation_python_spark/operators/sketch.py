@@ -530,6 +530,7 @@ def hdr_build(
     df: DataFrame,
     value_sql: str,
     m: int = 64,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fixed-shape log₂ histogram over a positive BIGINT expression —
     the mergeable quantile sketch (HdrHistogram; DDSketch, Masson et
@@ -553,8 +554,10 @@ def hdr_build(
     p2 = f"shiftleft(CAST(1 AS BIGINT), {e})"
     bucket = f"{e} * {m} + (({v} * {m}) DIV {p2} - {m})"
     return (
-        df.select(F.expr(bucket).cast("bigint").alias("bucket_id"))
-        .groupBy("bucket_id")
+        df.select(
+            *group_cols, F.expr(bucket).cast("bigint").alias("bucket_id")
+        )
+        .groupBy(*group_cols, "bucket_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
@@ -563,6 +566,7 @@ def hdr_quantiles(
     hist: DataFrame,
     pcts: tuple[int, ...] = (50, 90, 99),
     m: int = 64,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Serve percentile bounds from an ``hdr_build`` histogram: the
     smallest bucket whose cumulative count reaches ⌈pct·N/100⌉
@@ -580,11 +584,18 @@ def hdr_quantiles(
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("bucket_id").rowsBetween(
+    g = list(group_cols)
+    w = (
+        Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    ).orderBy("bucket_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    part = ", ".join(g) if g else "1"
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n_total", F.expr("CAST(sum(cnt) OVER (PARTITION BY 1) AS BIGINT)")
+        "n_total",
+        F.expr(
+            f"CAST(sum(cnt) OVER (PARTITION BY {part}) AS BIGINT)"
+        ),
     )
     pct_df = cum.sparkSession.createDataFrame(
         [(int(p),) for p in pcts], "quantile_pct bigint"
@@ -592,7 +603,7 @@ def hdr_quantiles(
     hit = (
         cum.crossJoin(F.broadcast(pct_df))
         .filter(F.expr("cum >= (quantile_pct * n_total + 99) DIV 100"))
-        .groupBy("quantile_pct")
+        .groupBy(*g, "quantile_pct")
         .agg(
             F.min("bucket_id").cast("bigint").alias("bucket_id"),
             F.max("n_total").cast("bigint").alias("n_total"),
@@ -602,6 +613,7 @@ def hdr_quantiles(
     sub = f"(bucket_id % {m})"
     p2 = f"shiftleft(CAST(1 AS BIGINT), {e})"
     return hit.select(
+        *g,
         "quantile_pct",
         "n_total",
         "bucket_id",

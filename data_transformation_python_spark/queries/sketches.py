@@ -706,3 +706,64 @@ def sketch_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum("__price").cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# grouped HDR quantiles: per-key percentile bounds from one histogram
+# build (constant cells per group), mergeable cell-wise like the
+# global sketch
+# --------------------------------------------------------------------------
+_HDR_GROUPED_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         GREATEST(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS BIGINT), 1) AS c
+  FROM events),
+b AS (
+  SELECT event_type,
+         (length(bin(c)) - 1) * 64
+           + ((c * 64) // (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) - 64)
+           AS bucket_id
+  FROM v),
+hist AS (
+  SELECT event_type, bucket_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket_id, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+  FROM hist),
+pcts(quantile_pct) AS (VALUES (50), (90), (99)),
+hit AS (
+  SELECT event_type, quantile_pct,
+         CAST(MIN(bucket_id) AS BIGINT) AS bucket_id,
+         CAST(MAX(n_total) AS BIGINT) AS n_total
+  FROM cum CROSS JOIN pcts
+  WHERE cum >= (quantile_pct * n_total + 99) // 100
+  GROUP BY event_type, quantile_pct)
+SELECT event_type, quantile_pct, n_total, bucket_id,
+       CAST(((CAST(1 AS BIGINT) << (bucket_id // 64))
+             * (64 + bucket_id % 64)) // 64 AS BIGINT) AS est_lo,
+       CAST(((CAST(1 AS BIGINT) << (bucket_id // 64))
+             * (64 + bucket_id % 64 + 1) - 1) // 64 AS BIGINT) AS est_hi
+FROM hit
+"""
+
+
+@query("sketch_hdr_grouped", oracle=_HDR_GROUPED_ORACLE)
+def sketch_hdr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 bounds from ONE grouped histogram
+    build: the groupBy emits ≤ 63·64 cells per key (map-side
+    combined), serving windows partition by the key — per-group
+    sketch work never scales with the corpus, and the same cell-wise
+    sum merges per-split partials exactly like the global sketch."""
+    from ..operators import sketch as sk
+
+    ev = load(spark, sf_dir, "events")
+    hist = sk.hdr_build(
+        ev,
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        group_cols=("event_type",),
+    )
+    return sk.hdr_quantiles(hist, (50, 90, 99), group_cols=("event_type",))
