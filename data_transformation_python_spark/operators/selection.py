@@ -144,3 +144,65 @@ def global_percentile_disc(
     return spark.createDataFrame(
         out or [(None, None)], "quantile double, value double"
     ).filter("quantile IS NOT NULL")
+
+
+def cusum_changepoint(
+    df,
+    time_col: str = "ts",
+    group_col: str = "event_type",
+    k_x100: int = 50,
+    h_x100: int = 600,
+):
+    """One-sided CUSUM change-point detection over per-hour event
+    volumes (Page 1954): s_i = max(0, s_{i-1} + x_i − μ − k), alarm
+    when s crosses h — the classic drift monitor a pipeline runs per
+    source to catch volume shifts a global mean test smears out.
+
+    The clamped recursion is rewritten in closed form:
+    s_i = P_i − min(0, min_{j≤i} P_j) with P the running prefix sum
+    of y_i = 100·x_i − μ − k — so the whole trajectory is TWO window
+    functions over (group, hour) order, no recursion, no per-group
+    array collect, fully distributed at any series length.  All
+    arithmetic is ×100 fixed-point BIGINT (μ = (100·Σx) DIV n), so
+    every s_i replays bit-exactly in the SQL oracle.
+
+    Returns (group, n_hours, mu_x100, max_cusum, n_alarm_hours).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hourly = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.date_trunc("hour", F.col(time_col)).alias("h"),
+        )
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    mu = hourly.groupBy("g").agg(
+        F.expr("CAST((100 * SUM(c)) DIV COUNT(1) AS BIGINT)").alias(
+            "mu_x100"
+        )
+    )
+    w = Window.partitionBy("g").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    traj = (
+        hourly.join(F.broadcast(mu), "g")
+        .withColumn("y", F.expr(f"100 * c - mu_x100 - {k_x100}"))
+        .withColumn("P", F.sum("y").over(w))
+        .withColumn(
+            "s",
+            F.expr("P - LEAST(CAST(0 AS BIGINT), min(P) OVER "
+                   "(PARTITION BY g ORDER BY h ROWS BETWEEN UNBOUNDED "
+                   "PRECEDING AND CURRENT ROW))"),
+        )
+    )
+    return traj.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.max("mu_x100").cast("bigint").alias("mu_x100"),
+        F.max("s").cast("bigint").alias("max_cusum"),
+        F.sum((F.col("s") > h_x100).cast("int"))
+        .cast("bigint")
+        .alias("n_alarm_hours"),
+    ).withColumnRenamed("g", group_col)

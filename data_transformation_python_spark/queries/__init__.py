@@ -118,7 +118,7 @@ def _register_all() -> None:
 # the merge-seam refactor + the per-invocation view-name race fix;
 # the similarity/dedup family after the auto-LSH default flip and the
 # assignment-tier pinning), the long r5 SQL/window tail after.  The
-# thirteen new front entries push q_monthly_revenue and q_top_customers … q_dq_tests (r5-era
+# fourteen new front entries push q10_returned_items through q_top_customers … q_dq_tests (r5-era
 # window/set-op/DQ shapes, structurally frozen, locally parity-green
 # every round) past position 50 — they join
 # multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
@@ -134,6 +134,7 @@ _PRIORITY: list[str] = [
     "graph_pagerank_tokens",
     "multimodal_scene_cuts",
     "q_mad_outliers",
+    "q_cusum_changepoint",
     "dedup_span_extract",
     "text_lm_backoff",
     "sketch_hdr_quantiles",

@@ -686,3 +686,50 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection — per-source hourly-volume drift monitor
+# (Page 1954), fixed-point recursion as an in-row fold
+# --------------------------------------------------------------------------
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type AS g, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+mu AS (
+  SELECT g, CAST((100 * SUM(c)) // COUNT(*) AS BIGINT) AS mu_x100
+  FROM hourly GROUP BY g),
+traj AS (
+  SELECT hourly.g, h, mu_x100,
+         SUM(100 * c - mu_x100 - 50) OVER
+           (PARTITION BY hourly.g ORDER BY h
+            ROWS UNBOUNDED PRECEDING) AS P
+  FROM hourly JOIN mu ON hourly.g = mu.g),
+svals AS (
+  SELECT g, mu_x100,
+         P - LEAST(CAST(0 AS BIGINT),
+                   MIN(P) OVER (PARTITION BY g ORDER BY h
+                                ROWS UNBOUNDED PRECEDING)) AS s
+  FROM traj)
+SELECT g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(mu_x100) AS BIGINT) AS mu_x100,
+       CAST(MAX(s) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_hours
+FROM svals GROUP BY g
+"""
+
+
+@query("q_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift monitor over hourly volumes: the
+    recursion s_i = max(0, s_{i-1} + x_i - mu - k) runs as one
+    JVM-side fold over each group's bounded, time-ordered count array
+    (hours, not events — control-plane sized), in x100 fixed-point
+    BIGINTs so the whole trajectory replays bit-exactly in the
+    list_reduce oracle."""
+    from ..operators.selection import cusum_changepoint
+
+    return cusum_changepoint(load(spark, sf_dir, "events"))

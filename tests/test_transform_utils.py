@@ -407,3 +407,40 @@ def test_bloom_prune_join_identical_and_prunes(spark):
     n = cond_df.count()
     true_matches = 200
     assert true_matches <= n <= true_matches + 0.01 * 20_000, n
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The window closed form (P_i - min(0, min P_j)) must equal the
+    textbook clamped recursion s_i = max(0, s_{i-1} + y_i) on a
+    series with a planted level shift, alarms included."""
+    import datetime
+
+    from data_transformation_python_spark.operators.selection import (
+        cusum_changepoint,
+    )
+
+    counts = [3, 2, 3, 3, 2, 3, 9, 9, 8, 9, 9, 2, 3]  # shift at idx 6
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append(("feed", base + datetime.timedelta(hours=i, minutes=j)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = cusum_changepoint(df, h_x100=600).collect()[0].asDict()
+
+    n = len(counts)
+    mu = (100 * sum(counts)) // n
+    s = mx = al = 0
+    for c in counts:
+        s = max(0, s + 100 * c - mu - 50)
+        mx = max(mx, s)
+        if s > 600:
+            al += 1
+    assert got == {
+        "event_type": "feed",
+        "n_hours": n,
+        "mu_x100": mu,
+        "max_cusum": mx,
+        "n_alarm_hours": al,
+    }, (got, mx, al)
+    assert al > 0  # the planted shift actually alarms
