@@ -1031,3 +1031,71 @@ FROM docwords d JOIN s{k} s ON d.word = s.word
 GROUP BY d.doc_id
 """
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: bucket the corpus into
+    ``n_buckets`` ingest slices by document id and report, per slice,
+    how many NEW token types first appear there alongside cumulative
+    types and cumulative token volume — the dataset-card diagnostic
+    for "is the corpus still contributing new vocabulary or just
+    repeating itself" (type growth flattening ⇒ diminishing returns
+    per added shard).
+
+    Plan: one explode feeds (a) per-token MIN(doc_id) — first sight,
+    map-side-combined groupBy on the token — and (b) per-bucket token
+    volume; bucket id = (doc_id · n) DIV (max_id + 1) in BIGINT so
+    the slicing replays exactly; cumulative sums are windows over
+    ≤ ``n_buckets`` rows.  Returns (bucket, new_types, cum_types,
+    n_tokens, cum_tokens) — all BIGINT.
+    """
+    from .transform import materialize
+
+    toks = materialize(
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+            ).alias("token"),
+        )
+    )
+    mx = toks.agg(F.max("__d").alias("__mx"))
+    bucket = f"CAST((__d * {n_buckets}) DIV (__mx + 1) AS BIGINT)"
+    first = (
+        toks.groupBy("token")
+        .agg(F.min("__d").alias("__d"))
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    volume = (
+        toks.crossJoin(F.broadcast(mx))
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    joined = volume.join(first, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("bigint").alias(
+            "new_types"
+        ),
+        "n_tokens",
+    )
+    wsql = "(ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+    return joined.select(
+        "bucket",
+        "new_types",
+        F.expr(f"CAST(SUM(new_types) OVER {wsql} AS BIGINT)").alias(
+            "cum_types"
+        ),
+        "n_tokens",
+        F.expr(f"CAST(SUM(n_tokens) OVER {wsql} AS BIGINT)").alias(
+            "cum_tokens"
+        ),
+    )

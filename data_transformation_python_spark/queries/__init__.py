@@ -118,7 +118,7 @@ def _register_all() -> None:
 # the merge-seam refactor + the per-invocation view-name race fix;
 # the similarity/dedup family after the auto-LSH default flip and the
 # assignment-tier pinning), the long r5 SQL/window tail after.  The
-# fourteen new front entries push q10_returned_items through q_top_customers … q_dq_tests (r5-era
+# fifteen new front entries push q_range_frame_trailing through q_top_customers … q_dq_tests (r5-era
 # window/set-op/DQ shapes, structurally frozen, locally parity-green
 # every round) past position 50 — they join
 # multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
@@ -137,6 +137,7 @@ _PRIORITY: list[str] = [
     "q_cusum_changepoint",
     "dedup_span_extract",
     "text_lm_backoff",
+    "text_vocab_growth",
     "sketch_hdr_quantiles",
     "sketch_hdr_grouped",
     "q_stream_hdr_merge",

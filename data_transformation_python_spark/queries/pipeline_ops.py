@@ -1352,3 +1352,45 @@ def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_bpe_tokenize", oracle=tx.bpe_tokenize_oracle_sql(4))
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_tokenize_stats(load(spark, sf_dir, "documents"), k=4)
+
+
+# --------------------------------------------------------------------------
+# vocabulary-growth (Heaps'-law) curve — is the corpus still adding
+# new token types, or repeating itself?
+# --------------------------------------------------------------------------
+_VOCAB_GROWTH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS d, t AS token
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''),
+mx AS (SELECT MAX(d) AS m FROM toks),
+firstseen AS (SELECT token, MIN(d) AS d FROM toks GROUP BY token),
+first AS (
+  SELECT CAST((d * 20) // (m + 1) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM firstseen, mx
+  GROUP BY 1),
+volume AS (
+  SELECT CAST((d * 20) // (m + 1) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks, mx GROUP BY 1)
+SELECT v.bucket,
+       CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER
+            (ORDER BY v.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_types,
+       v.n_tokens,
+       CAST(SUM(v.n_tokens) OVER
+            (ORDER BY v.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens
+FROM volume v LEFT JOIN first f ON v.bucket = f.bucket
+"""
+
+
+@query("text_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law diagnostic over 20 ingest slices: new token types per
+    slice (per-token MIN(doc_id) first-sight, one map-side-combined
+    groupBy) vs cumulative token volume; window work is
+    buckets-sized."""
+    return tx.vocab_growth(load(spark, sf_dir, "documents"))
