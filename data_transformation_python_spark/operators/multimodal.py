@@ -2682,3 +2682,58 @@ def mp4_scene_cuts(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=SCENE_CUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image: histogram equalization — a REAL pixel transform (contrast
+# normalization) in exact integer arithmetic over decoded BMPs
+# --------------------------------------------------------------------------
+BMP_EQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_eq_r", T.LongType()),
+        T.StructField("min_eq_r", T.LongType()),
+        T.StructField("max_eq_r", T.LongType()),
+        T.StructField("px00_eq_r", T.LongType()),
+    ]
+)
+
+
+def bmp_equalize_stats(df: DataFrame) -> DataFrame:
+    """Histogram-equalize the R channel of decoded BMP payloads and
+    report exact integer stats of the remapped image — the standard
+    contrast-normalization preprocessing step, done the classic way:
+    eq(v) = ((cdf(v) − cdf_min) · 255) DIV (n − cdf_min), cdf from
+    the per-image 256-bin histogram.  Pure integer ops, so the whole
+    transform replays bit-exactly in the SQL oracle (which rebuilds
+    the histogram and CDF from the pixel formula).  Per-row
+    independent, Arrow-batched, no shuffle."""
+    import numpy as np
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in BMP_EQ_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, px = _parse_bmp(bytes(payload))
+                r = px[..., 0].astype(np.int64).ravel()
+                n = r.size
+                hist = np.bincount(r, minlength=256)
+                cdf = np.cumsum(hist)
+                cdf_min = int(cdf[int(r.min())])
+                if n > cdf_min:
+                    eq_map = ((cdf - cdf_min) * 255) // (n - cdf_min)
+                else:
+                    eq_map = np.zeros(256, dtype=np.int64)
+                eq = eq_map[r]
+                out["doc_id"].append(int(doc_id))
+                out["n_pixels"].append(n)
+                out["sum_eq_r"].append(int(eq.sum()))
+                out["min_eq_r"].append(int(eq.min()))
+                out["max_eq_r"].append(int(eq.max()))
+                out["px00_eq_r"].append(int(eq_map[int(px[0, 0, 0])]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=BMP_EQ_SCHEMA)

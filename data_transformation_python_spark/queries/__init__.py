@@ -118,7 +118,7 @@ def _register_all() -> None:
 # the merge-seam refactor + the per-invocation view-name race fix;
 # the similarity/dedup family after the auto-LSH default flip and the
 # assignment-tier pinning), the long r5 SQL/window tail after.  The
-# fifteen new front entries push q_range_frame_trailing through q_top_customers … q_dq_tests (r5-era
+# sixteen new front entries push text_quality_filter through q_top_customers … q_dq_tests (r5-era
 # window/set-op/DQ shapes, structurally frozen, locally parity-green
 # every round) past position 50 — they join
 # multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
@@ -133,6 +133,7 @@ _PRIORITY: list[str] = [
     "sketch_bloom_join",
     "graph_pagerank_tokens",
     "multimodal_scene_cuts",
+    "multimodal_bmp_equalize",
     "q_mad_outliers",
     "q_cusum_changepoint",
     "dedup_span_extract",

@@ -1397,3 +1397,57 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.mp4_scene_cuts(mm.synth_scene_mp4_table(docs))
+
+
+# --------------------------------------------------------------------------
+# multimodal image — histogram equalization (contrast normalization):
+# the oracle rebuilds the per-image histogram, CDF, and integer remap
+# from the pixel formula
+# --------------------------------------------------------------------------
+_BMP_EQ_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims),
+vals AS (
+  SELECT doc_id, w * h AS n, p,
+         (doc_id * 7 + (p % w) * 19 + (p // w) * 23) % 256 AS r
+  FROM px),
+hist AS (
+  SELECT doc_id, n, r, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2, 3),
+cdf AS (
+  SELECT doc_id, n, r,
+         SUM(c) OVER (PARTITION BY doc_id ORDER BY r
+                      ROWS UNBOUNDED PRECEDING) AS cdf
+  FROM hist),
+cmin AS (
+  SELECT doc_id, CAST(MIN(cdf) AS BIGINT) AS cdf_min FROM cdf GROUP BY 1),
+eqmap AS (
+  SELECT cdf.doc_id, cdf.n, cdf.r,
+         CASE WHEN cdf.n > cmin.cdf_min
+              THEN ((cdf.cdf - cmin.cdf_min) * 255) // (cdf.n - cmin.cdf_min)
+              ELSE 0 END AS eq
+  FROM cdf JOIN cmin ON cdf.doc_id = cmin.doc_id),
+eqpx AS (
+  SELECT v.doc_id, v.n, v.p, m.eq
+  FROM vals v JOIN eqmap m ON v.doc_id = m.doc_id AND v.r = m.r)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_pixels,
+       CAST(SUM(eq) AS BIGINT) AS sum_eq_r,
+       CAST(MIN(eq) AS BIGINT) AS min_eq_r,
+       CAST(MAX(eq) AS BIGINT) AS max_eq_r,
+       CAST(MAX(CASE WHEN p = 0 THEN eq END) AS BIGINT) AS px00_eq_r
+FROM eqpx GROUP BY doc_id
+"""
+
+
+@query("multimodal_bmp_equalize", oracle=_BMP_EQ_ORACLE)
+def multimodal_bmp_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization over REAL decoded BMPs: per-image 256-bin
+    histogram → CDF → integer remap, exact stats of the equalized R
+    channel.  Any decode or CDF off-by-one shifts the sums."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.bmp_equalize_stats(mm.synth_bmp_table(docs))
