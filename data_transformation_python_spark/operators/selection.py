@@ -179,6 +179,18 @@ def cusum_changepoint(
         .groupBy("g", "h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    return cusum_serve(hourly, group_col, k_x100, h_x100)
+
+
+def cusum_serve(hourly, group_col: str = "event_type",
+                k_x100: int = 50, h_x100: int = 600):
+    """Serve the CUSUM verdicts from a (g, h, c) hourly-count series —
+    shared by the batch monitor and the streaming log-structured gate
+    (hourly counts merge by SUM, so stream-maintained series feed the
+    identical serving pass)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     mu = hourly.groupBy("g").agg(
         F.expr("CAST((100 * SUM(c)) DIV COUNT(1) AS BIGINT)").alias(
             "mu_x100"

@@ -118,7 +118,7 @@ def _register_all() -> None:
 # the merge-seam refactor + the per-invocation view-name race fix;
 # the similarity/dedup family after the auto-LSH default flip and the
 # assignment-tier pinning), the long r5 SQL/window tail after.  The
-# sixteen new front entries push text_quality_filter through q_top_customers … q_dq_tests (r5-era
+# seventeen new front entries push q_salted_join through q_top_customers … q_dq_tests (r5-era
 # window/set-op/DQ shapes, structurally frozen, locally parity-green
 # every round) past position 50 — they join
 # multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
@@ -136,6 +136,7 @@ _PRIORITY: list[str] = [
     "multimodal_bmp_equalize",
     "q_mad_outliers",
     "q_cusum_changepoint",
+    "q_stream_cusum",
     "dedup_span_extract",
     "text_lm_backoff",
     "text_vocab_growth",

@@ -1187,3 +1187,68 @@ def q_stream_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sk.hdr_quantiles(merged, (50, 90, 99)).localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {target}")
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming CUSUM drift monitor: per-micro-batch hourly count partials
+# appended to a catalog table; the served trajectory is windows over
+# the SUM-merged series — identical to the batch monitor
+# --------------------------------------------------------------------------
+from ..queries.advanced import _CUSUM_ORACLE as _STREAM_CUSUM_ORACLE  # noqa: E402
+
+
+@query("q_stream_cusum", oracle=_STREAM_CUSUM_ORACLE)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring as a log-structured stream job: each
+    micro-batch appends its own (source, hour, count) partials —
+    hourly counts merge by plain SUM, so the maintained series equals
+    the batch series exactly, and the CUSUM serving pass (two windows
+    over prefix sums, operators/selection.py) replays the batch
+    trajectory bit-for-bit.  Bounded state: hours × sources rows per
+    batch, no custom state store."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _events_stream(spark, sf_dir).select("event_type", "ts")
+    target = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {target} (g STRING, h TIMESTAMP_NTZ, c BIGINT)"
+        " USING parquet"
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("event_type").alias("g"),
+                F.date_trunc("hour", F.col("ts"))
+                .cast("timestamp_ntz")
+                .alias("h"),
+            )
+            .groupBy("g", "h")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.insertInto(target)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dtps_stream_cusum_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = (
+        spark.table(target)
+        .groupBy("g", "h")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    from ..operators.selection import cusum_serve
+
+    out = cusum_serve(merged).localCheckpoint(eager=True)
+
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    return out
