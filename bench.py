@@ -453,6 +453,12 @@ def corpus_scale_entries(spark, corpus_dir: str):
             lambda: tx.lm_backoff_score(docs),
         ),
         (
+            # Heaps-law curve: one explode feeds first-sight groupBy
+            # and per-bucket volume; windows are buckets-sized
+            "text_vocab_growth",
+            lambda: tx.vocab_growth(docs),
+        ),
+        (
             # PageRank: edge derivation is the corpus-sized part (one
             # explode + groupBy); iterations run on vocab-sized state
             "graph_pagerank_tokens",

@@ -62,6 +62,7 @@ ENTRIES = [
     # round 8e: PageRank — edge build is the corpus-sized half, the
     # 3 iterations run on vocab-sized state; expected ≲ linear
     "graph_pagerank_tokens",
+    "text_vocab_growth",
 ]
 
 
