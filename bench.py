@@ -497,6 +497,26 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 (50, 90, 99),
             ),
         ),
+        (
+            # image near-dup at corpus scale: 50k real BMPs decoded
+            # + dHashed (per-row Python), then banded Hamming joins.
+            # The SCALED fixture (cluster id = id div 10) keeps
+            # cluster size constant so pair volume is linear in n —
+            # the oracle fixture's fixed 50 groups would go n²/50
+            "multimodal_dhash_neardup",
+            lambda: dd.hamming_neardup_stats(
+                mm.bmp_dhash(
+                    mm.synth_neardup_bmp_table_scaled(docs, cluster_size=10)
+                ),
+                max_hamming=8,
+            ),
+        ),
+        (
+            # ExactSubstr trim applied at corpus scale: span extract
+            # + per-doc cut grouping + array-side token filtering
+            "dedup_span_trim",
+            lambda: dd.exact_substring_trim(docs, n=8),
+        ),
     ]
 
 

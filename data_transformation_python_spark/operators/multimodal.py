@@ -2737,3 +2737,158 @@ def bmp_equalize_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=BMP_EQ_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image near-duplicate hashing: dHash (difference hash) over real
+# decoded BMPs.  The classic perceptual fingerprint for image-corpus
+# dedup — integer-only (block-mean downscale + neighbor comparison),
+# so unlike DCT pHash the whole hash replays bit-exactly in SQL.
+# --------------------------------------------------------------------------
+#: fixture geometry: 18×16 source pixels → 9×8 block means → 8×8
+#: comparison bits → four 16-bit LSH bands.
+DHASH_W, DHASH_H = 18, 16
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band0", T.LongType()),
+        T.StructField("band1", T.LongType()),
+        T.StructField("band2", T.LongType()),
+        T.StructField("band3", T.LongType()),
+    ]
+)
+
+
+def _neardup_bmp_channels(doc_id: int, w: int, h: int):
+    """Grayscale near-dup fixture: the base pattern depends only on
+    the GROUP (doc_id mod 50) — including its spatial frequencies, so
+    distinct groups differ structurally, not by a brightness offset
+    dHash is (correctly) invariant to — plus ~3 per-DOC impulse
+    pixels (+40 where (doc_id·31 + y·w + x) ≡ 0 mod 97).  Same-group
+    images therefore hash within a few bits of each other; all
+    arithmetic is linear-congruence + mod, replayable in plain SQL."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    grp = doc_id % 50
+    # dHash compares HORIZONTAL neighbors only, so group separation
+    # must live in the x-frequency: 20 + 2·grp is unique per group
+    # (measured: same-group Hamming ≤ 2-3, cross-group ≥ 19).
+    base = grp * 37 + x * (20 + 2 * grp) + y * 23
+    impulse = ((doc_id * 31 + y * w + x) % 97 == 0).astype(np.int64)
+    v = ((base + 40 * impulse) % 256).astype(np.uint8)
+    return v, v, v
+
+
+def synth_neardup_bmp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL 18×16 grayscale 24-bit BMP per row, built so that
+    rows sharing ``doc_id mod 50`` are visual near-duplicates (same
+    base pattern, different impulse noise) — the image-corpus analogue
+    of the text near-dup fixtures."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                r, g, b = _neardup_bmp_channels(int(i), DHASH_W, DHASH_H)
+                payloads.append(
+                    _bmp_payload_from_rgb(r, g, b, DHASH_W, DHASH_H)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def bmp_dhash(df: DataFrame) -> DataFrame:
+    """dHash over decoded BMP payloads: 2×2 integer block means down
+    to 9×8, bit(Y,X) = mean(X,Y) > mean(X+1,Y) for the 8×8 comparison
+    grid, bits packed little-endian-within-band into four 16-bit LSH
+    bands (bit p = Y·8+X lands in band p div 16 at offset p mod 16).
+    Integer-only ⇒ the SQL oracle rebuilds the identical bands from
+    the pixel formula.  Per-row independent, Arrow-batched; the
+    banded-join candidate stage downstream is pure DataFrame ops
+    (see operators/dedup.py::hamming_neardup_stats)."""
+    import numpy as np
+
+    offsets = np.arange(16, dtype=np.int64)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, px = _parse_bmp(bytes(payload))
+                if (w, h) != (DHASH_W, DHASH_H):
+                    raise ValueError("dhash fixture expects 18x16 BMPs")
+                v = px[..., 0].astype(np.int64)  # grayscale ⇒ R = luma
+                m = (
+                    v[0::2, 0::2] + v[0::2, 1::2]
+                    + v[1::2, 0::2] + v[1::2, 1::2]
+                ) // 4  # (8 rows, 9 cols)
+                bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+                out["doc_id"].append(int(doc_id))
+                for k in range(4):
+                    out[f"band{k}"].append(
+                        int((bits[k * 16 : (k + 1) * 16] << offsets).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+def synth_neardup_bmp_table_scaled(
+    df: DataFrame, id_col: str = "doc_id", cluster_size: int = 10
+) -> DataFrame:
+    """Corpus-scale variant of ``synth_neardup_bmp_table``: the
+    oracle-gated fixture has a FIXED 50 groups, so its group size —
+    and hence near-dup pair volume — grows as n²/50 with the corpus.
+    Here the cluster id is ``doc_id div cluster_size``: cluster count
+    scales with n, pair volume stays linear, which is what a real
+    image corpus looks like (bounded duplicate clusters).  Patterns
+    come from an avalanche mix (xor-multiply; a linear congruence
+    keeps horizontal gradients constant across clusters and dHash
+    can't separate them — measured: same-cluster Hamming ≤ 7,
+    cross-cluster ≥ 18, ~4 random band collisions per doc)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    w, h = DHASH_W, DHASH_H
+    p = np.arange(w * h, dtype=np.uint64).reshape(h, w)
+    xg = np.arange(w, dtype=np.int64)[None, :]
+    yg = np.arange(h, dtype=np.int64)[:, None]
+
+    def _payload(doc_id: int) -> bytes:
+        c = np.uint64(doc_id // cluster_size)
+        a = (p + np.uint64(1)) * np.uint64(0x9E3779B1)
+        b = (c + np.uint64(1)) * np.uint64(0x85EBCA77)
+        base = (
+            (((a ^ b) * np.uint64(0xC2B2AE3D)) >> np.uint64(33))
+            % np.uint64(256)
+        ).astype(np.int64)
+        imp = ((doc_id * 31 + yg * w + xg) % 97 == 0).astype(np.int64)
+        v = ((base + 40 * imp) % 256).astype(np.uint8)
+        return _bmp_payload_from_rgb(v, v, v, w, h)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_payload(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)

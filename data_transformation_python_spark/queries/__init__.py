@@ -104,7 +104,9 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: first the seven
+# rotated STALEST-FIRST each round.  Round 8: the two latest
+# never-checked gates lead (image dHash near-dup, exact-substring
+# trim), then the seven
 # NEVER-CHECKED gates added late in the round (the aggregate-
 # incremental strategy, maximal-span extraction, stupid-backoff LM
 # scoring, the HDR quantile sketch batch + streaming merge, the BPE
@@ -128,6 +130,8 @@ def _register_all() -> None:
 # full-registry sweep.  Names absent from the registry are ignored;
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
+    "multimodal_dhash_neardup",
+    "dedup_span_trim",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

@@ -1451,3 +1451,86 @@ def multimodal_bmp_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.bmp_equalize_stats(mm.synth_bmp_table(docs))
+
+
+# --------------------------------------------------------------------------
+# multimodal image near-dup — dHash fingerprints over real decoded
+# BMPs + banded Hamming-LSH join (the image-corpus dedup the text
+# pipeline gets from MinHash); integer-only, fully SQL-replayed
+# --------------------------------------------------------------------------
+_DHASH_ORACLE = """
+WITH px AS (
+  SELECT doc_id, p % 18 AS x, p // 18 AS y,
+         ((doc_id % 50) * 37
+          + (p % 18) * (20 + 2 * (doc_id % 50))
+          + (p // 18) * 23
+          + 40 * CASE WHEN (doc_id * 31 + p) % 97 = 0 THEN 1 ELSE 0 END
+         ) % 256 AS v
+  FROM (SELECT doc_id, unnest(generate_series(0, 287)) AS p FROM documents)),
+blk AS (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(v) // 4 AS m
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.by * 8 + a.bx AS p,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM blk a JOIN blk b
+    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+bands AS (
+  SELECT doc_id, p // 16 AS band_idx,
+         CAST(SUM(bit << (p % 16)) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2),
+h AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS band0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS band1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS band2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS band3
+  FROM bands GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id <> b.doc_id),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         bit_count(xor(ha.band0, hb.band0))
+       + bit_count(xor(ha.band1, hb.band1))
+       + bit_count(xor(ha.band2, hb.band2))
+       + bit_count(xor(ha.band3, hb.band3)) AS d
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.id_a
+  JOIN h hb ON hb.doc_id = c.id_b),
+nd AS (
+  SELECT id_a, CAST(COUNT(*) AS BIGINT) AS n_neardup,
+         CAST(MIN(id_b) AS BIGINT) AS min_partner,
+         CAST(MIN(d) AS BIGINT) AS min_hamming
+  FROM ham WHERE d <= 8 GROUP BY 1)
+SELECT h.doc_id, h.band0, h.band1, h.band2, h.band3,
+       COALESCE(nd.n_neardup, 0) AS n_neardup,
+       COALESCE(nd.min_partner, -1) AS min_partner,
+       COALESCE(nd.min_hamming, -1) AS min_hamming
+FROM h LEFT JOIN nd ON nd.id_a = h.doc_id
+"""
+
+
+@query("multimodal_dhash_neardup", oracle=_DHASH_ORACLE)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection through the REAL pipeline:
+    grouped synthetic BMPs → byte-level decode → integer dHash (2×2
+    block means, 8×8 comparison bits, four 16-bit bands) → banded
+    Hamming-LSH candidate join → exact bit_count(xor) verify at ≤8.
+    The oracle rebuilds fingerprints AND the join from the pixel
+    formula, so a single flipped bit anywhere breaks the hash."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    hashes = mm.bmp_dhash(mm.synth_neardup_bmp_table(docs))
+    out = dd.hamming_neardup_stats(hashes, max_hamming=8)
+    return out.select(
+        "doc_id", "band0", "band1", "band2", "band3", "n_neardup",
+        F.coalesce("min_partner", F.lit(-1)).cast("bigint")
+        .alias("min_partner"),
+        F.coalesce("min_hamming", F.lit(-1)).cast("bigint")
+        .alias("min_hamming"),
+    )

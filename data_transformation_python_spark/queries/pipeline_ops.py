@@ -1394,3 +1394,55 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy) vs cumulative token volume; window work is
     buckets-sized."""
     return tx.vocab_growth(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# exact-substring trim — the removal step APPLIED (cut every maximal
+# duplicated span, witness the trimmed corpus by md5)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_span_trim",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8),
+sp AS (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(t[i:i+7], ' ')) AS span_hash FROM idx),
+rep AS (SELECT span_hash FROM sp
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT s.doc_id, s.pos FROM sp s JOIN rep r USING (span_hash)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM dup),
+cuts AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + 8 AS l
+         FROM isl GROUP BY doc_id, grp),
+cutpos AS (SELECT doc_id, unnest(generate_series(s, s + l - 1)) AS p
+           FROM cuts),
+tok AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM toks),
+kept AS (SELECT tok.doc_id, tok.i, tok.t[tok.i] AS w
+         FROM tok LEFT JOIN cutpos c
+           ON tok.doc_id = c.doc_id AND tok.i - 1 = c.p
+         WHERE c.p IS NULL),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY i)) AS h
+        FROM kept GROUP BY doc_id)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       CAST(len(toks.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_cut,
+       COALESCE(agg.h, md5('')) AS trimmed_md5
+FROM toks LEFT JOIN agg USING (doc_id)
+""",
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup END-TO-END (Lee et al. 2022): extract maximal
+    duplicated-span cut lists, then actually trim them out of every
+    document — exact kept/cut token counts plus an md5 witness of each
+    trimmed document, so the oracle re-derives the entire removal
+    (spans → islands → cut ranges → token filter → reassembled text)
+    independently."""
+    return dd.exact_substring_trim(
+        load(spark, sf_dir, "documents"), n=8, min_docs=2
+    )

@@ -395,3 +395,58 @@ def test_bpe_learn_semantics_greedy_left_ties_and_exhaustion(spark):
     assert got[4] == (4, "c", "d", "cd", 2), got
     # all words are single symbols now: loop must stop early
     assert len(got) == 5, got
+
+
+def test_exact_substring_trim_cuts_planted_span(spark):
+    """The trim step removes exactly the maximal duplicated span from
+    every carrier and witnesses the reconstruction: kept counts and
+    md5 of the trimmed text match a hand computation."""
+    import hashlib
+
+    from data_transformation_python_spark.operators.dedup import (
+        exact_substring_trim,
+    )
+
+    block = " ".join(f"w{i}" for i in range(8))  # one exact 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, block + " aaa bbb"),
+            (2, "ccc " + block),
+            (3, "unique tokens only here nothing repeats at all ever"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in exact_substring_trim(docs, n=8).collect()}
+    # doc 1: 10 tokens, positions 0-7 cut -> "aaa bbb"
+    assert (out[1].n_tokens, out[1].n_kept, out[1].n_cut) == (10, 2, 8)
+    assert out[1].trimmed_md5 == hashlib.md5(b"aaa bbb").hexdigest()
+    # doc 2: 9 tokens, positions 1-8 cut -> "ccc"
+    assert (out[2].n_kept, out[2].n_cut) == (1, 8)
+    assert out[2].trimmed_md5 == hashlib.md5(b"ccc").hexdigest()
+    # doc 3: untouched, witness equals md5 of the original text
+    assert out[3].n_cut == 0
+    assert out[3].trimmed_md5 == hashlib.md5(
+        b"unique tokens only here nothing repeats at all ever"
+    ).hexdigest()
+
+
+def test_exact_substring_trim_fully_boilerplate_doc(spark):
+    """A document that is nothing but the duplicated span trims to the
+    empty string (md5('') witness, n_kept 0)."""
+    import hashlib
+
+    from data_transformation_python_spark.operators.dedup import (
+        exact_substring_trim,
+    )
+
+    block = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, block), (2, block), (3, "short doc")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in exact_substring_trim(docs, n=8).collect()}
+    for d in (1, 2):
+        assert (out[d].n_kept, out[d].n_cut) == (0, 8)
+        assert out[d].trimmed_md5 == hashlib.md5(b"").hexdigest()
+    # below n tokens: no spans, never cut
+    assert (out[3].n_kept, out[3].n_cut) == (2, 0)

@@ -534,3 +534,66 @@ def test_adpcm_nibble_state_machine_matches_reference_tables():
             nib, enc_pred, enc_idx = _ima_step(start_pred, 10, target)
             dec_pred, dec_idx = _ima_decode_nibble(nib, start_pred, 10)
             assert (dec_pred, dec_idx) == (enc_pred, enc_idx)
+
+
+# --------------------------------------------------------------------------
+# image near-dup: dHash fingerprints + banded Hamming join
+# --------------------------------------------------------------------------
+def test_bmp_dhash_matches_reference(spark):
+    """The Spark dHash bands equal an independent pure-numpy
+    recomputation from the pixel formula (decode → block means →
+    comparison bits → band packing)."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(i,) for i in (0, 7, 123)], "doc_id bigint")
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in mm.bmp_dhash(mm.synth_neardup_bmp_table(ids)).collect()
+    }
+    off = np.arange(16, dtype=np.int64)
+    for doc_id in (0, 7, 123):
+        v, _, _ = mm._neardup_bmp_channels(doc_id, mm.DHASH_W, mm.DHASH_H)
+        v = v.astype(np.int64)
+        m = (
+            v[0::2, 0::2] + v[0::2, 1::2] + v[1::2, 0::2] + v[1::2, 1::2]
+        ) // 4
+        bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+        want = tuple(
+            int((bits[k * 16 : (k + 1) * 16] << off).sum()) for k in range(4)
+        )
+        assert got[doc_id] == want
+
+
+def test_hamming_neardup_finds_group_peers(spark):
+    """Docs sharing doc_id mod 50 are near-duplicates (Hamming ≤ 8);
+    docs in other groups are not — every row reports exactly its
+    group peers, with the smallest peer id as min_partner."""
+    from data_transformation_python_spark.operators import dedup as dd
+
+    # two full groups of 4: {0, 50, 100, 150} and {1, 51, 101, 151}
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 50, 100, 150, 1, 51, 101, 151)], "doc_id bigint"
+    )
+    hashes = mm.bmp_dhash(mm.synth_neardup_bmp_table(ids))
+    out = {
+        r.doc_id: r
+        for r in dd.hamming_neardup_stats(hashes, max_hamming=8).collect()
+    }
+    for doc_id, peers in ((0, (50, 100, 150)), (51, (1, 101, 151))):
+        r = out[doc_id]
+        assert r.n_neardup == 3
+        assert r.min_partner == min(peers)
+        assert 0 <= r.min_hamming <= 8
+    assert all(r.n_neardup == 3 for r in out.values())
+
+
+def test_hamming_neardup_isolated_rows_report_zero(spark):
+    """Rows with no band collision keep n_neardup 0 and NULL partner
+    columns (the left-join path)."""
+    from data_transformation_python_spark.operators import dedup as dd
+
+    ids = spark.createDataFrame([(2,), (3,), (4,)], "doc_id bigint")
+    hashes = mm.bmp_dhash(mm.synth_neardup_bmp_table(ids))
+    for r in dd.hamming_neardup_stats(hashes, max_hamming=8).collect():
+        assert r.n_neardup == 0
+        assert r.min_partner is None and r.min_hamming is None
