@@ -501,14 +501,17 @@ def corpus_scale_entries(spark, corpus_dir: str):
             # image near-dup at corpus scale: 50k real BMPs decoded
             # + dHashed (per-row Python), then banded Hamming joins.
             # The SCALED fixture (cluster id = id div 10) keeps
-            # cluster size constant so pair volume is linear in n —
-            # the oracle fixture's fixed 50 groups would go n²/50
+            # cluster size constant so true-pair volume is linear in
+            # n (the oracle fixture's fixed 50 groups would go n²/50)
+            # and the 128-BIT fine hash keeps RANDOM band collisions
+            # at n²/2^32 (the 64-bit gate hash bands into 16-bit keys
+            # and went superlinear past 300k — the swept lesson)
             "multimodal_dhash_neardup",
             lambda: dd.hamming_neardup_stats(
-                mm.bmp_dhash(
+                mm.bmp_dhash_fine(
                     mm.synth_neardup_bmp_table_scaled(docs, cluster_size=10)
                 ),
-                max_hamming=8,
+                max_hamming=16,
             ),
         ),
         (

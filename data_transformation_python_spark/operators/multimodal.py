@@ -2892,3 +2892,43 @@ def synth_neardup_bmp_table_scaled(
             )
 
     return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def bmp_dhash_fine(df: DataFrame) -> DataFrame:
+    """128-bit fine dHash — the AT-SCALE fingerprint: 1×2 block means
+    (16×9 grid), 16×8 horizontal comparison bits, four 32-bit bands.
+
+    Why it exists: the classic 64-bit hash bands into 16-bit keys, so
+    RANDOM band collisions grow as n²/2¹⁶ — measured superlinear past
+    ~300k images (SCALING.md).  Wider bands need more hash bits to
+    keep recall (with 4 bands the pigeonhole guarantee and the
+    flip-spread probability both ride on bits-per-band), so the scale
+    path doubles the grid instead of just re-slicing it: collisions
+    fall to n²/2³², same-cluster distances stay far below threshold
+    (measured ≤ 8 vs cross-cluster ≥ 43 on the scaled fixture; use
+    max_hamming≈16).  Same integer-only arithmetic — SQL-replayable
+    like the 64-bit gate."""
+    import numpy as np
+
+    offsets = np.arange(32, dtype=np.int64)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, px = _parse_bmp(bytes(payload))
+                if (w, h) != (DHASH_W, DHASH_H):
+                    raise ValueError("dhash fixture expects 18x16 BMPs")
+                v = px[..., 0].astype(np.int64)
+                m = (v[:, 0::2] + v[:, 1::2]) // 2  # (16 rows, 9 cols)
+                bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+                out["doc_id"].append(int(doc_id))
+                for k in range(4):
+                    out[f"band{k}"].append(
+                        int((bits[k * 32 : (k + 1) * 32] << offsets).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=DHASH_SCHEMA)

@@ -132,6 +132,7 @@ def _register_all() -> None:
 _PRIORITY: list[str] = [
     "multimodal_dhash_neardup",
     "dedup_span_trim",
+    "multimodal_image_dedup_cc",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

@@ -1534,3 +1534,89 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("min_hamming", F.lit(-1)).cast("bigint")
         .alias("min_hamming"),
     )
+
+
+# --------------------------------------------------------------------------
+# image dedup pipeline COMPLETE: dHash pairs → connected components →
+# per-image group/representative (the LSH→CC composition the text
+# pipeline has, on the image modality)
+# --------------------------------------------------------------------------
+_IMAGE_CC_ORACLE = """
+WITH px AS (
+  SELECT doc_id, p % 18 AS x, p // 18 AS y,
+         ((doc_id % 50) * 37
+          + (p % 18) * (20 + 2 * (doc_id % 50))
+          + (p // 18) * 23
+          + 40 * CASE WHEN (doc_id * 31 + p) % 97 = 0 THEN 1 ELSE 0 END
+         ) % 256 AS v
+  FROM (SELECT doc_id, unnest(generate_series(0, 287)) AS p FROM documents)),
+blk AS (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(v) // 4 AS m
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.by * 8 + a.bx AS p,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM blk a JOIN blk b
+    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+bands AS (
+  SELECT doc_id, p // 16 AS band_idx,
+         CAST(SUM(bit << (p % 16)) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2),
+h AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS band0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS band1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS band2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS band3
+  FROM bands GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.id_a AS pa, c.id_b AS pb
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.id_a
+  JOIN h hb ON hb.doc_id = c.id_b
+  WHERE bit_count(xor(ha.band0, hb.band0))
+      + bit_count(xor(ha.band1, hb.band1))
+      + bit_count(xor(ha.band2, hb.band2))
+      + bit_count(xor(ha.band3, hb.band3)) <= 8),
+edges AS (SELECT pa AS a, pb AS b FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.a, r.lbl FROM r JOIN edges e ON e.b = r.node
+  ) SELECT * FROM r),
+comp AS (
+  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+  FROM reach GROUP BY node),
+assigned AS (
+  SELECT h.doc_id,
+         CAST(COALESCE(comp.component, h.doc_id) AS BIGINT) AS component
+  FROM h LEFT JOIN comp USING (doc_id)),
+gs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+       FROM assigned GROUP BY 1)
+SELECT a.doc_id, a.component, gs.group_size,
+       a.doc_id = a.component AS is_kept
+FROM assigned a JOIN gs USING (component)
+"""
+
+
+@query("multimodal_image_dedup_cc", oracle=_IMAGE_CC_ORACLE)
+def multimodal_image_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup pipeline COMPOSED end to end: real BMP decode →
+    dHash → banded Hamming pairs → connected components → per-image
+    (component, group_size, representative flag).  Same frontier-CC
+    operator as the text pipeline; the oracle replays everything from
+    the pixel formula through the recursive-CTE closure."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    hashes = mm.bmp_dhash(mm.synth_neardup_bmp_table(docs))
+    return dd.fingerprint_dedup_groups(hashes, max_hamming=8)

@@ -63,6 +63,11 @@ ENTRIES = [
     # 3 iterations run on vocab-sized state; expected ≲ linear
     "graph_pagerank_tokens",
     "text_vocab_growth",
+    # round 8f: image dHash near-dup (constant-size clusters ⇒ pair
+    # volume linear; the decode/hash map is embarrassingly parallel)
+    # and the ExactSubstr trim (span extract + array-side filtering)
+    "multimodal_dhash_neardup",
+    "dedup_span_trim",
 ]
 
 

@@ -597,3 +597,61 @@ def test_hamming_neardup_isolated_rows_report_zero(spark):
     for r in dd.hamming_neardup_stats(hashes, max_hamming=8).collect():
         assert r.n_neardup == 0
         assert r.min_partner is None and r.min_hamming is None
+
+
+def test_fingerprint_dedup_groups_composition(spark):
+    """dHash pairs → CC → groups: two near-dup clusters and one
+    singleton resolve to components keyed by min id, with the
+    representative flagged kept."""
+    from data_transformation_python_spark.operators import dedup as dd
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 50, 100, 1, 51, 2)], "doc_id bigint"
+    )
+    hashes = mm.bmp_dhash(mm.synth_neardup_bmp_table(ids))
+    out = {
+        r.doc_id: r
+        for r in dd.fingerprint_dedup_groups(hashes, max_hamming=8).collect()
+    }
+    assert {d: out[d].component for d in out} == {
+        0: 0, 50: 0, 100: 0, 1: 1, 51: 1, 2: 2,
+    }
+    assert out[0].group_size == 3 and out[1].group_size == 2
+    assert out[2].group_size == 1 and out[2].is_kept
+    assert [d for d in out if out[d].is_kept] == sorted(
+        d for d in out if out[d].is_kept
+    )
+    assert sum(1 for d in out if out[d].is_kept) == 3
+
+
+def test_bmp_dhash_fine_matches_reference_and_separates(spark):
+    """The 128-bit fine dHash equals an independent numpy
+    recomputation, and the scaled fixture separates: same-cluster
+    distance ≤ 16, cross-cluster far above."""
+    import numpy as np
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 30)], "doc_id bigint"
+    )
+    table = mm.synth_neardup_bmp_table_scaled(ids, cluster_size=10)
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in mm.bmp_dhash_fine(table).collect()
+    }
+    payloads = {r.doc_id: bytes(r.payload) for r in table.collect()}
+    off = np.arange(32, dtype=np.int64)
+    for doc_id, payload in payloads.items():
+        _, _, px = mm._parse_bmp(payload)
+        v = px[..., 0].astype(np.int64)
+        m = (v[:, 0::2] + v[:, 1::2]) // 2
+        bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+        want = tuple(
+            int((bits[k * 32 : (k + 1) * 32] << off).sum()) for k in range(4)
+        )
+        assert got[doc_id] == want
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert ham(got[10], got[11]) <= 16 and ham(got[11], got[12]) <= 16
+    assert ham(got[10], got[30]) > 16
