@@ -2932,3 +2932,110 @@ def bmp_dhash_fine(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# audio near-duplicate fingerprinting: energy-delta fingerprint over
+# real decoded PCM — the classic audio-fingerprint front-end (frame
+# the signal, keep only the SIGN of adjacent frame-energy deltas),
+# banded for the same Hamming-LSH join the image pipeline uses.
+# --------------------------------------------------------------------------
+#: fingerprint geometry: 65 frames × 40 samples → 64 delta bits →
+#: four 16-bit bands (same band shape as the 64-bit image dHash, so
+#: dedup.hamming_neardup_* is shared verbatim across modalities).
+AUDIO_FP_FRAME = 40
+AUDIO_FP_FRAMES = 65
+
+
+def _neardup_wav_pcm(doc_id: int):
+    """Near-dup audio fixture: the frame-amplitude ENVELOPE depends
+    only on the group (doc_id mod 50, group-unique frame frequency),
+    plus sparse per-doc impulses (+800 where (doc_id·31 + i) ≡ 0 mod
+    97) — same-group clips fingerprint within a few bits (an impulse
+    only flips a delta whose |ΔE| < 800), cross-group ~30.  Linear
+    congruences only, replayable in plain SQL."""
+    import numpy as np
+
+    n = AUDIO_FP_FRAME * AUDIO_FP_FRAMES
+    g = doc_id % 50
+    i = np.arange(n, dtype=np.int64)
+    amp = (g * 37 + (i // AUDIO_FP_FRAME) * (20 + 2 * g)) % 193
+    imp = ((doc_id * 31 + i) % 97 == 0).astype(np.int64)
+    return (amp + 800 * imp).astype("<i2")
+
+
+def synth_neardup_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL mono 16-bit PCM WAV per row whose rows sharing
+    ``doc_id mod 50`` are acoustic near-duplicates — the audio
+    analogue of ``synth_neardup_bmp_table``."""
+    import io
+    import wave
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col].astype("int64"):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(_neardup_wav_pcm(int(doc_id)).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def wav_energy_fingerprint(df: DataFrame) -> DataFrame:
+    """Energy-delta audio fingerprint over decoded WAV payloads:
+    sum the signal per 40-sample frame, keep bit p = E[p+1] > E[p]
+    for the first 64 deltas, pack into four 16-bit bands (same schema
+    as the image dHash — ``dedup.hamming_neardup_stats`` consumes
+    either).  Sign-of-delta fingerprints are robust to uniform gain
+    (the property real audio-fingerprint systems ride on) and
+    integer-only, so the SQL oracle rebuilds them exactly.  Per-row
+    independent, Arrow-batched."""
+    import io
+    import wave
+
+    import numpy as np
+
+    need = AUDIO_FP_FRAME * AUDIO_FP_FRAMES
+    offsets = np.arange(16, dtype=np.int64)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                if len(pcm) < need:
+                    raise ValueError(
+                        f"fingerprint needs >= {need} samples, got {len(pcm)}"
+                    )
+                e = pcm[:need].reshape(AUDIO_FP_FRAMES, AUDIO_FP_FRAME).sum(
+                    axis=1
+                )
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                for k in range(4):
+                    out[f"band{k}"].append(
+                        int((bits[k * 16 : (k + 1) * 16] << offsets).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=DHASH_SCHEMA)

@@ -133,6 +133,7 @@ _PRIORITY: list[str] = [
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",
+    "multimodal_audio_neardup",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

@@ -655,3 +655,59 @@ def test_bmp_dhash_fine_matches_reference_and_separates(spark):
 
     assert ham(got[10], got[11]) <= 16 and ham(got[11], got[12]) <= 16
     assert ham(got[10], got[30]) > 16
+
+
+def test_wav_energy_fingerprint_reference_and_gain_invariance(spark):
+    """The audio fingerprint equals a numpy recomputation of
+    sign-of-frame-energy-deltas, and is invariant to uniform gain
+    (the property energy-delta fingerprints exist for)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_bytes(pcm):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(mm.WAV_SAMPLE_RATE)
+            w.writeframes(pcm.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    base = mm._neardup_wav_pcm(7).astype(np.int64)
+    rows = [(1, wav_bytes(base)), (2, wav_bytes(base * 2))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in mm.wav_energy_fingerprint(df).collect()
+    }
+    e = base[: 40 * 65].reshape(65, 40).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    off = np.arange(16, dtype=np.int64)
+    want = tuple(
+        int((bits[k * 16 : (k + 1) * 16] << off).sum()) for k in range(4)
+    )
+    assert got[1] == want
+    assert got[2] == want  # 2x gain, identical fingerprint
+
+
+def test_wav_fingerprint_groups_cluster(spark):
+    """Same-group clips are near-dups under the shared Hamming
+    operator; cross-group clips are not."""
+    from data_transformation_python_spark.operators import dedup as dd
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (5, 55, 105, 6, 56)], "doc_id bigint"
+    )
+    hashes = mm.wav_energy_fingerprint(mm.synth_neardup_wav_table(ids))
+    out = {
+        r.doc_id: r
+        for r in dd.hamming_neardup_stats(hashes, max_hamming=8).collect()
+    }
+    assert out[5].min_partner in (55, 105) and out[5].min_hamming <= 8
+    assert out[6].n_neardup == 1 and out[6].min_partner == 56
+    for d, r in out.items():
+        partners = {5: (55, 105), 55: (5, 105), 105: (5, 55),
+                    6: (56,), 56: (6,)}[d]
+        assert r.n_neardup <= len(partners)
