@@ -523,13 +523,20 @@ def _write_avi(doc_id: int) -> bytes:
     """A genuine uncompressed AVI: RIFF('AVI ') → LIST hdrl (avih +
     LIST strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) → LIST movi
     ('00db' DIB frames, even-aligned)."""
-    import struct
-
     w, h, nf, fps = _avi_dims(doc_id)
     frames = [
         _dib_frame_bytes(*_avi_frame_channels(doc_id, f, w, h), w, h)
         for f in range(nf)
     ]
+    return _avi_container(frames, w, h, nf, fps)
+
+
+def _avi_container(
+    frames: list[bytes], w: int, h: int, nf: int, fps: int
+) -> bytes:
+    """Assemble the RIFF tree around pre-built DIB frame chunks."""
+    import struct
+
     frame_size = len(frames[0])
     avih = struct.pack(
         "<10I",
@@ -3031,6 +3038,113 @@ def wav_energy_fingerprint(df: DataFrame) -> DataFrame:
                     axis=1
                 )
                 bits = (e[1:] > e[:-1]).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                for k in range(4):
+                    out[f"band{k}"].append(
+                        int((bits[k * 16 : (k + 1) * 16] << offsets).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# video near-duplicate fingerprinting: temporal luma-delta fingerprint
+# over real decoded AVI frames — the third modality on the SAME
+# banded Hamming-LSH engine (images: spatial dHash; audio: frame
+# energies; video: per-frame luma sums).
+# --------------------------------------------------------------------------
+#: 65 frames → 64 temporal delta bits → four 16-bit bands.
+VIDEO_FP_FRAMES = 65
+VIDEO_FP_W, VIDEO_FP_H = 4, 4
+
+
+def _neardup_avi_frames(doc_id: int):
+    """Near-dup video fixture: each 4×4 frame is a CONSTANT gray
+    level A(g, f) = (g·37 + f·(20 + 2g)) % 193 from the group's
+    temporal envelope, +40 on the ~3 per-doc noisy frames where
+    (doc_id·31 + f) ≡ 0 mod 23 — same-group clips fingerprint within
+    a few bits (measured ≤ 6), cross-group ≥ 11.  Values stay < 256
+    (no wrap), all linear congruences: the SQL oracle rebuilds every
+    frame sum."""
+    import numpy as np
+
+    g = doc_id % 50
+    frames = []
+    for f in range(VIDEO_FP_FRAMES):
+        v = (g * 37 + f * (20 + 2 * g)) % 193
+        if (doc_id * 31 + f) % 23 == 0:
+            v += 40
+        ch = np.full((VIDEO_FP_H, VIDEO_FP_W), v, dtype=np.uint8)
+        frames.append(
+            _dib_frame_bytes(ch, ch, ch, VIDEO_FP_W, VIDEO_FP_H)
+        )
+    return frames
+
+
+def synth_neardup_avi_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL uncompressed AVI per row whose rows sharing
+    ``doc_id mod 50`` are temporal near-duplicates — the video
+    analogue of the image/audio near-dup fixtures."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                _avi_container(
+                    _neardup_avi_frames(int(i)),
+                    VIDEO_FP_W,
+                    VIDEO_FP_H,
+                    VIDEO_FP_FRAMES,
+                    10,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(_batches, schema=schema)
+
+
+def avi_temporal_fingerprint(df: DataFrame) -> DataFrame:
+    """Temporal luma-delta video fingerprint over decoded AVI
+    payloads: sum the R channel per frame (grayscale fixtures ⇒ R =
+    luma), keep bit p = S[p+1] > S[p] for the first 64 frame deltas,
+    pack into four 16-bit bands — the same fingerprint schema as the
+    image dHash and audio energy hash, so
+    ``dedup.hamming_neardup_stats`` serves all three modalities.
+    Sign-of-delta is brightness-gain invariant; integer-only, so the
+    SQL oracle replays it exactly.  Per-row independent,
+    Arrow-batched."""
+    import numpy as np
+
+    offsets = np.arange(16, dtype=np.int64)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                _, _, _, _, frames = _parse_avi(bytes(payload))
+                if len(frames) < VIDEO_FP_FRAMES:
+                    raise ValueError(
+                        f"fingerprint needs >= {VIDEO_FP_FRAMES} frames,"
+                        f" got {len(frames)}"
+                    )
+                s = np.array(
+                    [
+                        int(fr[..., 0].astype(np.int64).sum())
+                        for fr in frames[:VIDEO_FP_FRAMES]
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (s[1:] > s[:-1]).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 for k in range(4):
                     out[f"band{k}"].append(

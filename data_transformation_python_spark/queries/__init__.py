@@ -134,6 +134,7 @@ _PRIORITY: list[str] = [
     "dedup_span_trim",
     "multimodal_image_dedup_cc",
     "multimodal_audio_neardup",
+    "multimodal_video_neardup",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

@@ -1699,3 +1699,81 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("min_hamming", F.lit(-1)).cast("bigint")
         .alias("min_hamming"),
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal video near-dup — temporal luma-delta fingerprints over
+# real decoded AVI frames, completing the modality triad on the one
+# shared Hamming-LSH engine
+# --------------------------------------------------------------------------
+_VIDEO_FP_ORACLE = """
+WITH fr AS (
+  SELECT doc_id, f,
+         ((doc_id % 50) * 37 + f * (20 + 2 * (doc_id % 50))) % 193
+         + 40 * CASE WHEN (doc_id * 31 + f) % 23 = 0 THEN 1 ELSE 0 END AS v
+  FROM (SELECT doc_id, unnest(generate_series(0, 64)) AS f
+        FROM documents)),
+e AS (SELECT doc_id, f, 16 * v AS s FROM fr),
+bits AS (
+  SELECT hi.doc_id, hi.f - 1 AS p,
+         CASE WHEN hi.s > lo.s THEN 1 ELSE 0 END AS bit
+  FROM e hi JOIN e lo ON hi.doc_id = lo.doc_id AND lo.f = hi.f - 1
+  WHERE hi.f >= 1),
+bands AS (
+  SELECT doc_id, p // 16 AS band_idx,
+         CAST(SUM(bit << (p % 16)) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2),
+h AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS band0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS band1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS band2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS band3
+  FROM bands GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id <> b.doc_id),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         bit_count(xor(ha.band0, hb.band0))
+       + bit_count(xor(ha.band1, hb.band1))
+       + bit_count(xor(ha.band2, hb.band2))
+       + bit_count(xor(ha.band3, hb.band3)) AS d
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.id_a
+  JOIN h hb ON hb.doc_id = c.id_b),
+nd AS (
+  SELECT id_a, CAST(COUNT(*) AS BIGINT) AS n_neardup,
+         CAST(MIN(id_b) AS BIGINT) AS min_partner,
+         CAST(MIN(d) AS BIGINT) AS min_hamming
+  FROM ham WHERE d <= 8 GROUP BY 1)
+SELECT h.doc_id, h.band0, h.band1, h.band2, h.band3,
+       COALESCE(nd.n_neardup, 0) AS n_neardup,
+       COALESCE(nd.min_partner, -1) AS min_partner,
+       COALESCE(nd.min_hamming, -1) AS min_hamming
+FROM h LEFT JOIN nd ON nd.id_a = h.doc_id
+"""
+
+
+@query("multimodal_video_neardup", oracle=_VIDEO_FP_ORACLE)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection through the REAL pipeline:
+    grouped synthetic AVIs → RIFF walk + per-frame DIB decode →
+    temporal luma-delta fingerprint (64 sign-of-ΔS bits, four 16-bit
+    bands) → the SAME banded Hamming-LSH operator images and audio
+    use.  The oracle rebuilds frame sums, fingerprint, and join from
+    the frame formula — bit-exact end to end."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    hashes = mm.avi_temporal_fingerprint(mm.synth_neardup_avi_table(docs))
+    out = dd.hamming_neardup_stats(hashes, max_hamming=8)
+    return out.select(
+        "doc_id", "band0", "band1", "band2", "band3", "n_neardup",
+        F.coalesce("min_partner", F.lit(-1)).cast("bigint")
+        .alias("min_partner"),
+        F.coalesce("min_hamming", F.lit(-1)).cast("bigint")
+        .alias("min_hamming"),
+    )

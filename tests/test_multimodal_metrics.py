@@ -711,3 +711,42 @@ def test_wav_fingerprint_groups_cluster(spark):
         partners = {5: (55, 105), 55: (5, 105), 105: (5, 55),
                     6: (56,), 56: (6,)}[d]
         assert r.n_neardup <= len(partners)
+
+
+def test_avi_temporal_fingerprint_reference_and_clusters(spark):
+    """The video fingerprint equals a numpy recomputation of
+    sign-of-frame-luma-sum deltas through the real AVI round-trip,
+    and same-group clips cluster under the shared Hamming operator."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators import dedup as dd
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (11, 61, 111, 4)], "doc_id bigint"
+    )
+    table = mm.synth_neardup_avi_table(ids)
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in mm.avi_temporal_fingerprint(table).collect()
+    }
+    off = np.arange(16, dtype=np.int64)
+    for doc_id in (11, 61, 111, 4):
+        g = doc_id % 50
+        f = np.arange(mm.VIDEO_FP_FRAMES, dtype=np.int64)
+        v = (g * 37 + f * (20 + 2 * g)) % 193 + 40 * (
+            (doc_id * 31 + f) % 23 == 0
+        )
+        s = 16 * v  # 4x4 constant frames
+        bits = (s[1:] > s[:-1]).astype(np.int64)
+        want = tuple(
+            int((bits[k * 16 : (k + 1) * 16] << off).sum()) for k in range(4)
+        )
+        assert got[doc_id] == want
+    out = {
+        r.doc_id: r
+        for r in dd.hamming_neardup_stats(
+            mm.avi_temporal_fingerprint(table), max_hamming=8
+        ).collect()
+    }
+    assert out[11].n_neardup == 2 and out[11].min_partner == 61
+    assert out[4].n_neardup == 0
