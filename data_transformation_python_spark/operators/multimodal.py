@@ -3153,3 +3153,63 @@ def avi_temporal_fingerprint(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# binaryFile ingest: the REAL Spark on-ramp for media corpora —
+# spark.read.format("binaryFile") over a directory of image files,
+# with the id recovered from the path.  (At 100 TB you'd pack small
+# media into parquet/tar shards — the source here is the standard
+# first hop that produces those shards.)
+# --------------------------------------------------------------------------
+def materialize_neardup_bmp_dir(
+    spark, ids: list[int], base_dir: str | None = None
+) -> str:
+    """Write the near-dup BMP fixtures as REAL files (one per id,
+    ``img_<id>.bmp``) and return the directory.  Deterministic
+    payloads ⇒ safe to reuse across runs: a marker file written after
+    a complete populate makes the populate write-once; partial dirs
+    (no marker) are re-populated."""
+    import os
+    import tempfile
+
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(), f"dtps_binaryfile_{len(ids)}"
+    )
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        for doc_id in ids:
+            r, g, b = _neardup_bmp_channels(int(doc_id), DHASH_W, DHASH_H)
+            path = os.path.join(base, f"img_{int(doc_id)}.bmp")
+            with open(path, "wb") as f:
+                f.write(_bmp_payload_from_rgb(r, g, b, DHASH_W, DHASH_H))
+        with open(marker, "wb"):
+            pass
+    return base
+
+
+def binaryfile_ingest_dhash(spark, directory: str) -> DataFrame:
+    """Ingest a directory of image files through Spark's native
+    ``binaryFile`` source (distributed file listing, per-file rows of
+    path/length/content, ``pathGlobFilter`` pushdown so the marker
+    and any non-BMP files never leave the scan) and fingerprint the
+    decoded bytes — the id comes from the filename, the bytes from
+    the FILESYSTEM, so this gate fails if the source drops, pads, or
+    reorders file content."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(directory)
+    )
+    payloads = bf.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )
+    hashes = bmp_dhash(payloads.select("doc_id", "payload"))
+    return hashes.join(
+        payloads.select("doc_id", "n_bytes"), "doc_id"
+    ).select("doc_id", "band0", "band1", "band2", "band3", "n_bytes")

@@ -104,9 +104,10 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: the two latest
+# rotated STALEST-FIRST each round.  Round 8: the five latest
 # never-checked gates lead (image dHash near-dup, exact-substring
-# trim), then the seven
+# trim, image dedup-through-CC, audio + video near-dup on the shared
+# Hamming engine), then the seven
 # NEVER-CHECKED gates added late in the round (the aggregate-
 # incremental strategy, maximal-span extraction, stupid-backoff LM
 # scoring, the HDR quantile sketch batch + streaming merge, the BPE
@@ -135,6 +136,7 @@ _PRIORITY: list[str] = [
     "multimodal_image_dedup_cc",
     "multimodal_audio_neardup",
     "multimodal_video_neardup",
+    "multimodal_binaryfile_ingest",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

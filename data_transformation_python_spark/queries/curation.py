@@ -1777,3 +1777,58 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("min_hamming", F.lit(-1)).cast("bigint")
         .alias("min_hamming"),
     )
+
+
+# --------------------------------------------------------------------------
+# binaryFile ingest — the native Spark media on-ramp exercised for
+# real: files on disk → binaryFile source (glob pushdown) → decode →
+# fingerprint; oracle replays bands from the pixel formula and the
+# exact BMP byte size from the container layout
+# --------------------------------------------------------------------------
+_BINARYFILE_ORACLE = """
+WITH px AS (
+  SELECT doc_id, p % 18 AS x, p // 18 AS y,
+         ((doc_id % 50) * 37
+          + (p % 18) * (20 + 2 * (doc_id % 50))
+          + (p // 18) * 23
+          + 40 * CASE WHEN (doc_id * 31 + p) % 97 = 0 THEN 1 ELSE 0 END
+         ) % 256 AS v
+  FROM (SELECT doc_id, unnest(generate_series(0, 287)) AS p FROM documents)),
+blk AS (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(v) // 4 AS m
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.by * 8 + a.bx AS p,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM blk a JOIN blk b
+    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+bands AS (
+  SELECT doc_id, p // 16 AS band_idx,
+         CAST(SUM(bit << (p % 16)) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       MAX(CASE WHEN band_idx = 0 THEN band_val END) AS band0,
+       MAX(CASE WHEN band_idx = 1 THEN band_val END) AS band1,
+       MAX(CASE WHEN band_idx = 2 THEN band_val END) AS band2,
+       MAX(CASE WHEN band_idx = 3 THEN band_val END) AS band3,
+       -- 14 file header + 40 DIB + 16 rows x (54 data + 2 pad)
+       CAST(950 AS BIGINT) AS n_bytes
+FROM bands GROUP BY 1
+"""
+
+
+@query("multimodal_binaryfile_ingest", oracle=_BINARYFILE_ORACLE)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native media ingest end to end: BMP FILES on disk →
+    ``spark.read.format("binaryFile")`` with pathGlobFilter pushdown →
+    decode → dHash.  Ids recover from filenames; bytes come from the
+    filesystem, so a source that pads, truncates, or reorders content
+    breaks the band values; the oracle also pins the exact on-disk
+    BMP size (950 bytes: 14 + 40 + 16·56)."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    directory = mm.materialize_neardup_bmp_dir(spark, ids)
+    return mm.binaryfile_ingest_dhash(spark, directory)

@@ -750,3 +750,29 @@ def test_avi_temporal_fingerprint_reference_and_clusters(spark):
     }
     assert out[11].n_neardup == 2 and out[11].min_partner == 61
     assert out[4].n_neardup == 0
+
+
+def test_binaryfile_ingest_matches_synth_path(spark, tmp_path):
+    """binaryFile-source ingest (real files on disk, glob pushdown)
+    produces byte-identical fingerprints to the in-memory synth path,
+    and the marker file never reaches the scan."""
+    from data_transformation_python_spark.operators.multimodal import (
+        binaryfile_ingest_dhash,
+        materialize_neardup_bmp_dir,
+    )
+
+    ids = [0, 7, 123]
+    d = materialize_neardup_bmp_dir(spark, ids, base_dir=str(tmp_path / "bf"))
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3, r.n_bytes)
+        for r in binaryfile_ingest_dhash(spark, d).collect()
+    }
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    want = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in mm.bmp_dhash(mm.synth_neardup_bmp_table(ids_df)).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i][:4] == want[i]
+        assert got[i][4] == 950  # exact on-disk BMP size
