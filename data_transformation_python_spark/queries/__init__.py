@@ -137,6 +137,7 @@ _PRIORITY: list[str] = [
     "multimodal_audio_neardup",
     "multimodal_video_neardup",
     "multimodal_binaryfile_ingest",
+    "q_stream_image_dedup",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

@@ -1252,3 +1252,141 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.sql(f"DROP TABLE IF EXISTS {target}")
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming IMAGE admission control — new images arrive as a stream,
+# fingerprint per row (mapInPandas on the stream: decode + dHash are
+# row-local, no stream aggregation), probe the static corpus
+# fingerprint index via broadcast, verify with exact Hamming, admit
+# or reject.  The multimodal twin of q_stream_dedup_index.
+# --------------------------------------------------------------------------
+_STREAM_IMAGE_ORACLE = """
+WITH px AS (
+  SELECT doc_id, p % 18 AS x, p // 18 AS y,
+         ((doc_id % 50) * 37
+          + (p % 18) * (20 + 2 * (doc_id % 50))
+          + (p // 18) * 23
+          + 40 * CASE WHEN (doc_id * 31 + p) % 97 = 0 THEN 1 ELSE 0 END
+         ) % 256 AS v
+  FROM (SELECT doc_id, unnest(generate_series(0, 287)) AS p FROM documents)),
+blk AS (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(v) // 4 AS m
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.doc_id, a.by * 8 + a.bx AS p,
+         CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+  FROM blk a JOIN blk b
+    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+bands AS (
+  SELECT doc_id, p // 16 AS band_idx,
+         CAST(SUM(bit << (p % 16)) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2),
+h AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band_idx = 0 THEN band_val END) AS band0,
+         MAX(CASE WHEN band_idx = 1 THEN band_val END) AS band1,
+         MAX(CASE WHEN band_idx = 2 THEN band_val END) AS band2,
+         MAX(CASE WHEN band_idx = 3 THEN band_val END) AS band3
+  FROM bands GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
+  GROUP BY 1, 2),
+ham AS (
+  SELECT c.new_doc_id, c.corpus_doc_id, c.n_shared_bands,
+         bit_count(xor(ha.band0, hb.band0))
+       + bit_count(xor(ha.band1, hb.band1))
+       + bit_count(xor(ha.band2, hb.band2))
+       + bit_count(xor(ha.band3, hb.band3)) AS d
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.new_doc_id
+  JOIN h hb ON hb.doc_id = c.corpus_doc_id)
+SELECT new_doc_id, corpus_doc_id, n_shared_bands,
+       CAST(d AS BIGINT) AS hamming
+FROM ham WHERE d <= 8
+"""
+
+
+@query("q_stream_image_dedup", oracle=_STREAM_IMAGE_ORACLE)
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image admission control: the new-image stream is
+    fingerprinted PER ROW inside the stream (synth → decode → dHash
+    via mapInPandas — row-local, so no stream state), band-probed
+    against the static corpus fingerprint index via a broadcast
+    stream-static join, and exact-Hamming verified (bit_count(xor) ≤
+    8, also row-local post-join).  At 100 TB the corpus index is the
+    persisted band table bucketed by (band_idx, band_val); stream
+    state is bounded by matched pairs, never corpus size."""
+    from ..operators import multimodal as mm
+    from ..operators.dedup import hamming_neardup_pairs  # noqa: F401
+    from ..operators.transform import materialize
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 7 != 0
+    )
+    corpus_h = materialize(
+        mm.bmp_dhash(mm.synth_neardup_bmp_table(corpus))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val")
+            )
+            for i in range(4)
+        ]
+    )
+    index = corpus_h.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        *[F.col(f"band{i}").alias(f"c_band{i}") for i in range(4)],
+        F.explode(band_structs).alias("__b"),
+    ).select(
+        "corpus_doc_id", "c_band0", "c_band1", "c_band2", "c_band3",
+        "__b.band_idx", "__b.band_val",
+    )
+    new_h = mm.bmp_dhash(mm.synth_neardup_bmp_table(stream)).select(
+        F.col("doc_id").alias("new_doc_id"),
+        *[F.col(f"band{i}").alias(f"n_band{i}") for i in range(4)],
+        F.explode(band_structs).alias("__b"),
+    ).select(
+        "new_doc_id", "n_band0", "n_band1", "n_band2", "n_band3",
+        "__b.band_idx", "__b.band_val",
+    )
+    ham = " + ".join(f"bit_count(n_band{i} ^ c_band{i})" for i in range(4))
+    # ONE stateful aggregation (streaming-complete-mode legal, same
+    # shape as q_stream_dedup_index): per verified PAIR, the band-hit
+    # count plus the exact distance.  The Hamming verify runs BELOW
+    # the aggregate (row-local post-join), so the state key set is
+    # the matched pairs and nothing else; the per-new-image rollup is
+    # a stateless batch view over this table.
+    hits = (
+        new_h.join(F.broadcast(index), ["band_idx", "band_val"])
+        .withColumn("__d", F.expr(ham).cast("bigint"))
+        .filter(F.col("__d") <= 8)
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"),
+            F.min("__d").cast("bigint").alias("hamming"),
+        )
+    )
+    name = f"stream_image_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
