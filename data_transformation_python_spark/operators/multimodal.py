@@ -2815,6 +2815,44 @@ def synth_neardup_bmp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_batches, schema=schema)
 
 
+def _pack_delta_bands(bits, band_bits: int) -> list[int]:
+    """Pack a flat 0/1 bit array little-endian-within-band into
+    ``len(bits) // band_bits`` integers — the one packing used by
+    every fingerprint in this module (image 64/128-bit, audio, video),
+    so its properties hold for all of them."""
+    import numpy as np
+
+    offsets = np.arange(band_bits, dtype=np.int64)
+    return [
+        int((bits[k * band_bits : (k + 1) * band_bits] << offsets).sum())
+        for k in range(len(bits) // band_bits)
+    ]
+
+
+def _dhash64_bands(v) -> list[int]:
+    """64-bit dHash of an 18×16 int64 luma array: 2×2 block means →
+    8×9 grid → 8×8 horizontal comparison bits → four 16-bit bands.
+    Pure function (property-tested: brightness-offset invariant)."""
+    m = (
+        v[0::2, 0::2] + v[0::2, 1::2] + v[1::2, 0::2] + v[1::2, 1::2]
+    ) // 4  # (8 rows, 9 cols)
+    import numpy as np
+
+    bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+    return _pack_delta_bands(bits, 16)
+
+
+def _dhash128_bands(v) -> list[int]:
+    """128-bit fine dHash of an 18×16 int64 luma array: 1×2 block
+    means → 16×9 grid → 16×8 comparison bits → four 32-bit bands.
+    Pure function (see ``bmp_dhash_fine`` for why it exists)."""
+    import numpy as np
+
+    m = (v[:, 0::2] + v[:, 1::2]) // 2  # (16 rows, 9 cols)
+    bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+    return _pack_delta_bands(bits, 32)
+
+
 def bmp_dhash(df: DataFrame) -> DataFrame:
     """dHash over decoded BMP payloads: 2×2 integer block means down
     to 9×8, bit(Y,X) = mean(X,Y) > mean(X+1,Y) for the 8×8 comparison
@@ -2826,8 +2864,6 @@ def bmp_dhash(df: DataFrame) -> DataFrame:
     (see operators/dedup.py::hamming_neardup_stats)."""
     import numpy as np
 
-    offsets = np.arange(16, dtype=np.int64)
-
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
@@ -2838,16 +2874,10 @@ def bmp_dhash(df: DataFrame) -> DataFrame:
                 if (w, h) != (DHASH_W, DHASH_H):
                     raise ValueError("dhash fixture expects 18x16 BMPs")
                 v = px[..., 0].astype(np.int64)  # grayscale ⇒ R = luma
-                m = (
-                    v[0::2, 0::2] + v[0::2, 1::2]
-                    + v[1::2, 0::2] + v[1::2, 1::2]
-                ) // 4  # (8 rows, 9 cols)
-                bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+                bands = _dhash64_bands(v)
                 out["doc_id"].append(int(doc_id))
                 for k in range(4):
-                    out[f"band{k}"].append(
-                        int((bits[k * 16 : (k + 1) * 16] << offsets).sum())
-                    )
+                    out[f"band{k}"].append(bands[k])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
@@ -2917,8 +2947,6 @@ def bmp_dhash_fine(df: DataFrame) -> DataFrame:
     like the 64-bit gate."""
     import numpy as np
 
-    offsets = np.arange(32, dtype=np.int64)
-
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
@@ -2929,13 +2957,10 @@ def bmp_dhash_fine(df: DataFrame) -> DataFrame:
                 if (w, h) != (DHASH_W, DHASH_H):
                     raise ValueError("dhash fixture expects 18x16 BMPs")
                 v = px[..., 0].astype(np.int64)
-                m = (v[:, 0::2] + v[:, 1::2]) // 2  # (16 rows, 9 cols)
-                bits = (m[:, :-1] > m[:, 1:]).astype(np.int64).ravel()
+                bands = _dhash128_bands(v)
                 out["doc_id"].append(int(doc_id))
                 for k in range(4):
-                    out[f"band{k}"].append(
-                        int((bits[k * 32 : (k + 1) * 32] << offsets).sum())
-                    )
+                    out[f"band{k}"].append(bands[k])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
@@ -3018,7 +3043,6 @@ def wav_energy_fingerprint(df: DataFrame) -> DataFrame:
     import numpy as np
 
     need = AUDIO_FP_FRAME * AUDIO_FP_FRAMES
-    offsets = np.arange(16, dtype=np.int64)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3037,12 +3061,12 @@ def wav_energy_fingerprint(df: DataFrame) -> DataFrame:
                 e = pcm[:need].reshape(AUDIO_FP_FRAMES, AUDIO_FP_FRAME).sum(
                     axis=1
                 )
-                bits = (e[1:] > e[:-1]).astype(np.int64)
+                bands = _pack_delta_bands(
+                    (e[1:] > e[:-1]).astype(np.int64), 16
+                )
                 out["doc_id"].append(int(doc_id))
                 for k in range(4):
-                    out[f"band{k}"].append(
-                        int((bits[k * 16 : (k + 1) * 16] << offsets).sum())
-                    )
+                    out[f"band{k}"].append(bands[k])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
@@ -3123,8 +3147,6 @@ def avi_temporal_fingerprint(df: DataFrame) -> DataFrame:
     Arrow-batched."""
     import numpy as np
 
-    offsets = np.arange(16, dtype=np.int64)
-
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
@@ -3144,12 +3166,12 @@ def avi_temporal_fingerprint(df: DataFrame) -> DataFrame:
                     ],
                     dtype=np.int64,
                 )
-                bits = (s[1:] > s[:-1]).astype(np.int64)
+                bands = _pack_delta_bands(
+                    (s[1:] > s[:-1]).astype(np.int64), 16
+                )
                 out["doc_id"].append(int(doc_id))
                 for k in range(4):
-                    out[f"band{k}"].append(
-                        int((bits[k * 16 : (k + 1) * 16] << offsets).sum())
-                    )
+                    out[f"band{k}"].append(bands[k])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=DHASH_SCHEMA)

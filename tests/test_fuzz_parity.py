@@ -628,3 +628,78 @@ def test_lm_backoff_matches_python_reference(spark, seed):
         for r in lm_backoff_score(df).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# fingerprint properties (round 8): the pure band math behind the
+# image/audio/video near-dup operators
+# --------------------------------------------------------------------------
+@given(seed=st.integers(0, 2**31 - 1), offset=st.integers(0, 55))
+@settings(max_examples=50, deadline=None, derandomize=True)
+def test_dhash_brightness_invariance(seed, offset):
+    """dHash (64- and 128-bit) depends only on pixel DIFFERENCES:
+    adding a constant brightness offset (no wrap) never changes a
+    band — the invariance real perceptual dedup relies on (two scans
+    of the same photo at different exposure hash identically)."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _dhash64_bands,
+        _dhash128_bands,
+    )
+
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 200, size=(16, 18), dtype=np.int64)
+    assert _dhash64_bands(v) == _dhash64_bands(v + offset)
+    assert _dhash128_bands(v) == _dhash128_bands(v + offset)
+
+
+@given(seed=st.integers(0, 2**31 - 1), gain=st.integers(1, 8))
+@settings(max_examples=50, deadline=None, derandomize=True)
+def test_delta_band_gain_invariance_and_packing(seed, gain):
+    """Sign-of-delta fingerprints are invariant under positive gain,
+    and the shared band packing is a bijection: unpacking the four
+    band integers recovers exactly the input bits."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _pack_delta_bands,
+    )
+
+    rng = np.random.default_rng(seed)
+    e = rng.integers(-(2**20), 2**20, size=65, dtype=np.int64)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    bits_gained = ((e * gain)[1:] > (e * gain)[:-1]).astype(np.int64)
+    assert list(bits) == list(bits_gained)
+    bands = _pack_delta_bands(bits, 16)
+    unpacked = [
+        (bands[p // 16] >> (p % 16)) & 1 for p in range(64)
+    ]
+    assert unpacked == list(bits)
+    assert all(0 <= b < 2**16 for b in bands)
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_hamming_band_collision_pigeonhole(seed):
+    """The Hamming-LSH candidate rule is pigeonhole-complete: any two
+    fingerprints within distance < n_bands share at least one exact
+    band, so no pair a verify stage should see can be missed."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        _pack_delta_bands,
+    )
+
+    rng = np.random.default_rng(seed)
+    bits_a = rng.integers(0, 2, size=64, dtype=np.int64)
+    bits_b = bits_a.copy()
+    # flip at most 3 positions (< 4 bands) — pigeonhole must hold
+    for pos in rng.choice(64, size=3, replace=False):
+        if rng.integers(0, 2):
+            bits_b[pos] ^= 1
+    a = _pack_delta_bands(bits_a, 16)
+    b = _pack_delta_bands(bits_b, 16)
+    d = int(np.sum(bits_a != bits_b))
+    assert d <= 3
+    assert any(x == y for x, y in zip(a, b))
