@@ -776,3 +776,30 @@ def test_binaryfile_ingest_matches_synth_path(spark, tmp_path):
     for i in ids:
         assert got[i][:4] == want[i]
         assert got[i][4] == 950  # exact on-disk BMP size
+
+
+def test_neardup_avi_fast_frames_match_general_writer():
+    """The constant-frame fast path in _neardup_avi_frames emits
+    byte-identical DIB frames to the general _dib_frame_bytes
+    writer."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators.multimodal import (
+        VIDEO_FP_FRAMES,
+        VIDEO_FP_H,
+        VIDEO_FP_W,
+        _dib_frame_bytes,
+        _neardup_avi_frames,
+    )
+
+    for doc_id in (0, 11, 222):
+        fast = _neardup_avi_frames(doc_id)
+        g = doc_id % 50
+        for f in range(VIDEO_FP_FRAMES):
+            v = (g * 37 + f * (20 + 2 * g)) % 193
+            if (doc_id * 31 + f) % 23 == 0:
+                v += 40
+            ch = np.full((VIDEO_FP_H, VIDEO_FP_W), v, dtype=np.uint8)
+            assert fast[f] == _dib_frame_bytes(
+                ch, ch, ch, VIDEO_FP_W, VIDEO_FP_H
+            )
