@@ -512,6 +512,20 @@ _TOTAL_ZEROS_CDC = {  # Table 9-9(a): total_zeros for 2x2 chroma DC
     3: {0: "1", 1: "0"},
 }
 
+# Table 9-5, the nC >= 8 column: unlike the VLC columns this one is
+# FORMULA-DEFINED by the spec — a 6-bit fixed-length code with value
+# 4·(TotalCoeff − 1) + TrailingOnes (TotalCoeff >= 1), and the single
+# special case (0, 0) -> 000011 (value 3 is free: it would be
+# TotalCoeff 1 / TrailingOnes 3, which is impossible).  Being a
+# formula, it is transcribable WITHOUT external codec validation —
+# which is why this column is implemented while the lookup-defined
+# 2 <= nC < 8 columns honestly remain NotImplementedError.
+_CT_NC8 = {(0, 0): "000011"}
+for _tc in range(1, 17):
+    for _t1 in range(0, min(3, _tc) + 1):
+        _CT_NC8[(_t1, _tc)] = format(4 * (_tc - 1) + _t1, "06b")
+del _tc, _t1
+
 
 def _put_bits(bw: _EgWriter, code: str) -> None:
     for ch in code:
@@ -529,6 +543,7 @@ def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
 
 _CT_NC02_DEC = {v: k for k, v in _CT_NC02.items()}
 _CT_NCM1_DEC = {v: k for k, v in _CT_NCM1.items()}
+_CT_NC8_DEC = {v: k for k, v in _CT_NC8.items()}
 _TZ_DEC = {tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS.items()}
 _TZ_CDC_DEC = {
     tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS_CDC.items()
@@ -1232,6 +1247,219 @@ def h264_encode_frame_i16ac(
     ]
 
 
+def _i16ac8_slice_rbsp(
+    y_plane: np.ndarray,
+    cb_plane: np.ndarray,
+    cr_plane: np.ndarray,
+    qp: int,
+    idr_pic_id: int,
+    pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """One IDR slice of Intra_16x16_2_1_1 macroblocks with DENSE-8
+    luma AC residuals: every Intra16x16ACLevel block carries EXACTLY
+    eight nonzero coefficients (the eight largest-magnitude quantized
+    ones; lowest-frequency zeros are raised to +1 when the content
+    yields fewer).  The pinned density drives the multi-coefficient
+    CAVLC machinery — runs, trailing-one signs, level suffix-length
+    adaptation, total_zeros at TotalCoeff 8 — AND pins every derived
+    nC to {0, 8}: the frame's first DC/AC parse sees no neighbours
+    (nC 0, transcribed VLC column), every other block averages
+    neighbours that all carry TotalCoeff 8 (nC 8, the formula-defined
+    FLC column).  The lookup-defined 2 <= nC < 8 columns are never
+    touched, so the stream is fully conformant for a spec decoder
+    while staying inside the validatable tables."""
+    mb_h, mb_w = y_plane.shape[0] // 16, y_plane.shape[1] // 16
+    a, e = _DC_LEVELSCALE[qp % 6], qp // 6
+    qpc = _chroma_qpc(qp)
+    mf = _mf4x4(qp % 6)
+    fq = (1 << (15 + e)) // 3  # intra rounding offset
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(7)            # slice_type: I
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(0, 4)          # frame_num
+    bw.ue(idr_pic_id)
+    bw.u(0, 1); bw.u(0, 1)  # dec_ref_pic_marking (IDR)
+    bw.se(qp - 26)      # slice_qp_delta
+    bw.ue(1)            # disable_deblocking_filter_idc
+    rec_y = np.zeros_like(y_plane, dtype=np.int64)
+    rec_cb = np.zeros_like(cb_plane, dtype=np.int64)
+    rec_cr = np.zeros_like(cr_plane, dtype=np.int64)
+    src_y = y_plane.astype(np.int64)
+    src_c = (cb_plane.astype(np.int64), cr_plane.astype(np.int64))
+    rec_c = (rec_cb, rec_cr)
+    # encoder-side nC grid — must mirror the decoder bit for bit
+    nc_grid = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+
+    def _nc_of(gx: int, gy: int) -> int:
+        has_a, has_b = gx > 0, gy > 0
+        if has_a and has_b:
+            return int((nc_grid[gy, gx - 1] + nc_grid[gy - 1, gx] + 1) >> 1)
+        if has_a:
+            return int(nc_grid[gy, gx - 1])
+        if has_b:
+            return int(nc_grid[gy - 1, gx])
+        return 0
+
+    def _ct_for(nc: int) -> dict:
+        if nc < 2:
+            return _CT_NC02
+        if nc >= 8:
+            return _CT_NC8
+        raise AssertionError(f"dense-8 encoder derived nC {nc}")
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            y0, x0 = my * 16, mx * 16
+            gx0, gy0 = mx * 4, my * 4
+            if (my, mx) in pcm_mbs:
+                bw.ue(25)  # I_PCM
+                bw.align_zero()
+                cy0_, cx0_ = my * 8, mx * 8
+                bw.raw_bytes(
+                    src_y[y0 : y0 + 16, x0 : x0 + 16]
+                    .astype(np.uint8).tobytes()
+                )
+                for src_p in src_c:
+                    bw.raw_bytes(
+                        src_p[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8]
+                        .astype(np.uint8).tobytes()
+                    )
+                rec_y[y0 : y0 + 16, x0 : x0 + 16] = src_y[
+                    y0 : y0 + 16, x0 : x0 + 16
+                ]
+                for src_p, rec_p in zip(src_c, rec_c):
+                    rec_p[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = src_p[
+                        cy0_ : cy0_ + 8, cx0_ : cx0_ + 8
+                    ]
+                nc_grid[gy0 : gy0 + 4, gx0 : gx0 + 4] = 16
+                continue
+            avail_top, avail_left = my > 0, mx > 0
+            pred = _intra16_pred_luma(
+                2,
+                rec_y[y0 - 1, x0 : x0 + 16] if avail_top else None,
+                rec_y[y0 : y0 + 16, x0 - 1] if avail_left else None,
+                rec_y[y0 - 1, x0 - 1] if (avail_top and avail_left) else 0,
+                avail_top,
+                avail_left,
+            )
+            resid = src_y[y0 : y0 + 16, x0 : x0 + 16] - pred
+            w_blocks = {}
+            x_dc = np.zeros((4, 4), np.int64)
+            for bi in range(16):
+                bx, by = _BLK_SCAN[bi]
+                blk = resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                w = _fwd_transform4x4(blk)
+                w_blocks[bi] = w
+                x_dc[by, bx] = w[0, 0]
+            fh = _HADAMARD4 @ x_dc @ _HADAMARD4
+            c_dc = (
+                np.sign(fh)
+                * np.floor(np.abs(fh) * (2.0 ** (6 - e)) / (4 * a) + 0.5)
+            ).astype(np.int64)
+            bw.ue(19)   # mb_type I_16x16_2_1_1 (DC pred, cbp 1/15)
+            bw.ue(0)    # intra_chroma_pred_mode: DC
+            bw.se(0)    # mb_qp_delta
+            cavlc_encode_block(
+                bw, list(c_dc.reshape(16)[_ZZ4]), _ct_for(_nc_of(gx0, gy0))
+            )
+            dc = _luma_dc_dequant(list(c_dc.reshape(16)[_ZZ4]), qp)
+            rec_mb = np.empty((16, 16), np.int64)
+            for bi in range(16):
+                bx, by = _BLK_SCAN[bi]
+                w = w_blocks[bi]
+                cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+                flat = cq.reshape(16)
+                ac = [int(flat[_ZZ4[k]]) for k in range(1, 16)]
+                nz = [i for i, v in enumerate(ac) if v != 0]
+                if len(nz) > 8:
+                    # keep the 8 largest |level|; deterministic
+                    # tie-break on the lower zigzag position
+                    for i in sorted(nz, key=lambda i: (-abs(ac[i]), i))[8:]:
+                        ac[i] = 0
+                elif len(nz) < 8:
+                    # raise the lowest-frequency zeros to +1
+                    fill = [i for i in range(15) if ac[i] == 0]
+                    for i in fill[: 8 - len(nz)]:
+                        ac[i] = 1
+                nc = _nc_of(gx0 + bx, gy0 + by)
+                cavlc_encode_block(bw, ac, _ct_for(nc), max_coeff=15)
+                nc_grid[gy0 + by, gx0 + bx] = 8
+                cm = np.zeros(16, np.int64)
+                cm[np.array(_ZZ4[1:])] = np.array(ac, np.int64)
+                d = _ac_dequant(cm.reshape(4, 4), qp)
+                d[0, 0] = dc[by, bx]
+                r = (_inv_transform4x4(d) + 32) >> 6
+                rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                    pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
+                )
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
+            cy0, cx0 = my * 8, mx * 8
+            for src_p, rec_p in zip(src_c, rec_c):
+                cpred = _chroma_dc_pred(
+                    rec_p[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
+                    rec_p[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
+                    avail_top,
+                    avail_left,
+                )
+                cresid = src_p[cy0 : cy0 + 8, cx0 : cx0 + 8] - cpred
+                cc = _chroma_dc_quant(cresid, qpc)
+                cavlc_encode_block(
+                    bw, cc, _CT_NCM1, _TOTAL_ZEROS_CDC, max_coeff=4
+                )
+                dcc = _chroma_dc_dequant(cc, qpc)
+                cr_ = (dcc + 32) >> 6
+                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    cpred + np.repeat(np.repeat(cr_, 4, axis=0), 4, axis=1),
+                    0,
+                    255,
+                )
+    bw.rbsp_trailing()
+    return bw.tobytes(), rec_y, rec_cb, rec_cr
+
+
+def h264_encode_frame_i16ac8(
+    rgb: np.ndarray,
+    qp: int = 28,
+    idr_pic_id: int = 0,
+    pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+) -> list[bytes]:
+    """Encode one frame as [SPS, PPS, IDR] of DENSE-8 Intra_16x16
+    macroblocks — the multi-coefficient CAVLC path through the
+    formula-defined nC >= 8 coeff_token column (see
+    _i16ac8_slice_rbsp for why the density is pinned at 8)."""
+    h, w = rgb.shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("dimensions must be even (4:2:0 chroma cropping)")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be 0..51")
+    padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_yuv420(padded)
+    slice_rbsp, _, _, _ = _i16ac8_slice_rbsp(
+        y, cb, cr, qp, idr_pic_id, pcm_mbs
+    )
+    return [
+        _nal(7, _sps_rbsp(w, h)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, slice_rbsp),
+    ]
+
+
+def h264_reconstruct_frame_i16ac8(
+    rgb: np.ndarray, qp: int = 28,
+    pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+) -> np.ndarray:
+    """The encoder's own closed-loop reconstruction of a dense-8
+    frame (what a conformant decoder MUST reproduce bit-for-bit),
+    cropped back to the source dims — the equality target for the
+    round-trip gate."""
+    h, w = rgb.shape[:2]
+    padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_yuv420(padded)
+    _, ry, rcb, rcr = _i16ac8_slice_rbsp(y, cb, cr, qp, 0, pcm_mbs)
+    return _yuv420_to_rgb(ry, rcb, rcr)[:h, :w]
+
+
 def h264_encode_frame_i16cdc_yuv(
     y: np.ndarray,
     cb: np.ndarray,
@@ -1288,10 +1516,11 @@ def h264_encode_frame_i16cdc(
 
 def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
     """Decode one [.., SPS, PPS, IDR] NAL group of the supported
-    subset (I_PCM and Intra_16x16 luma-DC macroblocks, mixed freely
-    as long as no CAVLC macroblock borders an I_PCM one — a PCM
-    neighbour would make nC 16, outside the implemented nC < 2
-    coeff_token table) into h×w×3 uint8 RGB."""
+    subset (I_PCM and Intra_16x16 macroblocks, mixed freely — an
+    I_PCM neighbour counts TotalCoeff 16, which always lands in the
+    implemented formula-defined nC >= 8 FLC coeff_token column; only
+    streams whose derived nC falls in the lookup-defined 2..7 range
+    are rejected) into h×w×3 uint8 RGB."""
     sps = pps = None
     rgb = None
     for nal in nals:
@@ -1393,28 +1622,34 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                         raise NotImplementedError(
                             "chroma AC residuals (cbp_chroma 2)"
                         )
-                    if (my > 0 and is_pcm[my - 1, mx]) or (
-                        mx > 0 and is_pcm[my, mx - 1]
-                    ):
-                        raise NotImplementedError(
-                            "CAVLC macroblock with an I_PCM neighbour "
-                            "(nC would be 16; only the nC < 2 tables "
-                            "are implemented)"
-                        )
                     if br.ue() != 0:
                         raise NotImplementedError(
                             "non-DC intra_chroma_pred_mode"
                         )
                     qp = min(51, max(0, qp + br.se()))  # mb_qp_delta
                     gx0, gy0 = mx * 4, my * 4
-                    # Intra16x16DCLevel: nC derived as for blkIdx 0
-                    if _nc_of(gx0, gy0) >= 2:
+
+                    def _ct_dec_for(nc: int):
+                        # nC < 2: transcribed VLC column; nC >= 8:
+                        # formula-defined 6-bit FLC column (covers
+                        # I_PCM neighbours, which count 16); the
+                        # lookup-defined middle columns stay honest
+                        if nc < 2:
+                            return _CT_NC02_DEC
+                        if nc >= 8:
+                            return _CT_NC8_DEC
                         raise NotImplementedError(
-                            "coeff_token columns for nC >= 2 are not "
-                            "implemented (no codec libs to transcribe "
-                            "them against)"
+                            "coeff_token columns for 2 <= nC < 8 are "
+                            "not implemented (lookup-defined in the "
+                            "spec; no codec libs to transcribe them "
+                            "against — the nC >= 8 column IS "
+                            "implemented because it is a formula)"
                         )
-                    c_zz = cavlc_decode_block(br)
+
+                    # Intra16x16DCLevel: nC derived as for blkIdx 0
+                    c_zz = cavlc_decode_block(
+                        br, ct_dec=_ct_dec_for(_nc_of(gx0, gy0))
+                    )
                     y0, x0 = my * 16, mx * 16
                     avail_top, avail_left = my > 0, mx > 0
                     pred = _intra16_pred_luma(
@@ -1434,12 +1669,13 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                         rec_mb = np.empty((16, 16), np.int64)
                         for bi in range(16):
                             bx, by = _BLK_SCAN[bi]
-                            if _nc_of(gx0 + bx, gy0 + by) >= 2:
-                                raise NotImplementedError(
-                                    "coeff_token columns for nC >= 2 "
-                                    "are not implemented"
-                                )
-                            ac = cavlc_decode_block(br, max_coeff=15)
+                            ac = cavlc_decode_block(
+                                br,
+                                ct_dec=_ct_dec_for(
+                                    _nc_of(gx0 + bx, gy0 + by)
+                                ),
+                                max_coeff=15,
+                            )
                             nc_grid[gy0 + by, gx0 + bx] = sum(
                                 1 for v in ac if v != 0
                             )

@@ -1730,15 +1730,15 @@ def _codec_min_psnr(codec: str, doc_id: int) -> float:
             np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
             for f in range(len(decs))
         ]
-    elif codec in ("h264dc", "h264ac"):
+    elif codec in ("h264dc", "h264ac", "h264ac8"):
         from .h264_codec import h264_decode_frame, split_annexb
 
         w, h, nf, _qp = _h264dc_dims(doc_id)
-        payload = (
-            _write_h264ac_probe(doc_id)
-            if codec == "h264ac"
-            else _write_h264dc_probe(doc_id)
-        )
+        payload = {
+            "h264ac": _write_h264ac_probe,
+            "h264ac8": _write_h264ac8_probe,
+            "h264dc": _write_h264dc_probe,
+        }[codec](doc_id)
         nals = split_annexb(payload)
         decs = [h264_decode_frame(nals[3 * f : 3 * f + 3]) for f in range(nf)]
         srcs = [
@@ -1778,7 +1778,7 @@ def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
     probes = spark.range(n_ids).selectExpr("id AS doc_id").crossJoin(
         spark.createDataFrame(
             [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",), ("h264dc",),
-             ("h264ac",)],
+             ("h264ac",), ("h264ac8",)],
             "codec string",
         )
     )
@@ -2502,6 +2502,31 @@ def _write_h264ac_probe(doc_id: int) -> bytes:
         g = _h264dc_probe_gray(doc_id, f, w, h)
         nals.extend(
             h264_encode_frame_i16ac(
+                np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
+            )
+        )
+    return annexb(nals)
+
+
+def _write_h264ac8_probe(doc_id: int) -> bytes:
+    """Probe stream for the pinned-PSNR gate over the DENSE-8
+    multi-coefficient CAVLC path (nC >= 8 FLC column): same probe
+    content as the h264dc/h264ac probes, so the three rungs' pinned
+    constants are directly comparable — NOT a monotone ladder: the
+    pinned density forces eight coefficients per block, so on
+    low-detail probes the forced +1 fills make it deliberately
+    noisier than the adaptive single-AC rung, and the per-id
+    constants pin exactly that trade-off."""
+    import numpy as np
+
+    from .h264_codec import annexb, h264_encode_frame_i16ac8
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        g = _h264dc_probe_gray(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16ac8(
                 np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
             )
         )
@@ -3236,3 +3261,134 @@ def binaryfile_ingest_dhash(spark, directory: str) -> DataFrame:
     return hashes.join(
         payloads.select("doc_id", "n_bytes"), "doc_id"
     ).select("doc_id", "band0", "band1", "band2", "band3", "n_bytes")
+
+
+# --------------------------------------------------------------------------
+# dense-8 H.264 (multi-coefficient CAVLC through the formula-defined
+# nC >= 8 FLC column): fixture, decode, and structural evidence
+# --------------------------------------------------------------------------
+H264AC8_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("qp", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("denser_than_single_ac", T.BooleanType()),
+        T.StructField("smaller_than_pcm", T.BooleanType()),
+    ]
+)
+
+
+def _write_h264ac8(doc_id: int) -> bytes:
+    """Annex-B stream of nf DENSE-8 IDR pictures over the detailed
+    probe content (rich AC energy per block)."""
+    import numpy as np
+
+    from .h264_codec import annexb, h264_encode_frame_i16ac8
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        g = _h264dc_probe_gray(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16ac8(
+                np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
+            )
+        )
+    return annexb(nals)
+
+
+def synth_h264ac8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a dense-8 transform-coded H.264 stream per row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_write_h264ac8(int(i)) for i in ids]}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264ac8_metadata(df: DataFrame) -> DataFrame:
+    """Decode the dense-8 Annex-B stream and emit the structural
+    evidence the SQL oracle pins: ``roundtrip_exact`` — the decoder
+    reproduces the encoder's closed-loop reconstruction BIT-FOR-BIT
+    (every block but the frame corner parses through the nC >= 8 FLC
+    coeff_token column; one wrong code desyncs the reader and the
+    equality breaks), ``denser_than_single_ac`` — the dense-8 stream
+    of the same pictures outweighs the single-coefficient encode
+    (eight levels per block genuinely reach the bitstream), and
+    ``smaller_than_pcm`` — entropy coding still beats I_PCM.
+    Lossy-content fidelity is separately hash-pinned per probe id in
+    multimodal_codec_psnr ('h264ac8')."""
+    import numpy as np
+
+    from .h264_codec import (
+        annexb,
+        h264_decode_frame,
+        h264_encode_frame,
+        h264_encode_frame_i16ac,
+        h264_reconstruct_frame_i16ac8,
+        split_annexb,
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264AC8_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, nf, qp = _h264dc_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 3 * nf, "unexpected NAL count"
+                exact = True
+                pcm_bytes = 0
+                single_bytes = 0
+                for f in range(nf):
+                    src = np.stack(
+                        [_h264dc_probe_gray(int(doc_id), f, w, h)] * 3,
+                        axis=-1,
+                    )
+                    dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
+                    rec = h264_reconstruct_frame_i16ac8(src, qp=qp)
+                    exact = exact and bool(np.array_equal(dec, rec))
+                    pcm_bytes += len(
+                        annexb(h264_encode_frame(dec, idr_pic_id=f))
+                    )
+                    single_bytes += len(
+                        annexb(
+                            h264_encode_frame_i16ac(src, qp=qp, idr_pic_id=f)
+                        )
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["qp"].append(qp)
+                out["mb_count"].append(
+                    nf * ((w + 15) // 16) * ((h + 15) // 16)
+                )
+                out["roundtrip_exact"].append(exact)
+                out["denser_than_single_ac"].append(
+                    len(payload) > single_bytes
+                )
+                out["smaller_than_pcm"].append(len(payload) < pcm_bytes)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264AC8_META_SCHEMA)

@@ -138,6 +138,8 @@ _PRIORITY: list[str] = [
     "multimodal_video_neardup",
     "multimodal_binaryfile_ingest",
     "q_stream_image_dedup",
+    "multimodal_h264ac8_meta",
+    "multimodal_codec_psnr",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",

@@ -1013,19 +1013,36 @@ FROM (VALUES
   ('h264ac', 32, 999), ('h264ac', 33, 25), ('h264ac', 34, 22), ('h264ac', 35, 24),
   ('h264ac', 36, 23), ('h264ac', 37, 43), ('h264ac', 38, 42), ('h264ac', 39, 40),
   ('h264ac', 40, 41), ('h264ac', 41, 38), ('h264ac', 42, 38), ('h264ac', 43, 37),
-  ('h264ac', 44, 36), ('h264ac', 45, 37), ('h264ac', 46, 37), ('h264ac', 47, 20)
+  ('h264ac', 44, 36), ('h264ac', 45, 37), ('h264ac', 46, 37), ('h264ac', 47, 20),
+  ('h264ac8', 0, 34), ('h264ac8', 1, 29), ('h264ac8', 2, 24), ('h264ac8', 3, 21),
+  ('h264ac8', 4, 14), ('h264ac8', 5, 34), ('h264ac8', 6, 28), ('h264ac8', 7, 24),
+  ('h264ac8', 8, 20), ('h264ac8', 9, 15), ('h264ac8', 10, 35), ('h264ac8', 11, 28),
+  ('h264ac8', 12, 24), ('h264ac8', 13, 21), ('h264ac8', 14, 16), ('h264ac8', 15, 37),
+  ('h264ac8', 16, 28), ('h264ac8', 17, 25), ('h264ac8', 18, 20), ('h264ac8', 19, 17),
+  ('h264ac8', 20, 28), ('h264ac8', 21, 28), ('h264ac8', 22, 24), ('h264ac8', 23, 21),
+  ('h264ac8', 24, 18), ('h264ac8', 25, 30), ('h264ac8', 26, 26), ('h264ac8', 27, 24),
+  ('h264ac8', 28, 20), ('h264ac8', 29, 15), ('h264ac8', 30, 28), ('h264ac8', 31, 26),
+  ('h264ac8', 32, 24), ('h264ac8', 33, 22), ('h264ac8', 34, 14), ('h264ac8', 35, 34),
+  ('h264ac8', 36, 26), ('h264ac8', 37, 24), ('h264ac8', 38, 20), ('h264ac8', 39, 15),
+  ('h264ac8', 40, 34), ('h264ac8', 41, 28), ('h264ac8', 42, 24), ('h264ac8', 43, 20),
+  ('h264ac8', 44, 15), ('h264ac8', 45, 36), ('h264ac8', 46, 28), ('h264ac8', 47, 24)
 ) AS t(codec, doc_id, psnr_fl)
 """
 
 
 @query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
 def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-sensitive fidelity gate over all six lossy codecs
+    """Hash-sensitive fidelity gate over all seven lossy codecs
     (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video, IMA ADPCM
     audio — SNR dB for the audio clip — the H.264 Intra_16x16 luma-DC
-    transform path, and the round-8 luma-AC path h264ac, whose pinned
+    transform path, the round-8 luma-AC path h264ac, whose pinned
     constants are >= the h264dc ones on every probe id: the single AC
-    coefficient must only ever ADD detail): floor of the minimum
+    coefficient must only ever ADD detail, and the DENSE-8
+    multi-coefficient path h264ac8 through the formula-defined
+    nC >= 8 FLC column — its pinned density FORCES eight coefficients
+    per block, so on low-detail probes it is deliberately noisier
+    than the adaptive single-AC rung: the constants pin that
+    trade-off, not a monotone ladder): floor of the minimum
     per-frame PSNR for 48 fixed probe ids per codec, compared against
     constants pinned at codec-freeze time."""
     from ..operators import multimodal as mm
@@ -1832,3 +1849,47 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = [r.doc_id for r in docs.select("doc_id").collect()]
     directory = mm.materialize_neardup_bmp_dir(spark, ids)
     return mm.binaryfile_ingest_dhash(spark, directory)
+
+
+# --------------------------------------------------------------------------
+# dense-8 H.264 — the multi-coefficient CAVLC rung through the
+# formula-defined nC >= 8 FLC coeff_token column: per-stream
+# structural evidence (exact decoder/closed-loop equality, density
+# and compression orderings) with dims/qp arithmetic replayed in SQL
+# --------------------------------------------------------------------------
+_H264AC8_ORACLE = """
+SELECT doc_id,
+       CAST(18 + 2 * (doc_id % 8) AS BIGINT) AS width,
+       CAST(14 + 2 * (doc_id % 6) AS BIGINT) AS height,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 20 WHEN 1 THEN 26 WHEN 2 THEN 30
+                            WHEN 3 THEN 34 ELSE 40 END AS BIGINT) AS qp,
+       CAST((1 + doc_id % 3)
+            * ((18 + 2 * (doc_id % 8) + 15) // 16)
+            * ((14 + 2 * (doc_id % 6) + 15) // 16) AS BIGINT) AS mb_count,
+       TRUE AS roundtrip_exact,
+       TRUE AS denser_than_single_ac,
+       TRUE AS smaller_than_pcm
+FROM documents
+"""
+
+
+@query("multimodal_h264ac8_meta", oracle=_H264AC8_ORACLE)
+def multimodal_h264ac8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COEFFICIENT transform-coded H.264 (round 8b,
+    operators/h264_codec.py): every Intra16x16ACLevel block carries
+    exactly eight CAVLC-coded coefficients, so every derived nC lands
+    in {0, 8} — the transcribed nC < 2 column at the frame corner and
+    the FORMULA-DEFINED 6-bit FLC column (Table 9-5, nC >= 8,
+    4·(TotalCoeff−1)+T1s) everywhere else; the lookup-defined middle
+    columns stay honestly unimplemented.  The oracle pins
+    ``roundtrip_exact`` (decode ≡ encoder closed loop, bit-for-bit —
+    runs, trailing-one signs, suffix-length adaptation, total_zeros
+    at TotalCoeff 8 all live), the density ordering vs the single-AC
+    rung, the I_PCM compression ordering, and the dims/qp/mb
+    arithmetic; lossy fidelity is hash-pinned in
+    multimodal_codec_psnr ('h264ac8')."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264ac8_metadata(mm.synth_h264ac8_table(docs))
