@@ -1254,6 +1254,7 @@ def _i16ac8_slice_rbsp(
     qp: int,
     idr_pic_id: int,
     pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+    chroma_ac: bool = False,
 ) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
     """One IDR slice of Intra_16x16_2_1_1 macroblocks with DENSE-8
     luma AC residuals: every Intra16x16ACLevel block carries EXACTLY
@@ -1288,18 +1289,25 @@ def _i16ac8_slice_rbsp(
     src_y = y_plane.astype(np.int64)
     src_c = (cb_plane.astype(np.int64), cr_plane.astype(np.int64))
     rec_c = (rec_cb, rec_cr)
-    # encoder-side nC grid — must mirror the decoder bit for bit
+    # encoder-side nC grids — must mirror the decoder bit for bit
     nc_grid = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+    nc_c = [
+        np.zeros((mb_h * 2, mb_w * 2), np.int64),
+        np.zeros((mb_h * 2, mb_w * 2), np.int64),
+    ]
 
-    def _nc_of(gx: int, gy: int) -> int:
+    def _nc_in(grid, gx: int, gy: int) -> int:
         has_a, has_b = gx > 0, gy > 0
         if has_a and has_b:
-            return int((nc_grid[gy, gx - 1] + nc_grid[gy - 1, gx] + 1) >> 1)
+            return int((grid[gy, gx - 1] + grid[gy - 1, gx] + 1) >> 1)
         if has_a:
-            return int(nc_grid[gy, gx - 1])
+            return int(grid[gy, gx - 1])
         if has_b:
-            return int(nc_grid[gy - 1, gx])
+            return int(grid[gy - 1, gx])
         return 0
+
+    def _nc_of(gx: int, gy: int) -> int:
+        return _nc_in(nc_grid, gx, gy)
 
     def _ct_for(nc: int) -> dict:
         if nc < 2:
@@ -1333,6 +1341,8 @@ def _i16ac8_slice_rbsp(
                         cy0_ : cy0_ + 8, cx0_ : cx0_ + 8
                     ]
                 nc_grid[gy0 : gy0 + 4, gx0 : gx0 + 4] = 16
+                for g in nc_c:
+                    g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
                 continue
             avail_top, avail_left = my > 0, mx > 0
             pred = _intra16_pred_luma(
@@ -1357,7 +1367,9 @@ def _i16ac8_slice_rbsp(
                 np.sign(fh)
                 * np.floor(np.abs(fh) * (2.0 ** (6 - e)) / (4 * a) + 0.5)
             ).astype(np.int64)
-            bw.ue(19)   # mb_type I_16x16_2_1_1 (DC pred, cbp 1/15)
+            # mb_type (Table 7-11): 19 = I_16x16_2_1_1 (cbpC 1),
+            # 23 = I_16x16_2_2_1 (cbpC 2 — chroma AC present)
+            bw.ue(23 if chroma_ac else 19)
             bw.ue(0)    # intra_chroma_pred_mode: DC
             bw.se(0)    # mb_qp_delta
             cavlc_encode_block(
@@ -1395,6 +1407,9 @@ def _i16ac8_slice_rbsp(
                 )
             rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
             cy0, cx0 = my * 8, mx * 8
+            # §7.3.5.3.3 order: ChromaDCLevel Cb then Cr FIRST, then
+            # (cbp_chroma 2) the ChromaACLevel blocks of Cb, then Cr
+            cpreds, cresids, dccs, wplanes = [], [], [], []
             for src_p, rec_p in zip(src_c, rec_c):
                 cpred = _chroma_dc_pred(
                     rec_p[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
@@ -1407,13 +1422,65 @@ def _i16ac8_slice_rbsp(
                 cavlc_encode_block(
                     bw, cc, _CT_NCM1, _TOTAL_ZEROS_CDC, max_coeff=4
                 )
-                dcc = _chroma_dc_dequant(cc, qpc)
-                cr_ = (dcc + 32) >> 6
-                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
-                    cpred + np.repeat(np.repeat(cr_, 4, axis=0), 4, axis=1),
-                    0,
-                    255,
-                )
+                cpreds.append(cpred)
+                cresids.append(cresid)
+                dccs.append(_chroma_dc_dequant(cc, qpc))
+            if chroma_ac:
+                mfc = _mf4x4(qpc % 6)
+                ec = qpc // 6
+                fqc = (1 << (15 + ec)) // 3
+                cgx0, cgy0 = mx * 2, my * 2
+                for pi, rec_p in enumerate(rec_c):
+                    rec8 = np.empty((8, 8), np.int64)
+                    for cbi in range(4):
+                        cbx, cby = cbi % 2, cbi // 2
+                        blk = cresids[pi][
+                            cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
+                        ]
+                        wq = _fwd_transform4x4(blk)
+                        cq = np.sign(wq) * (
+                            (np.abs(wq) * mfc + fqc) >> (15 + ec)
+                        )
+                        flat = cq.reshape(16)
+                        ac = [int(flat[_ZZ4[k]]) for k in range(1, 16)]
+                        nz = [i for i, v in enumerate(ac) if v != 0]
+                        if len(nz) > 8:
+                            for i in sorted(
+                                nz, key=lambda i: (-abs(ac[i]), i)
+                            )[8:]:
+                                ac[i] = 0
+                        elif len(nz) < 8:
+                            fill = [i for i in range(15) if ac[i] == 0]
+                            for i in fill[: 8 - len(nz)]:
+                                ac[i] = 1
+                        nc = _nc_in(nc_c[pi], cgx0 + cbx, cgy0 + cby)
+                        cavlc_encode_block(bw, ac, _ct_for(nc), max_coeff=15)
+                        nc_c[pi][cgy0 + cby, cgx0 + cbx] = 8
+                        cm = np.zeros(16, np.int64)
+                        cm[np.array(_ZZ4[1:])] = np.array(ac, np.int64)
+                        d = _ac_dequant(cm.reshape(4, 4), qpc)
+                        d[0, 0] = dccs[pi][cby, cbx]
+                        r = (_inv_transform4x4(d) + 32) >> 6
+                        rec8[
+                            cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
+                        ] = (
+                            cpreds[pi][
+                                cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
+                            ]
+                            + r
+                        )
+                    rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                        rec8, 0, 255
+                    )
+            else:
+                for pi, rec_p in enumerate(rec_c):
+                    rc_fill = (dccs[pi] + 32) >> 6
+                    rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                        cpreds[pi]
+                        + np.repeat(np.repeat(rc_fill, 4, axis=0), 4, axis=1),
+                        0,
+                        255,
+                    )
     bw.rbsp_trailing()
     return bw.tobytes(), rec_y, rec_cb, rec_cr
 
@@ -1423,6 +1490,7 @@ def h264_encode_frame_i16ac8(
     qp: int = 28,
     idr_pic_id: int = 0,
     pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+    chroma_ac: bool = False,
 ) -> list[bytes]:
     """Encode one frame as [SPS, PPS, IDR] of DENSE-8 Intra_16x16
     macroblocks — the multi-coefficient CAVLC path through the
@@ -1436,7 +1504,7 @@ def h264_encode_frame_i16ac8(
     padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
     y, cb, cr = _rgb_to_yuv420(padded)
     slice_rbsp, _, _, _ = _i16ac8_slice_rbsp(
-        y, cb, cr, qp, idr_pic_id, pcm_mbs
+        y, cb, cr, qp, idr_pic_id, pcm_mbs, chroma_ac
     )
     return [
         _nal(7, _sps_rbsp(w, h)),
@@ -1448,6 +1516,7 @@ def h264_encode_frame_i16ac8(
 def h264_reconstruct_frame_i16ac8(
     rgb: np.ndarray, qp: int = 28,
     pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+    chroma_ac: bool = False,
 ) -> np.ndarray:
     """The encoder's own closed-loop reconstruction of a dense-8
     frame (what a conformant decoder MUST reproduce bit-for-bit),
@@ -1456,7 +1525,9 @@ def h264_reconstruct_frame_i16ac8(
     h, w = rgb.shape[:2]
     padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
     y, cb, cr = _rgb_to_yuv420(padded)
-    _, ry, rcb, rcr = _i16ac8_slice_rbsp(y, cb, cr, qp, 0, pcm_mbs)
+    _, ry, rcb, rcr = _i16ac8_slice_rbsp(
+        y, cb, cr, qp, 0, pcm_mbs, chroma_ac
+    )
     return _yuv420_to_rgb(ry, rcb, rcr)[:h, :w]
 
 
@@ -1572,26 +1643,34 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
             cr = np.zeros((mbh * 8, mbw * 8), np.int64)
             is_pcm = np.zeros((mbh, mbw), bool)
             # per-4x4-luma-block AC TotalCoeff grid for nC (§9.2.1);
-            # I_PCM blocks count 16
+            # I_PCM blocks count 16.  Chroma AC blocks keep their own
+            # per-plane grids (2x2 blocks per MB per plane).
             nc_grid = np.zeros((mbh * 4, mbw * 4), np.int64)
+            nc_c = [
+                np.zeros((mbh * 2, mbw * 2), np.int64),
+                np.zeros((mbh * 2, mbw * 2), np.int64),
+            ]
 
-            def _nc_of(gx: int, gy: int) -> int:
+            def _nc_in(grid, gx: int, gy: int) -> int:
                 has_a, has_b = gx > 0, gy > 0
                 if has_a and has_b:
-                    return int(
-                        (nc_grid[gy, gx - 1] + nc_grid[gy - 1, gx] + 1) >> 1
-                    )
+                    return int((grid[gy, gx - 1] + grid[gy - 1, gx] + 1) >> 1)
                 if has_a:
-                    return int(nc_grid[gy, gx - 1])
+                    return int(grid[gy, gx - 1])
                 if has_b:
-                    return int(nc_grid[gy - 1, gx])
+                    return int(grid[gy - 1, gx])
                 return 0
+
+            def _nc_of(gx: int, gy: int) -> int:
+                return _nc_in(nc_grid, gx, gy)
             for my in range(mbh):
                 for mx in range(mbw):
                     mb_type = br.ue()
                     if mb_type == 25:  # I_PCM
                         is_pcm[my, mx] = True
                         nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+                        for g in nc_c:
+                            g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
                         br.align_zero()
                         y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                             np.frombuffer(br.raw(256), np.uint8)
@@ -1618,10 +1697,6 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 * ((mb_type - 1) // 12)
-                    if cbp_chroma == 2:
-                        raise NotImplementedError(
-                            "chroma AC residuals (cbp_chroma 2)"
-                        )
                     if br.ue() != 0:
                         raise NotImplementedError(
                             "non-DC intra_chroma_pred_mode"
@@ -1705,20 +1780,62 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                         )
                     cy0, cx0 = my * 8, mx * 8
                     qpc = _chroma_qpc(qp)
-                    for plane in (cb, cr):
+                    # §7.3.5.3.3 residual order: ChromaDCLevel for
+                    # BOTH components first, then (cbp_chroma 2) all
+                    # ChromaACLevel blocks of Cb, then of Cr
+                    dccs = []
+                    if cbp_chroma:
+                        for _ in range(2):
+                            cc = cavlc_decode_block(
+                                br, _CT_NCM1_DEC, _TZ_CDC_DEC, max_coeff=4
+                            )
+                            dccs.append(_chroma_dc_dequant(cc, qpc))
+                    for pi, plane in enumerate((cb, cr)):
                         cpred = _chroma_dc_pred(
                             plane[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
                             plane[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
                             avail_top,
                             avail_left,
                         )
-                        if cbp_chroma:
-                            # ChromaDCLevel, Cb then Cr (§7.3.5.3.3)
-                            cc = cavlc_decode_block(
-                                br, _CT_NCM1_DEC, _TZ_CDC_DEC, max_coeff=4
-                            )
-                            dcc = _chroma_dc_dequant(cc, qpc)
-                            rc = (dcc + 32) >> 6
+                        if cbp_chroma == 2:
+                            # chroma AC: 4 blocks in raster scan, nC
+                            # from the per-plane chroma grid (§9.2.1)
+                            cgx0, cgy0 = mx * 2, my * 2
+                            rec8 = np.empty((8, 8), np.int64)
+                            for cbi in range(4):
+                                cbx, cby = cbi % 2, cbi // 2
+                                cac = cavlc_decode_block(
+                                    br,
+                                    ct_dec=_ct_dec_for(
+                                        _nc_in(
+                                            nc_c[pi],
+                                            cgx0 + cbx,
+                                            cgy0 + cby,
+                                        )
+                                    ),
+                                    max_coeff=15,
+                                )
+                                nc_c[pi][cgy0 + cby, cgx0 + cbx] = sum(
+                                    1 for v in cac if v != 0
+                                )
+                                cm = np.zeros(16, np.int64)
+                                cm[_ZZ4[1:]] = cac
+                                d = _ac_dequant(cm.reshape(4, 4), qpc)
+                                d[0, 0] = dccs[pi][cby, cbx]
+                                r = (_inv_transform4x4(d) + 32) >> 6
+                                rec8[
+                                    cby * 4 : cby * 4 + 4,
+                                    cbx * 4 : cbx * 4 + 4,
+                                ] = (
+                                    cpred[
+                                        cby * 4 : cby * 4 + 4,
+                                        cbx * 4 : cbx * 4 + 4,
+                                    ]
+                                    + r
+                                )
+                            cpred = np.clip(rec8, 0, 255)
+                        elif cbp_chroma:
+                            rc = (dccs[pi] + 32) >> 6
                             cpred = np.clip(
                                 cpred
                                 + np.repeat(np.repeat(rc, 4, axis=0), 4, axis=1),

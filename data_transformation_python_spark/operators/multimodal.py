@@ -1730,13 +1730,14 @@ def _codec_min_psnr(codec: str, doc_id: int) -> float:
             np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
             for f in range(len(decs))
         ]
-    elif codec in ("h264dc", "h264ac", "h264ac8"):
+    elif codec in ("h264dc", "h264ac", "h264ac8", "h264cac8"):
         from .h264_codec import h264_decode_frame, split_annexb
 
         w, h, nf, _qp = _h264dc_dims(doc_id)
         payload = {
             "h264ac": _write_h264ac_probe,
             "h264ac8": _write_h264ac8_probe,
+            "h264cac8": _write_h264cac8_probe,
             "h264dc": _write_h264dc_probe,
         }[codec](doc_id)
         nals = split_annexb(payload)
@@ -1778,7 +1779,7 @@ def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
     probes = spark.range(n_ids).selectExpr("id AS doc_id").crossJoin(
         spark.createDataFrame(
             [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",), ("h264dc",),
-             ("h264ac",), ("h264ac8",)],
+             ("h264ac",), ("h264ac8",), ("h264cac8",)],
             "codec string",
         )
     )
@@ -3263,6 +3264,31 @@ def binaryfile_ingest_dhash(spark, directory: str) -> DataFrame:
     ).select("doc_id", "band0", "band1", "band2", "band3", "n_bytes")
 
 
+def _write_h264cac8_probe(doc_id: int) -> bytes:
+    """Probe stream for the pinned-PSNR gate over the CHROMA-AC
+    dense-8 path (cbp_chroma 2): same gray probe content — neutral
+    chroma, so the eight FORCED chroma coefficients per block are
+    pure added color noise, and the constants pin exactly how much
+    the chroma quantizer/transform chain injects."""
+    import numpy as np
+
+    from .h264_codec import annexb, h264_encode_frame_i16ac8
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        g = _h264dc_probe_gray(doc_id, f, w, h)
+        nals.extend(
+            h264_encode_frame_i16ac8(
+                np.stack([g, g, g], axis=-1),
+                qp=qp,
+                idr_pic_id=f,
+                chroma_ac=True,
+            )
+        )
+    return annexb(nals)
+
+
 # --------------------------------------------------------------------------
 # dense-8 H.264 (multi-coefficient CAVLC through the formula-defined
 # nC >= 8 FLC column): fixture, decode, and structural evidence
@@ -3392,3 +3418,148 @@ def h264ac8_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=H264AC8_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# full-color dense-8 H.264 (cbp_chroma 2 — chroma AC residuals):
+# fixture with real chroma texture, decode, structural evidence
+# --------------------------------------------------------------------------
+H264CAC8_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("qp", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("denser_than_chroma_dc", T.BooleanType()),
+        T.StructField("smaller_than_pcm", T.BooleanType()),
+    ]
+)
+
+
+def _h264cac8_frame_rgb(doc_id: int, f: int, w: int, h: int):
+    """Color frame with independent per-channel texture (rich luma
+    AND chroma AC energy per 4x4 block)."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = ((doc_id * 7 + f * 29 + x * 13 + y * 7) % 256).astype(np.uint8)
+    g = ((doc_id * 5 + f * 31 + x * 3 + y * 11) % 256).astype(np.uint8)
+    b = ((doc_id * 3 + f * 37 + x * 17 + y * 5) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _write_h264cac8(doc_id: int) -> bytes:
+    import numpy as np  # noqa: F401
+
+    from .h264_codec import annexb, h264_encode_frame_i16ac8
+
+    w, h, nf, qp = _h264dc_dims(doc_id)
+    nals: list[bytes] = []
+    for f in range(nf):
+        nals.extend(
+            h264_encode_frame_i16ac8(
+                _h264cac8_frame_rgb(doc_id, f, w, h),
+                qp=qp,
+                idr_pic_id=f,
+                chroma_ac=True,
+            )
+        )
+    return annexb(nals)
+
+
+def synth_h264cac8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a full-color chroma-AC dense-8 H.264 stream per row."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_write_h264cac8(int(i)) for i in ids],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264cac8_metadata(df: DataFrame) -> DataFrame:
+    """Decode the full-color chroma-AC stream and emit the oracle
+    evidence: ``roundtrip_exact`` (decode ≡ closed loop bit-for-bit —
+    now including the per-plane chroma nC grids, the §7.3.5.3.3
+    DC-then-AC residual order, and the chroma-QP transform chain),
+    ``denser_than_chroma_dc`` (the cbp_chroma 2 stream outweighs the
+    cbp_chroma 1 encode of the same pictures), and
+    ``smaller_than_pcm``.  Fidelity is hash-pinned per probe id in
+    multimodal_codec_psnr ('h264cac8')."""
+    import numpy as np
+
+    from .h264_codec import (
+        annexb,
+        h264_decode_frame,
+        h264_encode_frame,
+        h264_encode_frame_i16ac8,
+        h264_reconstruct_frame_i16ac8,
+        split_annexb,
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264CAC8_META_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                w, h, nf, qp = _h264dc_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 3 * nf, "unexpected NAL count"
+                exact = True
+                pcm_bytes = 0
+                dconly_bytes = 0
+                for f in range(nf):
+                    src = _h264cac8_frame_rgb(int(doc_id), f, w, h)
+                    dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
+                    rec = h264_reconstruct_frame_i16ac8(
+                        src, qp=qp, chroma_ac=True
+                    )
+                    exact = exact and bool(np.array_equal(dec, rec))
+                    pcm_bytes += len(
+                        annexb(h264_encode_frame(dec, idr_pic_id=f))
+                    )
+                    dconly_bytes += len(
+                        annexb(
+                            h264_encode_frame_i16ac8(
+                                src, qp=qp, idr_pic_id=f
+                            )
+                        )
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["qp"].append(qp)
+                out["mb_count"].append(
+                    nf * ((w + 15) // 16) * ((h + 15) // 16)
+                )
+                out["roundtrip_exact"].append(exact)
+                out["denser_than_chroma_dc"].append(
+                    len(payload) > dconly_bytes
+                )
+                out["smaller_than_pcm"].append(len(payload) < pcm_bytes)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264CAC8_META_SCHEMA)

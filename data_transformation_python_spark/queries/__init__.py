@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "multimodal_binaryfile_ingest",
     "q_stream_image_dedup",
     "multimodal_h264ac8_meta",
+    "multimodal_h264cac8_meta",
     "multimodal_codec_psnr",
     "q_incremental_aggregate",
     "dedup_leakage_split",

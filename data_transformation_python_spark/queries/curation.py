@@ -1025,14 +1025,26 @@ FROM (VALUES
   ('h264ac8', 32, 24), ('h264ac8', 33, 22), ('h264ac8', 34, 14), ('h264ac8', 35, 34),
   ('h264ac8', 36, 26), ('h264ac8', 37, 24), ('h264ac8', 38, 20), ('h264ac8', 39, 15),
   ('h264ac8', 40, 34), ('h264ac8', 41, 28), ('h264ac8', 42, 24), ('h264ac8', 43, 20),
-  ('h264ac8', 44, 15), ('h264ac8', 45, 36), ('h264ac8', 46, 28), ('h264ac8', 47, 24)
+  ('h264ac8', 44, 15), ('h264ac8', 45, 36), ('h264ac8', 46, 28), ('h264ac8', 47, 24),
+  ('h264cac8', 0, 28), ('h264cac8', 1, 23), ('h264cac8', 2, 19), ('h264cac8', 3, 16),
+  ('h264cac8', 4, 12), ('h264cac8', 5, 29), ('h264cac8', 6, 23), ('h264cac8', 7, 20),
+  ('h264cac8', 8, 16), ('h264cac8', 9, 13), ('h264cac8', 10, 29), ('h264cac8', 11, 23),
+  ('h264cac8', 12, 19), ('h264cac8', 13, 17), ('h264cac8', 14, 14), ('h264cac8', 15, 29),
+  ('h264cac8', 16, 22), ('h264cac8', 17, 20), ('h264cac8', 18, 17), ('h264cac8', 19, 15),
+  ('h264cac8', 20, 26), ('h264cac8', 21, 23), ('h264cac8', 22, 21), ('h264cac8', 23, 18),
+  ('h264cac8', 24, 15), ('h264cac8', 25, 27), ('h264cac8', 26, 22), ('h264cac8', 27, 21),
+  ('h264cac8', 28, 17), ('h264cac8', 29, 13), ('h264cac8', 30, 26), ('h264cac8', 31, 23),
+  ('h264cac8', 32, 19), ('h264cac8', 33, 17), ('h264cac8', 34, 12), ('h264cac8', 35, 29),
+  ('h264cac8', 36, 22), ('h264cac8', 37, 20), ('h264cac8', 38, 16), ('h264cac8', 39, 13),
+  ('h264cac8', 40, 28), ('h264cac8', 41, 23), ('h264cac8', 42, 19), ('h264cac8', 43, 17),
+  ('h264cac8', 44, 12), ('h264cac8', 45, 29), ('h264cac8', 46, 23), ('h264cac8', 47, 20)
 ) AS t(codec, doc_id, psnr_fl)
 """
 
 
 @query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
 def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-sensitive fidelity gate over all seven lossy codecs
+    """Hash-sensitive fidelity gate over all eight lossy codecs
     (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video, IMA ADPCM
     audio — SNR dB for the audio clip — the H.264 Intra_16x16 luma-DC
     transform path, the round-8 luma-AC path h264ac, whose pinned
@@ -1893,3 +1905,45 @@ def multimodal_h264ac8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.h264ac8_metadata(mm.synth_h264ac8_table(docs))
+
+
+# --------------------------------------------------------------------------
+# full-color chroma-AC dense-8 H.264 (cbp_chroma 2) — the residual
+# chroma-AC stub closed: per-plane chroma nC grids, §7.3.5.3.3
+# DC-then-AC residual order, chroma-QP transform chain
+# --------------------------------------------------------------------------
+_H264CAC8_ORACLE = """
+SELECT doc_id,
+       CAST(18 + 2 * (doc_id % 8) AS BIGINT) AS width,
+       CAST(14 + 2 * (doc_id % 6) AS BIGINT) AS height,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 20 WHEN 1 THEN 26 WHEN 2 THEN 30
+                            WHEN 3 THEN 34 ELSE 40 END AS BIGINT) AS qp,
+       CAST((1 + doc_id % 3)
+            * ((18 + 2 * (doc_id % 8) + 15) // 16)
+            * ((14 + 2 * (doc_id % 6) + 15) // 16) AS BIGINT) AS mb_count,
+       TRUE AS roundtrip_exact,
+       TRUE AS denser_than_chroma_dc,
+       TRUE AS smaller_than_pcm
+FROM documents
+"""
+
+
+@query("multimodal_h264cac8_meta", oracle=_H264CAC8_ORACLE)
+def multimodal_h264cac8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA AC residuals (cbp_chroma 2) — another stub closed: full
+    COLOR dense-8 Intra_16x16_2_2_1 macroblocks where both luma and
+    both chroma planes carry eight CAVLC coefficients per 4x4 block
+    (per-plane chroma nC grids pin every chroma parse to the nC < 2
+    column at each plane's frame corner and the formula FLC column
+    elsewhere).  The oracle pins ``roundtrip_exact`` (decode ≡
+    encoder closed loop over color content — the §7.3.5.3.3
+    DC-before-AC residual order, the 2x2 chroma-DC chain feeding
+    d[0,0] of each 4x4 inverse transform, and the chroma-QP
+    quantizer all live), the density ordering vs the chroma-DC-only
+    rung, the I_PCM ordering, and the dims arithmetic; fidelity is
+    hash-pinned in multimodal_codec_psnr ('h264cac8')."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264cac8_metadata(mm.synth_h264cac8_table(docs))

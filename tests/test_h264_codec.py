@@ -332,7 +332,9 @@ class TestChromaDC:
     def test_color_roundtrip_psnr_and_pcm_comparison(self):
         """Arbitrary colour content: the cbp=1 stream must decode with
         bounded chroma error on 8x8-constant colour and stay smaller
-        than I_PCM; luma-AC-and-above mb_types still rejected."""
+        than I_PCM; a TRUNCATED cbp_chroma=2 macroblock (no residual
+        data follows the header) fails loudly as a parse error —
+        chroma AC itself is now implemented (TestChromaAC)."""
         import numpy as np
         import pytest
 
@@ -355,7 +357,9 @@ class TestChromaDC:
         # the only loss on 8x8-constant colour is RGB<->YUV rounding
         assert err.max() <= 1, err.max()
         assert len(annexb(nals)) < len(annexb(h264_encode_frame(rgb)))
-        # a cbp_chroma=2 (chroma AC) macroblock must still fail loudly
+        # a TRUNCATED cbp_chroma=2 macroblock: the header promises
+        # chroma AC residuals that are not in the stream — the parse
+        # must fail, never silently fabricate a picture
         from data_transformation_python_spark.operators.h264_codec import (
             _EgReader,
             _EgWriter,
@@ -367,11 +371,11 @@ class TestChromaDC:
         bw = _EgWriter()
         bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
         bw.u(0, 1); bw.u(0, 1); bw.se(0); bw.ue(1)
-        bw.ue(11)  # I_16x16_2_2_0: cbp_chroma == 2
+        bw.ue(11)  # I_16x16_2_2_0: cbp_chroma == 2, no residual data
         bw.rbsp_trailing()
         bad = [_nal(7, _sps_rbsp(16, 16)), _nal(8, _pps_rbsp()),
                _nal(5, bw.tobytes())]
-        with pytest.raises(NotImplementedError):
+        with pytest.raises((ValueError, IndexError)):
             h264_decode_frame(bad)
 
 
@@ -578,3 +582,64 @@ class TestDense8FLC:
         assert np.array_equal(dec, rec)
         assert np.array_equal(dec[:16, :16], rgb[:16, :16])   # island
         assert np.array_equal(dec[16:32, 16:32], rgb[16:32, 16:32])
+
+
+class TestChromaAC:
+    """cbp_chroma 2 — dense-8 chroma AC residuals (round 8c)."""
+
+    def _color(self, w, h, seed):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_chroma_ac_decode_equals_closed_loop(self):
+        """Full-color dense-8 with cbp_chroma 2: decode reproduces
+        the encoder's closed loop bit-for-bit, and the stream is
+        strictly larger than the cbp_chroma 1 encode (the 8 chroma
+        AC blocks per MB genuinely reach the bitstream)."""
+        for (w, h, qp, seed) in [(18, 14, 26, 1), (34, 30, 22, 2),
+                                 (48, 32, 40, 3)]:
+            rgb = self._color(w, h, seed)
+            nals = hc.h264_encode_frame_i16ac8(rgb, qp=qp, chroma_ac=True)
+            dec = hc.h264_decode_frame(nals)
+            rec = hc.h264_reconstruct_frame_i16ac8(
+                rgb, qp=qp, chroma_ac=True
+            )
+            assert np.array_equal(dec, rec)
+            dc_only = hc.h264_encode_frame_i16ac8(rgb, qp=qp)
+            assert sum(map(len, nals)) > sum(map(len, dc_only))
+
+    def test_chroma_ac_carries_real_color_detail(self):
+        """On a chroma-detailed fixture, cbp_chroma 2 reconstructs the
+        chroma planes strictly closer than the chroma-DC-only rung —
+        the AC coefficients must carry real per-block color."""
+        rng = np.random.default_rng(7)
+        # strong per-pixel chroma texture, flat luma
+        h, w = 32, 32
+        r = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        g = np.full((h, w), 128, np.uint8)
+        b = 255 - r
+        rgb = np.stack([r, g, b], axis=-1)
+        dec_ac = hc.h264_decode_frame(
+            hc.h264_encode_frame_i16ac8(rgb, qp=20, chroma_ac=True)
+        )
+        dec_dc = hc.h264_decode_frame(
+            hc.h264_encode_frame_i16ac8(rgb, qp=20)
+        )
+        err_ac = ((dec_ac.astype(np.int64) - rgb) ** 2).sum()
+        err_dc = ((dec_dc.astype(np.int64) - rgb) ** 2).sum()
+        assert err_ac < err_dc
+
+    def test_chroma_ac_with_pcm_island(self):
+        """PCM islands inside a cbp_chroma 2 picture: chroma nC grids
+        count the island as 16 (FLC column) and decode still equals
+        the closed loop."""
+        rgb = self._color(48, 32, 11)
+        pcm = frozenset({(0, 1)})
+        nals = hc.h264_encode_frame_i16ac8(
+            rgb, qp=24, pcm_mbs=pcm, chroma_ac=True
+        )
+        dec = hc.h264_decode_frame(nals)
+        rec = hc.h264_reconstruct_frame_i16ac8(
+            rgb, qp=24, pcm_mbs=pcm, chroma_ac=True
+        )
+        assert np.array_equal(dec, rec)
