@@ -1513,6 +1513,36 @@ def h264_encode_frame_i16ac8(
     ]
 
 
+def h264_encode_frame_i16ac8_with_rec(
+    rgb: np.ndarray,
+    qp: int = 28,
+    idr_pic_id: int = 0,
+    pcm_mbs: frozenset[tuple[int, int]] = frozenset(),
+    chroma_ac: bool = False,
+) -> tuple[list[bytes], np.ndarray]:
+    """Encode AND return the closed-loop reconstruction from the SAME
+    slice pass (cropped to source dims) — what a conformant decoder
+    must reproduce bit-for-bit.  One encoder pass instead of the
+    encode-then-reconstruct pair; fixture producers hash the rec so
+    the verify side only ever pays the decode."""
+    h, w = rgb.shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("dimensions must be even (4:2:0 chroma cropping)")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp must be 0..51")
+    padded = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_yuv420(padded)
+    slice_rbsp, ry, rcb, rcr = _i16ac8_slice_rbsp(
+        y, cb, cr, qp, idr_pic_id, pcm_mbs, chroma_ac
+    )
+    nals = [
+        _nal(7, _sps_rbsp(w, h)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, slice_rbsp),
+    ]
+    return nals, _yuv420_to_rgb(ry, rcb, rcr)[:h, :w]
+
+
 def h264_reconstruct_frame_i16ac8(
     rgb: np.ndarray, qp: int = 28,
     pcm_mbs: frozenset[tuple[int, int]] = frozenset(),

@@ -3308,39 +3308,51 @@ H264AC8_META_SCHEMA = T.StructType(
 )
 
 
-def _write_h264ac8(doc_id: int) -> bytes:
-    """Annex-B stream of nf DENSE-8 IDR pictures over the detailed
-    probe content (rich AC energy per block)."""
+def _write_h264ac8(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of nf DENSE-8 IDR pictures, md5 of the
+    concatenated closed-loop reconstructions) — the rec hash comes
+    from the SAME encoder pass that produced the stream, so the
+    verify side pays one decode, not a second encode."""
+    import hashlib
+
     import numpy as np
 
-    from .h264_codec import annexb, h264_encode_frame_i16ac8
+    from .h264_codec import annexb, h264_encode_frame_i16ac8_with_rec
 
     w, h, nf, qp = _h264dc_dims(doc_id)
     nals: list[bytes] = []
+    md5 = hashlib.md5()
     for f in range(nf):
         g = _h264dc_probe_gray(doc_id, f, w, h)
-        nals.extend(
-            h264_encode_frame_i16ac8(
-                np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
-            )
+        fn, rec = h264_encode_frame_i16ac8_with_rec(
+            np.stack([g, g, g], axis=-1), qp=qp, idr_pic_id=f
         )
-    return annexb(nals)
+        nals.extend(fn)
+        md5.update(rec.tobytes())
+    return annexb(nals), md5.hexdigest()
 
 
 def synth_h264ac8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a dense-8 transform-coded H.264 stream per row."""
+    """Attach a dense-8 transform-coded H.264 stream per row, plus
+    the encoder's closed-loop reconstruction hash."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
         ]
     )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264ac8(int(i)) for i in ids]
             yield pd.DataFrame(
-                {"doc_id": ids, "payload": [_write_h264ac8(int(i)) for i in ids]}
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
             )
 
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -3370,38 +3382,42 @@ def h264ac8_metadata(df: DataFrame) -> DataFrame:
         h264_decode_frame,
         h264_encode_frame,
         h264_encode_frame_i16ac,
-        h264_reconstruct_frame_i16ac8,
         split_annexb,
     )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in H264AC8_META_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(
-                pdf["doc_id"].astype("int64"), pdf["payload"]
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
             ):
                 w, h, nf, qp = _h264dc_dims(int(doc_id))
                 nals = split_annexb(bytes(payload))
                 assert len(nals) == 3 * nf, "unexpected NAL count"
-                exact = True
-                pcm_bytes = 0
-                single_bytes = 0
+                md5 = hashlib.md5()
                 for f in range(nf):
-                    src = np.stack(
-                        [_h264dc_probe_gray(int(doc_id), f, w, h)] * 3,
-                        axis=-1,
-                    )
                     dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
-                    rec = h264_reconstruct_frame_i16ac8(src, qp=qp)
-                    exact = exact and bool(np.array_equal(dec, rec))
-                    pcm_bytes += len(
-                        annexb(h264_encode_frame(dec, idr_pic_id=f))
-                    )
-                    single_bytes += len(
-                        annexb(
-                            h264_encode_frame_i16ac(src, qp=qp, idr_pic_id=f)
+                    md5.update(dec.tobytes())
+                exact = md5.hexdigest() == str(rec_md5)
+                # ordering evidence on frame 0 only (the comparison
+                # encoders are full Python MB loops; one frame pins
+                # the same property at 1/nf the cost)
+                src0 = np.stack(
+                    [_h264dc_probe_gray(int(doc_id), 0, w, h)] * 3, axis=-1
+                )
+                f0_bytes = len(annexb(nals[0:3]))
+                pcm0 = len(
+                    annexb(
+                        h264_encode_frame(
+                            h264_decode_frame(nals[0:3]), idr_pic_id=0
                         )
                     )
+                )
+                single0 = len(
+                    annexb(h264_encode_frame_i16ac(src0, qp=qp, idr_pic_id=0))
+                )
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
                 out["height"].append(h)
@@ -3411,10 +3427,8 @@ def h264ac8_metadata(df: DataFrame) -> DataFrame:
                     nf * ((w + 15) // 16) * ((h + 15) // 16)
                 )
                 out["roundtrip_exact"].append(exact)
-                out["denser_than_single_ac"].append(
-                    len(payload) > single_bytes
-                )
-                out["smaller_than_pcm"].append(len(payload) < pcm_bytes)
+                out["denser_than_single_ac"].append(f0_bytes > single0)
+                out["smaller_than_pcm"].append(f0_bytes < pcm0)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=H264AC8_META_SCHEMA)
@@ -3452,41 +3466,46 @@ def _h264cac8_frame_rgb(doc_id: int, f: int, w: int, h: int):
     return np.stack([r, g, b], axis=-1)
 
 
-def _write_h264cac8(doc_id: int) -> bytes:
-    import numpy as np  # noqa: F401
+def _write_h264cac8(doc_id: int) -> tuple[bytes, str]:
+    import hashlib
 
-    from .h264_codec import annexb, h264_encode_frame_i16ac8
+    from .h264_codec import annexb, h264_encode_frame_i16ac8_with_rec
 
     w, h, nf, qp = _h264dc_dims(doc_id)
     nals: list[bytes] = []
+    md5 = hashlib.md5()
     for f in range(nf):
-        nals.extend(
-            h264_encode_frame_i16ac8(
-                _h264cac8_frame_rgb(doc_id, f, w, h),
-                qp=qp,
-                idr_pic_id=f,
-                chroma_ac=True,
-            )
+        fn, rec = h264_encode_frame_i16ac8_with_rec(
+            _h264cac8_frame_rgb(doc_id, f, w, h),
+            qp=qp,
+            idr_pic_id=f,
+            chroma_ac=True,
         )
-    return annexb(nals)
+        nals.extend(fn)
+        md5.update(rec.tobytes())
+    return annexb(nals), md5.hexdigest()
 
 
 def synth_h264cac8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a full-color chroma-AC dense-8 H.264 stream per row."""
+    """Attach a full-color chroma-AC dense-8 H.264 stream per row,
+    plus the encoder's closed-loop reconstruction hash."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
         ]
     )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264cac8(int(i)) for i in ids]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "payload": [_write_h264cac8(int(i)) for i in ids],
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
                 }
             )
 
@@ -3514,39 +3533,40 @@ def h264cac8_metadata(df: DataFrame) -> DataFrame:
         h264_decode_frame,
         h264_encode_frame,
         h264_encode_frame_i16ac8,
-        h264_reconstruct_frame_i16ac8,
         split_annexb,
     )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in H264CAC8_META_SCHEMA.fieldNames()}
-            for doc_id, payload in zip(
-                pdf["doc_id"].astype("int64"), pdf["payload"]
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
             ):
                 w, h, nf, qp = _h264dc_dims(int(doc_id))
                 nals = split_annexb(bytes(payload))
                 assert len(nals) == 3 * nf, "unexpected NAL count"
-                exact = True
-                pcm_bytes = 0
-                dconly_bytes = 0
+                md5 = hashlib.md5()
                 for f in range(nf):
-                    src = _h264cac8_frame_rgb(int(doc_id), f, w, h)
                     dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
-                    rec = h264_reconstruct_frame_i16ac8(
-                        src, qp=qp, chroma_ac=True
-                    )
-                    exact = exact and bool(np.array_equal(dec, rec))
-                    pcm_bytes += len(
-                        annexb(h264_encode_frame(dec, idr_pic_id=f))
-                    )
-                    dconly_bytes += len(
-                        annexb(
-                            h264_encode_frame_i16ac8(
-                                src, qp=qp, idr_pic_id=f
-                            )
+                    md5.update(dec.tobytes())
+                exact = md5.hexdigest() == str(rec_md5)
+                # ordering evidence on frame 0 only (see h264ac8)
+                src0 = _h264cac8_frame_rgb(int(doc_id), 0, w, h)
+                f0_bytes = len(annexb(nals[0:3]))
+                pcm0 = len(
+                    annexb(
+                        h264_encode_frame(
+                            h264_decode_frame(nals[0:3]), idr_pic_id=0
                         )
                     )
+                )
+                dconly0 = len(
+                    annexb(
+                        h264_encode_frame_i16ac8(src0, qp=qp, idr_pic_id=0)
+                    )
+                )
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
                 out["height"].append(h)
@@ -3556,10 +3576,8 @@ def h264cac8_metadata(df: DataFrame) -> DataFrame:
                     nf * ((w + 15) // 16) * ((h + 15) // 16)
                 )
                 out["roundtrip_exact"].append(exact)
-                out["denser_than_chroma_dc"].append(
-                    len(payload) > dconly_bytes
-                )
-                out["smaller_than_pcm"].append(len(payload) < pcm_bytes)
+                out["denser_than_chroma_dc"].append(f0_bytes > dconly0)
+                out["smaller_than_pcm"].append(f0_bytes < pcm0)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=H264CAC8_META_SCHEMA)
