@@ -104,10 +104,13 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: the five latest
-# never-checked gates lead (image dHash near-dup, exact-substring
-# trim, image dedup-through-CC, audio + video near-dup on the shared
-# Hamming engine), then the seven
+# rotated STALEST-FIRST each round.  Round 8: the ten latest
+# never-checked-or-changed gates lead (the cross-modal near-dup
+# family — image dHash, exact-substring trim, image dedup-through-CC,
+# audio + video fingerprints on the shared Hamming engine — the
+# binaryFile ingest, streaming image admission, the dense-8 H.264
+# rungs h264ac8/h264cac8, and the PSNR gate re-pinned at 8×48
+# constants), then the seven
 # NEVER-CHECKED gates added late in the round (the aggregate-
 # incremental strategy, maximal-span extraction, stupid-backoff LM
 # scoring, the HDR quantile sketch batch + streaming merge, the BPE
