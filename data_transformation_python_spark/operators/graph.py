@@ -300,17 +300,15 @@ def pagerank_fixed(
 
     Scale posture: the classic iterative-join shape — each iteration
     is one shuffle join of the rank vector against the edge list on
-    src plus one groupBy on dst, with the rank vector materialized
-    per step (lineage cut, plan stays flat like the k-means / BPE /
-    frontier-CC loops).  Nodes-sized state, edges-sized work per
-    iteration, O(iterations) rounds — Pregel's PageRank as DataFrame
-    plans.
+    src plus one groupBy on dst, with the rank vector persisted
+    serialized per step (rolling unpersist) and a lineage cut every
+    few iterations so deep runs keep a bounded plan.  Nodes-sized
+    state, edges-sized work per iteration, O(iterations) rounds —
+    Pregel's PageRank as DataFrame plans.
 
     Returns (node, rank_q) with rank_q in scale-quantized units.
     """
     from pyspark import StorageLevel
-
-    from .transform import materialize
 
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -335,7 +333,14 @@ def pagerank_fixed(
     )
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_q"))
     base = (100 - damping_pct) * scale
-    for _ in range(iterations):
+    # Per-iteration rank vectors persist SERIALIZED with the previous
+    # step dropped once the next is materialized — an eager
+    # localCheckpoint here stored the vector as deserialized JVM
+    # objects and stacked every iteration's blocks, the same
+    # GC-pause roulette the BPE trainer hit (17-55 s swings); the
+    # serialized persist + rolling unpersist holds steady.
+    prev = None
+    for it in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -345,15 +350,26 @@ def pagerank_fixed(
             .groupBy("node")
             .agg(F.sum("c").alias("c_sum"))
         )
-        ranks = materialize(
-            nodes.join(contrib, "node", "left").select(
-                "node",
-                F.expr(
-                    f"CAST(({base} + {damping_pct} * coalesce(c_sum, 0))"
-                    " DIV 100 AS BIGINT)"
-                ).alias("rank_q"),
-            )
-        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(({base} + {damping_pct} * coalesce(c_sum, 0))"
+                " DIV 100 AS BIGINT)"
+            ).alias("rank_q"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+        if (it + 1) % 8 == 0:
+            # bounded analyzed-plan depth for deep runs: the persisted
+            # vector caps RE-COMPUTE, but Catalyst still walks the full
+            # nested tree each iteration — cut it periodically
+            from .transform import materialize
+
+            ranks = materialize(ranks)
+            prev.unpersist()
+            prev = None
     e.unpersist()
     nodes.unpersist()
     return ranks

@@ -3397,23 +3397,23 @@ def h264ac8_metadata(df: DataFrame) -> DataFrame:
                 nals = split_annexb(bytes(payload))
                 assert len(nals) == 3 * nf, "unexpected NAL count"
                 md5 = hashlib.md5()
+                dec0 = None
                 for f in range(nf):
                     dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
+                    if f == 0:
+                        dec0 = dec
                     md5.update(dec.tobytes())
                 exact = md5.hexdigest() == str(rec_md5)
                 # ordering evidence on frame 0 only (the comparison
                 # encoders are full Python MB loops; one frame pins
-                # the same property at 1/nf the cost)
+                # the same property at 1/nf the cost), reusing the
+                # roundtrip loop's decode of frame 0
                 src0 = np.stack(
                     [_h264dc_probe_gray(int(doc_id), 0, w, h)] * 3, axis=-1
                 )
                 f0_bytes = len(annexb(nals[0:3]))
                 pcm0 = len(
-                    annexb(
-                        h264_encode_frame(
-                            h264_decode_frame(nals[0:3]), idr_pic_id=0
-                        )
-                    )
+                    annexb(h264_encode_frame(dec0, idr_pic_id=0))
                 )
                 single0 = len(
                     annexb(h264_encode_frame_i16ac(src0, qp=qp, idr_pic_id=0))
@@ -3548,19 +3548,19 @@ def h264cac8_metadata(df: DataFrame) -> DataFrame:
                 nals = split_annexb(bytes(payload))
                 assert len(nals) == 3 * nf, "unexpected NAL count"
                 md5 = hashlib.md5()
+                dec0 = None
                 for f in range(nf):
                     dec = h264_decode_frame(nals[3 * f : 3 * f + 3])
+                    if f == 0:
+                        dec0 = dec
                     md5.update(dec.tobytes())
                 exact = md5.hexdigest() == str(rec_md5)
-                # ordering evidence on frame 0 only (see h264ac8)
+                # ordering evidence on frame 0 only (see h264ac8),
+                # reusing the roundtrip loop's decode of frame 0
                 src0 = _h264cac8_frame_rgb(int(doc_id), 0, w, h)
                 f0_bytes = len(annexb(nals[0:3]))
                 pcm0 = len(
-                    annexb(
-                        h264_encode_frame(
-                            h264_decode_frame(nals[0:3]), idr_pic_id=0
-                        )
-                    )
+                    annexb(h264_encode_frame(dec0, idr_pic_id=0))
                 )
                 dconly0 = len(
                     annexb(

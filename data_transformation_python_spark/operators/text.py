@@ -642,13 +642,18 @@ def quality_classifier(
 # 100 TB the corpus is touched once; the k-step loop costs k small
 # jobs over millions of vocab rows, not the corpus.
 #
-# Greedy-left merge semantics (the BPE standard) are implemented
-# DECLARATIVELY so the oracle replays them bit-exactly: candidate
-# positions (s[j]=x, s[j+1]=y) are resolved with the gaps-and-islands
-# window trick — within each run of consecutive candidates, keep the
-# 0th, 2nd, 4th... — which equals left-to-right scanning ("a a a"
-# merges to "aa a", never "a aa").  Ties in pair counts break on
-# (count DESC, left, right): fully deterministic.
+# Greedy-left merge semantics (the BPE standard) are implemented two
+# ways with the SAME semantics, held bit-exact by the parity gate:
+# the Spark side keeps the symbol state as ONE space-joined string
+# (symbols can never contain a space — words are space-split) and
+# applies each merge with a single codegen'd regexp_replace whose
+# trailing symbol boundary is a zero-width lookahead (Java replace-all
+# consumes matches left-to-right and resumes AFTER each match, which
+# IS greedy-left: "a a a a" merges to "aa aa", never "aa a a"); the
+# DuckDB oracle unrolls the explicit gaps-and-islands window form
+# (within each run of consecutive candidate positions keep the 0th,
+# 2nd, 4th...).  Ties in pair counts break on (count DESC, left,
+# right): fully deterministic.
 # ---------------------------------------------------------------------------
 _BPE_VIEW_SEQ = itertools.count()
 
@@ -688,25 +693,22 @@ def bpe_merge_apply_sql(
     source_sql: str, dialect: str, x_sql: str, y_sql: str
 ) -> str:
     """Apply ONE merge (x, y) -> xy to a (word, cnt, syms) relation
-    with greedy-left overlap resolution (gaps-and-islands over
-    candidate positions).  ``x_sql``/``y_sql`` are SQL expressions —
-    quoted literals on the Spark side, scalar subqueries in the
-    unrolled oracle."""
-    if dialect == "spark":
-        pos = "LATERAL VIEW explode(sequence(0, size(syms) - 1)) t AS j"
-        src = f"({source_sql}) {pos}"
-        last = "size(syms) - 1"
-        rebuild = (
-            "filter(transform(array_sort(collect_list(struct(j, sym))),"
-            " s -> s.sym), v -> v IS NOT NULL)"
+    with greedy-left overlap resolution — the gaps-and-islands window
+    form the DuckDB oracle unrolls (the Spark side applies the same
+    merge as a regexp_replace over the string state instead, see
+    ``_bpe_merge_regex`` — same semantics, one narrow codegen'd map).
+    ``x_sql``/``y_sql`` are scalar-subquery SQL expressions."""
+    if dialect != "duckdb":
+        raise ValueError(
+            "gaps-and-islands merge apply is oracle-only; the Spark"
+            " trainer uses _bpe_merge_regex"
         )
-    else:
-        src = (
-            f"({source_sql}),"
-            " unnest(generate_series(1, len(syms))) AS t(j)"
-        )
-        last = "len(syms)"
-        rebuild = "list(sym ORDER BY j) FILTER (WHERE sym IS NOT NULL)"
+    src = (
+        f"({source_sql}),"
+        " unnest(generate_series(1, len(syms))) AS t(j)"
+    )
+    last = "len(syms)"
+    rebuild = "list(sym ORDER BY j) FILTER (WHERE sym IS NOT NULL)"
     return f"""
 WITH __e AS (
   SELECT word, cnt, j, syms[j] AS sj, syms[j + 1] AS sj1,
@@ -743,11 +745,14 @@ def bpe_learn(
     pair_count) — k rows, the artifact a tokenizer trainer ships.
 
     One corpus shuffle (the word histogram), then k vocab-sized
-    iterations, each materialized (localCheckpoint) so the plan stays
-    flat instead of growing 4^k by CTE inlining.  The per-step argmax
-    is a 1-row collect — control-plane, exactly like k-means
-    centroids.  Temp view names are per-invocation unique (parallel
-    DAG levels share one session)."""
+    iterations, each a single codegen'd regexp_replace over the
+    space-joined symbol string, persisted SERIALIZED (deserialized
+    array caching was measured as GC-pause roulette: 17-55 s swings
+    at 50k docs; the flat-string serialized form holds ~4 s steady)
+    with the previous step unpersisted.  The per-step argmax is a
+    1-row collect — control-plane, exactly like k-means centroids.
+    Temp view names are per-invocation unique (parallel DAG levels
+    share one session)."""
     _, merges = _bpe_train(df, text_col, k)
     return df.sparkSession.createDataFrame(
         merges,
@@ -756,13 +761,46 @@ def bpe_learn(
     )
 
 
+def _regex_quote(s: str) -> str:
+    """java.util.regex.Pattern.quote: \\Q...\\E literal quoting with
+    the embedded-\\E escape (works for ANY symbol content)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _regex_replacement_escape(s: str) -> str:
+    """Escape Java regex replacement-string metacharacters ($, \\)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _bpe_merge_regex(x: str, y: str) -> tuple[str, str]:
+    """(pattern, replacement) applying merge (x, y) -> xy to the
+    bounded symbol string '' || ' ' || s1 || ' ' || ... || sn || ' '.
+
+    Java replace-all scans left-to-right and resumes AFTER each match
+    — exactly greedy-left.  The leading boundary space is consumed by
+    the match (and re-emitted by the replacement); the TRAILING
+    boundary is a zero-width lookahead ``(?= )`` so it is NOT consumed
+    and remains available as the leading boundary of an immediately
+    following candidate: ' a a a a ' -> ' aa aa ' (never ' aa a a ').
+    Symbols cannot contain the space separator (words are space-split
+    and non-empty), so boundary matches are exact-symbol matches."""
+    pattern = f" {_regex_quote(x)} {_regex_quote(y)}(?= )"
+    return pattern, f" {_regex_replacement_escape(x + y)}"
+
+
+# split the bounded ' s1 s2 ... sn ' string state back to the symbol
+# array (drop the sentinel boundary spaces, then split)
+_BPE_SYMS_FROM_STR = "split(substr(symstr, 2, length(symstr) - 2), ' ')"
+
+
 def _bpe_train(
     df: DataFrame, text_col: str, k: int
 ) -> tuple[DataFrame, list[tuple]]:
     """Shared trainer core: returns (final word→syms segmentation —
     the vocab-sized tokenizer cache — and the learned merge list)."""
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
-    from .transform import materialize
 
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
@@ -770,29 +808,53 @@ def _bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    # charsplit via the SHARED oracle-twin expression, then join into
+    # the bounded string state the merge regex operates on
     cur = words.select(
-        "word", "cnt", F.expr(bpe_charsplit_expr("word", "spark")).alias("syms")
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr(bpe_charsplit_expr("word", "spark")), " "
+            ),
+            F.lit(" "),
+        ).alias("symstr"),
     )
     view = f"__bpe_cur_{next(_BPE_VIEW_SEQ)}"
     merges: list[tuple] = []
+    prev: DataFrame | None = None
     try:
         for step in range(k):
-            cur = materialize(cur)
-            cur.createOrReplaceTempView(view)
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cur.selectExpr(
+                "word", "cnt", f"{_BPE_SYMS_FROM_STR} AS syms"
+            ).createOrReplaceTempView(view)
             best = spark.sql(
                 bpe_pair_count_sql(f"SELECT * FROM {view}", "spark")
             ).collect()
+            if prev is not None:
+                prev.unpersist()
             if not best or best[0]["c"] is None:
+                prev = cur  # dropped after the final split materializes
                 break
             x, y, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
             merges.append((step, x, y, x + y, c))
-            xq, yq = x.replace("'", "''"), y.replace("'", "''")
-            cur = spark.sql(
-                bpe_merge_apply_sql(
-                    f"SELECT * FROM {view}", "spark", f"'{xq}'", f"'{yq}'"
-                )
+            pattern, replacement = _bpe_merge_regex(x, y)
+            prev = cur
+            cur = cur.select(
+                "word",
+                "cnt",
+                F.regexp_replace("symstr", pattern, replacement).alias(
+                    "symstr"
+                ),
             )
-        cur = materialize(cur)
+        cur = cur.selectExpr(
+            "word", "cnt", f"{_BPE_SYMS_FROM_STR} AS syms"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cur.count()  # materialize before dropping the previous step
+        if prev is not None:
+            prev.unpersist()
     finally:
         spark.catalog.dropTempView(view)
     return cur, merges
