@@ -46,10 +46,20 @@ ranges, and the published textbook worked example
 anchor.  An independent decoder cross-check is the one validation
 this environment cannot run.
 
-Still honestly stubbed in multimodal.decode_media: the Intra_16x16
-AC / 4x4-intra residual path, CABAC, and motion compensation.
-Inter-frame prediction itself is covered Spark-side by the IPV1
-codec (video_codec.py).
+P pictures (round 8c): real inter prediction — P_Skip runs
+(``mb_skip_run``, §7.3.4) with the §8.4.1.1 derived skip MV (pan
+pictures skip their interior with genuinely NONZERO derived motion),
+P_L0_16x16 with the §8.4.1.3 median MV predictor and MVD coding,
+FULL-PEL motion compensation with picture-edge extension
+(§8.4.2.2.1), and I_PCM conditional replenishment inside P slices
+(Table 7-13 mb_type 30).  Every implemented P mode is lossless, so
+GOPs close the loop bit-exactly.
+
+Still honestly stubbed in multimodal.decode_media: fractional-pel
+interpolation (six-tap luma / bilinear chroma), inter residuals,
+P partitions below 16x16, the Intra_4x4 residual path, CABAC, and
+B slices.  Dense temporal prediction with residuals is covered
+Spark-side by the IPV1 codec (video_codec.py).
 
 Losslessness contract: I_PCM stores YCbCr 4:2:0 samples verbatim, so
 the roundtrip is bit-exact in that domain.  With GRAYSCALE input
@@ -189,7 +199,7 @@ def _nal(nal_unit_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 
 
 # -- parameter sets ---------------------------------------------------------
-def _sps_rbsp(w: int, h: int) -> bytes:
+def _sps_rbsp(w: int, h: int, max_ref_frames: int = 0) -> bytes:
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     bw = _EgWriter()
     bw.u(66, 8)   # profile_idc: Baseline
@@ -198,7 +208,7 @@ def _sps_rbsp(w: int, h: int) -> bytes:
     bw.ue(0)      # seq_parameter_set_id
     bw.ue(0)      # log2_max_frame_num_minus4
     bw.ue(2)      # pic_order_cnt_type 2 (output order == decode order)
-    bw.ue(0)      # max_num_ref_frames
+    bw.ue(max_ref_frames)  # max_num_ref_frames (1 for P GOPs)
     bw.u(0, 1)    # gaps_in_frame_num_value_allowed_flag
     bw.ue(mb_w - 1)
     bw.ue(mb_h - 1)
@@ -381,7 +391,9 @@ def _parse_pps(rbsp: bytes) -> dict:
     br.u(1)
     if br.ue() != 0:
         raise NotImplementedError("slice groups (FMO)")
-    br.ue(); br.ue(); br.u(1); br.u(2)
+    br.ue(); br.ue()
+    weighted_pred = br.u(1)
+    br.u(2)
     init_qp_delta = br.se()  # pic_init_qp_minus26
     br.se(); br.se()
     dbf_present = br.u(1)
@@ -392,6 +404,7 @@ def _parse_pps(rbsp: bytes) -> dict:
         "dbf_present": dbf_present,
         "redundant_present": redundant_present,
         "init_qp_delta": init_qp_delta,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -1615,15 +1628,270 @@ def h264_encode_frame_i16cdc(
     ]
 
 
-def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
-    """Decode one [.., SPS, PPS, IDR] NAL group of the supported
-    subset (I_PCM and Intra_16x16 macroblocks, mixed freely — an
-    I_PCM neighbour counts TotalCoeff 16, which always lands in the
-    implemented formula-defined nC >= 8 FLC coeff_token column; only
-    streams whose derived nC falls in the lookup-defined 2..7 range
-    are rejected) into h×w×3 uint8 RGB."""
+# -- P-slice motion machinery (§8.4) ----------------------------------------
+def _mv_nbr(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int,
+            dx: int, dy: int):
+    """Neighbour motion info for prediction: None if the macroblock
+    address is unavailable (outside the picture / not yet decoded in
+    raster order); else (mvx, mvy, refIdx) with intra neighbours
+    contributing mv 0 / refIdx −1 (§8.4.1.3.2)."""
+    mbh, mbw = inter.shape
+    x, y = mx + dx, my + dy
+    if x < 0 or y < 0 or x >= mbw or y >= mbh:
+        return None
+    if y > my or (y == my and x > mx):
+        return None  # not yet decoded
+    if inter[y, x]:
+        return (int(mv_grid[y, x, 0]), int(mv_grid[y, x, 1]), 0)
+    return (0, 0, -1)
+
+
+def _mvp_16x16(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int):
+    """Median luma MV predictor for a 16x16 partition with refIdxL0 0
+    (§8.4.1.3 / §8.4.1.3.1): neighbours A (left), B (top), C
+    (top-right, replaced by D top-left when unavailable); if B and C
+    are both address-unavailable and A is available the predictor is
+    mvA; if exactly one neighbour shares the reference index the
+    predictor is its mv; otherwise the component-wise median."""
+    a = _mv_nbr(mv_grid, inter, mx, my, -1, 0)
+    b = _mv_nbr(mv_grid, inter, mx, my, 0, -1)
+    c = _mv_nbr(mv_grid, inter, mx, my, 1, -1)
+    if c is None:
+        c = _mv_nbr(mv_grid, inter, mx, my, -1, -1)
+    if b is None and c is None and a is not None:
+        return (a[0], a[1])
+    trip = [t if t is not None else (0, 0, -1) for t in (a, b, c)]
+    matches = [t for t in trip if t[2] == 0]
+    if len(matches) == 1:
+        return (matches[0][0], matches[0][1])
+    xs = sorted(t[0] for t in trip)
+    ys = sorted(t[1] for t in trip)
+    return (xs[1], ys[1])
+
+
+def _pskip_mv(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int):
+    """P_Skip luma MV (§8.4.1.1): zero when A or B is unavailable or
+    when either is an inter MB with refIdx 0 and zero motion;
+    otherwise the 16x16 median predictor — pan pictures therefore
+    skip with real NONZERO derived motion."""
+    a = _mv_nbr(mv_grid, inter, mx, my, -1, 0)
+    b = _mv_nbr(mv_grid, inter, mx, my, 0, -1)
+    if a is None or b is None:
+        return (0, 0)
+    if a[2] == 0 and a[0] == 0 and a[1] == 0:
+        return (0, 0)
+    if b[2] == 0 and b[0] == 0 and b[1] == 0:
+        return (0, 0)
+    return _mvp_16x16(mv_grid, inter, mx, my)
+
+
+def _mc_block(plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+              dx: int, dy: int) -> np.ndarray:
+    """Full-pel motion-compensated block fetch with picture-edge
+    extension (§8.4.2.2.1 coordinate clipping)."""
+    hh, ww = plane.shape
+    ys = np.clip(np.arange(y0 + dy, y0 + dy + bh), 0, hh - 1)
+    xs = np.clip(np.arange(x0 + dx, x0 + dx + bw), 0, ww - 1)
+    return plane[np.ix_(ys, xs)]
+
+
+def _require_full_pel(mv: tuple) -> None:
+    """The implemented MC subset is full-pel in BOTH planes: luma
+    needs mv ≡ 0 (mod 4) (quarter-pel units), chroma mv ≡ 0 (mod 8)
+    (the same vector read at eighth-pel chroma resolution)."""
+    if mv[0] % 8 or mv[1] % 8:
+        raise NotImplementedError(
+            "fractional-pel motion compensation (six-tap/bilinear"
+            " interpolation) is not implemented"
+        )
+
+
+def mc_shift_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                    mv: tuple) -> tuple:
+    """Whole-frame full-pel MC shift with edge extension — exactly
+    what a picture of P_16x16/P_Skip macroblocks carrying ``mv``
+    reconstructs; the closed-loop fixture builder for P GOPs."""
+    _require_full_pel(mv)
+    dx, dy = mv[0] // 4, mv[1] // 4
+    return (
+        _mc_block(y, 0, 0, y.shape[1], y.shape[0], dx, dy),
+        _mc_block(cb, 0, 0, cb.shape[1], cb.shape[0], mv[0] // 8,
+                  mv[1] // 8),
+        _mc_block(cr, 0, 0, cr.shape[1], cr.shape[0], mv[0] // 8,
+                  mv[1] // 8),
+    )
+
+
+def _p_slice_rbsp(
+    src: tuple, ref: tuple, frame_num: int, mv_candidates: list
+) -> tuple[bytes, dict]:
+    """One P slice covering the whole picture.  Per macroblock, in
+    raster order, the encoder takes the first LOSSLESS mode:
+
+    1. P_Skip — when full-pel MC at the §8.4.1.1 derived skip MV
+       reproduces the source MB exactly (run-length coded via
+       ``mb_skip_run``),
+    2. P_L0_16x16 with cbp 0 — the first full-pel candidate MV whose
+       MC copy matches exactly (mvd coded against the §8.4.1.3
+       median predictor),
+    3. I_PCM (mb_type 30 = 25 + 5, Table 7-13) — the intra fallback
+       for genuinely changed content (conditional replenishment).
+
+    Every mode is exact, so the reconstruction IS the source — the
+    closed loop that lets the oracle pin the decode bit-for-bit.
+    ``src``/``ref`` are PADDED uint8 (y, cb, cr) planes;
+    ``mv_candidates`` are quarter-pel vectors, each ≡ 0 (mod 8) so
+    luma and chroma MC are both full-pel."""
+    y, cb, cr = (p.astype(np.uint8) for p in src)
+    ry, rcb, rcr = ref
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    for mv in mv_candidates:
+        _require_full_pel(mv)
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(5)            # slice_type: P (all slices in pic)
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    # pic_order_cnt_type 2: no POC syntax
+    bw.u(0, 1)          # num_ref_idx_active_override_flag
+    bw.u(0, 1)          # ref_pic_list_modification_flag_l0 (§7.3.3.1)
+    bw.u(0, 1)          # adaptive_ref_pic_marking_mode_flag (7.3.3.3)
+    bw.se(0)            # slice_qp_delta
+    bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
+    mv_grid = np.zeros((mbh, mbw, 2), np.int64)
+    inter_grid = np.zeros((mbh, mbw), bool)
+    stats = {"skip": 0, "p16": 0, "ipcm": 0, "i16": 0, "is_p": True}
+    skip_run = 0
+
+    def _mc_mb(mx: int, my: int, mv: tuple):
+        dx, dy = mv[0] // 4, mv[1] // 4
+        cdx, cdy = mv[0] // 8, mv[1] // 8
+        return (
+            _mc_block(ry, mx * 16, my * 16, 16, 16, dx, dy),
+            _mc_block(rcb, mx * 8, my * 8, 8, 8, cdx, cdy),
+            _mc_block(rcr, mx * 8, my * 8, 8, 8, cdx, cdy),
+        )
+
+    def _src_mb(mx: int, my: int):
+        return (
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+        )
+
+    for idx in range(mbh * mbw):
+        my, mx = divmod(idx, mbw)
+        s = _src_mb(mx, my)
+        smv = _pskip_mv(mv_grid, inter_grid, mx, my)
+        if (
+            smv[0] % 8 == 0
+            and smv[1] % 8 == 0
+            and all(
+                np.array_equal(a, b)
+                for a, b in zip(_mc_mb(mx, my, smv), s)
+            )
+        ):
+            skip_run += 1
+            mv_grid[my, mx] = smv
+            inter_grid[my, mx] = True
+            stats["skip"] += 1
+            continue
+        hit = None
+        for mv in mv_candidates:
+            if all(
+                np.array_equal(a, b)
+                for a, b in zip(_mc_mb(mx, my, mv), s)
+            ):
+                hit = mv
+                break
+        bw.ue(skip_run)  # mb_skip_run before every coded MB
+        skip_run = 0
+        if hit is not None:
+            mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
+            bw.ue(0)                 # mb_type P_L0_16x16
+            bw.se(hit[0] - mvp[0])   # mvd_l0 x
+            bw.se(hit[1] - mvp[1])   # mvd_l0 y
+            bw.ue(0)                 # coded_block_pattern: Inter cbp 0
+            mv_grid[my, mx] = hit
+            inter_grid[my, mx] = True
+            stats["p16"] += 1
+            continue
+        bw.ue(30)  # mb_type: I_PCM in a P slice (25 + 5, Table 7-13)
+        bw.align_zero()
+        bw.raw_bytes(s[0].tobytes())
+        bw.raw_bytes(s[1].tobytes())
+        bw.raw_bytes(s[2].tobytes())
+        stats["ipcm"] += 1
+    if skip_run:
+        bw.ue(skip_run)  # trailing run when the picture ends in skips
+    bw.rbsp_trailing()
+    return bw.tobytes(), stats
+
+
+def h264_encode_gop_p(
+    frames_yuv: list[tuple], w: int, h: int,
+    mv_candidates: list | None = None,
+) -> tuple[list[bytes], list[dict]]:
+    """Encode a GOP: frame 0 as an all-I_PCM IDR, every later frame
+    as a P slice (P_Skip / full-pel P_16x16 / I_PCM replenishment —
+    see _p_slice_rbsp).  ``frames_yuv`` are PADDED (y, cb, cr) uint8
+    plane triples (mb-aligned, as _rgb_to_yuv420 of a padded frame
+    yields); every mode is lossless so the reconstruction equals the
+    input exactly.  Returns ([SPS, PPS, IDR, P, P, ...] NAL units,
+    per-frame MB-mode stats)."""
+    if mv_candidates is None:
+        mv_candidates = [(0, 0)]
+    y0, cb0, cr0 = frames_yuv[0]
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=1)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0)),
+    ]
+    stats_list: list[dict] = [
+        {
+            "skip": 0, "p16": 0,
+            "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
+            "i16": 0, "is_p": False,
+        }
+    ]
+    ref = frames_yuv[0]
+    for fno, cur in enumerate(frames_yuv[1:], start=1):
+        rbsp, stats = _p_slice_rbsp(cur, ref, fno, mv_candidates)
+        nals.append(_nal(1, rbsp, ref_idc=2))
+        stats_list.append(stats)
+        ref = cur  # closed loop: every mode is exact
+    return nals, stats_list
+
+
+def h264_decode_gop(
+    nals: list[bytes],
+) -> tuple[list[np.ndarray], list[dict]]:
+    """Decode an access-unit sequence (SPS/PPS + one slice per
+    picture) of the supported subset into a list of h×w×3 uint8 RGB
+    frames plus per-frame macroblock-mode stats.
+
+    Intra pictures: I_PCM and Intra_16x16 macroblocks, mixed freely —
+    an I_PCM neighbour counts TotalCoeff 16, which always lands in
+    the implemented formula-defined nC >= 8 FLC coeff_token column;
+    only streams whose derived nC falls in the lookup-defined 2..7
+    range are rejected.
+
+    P pictures (§7.3.4, §8.4): P_Skip runs (``mb_skip_run``) and
+    P_L0_16x16 with cbp 0, both reconstructed by FULL-PEL motion
+    compensation from the previous decoded picture with picture-edge
+    extension (§8.4.2.2.1), the real median MV predictor
+    (§8.4.1.3) and P_Skip MV derivation (§8.4.1.1) — pan pictures
+    legitimately produce skipped macroblocks with NONZERO derived
+    motion; intra macroblock types ride along at mb_type − 5
+    (Table 7-13), so a changed region can drop back to I_PCM
+    (conditional replenishment).  Fractional-pel motion (luma
+    six-tap / chroma bilinear interpolation), P partitions other
+    than 16x16, inter residuals, and B slices stay honest
+    NotImplementedError."""
     sps = pps = None
-    rgb = None
+    frames: list[np.ndarray] = []
+    stats_all: list[dict] = []
+    ref = None  # previous picture's PADDED (y, cb, cr) uint8 planes
     for nal in nals:
         ntype = nal[0] & 0x1F
         rbsp = _unescape_ebsp(nal[1:])
@@ -1638,10 +1906,17 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
             if br.ue() != 0:
                 raise NotImplementedError("multi-slice pictures")
             slice_type = br.ue()
-            if slice_type % 5 != 2:
+            if slice_type % 5 == 2:
+                is_p = False
+            elif slice_type % 5 == 0:
+                is_p = True
+                if ntype == 5:
+                    raise ValueError("IDR picture with a P slice")
+                if ref is None:
+                    raise ValueError("P slice without a reference picture")
+            else:
                 raise NotImplementedError(
-                    "non-I slice requires motion compensation "
-                    "(not available without codec libraries)"
+                    "only I and P slices are supported (no B/SP/SI)"
                 )
             br.ue()  # pps id
             br.u(sps["log2_max_frame_num"])
@@ -1651,6 +1926,17 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                 br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
             if pps["redundant_present"]:
                 br.ue()  # redundant_pic_cnt
+            if is_p:
+                if br.u(1):  # num_ref_idx_active_override_flag
+                    raise NotImplementedError(
+                        "num_ref_idx_active override (one reference)"
+                    )
+                if br.u(1):  # ref_pic_list_modification_flag_l0 (§7.3.3.1)
+                    raise NotImplementedError(
+                        "reference picture list modification"
+                    )
+                if pps["weighted_pred"]:
+                    raise NotImplementedError("weighted prediction")
             nal_ref_idc = (nal[0] >> 5) & 0x3
             if ntype == 5:
                 br.u(1); br.u(1)  # dec_ref_pic_marking (IDR form)
@@ -1693,10 +1979,79 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
 
             def _nc_of(gx: int, gy: int) -> int:
                 return _nc_in(nc_grid, gx, gy)
+            # P-slice motion state: per-MB mv (quarter-pel) + inter
+            # flag for the §8.4.1.3 predictor; skip-run state machine
+            # (§7.3.4: mb_skip_run precedes every coded MB, plus one
+            # trailing run when the picture ends in skips)
+            mv_grid = np.zeros((mbh, mbw, 2), np.int64)
+            inter_grid = np.zeros((mbh, mbw), bool)
+            stats = {"skip": 0, "p16": 0, "ipcm": 0, "i16": 0,
+                     "is_p": is_p}
+            if is_p:
+                ry, rcb, rcr = ref
+            pending_skips = 0
+            need_run = is_p
             for my in range(mbh):
                 for mx in range(mbw):
+                    if need_run:
+                        pending_skips = br.ue()
+                        need_run = False
+                    if pending_skips > 0:
+                        pending_skips -= 1
+                        mv = _pskip_mv(mv_grid, inter_grid, mx, my)
+                        _require_full_pel(mv)
+                        dx, dy = mv[0] // 4, mv[1] // 4
+                        y[my * 16 : my * 16 + 16,
+                          mx * 16 : mx * 16 + 16] = _mc_block(
+                            ry, mx * 16, my * 16, 16, 16, dx, dy)
+                        cdx, cdy = mv[0] // 8, mv[1] // 8
+                        cb[my * 8 : my * 8 + 8,
+                           mx * 8 : mx * 8 + 8] = _mc_block(
+                            rcb, mx * 8, my * 8, 8, 8, cdx, cdy)
+                        cr[my * 8 : my * 8 + 8,
+                           mx * 8 : mx * 8 + 8] = _mc_block(
+                            rcr, mx * 8, my * 8, 8, 8, cdx, cdy)
+                        mv_grid[my, mx] = mv
+                        inter_grid[my, mx] = True
+                        stats["skip"] += 1
+                        # after the run: the next symbol is the coded
+                        # MB the run preceded (§7.3.4), not a new run
+                        continue
                     mb_type = br.ue()
+                    if is_p:
+                        need_run = True
+                        if mb_type == 0:  # P_L0_16x16 (Table 7-13)
+                            mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
+                            mv = (mvp[0] + br.se(), mvp[1] + br.se())
+                            # coded_block_pattern me(v): Inter
+                            # codeNum 0 <-> cbp 0 (Table 9-4)
+                            if br.ue() != 0:
+                                raise NotImplementedError(
+                                    "inter residuals (cbp != 0)"
+                                )
+                            _require_full_pel(mv)
+                            dx, dy = mv[0] // 4, mv[1] // 4
+                            y[my * 16 : my * 16 + 16,
+                              mx * 16 : mx * 16 + 16] = _mc_block(
+                                ry, mx * 16, my * 16, 16, 16, dx, dy)
+                            cdx, cdy = mv[0] // 8, mv[1] // 8
+                            cb[my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8] = _mc_block(
+                                rcb, mx * 8, my * 8, 8, 8, cdx, cdy)
+                            cr[my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8] = _mc_block(
+                                rcr, mx * 8, my * 8, 8, 8, cdx, cdy)
+                            mv_grid[my, mx] = mv
+                            inter_grid[my, mx] = True
+                            stats["p16"] += 1
+                            continue
+                        if 1 <= mb_type <= 4:
+                            raise NotImplementedError(
+                                "P partitions other than 16x16"
+                            )
+                        mb_type -= 5  # intra types in P (Table 7-13)
                     if mb_type == 25:  # I_PCM
+                        stats["ipcm"] += 1
                         is_pcm[my, mx] = True
                         nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
                         for g in nc_c:
@@ -1724,6 +2079,7 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
                             "per-4x4 prediction + AC residual decoding"
                         )
                     # I_16x16_<pred>_<cbpC>_<cbpL> (Table 7-11)
+                    stats["i16"] += 1
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 * ((mb_type - 1) // 12)
@@ -1876,15 +2232,26 @@ def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
             y = y.astype(np.uint8)
             cb = cb.astype(np.uint8)
             cr = cr.astype(np.uint8)
+            ref = (y, cb, cr)  # padded planes — the MC reference
             w, h = sps["w"], sps["h"]
-            rgb = _yuv420_to_rgb(
-                y[:h, :w],
-                cb[: (h + 1) // 2, : (w + 1) // 2],
-                cr[: (h + 1) // 2, : (w + 1) // 2],
+            frames.append(
+                _yuv420_to_rgb(
+                    y[:h, :w],
+                    cb[: (h + 1) // 2, : (w + 1) // 2],
+                    cr[: (h + 1) // 2, : (w + 1) // 2],
+                )
             )
-    if rgb is None:
+            stats_all.append(stats)
+    if not frames:
         raise ValueError("no slice NAL in access unit")
-    return rgb
+    return frames, stats_all
+
+
+def h264_decode_frame(nals: list[bytes]) -> np.ndarray:
+    """Decode one access unit (SPS/PPS + a single intra slice) into
+    h×w×3 uint8 RGB — the single-picture entry the image-oriented
+    gates use; GOPs with P pictures go through h264_decode_gop."""
+    return h264_decode_gop(nals)[0][-1]
 
 
 # -- ISO BMFF (MP4) ---------------------------------------------------------

@@ -3581,3 +3581,197 @@ def h264cac8_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=H264CAC8_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# H.264 P-slice GOPs — the inter-prediction stub narrowed: real
+# motion-compensated P pictures (P_Skip runs with spec-derived MVs,
+# full-pel P_L0_16x16 with median-predictor MVD coding, I_PCM
+# conditional replenishment), closed-loop exact so every count and
+# the reconstruction hash replay in SQL
+# --------------------------------------------------------------------------
+H264P_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mvx", T.LongType()),
+        T.StructField("mvy", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("ipcm_p_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("p_smaller_than_idr", T.BooleanType()),
+    ]
+)
+
+
+def _h264p_dims(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, n_frames, mvx, mvy): macroblock-ALIGNED grids
+    from 2x1 to 4x2 (frame cropping is already pinned by the intra
+    gates; aligned dims keep the mode-census formulas exact — with a
+    ragged width the pad-replicated right-edge MB goes constant after
+    the first pan and legitimately skips, breaking the pure-geometry
+    count), GOPs of 3-5 pictures, and per-document pan vectors in
+    quarter-pel units — always multiples of 8 so luma AND chroma
+    motion compensation stay full-pel (the implemented subset),
+    always nonzero horizontally, and with total pan travel (≤ 2 pans
+    × 4 px) far below one macroblock so edge clamping can never make
+    a census-relevant MB constant."""
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        3 + doc_id % 3,
+        8 * (1 + doc_id % 2),
+        8 * (1 if doc_id % 3 == 0 else 0),
+    )
+
+
+def _write_h264p(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IDR + P GOP, md5 of the concatenated
+    closed-loop RGB reconstructions).  The fixture alternates pan
+    pictures (whole-frame full-pel MC shift with edge extension —
+    built with the codec's own mc_shift_planes so P_16x16/P_Skip
+    reproduce them exactly) and conditional-replenishment pictures
+    (static + ONE re-textured macroblock, which must drop back to
+    I_PCM inside the P slice).  Every macroblock mode is lossless,
+    so the mode census is a pure function of the geometry: a pan
+    picture codes exactly mb_w + mb_h − 1 P_16x16 macroblocks (top
+    row and left column, where the P_Skip derivation yields MV 0)
+    and SKIPS the interior with the real nonzero derived MV; a
+    replenishment picture is all-skip except the patch."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_p,
+        mc_shift_planes,
+    )
+
+    w, h, nf, mvx, mvy = _h264p_dims(doc_id)
+    rgb0 = _h264cac8_frame_rgb(doc_id, 0, w, h)
+    padded = np.pad(rgb0, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                    mode="edge")
+    frames = [_rgb_to_yuv420(padded)]
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    for f in range(1, nf):
+        if f % 2 == 1:  # pan picture
+            frames.append(mc_shift_planes(*frames[-1], (mvx, mvy)))
+        else:  # replenishment picture: one re-textured MB
+            y, cb, cr = (p.copy() for p in frames[-1])
+            mx = (f + doc_id) % mb_w
+            my = (2 * f + doc_id) % mb_h
+            xs = np.arange(16, dtype=np.int64)[None, :]
+            ys = np.arange(16, dtype=np.int64)[:, None]
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                (doc_id * 11 + f * 41 + xs * 19 + ys * 23) % 256
+            ).astype(np.uint8)
+            cxs, cys = xs[:, :8], ys[:8, :]
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                (doc_id * 13 + f * 43 + cxs * 7 + cys * 29) % 256
+            ).astype(np.uint8)
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                (doc_id * 17 + f * 47 + cxs * 31 + cys * 3) % 256
+            ).astype(np.uint8)
+            frames.append((y, cb, cr))
+    nals, _stats = h264_encode_gop_p(
+        frames, w, h, mv_candidates=[(mvx, mvy)]
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264p_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a P-GOP H.264 stream per row, plus the encoder's
+    closed-loop reconstruction hash."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264p(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264p_metadata(df: DataFrame) -> DataFrame:
+    """Decode the P-GOP stream through the motion-compensating
+    decoder and emit the oracle evidence: ``roundtrip_exact`` (the
+    decoded RGB sequence hashes to the encoder's closed loop — the
+    P_Skip MV derivation, median predictor, MVD decode, skip-run
+    state machine, and edge-extended MC all have to agree
+    bit-for-bit), the EXACT macroblock mode census (skip / P_16x16 /
+    replenishment-I_PCM counts, pure geometry formulas the SQL twin
+    recomputes), and ``p_smaller_than_idr`` (all P slices together
+    undercut the one I_PCM IDR — the point of inter prediction)."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264P_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, nf, mvx, mvy = _h264p_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + nf, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["mvx"].append(mvx)
+                out["mvy"].append(mvy)
+                out["mb_count"].append(nf * mb_w * mb_h)
+                out["skip_mbs"].append(sum(s["skip"] for s in stats))
+                out["p16_mbs"].append(sum(s["p16"] for s in stats))
+                out["ipcm_p_mbs"].append(
+                    sum(s["ipcm"] for s in stats if s["is_p"])
+                )
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+                out["p_smaller_than_idr"].append(
+                    sum(len(n) for n in nals[3:]) < len(nals[2])
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264P_META_SCHEMA)

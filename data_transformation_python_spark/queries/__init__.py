@@ -134,6 +134,7 @@ def _register_all() -> None:
 # full-registry sweep.  Names absent from the registry are ignored;
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
+    "multimodal_h264p_meta",
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",

@@ -1929,6 +1929,67 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# H.264 P-slice GOPs — motion-compensated inter prediction: the mode
+# census is pure geometry (a pan picture codes mb_w + mb_h − 1
+# P_16x16 macroblocks and SKIPS the interior with the spec-derived
+# nonzero MV; a replenishment picture is all-skip plus one I_PCM), so
+# the oracle recomputes every count from doc_id alone
+# --------------------------------------------------------------------------
+_H264P_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         32 + 16 * (doc_id % 3) AS w,
+         16 + 16 * (doc_id % 2) AS h,
+         3 + doc_id % 3 AS nf,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+m AS (
+  SELECT doc_id, w, h, nf, mbw, mbh,
+         mbw * mbh AS mbs,
+         nf // 2 AS n_pan,
+         (nf - 1) - nf // 2 AS n_rep
+  FROM g)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(8 * (1 + doc_id % 2) AS BIGINT) AS mvx,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END AS BIGINT) AS mvy,
+       CAST(nf * mbs AS BIGINT) AS mb_count,
+       CAST(n_pan * (mbs - (mbw + mbh - 1)) + n_rep * (mbs - 1)
+            AS BIGINT) AS skip_mbs,
+       CAST(n_pan * (mbw + mbh - 1) AS BIGINT) AS p16_mbs,
+       CAST(n_rep AS BIGINT) AS ipcm_p_mbs,
+       TRUE AS roundtrip_exact,
+       TRUE AS p_smaller_than_idr
+FROM m
+"""
+
+
+@query("multimodal_h264p_meta", oracle=_H264P_ORACLE)
+def multimodal_h264p_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-compensated H.264 P-slice GOPs (round 8c,
+    operators/h264_codec.py h264_encode_gop_p / h264_decode_gop) —
+    the inter-prediction stub narrowed to a real conformant subset:
+    P_Skip runs (``mb_skip_run``) whose MVs come from the §8.4.1.1
+    derivation (pan pictures skip the interior with NONZERO derived
+    motion), full-pel P_L0_16x16 with the §8.4.1.3 median MV
+    predictor and MVD coding, edge-extended MC (§8.4.2.2.1), and
+    I_PCM conditional replenishment inside P slices (Table 7-13
+    mb_type 30).  Every mode is lossless, so ``roundtrip_exact``
+    pins the whole motion pipeline bit-for-bit and the macroblock
+    mode census (skip / P_16x16 / I_PCM counts) replays as pure
+    geometry formulas in the SQL twin.  Fractional-pel
+    interpolation, inter residuals, and B slices remain honest
+    NotImplementedError."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264p_metadata(mm.synth_h264p_table(docs))
+
+
 @query("multimodal_h264cac8_meta", oracle=_H264CAC8_ORACLE)
 def multimodal_h264cac8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHROMA AC residuals (cbp_chroma 2) — another stub closed: full

@@ -643,3 +643,178 @@ class TestChromaAC:
             rgb, qp=24, pcm_mbs=pcm, chroma_ac=True
         )
         assert np.array_equal(dec, rec)
+
+
+class TestPSliceMotion:
+    """P-slice GOPs: P_Skip derivation, median MV prediction, MVD
+    coding, edge-extended full-pel MC, skip-run state machine, I_PCM
+    replenishment inside P slices (h264_codec.py h264_encode_gop_p /
+    h264_decode_gop; spec §7.3.4, §8.4.1.1, §8.4.1.3, §8.4.2.2.1)."""
+
+    @staticmethod
+    def _base_yuv(w, h, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        pad = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                     mode="edge")
+        return hc._rgb_to_yuv420(pad)
+
+    def test_gop_roundtrip_and_mode_census(self):
+        """Pan → pan → replenish → static: decode is bit-exact and
+        the per-frame mode census matches the geometry — a pan codes
+        exactly mb_w + mb_h − 1 P_16x16 MBs (top row + left column,
+        where §8.4.1.1 derives MV 0) and SKIPS the interior with the
+        real nonzero derived motion."""
+        w, h = 48, 32  # 3x2 MBs
+        frames = [self._base_yuv(w, h, 3)]
+        frames.append(hc.mc_shift_planes(*frames[-1], (8, 0)))
+        frames.append(hc.mc_shift_planes(*frames[-1], (8, 8)))
+        f3 = tuple(p.copy() for p in frames[-1])
+        f3[0][16:32, 16:32] = 77
+        frames.append(f3)
+        frames.append(tuple(p.copy() for p in frames[-1]))
+        nals, enc_stats = hc.h264_encode_gop_p(
+            frames, w, h, mv_candidates=[(8, 0), (8, 8)]
+        )
+        dec, dec_stats = hc.h264_decode_gop(nals)
+        assert enc_stats == dec_stats
+        assert [s["p16"] for s in dec_stats] == [0, 4, 4, 0, 0]
+        assert [s["skip"] for s in dec_stats] == [0, 2, 2, 5, 6]
+        assert [s["ipcm"] for s in dec_stats] == [6, 0, 0, 1, 0]
+        for i, (fy, fcb, fcr) in enumerate(frames):
+            exp = hc._yuv420_to_rgb(
+                fy[:h, :w], fcb[: h // 2, : w // 2],
+                fcr[: h // 2, : w // 2]
+            )
+            assert np.array_equal(exp, dec[i]), f"frame {i}"
+        # inter prediction pays: every P slice undercuts the IDR
+        assert all(len(n) < len(nals[2]) for n in nals[3:])
+
+    def test_pskip_derivation_nonzero_for_pan_interior(self):
+        """The interior skip of a pan picture carries the DERIVED
+        nonzero MV — it exists only because the coded P_16x16
+        neighbours propagate their motion into the §8.4.1.1
+        derivation.  Negative control: with a zero-only candidate
+        set there are no inter neighbours carrying the pan, the
+        derivation correctly stays 0, nothing matches, and the whole
+        picture falls back to I_PCM (and still round-trips)."""
+        w, h = 48, 32
+        f0 = self._base_yuv(w, h, 5)
+        f1 = hc.mc_shift_planes(*f0, (16, 8))
+        nals, stats = hc.h264_encode_gop_p(
+            [f0, f1], w, h, mv_candidates=[(16, 8)]
+        )
+        assert stats[1] == {"skip": 2, "p16": 4, "ipcm": 0, "i16": 0,
+                            "is_p": True}
+        nals0, stats0 = hc.h264_encode_gop_p(
+            [f0, f1], w, h, mv_candidates=[(0, 0)]
+        )
+        assert stats0[1] == {"skip": 0, "p16": 0, "ipcm": 6, "i16": 0,
+                             "is_p": True}
+        dec, _ = hc.h264_decode_gop(nals0)
+        exp = hc._yuv420_to_rgb(
+            f1[0][:h, :w], f1[1][: h // 2, : w // 2],
+            f1[2][: h // 2, : w // 2]
+        )
+        assert np.array_equal(dec[1], exp)
+
+    def test_edge_extension_matches_spec_clipping(self):
+        """MC at the picture boundary uses coordinate clipping
+        (§8.4.2.2.1): a pan larger than the remaining content still
+        round-trips because encoder and decoder clamp identically."""
+        w, h = 32, 16
+        f0 = self._base_yuv(w, h, 9)
+        f1 = hc.mc_shift_planes(*f0, (-24, 0))  # 6 px left, off-edge
+        nals, stats = hc.h264_encode_gop_p(
+            [f0, f1], w, h, mv_candidates=[(-24, 0)]
+        )
+        dec, _ = hc.h264_decode_gop(nals)
+        exp = hc._yuv420_to_rgb(
+            f1[0][:h, :w], f1[1][: h // 2, : w // 2],
+            f1[2][: h // 2, : w // 2]
+        )
+        assert np.array_equal(dec[1], exp)
+
+    def test_decoder_rejects_unsupported_inter_syntax(self):
+        """Fractional-pel MVs, non-16x16 P partitions, inter
+        residuals, and B slices raise instead of mis-decoding."""
+        w, h = 32, 16
+        f0 = self._base_yuv(w, h, 11)
+        nals, _ = hc.h264_encode_gop_p(
+            [f0, tuple(p.copy() for p in f0)], w, h
+        )
+        with pytest.raises(NotImplementedError):
+            hc.mc_shift_planes(*f0, (2, 0))  # fractional-pel helper
+
+        # hand-build a P slice with a fractional MVD: reuse the
+        # encoder header, then P_L0_16x16 with mvd (1, 0)
+        bw = hc._EgWriter()
+        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+        bw.se(0); bw.ue(1)
+        bw.ue(0)        # mb_skip_run 0
+        bw.ue(0)        # P_L0_16x16
+        bw.se(1); bw.se(0)  # fractional mvd
+        bw.ue(0)        # cbp 0
+        bw.ue(2 * 16 - 1)  # remaining MBs... (skip run; count loose)
+        bw.rbsp_trailing()
+        frac = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(frac)
+
+        # P_8x8 partition mb_type
+        bw = hc._EgWriter()
+        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+        bw.se(0); bw.ue(1)
+        bw.ue(0); bw.ue(3)
+        bw.rbsp_trailing()
+        p8 = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(p8)
+
+        # B slice type
+        bw = hc._EgWriter()
+        bw.ue(0); bw.ue(6)  # slice_type B
+        bw.rbsp_trailing()
+        bsl = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(bsl)
+
+    def test_p_slice_without_reference_rejected(self):
+        w, h = 32, 16
+        f0 = self._base_yuv(w, h, 13)
+        nals, _ = hc.h264_encode_gop_p(
+            [f0, tuple(p.copy() for p in f0)], w, h
+        )
+        with pytest.raises(ValueError):
+            hc.h264_decode_gop([nals[0], nals[1], nals[3]])
+
+    def test_fixture_gate_stats_replay(self):
+        """The gate fixture's census formulas hold over a doc_id
+        sweep: skip/p16/ipcm counts equal the pure-geometry oracle
+        expressions for every id."""
+        for doc_id in range(24):
+            payload, rec = mm._write_h264p(doc_id)
+            frames, stats = hc.h264_decode_gop(
+                hc.split_annexb(payload)
+            )
+            w, h, nf, mvx, mvy = mm._h264p_dims(doc_id)
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            mbs = mbw * mbh
+            n_pan = nf // 2
+            n_rep = (nf - 1) - nf // 2
+            assert sum(s["p16"] for s in stats) == n_pan * (mbw + mbh - 1)
+            assert (
+                sum(s["skip"] for s in stats)
+                == n_pan * (mbs - (mbw + mbh - 1)) + n_rep * (mbs - 1)
+            )
+            assert sum(
+                s["ipcm"] for s in stats if s["is_p"]
+            ) == n_rep
+            import hashlib
+
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec
