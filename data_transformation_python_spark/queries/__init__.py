@@ -104,7 +104,9 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: the ten latest
+# rotated STALEST-FIRST each round.  Round 8: the brand-new
+# motion-compensated P-slice gate (multimodal_h264p_meta, round 8c's
+# inter-prediction rung) leads, then the ten latest
 # never-checked-or-changed gates lead (the cross-modal near-dup
 # family — image dHash, exact-substring trim, image dedup-through-CC,
 # audio + video fingerprints on the shared Hamming engine — the
