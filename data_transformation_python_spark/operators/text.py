@@ -267,6 +267,102 @@ def tfidf_topterms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 top-k retrieval WITHOUT an index — the full-text search
+    counterpart of the ANN serving family: given a bag of query
+    terms, return the k best documents under a quantized, log-free
+    BM25 (k1 = 6/5, b = 3/4).
+
+    Scoring contract (exact integer arithmetic, like the engine's
+    other quantized scores — PageRank's rank_q, the integer-cents
+    MAD, integer-dB PSNR): with N docs, AV total tokens, per-doc
+    length dl and per-(doc, term) frequency tf,
+
+      idf ratio     (2(N − df) + 1) / (2df + 1)      — the Robertson
+                    idf with the log dropped, monotone in df exactly
+                    like tfidf_topterms' rational relevance score
+      tf saturation 22·tf·AV / (10·AV·tf + 3·AV + 9·dl·N)
+                    — tf·(k1+1) / (tf + k1(1 − b + b·dl/avgdl))
+                    cross-multiplied to integers (avgdl = AV/N)
+      score_q       Σ_t (scale · idf_num · 22 · tf · AV)
+                        DIV (idf_den · (10·AV·tf + 3·AV + 9·dl·N))
+
+    Every product and the floor division are exact, and the sum is a
+    BIGINT sum — no float-order sensitivity, so the DuckDB twin
+    replays bit-for-bit.  Intermediates are DECIMAL(38,0): products
+    stay under 10³⁸ out to billions of documents.
+
+    Plan shape at 100 TB: tf for each query term is a ROW-LOCAL
+    higher-order ``filter`` count over the split token array — the
+    corpus is scanned ONCE with zero shuffles; the global stats
+    (N, AV, per-term df) reduce to ONE row broadcast back; the top-k
+    is ORDER BY + LIMIT, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Searching q terms over the corpus costs one scan regardless of
+    corpus size — the no-index brute-force baseline, exactly like
+    sim_cosine_topk is to the IVF ladder.  (A pre-built inverted
+    index — tf materialized once, probed per query — is the serving
+    upgrade; this operator is its one-shot/ad-hoc form.)
+    """
+    from pyspark.sql.window import Window
+
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    cols = [
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("bigint").alias("__dl"),
+    ]
+    for i, t in enumerate(query_terms):
+        tq = t.replace("'", "''")
+        cols.append(
+            F.expr(f"size(filter({toks}, x -> x = '{tq}'))")
+            .cast("bigint")
+            .alias(f"__tf{i}")
+        )
+    sel = df.select(*cols)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__dl").cast("bigint").alias("__av"),
+    ]
+    for i in range(len(query_terms)):
+        aggs.append(
+            F.sum((F.col(f"__tf{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"__df{i}")
+        )
+    glob = sel.agg(*aggs)
+    parts = []
+    for i in range(len(query_terms)):
+        tf, dfq = f"__tf{i}", f"__df{i}"
+        num = (
+            f"CAST({scale} AS DECIMAL(38,0))"
+            f" * (2 * (__n - {dfq}) + 1) * 22 * {tf} * __av"
+        )
+        den = (
+            f"CAST(2 * {dfq} + 1 AS DECIMAL(38,0))"
+            f" * (10 * __av * {tf} + 3 * __av + 9 * __dl * __n)"
+        )
+        parts.append(f"IF({tf} > 0, ({num}) DIV ({den}), CAST(0 AS BIGINT))")
+    score = " + ".join(parts) if parts else "CAST(0 AS BIGINT)"
+    w = Window.orderBy(F.desc("score_q"), F.asc(id_col))
+    return (
+        sel.join(F.broadcast(glob))
+        .select(
+            id_col, F.expr(score).cast("bigint").alias("score_q")
+        )
+        .filter(F.col("score_q") > 0)
+        .orderBy(F.desc("score_q"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

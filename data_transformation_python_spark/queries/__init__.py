@@ -137,6 +137,7 @@ def _register_all() -> None:
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
     "multimodal_h264p_meta",
+    "text_bm25_topk",
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",

@@ -287,6 +287,70 @@ SELECT doc_id, token, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval — the full-text search operator: one corpus
+# scan (row-local higher-order tf counts), a one-row global-stats
+# broadcast, TakeOrderedAndProject top-k; scoring is the quantized
+# log-free BM25 (exact integer products + floor division + BIGINT
+# sum), so the twin replays bit-for-bit
+# --------------------------------------------------------------------------
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''),
+q AS (
+  SELECT t AS term FROM tok GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT 3),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS dl
+  FROM documents),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS av
+  FROM dl),
+tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok JOIN q ON tok.t = q.term GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM((CAST(1000000 AS HUGEINT) * (2 * (n - dfc) + 1)
+                   * 22 * tf * av)
+              // (CAST(2 * dfc + 1 AS HUGEINT)
+                  * (10 * av * tf + 3 * av + 9 * dl * n))) AS BIGINT)
+           AS score_q
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN gstats
+  GROUP BY doc_id),
+r AS (
+  SELECT doc_id, score_q,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM sc WHERE score_q > 0)
+SELECT doc_id, score_q, rank FROM r WHERE rank <= 10
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for the corpus's three most frequent
+    tokens (operators/text.py bm25_topk): the no-index full-text
+    search baseline, composed with token_frequencies as the
+    control-plane query builder (3 collected rows, like k-means
+    seeds).  tf per term is a row-local higher-order filter count —
+    the corpus is scanned ONCE with zero shuffles; N/AV/df reduce to
+    one broadcast row; the top-k runs as TakeOrderedAndProject.
+    Scoring is the quantized log-free BM25 documented on the
+    operator (k1 = 6/5, b = 3/4, rational Robertson idf, scale 10⁶
+    floor division, BIGINT sum) — every arithmetic step exact, so
+    scores, ties, and ranks replay bit-for-bit in the twin."""
+    docs = load(spark, sf_dir, "documents")
+    terms = [
+        r["token"]
+        for r in tx.token_frequencies(docs, top_n=3).collect()
+    ]
+    return tx.bm25_topk(docs, terms, k=10)
+
+
 @query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by the rational

