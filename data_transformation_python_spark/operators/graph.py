@@ -321,14 +321,29 @@ def pagerank_fixed(
     # persist(MEMORY_AND_DISK) spills edge blocks past executor memory
     # (a localCheckpoint here pinned the whole edge table in block
     # storage and OOM'd the 500k-doc sweep point; at cluster scale the
-    # edge list is a table, not driver-adjacent memory).  Only the
-    # nodes-sized rank vector — the plan that GROWS per iteration —
-    # gets the eager materialize.
-    e = e.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # edge list is a table, not driver-adjacent memory).  Both reused
+    # sides are cached PRE-PARTITIONED on their join key —
+    # InMemoryTableScan preserves outputPartitioning, so each
+    # iteration's edge⋈ranks join shuffles ONLY the nodes-sized rank
+    # vector (the edge side, the big one, never moves again), and the
+    # nodes⋈contrib left join is shuffle-free on both sides (contrib
+    # exits its groupBy already hash-partitioned on node).  This is
+    # the DataFrame analogue of Pregel's static graph partitioning.
+    # partition count matches spark.sql.shuffle.partitions so the
+    # cached layout aligns with every groupBy/join exchange
+    npart = int(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = (
+        e.join(wout, "src")
+        .repartition(npart, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(npart, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_q"))
