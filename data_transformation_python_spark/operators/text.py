@@ -363,6 +363,98 @@ def bm25_topk(
     )
 
 
+def bm25_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the inverted-index state for BM25 SERVING: returns
+    (postings, term_stats, global_stats) —
+
+    - postings (term, doc_id, tf): the inverted index, ONE
+      map-side-combined shuffle on (doc, term) via the RLE counter
+      then a narrow reshape; at scale this is written bucketed by
+      term so query probes prune to one bucket,
+    - term_stats (term, df): document frequencies, derived from the
+      postings with a map-side-combined count,
+    - global_stats (n, av): one row.
+
+    ``bm25_query_topk`` probes this state with a broadcast term list
+    — per-query cost is proportional to the query terms' posting
+    lists, not the corpus: the serving shape, vs ``bm25_topk``'s
+    one-shot full scan.  Same quantized scoring contract, so the two
+    plans agree bit-for-bit (contract-tested)."""
+    postings = term_counts_rle(df, text_col, id_col).select(
+        F.col("token").alias("term"), id_col, F.col("tf").cast("bigint")
+    )
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    global_stats = df.select(
+        F.expr(f"size({toks})").cast("bigint").alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__dl").cast("bigint").alias("av"),
+    )
+    return postings, term_stats, global_stats
+
+
+def bm25_query_topk(
+    df: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    global_stats: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Serve one BM25 query from the prebuilt inverted index: the
+    query terms broadcast against the postings (a broadcast hash
+    semi-probe — only the matching posting rows survive the scan;
+    with term-bucketed postings the scan itself prunes), document
+    lengths join in for the candidates only, and the same quantized
+    scoring contract as ``bm25_topk`` produces the identical top-k
+    bit-for-bit.  Per-query work is O(Σ posting-list lengths), not
+    O(corpus) — the serving trade: one index build amortized across
+    every query, exactly like ivf/pq serving vs brute-force cosine."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "term string"
+    )
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    dl = df.select(
+        F.col(id_col), F.expr(f"size({toks})").cast("bigint").alias("__dl")
+    )
+    num = (
+        f"CAST({scale} AS DECIMAL(38,0))"
+        " * (2 * (n - df) + 1) * 22 * tf * av"
+    )
+    den = (
+        "CAST(2 * df + 1 AS DECIMAL(38,0))"
+        " * (10 * av * tf + 3 * av + 9 * __dl * n)"
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc(id_col))
+    return (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(term_stats.join(qdf, "term")), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(global_stats))
+        .select(
+            id_col,
+            F.expr(f"({num}) DIV ({den})").cast("bigint").alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").cast("bigint").alias("score_q"))
+        .filter(F.col("score_q") > 0)
+        .orderBy(F.desc("score_q"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

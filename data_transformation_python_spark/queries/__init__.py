@@ -138,6 +138,7 @@ def _register_all() -> None:
 _PRIORITY: list[str] = [
     "multimodal_h264p_meta",
     "text_bm25_topk",
+    "text_bm25_serve",
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",

@@ -351,6 +351,28 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bm25_topk(docs, terms, k=10)
 
 
+@query("text_bm25_serve", oracle=_BM25_ORACLE)
+def text_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of BM25 (operators/text.py bm25_index /
+    bm25_query_topk): build the inverted index once — postings via
+    the map-side RLE counter (one (doc, term) shuffle), term df, one
+    global-stats row — then answer the query by broadcasting the
+    term list against the postings, so per-query cost is the
+    matching posting lists, not the corpus (the index-vs-scan trade,
+    exactly like ivf/pq serving vs brute-force cosine).  Same
+    quantized scoring contract and the SAME oracle as text_bm25_topk:
+    two physically different plans, one bit-exact answer."""
+    docs = load(spark, sf_dir, "documents")
+    terms = [
+        r["token"]
+        for r in tx.token_frequencies(docs, top_n=3).collect()
+    ]
+    postings, term_stats, global_stats = tx.bm25_index(docs)
+    return tx.bm25_query_topk(
+        docs, postings, term_stats, global_stats, terms, k=10
+    )
+
+
 @query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by the rational

@@ -510,3 +510,33 @@ def test_bm25_topk_matches_python_reference(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bm25_serving_path_matches_scan_path(spark):
+    """bm25_query_topk over the prebuilt inverted index returns the
+    IDENTICAL rows as the one-shot bm25_topk scan — two physically
+    different plans (broadcast posting probe vs row-local counting),
+    one quantized scoring contract; and the serving plan probes with
+    broadcasts rather than shuffling the corpus."""
+    from data_transformation_python_spark.operators.text import (
+        bm25_index,
+        bm25_query_topk,
+        bm25_topk,
+    )
+
+    rows = [
+        (i, " ".join(
+            (["spark"] * (i % 4)) + (["join"] * (i % 3))
+            + [f"w{i}{j}" for j in range(i % 5 + 1)]
+        ))
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = ["spark", "join", "absent_term"]
+    scan = [tuple(r) for r in bm25_topk(df, q, k=7).collect()]
+    postings, ts, gs = bm25_index(df)
+    serve_df = bm25_query_topk(df, postings, ts, gs, q, k=7)
+    serve = [tuple(r) for r in serve_df.collect()]
+    assert scan == serve and len(scan) == 7, (scan, serve)
+    plan = serve_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
