@@ -13,6 +13,7 @@ same discipline you'd use to measure cluster throughput.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -439,6 +440,20 @@ def corpus_scale_entries(spark, corpus_dir: str):
             # 4 merge iterations run on vocab-sized state
             "text_bpe_learn",
             lambda: tx.bpe_learn(docs, k=4),
+        ),
+        (
+            # BM25 one-shot retrieval: ONE corpus scan (row-local tf
+            # counts), one broadcast stats row, TakeOrdered top-k;
+            # query terms pinned to three family-0 corpus tokens
+            "text_bm25_topk",
+            lambda: tx.bm25_topk(
+                docs,
+                [
+                    hashlib.md5(f"0:{i}".encode()).hexdigest()[:6]
+                    for i in range(3)
+                ],
+                k=10,
+            ),
         ),
         (
             # maximal-span extraction: shingle explode + broadcast

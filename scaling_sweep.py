@@ -68,6 +68,9 @@ ENTRIES = [
     # and the ExactSubstr trim (span extract + array-side filtering)
     "multimodal_dhash_neardup",
     "dedup_span_trim",
+    # round 8g: BM25 one-shot retrieval — one scan + broadcast stats,
+    # expected ~linear with a tiny constant
+    "text_bm25_topk",
 ]
 
 
