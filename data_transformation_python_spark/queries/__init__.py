@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "multimodal_h264p_meta",
     "text_bm25_topk",
     "text_bm25_serve",
+    "q_stream_bm25_serve",
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",

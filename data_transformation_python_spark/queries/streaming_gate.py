@@ -1390,3 +1390,148 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming BM25 serving — full-text search joins the streaming
+# serving family (IVF routing, PQ-ADC, image admission): queries
+# STREAM against the static inverted index; per-query cost is the
+# matching posting lists, stream state is one row per open query
+# --------------------------------------------------------------------------
+_STREAM_BM25_ORACLE = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+tok AS (
+  SELECT doc_id, t FROM corpus, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''),
+postings AS (
+  SELECT t AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM postings GROUP BY 1),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS dl
+  FROM corpus),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS av
+  FROM dl),
+queries AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                x -> x <> '')[1:3])) AS term
+  FROM documents WHERE doc_id % 97 = 0),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(SUM((CAST(1000000 AS HUGEINT) * (2 * (n - dfc) + 1)
+                   * 22 * tf * av)
+              // (CAST(2 * dfc + 1 AS HUGEINT)
+                  * (10 * av * tf + 3 * av + 9 * dl.dl * n))) AS BIGINT)
+           AS score_q
+  FROM queries q
+  JOIN postings p USING (term)
+  JOIN dfq USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN gstats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score_q FROM (
+  SELECT query_id, doc_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id) AS rn
+  FROM sc) t WHERE rn = 1
+"""
+
+
+@query("q_stream_bm25_serve", oracle=_STREAM_BM25_ORACLE)
+def q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 serving over the static inverted index (X5
+    retrieval composed with X12): documents with doc_id % 97 == 0
+    arrive as a query STREAM (each queries with its first three
+    distinct tokens); the rest are the batch-built corpus behind
+    bm25_index.  Per micro-batch the query terms explode stateless,
+    probe the postings/df/length/global-stats sides (all broadcast —
+    at 100 TB the postings side is the term-bucketed table and the
+    probe prunes to the query terms' buckets), score with the exact
+    quantized BM25 contract, and maintain per-(query, candidate)
+    score sums as the stream's single complete-mode aggregation
+    (state is bounded by matched posting rows per open query); the
+    per-query argmax reads the result table batch-side, like the
+    countmin-merge gate's serving read."""
+    from ..operators.text import bm25_index
+    from ..operators.transform import materialize
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    postings, term_stats, gstats = bm25_index(corpus)
+    postings = materialize(postings)
+    term_stats = materialize(term_stats)
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    dl = materialize(
+        corpus.select(
+            "doc_id", F.expr(f"size({toks})").cast("bigint").alias("dl")
+        )
+    )
+    g = gstats.collect()[0]
+    n_docs, av = int(g["n"]), int(g["av"])
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.expr(f"array_distinct(slice({toks}, 1, 3))")
+            ).alias("term"),
+        )
+    )
+    num = (
+        f"CAST(1000000 AS DECIMAL(38,0))"
+        f" * (2 * ({n_docs} - df) + 1) * 22 * tf * {av}"
+    )
+    den = (
+        "CAST(2 * df + 1 AS DECIMAL(38,0))"
+        f" * (10 * {av} * tf + 3 * {av} + 9 * dl * {n_docs})"
+    )
+    # the STREAM carries the single allowed aggregation (per-query,
+    # per-candidate score sums — complete mode forbids chaining a
+    # second agg); the per-query argmax runs batch-side on the
+    # result table, like the countmin-merge gate's serving read
+    scored = (
+        stream.join(F.broadcast(postings), "term")
+        .join(F.broadcast(term_stats), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"({num}) DIV ({den})").cast("bigint").alias("__s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__s").cast("bigint").alias("score_q"))
+    )
+    name = f"stream_bm25_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_q"), (-F.col("doc_id")).alias("__nd")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "query_id",
+            (-F.col("__b.__nd")).cast("bigint").alias("doc_id"),
+            F.col("__b.score_q").alias("score_q"),
+        )
+    )
