@@ -455,6 +455,62 @@ def bm25_query_topk(
     )
 
 
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search: top-k documents by occurrence count of a
+    consecutive token sequence — the classic inverted-index hard case
+    (BM25's bag-of-words can't see adjacency), solved scan-side.
+
+    The phrase count per document is ROW-LOCAL: positions
+    j ∈ [1, len − n + 1] where every phrase term matches
+    ``arr[j + d]`` are counted with one higher-order filter — the
+    corpus is scanned once with ZERO shuffles and the top-k runs as
+    TakeOrderedAndProject, exactly the bm25_topk shape.  Overlapping
+    occurrences count ("x x x" contains "x x" twice — the same
+    convention as BPE pair counting).  The serving upgrade is
+    POSITIONAL postings (term, doc, pos) bucketed by term with an
+    adjacency self-join probing only the phrase terms' buckets; this
+    operator is the one-shot/ad-hoc form.
+
+    Returns (doc_id, phrase_tf, rank), phrase_tf > 0, ties on
+    (phrase_tf DESC, doc_id) — all-integer, so the oracle replays
+    bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("empty phrase")
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    conds = " AND ".join(
+        f"element_at(__t, j + {d}) = '{t.replace(chr(39), chr(39) * 2)}'"
+        for d, t in enumerate(phrase)
+    )
+    # slice form: Spark's sequence(1, 0) runs DESCENDING, so the
+    # candidate positions come from an always-ascending sequence
+    # sliced to greatest(len - n + 1, 0) entries (same trick as
+    # bpe_pair_count_sql)
+    cnt = (
+        f"size(filter(slice(sequence(1, size(__t) + 1), 1,"
+        f" greatest(size(__t) - {n - 1}, 0)), j -> {conds}))"
+    )
+    w = Window.orderBy(F.desc("phrase_tf"), F.asc(id_col))
+    return (
+        df.select(F.col(id_col), F.expr(toks).alias("__t"))
+        .select(
+            id_col, F.expr(cnt).cast("bigint").alias("phrase_tf")
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .orderBy(F.desc("phrase_tf"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

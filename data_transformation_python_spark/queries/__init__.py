@@ -140,6 +140,7 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_bm25_serve",
     "q_stream_bm25_serve",
+    "text_phrase_search",
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",

@@ -373,6 +373,65 @@ def text_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# exact-phrase search — the adjacency query bag-of-words retrieval
+# cannot answer: row-local position counting, one scan, zero shuffles
+# --------------------------------------------------------------------------
+_PHRASE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+top AS (SELECT w1, w2 FROM bg GROUP BY 1, 2
+        ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1),
+cnts AS (
+  SELECT doc_id,
+         CAST(len(list_filter(generate_series(1, len(tk) - 1),
+              j -> tk[j] = w1 AND tk[j + 1] = w2)) AS BIGINT)
+           AS phrase_tf
+  FROM t CROSS JOIN top)
+SELECT doc_id, phrase_tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id)
+            AS BIGINT) AS rank
+FROM cnts WHERE phrase_tf > 0
+QUALIFY rank <= 10
+"""
+
+
+@query("text_phrase_search", oracle=_PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-10 for the corpus's most frequent bigram
+    (operators/text.py phrase_search): adjacency retrieval that
+    bag-of-words BM25 cannot express.  The phrase count per document
+    is a row-local higher-order position filter — one corpus scan,
+    zero shuffles, TakeOrderedAndProject top-k; the bigram choice is
+    a control-plane collect with (count DESC, w1, w2) ties, and
+    overlapping occurrences count (the BPE pair-count convention).
+    All-integer output, bit-exact twin."""
+    docs = load(spark, sf_dir, "documents")
+    pair = (
+        docs.selectExpr("filter(split(text, ' '), x -> x <> '') AS __t")
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) AS w1,"
+                    " element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("__p")
+        )
+        .groupBy("__p.w1", "__p.w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w1", "w2")
+        .limit(1)
+        .collect()[0]
+    )
+    return tx.phrase_search(docs, [pair["w1"], pair["w2"]], k=10)
+
+
 @query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by the rational

@@ -540,3 +540,32 @@ def test_bm25_serving_path_matches_scan_path(spark):
     assert scan == serve and len(scan) == 7, (scan, serve)
     plan = serve_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_phrase_search_overlaps_edges_and_ties(spark):
+    """phrase_search counts overlapping occurrences, handles 1-token
+    and empty docs, respects (tf DESC, doc_id) tie order, and drops
+    non-matching docs; the plan is scan + TakeOrderedAndProject with
+    no exchange before the top-k."""
+    from data_transformation_python_spark.operators.text import phrase_search
+
+    rows = [
+        (1, "x x x x"),       # "x x" overlaps: 3
+        (2, "x x a x x"),     # 2
+        (3, "a x x b"),       # 1
+        (4, "x a x"),         # 0: not adjacent
+        (5, "x"),             # single token
+        (6, ""),              # empty
+        (7, "b x x c"),       # 1: ties with doc 3 -> doc 3 first
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [tuple(r) for r in phrase_search(df, ["x", "x"], k=10).collect()]
+    assert got == [(1, 3, 1), (2, 2, 2), (3, 1, 3), (7, 1, 4)], got
+    # 3-term phrase: only doc 1 matches, overlaps still count
+    got3 = [tuple(r) for r in phrase_search(df, ["x", "x", "x"], k=5).collect()]
+    assert got3 == [(1, 2, 1)], got3
+    plan = (
+        phrase_search(df, ["x", "x"], k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
