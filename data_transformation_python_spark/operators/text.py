@@ -300,19 +300,24 @@ def bm25_topk(
     stay under 10³⁸ out to billions of documents.
 
     Plan shape at 100 TB: tf for each query term is a ROW-LOCAL
-    higher-order ``filter`` count over the split token array — the
-    corpus is scanned ONCE with zero shuffles; the global stats
-    (N, AV, per-term df) reduce to ONE row broadcast back; the top-k
-    is ORDER BY + LIMIT, which Spark executes as
-    TakeOrderedAndProject (per-partition heaps, no global sort).
-    Searching q terms over the corpus costs one scan regardless of
-    corpus size — the no-index brute-force baseline, exactly like
-    sim_cosine_topk is to the IVF ladder.  (A pre-built inverted
-    index — tf materialized once, probed per query — is the serving
-    upgrade; this operator is its one-shot/ad-hoc form.)
+    higher-order ``filter`` count over the split token array, so the
+    whole search is TWO shuffle-free narrow passes over the corpus —
+    one reducing to the ONE global-stats row (N, AV, per-term df),
+    one scoring against that row broadcast back — and the top-k is
+    ORDER BY + LIMIT, which Spark executes as TakeOrderedAndProject
+    (per-partition heaps, no global sort).  Searching q terms costs
+    those two scans regardless of corpus size — the no-index
+    brute-force baseline, exactly like sim_cosine_topk is to the IVF
+    ladder.  (The pre-built inverted index — bm25_index /
+    bm25_query_topk — is the serving upgrade that drops per-query
+    cost to the posting lists.)
+
+    Duplicate query terms are ignored (a query is a term SET — the
+    same contract as the serving path).
     """
     from pyspark.sql.window import Window
 
+    query_terms = list(dict.fromkeys(query_terms))
     toks = f"filter(split({text_col}, ' '), x -> x <> '')"
     cols = [
         F.col(id_col),
@@ -369,9 +374,11 @@ def bm25_index(
     """Build the inverted-index state for BM25 SERVING: returns
     (postings, term_stats, global_stats) —
 
-    - postings (term, doc_id, tf): the inverted index, ONE
+    - postings (term, doc_id, tf, dl): the inverted index, ONE
       map-side-combined shuffle on (doc, term) via the RLE counter
-      then a narrow reshape; at scale this is written bucketed by
+      then a narrow reshape; the document length rides INSIDE each
+      posting row (the Lucene norm trick) so serving a query never
+      touches the corpus again; at scale this is written bucketed by
       term so query probes prune to one bucket,
     - term_stats (term, df): document frequencies, derived from the
       postings with a map-side-combined count,
@@ -382,18 +389,25 @@ def bm25_index(
     lists, not the corpus: the serving shape, vs ``bm25_topk``'s
     one-shot full scan.  Same quantized scoring contract, so the two
     plans agree bit-for-bit (contract-tested)."""
-    postings = term_counts_rle(df, text_col, id_col).select(
-        F.col("token").alias("term"), id_col, F.col("tf").cast("bigint")
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    dl = df.select(
+        F.col(id_col), F.expr(f"size({toks})").cast("bigint").alias("dl")
+    )
+    postings = (
+        term_counts_rle(df, text_col, id_col)
+        .select(
+            F.col("token").alias("term"),
+            id_col,
+            F.col("tf").cast("bigint"),
+        )
+        .join(dl, id_col)
     )
     term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
-    global_stats = df.select(
-        F.expr(f"size({toks})").cast("bigint").alias("__dl")
-    ).agg(
+    global_stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__dl").cast("bigint").alias("av"),
+        F.sum("dl").cast("bigint").alias("av"),
     )
     return postings, term_stats, global_stats
 
@@ -413,20 +427,18 @@ def bm25_query_topk(
     query terms broadcast against the postings (a broadcast hash
     semi-probe — only the matching posting rows survive the scan;
     with term-bucketed postings the scan itself prunes), document
-    lengths join in for the candidates only, and the same quantized
+    lengths ride inside the posting rows, and the same quantized
     scoring contract as ``bm25_topk`` produces the identical top-k
     bit-for-bit.  Per-query work is O(Σ posting-list lengths), not
-    O(corpus) — the serving trade: one index build amortized across
-    every query, exactly like ivf/pq serving vs brute-force cosine."""
+    O(corpus) — the corpus itself is NEVER rescanned at query time:
+    one index build amortized across every query, exactly like
+    ivf/pq serving vs brute-force cosine.  (``df`` is accepted only
+    for the session handle / API symmetry.)"""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     qdf = spark.createDataFrame(
         [(t,) for t in dict.fromkeys(query_terms)], "term string"
-    )
-    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
-    dl = df.select(
-        F.col(id_col), F.expr(f"size({toks})").cast("bigint").alias("__dl")
     )
     num = (
         f"CAST({scale} AS DECIMAL(38,0))"
@@ -434,13 +446,12 @@ def bm25_query_topk(
     )
     den = (
         "CAST(2 * df + 1 AS DECIMAL(38,0))"
-        " * (10 * av * tf + 3 * av + 9 * __dl * n)"
+        " * (10 * av * tf + 3 * av + 9 * dl * n)"
     )
     w = Window.orderBy(F.desc("score_q"), F.asc(id_col))
     return (
         postings.join(F.broadcast(qdf), "term")
         .join(F.broadcast(term_stats.join(qdf, "term")), "term")
-        .join(dl, id_col)
         .join(F.broadcast(global_stats))
         .select(
             id_col,

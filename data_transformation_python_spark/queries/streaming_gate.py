@@ -1448,8 +1448,9 @@ def q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive as a query STREAM (each queries with its first three
     distinct tokens); the rest are the batch-built corpus behind
     bm25_index.  Per micro-batch the query terms explode stateless,
-    probe the postings/df/length/global-stats sides (all broadcast —
-    at 100 TB the postings side is the term-bucketed table and the
+    probe the broadcast postings (document lengths ride inside the
+    posting rows — the corpus is never rescanned at query time; at
+    100 TB the postings side is the term-bucketed table and the
     probe prunes to the query terms' buckets), score with the exact
     quantized BM25 contract, and maintain per-(query, candidate)
     score sums as the stream's single complete-mode aggregation
@@ -1463,14 +1464,9 @@ def q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     postings, term_stats, gstats = bm25_index(corpus)
-    postings = materialize(postings)
+    postings = materialize(postings)  # dl rides inside each posting
     term_stats = materialize(term_stats)
     toks = "filter(split(text, ' '), x -> x <> '')"
-    dl = materialize(
-        corpus.select(
-            "doc_id", F.expr(f"size({toks})").cast("bigint").alias("dl")
-        )
-    )
     g = gstats.collect()[0]
     n_docs, av = int(g["n"]), int(g["av"])
     schema = docs.schema
@@ -1501,7 +1497,6 @@ def q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         stream.join(F.broadcast(postings), "term")
         .join(F.broadcast(term_stats), "term")
-        .join(F.broadcast(dl), "doc_id")
         .select(
             "query_id",
             "doc_id",
