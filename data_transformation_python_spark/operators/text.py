@@ -522,6 +522,63 @@ def phrase_search(
     )
 
 
+def positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional postings (term, doc_id, pos) — the index phrase and
+    proximity queries need (plain tf postings can't see adjacency).
+    One posexplode of the filtered token array; at scale this is
+    written bucketed by term so a phrase probe reads only its terms'
+    buckets.  Positions are 1-based over the empty-filtered tokens,
+    matching phrase_search's row-local convention."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+        ).alias("__p0", "term"),
+    ).select(
+        "term", id_col, (F.col("__p0") + 1).cast("bigint").alias("pos")
+    )
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Serve an exact-phrase query from the positional index: the
+    first term's postings anchor the candidates, and each later term
+    joins on (doc, pos + d) — the classic adjacency self-join.  Every
+    join side is first pruned to ONE term's posting list (broadcast
+    term literals reach the scan as pushed filters; with
+    term-bucketed postings the scan prunes to the phrase's buckets),
+    so per-query work is O(Σ phrase-term posting lists), never the
+    corpus.  Same output contract as phrase_search — (doc_id,
+    phrase_tf, rank), overlaps counted, ties (tf DESC, doc_id) —
+    and contract-tested identical to it."""
+    from pyspark.sql.window import Window
+
+    if not phrase:
+        raise ValueError("empty phrase")
+    cur = postings.filter(F.col("term") == phrase[0]).select(
+        id_col, F.col("pos").alias("__anchor")
+    )
+    for d, t in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - d).alias("__anchor")
+        )
+        cur = cur.join(nxt, [id_col, "__anchor"])
+    w = Window.orderBy(F.desc("phrase_tf"), F.asc(id_col))
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:

@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "text_bm25_serve",
     "q_stream_bm25_serve",
     "text_phrase_search",
+    "text_phrase_serve",
     "multimodal_dhash_neardup",
     "dedup_span_trim",
     "multimodal_image_dedup_cc",

@@ -432,6 +432,39 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.phrase_search(docs, [pair["w1"], pair["w2"]], k=10)
 
 
+@query("text_phrase_serve", oracle=_PHRASE_ORACLE)
+def text_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of exact-phrase search (operators/text.py
+    positional_index / phrase_search_indexed): positional postings
+    built once, phrase answered by the classic adjacency self-join —
+    each side pruned to one term's posting list before the join, so
+    per-query work is the phrase terms' postings, never the corpus.
+    Same most-frequent-bigram query, same output contract, and the
+    SAME oracle as text_phrase_search: two physically different
+    plans (row-local scan vs index join), one bit-exact answer."""
+    docs = load(spark, sf_dir, "documents")
+    pair = (
+        docs.selectExpr("filter(split(text, ' '), x -> x <> '') AS __t")
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) AS w1,"
+                    " element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("__p")
+        )
+        .groupBy("__p.w1", "__p.w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w1", "w2")
+        .limit(1)
+        .collect()[0]
+    )
+    idx = tx.positional_index(docs)
+    return tx.phrase_search_indexed(idx, [pair["w1"], pair["w2"]], k=10)
+
+
 @query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by the rational

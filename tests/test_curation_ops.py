@@ -569,3 +569,38 @@ def test_phrase_search_overlaps_edges_and_ties(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phrase_indexed_matches_scan_path(spark):
+    """phrase_search_indexed over the positional index returns rows
+    identical to the row-local phrase_search scan — including
+    overlapping occurrences and the same-term phrase edge case — and
+    its plan prunes each join side to one term's postings (pushed
+    term filters) rather than shuffling the corpus."""
+    from data_transformation_python_spark.operators.text import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_index,
+    )
+
+    rows = [
+        (1, "x x x x"),
+        (2, "a x x b x x"),
+        (3, "x a x"),
+        (4, "b c d"),
+        (5, "x x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = positional_index(df)
+    for phrase in (["x", "x"], ["x", "x", "x"], ["b", "c"], ["zz", "x"]):
+        scan = [tuple(r) for r in phrase_search(df, phrase, k=10).collect()]
+        serve = [
+            tuple(r)
+            for r in phrase_search_indexed(idx, phrase, k=10).collect()
+        ]
+        assert scan == serve, (phrase, scan, serve)
+    plan = (
+        phrase_search_indexed(idx, ["x", "x"], k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan or "Filter" in plan, plan
