@@ -9,6 +9,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query executes to completion through the noop sink (full plan,
 no driver-side result transfer), timing the steady-state plan — the
 same discipline you'd use to measure cluster throughput.
+
+Host-proofing (round 9): the artifact carries (a) ``calibration`` — a
+fixed pure-JVM probe (median-of-5 ``spark.range(5e8).sum()``) so any
+shared host-throughput factor can be divided out of round-over-round
+diffs (round 8's mirror ran on a degraded host and 63/184 entries
+read as fake >1.5× regressions), and (b) a per-entry ``plan_fp`` —
+a hash of the normalized optimized logical plan — so plan-shape
+regressions are detected independently of wall time.  bench_diff.py
+consumes both.
+
+ROUND-CLOSE RITUAL (do this at the end of every round — untracked
+bench artifacts were flagged 5 rounds running):
+    git add BENCH_r*.json CORRECTNESS_r*.json BENCHFULL*.json \
+            PARITY_r*.json VERDICT.md ADVICE.md && git commit
 """
 
 from __future__ import annotations
@@ -16,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -612,6 +627,54 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+_EPHEMERAL = [
+    # exprIds / plan ids / cached-RDD ids change every session
+    (re.compile(r"#\d+L?"), "#x"),
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    # uuids, md5-derived temp suffixes, checkpoint dir hashes
+    (re.compile(r"[0-9a-f]{8,}", re.I), "H"),
+    # session temp dirs and warehouse paths
+    (re.compile(r"(/tmp|/private/var|/var/folders)/\S+"), "TMP"),
+    # constant-folded current_timestamp()/current_date() literals
+    (re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?"), "TS"),
+    (re.compile(r"\d{4}-\d{2}-\d{2}"), "DT"),
+]
+
+
+def plan_fingerprint(df) -> str | None:
+    """Stable 16-hex-char hash of a DataFrame's optimized logical
+    plan, with session-ephemeral tokens (exprIds, uuids, temp paths,
+    folded timestamps) normalized out.  Two runs of the same code on
+    the same fixtures produce the same fingerprint; a changed join
+    strategy, lost pushdown, or extra shuffle changes it — letting
+    bench_diff.py separate plan-shape regressions from host noise."""
+    try:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    for pat, repl in _EPHEMERAL:
+        s = pat.sub(repl, s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def jvm_calibration(spark, shots: int = 5) -> dict:
+    """Fixed pure-JVM throughput probe: median-of-``shots`` wall time
+    of ``spark.range(5e8).sum()`` (whole-stage-codegen'd long loop, no
+    Python, no IO).  Identical work every round, so the ratio of two
+    rounds' probes IS the shared host factor — divide it out before
+    calling anything a regression."""
+    times = []
+    for _ in range(shots):
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id)").collect()
+        times.append(round(time.perf_counter() - t0, 4))
+    return {
+        "probe": "range_5e8_sum",
+        "shots": times,
+        "median": round(_median(times), 4),
+    }
+
+
 def _time_entry(
     run, spark, repeats: int, budget: float = 12.0
 ) -> tuple[float, list[float]]:
@@ -688,22 +751,39 @@ def main() -> None:
     except Exception:
         pass
 
+    # Host-factor probe: identical pure-JVM work every round; ratio
+    # of two rounds' medians = shared host factor (see module doc).
+    calibration = jvm_calibration(spark)
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    plan_fps: dict[str, str] = {}
     errors: dict[str, str] = {}
+    # the last-constructed DataFrame per entry, captured from inside
+    # the timed closure so eager-construction ops (kmeans, bpe_learn)
+    # aren't re-run just to read their plan
+    _last: list = [None]
+
+    def _timed(make_df):
+        def run():
+            df = make_df()
+            _last[0] = df
+            df.write.format("noop").mode("overwrite").save()
+
+        return run
+
     for name, fn in sorted(all_queries().items()):
         try:
             timings[name], samples[name] = _time_entry(
-                lambda: fn(spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save(),
-                spark,
-                repeats,
+                _timed(lambda: fn(spark, sf_dir)), spark, repeats
             )
+            fp = plan_fingerprint(_last[0])
+            if fp:
+                plan_fps[name] = fp
         except Exception as e:  # one bad query must not kill the record
             errors[name] = str(e).split("\n")[0][:200]
             _drop_checkpoints(spark)
+        _last[0] = None
 
     # framework layer end-to-end: parse → DAG → level-parallel
     # materialization of the whole example project (times itself
@@ -731,16 +811,15 @@ def main() -> None:
             for name, thunk in corpus_scale_entries(spark, corpus_dir):
                 try:
                     timings[name + tag], samples[name + tag] = _time_entry(
-                        lambda: thunk()
-                        .write.format("noop")
-                        .mode("overwrite")
-                        .save(),
-                        spark,
-                        repeats,
+                        _timed(thunk), spark, repeats
                     )
+                    fp = plan_fingerprint(_last[0])
+                    if fp:
+                        plan_fps[name + tag] = fp
                 except Exception as e:
                     errors[name + tag] = str(e).split("\n")[0][:200]
                     _drop_checkpoints(spark)
+                _last[0] = None
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -751,13 +830,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "corpus_docs": n_corpus,
         "repeats": repeats,
+        "calibration": calibration,
     }
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
-    # Raw per-repeat samples go only to the BENCHFULL.json mirror —
-    # they triple the stdout line and the driver keeps only its tail.
-    payload = dict(payload, samples=samples)
+    # Raw per-repeat samples and plan fingerprints go only to the
+    # BENCHFULL.json mirror — they triple the stdout line and the
+    # driver keeps only its tail.
+    payload = dict(payload, samples=samples, plan_fp=plan_fps)
     # The driver's BENCH_r{N}.json artifact keeps only the tail of
     # stdout, which truncates the ~160-entry timing dict; mirror the
     # full payload to a file so every entry (incl. TPC-H) stays

@@ -7,6 +7,17 @@ Compares two bench.py output files and fails (exit 1) if any query
 regressed more than ``ratio``× — ignoring queries faster than
 ``floor`` seconds in BOTH files, where scheduling jitter dominates.
 Prints a summary either way, slowest regressions first.
+
+Host normalization: when BOTH files carry a ``calibration`` block
+(bench.py's fixed pure-JVM probe), new timings are divided by the
+probe ratio before comparison, so a uniformly slower host (round 8's
+failure mode: 63 fake >1.5× "regressions") doesn't read as code
+regressions.  The raw ratio is still printed.
+
+Plan-shape check: when both files carry ``plan_fp`` (normalized
+optimized-plan hashes), entries whose fingerprint changed are listed
+— a changed plan with a slower time is a REAL regression even if the
+host factor would excuse the wall clock.
 """
 
 from __future__ import annotations
@@ -57,6 +68,14 @@ def main() -> int:
     old, new = _load(args.old), _load(args.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
+    # host factor from the fixed JVM probe: >1 means the new host is
+    # slower; divide new timings by it before judging regressions
+    host = 1.0
+    oc = (old.get("calibration") or {}).get("median")
+    ncal = (new.get("calibration") or {}).get("median")
+    if oc and ncal:
+        host = ncal / oc
+
     regressions, improved, added, removed = [], [], [], []
     for name, nt in sorted(nq.items()):
         ot = oq.get(name)
@@ -65,7 +84,8 @@ def main() -> int:
             continue
         if max(ot, nt) < args.floor:
             continue
-        r = nt / ot if ot > 0 else float("inf")
+        adj = nt / host
+        r = adj / ot if ot > 0 else float("inf")
         if r > args.ratio:
             regressions.append((r, name, ot, nt))
         elif r < 1 / args.ratio:
@@ -76,6 +96,18 @@ def main() -> int:
         f"total: {old.get('value')}s -> {new.get('value')}s "
         f"({len(nq)} queries; {len(added)} added, {len(removed)} removed)"
     )
+    if oc and ncal:
+        print(
+            f"  host factor (JVM probe): {oc:.3f}s -> {ncal:.3f}s = "
+            f"{host:.3f}x — new timings divided by this before judging"
+        )
+    ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
+    plan_changed = sorted(
+        n for n in set(ofp) & set(nfp) if ofp[n] != nfp[n]
+    )
+    if plan_changed:
+        print(f"  plan fingerprint changed ({len(plan_changed)}): "
+              + ", ".join(plan_changed))
     for r, name, ot, nt in sorted(improved):
         print(f"  improved  {name}: {ot:.2f}s -> {nt:.2f}s ({r:.2f}x)")
     for r, name, ot, nt in sorted(regressions, reverse=True):

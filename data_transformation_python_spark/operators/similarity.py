@@ -1716,3 +1716,73 @@ def bq_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    labels: DataFrame,
+    query_ids,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN-vote classifier served from the binary-quantized index —
+    the embedding-classifier upgrade of the hashed-linear quality
+    filter (DCLM/fastText-style filtering moved to exactly this
+    shape: a labeled seed set + nearest-neighbor vote).
+
+    ``labels`` is the seed table (id, label); only labeled vectors
+    are candidate neighbors.  Per query: Hamming top-k over the
+    packed 64-bit sign codes (8 bytes/vector streamed against
+    broadcast query codes — the corpus never shuffles), then a
+    majority vote.  Everything is integer (popcounts, counts), so
+    predictions replay bit-for-bit in an oracle.  Vote ties are
+    deterministic: (votes DESC, best_hamming ASC, label ASC).
+
+    At 100 TB the seed set is the small side (10³-10⁶ labeled rows):
+    seeds' codes+labels broadcast; each unlabeled document computes
+    its k nearest seeds map-side — one narrow pass over the corpus,
+    zero corpus shuffles, the same plan ann-route serving uses.
+    Output: (query_id, pred_label, votes, best_hamming).
+    """
+    query_ids = list(query_ids)
+    sigs = bq_encode(df, vec_col, id_col)
+    seed_sigs = sigs.join(labels.select(id_col, label_col), id_col)
+    q_sigs = sigs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sig_lo").alias("__qlo"),
+        F.col("sig_hi").alias("__qhi"),
+    )
+    ham = (
+        seed_sigs.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q_sigs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(sig_lo ^ __qlo)"
+                " + bit_count(sig_hi ^ __qhi) AS BIGINT)"
+            ),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    topk = ham.withColumn("__r", F.row_number().over(w_k)).filter(
+        F.col("__r") <= k
+    )
+    votes = topk.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes"),
+        F.min("hamming").alias("best_hamming"),
+    )
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("best_hamming"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(w_v))
+        .filter(F.col("__vr") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).alias("pred_label"),
+            "votes",
+            "best_hamming",
+        )
+    )

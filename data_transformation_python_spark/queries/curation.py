@@ -465,6 +465,87 @@ def text_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.phrase_search_indexed(idx, [pair["w1"], pair["w2"]], k=10)
 
 
+# --------------------------------------------------------------------------
+# 3-term phrase — exercises the k-term adjacency machinery beyond the
+# bigram case: the row-local scan checks 3 positions per candidate,
+# the indexed path chains k−1 = 2 position self-joins
+# --------------------------------------------------------------------------
+_PHRASE3_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+tg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+  FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+top AS (SELECT w1, w2, w3 FROM tg GROUP BY 1, 2, 3
+        ORDER BY COUNT(*) DESC, w1, w2, w3 LIMIT 1),
+cnts AS (
+  SELECT doc_id,
+         CAST(len(list_filter(generate_series(1, len(tk) - 2),
+              j -> tk[j] = w1 AND tk[j + 1] = w2 AND tk[j + 2] = w3))
+            AS BIGINT) AS phrase_tf
+  FROM t CROSS JOIN top)
+SELECT doc_id, phrase_tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id)
+            AS BIGINT) AS rank
+FROM cnts WHERE phrase_tf > 0
+QUALIFY rank <= 10
+"""
+
+
+def _top_trigram(docs: DataFrame) -> list[str]:
+    """Corpus-most-frequent trigram, ties (count DESC, w1, w2, w3) —
+    the control-plane collect that builds the 3-term phrase query
+    (one row to the driver, like the bigram picker above)."""
+    row = (
+        docs.selectExpr("filter(split(text, ' '), x -> x <> '') AS __t")
+        .filter(F.size("__t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 2),"
+                    " i -> struct(element_at(__t, i) AS w1,"
+                    " element_at(__t, i + 1) AS w2,"
+                    " element_at(__t, i + 2) AS w3))"
+                )
+            ).alias("__p")
+        )
+        .groupBy("__p.w1", "__p.w2", "__p.w3")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w1", "w2", "w3")
+        .limit(1)
+        .collect()[0]
+    )
+    return [row["w1"], row["w2"], row["w3"]]
+
+
+@query("text_phrase3_search", oracle=_PHRASE3_ORACLE)
+def text_phrase3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-term exact-phrase top-10 for the corpus's most frequent
+    trigram — same row-local higher-order position filter as
+    text_phrase_search (operators/text.py phrase_search), but the
+    adjacency condition spans THREE consecutive positions, the case
+    the bigram gate never exercised.  One scan, zero shuffles,
+    TakeOrderedAndProject; all-integer output, bit-exact twin."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.phrase_search(docs, _top_trigram(docs), k=10)
+
+
+@query("text_phrase3_serve", oracle=_PHRASE3_ORACLE)
+def text_phrase3_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path for the 3-term phrase: k−1 = 2 chained
+    (doc, pos − d) adjacency self-joins over the positional index
+    (operators/text.py phrase_search_indexed), each side pruned to
+    ONE term's posting list before joining — per-query work stays
+    O(Σ phrase-term postings) however long the phrase.  Same trigram,
+    same output contract, SAME oracle as text_phrase3_search: three
+    physically different plans (scan / index / DuckDB), one bit-exact
+    answer."""
+    docs = load(spark, sf_dir, "documents")
+    idx = tx.positional_index(docs)
+    return tx.phrase_search_indexed(idx, _top_trigram(docs), k=10)
+
+
 @query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by the rational

@@ -1347,6 +1347,65 @@ def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# kNN-vote classifier served from the BQ index — the embedding-
+# classifier quality filter (the DCLM/fastText-filter upgrade):
+# labeled seed set, Hamming top-k neighbor vote, all-integer
+# --------------------------------------------------------------------------
+_KNN_ORACLE = """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+           FROM embeddings),
+sig AS (SELECT vec_id, label,
+  CAST(list_sum(list_transform(generate_series(1, 32),
+       i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+  CAST(list_sum(list_transform(generate_series(33, 64),
+       i -> CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 33)
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+  FROM q),
+qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+       WHERE vec_id % 5 = 0 AND vec_id < 50),
+ham AS (
+  SELECT query_id, s.vec_id AS neighbor_id, CAST(s.label AS BIGINT) AS label,
+         CAST(bit_count(xor(s.lo, qlo)) + bit_count(xor(s.hi, qhi)) AS BIGINT)
+           AS hamming
+  FROM qs CROSS JOIN sig s WHERE s.vec_id % 5 <> 0),
+topk AS (
+  SELECT query_id, label, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id) AS r
+    FROM ham) t WHERE r <= 5),
+votes AS (
+  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes,
+         MIN(hamming) AS best_hamming
+  FROM topk GROUP BY 1, 2)
+SELECT query_id, label AS pred_label, votes, best_hamming
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY votes DESC, best_hamming, label) AS vr
+      FROM votes) t
+WHERE vr = 1
+"""
+
+
+@query("text_knn_classifier", oracle=_KNN_ORACLE)
+def text_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-vote document classifier (operators/similarity.py
+    knn_classify): the fixture's labeled vectors where
+    vec_id % 5 ≠ 0 are the seed set; the ten vec_id % 5 = 0,
+    vec_id < 50 vectors are classified by majority vote of their 5
+    Hamming-nearest seeds over the packed BQ sign codes.  Everything
+    is integer — popcounts, vote counts, (votes DESC, best_hamming,
+    label) ties — so predictions replay bit-for-bit in DuckDB.  At
+    scale the seed codes+labels broadcast and the corpus classifies
+    map-side: zero corpus shuffles, the ann-route serving plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter("vec_id % 5 != 0").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    return sim.knn_classify(emb, seeds, query_ids=range(0, 50, 5), k=5)
+
+
+# --------------------------------------------------------------------------
 # BPE tokenizer train -> apply composition (distinct-word cache)
 # --------------------------------------------------------------------------
 @query("text_bpe_tokenize", oracle=tx.bpe_tokenize_oracle_sql(4))
