@@ -923,6 +923,105 @@ def q_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming kNN-vote classification — the quality-classifier serving
+# twin of text_knn_classifier: query vectors arrive as a STREAM and
+# are classified against the batch-built binary-quantized seed index
+# entirely ROW-LOCALLY (popcount Hamming to every seed code, top-k
+# slice, majority vote — all inside one higher-order expression), so
+# the job is a stateless narrow map: no stream state, no shuffle,
+# append mode.  The production ingest-time filter shape: label every
+# incoming document against a frozen labeled seed set.
+# --------------------------------------------------------------------------
+def _stream_knn_oracle() -> str:
+    from .pipeline_ops import _KNN_ORACLE
+
+    return _KNN_ORACLE
+
+
+@query("q_stream_knn_classifier", oracle=_stream_knn_oracle())
+def q_stream_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN-vote classifier over the static BQ seed index.
+
+    The seed index (packed 64-bit sign codes + labels for vec_id % 5
+    ≠ 0) is batch-built once and folded into the streaming plan; each
+    streamed query vector (vec_id % 5 = 0, < 50) packs its own sign
+    words row-locally, computes Hamming distance to EVERY seed code
+    with two popcounts, array_sorts, slices k=5, and majority-votes —
+    one narrow projection, zero stream state.  Vote ties match the
+    batch operator exactly: (votes DESC, best_hamming ASC, label
+    ASC).  SAME oracle as text_knn_classifier: batch plan, streaming
+    plan, and DuckDB replay — one bit-exact answer.  At 100 TB the
+    seed codes ride a broadcast (8 bytes + label per seed; 10⁶ seeds
+    ≈ 16 MB) and per-document cost is |seeds| popcounts — the
+    fastText-classifier economics with embeddings."""
+    from ..operators.similarity import QUANT_EXPR, _bq_word_expr, bq_encode
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = (
+        bq_encode(emb.filter(F.col("vec_id") % 5 != 0))
+        .join(
+            emb.select(
+                "vec_id", F.col("label").cast("bigint").alias("label")
+            ),
+            "vec_id",
+        )
+        .collect()
+    )
+    seed_lit = "array(" + ", ".join(
+        f"struct({int(r['sig_lo'])}L AS lo, {int(r['sig_hi'])}L AS hi,"
+        f" {int(r['vec_id'])}L AS nid, {int(r['label'])}L AS label)"
+        for r in sorted(seeds, key=lambda r: int(r["vec_id"]))
+    ) + ")"
+    cands = (
+        f"slice(array_sort(transform({seed_lit}, s -> struct("
+        "CAST(bit_count(s.lo ^ __qlo) + bit_count(s.hi ^ __qhi)"
+        " AS BIGINT) AS h, s.nid AS nid, s.label AS label))), 1, 5)"
+    )
+    best = (
+        "array_min(transform(array_distinct(transform(__c, c -> c.label)),"
+        " l -> struct("
+        "-size(filter(__c, c -> c.label = l)) AS negv,"
+        " aggregate(filter(__c, c -> c.label = l), CAST(999 AS BIGINT),"
+        " (a, x) -> least(a, x.h)) AS bh,"
+        " l AS label)))"
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(QUANT_EXPR.format(col="embedding")).alias("__v"),
+        )
+        .select(
+            "query_id",
+            F.expr(_bq_word_expr(0, 32)).alias("__qlo"),
+            F.expr(_bq_word_expr(32, 64)).alias("__qhi"),
+        )
+        .withColumn("__c", F.expr(cands))
+        .withColumn("__b", F.expr(best))
+        .select(
+            "query_id",
+            F.col("__b.label").alias("pred_label"),
+            (-F.col("__b.negv")).cast("bigint").alias("votes"),
+            F.col("__b.bh").alias("best_hamming"),
+        )
+    )
+    name = f"stream_knn_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
 # streaming HyperLogLog maintenance — each micro-batch appends its own
 # HLL registers via foreachBatch; the running sketch is their
 # per-bucket MAX (the mergeability invariant live), estimated and
