@@ -557,6 +557,23 @@ def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
 _CT_NC02_DEC = {v: k for k, v in _CT_NC02.items()}
 _CT_NCM1_DEC = {v: k for k, v in _CT_NCM1.items()}
 _CT_NC8_DEC = {v: k for k, v in _CT_NC8.items()}
+
+
+def _ct_dec_for_nc(nc: int) -> dict:
+    """coeff_token decode table for a derived nC: the transcribed
+    nC < 2 VLC column or the formula-defined nC >= 8 FLC column (which
+    covers I_PCM neighbours, counting 16); the lookup-defined middle
+    columns stay honest NotImplementedError."""
+    if nc < 2:
+        return _CT_NC02_DEC
+    if nc >= 8:
+        return _CT_NC8_DEC
+    raise NotImplementedError(
+        "coeff_token columns for 2 <= nC < 8 are not implemented "
+        "(lookup-defined in the spec; no codec libs to transcribe "
+        "them against — the nC >= 8 column IS implemented because "
+        "it is a formula)"
+    )
 _TZ_DEC = {tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS.items()}
 _TZ_CDC_DEC = {
     tc: {v: k for k, v in tab.items()} for tc, tab in _TOTAL_ZEROS_CDC.items()
@@ -1760,7 +1777,8 @@ def _p_slice_rbsp(
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
     mv_grid = np.zeros((mbh, mbw, 2), np.int64)
     inter_grid = np.zeros((mbh, mbw), bool)
-    stats = {"skip": 0, "p16": 0, "ipcm": 0, "i16": 0, "is_p": True}
+    stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0, "i16": 0,
+             "is_p": True}
     skip_run = 0
 
     def _mc_mb(mx: int, my: int, mv: tuple):
@@ -1828,6 +1846,234 @@ def _p_slice_rbsp(
     return bw.tobytes(), stats
 
 
+# -- inter residuals: P_L0_16x16 with CAVLC-coded prediction error ----------
+# coded_block_pattern me(v) mapping, Table 9-4 (ChromaArrayType 1),
+# Inter column: the transcribed PREFIX codeNum 0..12 — the well-known
+# head of the table (it is sorted by coding probability: cbp 0, the
+# single-plane patterns, then the all-coded patterns 15 and 47).  The
+# encoder below emits only codeNum 0 (cbp 0) and 12 (cbp 47 = luma 15
+# + chroma 2); decoding any later codeNum raises NotImplementedError
+# rather than guessing the rest of the lookup table.
+_CBP_INTER_CODE = {  # cbp -> codeNum
+    0: 0, 16: 1, 1: 2, 2: 3, 4: 4, 8: 5, 32: 6, 3: 7, 5: 8,
+    10: 9, 12: 10, 15: 11, 47: 12,
+}
+_CBP_INTER_DEC = {v: k for k, v in _CBP_INTER_CODE.items()}
+
+
+def _dense8(coeffs: list[int]) -> list[int]:
+    """Pin a scan-order coefficient list to EXACTLY eight nonzeros:
+    keep the 8 largest |level| (ties to the lower scan position),
+    raise the lowest-frequency zeros to +1 when fewer — the density
+    trick that keeps every derived nC in the implemented {<2, >=8}
+    coeff_token columns (see _i16ac8_slice_rbsp)."""
+    ac = list(coeffs)
+    nz = [i for i, v in enumerate(ac) if v != 0]
+    if len(nz) > 8:
+        for i in sorted(nz, key=lambda i: (-abs(ac[i]), i))[8:]:
+            ac[i] = 0
+    elif len(nz) < 8:
+        fill = [i for i in range(len(ac)) if ac[i] == 0]
+        for i in fill[: 8 - len(nz)]:
+            ac[i] = 1
+    return ac
+
+
+def _pr_slice_rbsp(
+    src: tuple, ref: tuple, frame_num: int, qp: int, mv: tuple
+) -> tuple[bytes, dict, tuple]:
+    """One P slice where EVERY macroblock is P_L0_16x16 carrying
+    dense-8 CAVLC residuals (cbp 47: all four luma 8x8 quadrants +
+    chroma DC&AC) — real LOSSY inter coding: full-pel MC prediction
+    from the previous RECONSTRUCTED picture (§8.4, the same median
+    MV predictor / edge-extended fetch as _p_slice_rbsp), prediction
+    error quantized with the inter rounding offset (1<<(15+e))/6,
+    LumaLevel4x4 blocks coded with ALL 16 scan positions (§7.3.5.3.2
+    — no DC/AC split outside Intra_16x16), chroma as the §7.3.5.3.3
+    DC-then-AC order with d(0,0) carried by the 2x2 Hadamard chain.
+    The pinned 8-coefficient density keeps every derived nC in the
+    implemented {<2, >=8} coeff_token columns (the _i16ac8 trick),
+    and a UNIFORM residual-coded picture never mixes TotalCoeff-0
+    neighbours in, so nC 2..7 is unreachable by construction.
+    Returns (rbsp, stats, reconstructed uint8 (y, cb, cr)) — the
+    closed-loop reference for the next picture."""
+    y, cb, cr = (p.astype(np.int64) for p in src)
+    ry, rcb, rcr = ref
+    _require_full_pel(mv)
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    e = qp // 6
+    mf = _mf4x4(qp % 6)
+    fq = (1 << (15 + e)) // 6  # inter rounding offset
+    qpc = _chroma_qpc(qp)
+    ec = qpc // 6
+    mfc = _mf4x4(qpc % 6)
+    fqc = (1 << (15 + ec)) // 6
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(5)            # slice_type: P (all slices in pic)
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(frame_num % 16, 4)  # frame_num
+    bw.u(0, 1)          # num_ref_idx_active_override_flag
+    bw.u(0, 1)          # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)          # adaptive_ref_pic_marking_mode_flag
+    bw.se(qp - 26)      # slice_qp_delta
+    bw.ue(1)            # disable_deblocking_filter_idc: OFF
+    rec_y = np.zeros_like(y)
+    rec_cb = np.zeros_like(cb)
+    rec_cr = np.zeros_like(cr)
+    nc_grid = np.zeros((mbh * 4, mbw * 4), np.int64)
+    nc_c = [
+        np.zeros((mbh * 2, mbw * 2), np.int64),
+        np.zeros((mbh * 2, mbw * 2), np.int64),
+    ]
+
+    def _nc_in(grid, gx: int, gy: int) -> int:
+        has_a, has_b = gx > 0, gy > 0
+        if has_a and has_b:
+            return int((grid[gy, gx - 1] + grid[gy - 1, gx] + 1) >> 1)
+        if has_a:
+            return int(grid[gy, gx - 1])
+        if has_b:
+            return int(grid[gy - 1, gx])
+        return 0
+
+    def _ct_for(nc: int) -> dict:
+        if nc < 2:
+            return _CT_NC02
+        if nc >= 8:
+            return _CT_NC8
+        raise AssertionError(f"dense-8 inter encoder derived nC {nc}")
+
+    mv_grid = np.zeros((mbh, mbw, 2), np.int64)
+    inter_grid = np.zeros((mbh, mbw), bool)
+    stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0, "i16": 0,
+             "is_p": True}
+    dx, dy = mv[0] // 4, mv[1] // 4
+    cdx, cdy = mv[0] // 8, mv[1] // 8
+    for idx in range(mbh * mbw):
+        my, mx = divmod(idx, mbw)
+        y0, x0 = my * 16, mx * 16
+        cy0, cx0 = my * 8, mx * 8
+        gx0, gy0 = mx * 4, my * 4
+        bw.ue(0)  # mb_skip_run: no skips in a uniform residual slice
+        mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
+        bw.ue(0)                 # mb_type P_L0_16x16
+        bw.se(mv[0] - mvp[0])    # mvd_l0 x
+        bw.se(mv[1] - mvp[1])    # mvd_l0 y
+        bw.ue(_CBP_INTER_CODE[47])  # coded_block_pattern me(v)
+        bw.se(0)                 # mb_qp_delta
+        mv_grid[my, mx] = mv
+        inter_grid[my, mx] = True
+        stats["p16r"] += 1
+        pred = _mc_block(ry, x0, y0, 16, 16, dx, dy).astype(np.int64)
+        resid = y[y0 : y0 + 16, x0 : x0 + 16] - pred
+        rec_mb = np.empty((16, 16), np.int64)
+        for bi in range(16):
+            bx, by = _BLK_SCAN[bi]
+            blk = resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+            w = _fwd_transform4x4(blk)
+            cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+            c16 = _dense8([int(cq.reshape(16)[_ZZ4[k]]) for k in range(16)])
+            nc = _nc_in(nc_grid, gx0 + bx, gy0 + by)
+            cavlc_encode_block(bw, c16, _ct_for(nc))
+            nc_grid[gy0 + by, gx0 + bx] = 8
+            cm = np.zeros(16, np.int64)
+            cm[np.array(_ZZ4)] = np.array(c16, np.int64)
+            d = _ac_dequant(cm.reshape(4, 4), qp)
+            r = (_inv_transform4x4(d) + 32) >> 6
+            rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
+            )
+        rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
+        # chroma: §7.3.5.3.3 order — ChromaDCLevel Cb then Cr, then
+        # the ChromaACLevel blocks of Cb, then Cr (cbp_chroma 2)
+        cpreds, cresids, dccs = [], [], []
+        for src_p, ref_p in ((cb, rcb), (cr, rcr)):
+            cpred = _mc_block(ref_p, cx0, cy0, 8, 8, cdx, cdy).astype(
+                np.int64
+            )
+            cresid = src_p[cy0 : cy0 + 8, cx0 : cx0 + 8] - cpred
+            cc = _chroma_dc_quant(cresid, qpc)
+            cavlc_encode_block(bw, cc, _CT_NCM1, _TOTAL_ZEROS_CDC,
+                               max_coeff=4)
+            cpreds.append(cpred)
+            cresids.append(cresid)
+            dccs.append(_chroma_dc_dequant(cc, qpc))
+        cgx0, cgy0 = mx * 2, my * 2
+        for pi, rec_p in enumerate((rec_cb, rec_cr)):
+            rec8 = np.empty((8, 8), np.int64)
+            for cbi in range(4):
+                cbx, cby = cbi % 2, cbi // 2
+                blk = cresids[pi][
+                    cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
+                ]
+                wq = _fwd_transform4x4(blk)
+                cq = np.sign(wq) * ((np.abs(wq) * mfc + fqc) >> (15 + ec))
+                flat = cq.reshape(16)
+                ac = _dense8([int(flat[_ZZ4[k]]) for k in range(1, 16)])
+                nc = _nc_in(nc_c[pi], cgx0 + cbx, cgy0 + cby)
+                cavlc_encode_block(bw, ac, _ct_for(nc), max_coeff=15)
+                nc_c[pi][cgy0 + cby, cgx0 + cbx] = 8
+                cm = np.zeros(16, np.int64)
+                cm[np.array(_ZZ4[1:])] = np.array(ac, np.int64)
+                d = _ac_dequant(cm.reshape(4, 4), qpc)
+                d[0, 0] = dccs[pi][cby, cbx]
+                r = (_inv_transform4x4(d) + 32) >> 6
+                rec8[cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4] = (
+                    cpreds[pi][cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4]
+                    + r
+                )
+            rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(rec8, 0, 255)
+    bw.rbsp_trailing()
+    return (
+        bw.tobytes(),
+        stats,
+        (
+            rec_y.astype(np.uint8),
+            rec_cb.astype(np.uint8),
+            rec_cr.astype(np.uint8),
+        ),
+    )
+
+
+def h264_encode_gop_pr(
+    frames_yuv: list[tuple], w: int, h: int, qp: int = 28,
+    mv: tuple = (8, 0),
+) -> tuple[list[bytes], list[dict], list[tuple]]:
+    """Encode a GOP with REAL LOSSY INTER CODING: frame 0 as an
+    all-I_PCM IDR (lossless reference), every later frame as a P
+    slice of P_L0_16x16 macroblocks carrying dense-8 CAVLC residuals
+    over full-pel MC prediction (cbp 47 — see _pr_slice_rbsp).  The
+    loop is CLOSED over reconstructions: each P picture predicts from
+    the previous picture's decoded output, exactly like the decoder,
+    so quantization error never drifts.  Returns ([SPS, PPS, IDR, P,
+    ...] NALs, per-frame stats, per-frame reconstructed (y, cb, cr)
+    uint8 planes)."""
+    _require_full_pel(mv)
+    y0, cb0, cr0 = frames_yuv[0]
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=1)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0)),
+    ]
+    stats_list: list[dict] = [
+        {
+            "skip": 0, "p16": 0, "p16r": 0,
+            "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
+            "i16": 0, "is_p": False,
+        }
+    ]
+    recs: list[tuple] = [frames_yuv[0]]  # I_PCM: lossless
+    ref = frames_yuv[0]
+    for fno, cur in enumerate(frames_yuv[1:], start=1):
+        rbsp, stats, rec = _pr_slice_rbsp(cur, ref, fno, qp, mv)
+        nals.append(_nal(1, rbsp, ref_idc=2))
+        stats_list.append(stats)
+        recs.append(rec)
+        ref = rec  # closed loop over the RECONSTRUCTION
+    return nals, stats_list, recs
+
+
 def h264_encode_gop_p(
     frames_yuv: list[tuple], w: int, h: int,
     mv_candidates: list | None = None,
@@ -1849,7 +2095,7 @@ def h264_encode_gop_p(
     ]
     stats_list: list[dict] = [
         {
-            "skip": 0, "p16": 0,
+            "skip": 0, "p16": 0, "p16r": 0,
             "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
             "i16": 0, "is_p": False,
         }
@@ -1985,8 +2231,8 @@ def h264_decode_gop(
             # trailing run when the picture ends in skips)
             mv_grid = np.zeros((mbh, mbw, 2), np.int64)
             inter_grid = np.zeros((mbh, mbw), bool)
-            stats = {"skip": 0, "p16": 0, "ipcm": 0, "i16": 0,
-                     "is_p": is_p}
+            stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0,
+                     "i16": 0, "is_p": is_p}
             if is_p:
                 ry, rcb, rcr = ref
             pending_skips = 0
@@ -2023,27 +2269,147 @@ def h264_decode_gop(
                         if mb_type == 0:  # P_L0_16x16 (Table 7-13)
                             mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
                             mv = (mvp[0] + br.se(), mvp[1] + br.se())
-                            # coded_block_pattern me(v): Inter
-                            # codeNum 0 <-> cbp 0 (Table 9-4)
-                            if br.ue() != 0:
+                            # coded_block_pattern me(v), Table 9-4
+                            # Inter column (transcribed prefix)
+                            cbp_i = _CBP_INTER_DEC.get(br.ue())
+                            if cbp_i is None:
                                 raise NotImplementedError(
-                                    "inter residuals (cbp != 0)"
+                                    "coded_block_pattern beyond the "
+                                    "transcribed Table 9-4 Inter "
+                                    "prefix (codeNum 0..12)"
                                 )
                             _require_full_pel(mv)
                             dx, dy = mv[0] // 4, mv[1] // 4
-                            y[my * 16 : my * 16 + 16,
-                              mx * 16 : mx * 16 + 16] = _mc_block(
-                                ry, mx * 16, my * 16, 16, 16, dx, dy)
                             cdx, cdy = mv[0] // 8, mv[1] // 8
-                            cb[my * 8 : my * 8 + 8,
-                               mx * 8 : mx * 8 + 8] = _mc_block(
-                                rcb, mx * 8, my * 8, 8, 8, cdx, cdy)
-                            cr[my * 8 : my * 8 + 8,
-                               mx * 8 : mx * 8 + 8] = _mc_block(
-                                rcr, mx * 8, my * 8, 8, 8, cdx, cdy)
+                            py = _mc_block(
+                                ry, mx * 16, my * 16, 16, 16, dx, dy
+                            ).astype(np.int64)
+                            pcb = _mc_block(
+                                rcb, mx * 8, my * 8, 8, 8, cdx, cdy
+                            ).astype(np.int64)
+                            pcr = _mc_block(
+                                rcr, mx * 8, my * 8, 8, 8, cdx, cdy
+                            ).astype(np.int64)
                             mv_grid[my, mx] = mv
                             inter_grid[my, mx] = True
-                            stats["p16"] += 1
+                            y0_, x0_ = my * 16, mx * 16
+                            cy0_, cx0_ = my * 8, mx * 8
+                            if cbp_i == 0:
+                                y[y0_ : y0_ + 16, x0_ : x0_ + 16] = py
+                                cb[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = pcb
+                                cr[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = pcr
+                                stats["p16"] += 1
+                                continue
+                            # inter residuals (§7.3.5.3.2/.3): luma
+                            # LumaLevel4x4 per coded 8x8 quadrant (all
+                            # 16 scan positions — no DC/AC split),
+                            # then chroma DC + (cbpC 2) chroma AC,
+                            # all added to the MC prediction
+                            cbpl_i, cbpc_i = cbp_i & 15, cbp_i >> 4
+                            qp = min(51, max(0, qp + br.se()))
+                            gx0, gy0 = mx * 4, my * 4
+                            rec_mb = np.empty((16, 16), np.int64)
+                            for bi in range(16):
+                                bx, by = _BLK_SCAN[bi]
+                                pblk = py[by * 4 : by * 4 + 4,
+                                          bx * 4 : bx * 4 + 4]
+                                if not cbpl_i & (1 << (bi // 4)):
+                                    rec_mb[by * 4 : by * 4 + 4,
+                                           bx * 4 : bx * 4 + 4] = pblk
+                                    continue
+                                nc = _nc_of(gx0 + bx, gy0 + by)
+                                c16 = cavlc_decode_block(
+                                    br, ct_dec=_ct_dec_for_nc(nc)
+                                )
+                                nc_grid[gy0 + by, gx0 + bx] = sum(
+                                    1 for v in c16 if v != 0
+                                )
+                                cm = np.zeros(16, np.int64)
+                                cm[np.array(_ZZ4)] = np.array(
+                                    c16, np.int64
+                                )
+                                d = _ac_dequant(cm.reshape(4, 4), qp)
+                                r = (_inv_transform4x4(d) + 32) >> 6
+                                rec_mb[by * 4 : by * 4 + 4,
+                                       bx * 4 : bx * 4 + 4] = pblk + r
+                            y[y0_ : y0_ + 16, x0_ : x0_ + 16] = np.clip(
+                                rec_mb, 0, 255
+                            )
+                            qpc = _chroma_qpc(qp)
+                            dccs = []
+                            if cbpc_i:
+                                for _ in range(2):
+                                    cc = cavlc_decode_block(
+                                        br, _CT_NCM1_DEC, _TZ_CDC_DEC,
+                                        max_coeff=4,
+                                    )
+                                    dccs.append(
+                                        _chroma_dc_dequant(cc, qpc)
+                                    )
+                            for pi, (plane, cpred) in enumerate(
+                                ((cb, pcb), (cr, pcr))
+                            ):
+                                if cbpc_i == 2:
+                                    cgx0, cgy0 = mx * 2, my * 2
+                                    rec8 = np.empty((8, 8), np.int64)
+                                    for cbi in range(4):
+                                        cbx, cby = cbi % 2, cbi // 2
+                                        cac = cavlc_decode_block(
+                                            br,
+                                            ct_dec=_ct_dec_for_nc(
+                                                _nc_in(
+                                                    nc_c[pi],
+                                                    cgx0 + cbx,
+                                                    cgy0 + cby,
+                                                )
+                                            ),
+                                            max_coeff=15,
+                                        )
+                                        nc_c[pi][
+                                            cgy0 + cby, cgx0 + cbx
+                                        ] = sum(
+                                            1 for v in cac if v != 0
+                                        )
+                                        cm = np.zeros(16, np.int64)
+                                        cm[np.array(_ZZ4[1:])] = (
+                                            np.array(cac, np.int64)
+                                        )
+                                        d = _ac_dequant(
+                                            cm.reshape(4, 4), qpc
+                                        )
+                                        d[0, 0] = dccs[pi][cby, cbx]
+                                        r = (
+                                            _inv_transform4x4(d) + 32
+                                        ) >> 6
+                                        rec8[
+                                            cby * 4 : cby * 4 + 4,
+                                            cbx * 4 : cbx * 4 + 4,
+                                        ] = (
+                                            cpred[
+                                                cby * 4 : cby * 4 + 4,
+                                                cbx * 4 : cbx * 4 + 4,
+                                            ]
+                                            + r
+                                        )
+                                    out8 = np.clip(rec8, 0, 255)
+                                elif cbpc_i:
+                                    rc = (dccs[pi] + 32) >> 6
+                                    out8 = np.clip(
+                                        cpred
+                                        + np.repeat(
+                                            np.repeat(rc, 4, axis=0),
+                                            4,
+                                            axis=1,
+                                        ),
+                                        0,
+                                        255,
+                                    )
+                                else:
+                                    out8 = cpred
+                                plane[
+                                    cy0_ : cy0_ + 8, cx0_ : cx0_ + 8
+                                ] = out8
+                            stats["p16r"] += 1
                             continue
                         if 1 <= mb_type <= 4:
                             raise NotImplementedError(

@@ -3726,6 +3726,190 @@ def synth_h264p_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+H264PR_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("qp", T.LongType()),
+        T.StructField("mvx", T.LongType()),
+        T.StructField("mvy", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("p16r_mbs", T.LongType()),
+        T.StructField("ipcm_idr_mbs", T.LongType()),
+        T.StructField("sum_abs_err", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("p_smaller_than_idr", T.BooleanType()),
+    ]
+)
+
+
+def _h264pr_dims(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    """(width, height, n_frames, qp, mvx, mvy) for the inter-residual
+    GOPs, all functions of doc_id % 48 — 48 distinct probe streams
+    (the codec_psnr convention), so the per-stream fidelity constants
+    pin once and replay for every doc.  MB-aligned dims; full-pel pan
+    vectors ≡ 0 (mod 8) so luma AND chroma MC stay in the implemented
+    subset; QP sweeps 24..36 so the pinned errors span real rate
+    points."""
+    pid = doc_id % 48
+    return (
+        32 + 16 * (pid % 3),
+        16 + 16 * (pid % 2),
+        3 + pid % 3,
+        24 + 4 * ((pid // 3) % 4),
+        8 * (1 + pid % 2),
+        8 if pid % 3 == 0 else 0,
+    )
+
+
+def _write_h264pr(doc_id: int) -> tuple[bytes, str, int]:
+    """(Annex-B stream of one IDR + residual-P GOP, md5 of the
+    concatenated closed-loop RGB reconstructions, Σ|rec − src| over
+    the luma plane).  Each P source frame is the previous SOURCE
+    frame panned by the full-pel GOP vector plus a small
+    deterministic per-block luma detail delta — so MC alone can never
+    reproduce it and every macroblock carries REAL quantized
+    prediction error (P_L0_16x16, cbp 47, dense-8 CAVLC — see
+    h264_codec._pr_slice_rbsp).  The codec's closed loop predicts
+    from reconstructions, so the error sum is a pinned pure function
+    of the probe id."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_pr,
+        mc_shift_planes,
+    )
+
+    w, h, nf, qp, mvx, mvy = _h264pr_dims(doc_id)
+    pid = doc_id % 48
+    rgb0 = _h264cac8_frame_rgb(pid, 0, w, h)
+    padded = np.pad(rgb0, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                    mode="edge")
+    frames = [_rgb_to_yuv420(padded)]
+    for f in range(1, nf):
+        y, cb, cr = mc_shift_planes(*frames[-1], (mvx, mvy))
+        ys, xs = np.indices(y.shape)
+        y = np.clip(
+            y.astype(np.int64)
+            + (f * 7 + (xs // 4) * 3 + (ys // 4) * 5) % 9
+            - 4,
+            0,
+            255,
+        ).astype(np.uint8)
+        frames.append((y, cb, cr))
+    nals, _stats, recs = h264_encode_gop_pr(
+        frames, w, h, qp=qp, mv=(mvx, mvy)
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in recs:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    err = sum(
+        int(np.abs(r[0].astype(np.int64) - s[0].astype(np.int64)).sum())
+        for r, s in zip(recs, frames)
+    )
+    return annexb(nals), md5.hexdigest(), err
+
+
+def synth_h264pr_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an inter-residual P-GOP H.264 stream per row, plus the
+    encoder's closed-loop reconstruction hash and luma error sum."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+            T.StructField("sum_abs_err", T.LongType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            trips = [_write_h264pr(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _, _ in trips],
+                    "rec_md5": [m for _, m, _ in trips],
+                    "sum_abs_err": [e for _, _, e in trips],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264pr_metadata(df: DataFrame) -> DataFrame:
+    """Decode the inter-residual GOP through the full pipeline —
+    Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan
+    positions), chroma DC+AC residuals, all added to edge-extended MC
+    prediction — and emit the oracle evidence: ``roundtrip_exact``
+    (decode hashes to the encoder's closed loop bit-for-bit), the
+    mode census (every P macroblock is P_L0_16x16 WITH residuals —
+    pure geometry), the pinned luma error sum (real lossy coding:
+    nonzero, QP-monotone-ish, frozen as 48 constants in the SQL
+    twin), and ``p_smaller_than_idr`` (residual P slices undercut
+    the I_PCM IDR — compression, not just prediction)."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264PR_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5, err in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+                pdf["sum_abs_err"].astype("int64"),
+            ):
+                w, h, nf, qp, mvx, mvy = _h264pr_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + nf, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["qp"].append(qp)
+                out["mvx"].append(mvx)
+                out["mvy"].append(mvy)
+                out["mb_count"].append(nf * mb_w * mb_h)
+                out["p16r_mbs"].append(sum(s["p16r"] for s in stats))
+                out["ipcm_idr_mbs"].append(
+                    sum(s["ipcm"] for s in stats if not s["is_p"])
+                )
+                out["sum_abs_err"].append(int(err))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+                out["p_smaller_than_idr"].append(
+                    sum(len(n) for n in nals[3:]) < len(nals[2])
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264PR_META_SCHEMA)
+
+
 def h264p_metadata(df: DataFrame) -> DataFrame:
     """Decode the P-GOP stream through the motion-compensating
     decoder and emit the oracle evidence: ``roundtrip_exact`` (the

@@ -2249,6 +2249,69 @@ def multimodal_h264p_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.h264p_metadata(mm.synth_h264p_table(docs))
 
 
+_H264PR_ORACLE = """
+WITH g AS (
+  SELECT doc_id, doc_id % 48 AS pid,
+         32 + 16 * ((doc_id % 48) % 3) AS w,
+         16 + 16 * ((doc_id % 48) % 2) AS h,
+         3 + (doc_id % 48) % 3 AS nf,
+         24 + 4 * (((doc_id % 48) // 3) % 4) AS qp
+  FROM documents),
+errs AS (
+  SELECT * FROM (VALUES
+  (0, 5192), (1, 17881), (2, 16661), (3, 13022),
+  (4, 16077), (5, 43747), (6, 12832), (7, 45390),
+  (8, 43599), (9, 32156), (10, 40351), (11, 118466),
+  (12, 5192), (13, 17812), (14, 16659), (15, 12915),
+  (16, 16073), (17, 43897), (18, 12848), (19, 46075),
+  (20, 43062), (21, 32017), (22, 39331), (23, 113855),
+  (24, 5176), (25, 17807), (26, 16657), (27, 12980),
+  (28, 16111), (29, 44390), (30, 12982), (31, 45844),
+  (32, 42863), (33, 31856), (34, 39768), (35, 112771),
+  (36, 5192), (37, 17816), (38, 16678), (39, 12998),
+  (40, 16084), (41, 43986), (42, 13042), (43, 45597),
+  (44, 43201), (45, 32070), (46, 39364), (47, 114234)
+) AS t(pid, err))
+SELECT g.doc_id,
+       CAST(g.w AS BIGINT) AS width,
+       CAST(g.h AS BIGINT) AS height,
+       CAST(g.nf AS BIGINT) AS n_frames,
+       CAST(g.qp AS BIGINT) AS qp,
+       CAST(8 * (1 + g.pid % 2) AS BIGINT) AS mvx,
+       CAST(CASE WHEN g.pid % 3 = 0 THEN 8 ELSE 0 END AS BIGINT) AS mvy,
+       CAST(g.nf * (g.w // 16) * (g.h // 16) AS BIGINT) AS mb_count,
+       CAST((g.nf - 1) * (g.w // 16) * (g.h // 16) AS BIGINT) AS p16r_mbs,
+       CAST((g.w // 16) * (g.h // 16) AS BIGINT) AS ipcm_idr_mbs,
+       CAST(e.err AS BIGINT) AS sum_abs_err,
+       TRUE AS roundtrip_exact,
+       TRUE AS p_smaller_than_idr
+FROM g JOIN errs e ON e.pid = g.pid
+"""
+
+
+@query("multimodal_h264pr_meta", oracle=_H264PR_ORACLE)
+def multimodal_h264pr_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER RESIDUALS (round 9 — the last formula-defined codec
+    rung): P_L0_16x16 macroblocks carrying CAVLC-coded luma AND
+    chroma prediction-error residuals (cbp 47 via the transcribed
+    Table 9-4 Inter prefix, mb_qp_delta, LumaLevel4x4 over all 16
+    scan positions, chroma DC+AC added to edge-extended full-pel MC —
+    operators/h264_codec.py _pr_slice_rbsp / h264_encode_gop_pr).
+    This composes the §8.4 motion path of multimodal_h264p_meta with
+    the dense-8 residual machinery of h264ac8/cac8, turning the
+    P-slice path from lossless-only into real lossy inter coding.
+    Evidence: decode ≡ encoder closed loop bit-for-bit
+    (roundtrip_exact over QP 24..36 and nonzero pan vectors), the
+    uniform mode census as pure geometry, the luma error sum pinned
+    at codec freeze for 48 probe streams (lossy, and replayed exactly
+    because the loop is closed over reconstructions), and every P
+    slice strictly smaller than the I_PCM IDR."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264pr_metadata(mm.synth_h264pr_table(docs))
+
+
 @query("multimodal_h264cac8_meta", oracle=_H264CAC8_ORACLE)
 def multimodal_h264cac8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHROMA AC residuals (cbp_chroma 2) — another stub closed: full

@@ -704,13 +704,13 @@ class TestPSliceMotion:
         nals, stats = hc.h264_encode_gop_p(
             [f0, f1], w, h, mv_candidates=[(16, 8)]
         )
-        assert stats[1] == {"skip": 2, "p16": 4, "ipcm": 0, "i16": 0,
-                            "is_p": True}
+        assert stats[1] == {"skip": 2, "p16": 4, "p16r": 0, "ipcm": 0,
+                            "i16": 0, "is_p": True}
         nals0, stats0 = hc.h264_encode_gop_p(
             [f0, f1], w, h, mv_candidates=[(0, 0)]
         )
-        assert stats0[1] == {"skip": 0, "p16": 0, "ipcm": 6, "i16": 0,
-                             "is_p": True}
+        assert stats0[1] == {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 6,
+                             "i16": 0, "is_p": True}
         dec, _ = hc.h264_decode_gop(nals0)
         exp = hc._yuv420_to_rgb(
             f1[0][:h, :w], f1[1][: h // 2, : w // 2],
@@ -818,3 +818,128 @@ class TestPSliceMotion:
             for fr in frames:
                 md5.update(fr.tobytes())
             assert md5.hexdigest() == rec
+
+
+class TestPSliceResiduals:
+    """Inter residuals (round 9): P_L0_16x16 with dense-8 CAVLC-coded
+    prediction error — Table 9-4 Inter cbp prefix, mb_qp_delta,
+    LumaLevel4x4 over all 16 scan positions, chroma DC+AC on top of
+    full-pel MC (h264_codec.py _pr_slice_rbsp / h264_encode_gop_pr;
+    spec §7.3.5.3.2-.3, §8.4, §8.5.12)."""
+
+    @staticmethod
+    def _detail_gop(w, h, nf, mv, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        pad = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                     mode="edge")
+        frames = [hc._rgb_to_yuv420(pad)]
+        for f in range(1, nf):
+            y, cb, cr = hc.mc_shift_planes(*frames[-1], mv)
+            ys, xs = np.indices(y.shape)
+            y = np.clip(
+                y.astype(np.int64)
+                + (f * 7 + (xs // 4) * 3 + (ys // 4) * 5) % 9 - 4,
+                0, 255,
+            ).astype(np.uint8)
+            frames.append((y, cb, cr))
+        return frames
+
+    def test_closed_loop_roundtrip_bit_exact(self):
+        """Decode reproduces the encoder's reconstruction exactly for
+        several QPs and pan vectors — the whole inter-residual parse
+        chain (cbp me(v), qp delta, nC bookkeeping across a uniform
+        residual picture, chroma DC+AC order) must agree."""
+        for qp, mv, seed in ((24, (8, 0), 5), (30, (16, 8), 7),
+                             (40, (8, 8), 11)):
+            w, h, nf = 48, 32, 4
+            frames = self._detail_gop(w, h, nf, mv, seed)
+            nals, stats, recs = hc.h264_encode_gop_pr(
+                frames, w, h, qp=qp, mv=mv
+            )
+            dec, dec_stats = hc.h264_decode_gop(nals)
+            assert [s["p16r"] for s in dec_stats] == [0] + [6] * (nf - 1)
+            assert all(s["skip"] == 0 and s["p16"] == 0
+                       for s in dec_stats)
+            for i, (fy, fcb, fcr) in enumerate(recs):
+                exp = hc._yuv420_to_rgb(
+                    fy[:h, :w], fcb[: h // 2, : w // 2],
+                    fcr[: h // 2, : w // 2]
+                )
+                assert np.array_equal(exp, dec[i]), f"qp {qp} frame {i}"
+
+    def test_residuals_are_lossy_and_qp_orders_error(self):
+        """Real lossy coding: nonzero reconstruction error that grows
+        with QP (same content, same motion)."""
+        w, h, nf, mv = 48, 32, 3, (8, 0)
+        errs = []
+        for qp in (24, 32, 40):
+            frames = self._detail_gop(w, h, nf, mv, 9)
+            _, _, recs = hc.h264_encode_gop_pr(frames, w, h, qp=qp, mv=mv)
+            errs.append(sum(
+                int(np.abs(r[0].astype(np.int64)
+                           - s[0].astype(np.int64)).sum())
+                for r, s in zip(recs, frames)
+            ))
+        assert errs[0] > 0
+        assert errs[0] < errs[1] < errs[2]
+
+    def test_p_slices_smaller_than_ipcm_idr(self):
+        """Compression, not just prediction: every residual-coded P
+        slice undercuts the I_PCM IDR."""
+        w, h, nf, mv = 64, 32, 4, (8, 0)
+        frames = self._detail_gop(w, h, nf, mv, 13)
+        nals, _, _ = hc.h264_encode_gop_pr(frames, w, h, qp=28, mv=mv)
+        assert all(len(n) < len(nals[2]) for n in nals[3:])
+
+    def test_cbp_inter_table_prefix_consistent(self):
+        """The transcribed Table 9-4 Inter prefix is a bijection over
+        codeNum 0..12 containing the two emitted patterns."""
+        assert hc._CBP_INTER_CODE[0] == 0
+        assert hc._CBP_INTER_CODE[47] == 12
+        assert len(hc._CBP_INTER_CODE) == 13
+        assert sorted(hc._CBP_INTER_CODE.values()) == list(range(13))
+        assert all(hc._CBP_INTER_DEC[v] == k
+                   for k, v in hc._CBP_INTER_CODE.items())
+
+    def test_unimplemented_cbp_codenum_rejected(self):
+        """A stream whose Inter cbp codeNum is beyond the transcribed
+        prefix raises NotImplementedError instead of guessing."""
+        w, h = 32, 16
+        frames = self._detail_gop(w, h, 2, (8, 0), 17)
+        nals, _, _ = hc.h264_encode_gop_pr(frames, w, h, qp=28, mv=(8, 0))
+        # rebuild the P slice with codeNum 13 in place of 12: encode a
+        # fresh slice whose writer we intercept is complex — instead
+        # decode a hand-built slice: reuse the encoder but monkeypatch
+        # the table
+        orig = hc._CBP_INTER_CODE[47]
+        try:
+            hc._CBP_INTER_CODE[47] = 13
+            bad_nals, _, _ = hc.h264_encode_gop_pr(
+                frames, w, h, qp=28, mv=(8, 0)
+            )
+        finally:
+            hc._CBP_INTER_CODE[47] = orig
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(bad_nals)
+
+    def test_fixture_gate_constants_replay(self):
+        """The gate fixture replays its pinned evidence for a probe
+        sweep: census formulas, lossy error, IDR-undercut, and the
+        decode hash."""
+        import hashlib
+
+        for pid in (0, 5, 11, 23, 30, 47):
+            payload, rec_md5, err = mm._write_h264pr(pid)
+            w, h, nf, qp, mvx, mvy = mm._h264pr_dims(pid)
+            nals = hc.split_annexb(payload)
+            frames, stats = hc.h264_decode_gop(nals)
+            mbs = (w // 16) * (h // 16)
+            assert sum(s["p16r"] for s in stats) == (nf - 1) * mbs
+            assert sum(s["ipcm"] for s in stats) == mbs
+            assert err > 0
+            assert all(len(n) < len(nals[2]) for n in nals[3:])
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec_md5
