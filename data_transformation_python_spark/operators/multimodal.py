@@ -1730,6 +1730,22 @@ def _codec_min_psnr(codec: str, doc_id: int) -> float:
             np.stack(_ipv_frame_channels(doc_id, f, w, h), axis=-1)
             for f in range(len(decs))
         ]
+    elif codec == "h264pr":
+        # inter-residual GOP: min per-P-frame PSNR of decode vs the
+        # SOURCE chain (frame 0 is I_PCM → lossless → skipped by the
+        # mse > 0 guard below)
+        from .h264_codec import _yuv420_to_rgb, h264_decode_gop
+
+        w, h, frames, nals, _recs = _h264pr_gop(doc_id)
+        decs, _stats = h264_decode_gop(nals)
+        srcs = [
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            )
+            for fy, fcb, fcr in frames
+        ]
     elif codec in ("h264dc", "h264ac", "h264ac8", "h264cac8"):
         from .h264_codec import h264_decode_frame, split_annexb
 
@@ -1779,7 +1795,7 @@ def codec_psnr_probe(spark, n_ids: int = 48) -> DataFrame:
     probes = spark.range(n_ids).selectExpr("id AS doc_id").crossJoin(
         spark.createDataFrame(
             [("jpeg",), ("mjpeg",), ("ipv",), ("adpcm",), ("h264dc",),
-             ("h264ac",), ("h264ac8",), ("h264cac8",)],
+             ("h264ac",), ("h264ac8",), ("h264cac8",), ("h264pr",)],
             "codec string",
         )
     )
@@ -3764,25 +3780,18 @@ def _h264pr_dims(doc_id: int) -> tuple[int, int, int, int, int, int]:
     )
 
 
-def _write_h264pr(doc_id: int) -> tuple[bytes, str, int]:
-    """(Annex-B stream of one IDR + residual-P GOP, md5 of the
-    concatenated closed-loop RGB reconstructions, Σ|rec − src| over
-    the luma plane).  Each P source frame is the previous SOURCE
-    frame panned by the full-pel GOP vector plus a small
-    deterministic per-block luma detail delta — so MC alone can never
-    reproduce it and every macroblock carries REAL quantized
-    prediction error (P_L0_16x16, cbp 47, dense-8 CAVLC — see
-    h264_codec._pr_slice_rbsp).  The codec's closed loop predicts
-    from reconstructions, so the error sum is a pinned pure function
-    of the probe id."""
-    import hashlib
-
+def _h264pr_gop(doc_id: int):
+    """(w, h, source (y,cb,cr) frames, NAL list, reconstructed
+    frames) for one inter-residual probe GOP — shared by the synth
+    table, the PSNR probe, and the tests.  Each P source frame is the
+    previous SOURCE frame panned by the full-pel GOP vector plus a
+    small deterministic per-block luma detail delta, so MC alone can
+    never reproduce it and every macroblock carries REAL quantized
+    prediction error."""
     import numpy as np
 
     from .h264_codec import (
         _rgb_to_yuv420,
-        _yuv420_to_rgb,
-        annexb,
         h264_encode_gop_pr,
         mc_shift_planes,
     )
@@ -3807,6 +3816,22 @@ def _write_h264pr(doc_id: int) -> tuple[bytes, str, int]:
     nals, _stats, recs = h264_encode_gop_pr(
         frames, w, h, qp=qp, mv=(mvx, mvy)
     )
+    return w, h, frames, nals, recs
+
+
+def _write_h264pr(doc_id: int) -> tuple[bytes, str, int]:
+    """(Annex-B stream of one IDR + residual-P GOP, md5 of the
+    concatenated closed-loop RGB reconstructions, Σ|rec − src| over
+    the luma plane).  The codec's closed loop predicts from
+    reconstructions, so the error sum is a pinned pure function of
+    the probe id (see _h264pr_gop for the fixture geometry)."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import _yuv420_to_rgb, annexb
+
+    w, h, frames, nals, recs = _h264pr_gop(doc_id)
     md5 = hashlib.md5()
     for fy, fcb, fcr in recs:
         md5.update(

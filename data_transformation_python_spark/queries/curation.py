@@ -1296,14 +1296,29 @@ FROM (VALUES
   ('h264cac8', 32, 19), ('h264cac8', 33, 17), ('h264cac8', 34, 12), ('h264cac8', 35, 29),
   ('h264cac8', 36, 22), ('h264cac8', 37, 20), ('h264cac8', 38, 16), ('h264cac8', 39, 13),
   ('h264cac8', 40, 28), ('h264cac8', 41, 23), ('h264cac8', 42, 19), ('h264cac8', 43, 17),
-  ('h264cac8', 44, 12), ('h264cac8', 45, 29), ('h264cac8', 46, 23), ('h264cac8', 47, 20)
+  ('h264cac8', 44, 12), ('h264cac8', 45, 29), ('h264cac8', 46, 23), ('h264cac8', 47, 20),
+  ('h264pr', 0, 26), ('h264pr', 1, 25), ('h264pr', 2, 26), ('h264pr', 3, 22),
+  ('h264pr', 4, 22), ('h264pr', 5, 22), ('h264pr', 6, 19), ('h264pr', 7, 19),
+  ('h264pr', 8, 19), ('h264pr', 9, 16), ('h264pr', 10, 16), ('h264pr', 11, 16),
+  ('h264pr', 12, 26), ('h264pr', 13, 25), ('h264pr', 14, 26), ('h264pr', 15, 22),
+  ('h264pr', 16, 22), ('h264pr', 17, 22), ('h264pr', 18, 19), ('h264pr', 19, 19),
+  ('h264pr', 20, 19), ('h264pr', 21, 16), ('h264pr', 22, 16), ('h264pr', 23, 16),
+  ('h264pr', 24, 25), ('h264pr', 25, 25), ('h264pr', 26, 26), ('h264pr', 27, 22),
+  ('h264pr', 28, 22), ('h264pr', 29, 22), ('h264pr', 30, 19), ('h264pr', 31, 19),
+  ('h264pr', 32, 19), ('h264pr', 33, 16), ('h264pr', 34, 16), ('h264pr', 35, 16),
+  ('h264pr', 36, 26), ('h264pr', 37, 25), ('h264pr', 38, 25), ('h264pr', 39, 22),
+  ('h264pr', 40, 22), ('h264pr', 41, 21), ('h264pr', 42, 19), ('h264pr', 43, 19),
+  ('h264pr', 44, 19), ('h264pr', 45, 16), ('h264pr', 46, 16), ('h264pr', 47, 16)
 ) AS t(codec, doc_id, psnr_fl)
 """
 
 
 @query("multimodal_codec_psnr", oracle=_CODEC_PSNR_ORACLE)
 def multimodal_codec_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-sensitive fidelity gate over all eight lossy codecs
+    """Hash-sensitive fidelity gate over all nine lossy codecs —
+    round 9 adds h264pr, the inter-residual P-GOP path, whose 48
+    constants ladder cleanly with QP (26 dB at QP 24 → 16 dB at
+    QP 36, min per-P-frame PSNR vs the source chain)
     (baseline JPEG, MJPEG-in-AVI, IPV1 inter-frame video, IMA ADPCM
     audio — SNR dB for the audio clip — the H.264 Intra_16x16 luma-DC
     transform path, the round-8 luma-AC path h264ac, whose pinned
