@@ -104,39 +104,89 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 8: the brand-new
-# motion-compensated P-slice gate (multimodal_h264p_meta, round 8c's
-# inter-prediction rung) leads, then the ten latest
-# never-checked-or-changed gates lead (the cross-modal near-dup
-# family — image dHash, exact-substring trim, image dedup-through-CC,
-# audio + video fingerprints on the shared Hamming engine — the
-# binaryFile ingest, streaming image admission, the dense-8 H.264
-# rungs h264ac8/h264cac8, and the PSNR gate re-pinned at 8×48
-# constants), then the seven
-# NEVER-CHECKED gates added late in the round (the aggregate-
-# incremental strategy, maximal-span extraction, stupid-backoff LM
-# scoring, the HDR quantile sketch batch + streaming merge, the BPE
-# train→tokenize composition, windowed audio frame features), then
-# the earlier round-8 additions (portable HyperLogLog batch +
-# streaming merge, the KMV bottom-k overlap sketch, the edit-distance
-# LSH-confirm stage, streaming ANN routing, streaming PQ-ADC serving,
-# the CAVLC Intra_16x16-DC H.264 subset), then the r4-era names that
-# overflowed the r7 window, then the r5-era names — ordered so the
-# ones sitting on code that changed in r7/r8 go first (q_cdc_* after
-# the merge-seam refactor + the per-invocation view-name race fix;
-# the similarity/dedup family after the auto-LSH default flip and the
-# assignment-tier pinning), the long r5 SQL/window tail after.  The
-# seventeen new front entries push q_salted_join through q_top_customers … q_dq_tests (r5-era
-# window/set-op/DQ shapes, structurally frozen, locally parity-green
-# every round) past position 50 — they join
-# multimodal_bmp_meta, multimodal_avi_meta and the five frozen TPC-H
-# shapes at the head of the r9 rotation.  Everything past position 50
-# stays honest via the local DuckDB parity suite
-# (tests/test_oracle_parity.py) and the committed PARITY_r{N}.json
-# full-registry sweep.  Names absent from the registry are ignored;
+# rotated STALEST-FIRST each round.  Round 9 head: (1) the five
+# brand-new never-checked gates — the inter-residual H.264 rung
+# multimodal_h264pr_meta, the kNN-vote classifier batch + streaming
+# twins, the trigram phrase scan/serve pair; (2) the gates whose CODE
+# or ORACLE changed this round — the PSNR gate (now 9 codecs × 48
+# constants) and the whole H.264 family, since the shared decoder
+# gained the inter-residual branches and the stats census a p16r key;
+# (3) the STALEST entries, per the round-8 audit: multimodal_wav_meta
+# and text_tfidf_topterms last driver-checked in round 4, then the
+# r5-era names (dedup_exact, dedup_simhash, the frozen TPC-H shapes
+# q01/q03/q04/q05/q06/q10, multimodal_avi_meta, multimodal_bmp_meta)
+# and the r5 SQL/window/set-op/DQ tail that has sat past position 50
+# since round 7.  The round-8 window (bm25/phrase serving, the
+# cross-modal near-dup family, sketches, streaming twins) moves
+# behind them — all just driver-checked, all still green in the local
+# full-registry PARITY sweep, which is what keeps everything past
+# position 50 honest (tests/test_oracle_parity.py + committed
+# PARITY_r{N}.json).  Names absent from the registry are ignored;
 # registered names absent from this list keep registration order.
 _PRIORITY: list[str] = [
+    # (1) new in round 9 — never driver-checked
+    "multimodal_h264pr_meta",
+    "text_knn_classifier",
+    "q_stream_knn_classifier",
+    "text_phrase3_search",
+    "text_phrase3_serve",
+    # (2) code/oracle changed in round 9 (shared H.264 decoder)
+    "multimodal_codec_psnr",
     "multimodal_h264p_meta",
+    "multimodal_h264ac8_meta",
+    "multimodal_h264cac8_meta",
+    "multimodal_h264c_meta",
+    "multimodal_h264dc_meta",
+    # (3) stalest: r4-era
+    "multimodal_wav_meta",
+    "text_tfidf_topterms",
+    # r5-era
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_avi_meta",
+    "multimodal_bmp_meta",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    # r5 SQL/window/set-op/DQ tail (past position 50 since round 7)
+    "q_quantiles",
+    "q_lag_lead",
+    "q_salted_join",
+    "q_range_frame_trailing",
+    "q_monthly_revenue",
+    "q_top_customers",
+    "q_window_rank",
+    "q_running_total",
+    "q_rollup_returnflag",
+    "q_union_nations",
+    "q_intersect_custkeys",
+    "q_except_customers",
+    "q_customers_without_orders",
+    "q_region_rollup",
+    "q_above_nation_average",
+    "q_status_matrix",
+    "q_dq_tests",
+    "q_gold_aggregate",
+    "q_var_substitution",
+    "q_string_agg",
+    "q_scalar_functions",
+    "text_quality_filter",
+    "text_repetition_stats",
+    "text_gopher_quality",
+    "sim_lsh_buckets",
+    "sim_cosine_topk",
+    "q_stream_dedup_watermark",
+    "q_silver_clean",
+    "q_cdc_merge",
+    "q_cdc_retirement",
+    "q_incremental_watermark",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_kmeans_blas",
+    # round-8 window (just checked) and later: keep prior order
     "text_bm25_topk",
     "text_bm25_serve",
     "q_stream_bm25_serve",
@@ -149,9 +199,6 @@ _PRIORITY: list[str] = [
     "multimodal_video_neardup",
     "multimodal_binaryfile_ingest",
     "q_stream_image_dedup",
-    "multimodal_h264ac8_meta",
-    "multimodal_h264cac8_meta",
-    "multimodal_codec_psnr",
     "q_incremental_aggregate",
     "dedup_leakage_split",
     "sketch_bloom_join",
@@ -180,58 +227,10 @@ _PRIORITY: list[str] = [
     "dedup_editdist_verify",
     "q_stream_ann_route",
     "q_stream_pq_serve",
-    "multimodal_h264c_meta",
-    "multimodal_h264dc_meta",
     "samp_reservoir",
     "pack_sequences",
     "text_pii_scrub",
     "samp_token_quota",
-    "text_tfidf_topterms",
-    "multimodal_wav_meta",
-    "q_cdc_merge",
-    "q_cdc_retirement",
-    "q_incremental_watermark",
-    "q_silver_clean",
-    "sim_lsh_buckets",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_ivf_kmeans_topk",
-    "sim_kmeans_blas",
-    "dedup_exact",
-    "dedup_simhash",
-    "q_stream_dedup_watermark",
-    "q_quantiles",
-    "q_lag_lead",
-    "q_salted_join",
-    "text_quality_filter",
-    "q_range_frame_trailing",
-    "q10_returned_items",
-    "q_monthly_revenue",
-    "q_top_customers",
-    "q_window_rank",
-    "q_running_total",
-    "q_rollup_returnflag",
-    "q_union_nations",
-    "q_intersect_custkeys",
-    "q_except_customers",
-    "q_customers_without_orders",
-    "q_region_rollup",
-    "q_above_nation_average",
-    "q_status_matrix",
-    "q_dq_tests",
-    "q_gold_aggregate",
-    "q_var_substitution",
-    "q_string_agg",
-    "q_scalar_functions",
-    "text_repetition_stats",
-    "text_gopher_quality",
-    "multimodal_bmp_meta",
-    "multimodal_avi_meta",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
 ]
 
 
