@@ -1713,14 +1713,142 @@ def _mc_block(plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
 
 
 def _require_full_pel(mv: tuple) -> None:
-    """The implemented MC subset is full-pel in BOTH planes: luma
-    needs mv ≡ 0 (mod 4) (quarter-pel units), chroma mv ≡ 0 (mod 8)
-    (the same vector read at eighth-pel chroma resolution)."""
+    """Guard for the whole-frame SHIFT fixture builder, which moves
+    planes by integer sample counts only: luma needs mv ≡ 0 (mod 4)
+    (quarter-pel units), chroma mv ≡ 0 (mod 8).  The CODEC itself
+    supports fractional vectors via the §8.4.2.2 interpolators
+    (_interp_luma_block / _interp_chroma_block)."""
     if mv[0] % 8 or mv[1] % 8:
         raise NotImplementedError(
-            "fractional-pel motion compensation (six-tap/bilinear"
-            " interpolation) is not implemented"
+            "mc_shift_planes moves whole samples; build fractional-pan"
+            " fixtures with mc_interp_planes instead"
         )
+
+
+# -- fractional-pel interpolation (§8.4.2.2) ---------------------------------
+_K6 = (1, -5, 20, 20, -5, 1)  # the six-tap half-pel filter
+
+
+def _conv6_h(w: np.ndarray) -> np.ndarray:
+    """Horizontal 6-tap over a window: out[:, i] spans w[:, i..i+5]
+    (the un-normalized half-pel intermediate — §8.4.2.2.1 b1/s1)."""
+    return sum(k * w[:, i : w.shape[1] - 5 + i] for i, k in enumerate(_K6))
+
+
+def _conv6_v(w: np.ndarray) -> np.ndarray:
+    """Vertical 6-tap over a window (h1/m1 intermediates)."""
+    return sum(k * w[i : w.shape[0] - 5 + i, :] for i, k in enumerate(_K6))
+
+
+def _interp_luma_block(
+    plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """QUARTER-PEL luma MC block fetch (§8.4.2.2.1, Table 8-12) with
+    picture-edge extension: half-pel samples b/h by the (1,−5,20,20,
+    −5,1)/32 six-tap, the center j by the two-stage 6-tap over
+    UN-normalized intermediates ((j1+512)>>10), and the twelve
+    quarter positions as (+1)>>1 averages of their Table 8-12
+    neighbour pair.  Edge clamping happens on the integer-sample
+    window indices, which is exactly the spec's per-tap coordinate
+    clip (each window row/column IS one individually clamped
+    integer coordinate).  mv is in quarter-pel units."""
+    xi, yi = mvx >> 2, mvy >> 2
+    xf, yf = mvx & 3, mvy & 3
+    if xf == 0 and yf == 0:
+        return _mc_block(plane, x0, y0, bw, bh, xi, yi)
+    hh, ww = plane.shape
+    ys = np.clip(np.arange(y0 + yi - 2, y0 + yi + bh + 4), 0, hh - 1)
+    xs = np.clip(np.arange(x0 + xi - 2, x0 + xi + bw + 4), 0, ww - 1)
+    w = plane[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
+    G = w[2 : 2 + bh + 1, 2 : 2 + bw + 1]       # integer grid (+1 row/col)
+    b1 = _conv6_h(w)                            # (bh+6, bw+1)
+    b = np.clip((b1[2 : 2 + bh + 1, :] + 16) >> 5, 0, 255)   # (bh+1, bw+1)
+    h1 = _conv6_v(w)                            # (bh+1, bw+6)
+    h = np.clip((h1 + 16) >> 5, 0, 255)[:, 2 : 2 + bw + 1]   # (bh+1, bw+1)
+    j = np.clip((_conv6_v(b1) + 512) >> 10, 0, 255)          # (bh+1, bw+1)
+    Gb, Hn = G[:bh, :bw], G[:bh, 1 : bw + 1]
+    Mb = G[1 : bh + 1, :bw]
+    bb, ss = b[:bh, :bw], b[1 : bh + 1, :bw]
+    hc, mm = h[:bh, :bw], h[:bh, 1 : bw + 1]
+    jj = j[:bh, :bw]
+    sel = {
+        (1, 0): (Gb + bb + 1) >> 1,   # a
+        (2, 0): bb,                   # b
+        (3, 0): (Hn + bb + 1) >> 1,   # c
+        (0, 1): (Gb + hc + 1) >> 1,   # d
+        (1, 1): (bb + hc + 1) >> 1,   # e
+        (2, 1): (bb + jj + 1) >> 1,   # f
+        (3, 1): (bb + mm + 1) >> 1,   # g
+        (0, 2): hc,                   # h
+        (1, 2): (hc + jj + 1) >> 1,   # i
+        (2, 2): jj,                   # j
+        (3, 2): (jj + mm + 1) >> 1,   # k
+        (0, 3): (Mb + hc + 1) >> 1,   # n
+        (1, 3): (hc + ss + 1) >> 1,   # p
+        (2, 3): (jj + ss + 1) >> 1,   # q
+        (3, 3): (mm + ss + 1) >> 1,   # r
+    }
+    return sel[(xf, yf)]
+
+
+def _interp_chroma_block(
+    plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """EIGHTH-PEL chroma MC block fetch (§8.4.2.2.2): bilinear over
+    the four surrounding integer samples with weights (8−dx)(8−dy) /
+    dx(8−dy) / (8−dx)dy / dx·dy and (+32)>>6 normalization; edge
+    extension by coordinate clamp.  mv is in quarter-pel LUMA units,
+    which read as eighth-pel at half-resolution chroma."""
+    xi, yi = mvx >> 3, mvy >> 3
+    xf, yf = mvx & 7, mvy & 7
+    if xf == 0 and yf == 0:
+        return _mc_block(plane, x0, y0, bw, bh, xi, yi)
+    hh, ww = plane.shape
+    ys = np.clip(np.arange(y0 + yi, y0 + yi + bh + 1), 0, hh - 1)
+    xs = np.clip(np.arange(x0 + xi, x0 + xi + bw + 1), 0, ww - 1)
+    w = plane[np.ix_(ys, xs)].astype(np.int64)
+    A, B = w[:bh, :bw], w[:bh, 1 : bw + 1]
+    C, D = w[1 : bh + 1, :bw], w[1 : bh + 1, 1 : bw + 1]
+    return (
+        (8 - xf) * (8 - yf) * A
+        + xf * (8 - yf) * B
+        + (8 - xf) * yf * C
+        + xf * yf * D
+        + 32
+    ) >> 6
+
+
+def _mc_mb_planes(ry, rcb, rcr, mx: int, my: int, mv: tuple):
+    """One macroblock's MC prediction (luma 16x16 + chroma 8x8 pair)
+    at an arbitrary quarter-pel vector — full-pel vectors reduce to
+    the plain clamped fetch."""
+    return (
+        _interp_luma_block(ry, mx * 16, my * 16, 16, 16, mv[0], mv[1]),
+        _interp_chroma_block(rcb, mx * 8, my * 8, 8, 8, mv[0], mv[1]),
+        _interp_chroma_block(rcr, mx * 8, my * 8, 8, 8, mv[0], mv[1]),
+    )
+
+
+def mc_interp_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     mv: tuple) -> tuple:
+    """Whole-frame QUARTER-PEL MC (§8.4.2.2) with edge extension —
+    exactly what a picture of P_16x16/P_Skip macroblocks carrying a
+    fractional ``mv`` reconstructs; the closed-loop fixture builder
+    for fractional-pan GOPs (generalizes mc_shift_planes, to which it
+    reduces when mv ≡ 0 mod 8 in both components)."""
+    return (
+        _interp_luma_block(
+            y, 0, 0, y.shape[1], y.shape[0], mv[0], mv[1]
+        ).astype(np.uint8),
+        _interp_chroma_block(
+            cb, 0, 0, cb.shape[1], cb.shape[0], mv[0], mv[1]
+        ).astype(np.uint8),
+        _interp_chroma_block(
+            cr, 0, 0, cr.shape[1], cr.shape[0], mv[0], mv[1]
+        ).astype(np.uint8),
+    )
 
 
 def mc_shift_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
@@ -1762,8 +1890,6 @@ def _p_slice_rbsp(
     y, cb, cr = (p.astype(np.uint8) for p in src)
     ry, rcb, rcr = ref
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    for mv in mv_candidates:
-        _require_full_pel(mv)
     bw = _EgWriter()
     bw.ue(0)            # first_mb_in_slice
     bw.ue(5)            # slice_type: P (all slices in pic)
@@ -1782,13 +1908,7 @@ def _p_slice_rbsp(
     skip_run = 0
 
     def _mc_mb(mx: int, my: int, mv: tuple):
-        dx, dy = mv[0] // 4, mv[1] // 4
-        cdx, cdy = mv[0] // 8, mv[1] // 8
-        return (
-            _mc_block(ry, mx * 16, my * 16, 16, 16, dx, dy),
-            _mc_block(rcb, mx * 8, my * 8, 8, 8, cdx, cdy),
-            _mc_block(rcr, mx * 8, my * 8, 8, 8, cdx, cdy),
-        )
+        return _mc_mb_planes(ry, rcb, rcr, mx, my, mv)
 
     def _src_mb(mx: int, my: int):
         return (
@@ -1801,13 +1921,9 @@ def _p_slice_rbsp(
         my, mx = divmod(idx, mbw)
         s = _src_mb(mx, my)
         smv = _pskip_mv(mv_grid, inter_grid, mx, my)
-        if (
-            smv[0] % 8 == 0
-            and smv[1] % 8 == 0
-            and all(
-                np.array_equal(a, b)
-                for a, b in zip(_mc_mb(mx, my, smv), s)
-            )
+        if all(
+            np.array_equal(a, b)
+            for a, b in zip(_mc_mb(mx, my, smv), s)
         ):
             skip_run += 1
             mv_grid[my, mx] = smv
@@ -1899,7 +2015,6 @@ def _pr_slice_rbsp(
     closed-loop reference for the next picture."""
     y, cb, cr = (p.astype(np.int64) for p in src)
     ry, rcb, rcr = ref
-    _require_full_pel(mv)
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     e = qp // 6
     mf = _mf4x4(qp % 6)
@@ -1948,8 +2063,6 @@ def _pr_slice_rbsp(
     inter_grid = np.zeros((mbh, mbw), bool)
     stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0, "i16": 0,
              "is_p": True}
-    dx, dy = mv[0] // 4, mv[1] // 4
-    cdx, cdy = mv[0] // 8, mv[1] // 8
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
         y0, x0 = my * 16, mx * 16
@@ -1965,7 +2078,9 @@ def _pr_slice_rbsp(
         mv_grid[my, mx] = mv
         inter_grid[my, mx] = True
         stats["p16r"] += 1
-        pred = _mc_block(ry, x0, y0, 16, 16, dx, dy).astype(np.int64)
+        pred = _interp_luma_block(
+            ry, x0, y0, 16, 16, mv[0], mv[1]
+        ).astype(np.int64)
         resid = y[y0 : y0 + 16, x0 : x0 + 16] - pred
         rec_mb = np.empty((16, 16), np.int64)
         for bi in range(16):
@@ -1989,9 +2104,9 @@ def _pr_slice_rbsp(
         # the ChromaACLevel blocks of Cb, then Cr (cbp_chroma 2)
         cpreds, cresids, dccs = [], [], []
         for src_p, ref_p in ((cb, rcb), (cr, rcr)):
-            cpred = _mc_block(ref_p, cx0, cy0, 8, 8, cdx, cdy).astype(
-                np.int64
-            )
+            cpred = _interp_chroma_block(
+                ref_p, cx0, cy0, 8, 8, mv[0], mv[1]
+            ).astype(np.int64)
             cresid = src_p[cy0 : cy0 + 8, cx0 : cx0 + 8] - cpred
             cc = _chroma_dc_quant(cresid, qpc)
             cavlc_encode_block(bw, cc, _CT_NCM1, _TOTAL_ZEROS_CDC,
@@ -2049,7 +2164,6 @@ def h264_encode_gop_pr(
     so quantization error never drifts.  Returns ([SPS, PPS, IDR, P,
     ...] NALs, per-frame stats, per-frame reconstructed (y, cb, cr)
     uint8 planes)."""
-    _require_full_pel(mv)
     y0, cb0, cr0 = frames_yuv[0]
     nals = [
         _nal(7, _sps_rbsp(w, h, max_ref_frames=1)),
@@ -2245,18 +2359,15 @@ def h264_decode_gop(
                     if pending_skips > 0:
                         pending_skips -= 1
                         mv = _pskip_mv(mv_grid, inter_grid, mx, my)
-                        _require_full_pel(mv)
-                        dx, dy = mv[0] // 4, mv[1] // 4
+                        sy, scb, scr = _mc_mb_planes(
+                            ry, rcb, rcr, mx, my, mv
+                        )
                         y[my * 16 : my * 16 + 16,
-                          mx * 16 : mx * 16 + 16] = _mc_block(
-                            ry, mx * 16, my * 16, 16, 16, dx, dy)
-                        cdx, cdy = mv[0] // 8, mv[1] // 8
+                          mx * 16 : mx * 16 + 16] = sy
                         cb[my * 8 : my * 8 + 8,
-                           mx * 8 : mx * 8 + 8] = _mc_block(
-                            rcb, mx * 8, my * 8, 8, 8, cdx, cdy)
+                           mx * 8 : mx * 8 + 8] = scb
                         cr[my * 8 : my * 8 + 8,
-                           mx * 8 : mx * 8 + 8] = _mc_block(
-                            rcr, mx * 8, my * 8, 8, 8, cdx, cdy)
+                           mx * 8 : mx * 8 + 8] = scr
                         mv_grid[my, mx] = mv
                         inter_grid[my, mx] = True
                         stats["skip"] += 1
@@ -2278,18 +2389,12 @@ def h264_decode_gop(
                                     "transcribed Table 9-4 Inter "
                                     "prefix (codeNum 0..12)"
                                 )
-                            _require_full_pel(mv)
-                            dx, dy = mv[0] // 4, mv[1] // 4
-                            cdx, cdy = mv[0] // 8, mv[1] // 8
-                            py = _mc_block(
-                                ry, mx * 16, my * 16, 16, 16, dx, dy
-                            ).astype(np.int64)
-                            pcb = _mc_block(
-                                rcb, mx * 8, my * 8, 8, 8, cdx, cdy
-                            ).astype(np.int64)
-                            pcr = _mc_block(
-                                rcr, mx * 8, my * 8, 8, 8, cdx, cdy
-                            ).astype(np.int64)
+                            py, pcb, pcr = (
+                                p.astype(np.int64)
+                                for p in _mc_mb_planes(
+                                    ry, rcb, rcr, mx, my, mv
+                                )
+                            )
                             mv_grid[my, mx] = mv
                             inter_grid[my, mx] = True
                             y0_, x0_ = my * 16, mx * 16

@@ -3881,6 +3881,169 @@ def synth_h264pr_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+H264Q_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mvx", T.LongType()),
+        T.StructField("mvy", T.LongType()),
+        T.StructField("frac_x", T.LongType()),
+        T.StructField("frac_y", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("ipcm_idr_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("p_smaller_than_idr", T.BooleanType()),
+    ]
+)
+
+
+def _h264q_dims(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, n_frames, mvx, mvy) for the QUARTER-PEL pan
+    GOPs: MB-aligned grids, pan vectors in quarter-pel units sweeping
+    every luma sub-position class (mvx 1..6 covers quarter, half,
+    three-quarter, and full-pel; mvy 0..3 adds the vertical and
+    center j cases), total travel ≤ (nf−1)·1.5 px ≪ one macroblock
+    so edge clamping never makes a census MB constant."""
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        3 + doc_id % 3,
+        1 + doc_id % 6,
+        doc_id % 4,
+    )
+
+
+def _write_h264q(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IDR + fractional-pan P GOP, md5 of the
+    concatenated RGB frames).  Every P source frame is the §8.4.2.2
+    QUARTER-PEL interpolation of the previous frame at the GOP pan
+    vector — built with the codec's OWN interpolator
+    (mc_interp_planes), so P_16x16/P_Skip at that vector reproduce it
+    exactly: the whole six-tap half-pel / averaged quarter-pel /
+    bilinear-chroma pipeline is pinned bit-for-bit by a lossless
+    closed loop, and the mode census stays the pure pan geometry
+    (top row + left column coded, interior skipped with the real
+    DERIVED fractional MV)."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_p,
+        mc_interp_planes,
+    )
+
+    w, h, nf, mvx, mvy = _h264q_dims(doc_id)
+    rgb0 = _h264cac8_frame_rgb(doc_id, 0, w, h)
+    padded = np.pad(rgb0, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                    mode="edge")
+    frames = [_rgb_to_yuv420(padded)]
+    for _f in range(1, nf):
+        frames.append(mc_interp_planes(*frames[-1], (mvx, mvy)))
+    nals, _stats = h264_encode_gop_p(
+        frames, w, h, mv_candidates=[(mvx, mvy)]
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264q_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a quarter-pel-pan P-GOP H.264 stream per row, plus the
+    closed-loop frame hash."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264q(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264q_metadata(df: DataFrame) -> DataFrame:
+    """Decode the fractional-pan GOP through the interpolating
+    decoder and emit the oracle evidence: ``roundtrip_exact`` (the
+    six-tap b/h, two-stage j, all twelve averaged quarter positions,
+    eighth-pel bilinear chroma, fractional P_Skip derivation, and MVD
+    coding must ALL agree bit-for-bit with the encoder's fixture
+    chain), the pan-geometry mode census, and the per-sub-position
+    coverage columns frac_x/frac_y the SQL twin recomputes."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264Q_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, nf, mvx, mvy = _h264q_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + nf, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["mvx"].append(mvx)
+                out["mvy"].append(mvy)
+                out["frac_x"].append(mvx & 3)
+                out["frac_y"].append(mvy & 3)
+                out["mb_count"].append(nf * mb_w * mb_h)
+                out["skip_mbs"].append(sum(s["skip"] for s in stats))
+                out["p16_mbs"].append(sum(s["p16"] for s in stats))
+                out["ipcm_idr_mbs"].append(
+                    sum(s["ipcm"] for s in stats if not s["is_p"])
+                )
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+                out["p_smaller_than_idr"].append(
+                    sum(len(n) for n in nals[3:]) < len(nals[2])
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264Q_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

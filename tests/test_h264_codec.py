@@ -736,31 +736,16 @@ class TestPSliceMotion:
         assert np.array_equal(dec[1], exp)
 
     def test_decoder_rejects_unsupported_inter_syntax(self):
-        """Fractional-pel MVs, non-16x16 P partitions, inter
-        residuals, and B slices raise instead of mis-decoding."""
+        """Non-16x16 P partitions and B slices raise instead of
+        mis-decoding (fractional-pel MVs DECODE since round 9 — only
+        the whole-sample SHIFT fixture helper still guards them)."""
         w, h = 32, 16
         f0 = self._base_yuv(w, h, 11)
         nals, _ = hc.h264_encode_gop_p(
             [f0, tuple(p.copy() for p in f0)], w, h
         )
         with pytest.raises(NotImplementedError):
-            hc.mc_shift_planes(*f0, (2, 0))  # fractional-pel helper
-
-        # hand-build a P slice with a fractional MVD: reuse the
-        # encoder header, then P_L0_16x16 with mvd (1, 0)
-        bw = hc._EgWriter()
-        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
-        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
-        bw.se(0); bw.ue(1)
-        bw.ue(0)        # mb_skip_run 0
-        bw.ue(0)        # P_L0_16x16
-        bw.se(1); bw.se(0)  # fractional mvd
-        bw.ue(0)        # cbp 0
-        bw.ue(2 * 16 - 1)  # remaining MBs... (skip run; count loose)
-        bw.rbsp_trailing()
-        frac = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
-        with pytest.raises(NotImplementedError):
-            hc.h264_decode_gop(frac)
+            hc.mc_shift_planes(*f0, (2, 0))  # shift helper only
 
         # P_8x8 partition mb_type
         bw = hc._EgWriter()
@@ -943,3 +928,140 @@ class TestPSliceResiduals:
             for fr in frames:
                 md5.update(fr.tobytes())
             assert md5.hexdigest() == rec_md5
+
+
+class TestFractionalPelMC:
+    """Quarter-pel luma / eighth-pel chroma motion compensation
+    (h264_codec.py _interp_luma_block / _interp_chroma_block /
+    mc_interp_planes; spec §8.4.2.2.1-2, Table 8-12)."""
+
+    def test_full_pel_reduces_to_copy(self):
+        rng = np.random.RandomState(1)
+        p = rng.randint(0, 256, (32, 48), np.int64)
+        for mvx, mvy in ((0, 0), (4, 0), (-8, 4), (12, -4)):
+            got = hc._interp_luma_block(p, 8, 8, 16, 16, mvx, mvy)
+            exp = hc._mc_block(p, 8, 8, 16, 16, mvx // 4, mvy // 4)
+            assert np.array_equal(got, exp)
+        for mvx, mvy in ((0, 0), (8, 0), (-16, 8)):
+            got = hc._interp_chroma_block(p, 4, 4, 8, 8, mvx, mvy)
+            exp = hc._mc_block(p, 4, 4, 8, 8, mvx // 8, mvy // 8)
+            assert np.array_equal(got, exp)
+
+    def test_six_tap_on_linear_ramp(self):
+        """On r(x) = x the 6-tap sums to 32x + 16, so the half-pel
+        sample rounds to x + 1 (value x+0.5, round-half-up) — a
+        closed-form pin of tap weights and normalization."""
+        p = np.tile(np.arange(10, 40, dtype=np.int64), (20, 1))
+        b = hc._interp_luma_block(p, 8, 8, 8, 8, 2, 0)  # xFrac 2
+        assert np.array_equal(b, p[8:16, 8:16] + 1)
+        h = hc._interp_luma_block(p.T.copy(), 8, 8, 8, 8, 0, 2)
+        assert np.array_equal(h, p.T[8:16, 8:16] + 1)
+
+    def test_constant_plane_invariant_all_subpositions(self):
+        """Every sub-position of a constant plane is that constant
+        (filters are DC-preserving with these normalizations)."""
+        p = np.full((32, 32), 133, np.int64)
+        for xf in range(4):
+            for yf in range(4):
+                got = hc._interp_luma_block(p, 8, 8, 8, 8, xf, yf)
+                assert np.array_equal(got, np.full((8, 8), 133)), (xf, yf)
+        for xf in range(8):
+            for yf in range(8):
+                got = hc._interp_chroma_block(p, 8, 8, 4, 4, xf, yf)
+                assert np.array_equal(got, np.full((4, 4), 133)), (xf, yf)
+
+    def test_block_fetch_matches_whole_frame(self):
+        """Per-MB block MC assembled over the grid equals the
+        whole-frame interpolation — edge clamping and window indexing
+        agree (this is what makes the closed-loop fixture valid)."""
+        rng = np.random.RandomState(3)
+        y = rng.randint(0, 256, (32, 48), np.uint8)
+        cbp = rng.randint(0, 256, (16, 24), np.uint8)
+        crp = rng.randint(0, 256, (16, 24), np.uint8)
+        for mv in ((6, 2), (1, 3), (5, 7), (3, 0)):
+            wy, wcb, wcr = hc.mc_interp_planes(y, cbp, crp, mv)
+            got_y = np.empty_like(wy)
+            got_cb = np.empty_like(wcb)
+            got_cr = np.empty_like(wcr)
+            for my in range(2):
+                for mx in range(3):
+                    by, bcb, bcr = hc._mc_mb_planes(
+                        y.astype(np.int64), cbp.astype(np.int64),
+                        crp.astype(np.int64), mx, my, mv
+                    )
+                    got_y[my*16:my*16+16, mx*16:mx*16+16] = by
+                    got_cb[my*8:my*8+8, mx*8:mx*8+8] = bcb
+                    got_cr[my*8:my*8+8, mx*8:mx*8+8] = bcr
+            assert np.array_equal(got_y, wy), mv
+            assert np.array_equal(got_cb, wcb), mv
+            assert np.array_equal(got_cr, wcr), mv
+
+    @staticmethod
+    def _base_yuv(w, h, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        pad = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                     mode="edge")
+        return hc._rgb_to_yuv420(pad)
+
+    def test_fractional_pan_gop_lossless_roundtrip(self):
+        """Source frames built with the codec's own interpolator are
+        reproduced EXACTLY by P_16x16/P_Skip at the fractional vector
+        — the lossless closed loop pinning b/h/j, the averaged
+        quarter positions, bilinear chroma, and the fractional
+        P_Skip derivation at once."""
+        w, h = 48, 32
+        for mv in ((6, 2), (1, 0), (3, 3), (5, 7)):
+            frames = [self._base_yuv(w, h, 21)]
+            for _ in range(1, 4):
+                frames.append(hc.mc_interp_planes(*frames[-1], mv))
+            nals, _ = hc.h264_encode_gop_p(frames, w, h,
+                                           mv_candidates=[mv])
+            dec, dstats = hc.h264_decode_gop(nals)
+            # pan census: top row + left column coded, interior skips
+            assert [s["p16"] for s in dstats] == [0, 4, 4, 4], mv
+            assert [s["skip"] for s in dstats] == [0, 2, 2, 2], mv
+            for i, (fy, fcb, fcr) in enumerate(frames):
+                exp = hc._yuv420_to_rgb(
+                    fy[:h, :w], fcb[: h // 2, : w // 2],
+                    fcr[: h // 2, : w // 2]
+                )
+                assert np.array_equal(exp, dec[i]), (mv, i)
+
+    def test_fractional_residual_gop_roundtrip(self):
+        """Inter residuals compose with fractional MC: dense-8 coding
+        over a quarter-pel-predicted GOP stays closed-loop exact."""
+        w, h = 48, 32
+        frames = [self._base_yuv(w, h, 33)]
+        for _ in range(1, 3):
+            frames.append(hc.mc_interp_planes(*frames[-1], (5, 2)))
+        nals, _, recs = hc.h264_encode_gop_pr(frames, w, h, qp=28,
+                                              mv=(5, 2))
+        dec, _ = hc.h264_decode_gop(nals)
+        for i, (fy, fcb, fcr) in enumerate(recs):
+            exp = hc._yuv420_to_rgb(
+                fy[:h, :w], fcb[: h // 2, : w // 2],
+                fcr[: h // 2, : w // 2]
+            )
+            assert np.array_equal(exp, dec[i]), i
+
+    def test_fixture_gate_census_replay(self):
+        """The h264q gate fixture's census formulas hold over a
+        doc_id sweep covering every sub-position class."""
+        import hashlib
+
+        for doc_id in range(24):
+            payload, rec = mm._write_h264q(doc_id)
+            frames, stats = hc.h264_decode_gop(hc.split_annexb(payload))
+            w, h, nf, mvx, mvy = mm._h264q_dims(doc_id)
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            assert sum(s["p16"] for s in stats) == (nf - 1) * (
+                mbw + mbh - 1
+            ), doc_id
+            assert sum(s["skip"] for s in stats) == (nf - 1) * (
+                mbw * mbh - (mbw + mbh - 1)
+            ), doc_id
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc_id
