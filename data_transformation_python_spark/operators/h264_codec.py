@@ -1646,35 +1646,71 @@ def h264_encode_frame_i16cdc(
 
 
 # -- P-slice motion machinery (§8.4) ----------------------------------------
-def _mv_nbr(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int,
-            dx: int, dy: int):
-    """Neighbour motion info for prediction: None if the macroblock
-    address is unavailable (outside the picture / not yet decoded in
-    raster order); else (mvx, mvy, refIdx) with intra neighbours
-    contributing mv 0 / refIdx −1 (§8.4.1.3.2)."""
-    mbh, mbw = inter.shape
-    x, y = mx + dx, my + dy
-    if x < 0 or y < 0 or x >= mbw or y >= mbh:
-        return None
-    if y > my or (y == my and x > mx):
-        return None  # not yet decoded
-    if inter[y, x]:
-        return (int(mv_grid[y, x, 0]), int(mv_grid[y, x, 1]), 0)
-    return (0, 0, -1)
+class _MotionState:
+    """4x4-granular motion state for MV prediction — §8.4.1.3 derives
+    neighbours at 4x4 luma block granularity (6.4.11.7), which is
+    what makes sub-16x16 partitions predictable: a 16x8 bottom
+    partition's B neighbour is the SAME macroblock's top partition.
+    Per block: mv (quarter-pel), inter flag, and decoded-availability
+    (an unavailable block is outside the picture or not yet decoded
+    in raster/partition order; a decoded INTRA block contributes
+    mv 0 / refIdx −1 per §8.4.1.3.2)."""
+
+    def __init__(self, mbh: int, mbw: int) -> None:
+        self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.inter = np.zeros((mbh * 4, mbw * 4), bool)
+        self.avail = np.zeros((mbh * 4, mbw * 4), bool)
+
+    def nbr(self, bx: int, by: int):
+        if (
+            bx < 0 or by < 0
+            or by >= self.mv.shape[0] or bx >= self.mv.shape[1]
+            or not self.avail[by, bx]
+        ):
+            return None
+        if self.inter[by, bx]:
+            return (int(self.mv[by, bx, 0]), int(self.mv[by, bx, 1]), 0)
+        return (0, 0, -1)
+
+    def set_part(self, bx0: int, by0: int, bw4: int, bh4: int,
+                 mv: tuple, inter: bool = True) -> None:
+        self.mv[by0 : by0 + bh4, bx0 : bx0 + bw4] = mv
+        self.inter[by0 : by0 + bh4, bx0 : bx0 + bw4] = inter
+        self.avail[by0 : by0 + bh4, bx0 : bx0 + bw4] = True
+
+    def set_mb(self, mx: int, my: int, mv: tuple) -> None:
+        self.set_part(mx * 4, my * 4, 4, 4, mv)
+
+    def set_intra(self, mx: int, my: int) -> None:
+        self.set_part(mx * 4, my * 4, 4, 4, (0, 0), inter=False)
 
 
-def _mvp_16x16(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int):
-    """Median luma MV predictor for a 16x16 partition with refIdxL0 0
-    (§8.4.1.3 / §8.4.1.3.1): neighbours A (left), B (top), C
-    (top-right, replaced by D top-left when unavailable); if B and C
-    are both address-unavailable and A is available the predictor is
-    mvA; if exactly one neighbour shares the reference index the
-    predictor is its mv; otherwise the component-wise median."""
-    a = _mv_nbr(mv_grid, inter, mx, my, -1, 0)
-    b = _mv_nbr(mv_grid, inter, mx, my, 0, -1)
-    c = _mv_nbr(mv_grid, inter, mx, my, 1, -1)
+def _mvp_part(ms: _MotionState, bx0: int, by0: int, bw4: int, bh4: int,
+              kind: str = "16x16", part_idx: int = 0):
+    """Luma MV predictor for one partition with refIdxL0 0
+    (§8.4.1.3 / §8.4.1.3.1): neighbours A (left of the partition), B
+    (above), C (above-right, D top-left fallback) at 4x4 granularity.
+    Directional special cases first — 16x8 top takes mvB / bottom
+    takes mvA, 8x16 left takes mvA / right takes mvC, each only when
+    that neighbour's reference matches (refIdx 0 here) — then the
+    general rules: B,C address-unavailable with A available → mvA;
+    exactly one reference-matching neighbour → its mv; else the
+    component-wise median."""
+    a = ms.nbr(bx0 - 1, by0)
+    b = ms.nbr(bx0, by0 - 1)
+    c = ms.nbr(bx0 + bw4, by0 - 1)
     if c is None:
-        c = _mv_nbr(mv_grid, inter, mx, my, -1, -1)
+        c = ms.nbr(bx0 - 1, by0 - 1)
+    if kind == "16x8":
+        if part_idx == 0 and b is not None and b[2] == 0:
+            return (b[0], b[1])
+        if part_idx == 1 and a is not None and a[2] == 0:
+            return (a[0], a[1])
+    elif kind == "8x16":
+        if part_idx == 0 and a is not None and a[2] == 0:
+            return (a[0], a[1])
+        if part_idx == 1 and c is not None and c[2] == 0:
+            return (c[0], c[1])
     if b is None and c is None and a is not None:
         return (a[0], a[1])
     trip = [t if t is not None else (0, 0, -1) for t in (a, b, c)]
@@ -1686,20 +1722,25 @@ def _mvp_16x16(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int):
     return (xs[1], ys[1])
 
 
-def _pskip_mv(mv_grid: np.ndarray, inter: np.ndarray, mx: int, my: int):
+def _mvp_16x16(ms: _MotionState, mx: int, my: int):
+    """Median luma MV predictor for a whole-MB 16x16 partition."""
+    return _mvp_part(ms, mx * 4, my * 4, 4, 4)
+
+
+def _pskip_mv(ms: _MotionState, mx: int, my: int):
     """P_Skip luma MV (§8.4.1.1): zero when A or B is unavailable or
-    when either is an inter MB with refIdx 0 and zero motion;
+    when either is an inter block with refIdx 0 and zero motion;
     otherwise the 16x16 median predictor — pan pictures therefore
     skip with real NONZERO derived motion."""
-    a = _mv_nbr(mv_grid, inter, mx, my, -1, 0)
-    b = _mv_nbr(mv_grid, inter, mx, my, 0, -1)
+    a = ms.nbr(mx * 4 - 1, my * 4)
+    b = ms.nbr(mx * 4, my * 4 - 1)
     if a is None or b is None:
         return (0, 0)
     if a[2] == 0 and a[0] == 0 and a[1] == 0:
         return (0, 0)
     if b[2] == 0 and b[0] == 0 and b[1] == 0:
         return (0, 0)
-    return _mvp_16x16(mv_grid, inter, mx, my)
+    return _mvp_16x16(ms, mx, my)
 
 
 def _mc_block(plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
@@ -1867,26 +1908,40 @@ def mc_shift_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     )
 
 
+#: partition geometry per kind: (luma (x_off, y_off, w, h),
+#: chroma (x_off, y_off, w, h)) for each of the two partitions
+_PART_GEOM = {
+    "16x8": (((0, 0, 16, 8), (0, 0, 8, 4)), ((0, 8, 16, 8), (0, 4, 8, 4))),
+    "8x16": (((0, 0, 8, 16), (0, 0, 4, 8)), ((8, 0, 8, 16), (4, 0, 4, 8))),
+}
+
+
 def _p_slice_rbsp(
-    src: tuple, ref: tuple, frame_num: int, mv_candidates: list
+    src: tuple, ref: tuple, frame_num: int, mv_candidates: list,
+    mv_pair_candidates: list | None = None,
 ) -> tuple[bytes, dict]:
     """One P slice covering the whole picture.  Per macroblock, in
     raster order, the encoder takes the first LOSSLESS mode:
 
-    1. P_Skip — when full-pel MC at the §8.4.1.1 derived skip MV
-       reproduces the source MB exactly (run-length coded via
-       ``mb_skip_run``),
-    2. P_L0_16x16 with cbp 0 — the first full-pel candidate MV whose
-       MC copy matches exactly (mvd coded against the §8.4.1.3
-       median predictor),
-    3. I_PCM (mb_type 30 = 25 + 5, Table 7-13) — the intra fallback
+    1. P_Skip — when MC at the §8.4.1.1 derived skip MV reproduces
+       the source MB exactly (run-length coded via ``mb_skip_run``),
+    2. P_L0_16x16 with cbp 0 — the first candidate MV whose MC copy
+       matches exactly (mvd coded against the §8.4.1.3 median
+       predictor),
+    3. P_L0_L0_16x8 / P_L0_L0_8x16 with cbp 0 (Table 7-13 mb_type
+       1/2) — the first (kind, mv0, mv1) pair from
+       ``mv_pair_candidates`` whose two per-partition MC copies both
+       match; each partition's mvd is coded against the §8.4.1.3.1
+       DIRECTIONAL predictor (16x8: top takes mvB, bottom mvA; 8x16:
+       left mvA, right mvC), with partition 0's reconstructed mv
+       visible to partition 1's derivation,
+    4. I_PCM (mb_type 30 = 25 + 5, Table 7-13) — the intra fallback
        for genuinely changed content (conditional replenishment).
 
     Every mode is exact, so the reconstruction IS the source — the
     closed loop that lets the oracle pin the decode bit-for-bit.
-    ``src``/``ref`` are PADDED uint8 (y, cb, cr) planes;
-    ``mv_candidates`` are quarter-pel vectors, each ≡ 0 (mod 8) so
-    luma and chroma MC are both full-pel."""
+    ``src``/``ref`` are PADDED uint8 (y, cb, cr) planes; vectors are
+    quarter-pel and may be fractional (§8.4.2.2 interpolation)."""
     y, cb, cr = (p.astype(np.uint8) for p in src)
     ry, rcb, rcr = ref
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
@@ -1901,10 +1956,9 @@ def _p_slice_rbsp(
     bw.u(0, 1)          # adaptive_ref_pic_marking_mode_flag (7.3.3.3)
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
-    mv_grid = np.zeros((mbh, mbw, 2), np.int64)
-    inter_grid = np.zeros((mbh, mbw), bool)
-    stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0, "i16": 0,
-             "is_p": True}
+    ms = _MotionState(mbh, mbw)
+    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
+             "ipcm": 0, "i16": 0, "is_p": True}
     skip_run = 0
 
     def _mc_mb(mx: int, my: int, mv: tuple):
@@ -1917,17 +1971,38 @@ def _p_slice_rbsp(
             cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
         )
 
+    def _part_matches(mx: int, my: int, kind: str, part: int,
+                      mv: tuple) -> bool:
+        (lx, ly, lw, lh), (cx, cy, cw, ch) = _PART_GEOM[kind][part]
+        py_ = _interp_luma_block(
+            ry, mx * 16 + lx, my * 16 + ly, lw, lh, mv[0], mv[1]
+        )
+        if not np.array_equal(
+            py_, y[my * 16 + ly : my * 16 + ly + lh,
+                   mx * 16 + lx : mx * 16 + lx + lw]
+        ):
+            return False
+        for plane, rp in ((cb, rcb), (cr, rcr)):
+            pc = _interp_chroma_block(
+                rp, mx * 8 + cx, my * 8 + cy, cw, ch, mv[0], mv[1]
+            )
+            if not np.array_equal(
+                pc, plane[my * 8 + cy : my * 8 + cy + ch,
+                          mx * 8 + cx : mx * 8 + cx + cw]
+            ):
+                return False
+        return True
+
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
         s = _src_mb(mx, my)
-        smv = _pskip_mv(mv_grid, inter_grid, mx, my)
+        smv = _pskip_mv(ms, mx, my)
         if all(
             np.array_equal(a, b)
             for a, b in zip(_mc_mb(mx, my, smv), s)
         ):
             skip_run += 1
-            mv_grid[my, mx] = smv
-            inter_grid[my, mx] = True
+            ms.set_mb(mx, my, smv)
             stats["skip"] += 1
             continue
         hit = None
@@ -1938,23 +2013,47 @@ def _p_slice_rbsp(
             ):
                 hit = mv
                 break
+        pair_hit = None
+        if hit is None:
+            for kind, mv0, mv1 in (mv_pair_candidates or ()):
+                if _part_matches(mx, my, kind, 0, mv0) and _part_matches(
+                    mx, my, kind, 1, mv1
+                ):
+                    pair_hit = (kind, mv0, mv1)
+                    break
         bw.ue(skip_run)  # mb_skip_run before every coded MB
         skip_run = 0
         if hit is not None:
-            mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
+            mvp = _mvp_16x16(ms, mx, my)
             bw.ue(0)                 # mb_type P_L0_16x16
             bw.se(hit[0] - mvp[0])   # mvd_l0 x
             bw.se(hit[1] - mvp[1])   # mvd_l0 y
             bw.ue(0)                 # coded_block_pattern: Inter cbp 0
-            mv_grid[my, mx] = hit
-            inter_grid[my, mx] = True
+            ms.set_mb(mx, my, hit)
             stats["p16"] += 1
+            continue
+        if pair_hit is not None:
+            kind, mv0, mv1 = pair_hit
+            bw.ue(1 if kind == "16x8" else 2)  # mb_type (Table 7-13)
+            for part, mv in ((0, mv0), (1, mv1)):
+                (lx, ly, lw, lh), _c = _PART_GEOM[kind][part]
+                bx0, by0 = mx * 4 + lx // 4, my * 4 + ly // 4
+                mvp = _mvp_part(ms, bx0, by0, lw // 4, lh // 4,
+                                kind, part)
+                bw.se(mv[0] - mvp[0])
+                bw.se(mv[1] - mvp[1])
+                # partition 0's mv is visible to partition 1's
+                # §8.4.1.3.1 derivation, exactly like the decoder
+                ms.set_part(bx0, by0, lw // 4, lh // 4, mv)
+            bw.ue(0)  # coded_block_pattern: Inter cbp 0
+            stats["p16x8" if kind == "16x8" else "p8x16"] += 1
             continue
         bw.ue(30)  # mb_type: I_PCM in a P slice (25 + 5, Table 7-13)
         bw.align_zero()
         bw.raw_bytes(s[0].tobytes())
         bw.raw_bytes(s[1].tobytes())
         bw.raw_bytes(s[2].tobytes())
+        ms.set_intra(mx, my)
         stats["ipcm"] += 1
     if skip_run:
         bw.ue(skip_run)  # trailing run when the picture ends in skips
@@ -2059,24 +2158,22 @@ def _pr_slice_rbsp(
             return _CT_NC8
         raise AssertionError(f"dense-8 inter encoder derived nC {nc}")
 
-    mv_grid = np.zeros((mbh, mbw, 2), np.int64)
-    inter_grid = np.zeros((mbh, mbw), bool)
-    stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0, "i16": 0,
-             "is_p": True}
+    ms = _MotionState(mbh, mbw)
+    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
+             "ipcm": 0, "i16": 0, "is_p": True}
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
         y0, x0 = my * 16, mx * 16
         cy0, cx0 = my * 8, mx * 8
         gx0, gy0 = mx * 4, my * 4
         bw.ue(0)  # mb_skip_run: no skips in a uniform residual slice
-        mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
+        mvp = _mvp_16x16(ms, mx, my)
         bw.ue(0)                 # mb_type P_L0_16x16
         bw.se(mv[0] - mvp[0])    # mvd_l0 x
         bw.se(mv[1] - mvp[1])    # mvd_l0 y
         bw.ue(_CBP_INTER_CODE[47])  # coded_block_pattern me(v)
         bw.se(0)                 # mb_qp_delta
-        mv_grid[my, mx] = mv
-        inter_grid[my, mx] = True
+        ms.set_mb(mx, my, mv)
         stats["p16r"] += 1
         pred = _interp_luma_block(
             ry, x0, y0, 16, 16, mv[0], mv[1]
@@ -2172,7 +2269,7 @@ def h264_encode_gop_pr(
     ]
     stats_list: list[dict] = [
         {
-            "skip": 0, "p16": 0, "p16r": 0,
+            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
             "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
             "i16": 0, "is_p": False,
         }
@@ -2191,14 +2288,17 @@ def h264_encode_gop_pr(
 def h264_encode_gop_p(
     frames_yuv: list[tuple], w: int, h: int,
     mv_candidates: list | None = None,
+    mv_pair_candidates: list | None = None,
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a GOP: frame 0 as an all-I_PCM IDR, every later frame
-    as a P slice (P_Skip / full-pel P_16x16 / I_PCM replenishment —
-    see _p_slice_rbsp).  ``frames_yuv`` are PADDED (y, cb, cr) uint8
-    plane triples (mb-aligned, as _rgb_to_yuv420 of a padded frame
-    yields); every mode is lossless so the reconstruction equals the
-    input exactly.  Returns ([SPS, PPS, IDR, P, P, ...] NAL units,
-    per-frame MB-mode stats)."""
+    as a P slice (P_Skip / P_16x16 / sub-16x16 partitions / I_PCM
+    replenishment — see _p_slice_rbsp).  ``frames_yuv`` are PADDED
+    (y, cb, cr) uint8 plane triples (mb-aligned, as _rgb_to_yuv420 of
+    a padded frame yields); every mode is lossless so the
+    reconstruction equals the input exactly.
+    ``mv_pair_candidates`` are ("16x8"|"8x16", mv0, mv1) triples for
+    the two-partition modes.  Returns ([SPS, PPS, IDR, P, P, ...]
+    NAL units, per-frame MB-mode stats)."""
     if mv_candidates is None:
         mv_candidates = [(0, 0)]
     y0, cb0, cr0 = frames_yuv[0]
@@ -2209,14 +2309,16 @@ def h264_encode_gop_p(
     ]
     stats_list: list[dict] = [
         {
-            "skip": 0, "p16": 0, "p16r": 0,
+            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
             "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
             "i16": 0, "is_p": False,
         }
     ]
     ref = frames_yuv[0]
     for fno, cur in enumerate(frames_yuv[1:], start=1):
-        rbsp, stats = _p_slice_rbsp(cur, ref, fno, mv_candidates)
+        rbsp, stats = _p_slice_rbsp(
+            cur, ref, fno, mv_candidates, mv_pair_candidates
+        )
         nals.append(_nal(1, rbsp, ref_idc=2))
         stats_list.append(stats)
         ref = cur  # closed loop: every mode is exact
@@ -2343,10 +2445,9 @@ def h264_decode_gop(
             # flag for the §8.4.1.3 predictor; skip-run state machine
             # (§7.3.4: mb_skip_run precedes every coded MB, plus one
             # trailing run when the picture ends in skips)
-            mv_grid = np.zeros((mbh, mbw, 2), np.int64)
-            inter_grid = np.zeros((mbh, mbw), bool)
-            stats = {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 0,
-                     "i16": 0, "is_p": is_p}
+            ms = _MotionState(mbh, mbw)
+            stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0,
+                     "p16r": 0, "ipcm": 0, "i16": 0, "is_p": is_p}
             if is_p:
                 ry, rcb, rcr = ref
             pending_skips = 0
@@ -2358,7 +2459,7 @@ def h264_decode_gop(
                         need_run = False
                     if pending_skips > 0:
                         pending_skips -= 1
-                        mv = _pskip_mv(mv_grid, inter_grid, mx, my)
+                        mv = _pskip_mv(ms, mx, my)
                         sy, scb, scr = _mc_mb_planes(
                             ry, rcb, rcr, mx, my, mv
                         )
@@ -2368,8 +2469,7 @@ def h264_decode_gop(
                            mx * 8 : mx * 8 + 8] = scb
                         cr[my * 8 : my * 8 + 8,
                            mx * 8 : mx * 8 + 8] = scr
-                        mv_grid[my, mx] = mv
-                        inter_grid[my, mx] = True
+                        ms.set_mb(mx, my, mv)
                         stats["skip"] += 1
                         # after the run: the next symbol is the coded
                         # MB the run preceded (§7.3.4), not a new run
@@ -2378,7 +2478,7 @@ def h264_decode_gop(
                     if is_p:
                         need_run = True
                         if mb_type == 0:  # P_L0_16x16 (Table 7-13)
-                            mvp = _mvp_16x16(mv_grid, inter_grid, mx, my)
+                            mvp = _mvp_16x16(ms, mx, my)
                             mv = (mvp[0] + br.se(), mvp[1] + br.se())
                             # coded_block_pattern me(v), Table 9-4
                             # Inter column (transcribed prefix)
@@ -2395,8 +2495,7 @@ def h264_decode_gop(
                                     ry, rcb, rcr, mx, my, mv
                                 )
                             )
-                            mv_grid[my, mx] = mv
-                            inter_grid[my, mx] = True
+                            ms.set_mb(mx, my, mv)
                             y0_, x0_ = my * 16, mx * 16
                             cy0_, cx0_ = my * 8, mx * 8
                             if cbp_i == 0:
@@ -2516,13 +2615,66 @@ def h264_decode_gop(
                                 ] = out8
                             stats["p16r"] += 1
                             continue
-                        if 1 <= mb_type <= 4:
+                        if mb_type in (1, 2):
+                            # P_L0_L0_16x8 / P_L0_L0_8x16 (Table
+                            # 7-13): two partitions, each with its own
+                            # mvd against the §8.4.1.3.1 DIRECTIONAL
+                            # predictor; partition 0's reconstructed
+                            # mv feeds partition 1's derivation
+                            kind = "16x8" if mb_type == 1 else "8x16"
+                            pmvs = []
+                            for part in range(2):
+                                (lx, ly, lw, lh), _c = (
+                                    _PART_GEOM[kind][part]
+                                )
+                                bx0 = mx * 4 + lx // 4
+                                by0 = my * 4 + ly // 4
+                                mvp = _mvp_part(
+                                    ms, bx0, by0, lw // 4, lh // 4,
+                                    kind, part,
+                                )
+                                pmv = (mvp[0] + br.se(),
+                                       mvp[1] + br.se())
+                                ms.set_part(
+                                    bx0, by0, lw // 4, lh // 4, pmv
+                                )
+                                pmvs.append(pmv)
+                            if br.ue() != 0:
+                                raise NotImplementedError(
+                                    "inter residuals on sub-16x16 "
+                                    "partitions (cbp != 0)"
+                                )
+                            for part, pmv in enumerate(pmvs):
+                                (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                                    _PART_GEOM[kind][part]
+                                )
+                                y[my * 16 + ly : my * 16 + ly + lh,
+                                  mx * 16 + lx : mx * 16 + lx + lw] = (
+                                    _interp_luma_block(
+                                        ry, mx * 16 + lx, my * 16 + ly,
+                                        lw, lh, pmv[0], pmv[1],
+                                    )
+                                )
+                                for plane, rp in ((cb, rcb), (cr, rcr)):
+                                    plane[
+                                        my * 8 + cy : my * 8 + cy + ch,
+                                        mx * 8 + cx : mx * 8 + cx + cw,
+                                    ] = _interp_chroma_block(
+                                        rp, mx * 8 + cx, my * 8 + cy,
+                                        cw, ch, pmv[0], pmv[1],
+                                    )
+                            stats["p16x8" if kind == "16x8"
+                                  else "p8x16"] += 1
+                            continue
+                        if mb_type in (3, 4):
                             raise NotImplementedError(
-                                "P partitions other than 16x16"
+                                "P_8x8 sub-macroblock partitions"
                             )
                         mb_type -= 5  # intra types in P (Table 7-13)
                     if mb_type == 25:  # I_PCM
                         stats["ipcm"] += 1
+                        if is_p:
+                            ms.set_intra(mx, my)
                         is_pcm[my, mx] = True
                         nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
                         for g in nc_c:
@@ -2551,6 +2703,8 @@ def h264_decode_gop(
                         )
                     # I_16x16_<pred>_<cbpC>_<cbpL> (Table 7-11)
                     stats["i16"] += 1
+                    if is_p:
+                        ms.set_intra(mx, my)
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 * ((mb_type - 1) // 12)

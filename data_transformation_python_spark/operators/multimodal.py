@@ -4044,6 +4044,206 @@ def h264q_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264Q_META_SCHEMA)
 
 
+H264PART_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("mv0x", T.LongType()),
+        T.StructField("mv0y", T.LongType()),
+        T.StructField("mv1x", T.LongType()),
+        T.StructField("mv1y", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("p16x8_mbs", T.LongType()),
+        T.StructField("p8x16_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("ipcm_idr_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("p_smaller_than_idr", T.BooleanType()),
+    ]
+)
+
+
+def _h264part_dims(doc_id: int):
+    """(w, h, nf, kind, mv0, mv1) for the sub-16x16 partition GOPs:
+    each macroblock's TWO partitions move by DIFFERENT vectors (mv1x
+    ≥ 7 > mv0x ≤ 6 guarantees distinctness, so neither P_Skip nor a
+    single 16x16 vector can ever reproduce a textured MB), with
+    fractional components so partitions compose with the §8.4.2.2
+    interpolators; kind alternates 16x8 / 8x16 by parity."""
+    mv0 = (1 + doc_id % 6, doc_id % 3)
+    mv1 = (7 + doc_id % 5, (doc_id + 1) % 3)
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        3 + doc_id % 2,
+        "16x8" if doc_id % 2 == 0 else "8x16",
+        mv0,
+        mv1,
+    )
+
+
+def _h264part_step(frames_last: tuple, kind: str, mv0: tuple,
+                   mv1: tuple) -> tuple:
+    """Next source frame for the partition fixture: each macroblock's
+    two partitions (top/bottom for 16x8, left/right for 8x16) are the
+    codec's own MC of the previous frame at mv0/mv1 respectively —
+    exactly what a P_L0_L0 macroblock with those vectors
+    reconstructs."""
+    import numpy as np
+
+    from .h264_codec import (
+        _PART_GEOM,
+        _interp_chroma_block,
+        _interp_luma_block,
+    )
+
+    y, cbp_, crp_ = frames_last
+    ny, ncb, ncr = (np.empty_like(p) for p in (y, cbp_, crp_))
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    for my in range(mbh):
+        for mx in range(mbw):
+            for part, mv in ((0, mv0), (1, mv1)):
+                (lx, ly, lw, lh), (cx, cy, cw, ch) = _PART_GEOM[kind][part]
+                ny[my * 16 + ly : my * 16 + ly + lh,
+                   mx * 16 + lx : mx * 16 + lx + lw] = _interp_luma_block(
+                    y, mx * 16 + lx, my * 16 + ly, lw, lh, mv[0], mv[1]
+                )
+                for src_p, dst_p in ((cbp_, ncb), (crp_, ncr)):
+                    dst_p[my * 8 + cy : my * 8 + cy + ch,
+                          mx * 8 + cx : mx * 8 + cx + cw] = (
+                        _interp_chroma_block(
+                            src_p, mx * 8 + cx, my * 8 + cy, cw, ch,
+                            mv[0], mv[1],
+                        )
+                    )
+    return (ny.astype(np.uint8), ncb.astype(np.uint8),
+            ncr.astype(np.uint8))
+
+
+def _write_h264part(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IDR + P_L0_L0 partition GOP, md5 of the
+    concatenated RGB frames).  Lossless closed loop — the directional
+    §8.4.1.3.1 predictors, per-partition MVD coding, and partition-
+    granular MC must all agree bit-for-bit with the fixture chain."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_p,
+    )
+
+    w, h, nf, kind, mv0, mv1 = _h264part_dims(doc_id)
+    rgb0 = _h264cac8_frame_rgb(doc_id, 0, w, h)
+    padded = np.pad(rgb0, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                    mode="edge")
+    frames = [_rgb_to_yuv420(padded)]
+    for _f in range(1, nf):
+        frames.append(_h264part_step(frames[-1], kind, mv0, mv1))
+    nals, _stats = h264_encode_gop_p(
+        frames, w, h, mv_candidates=[],
+        mv_pair_candidates=[(kind, mv0, mv1)],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264part_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a sub-16x16-partition P-GOP stream per row, plus the
+    closed-loop frame hash."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264part(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264part_metadata(df: DataFrame) -> DataFrame:
+    """Decode the partition GOP and emit the oracle evidence: every
+    P macroblock is P_L0_L0_16x8 or _8x16 (two vectors per MB, no
+    skips possible — the partitions move differently), the decode
+    hashes to the fixture chain exactly, and the census replays as
+    pure geometry."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264PART_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, nf, kind, mv0, mv1 = _h264part_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + nf, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["kind"].append(kind)
+                out["mv0x"].append(mv0[0])
+                out["mv0y"].append(mv0[1])
+                out["mv1x"].append(mv1[0])
+                out["mv1y"].append(mv1[1])
+                out["mb_count"].append(nf * mb_w * mb_h)
+                out["p16x8_mbs"].append(sum(s["p16x8"] for s in stats))
+                out["p8x16_mbs"].append(sum(s["p8x16"] for s in stats))
+                out["skip_mbs"].append(sum(s["skip"] for s in stats))
+                out["ipcm_idr_mbs"].append(
+                    sum(s["ipcm"] for s in stats if not s["is_p"])
+                )
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+                out["p_smaller_than_idr"].append(
+                    sum(len(n) for n in nals[3:]) < len(nals[2])
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264PART_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

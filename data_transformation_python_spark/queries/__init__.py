@@ -127,6 +127,7 @@ _PRIORITY: list[str] = [
     # (1) new in round 9 — never driver-checked
     "multimodal_h264pr_meta",
     "multimodal_h264q_meta",
+    "multimodal_h264part_meta",
     "text_knn_classifier",
     "q_stream_knn_classifier",
     "text_phrase3_search",

@@ -2317,6 +2317,60 @@ def multimodal_h264q_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.h264q_metadata(mm.synth_h264q_table(docs))
 
 
+_H264PART_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         32 + 16 * (doc_id % 3) AS w,
+         16 + 16 * (doc_id % 2) AS h,
+         3 + doc_id % 2 AS nf,
+         CASE WHEN doc_id % 2 = 0 THEN '16x8' ELSE '8x16' END AS kind,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       kind,
+       CAST(1 + doc_id % 6 AS BIGINT) AS mv0x,
+       CAST(doc_id % 3 AS BIGINT) AS mv0y,
+       CAST(7 + doc_id % 5 AS BIGINT) AS mv1x,
+       CAST((doc_id + 1) % 3 AS BIGINT) AS mv1y,
+       CAST(nf * mbw * mbh AS BIGINT) AS mb_count,
+       CAST(CASE WHEN kind = '16x8' THEN (nf - 1) * mbw * mbh
+            ELSE 0 END AS BIGINT) AS p16x8_mbs,
+       CAST(CASE WHEN kind = '8x16' THEN (nf - 1) * mbw * mbh
+            ELSE 0 END AS BIGINT) AS p8x16_mbs,
+       CAST(0 AS BIGINT) AS skip_mbs,
+       CAST(mbw * mbh AS BIGINT) AS ipcm_idr_mbs,
+       TRUE AS roundtrip_exact,
+       TRUE AS p_smaller_than_idr
+FROM g
+"""
+
+
+@query("multimodal_h264part_meta", oracle=_H264PART_ORACLE)
+def multimodal_h264part_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-16x16 P PARTITIONS (round 9 — another named stub closed):
+    P_L0_L0_16x8 / P_L0_L0_8x16 macroblocks (Table 7-13 mb_type 1/2)
+    whose two partitions carry DIFFERENT motion vectors with
+    fractional components, predicted by the §8.4.1.3.1 DIRECTIONAL
+    rules — 16x8 top takes mvB / bottom takes mvA, 8x16 left takes
+    mvA / right takes mvC — over 4x4-granular motion state (a 16x8
+    bottom partition's B neighbour is the SAME macroblock's top
+    partition), partition 0's reconstructed mv feeding partition 1's
+    derivation (operators/h264_codec.py _MotionState / _mvp_part).
+    Fixture frames move each macroblock's two partitions by the
+    codec's own per-partition MC, so the GOP is a lossless closed
+    loop: decode ≡ fixture chain bit-for-bit, census = pure geometry
+    ((nf−1)·mbs partition MBs, zero skips — two distinct vectors per
+    MB are unreachable by P_Skip or a single 16x16 vector)."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264part_metadata(mm.synth_h264part_table(docs))
+
+
 _H264PR_ORACLE = """
 WITH g AS (
   SELECT doc_id, doc_id % 48 AS pid,

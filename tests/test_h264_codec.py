@@ -704,12 +704,14 @@ class TestPSliceMotion:
         nals, stats = hc.h264_encode_gop_p(
             [f0, f1], w, h, mv_candidates=[(16, 8)]
         )
-        assert stats[1] == {"skip": 2, "p16": 4, "p16r": 0, "ipcm": 0,
+        assert stats[1] == {"skip": 2, "p16": 4, "p16x8": 0,
+                            "p8x16": 0, "p16r": 0, "ipcm": 0,
                             "i16": 0, "is_p": True}
         nals0, stats0 = hc.h264_encode_gop_p(
             [f0, f1], w, h, mv_candidates=[(0, 0)]
         )
-        assert stats0[1] == {"skip": 0, "p16": 0, "p16r": 0, "ipcm": 6,
+        assert stats0[1] == {"skip": 0, "p16": 0, "p16x8": 0,
+                             "p8x16": 0, "p16r": 0, "ipcm": 6,
                              "i16": 0, "is_p": True}
         dec, _ = hc.h264_decode_gop(nals0)
         exp = hc._yuv420_to_rgb(
@@ -1061,6 +1063,104 @@ class TestFractionalPelMC:
             assert sum(s["skip"] for s in stats) == (nf - 1) * (
                 mbw * mbh - (mbw + mbh - 1)
             ), doc_id
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc_id
+
+
+class TestSubMBPartitions:
+    """Sub-16x16 P partitions (round 9): P_L0_L0_16x8 / _8x16 with
+    the §8.4.1.3.1 directional MV predictors over 4x4-granular motion
+    state (h264_codec.py _MotionState / _mvp_part / _PART_GEOM)."""
+
+    @staticmethod
+    def _base_yuv(w, h, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        pad = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                     mode="edge")
+        return hc._rgb_to_yuv420(pad)
+
+    def test_partition_gop_lossless_roundtrip(self):
+        """Each MB's two partitions move by DIFFERENT (fractional)
+        vectors; the closed loop is exact and every P macroblock is
+        the partition mode (skips/16x16 cannot express two MVs)."""
+        w, h = 48, 32
+        for kind, mv0, mv1 in (("16x8", (8, 0), (16, 8)),
+                               ("8x16", (5, 2), (1, 3)),
+                               ("16x8", (6, 1), (2, 7))):
+            frames = [self._base_yuv(w, h, 55)]
+            for _ in range(2):
+                frames.append(mm._h264part_step(frames[-1], kind,
+                                                mv0, mv1))
+            nals, _ = hc.h264_encode_gop_p(
+                frames, w, h, mv_candidates=[],
+                mv_pair_candidates=[(kind, mv0, mv1)],
+            )
+            dec, dstats = hc.h264_decode_gop(nals)
+            key = "p16x8" if kind == "16x8" else "p8x16"
+            assert [s[key] for s in dstats] == [0, 6, 6], (kind,)
+            assert all(s["skip"] == 0 and s["p16"] == 0
+                       for s in dstats)
+            for i, (fy, fcb, fcr) in enumerate(frames):
+                exp = hc._yuv420_to_rgb(
+                    fy[:h, :w], fcb[: h // 2, : w // 2],
+                    fcr[: h // 2, : w // 2]
+                )
+                assert np.array_equal(exp, dec[i]), (kind, i)
+
+    def test_directional_predictors(self):
+        """§8.4.1.3.1 directional rules on a hand-built motion state:
+        16x8 top takes mvB, bottom takes mvA; 8x16 left takes mvA,
+        right takes mvC."""
+        ms = hc._MotionState(2, 2)
+        ms.set_mb(0, 0, (12, 4))   # MB above-left
+        ms.set_mb(1, 0, (20, 8))   # MB above / above-right
+        ms.set_mb(0, 1, (32, 16))  # MB left
+        # current MB (1,1): 16x8 partitions at blocks (4..7, 4..7)
+        assert hc._mvp_part(ms, 4, 4, 4, 2, "16x8", 0) == (20, 8)   # mvB
+        assert hc._mvp_part(ms, 4, 6, 4, 2, "16x8", 1) == (32, 16)  # mvA
+        # 8x16: left partition takes mvA; right takes mvC (above-right
+        # of the right partition = out of picture -> D = above MB)
+        assert hc._mvp_part(ms, 4, 4, 2, 4, "8x16", 0) == (32, 16)
+        assert hc._mvp_part(ms, 6, 4, 2, 4, "8x16", 1) == (20, 8)
+
+    def test_same_mb_partition0_feeds_partition1(self):
+        """A 16x8 bottom partition's B neighbour is the top partition
+        of the SAME macroblock — the 4x4-granular state the per-MB
+        grid could not express."""
+        ms = hc._MotionState(1, 1)
+        ms.set_part(0, 0, 4, 2, (40, 12))  # top 16x8 partition
+        assert hc._mvp_part(ms, 0, 2, 4, 2, "16x8", 1) == (40, 12)
+
+    def test_p8x8_still_rejected(self):
+        w, h = 32, 16
+        f0 = self._base_yuv(w, h, 11)
+        nals, _ = hc.h264_encode_gop_p(
+            [f0, tuple(p.copy() for p in f0)], w, h
+        )
+        bw = hc._EgWriter()
+        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+        bw.se(0); bw.ue(1)
+        bw.ue(0); bw.ue(3)  # mb_skip_run 0, mb_type P_8x8
+        bw.rbsp_trailing()
+        p8 = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(p8)
+
+    def test_fixture_gate_census_replay(self):
+        import hashlib
+
+        for doc_id in range(12):
+            payload, rec = mm._write_h264part(doc_id)
+            frames, stats = hc.h264_decode_gop(hc.split_annexb(payload))
+            w, h, nf, kind, mv0, mv1 = mm._h264part_dims(doc_id)
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            key = "p16x8" if kind == "16x8" else "p8x16"
+            assert sum(s[key] for s in stats) == (nf - 1) * mbw * mbh
+            assert sum(s["skip"] for s in stats) == 0
             md5 = hashlib.md5()
             for fr in frames:
                 md5.update(fr.tobytes())
