@@ -61,8 +61,17 @@ def reservoir_per_group(
 
     One shuffle on the group key; each group's ranking is a single
     partition-local sort — the group count, not the corpus, bounds
-    the window."""
-    w = Window.partitionBy(group_col).orderBy(_hash_key(id_col), F.col(id_col))
+    the window.
+
+    Orders by the FULL md5, not the 4-hex prefix the Bernoulli
+    operators threshold on: with a prefix, two keys colliding in the
+    first 16 bits order by the raw-id tiebreaker while any full-hash
+    replay orders by the remaining digits — a real mismatch the
+    round-9 sf0.1 parity sweep caught (collisions are a birthday
+    problem: ~2% at 50 rows/group, near-certain at 300+)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
     return (
         df.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
@@ -208,4 +217,116 @@ def weighted_sample_topk(
         .orderBy(F.col("__wkey").desc(), F.col(id_col))
         .limit(k)
         .drop("__wkey")
+    )
+
+
+def dsir_importance_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 20,
+    num_buckets: int = 1024,
+    scale: int = 10**6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each RAW document by how target-like its hashed n-gram profile
+    is, and keep the top-k.
+
+    Features are unigrams + bigrams hashed into ``num_buckets`` via
+    md5 (the engine-portable hash this module standardizes on).  Both
+    corpora reduce to bucket histograms — ONE map-side-combined
+    shuffle of <= num_buckets rows each, the same constant-size shape
+    as the sketch family — and the per-bucket importance weight is
+    the INTEGER-QUANTIZED enrichment ratio
+
+        w_b = scale * (t_b + 1) * (R + B) // ((r_b + 1) * (T + B)) - scale
+
+    — the add-one-smoothed target/raw probability ratio, floor-
+    quantized and centered (the linearized ``r - 1`` surrogate of
+    DSIR's log-ratio: per-bucket MONOTONE in the ratio, and log-free
+    like the quantized BM25, so scores replay bit-for-bit in the SQL
+    oracle; with raw log-ratios the two engines' ``ln`` low bits
+    could disagree).  A document's score is the weight-weighted sum
+    of its own bucket counts, and selection is deterministic top-k on
+    (score DESC, id).
+
+    Scale posture: the weight table is <= num_buckets rows and
+    BROADCASTS; each corpus is scanned once (explode + map-side
+    combine); the per-document scoring join never shuffles the
+    corpus.  Intermediate products are bounded by
+    scale·(T+B)·(R+B)/(T+B) — at 10^12-token corpora drop ``scale``
+    to keep BIGINT headroom.
+    """
+    B = num_buckets
+
+    def _grams(df: DataFrame) -> DataFrame:
+        toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"concat({toks}, transform("
+                    f"slice(sequence(1, size({toks}) + 1), 1,"
+                    f" greatest(size({toks}) - 1, 0)),"
+                    f" i -> concat(element_at({toks}, i), ' ',"
+                    f" element_at({toks}, i + 1))))"
+                )
+            ).alias("gram"),
+        ).select(
+            id_col,
+            F.expr(
+                f"pmod(CAST(conv(substr(md5(gram), 1, 12), 16, 10)"
+                f" AS BIGINT), {B})"
+            ).alias("bucket"),
+        )
+
+    t_hist = (
+        _grams(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
+    )
+    r_grams = _grams(raw)
+    r_hist = (
+        r_grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+    )
+    t_tot = t_hist.agg(F.sum("t_b").cast("bigint").alias("T"))
+    r_tot = r_hist.agg(F.sum("r_b").cast("bigint").alias("R"))
+    weights = (
+        r_hist.join(t_hist, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("t_b"), F.lit(0)).alias("t_b"),
+            F.coalesce(F.col("r_b"), F.lit(0)).alias("r_b"),
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.expr(
+                    f"CAST({scale} AS BIGINT) * (t_b + 1) * (R + {B})"
+                    f" div ((r_b + 1) * (T + {B})) - {scale}"
+                )
+            ).cast("bigint").alias("w_b"),
+        )
+    )
+    doc_counts = r_grams.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    scores = (
+        doc_counts.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("w_b")).cast("bigint").alias("dsir_score"))
+    )
+    # global single-partition window: safe ONLY because it runs on
+    # <= k rows post-limit (TakeOrdered does the distributed work) —
+    # do not copy this pattern onto an unbounded frame
+    w = Window.orderBy(F.desc("dsir_score"), F.asc(id_col))
+    return (
+        scores.orderBy(F.desc("dsir_score"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )

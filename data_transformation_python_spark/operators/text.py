@@ -448,6 +448,9 @@ def bm25_query_topk(
         "CAST(2 * df + 1 AS DECIMAL(38,0))"
         " * (10 * av * tf + 3 * av + 9 * dl * n)"
     )
+    # global single-partition window: safe ONLY because it runs on
+    # <= k rows post-limit (TakeOrdered does the distributed work) —
+    # do not copy this pattern onto an unbounded frame
     w = Window.orderBy(F.desc("score_q"), F.asc(id_col))
     return (
         postings.join(F.broadcast(qdf), "term")

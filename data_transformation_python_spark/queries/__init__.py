@@ -128,6 +128,7 @@ _PRIORITY: list[str] = [
     "multimodal_h264pr_meta",
     "multimodal_h264q_meta",
     "multimodal_h264part_meta",
+    "samp_dsir",
     "text_knn_classifier",
     "q_stream_knn_classifier",
     "text_phrase3_search",

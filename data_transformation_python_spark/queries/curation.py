@@ -261,6 +261,72 @@ def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DSIR importance resampling — hashed-ngram target-likeness selection
+# (Xie et al. 2023); integer-quantized enrichment-ratio weights so the
+# oracle replays bit-for-bit (log-free, like the quantized BM25)
+# --------------------------------------------------------------------------
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, tk[i] AS gram
+  FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+  UNION ALL
+  SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1]
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) % 1024
+           AS bucket
+  FROM grams),
+t_hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_b
+           FROM b WHERE lang = 'en' GROUP BY 1),
+r_hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_b
+           FROM b WHERE lang <> 'en' GROUP BY 1),
+tot AS (SELECT (SELECT CAST(SUM(t_b) AS BIGINT) FROM t_hist) AS tt,
+               (SELECT CAST(SUM(r_b) AS BIGINT) FROM r_hist) AS rt),
+wts AS (
+  SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+         CAST(1000000 * (COALESCE(t.t_b, 0) + 1) * (rt + 1024)
+              // ((COALESCE(r.r_b, 0) + 1) * (tt + 1024))
+              - 1000000 AS BIGINT) AS w_b
+  FROM r_hist r FULL OUTER JOIN t_hist t ON r.bucket = t.bucket, tot),
+c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b WHERE lang <> 'en' GROUP BY 1, 2),
+sc AS (SELECT doc_id, CAST(SUM(c * w_b) AS BIGINT) AS dsir_score
+       FROM c JOIN wts USING (bucket) GROUP BY 1)
+SELECT doc_id, dsir_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+            AS BIGINT) AS rank
+FROM sc QUALIFY rank <= 20
+"""
+
+
+@query("samp_dsir", oracle=_DSIR_ORACLE)
+def samp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py
+    dsir_importance_sample): the English documents are the TARGET
+    distribution; the other-language documents are the RAW pool, and
+    the 20 raw documents whose hashed unigram+bigram profile is most
+    target-enriched win.  Both corpora reduce to <= 1024-bucket md5
+    histograms (one map-side-combined shuffle each — the constant-
+    size sketch shape); per-bucket weights are the integer-quantized
+    add-one-smoothed enrichment ratio (the log-free surrogate of
+    DSIR's log-likelihood ratio — per-bucket monotone in the ratio,
+    so the ordering semantics match while every arithmetic step
+    replays exactly); the weight table broadcasts and scoring never
+    shuffles the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.dsir_importance_sample(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+        k=20,
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF-style top terms per document — exact rational scoring
 # (tf * N / df: integer products, one correctly-rounded division —
 # no logarithms, which differ in the last ulp across libm builds)

@@ -604,3 +604,52 @@ def test_phrase_indexed_matches_scan_path(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan or "Filter" in plan, plan
+
+
+class TestDsirImportanceSample:
+    """DSIR-style importance resampling (operators/sampling.py
+    dsir_importance_sample): integer-quantized enrichment-ratio
+    weights over hashed unigram+bigram buckets, deterministic top-k."""
+
+    def test_target_like_docs_win(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_transformation_python_spark.operators.sampling import (
+            dsir_importance_sample,
+        )
+
+        # target speaks "aa bb", decoys speak "zz yy"; two raw docs
+        # mimic the target vocabulary and must out-score the decoys
+        target = spark.createDataFrame(
+            [(100 + i, "aa bb aa bb cc") for i in range(6)],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [(0, "aa bb aa cc"), (1, "bb aa bb"),
+             (2, "zz yy zz yy"), (3, "yy zz ww"), (4, "ww vv uu")],
+            "doc_id long, text string",
+        )
+        out = dsir_importance_sample(raw, target, k=2).collect()
+        assert [r["doc_id"] for r in out] == [0, 1] or [
+            r["doc_id"] for r in out
+        ] == [1, 0]
+        assert all(r["dsir_score"] > 0 for r in out)
+        assert [r["rank"] for r in out] == [1, 2]
+
+    def test_deterministic_and_rank_contract(self, spark):
+        from data_transformation_python_spark.operators.sampling import (
+            dsir_importance_sample,
+        )
+
+        target = spark.createDataFrame(
+            [(9, "tt uu tt uu")], "doc_id long, text string"
+        )
+        raw = spark.createDataFrame(
+            [(i, "tt uu vv") for i in range(5)],
+            "doc_id long, text string",
+        )
+        a = dsir_importance_sample(raw, target, k=3).collect()
+        b = dsir_importance_sample(raw, target, k=3).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # identical texts -> identical scores -> ties break on doc_id
+        assert [r["doc_id"] for r in a] == [0, 1, 2]
