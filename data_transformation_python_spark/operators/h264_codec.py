@@ -1915,10 +1915,20 @@ _PART_GEOM = {
     "8x16": (((0, 0, 8, 16), (0, 0, 4, 8)), ((8, 0, 8, 16), (4, 0, 4, 8))),
 }
 
+#: P_8x8 sub-macroblock geometry: four 8x8 luma partitions in raster
+#: mbPartIdx order (§6.4.2.1), each with its 4x4 chroma block
+_PART_GEOM8 = (
+    ((0, 0, 8, 8), (0, 0, 4, 4)),
+    ((8, 0, 8, 8), (4, 0, 4, 4)),
+    ((0, 8, 8, 8), (0, 4, 4, 4)),
+    ((8, 8, 8, 8), (4, 4, 4, 4)),
+)
+
 
 def _p_slice_rbsp(
     src: tuple, ref: tuple, frame_num: int, mv_candidates: list,
     mv_pair_candidates: list | None = None,
+    mv_quad_candidates: list | None = None,
 ) -> tuple[bytes, dict]:
     """One P slice covering the whole picture.  Per macroblock, in
     raster order, the encoder takes the first LOSSLESS mode:
@@ -1935,7 +1945,13 @@ def _p_slice_rbsp(
        DIRECTIONAL predictor (16x8: top takes mvB, bottom mvA; 8x16:
        left mvA, right mvC), with partition 0's reconstructed mv
        visible to partition 1's derivation,
-    4. I_PCM (mb_type 30 = 25 + 5, Table 7-13) — the intra fallback
+    4. P_8x8 with four P_L0_8x8 sub-macroblocks and cbp 0 (mb_type 3,
+       sub_mb_type 0 ×4, Table 7-17) — the first (mv0..mv3) quad from
+       ``mv_quad_candidates`` whose four 8x8 MC copies all match;
+       each sub-partition's mvd codes against the general §8.4.1.3
+       median over the partition's 4x4-granular neighbours, earlier
+       sub-partitions feeding later derivations,
+    5. I_PCM (mb_type 30 = 25 + 5, Table 7-13) — the intra fallback
        for genuinely changed content (conditional replenishment).
 
     Every mode is exact, so the reconstruction IS the source — the
@@ -1957,8 +1973,8 @@ def _p_slice_rbsp(
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
     ms = _MotionState(mbh, mbw)
-    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
-             "ipcm": 0, "i16": 0, "is_p": True}
+    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
+             "p16r": 0, "ipcm": 0, "i16": 0, "is_p": True}
     skip_run = 0
 
     def _mc_mb(mx: int, my: int, mv: tuple):
@@ -1971,9 +1987,8 @@ def _p_slice_rbsp(
             cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
         )
 
-    def _part_matches(mx: int, my: int, kind: str, part: int,
-                      mv: tuple) -> bool:
-        (lx, ly, lw, lh), (cx, cy, cw, ch) = _PART_GEOM[kind][part]
+    def _part_matches(mx: int, my: int, geom: tuple, mv: tuple) -> bool:
+        (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
         py_ = _interp_luma_block(
             ry, mx * 16 + lx, my * 16 + ly, lw, lh, mv[0], mv[1]
         )
@@ -2016,10 +2031,19 @@ def _p_slice_rbsp(
         pair_hit = None
         if hit is None:
             for kind, mv0, mv1 in (mv_pair_candidates or ()):
-                if _part_matches(mx, my, kind, 0, mv0) and _part_matches(
-                    mx, my, kind, 1, mv1
-                ):
+                if _part_matches(
+                    mx, my, _PART_GEOM[kind][0], mv0
+                ) and _part_matches(mx, my, _PART_GEOM[kind][1], mv1):
                     pair_hit = (kind, mv0, mv1)
+                    break
+        quad_hit = None
+        if hit is None and pair_hit is None:
+            for quad in (mv_quad_candidates or ()):
+                if all(
+                    _part_matches(mx, my, _PART_GEOM8[i], quad[i])
+                    for i in range(4)
+                ):
+                    quad_hit = quad
                     break
         bw.ue(skip_run)  # mb_skip_run before every coded MB
         skip_run = 0
@@ -2047,6 +2071,22 @@ def _p_slice_rbsp(
                 ms.set_part(bx0, by0, lw // 4, lh // 4, mv)
             bw.ue(0)  # coded_block_pattern: Inter cbp 0
             stats["p16x8" if kind == "16x8" else "p8x16"] += 1
+            continue
+        if quad_hit is not None:
+            bw.ue(3)  # mb_type P_8x8 (Table 7-13)
+            for _ in range(4):
+                bw.ue(0)  # sub_mb_type: P_L0_8x8 (Table 7-17)
+            # §7.3.5.2: all sub_mb_types first, THEN the mvds; each
+            # sub-partition's reconstructed mv feeds later derivations
+            for part, mv in enumerate(quad_hit):
+                (lx, ly, _lw, _lh), _c = _PART_GEOM8[part]
+                bx0, by0 = mx * 4 + lx // 4, my * 4 + ly // 4
+                mvp = _mvp_part(ms, bx0, by0, 2, 2, "8x8", part)
+                bw.se(mv[0] - mvp[0])
+                bw.se(mv[1] - mvp[1])
+                ms.set_part(bx0, by0, 2, 2, mv)
+            bw.ue(0)  # coded_block_pattern: Inter cbp 0
+            stats["p8x8"] += 1
             continue
         bw.ue(30)  # mb_type: I_PCM in a P slice (25 + 5, Table 7-13)
         bw.align_zero()
@@ -2159,8 +2199,8 @@ def _pr_slice_rbsp(
         raise AssertionError(f"dense-8 inter encoder derived nC {nc}")
 
     ms = _MotionState(mbh, mbw)
-    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
-             "ipcm": 0, "i16": 0, "is_p": True}
+    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
+             "p16r": 0, "ipcm": 0, "i16": 0, "is_p": True}
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
         y0, x0 = my * 16, mx * 16
@@ -2269,7 +2309,8 @@ def h264_encode_gop_pr(
     ]
     stats_list: list[dict] = [
         {
-            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
+            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
+            "p16r": 0,
             "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
             "i16": 0, "is_p": False,
         }
@@ -2289,6 +2330,7 @@ def h264_encode_gop_p(
     frames_yuv: list[tuple], w: int, h: int,
     mv_candidates: list | None = None,
     mv_pair_candidates: list | None = None,
+    mv_quad_candidates: list | None = None,
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a GOP: frame 0 as an all-I_PCM IDR, every later frame
     as a P slice (P_Skip / P_16x16 / sub-16x16 partitions / I_PCM
@@ -2309,7 +2351,8 @@ def h264_encode_gop_p(
     ]
     stats_list: list[dict] = [
         {
-            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p16r": 0,
+            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
+            "p16r": 0,
             "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
             "i16": 0, "is_p": False,
         }
@@ -2317,7 +2360,8 @@ def h264_encode_gop_p(
     ref = frames_yuv[0]
     for fno, cur in enumerate(frames_yuv[1:], start=1):
         rbsp, stats = _p_slice_rbsp(
-            cur, ref, fno, mv_candidates, mv_pair_candidates
+            cur, ref, fno, mv_candidates, mv_pair_candidates,
+            mv_quad_candidates,
         )
         nals.append(_nal(1, rbsp, ref_idc=2))
         stats_list.append(stats)
@@ -2447,7 +2491,8 @@ def h264_decode_gop(
             # trailing run when the picture ends in skips)
             ms = _MotionState(mbh, mbw)
             stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0,
-                     "p16r": 0, "ipcm": 0, "i16": 0, "is_p": is_p}
+                     "p8x8": 0, "p16r": 0, "ipcm": 0, "i16": 0,
+                     "is_p": is_p}
             if is_p:
                 ry, rcb, rcr = ref
             pending_skips = 0
@@ -2666,9 +2711,60 @@ def h264_decode_gop(
                             stats["p16x8" if kind == "16x8"
                                   else "p8x16"] += 1
                             continue
-                        if mb_type in (3, 4):
+                        if mb_type == 3:  # P_8x8 (Table 7-13)
+                            # §7.3.5.2: four sub_mb_types first, then
+                            # the mvds; only P_L0_8x8 (one 8x8 part
+                            # per sub-MB, Table 7-17) is implemented
+                            for _ in range(4):
+                                if br.ue() != 0:
+                                    raise NotImplementedError(
+                                        "sub_mb_type other than "
+                                        "P_L0_8x8 (8x4/4x8/4x4 "
+                                        "sub-partitions)"
+                                    )
+                            qmvs = []
+                            for part in range(4):
+                                (lx, ly, _lw, _lh), _c = (
+                                    _PART_GEOM8[part]
+                                )
+                                bx0 = mx * 4 + lx // 4
+                                by0 = my * 4 + ly // 4
+                                mvp = _mvp_part(
+                                    ms, bx0, by0, 2, 2, "8x8", part
+                                )
+                                pmv = (mvp[0] + br.se(),
+                                       mvp[1] + br.se())
+                                ms.set_part(bx0, by0, 2, 2, pmv)
+                                qmvs.append(pmv)
+                            if br.ue() != 0:
+                                raise NotImplementedError(
+                                    "inter residuals on P_8x8 "
+                                    "sub-macroblocks (cbp != 0)"
+                                )
+                            for part, pmv in enumerate(qmvs):
+                                (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                                    _PART_GEOM8[part]
+                                )
+                                y[my * 16 + ly : my * 16 + ly + lh,
+                                  mx * 16 + lx : mx * 16 + lx + lw] = (
+                                    _interp_luma_block(
+                                        ry, mx * 16 + lx, my * 16 + ly,
+                                        lw, lh, pmv[0], pmv[1],
+                                    )
+                                )
+                                for plane, rp in ((cb, rcb), (cr, rcr)):
+                                    plane[
+                                        my * 8 + cy : my * 8 + cy + ch,
+                                        mx * 8 + cx : mx * 8 + cx + cw,
+                                    ] = _interp_chroma_block(
+                                        rp, mx * 8 + cx, my * 8 + cy,
+                                        cw, ch, pmv[0], pmv[1],
+                                    )
+                            stats["p8x8"] += 1
+                            continue
+                        if mb_type == 4:
                             raise NotImplementedError(
-                                "P_8x8 sub-macroblock partitions"
+                                "P_8x8ref0 macroblocks"
                             )
                         mb_type -= 5  # intra types in P (Table 7-13)
                     if mb_type == 25:  # I_PCM

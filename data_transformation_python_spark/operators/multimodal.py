@@ -4244,6 +4244,188 @@ def h264part_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264PART_META_SCHEMA)
 
 
+H264P8_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("p8x8_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("ipcm_idr_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("p_smaller_than_idr", T.BooleanType()),
+    ]
+)
+
+
+def _h264p8_dims(doc_id: int):
+    """(w, h, nf, quad) for the P_8x8 GOPs: each macroblock's FOUR
+    8x8 sub-partitions move by four DISTINCT vectors (separated x
+    ranges guarantee distinctness, fractional components exercise the
+    interpolators), so no coarser mode can ever express the MB."""
+    quad = (
+        (1 + doc_id % 4, doc_id % 3),
+        (5 + doc_id % 4, (doc_id + 1) % 3),
+        (9 + doc_id % 4, (doc_id + 2) % 3),
+        (13 + doc_id % 4, doc_id % 2),
+    )
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        3 + doc_id % 2,
+        quad,
+    )
+
+
+def _h264p8_step(frames_last: tuple, quad: tuple) -> tuple:
+    """Next source frame for the P_8x8 fixture: each macroblock's
+    four 8x8 sub-partitions are the codec's own MC of the previous
+    frame at quad[0..3]."""
+    import numpy as np
+
+    from .h264_codec import (
+        _PART_GEOM8,
+        _interp_chroma_block,
+        _interp_luma_block,
+    )
+
+    y, cbp_, crp_ = frames_last
+    ny, ncb, ncr = (np.empty_like(p) for p in (y, cbp_, crp_))
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    for my in range(mbh):
+        for mx in range(mbw):
+            for part, mv in enumerate(quad):
+                (lx, ly, lw, lh), (cx, cy, cw, ch) = _PART_GEOM8[part]
+                ny[my * 16 + ly : my * 16 + ly + lh,
+                   mx * 16 + lx : mx * 16 + lx + lw] = _interp_luma_block(
+                    y, mx * 16 + lx, my * 16 + ly, lw, lh, mv[0], mv[1]
+                )
+                for src_p, dst_p in ((cbp_, ncb), (crp_, ncr)):
+                    dst_p[my * 8 + cy : my * 8 + cy + ch,
+                          mx * 8 + cx : mx * 8 + cx + cw] = (
+                        _interp_chroma_block(
+                            src_p, mx * 8 + cx, my * 8 + cy, cw, ch,
+                            mv[0], mv[1],
+                        )
+                    )
+    return (ny.astype(np.uint8), ncb.astype(np.uint8),
+            ncr.astype(np.uint8))
+
+
+def _write_h264p8(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IDR + P_8x8 GOP, md5 of the frames).
+    Lossless closed loop over four-vector macroblocks — sub_mb_type
+    parsing, the per-sub-partition §8.4.1.3 median derivation over
+    4x4-granular state, and partition-granular MC pin each other."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_p,
+    )
+
+    w, h, nf, quad = _h264p8_dims(doc_id)
+    rgb0 = _h264cac8_frame_rgb(doc_id, 0, w, h)
+    padded = np.pad(rgb0, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                    mode="edge")
+    frames = [_rgb_to_yuv420(padded)]
+    for _f in range(1, nf):
+        frames.append(_h264p8_step(frames[-1], quad))
+    nals, _stats = h264_encode_gop_p(
+        frames, w, h, mv_candidates=[], mv_quad_candidates=[quad]
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264p8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a P_8x8 sub-macroblock GOP stream per row, plus the
+    closed-loop frame hash."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264p8(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264p8_metadata(df: DataFrame) -> DataFrame:
+    """Decode the P_8x8 GOP and emit the oracle evidence: every P
+    macroblock carries FOUR motion vectors (p8x8 census, zero skips),
+    the decode hashes to the fixture chain exactly."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264P8_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, nf, _quad = _h264p8_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + nf, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["mb_count"].append(nf * mb_w * mb_h)
+                out["p8x8_mbs"].append(sum(s["p8x8"] for s in stats))
+                out["skip_mbs"].append(sum(s["skip"] for s in stats))
+                out["ipcm_idr_mbs"].append(
+                    sum(s["ipcm"] for s in stats if not s["is_p"])
+                )
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+                out["p_smaller_than_idr"].append(
+                    sum(len(n) for n in nals[3:]) < len(nals[2])
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264P8_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

@@ -128,7 +128,9 @@ _PRIORITY: list[str] = [
     "multimodal_h264pr_meta",
     "multimodal_h264q_meta",
     "multimodal_h264part_meta",
+    "multimodal_h264p8_meta",
     "samp_dsir",
+    "q_stream_dsir",
     "text_knn_classifier",
     "q_stream_knn_classifier",
     "text_phrase3_search",

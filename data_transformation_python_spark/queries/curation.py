@@ -2437,6 +2437,48 @@ def multimodal_h264part_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.h264part_metadata(mm.synth_h264part_table(docs))
 
 
+_H264P8_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         32 + 16 * (doc_id % 3) AS w,
+         16 + 16 * (doc_id % 2) AS h,
+         3 + doc_id % 2 AS nf,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * mbw * mbh AS BIGINT) AS mb_count,
+       CAST((nf - 1) * mbw * mbh AS BIGINT) AS p8x8_mbs,
+       CAST(0 AS BIGINT) AS skip_mbs,
+       CAST(mbw * mbh AS BIGINT) AS ipcm_idr_mbs,
+       TRUE AS roundtrip_exact,
+       TRUE AS p_smaller_than_idr
+FROM g
+"""
+
+
+@query("multimodal_h264p8_meta", oracle=_H264P8_ORACLE)
+def multimodal_h264p8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P_8x8 SUB-MACROBLOCK PARTITIONS (round 9): mb_type 3 with four
+    P_L0_8x8 sub-macroblocks (sub_mb_type 0, Table 7-17) — FOUR
+    independent motion vectors per macroblock with fractional
+    components, each predicted by the general §8.4.1.3 median over
+    its own 4x4-granular partition neighbours (earlier sub-partitions
+    of the same MB feed later derivations).  Fixture frames move each
+    MB's four quadrants by the codec's own per-partition MC, so the
+    GOP is a lossless closed loop: decode ≡ fixture chain
+    bit-for-bit, census pure geometry ((nf−1)·mbs four-vector MBs,
+    zero skips — four distinct vectors are unreachable by any coarser
+    mode).  Only 8x4/4x8/4x4 sub-partitions remain stubbed."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264p8_metadata(mm.synth_h264p8_table(docs))
+
+
 _H264PR_ORACLE = """
 WITH g AS (
   SELECT doc_id, doc_id % 48 AS pid,

@@ -1629,3 +1629,104 @@ def q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__b.score_q").alias("score_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming DSIR admission scoring — the ingest-time twin of samp_dsir:
+# the importance-weight table is batch-built once (constant-size bucket
+# histograms), then every STREAMED raw document scores itself
+# row-locally against the literal weight array — one higher-order
+# aggregate over its own grams, no stream state, no shuffle.  The
+# production shape: target-likeness scoring as an admission filter at
+# ingest, selection thresholds applied downstream.
+# --------------------------------------------------------------------------
+def _stream_dsir_oracle() -> str:
+    from .curation import _DSIR_ORACLE
+
+    return _DSIR_ORACLE
+
+
+@query("q_stream_dsir", oracle=_stream_dsir_oracle())
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR importance scoring over the static weight
+    table.  The <= 1024 integer bucket weights are computed
+    batch-side from the target (lang = 'en') and raw (other-language)
+    corpora — the control-plane build — and folded into the streaming
+    plan as ONE literal BIGINT array; each streamed raw document then
+    scores itself with a single row-local higher-order aggregate over
+    its own unigram+bigram stream (md5 bucket → array lookup → sum).
+    Stateless narrow map, append mode; the top-20 + rank read of the
+    result table is batch-side (the q_stream_bm25_serve convention).
+    SAME oracle as samp_dsir: batch plan, streaming plan, and DuckDB
+    replay — one bit-exact answer.  At 100 TB the weight array is
+    8 KB broadcast to every ingest worker; per-document cost is its
+    own gram count — the fastText-style admission-filter economics."""
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    B, scale = 1024, 10**6
+    bucket_of = (
+        "pmod(CAST(conv(substr(md5({g}), 1, 12), 16, 10) AS BIGINT),"
+        f" {B})"
+    )
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    grams = (
+        f"concat({toks}, transform("
+        f"slice(sequence(1, size({toks}) + 1), 1,"
+        f" greatest(size({toks}) - 1, 0)),"
+        f" i -> concat(element_at({toks}, i), ' ',"
+        f" element_at({toks}, i + 1))))"
+    )
+
+    def _hist(df) -> dict[int, int]:
+        rows = (
+            df.select(F.explode(F.expr(grams)).alias("g"))
+            .select(F.expr(bucket_of.format(g="g")).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return {int(r["b"]): int(r["count"]) for r in rows}
+
+    t_h = _hist(docs.filter(F.col("lang") == "en"))
+    r_h = _hist(docs.filter(F.col("lang") != "en"))
+    T_, R_ = sum(t_h.values()), sum(r_h.values())
+    w_arr = [
+        scale * (t_h.get(b, 0) + 1) * (R_ + B)
+        // ((r_h.get(b, 0) + 1) * (T_ + B))
+        - scale
+        for b in range(B)
+    ]
+    warr_lit = "array(" + ", ".join(f"{w}L" for w in w_arr) + ")"
+    score = (
+        f"aggregate({grams}, CAST(0 AS BIGINT), (acc, g) -> acc"
+        f" + element_at({warr_lit},"
+        f" CAST({bucket_of.format(g='g')} AS INT) + 1))"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("lang") != "en")
+        .select(
+            "doc_id",
+            F.expr(score).alias("dsir_score"),
+        )
+    )
+    name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    return (
+        spark.table(name)
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

@@ -705,14 +705,14 @@ class TestPSliceMotion:
             [f0, f1], w, h, mv_candidates=[(16, 8)]
         )
         assert stats[1] == {"skip": 2, "p16": 4, "p16x8": 0,
-                            "p8x16": 0, "p16r": 0, "ipcm": 0,
-                            "i16": 0, "is_p": True}
+                            "p8x16": 0, "p8x8": 0, "p16r": 0,
+                            "ipcm": 0, "i16": 0, "is_p": True}
         nals0, stats0 = hc.h264_encode_gop_p(
             [f0, f1], w, h, mv_candidates=[(0, 0)]
         )
         assert stats0[1] == {"skip": 0, "p16": 0, "p16x8": 0,
-                             "p8x16": 0, "p16r": 0, "ipcm": 6,
-                             "i16": 0, "is_p": True}
+                             "p8x16": 0, "p8x8": 0, "p16r": 0,
+                             "ipcm": 6, "i16": 0, "is_p": True}
         dec, _ = hc.h264_decode_gop(nals0)
         exp = hc._yuv420_to_rgb(
             f1[0][:h, :w], f1[1][: h // 2, : w // 2],
@@ -749,12 +749,13 @@ class TestPSliceMotion:
         with pytest.raises(NotImplementedError):
             hc.mc_shift_planes(*f0, (2, 0))  # shift helper only
 
-        # P_8x8 partition mb_type
+        # P_8x8ref0 mb_type (4) stays rejected (P_8x8 itself is
+        # implemented since round 9)
         bw = hc._EgWriter()
         bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
         bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
         bw.se(0); bw.ue(1)
-        bw.ue(0); bw.ue(3)
+        bw.ue(0); bw.ue(4)
         bw.rbsp_trailing()
         p8 = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
         with pytest.raises(NotImplementedError):
@@ -1134,7 +1135,9 @@ class TestSubMBPartitions:
         ms.set_part(0, 0, 4, 2, (40, 12))  # top 16x8 partition
         assert hc._mvp_part(ms, 0, 2, 4, 2, "16x8", 1) == (40, 12)
 
-    def test_p8x8_still_rejected(self):
+    def test_p8x8ref0_rejected(self):
+        """mb_type 4 (P_8x8ref0) stays NotImplementedError; plain
+        P_8x8 (mb_type 3) is implemented since round 9."""
         w, h = 32, 16
         f0 = self._base_yuv(w, h, 11)
         nals, _ = hc.h264_encode_gop_p(
@@ -1144,7 +1147,7 @@ class TestSubMBPartitions:
         bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
         bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
         bw.se(0); bw.ue(1)
-        bw.ue(0); bw.ue(3)  # mb_skip_run 0, mb_type P_8x8
+        bw.ue(0); bw.ue(4)  # mb_skip_run 0, mb_type P_8x8ref0
         bw.rbsp_trailing()
         p8 = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
         with pytest.raises(NotImplementedError):
@@ -1160,6 +1163,74 @@ class TestSubMBPartitions:
             mbw, mbh = (w + 15) // 16, (h + 15) // 16
             key = "p16x8" if kind == "16x8" else "p8x16"
             assert sum(s[key] for s in stats) == (nf - 1) * mbw * mbh
+            assert sum(s["skip"] for s in stats) == 0
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc_id
+
+
+class TestP8x8SubMacroblocks:
+    """P_8x8 (round 9): four P_L0_8x8 sub-macroblocks with
+    independent MVs, general median derivation per sub-partition
+    (h264_codec.py mb_type 3 / sub_mb_type 0 / _PART_GEOM8)."""
+
+    @staticmethod
+    def _base_yuv(w, h, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        pad = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                     mode="edge")
+        return hc._rgb_to_yuv420(pad)
+
+    def test_quad_gop_lossless_roundtrip(self):
+        w, h = 48, 32
+        for quad in (((8, 0), (16, 8), (4, 4), (0, 8)),
+                     ((5, 2), (1, 3), (7, 0), (2, 6))):
+            frames = [self._base_yuv(w, h, 77)]
+            for _ in range(2):
+                frames.append(mm._h264p8_step(frames[-1], quad))
+            nals, _ = hc.h264_encode_gop_p(
+                frames, w, h, mv_candidates=[],
+                mv_quad_candidates=[quad],
+            )
+            dec, dstats = hc.h264_decode_gop(nals)
+            assert [s["p8x8"] for s in dstats] == [0, 6, 6], quad
+            assert all(s["skip"] == 0 and s["p16"] == 0
+                       for s in dstats)
+            for i, (fy, fcb, fcr) in enumerate(frames):
+                exp = hc._yuv420_to_rgb(
+                    fy[:h, :w], fcb[: h // 2, : w // 2],
+                    fcr[: h // 2, : w // 2]
+                )
+                assert np.array_equal(exp, dec[i]), (quad, i)
+
+    def test_sub_partitions_below_8x8_rejected(self):
+        w, h = 32, 16
+        f0 = self._base_yuv(w, h, 11)
+        nals, _ = hc.h264_encode_gop_p(
+            [f0, tuple(p.copy() for p in f0)], w, h
+        )
+        bw = hc._EgWriter()
+        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+        bw.se(0); bw.ue(1)
+        bw.ue(0); bw.ue(3)  # mb_skip_run 0, P_8x8
+        bw.ue(1)            # sub_mb_type P_L0_8x4 -> unsupported
+        bw.rbsp_trailing()
+        bad = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(bad)
+
+    def test_fixture_gate_census_replay(self):
+        import hashlib
+
+        for doc_id in range(12):
+            payload, rec = mm._write_h264p8(doc_id)
+            frames, stats = hc.h264_decode_gop(hc.split_annexb(payload))
+            w, h, nf, _quad = mm._h264p8_dims(doc_id)
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            assert sum(s["p8x8"] for s in stats) == (nf - 1) * mbw * mbh
             assert sum(s["skip"] for s in stats) == 0
             md5 = hashlib.md5()
             for fr in frames:
