@@ -550,6 +550,32 @@ def corpus_scale_entries(spark, corpus_dir: str):
             "dedup_span_trim",
             lambda: dd.exact_substring_trim(docs, n=8),
         ),
+        (
+            # kNN-vote classification at corpus scale: 5k labeled
+            # seeds (hash-derived labels), 100 queries, Hamming vote
+            # over broadcast BQ codes — zero corpus shuffles
+            "sim_knn_classify",
+            lambda: sim.knn_classify(
+                emb,
+                emb.filter("vec_id % 10 != 0").selectExpr(
+                    "vec_id",
+                    "CAST(pmod(xxhash64(vec_id), 7) AS BIGINT) AS label",
+                ),
+                query_ids=range(0, 1000, 10),
+                k=5,
+            ),
+        ),
+        (
+            # DSIR importance resampling at corpus scale: 2% target
+            # slice vs the 98% raw pool — two 1024-bucket histogram
+            # shuffles + a broadcast-weight scoring join
+            "samp_dsir",
+            lambda: sp.dsir_importance_sample(
+                docs.filter("doc_id % 50 != 0"),
+                docs.filter("doc_id % 50 = 0"),
+                k=100,
+            ),
+        ),
     ]
 
 
