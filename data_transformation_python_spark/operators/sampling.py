@@ -313,13 +313,15 @@ def dsir_importance_sample(
             ).cast("bigint").alias("w_b"),
         )
     )
-    doc_counts = r_grams.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    # each gram INSTANCE contributes its bucket weight directly: the
+    # broadcast join + map-side partial sum leaves exactly ONE
+    # doc-keyed shuffle (a (doc, bucket) pre-count would add a second
+    # exchange for no volume win — partial aggregation already
+    # combines map-side)
     scores = (
-        doc_counts.join(F.broadcast(weights), "bucket")
+        r_grams.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
-        .agg(F.sum(F.col("c") * F.col("w_b")).cast("bigint").alias("dsir_score"))
+        .agg(F.sum("w_b").cast("bigint").alias("dsir_score"))
     )
     # global single-partition window: safe ONLY because it runs on
     # <= k rows post-limit (TakeOrdered does the distributed work) —
