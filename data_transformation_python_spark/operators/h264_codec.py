@@ -1924,11 +1924,22 @@ _PART_GEOM8 = (
     ((8, 8, 8, 8), (4, 4, 4, 4)),
 )
 
+#: Table 7-17 P sub-macroblock splits, sub-partitions in §6.4.2.2
+#: scan order as 4x4-block-unit (x_off, y_off, w, h) within the 8x8:
+#: 0 = P_L0_8x8, 1 = P_L0_8x4, 2 = P_L0_4x8, 3 = P_L0_4x4
+_SUB_GEOM = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
 
 def _p_slice_rbsp(
     src: tuple, ref: tuple, frame_num: int, mv_candidates: list,
     mv_pair_candidates: list | None = None,
     mv_quad_candidates: list | None = None,
+    mv_sub_candidates: list | None = None,
 ) -> tuple[bytes, dict]:
     """One P slice covering the whole picture.  Per macroblock, in
     raster order, the encoder takes the first LOSSLESS mode:
@@ -2045,6 +2056,29 @@ def _p_slice_rbsp(
                 ):
                     quad_hit = quad
                     break
+        sub_hit = None
+        if hit is None and pair_hit is None and quad_hit is None:
+            for sub_kind, mvs in (mv_sub_candidates or ()):
+                geoms = _SUB_GEOM[sub_kind]
+                i, ok = 0, True
+                for part in range(4):
+                    (plx, ply, _w, _h), _c = _PART_GEOM8[part]
+                    for dx4, dy4, w4, h4 in geoms:
+                        geom = (
+                            (plx + dx4 * 4, ply + dy4 * 4,
+                             w4 * 4, h4 * 4),
+                            ((plx + dx4 * 4) // 2, (ply + dy4 * 4) // 2,
+                             w4 * 2, h4 * 2),
+                        )
+                        if not _part_matches(mx, my, geom, mvs[i]):
+                            ok = False
+                            break
+                        i += 1
+                    if not ok:
+                        break
+                if ok:
+                    sub_hit = (sub_kind, mvs)
+                    break
         bw.ue(skip_run)  # mb_skip_run before every coded MB
         skip_run = 0
         if hit is not None:
@@ -2085,6 +2119,26 @@ def _p_slice_rbsp(
                 bw.se(mv[0] - mvp[0])
                 bw.se(mv[1] - mvp[1])
                 ms.set_part(bx0, by0, 2, 2, mv)
+            bw.ue(0)  # coded_block_pattern: Inter cbp 0
+            stats["p8x8"] += 1
+            continue
+        if sub_hit is not None:
+            sub_kind, mvs = sub_hit
+            bw.ue(3)  # mb_type P_8x8
+            for _ in range(4):
+                bw.ue(sub_kind)  # sub_mb_type (Table 7-17)
+            i = 0
+            for part in range(4):
+                (plx, ply, _w, _h), _c = _PART_GEOM8[part]
+                pbx, pby = mx * 4 + plx // 4, my * 4 + ply // 4
+                for dx4, dy4, w4, h4 in _SUB_GEOM[sub_kind]:
+                    bx0, by0 = pbx + dx4, pby + dy4
+                    mvp = _mvp_part(ms, bx0, by0, w4, h4, "sub", 0)
+                    mv = mvs[i]
+                    i += 1
+                    bw.se(mv[0] - mvp[0])
+                    bw.se(mv[1] - mvp[1])
+                    ms.set_part(bx0, by0, w4, h4, mv)
             bw.ue(0)  # coded_block_pattern: Inter cbp 0
             stats["p8x8"] += 1
             continue
@@ -2331,6 +2385,7 @@ def h264_encode_gop_p(
     mv_candidates: list | None = None,
     mv_pair_candidates: list | None = None,
     mv_quad_candidates: list | None = None,
+    mv_sub_candidates: list | None = None,
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a GOP: frame 0 as an all-I_PCM IDR, every later frame
     as a P slice (P_Skip / P_16x16 / sub-16x16 partitions / I_PCM
@@ -2361,7 +2416,7 @@ def h264_encode_gop_p(
     for fno, cur in enumerate(frames_yuv[1:], start=1):
         rbsp, stats = _p_slice_rbsp(
             cur, ref, fno, mv_candidates, mv_pair_candidates,
-            mv_quad_candidates,
+            mv_quad_candidates, mv_sub_candidates,
         )
         nals.append(_nal(1, rbsp, ref_idc=2))
         stats_list.append(stats)
@@ -2713,52 +2768,57 @@ def h264_decode_gop(
                             continue
                         if mb_type == 3:  # P_8x8 (Table 7-13)
                             # §7.3.5.2: four sub_mb_types first, then
-                            # the mvds; only P_L0_8x8 (one 8x8 part
-                            # per sub-MB, Table 7-17) is implemented
-                            for _ in range(4):
-                                if br.ue() != 0:
-                                    raise NotImplementedError(
-                                        "sub_mb_type other than "
-                                        "P_L0_8x8 (8x4/4x8/4x4 "
-                                        "sub-partitions)"
-                                    )
-                            qmvs = []
+                            # mvds per (mbPartIdx, subMbPartIdx); the
+                            # whole Table 7-17 split ladder decodes
+                            # (8x8/8x4/4x8/4x4), each sub-partition
+                            # predicted by the general §8.4.1.3
+                            # median over its 4x4-granular neighbours
+                            sub_types = [br.ue() for _ in range(4)]
+                            if any(s > 3 for s in sub_types):
+                                raise NotImplementedError(
+                                    f"sub_mb_type {max(sub_types)} "
+                                    "(B sub-macroblock types)"
+                                )
+                            smvs = []
                             for part in range(4):
                                 (lx, ly, _lw, _lh), _c = (
                                     _PART_GEOM8[part]
                                 )
-                                bx0 = mx * 4 + lx // 4
-                                by0 = my * 4 + ly // 4
-                                mvp = _mvp_part(
-                                    ms, bx0, by0, 2, 2, "8x8", part
-                                )
-                                pmv = (mvp[0] + br.se(),
-                                       mvp[1] + br.se())
-                                ms.set_part(bx0, by0, 2, 2, pmv)
-                                qmvs.append(pmv)
+                                pbx = mx * 4 + lx // 4
+                                pby = my * 4 + ly // 4
+                                for dx4, dy4, w4, h4 in _SUB_GEOM[
+                                    sub_types[part]
+                                ]:
+                                    bx0, by0 = pbx + dx4, pby + dy4
+                                    mvp = _mvp_part(
+                                        ms, bx0, by0, w4, h4, "sub", 0
+                                    )
+                                    pmv = (mvp[0] + br.se(),
+                                           mvp[1] + br.se())
+                                    ms.set_part(bx0, by0, w4, h4, pmv)
+                                    smvs.append((bx0, by0, w4, h4, pmv))
                             if br.ue() != 0:
                                 raise NotImplementedError(
                                     "inter residuals on P_8x8 "
                                     "sub-macroblocks (cbp != 0)"
                                 )
-                            for part, pmv in enumerate(qmvs):
-                                (lx, ly, lw, lh), (cx, cy, cw, ch) = (
-                                    _PART_GEOM8[part]
-                                )
-                                y[my * 16 + ly : my * 16 + ly + lh,
-                                  mx * 16 + lx : mx * 16 + lx + lw] = (
+                            for bx0, by0, w4, h4, pmv in smvs:
+                                lx_, ly_ = bx0 * 4, by0 * 4
+                                y[ly_ : ly_ + h4 * 4,
+                                  lx_ : lx_ + w4 * 4] = (
                                     _interp_luma_block(
-                                        ry, mx * 16 + lx, my * 16 + ly,
-                                        lw, lh, pmv[0], pmv[1],
+                                        ry, lx_, ly_, w4 * 4, h4 * 4,
+                                        pmv[0], pmv[1],
                                     )
                                 )
+                                cxp, cyp = bx0 * 2, by0 * 2
                                 for plane, rp in ((cb, rcb), (cr, rcr)):
                                     plane[
-                                        my * 8 + cy : my * 8 + cy + ch,
-                                        mx * 8 + cx : mx * 8 + cx + cw,
+                                        cyp : cyp + h4 * 2,
+                                        cxp : cxp + w4 * 2,
                                     ] = _interp_chroma_block(
-                                        rp, mx * 8 + cx, my * 8 + cy,
-                                        cw, ch, pmv[0], pmv[1],
+                                        rp, cxp, cyp, w4 * 2, h4 * 2,
+                                        pmv[0], pmv[1],
                                     )
                             stats["p8x8"] += 1
                             continue

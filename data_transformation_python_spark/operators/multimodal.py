@@ -4426,6 +4426,201 @@ def h264p8_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264P8_META_SCHEMA)
 
 
+H264SUB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sub_kind", T.LongType()),
+        T.StructField("mvs_per_mb", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("p8x8_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("ipcm_idr_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("p_smaller_than_idr", T.BooleanType()),
+    ]
+)
+
+
+def _h264sub_dims(doc_id: int):
+    """(w, h, nf, sub_kind, mvs) for the sub-split GOPs: Table 7-17
+    split 1 (8x4), 2 (4x8), or 3 (4x4) by doc residue — 8, 8, or 16
+    independent fractional vectors PER MACROBLOCK, formula-derived
+    per sub-partition index."""
+    sub_kind = 1 + doc_id % 3
+    n = 8 if sub_kind < 3 else 16
+    mvs = tuple(
+        (1 + (doc_id + 3 * j) % 6, (doc_id + 2 * j) % 4)
+        for j in range(n)
+    )
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        3 + doc_id % 2,
+        sub_kind,
+        mvs,
+    )
+
+
+def _h264sub_step(frames_last: tuple, sub_kind: int, mvs: tuple) -> tuple:
+    """Next source frame: every sub-partition of every macroblock is
+    the codec's own MC of the previous frame at its own vector."""
+    import numpy as np
+
+    from .h264_codec import (
+        _PART_GEOM8,
+        _SUB_GEOM,
+        _interp_chroma_block,
+        _interp_luma_block,
+    )
+
+    y, cbp_, crp_ = frames_last
+    ny, ncb, ncr = (np.empty_like(p) for p in (y, cbp_, crp_))
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    for my in range(mbh):
+        for mx in range(mbw):
+            i = 0
+            for part in range(4):
+                (plx, ply, _w, _h), _c = _PART_GEOM8[part]
+                for dx4, dy4, w4, h4 in _SUB_GEOM[sub_kind]:
+                    lx_ = mx * 16 + plx + dx4 * 4
+                    ly_ = my * 16 + ply + dy4 * 4
+                    mv = mvs[i]
+                    i += 1
+                    ny[ly_ : ly_ + h4 * 4, lx_ : lx_ + w4 * 4] = (
+                        _interp_luma_block(
+                            y, lx_, ly_, w4 * 4, h4 * 4, mv[0], mv[1]
+                        )
+                    )
+                    cxp, cyp = lx_ // 2, ly_ // 2
+                    for src_p, dst_p in ((cbp_, ncb), (crp_, ncr)):
+                        dst_p[cyp : cyp + h4 * 2, cxp : cxp + w4 * 2] = (
+                            _interp_chroma_block(
+                                src_p, cxp, cyp, w4 * 2, h4 * 2,
+                                mv[0], mv[1],
+                            )
+                        )
+    return (ny.astype(np.uint8), ncb.astype(np.uint8),
+            ncr.astype(np.uint8))
+
+
+def _write_h264sub(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IDR + sub-split P GOP, md5 of the
+    frames).  Lossless closed loop over up to SIXTEEN motion vectors
+    per macroblock — the finest motion field H.264 P slices carry."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_p,
+    )
+
+    w, h, nf, sub_kind, mvs = _h264sub_dims(doc_id)
+    rgb0 = _h264cac8_frame_rgb(doc_id, 0, w, h)
+    padded = np.pad(rgb0, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                    mode="edge")
+    frames = [_rgb_to_yuv420(padded)]
+    for _f in range(1, nf):
+        frames.append(_h264sub_step(frames[-1], sub_kind, mvs))
+    nals, _stats = h264_encode_gop_p(
+        frames, w, h, mv_candidates=[],
+        mv_sub_candidates=[(sub_kind, mvs)],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264sub_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a sub-split P-GOP stream per row, plus the closed-loop
+    frame hash."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264sub(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264sub_metadata(df: DataFrame) -> DataFrame:
+    """Decode the sub-split GOP and emit the oracle evidence: the
+    decode hashes to the fixture chain exactly (only a per-sub-
+    partition motion field can reproduce it), plus the pure-geometry
+    census."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264SUB_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, nf, sub_kind, mvs = _h264sub_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + nf, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sub_kind"].append(sub_kind)
+                out["mvs_per_mb"].append(len(mvs))
+                out["mb_count"].append(nf * mb_w * mb_h)
+                out["p8x8_mbs"].append(sum(s["p8x8"] for s in stats))
+                out["skip_mbs"].append(sum(s["skip"] for s in stats))
+                out["ipcm_idr_mbs"].append(
+                    sum(s["ipcm"] for s in stats if not s["is_p"])
+                )
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+                out["p_smaller_than_idr"].append(
+                    sum(len(n) for n in nals[3:]) < len(nals[2])
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264SUB_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

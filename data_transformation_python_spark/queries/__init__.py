@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     "multimodal_h264q_meta",
     "multimodal_h264part_meta",
     "multimodal_h264p8_meta",
+    "multimodal_h264sub_meta",
     "samp_dsir",
     "q_stream_dsir",
     "text_knn_classifier",

@@ -2479,6 +2479,53 @@ def multimodal_h264p8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.h264p8_metadata(mm.synth_h264p8_table(docs))
 
 
+_H264SUB_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         32 + 16 * (doc_id % 3) AS w,
+         16 + 16 * (doc_id % 2) AS h,
+         3 + doc_id % 2 AS nf,
+         1 + doc_id % 3 AS sub_kind,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(sub_kind AS BIGINT) AS sub_kind,
+       CAST(CASE WHEN sub_kind = 3 THEN 16 ELSE 8 END AS BIGINT)
+         AS mvs_per_mb,
+       CAST(nf * mbw * mbh AS BIGINT) AS mb_count,
+       CAST((nf - 1) * mbw * mbh AS BIGINT) AS p8x8_mbs,
+       CAST(0 AS BIGINT) AS skip_mbs,
+       CAST(mbw * mbh AS BIGINT) AS ipcm_idr_mbs,
+       TRUE AS roundtrip_exact,
+       TRUE AS p_smaller_than_idr
+FROM g
+"""
+
+
+@query("multimodal_h264sub_meta", oracle=_H264SUB_ORACLE)
+def multimodal_h264sub_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-8x8 MOTION SPLITS (round 9 — the Table 7-17 ladder
+    completed): P_8x8 macroblocks whose four sub-macroblocks split
+    into 8x4, 4x8, or 4x4 sub-partitions (sub_mb_type 1/2/3) — up to
+    SIXTEEN independent fractional motion vectors per macroblock, the
+    finest motion field H.264 P slices carry, each predicted by the
+    general §8.4.1.3 median over its own 4x4-granular neighbours in
+    §6.4.2.2 scan order.  Fixture frames move every sub-partition by
+    the codec's own MC, so the GOP is a lossless closed loop: decode
+    ≡ fixture chain bit-for-bit (only a per-sub-partition motion
+    field can reproduce it), census pure geometry.  With this rung
+    the inter-prediction stubs are down to CABAC, B slices, and
+    weighted prediction."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264sub_metadata(mm.synth_h264sub_table(docs))
+
+
 _H264PR_ORACLE = """
 WITH g AS (
   SELECT doc_id, doc_id % 48 AS pid,

@@ -1205,22 +1205,6 @@ class TestP8x8SubMacroblocks:
                 )
                 assert np.array_equal(exp, dec[i]), (quad, i)
 
-    def test_sub_partitions_below_8x8_rejected(self):
-        w, h = 32, 16
-        f0 = self._base_yuv(w, h, 11)
-        nals, _ = hc.h264_encode_gop_p(
-            [f0, tuple(p.copy() for p in f0)], w, h
-        )
-        bw = hc._EgWriter()
-        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
-        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
-        bw.se(0); bw.ue(1)
-        bw.ue(0); bw.ue(3)  # mb_skip_run 0, P_8x8
-        bw.ue(1)            # sub_mb_type P_L0_8x4 -> unsupported
-        bw.rbsp_trailing()
-        bad = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
-        with pytest.raises(NotImplementedError):
-            hc.h264_decode_gop(bad)
 
     def test_fixture_gate_census_replay(self):
         import hashlib
@@ -1232,6 +1216,84 @@ class TestP8x8SubMacroblocks:
             mbw, mbh = (w + 15) // 16, (h + 15) // 16
             assert sum(s["p8x8"] for s in stats) == (nf - 1) * mbw * mbh
             assert sum(s["skip"] for s in stats) == 0
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc_id
+
+
+class TestSub8x8Splits:
+    """8x4 / 4x8 / 4x4 sub-partitions (round 9): the full Table 7-17
+    split ladder — up to 16 motion vectors per macroblock."""
+
+    @staticmethod
+    def _base_yuv(w, h, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        pad = np.pad(rgb, ((0, -h % 16), (0, -w % 16), (0, 0)),
+                     mode="edge")
+        return hc._rgb_to_yuv420(pad)
+
+    def test_all_splits_lossless_roundtrip(self):
+        w, h = 48, 32
+        for sub_kind in (1, 2, 3):
+            n = 4 * len(hc._SUB_GEOM[sub_kind])
+            mvs = tuple(
+                (1 + (3 * j) % 6, (2 * j) % 4) for j in range(n)
+            )
+            frames = [self._base_yuv(w, h, 91)]
+            for _ in range(2):
+                frames.append(mm._h264sub_step(frames[-1], sub_kind, mvs))
+            nals, _ = hc.h264_encode_gop_p(
+                frames, w, h, mv_candidates=[],
+                mv_sub_candidates=[(sub_kind, mvs)],
+            )
+            dec, dstats = hc.h264_decode_gop(nals)
+            assert [s["p8x8"] for s in dstats] == [0, 6, 6], sub_kind
+            for i, (fy, fcb, fcr) in enumerate(frames):
+                exp = hc._yuv420_to_rgb(
+                    fy[:h, :w], fcb[: h // 2, : w // 2],
+                    fcr[: h // 2, : w // 2]
+                )
+                assert np.array_equal(exp, dec[i]), (sub_kind, i)
+
+    def test_sub_geom_covers_each_8x8_exactly(self):
+        for kind, parts in hc._SUB_GEOM.items():
+            cells = set()
+            for dx4, dy4, w4, h4 in parts:
+                for dy in range(h4):
+                    for dx in range(w4):
+                        cells.add((dx4 + dx, dy4 + dy))
+            assert cells == {(x, y) for x in range(2)
+                             for y in range(2)}, kind
+
+    def test_b_sub_types_rejected(self):
+        w, h = 32, 16
+        f0 = self._base_yuv(w, h, 11)
+        nals, _ = hc.h264_encode_gop_p(
+            [f0, tuple(p.copy() for p in f0)], w, h
+        )
+        bw = hc._EgWriter()
+        bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+        bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+        bw.se(0); bw.ue(1)
+        bw.ue(0); bw.ue(3)  # P_8x8
+        bw.ue(4)            # sub_mb_type 4: not a P sub type
+        bw.ue(0); bw.ue(0); bw.ue(0)  # remaining sub_mb_types
+        bw.rbsp_trailing()
+        bad = nals[:3] + [hc._nal(1, bw.tobytes(), ref_idc=2)]
+        with pytest.raises(NotImplementedError):
+            hc.h264_decode_gop(bad)
+
+    def test_fixture_gate_census_replay(self):
+        import hashlib
+
+        for doc_id in range(12):
+            payload, rec = mm._write_h264sub(doc_id)
+            frames, stats = hc.h264_decode_gop(hc.split_annexb(payload))
+            w, h, nf, sub_kind, mvs = mm._h264sub_dims(doc_id)
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            assert sum(s["p8x8"] for s in stats) == (nf - 1) * mbw * mbh
             md5 = hashlib.md5()
             for fr in frames:
                 md5.update(fr.tobytes())
