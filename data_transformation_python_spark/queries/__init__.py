@@ -104,10 +104,12 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 9 head: (1) the five
-# brand-new never-checked gates — the inter-residual H.264 rung
-# multimodal_h264pr_meta, the kNN-vote classifier batch + streaming
-# twins, the trigram phrase scan/serve pair; (2) the gates whose CODE
+# rotated STALEST-FIRST each round.  Round 9 head: (1) the eleven
+# brand-new never-checked gates — the five H.264 rungs (inter
+# residuals, fractional-pel, 16x8/8x16 partitions, P_8x8, the
+# 8x4/4x8/4x4 sub-split ladder), DSIR batch + streaming, the kNN-vote
+# classifier batch + streaming twins, the trigram phrase scan/serve
+# pair; (2) the gates whose CODE
 # or ORACLE changed this round — the PSNR gate (now 9 codecs × 48
 # constants) and the whole H.264 family, since the shared decoder
 # gained the inter-residual branches and the stats census a p16r key;
