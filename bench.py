@@ -683,19 +683,20 @@ def plan_fingerprint(df) -> str | None:
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
-def jvm_calibration(spark, shots: int = 5) -> dict:
+def jvm_calibration(spark, shots: int = 5, n: int = 500_000_000,
+                    name: str = "range_5e8_sum") -> dict:
     """Fixed pure-JVM throughput probe: median-of-``shots`` wall time
-    of ``spark.range(5e8).sum()`` (whole-stage-codegen'd long loop, no
+    of ``spark.range(n).sum()`` (whole-stage-codegen'd long loop, no
     Python, no IO).  Identical work every round, so the ratio of two
     rounds' probes IS the shared host factor — divide it out before
     calling anything a regression."""
     times = []
     for _ in range(shots):
         t0 = time.perf_counter()
-        spark.range(500_000_000).selectExpr("sum(id)").collect()
+        spark.range(n).selectExpr("sum(id)").collect()
         times.append(round(time.perf_counter() - t0, 4))
     return {
-        "probe": "range_5e8_sum",
+        "probe": name,
         "shots": times,
         "median": round(_median(times), 4),
     }
@@ -777,9 +778,15 @@ def main() -> None:
     except Exception:
         pass
 
-    # Host-factor probe: identical pure-JVM work every round; ratio
+    # Host-factor probes: identical pure-JVM work every round; ratio
     # of two rounds' medians = shared host factor (see module doc).
+    # The short probe (~0.15 s/shot) proved noisy across runs (round-9
+    # medians swung 0.13-0.18, ±40% — scheduling floor dominates), so
+    # a 6x-longer second probe rides along; bench_diff prefers it.
     calibration = jvm_calibration(spark)
+    calibration2 = jvm_calibration(
+        spark, shots=7, n=3_000_000_000, name="range_3e9_sum"
+    )
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -857,6 +864,7 @@ def main() -> None:
         "corpus_docs": n_corpus,
         "repeats": repeats,
         "calibration": calibration,
+        "calibration2": calibration2,
     }
     if errors:
         payload["errors"] = errors

@@ -69,10 +69,20 @@ def main() -> int:
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
     # host factor from the fixed JVM probe: >1 means the new host is
-    # slower; divide new timings by it before judging regressions
+    # slower; divide new timings by it before judging regressions.
+    # Prefer the long probe (calibration2, ~1 s/shot) when both files
+    # carry it — the short probe's scheduling floor makes its median
+    # swing ±40% run-to-run; probes must match by name to compare.
     host = 1.0
-    oc = (old.get("calibration") or {}).get("median")
-    ncal = (new.get("calibration") or {}).get("median")
+    oc = ncal = None
+    for key in ("calibration2", "calibration"):
+        o, n = old.get(key) or {}, new.get(key) or {}
+        if (
+            o.get("median") and n.get("median")
+            and o.get("probe") == n.get("probe")
+        ):
+            oc, ncal = o["median"], n["median"]
+            break
     if oc and ncal:
         host = ncal / oc
 
