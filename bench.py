@@ -782,10 +782,12 @@ def main() -> None:
     # of two rounds' medians = shared host factor (see module doc).
     # The short probe (~0.15 s/shot) proved noisy across runs (round-9
     # medians swung 0.13-0.18, ±40% — scheduling floor dominates), so
-    # a 6x-longer second probe rides along; bench_diff prefers it.
+    # a ~1 s/shot second probe rides along; bench_diff prefers it.
     calibration = jvm_calibration(spark)
+    # ~19G rows/s whole-stage-codegen'd: 2e10 rows ≈ 1 s/shot, far
+    # above the ~0.1 s scheduling floor that made shorter probes swing
     calibration2 = jvm_calibration(
-        spark, shots=7, n=3_000_000_000, name="range_3e9_sum"
+        spark, shots=7, n=20_000_000_000, name="range_2e10_sum"
     )
 
     timings: dict[str, float] = {}
