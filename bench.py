@@ -657,8 +657,12 @@ _EPHEMERAL = [
     # exprIds / plan ids / cached-RDD ids change every session
     (re.compile(r"#\d+L?"), "#x"),
     (re.compile(r"plan_id=\d+"), "plan_id=x"),
-    # uuids, md5-derived temp suffixes, checkpoint dir hashes
-    (re.compile(r"[0-9a-f]{8,}", re.I), "H"),
+    # uuids, md5-derived temp suffixes, checkpoint dir hashes.  The
+    # lookahead demands at least one a-f char so pure-decimal literals
+    # of 8+ digits (range bounds, limits, thresholds) are NOT
+    # normalized — a plan that only changes such a literal must still
+    # change the fingerprint.
+    (re.compile(r"\b(?=[0-9a-f]*[a-f])[0-9a-f]{8,}\b", re.I), "H"),
     # session temp dirs and warehouse paths
     (re.compile(r"(/tmp|/private/var|/var/folders)/\S+"), "TMP"),
     # constant-folded current_timestamp()/current_date() literals

@@ -86,6 +86,12 @@ def main() -> int:
     if oc and ncal:
         host = ncal / oc
 
+    ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
+    plan_changed = sorted(
+        n for n in set(ofp) & set(nfp) if ofp[n] != nfp[n]
+    )
+    plan_changed_set = set(plan_changed)
+
     regressions, improved, added, removed = [], [], [], []
     for name, nt in sorted(nq.items()):
         ot = oq.get(name)
@@ -96,8 +102,14 @@ def main() -> int:
             continue
         adj = nt / host
         r = adj / ot if ot > 0 else float("inf")
+        raw = nt / ot if ot > 0 else float("inf")
         if r > args.ratio:
             regressions.append((r, name, ot, nt))
+        elif name in plan_changed_set and raw > args.ratio:
+            # A changed optimized plan whose RAW wall clock regressed is
+            # a real plan-shape regression even when a faster host would
+            # excuse the adjusted ratio — gate on it.
+            regressions.append((raw, name, ot, nt))
         elif r < 1 / args.ratio:
             improved.append((r, name, ot, nt))
     removed = sorted(set(oq) - set(nq))
@@ -111,10 +123,6 @@ def main() -> int:
             f"  host factor (JVM probe): {oc:.3f}s -> {ncal:.3f}s = "
             f"{host:.3f}x — new timings divided by this before judging"
         )
-    ofp, nfp = old.get("plan_fp", {}), new.get("plan_fp", {})
-    plan_changed = sorted(
-        n for n in set(ofp) & set(nfp) if ofp[n] != nfp[n]
-    )
     if plan_changed:
         print(f"  plan fingerprint changed ({len(plan_changed)}): "
               + ", ".join(plan_changed))

@@ -305,10 +305,21 @@ def dsir_importance_sample(
         .crossJoin(F.broadcast(r_tot))
         .select(
             "bucket",
+            # try_multiply returns NULL on BIGINT wrap (Spark's default
+            # non-ANSI mode would otherwise wrap silently → wrong
+            # selections with no error); the guard turns overflow into
+            # a hard failure instead of relying on callers reading the
+            # scale/corpus-size caveat in the docstring.  Non-overflow
+            # values are bit-identical to the plain product.
             (
                 F.expr(
-                    f"CAST({scale} AS BIGINT) * (t_b + 1) * (R + {B})"
-                    f" div ((r_b + 1) * (T + {B})) - {scale}"
+                    f"if(try_multiply(try_multiply("
+                    f"CAST({scale} AS BIGINT), t_b + 1), R + {B}) IS NULL,"
+                    f" CAST(raise_error('dsir_importance_sample: weight"
+                    f" numerator overflows BIGINT — lower scale or"
+                    f" n_buckets') AS BIGINT),"
+                    f" CAST({scale} AS BIGINT) * (t_b + 1) * (R + {B})"
+                    f" div ((r_b + 1) * (T + {B})) - {scale})"
                 )
             ).cast("bigint").alias("w_b"),
         )

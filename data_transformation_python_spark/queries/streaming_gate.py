@@ -8,6 +8,7 @@ window semantics must equal DATE_TRUNC bucketing on the same data.
 
 from __future__ import annotations
 
+import functools
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -15,6 +16,53 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import query
+
+_SCOPED_CONF_KEYS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.session.timeZone",
+)
+
+
+def _restores_conf(fn):
+    """Snapshot/restore session confs around a streaming gate.
+
+    Every gate in this file pins ``spark.sql.shuffle.partitions`` (and
+    most pin the session timezone) on the SHARED bench/parity session;
+    without a restore the setting leaks into every subsequently-run
+    query in the same process.  The wrapper runs after the gate's
+    ``awaitTermination`` returns, and the memory sink's rows are
+    already materialized by then, so restoring the conf cannot change
+    the returned DataFrame's values.  Keys the caller never set
+    explicitly are UNSET (not reset to their current default) so the
+    registry's own tune-if-untouched logic keeps working."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        saved: dict[str, str | None] = {}
+        for k in _SCOPED_CONF_KEYS:
+            try:
+                explicit = (
+                    spark._jsparkSession.sessionState()
+                    .conf()
+                    .settings()
+                    .containsKey(k)
+                )
+            except Exception:  # non-JVM backends: assume explicit
+                explicit = True
+            saved[k] = spark.conf.get(k, None) if explicit else None
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            for k, prev in saved.items():
+                try:
+                    if prev is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, prev)
+                except Exception:
+                    pass
+
+    return wrapper
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events file source with a schema probed from the parquet footer.
@@ -52,6 +100,7 @@ GROUP BY 1, 2
 
 
 @query("q_stream_windowed_counts", oracle=_STREAM_ORACLE)
+@_restores_conf
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window counts computed by an actual streaming
     query over the events file (glob-filtered file source with a
@@ -127,6 +176,7 @@ FROM sess GROUP BY user_id, session_seq
 
 
 @query("q_stream_sessionize", oracle=_SESSION_STREAM_ORACLE)
+@_restores_conf
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization with the built-in ``session_window``
     (30-minute inactivity gap) run as a real streaming query; the
@@ -183,6 +233,7 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 @query("q_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+@_restores_conf
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: ``dropDuplicates`` over the
     ingest stream keeps the first arrival per (user_id, event_type)
@@ -229,6 +280,7 @@ SELECT DISTINCT event_id FROM events
 
 
 @query("q_stream_dedup_watermark", oracle=_STREAM_DEDUP_WM_ORACLE)
+@_restores_conf
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production variant of streaming dedup: every event is
     RE-DELIVERED once with an event time 1 s later (the at-least-once
@@ -289,6 +341,7 @@ WHERE rn = 1
 
 
 @query("q_stream_foreachbatch_upsert", oracle=_STREAM_UPSERT_ORACLE)
+@_restores_conf
 def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert via ``foreachBatch``: the event stream
     lands in a catalog table through the SAME keyed-merge operator the
@@ -354,6 +407,7 @@ GROUP BY 1, 2
 
 
 @query("q_stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+@_restores_conf
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriches each row from a
     *batch* customer dimension, then aggregates per (segment, type).
@@ -414,6 +468,7 @@ JOIN events b
 
 
 @query("q_stream_stream_join", oracle=_STREAM_STREAM_ORACLE)
+@_restores_conf
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: clicks joined to purchases by the
     same user within 60 minutes — the attribution shape.  Both sides
@@ -510,6 +565,7 @@ GROUP BY 1, 2
 
 
 @query("q_stream_dedup_index", oracle=_STREAM_INDEX_ORACLE)
+@_restores_conf
 def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup admission control: the document stream is
     LSH-banded per row (``rowlocal_band_keys`` — min over the shingle
@@ -593,6 +649,7 @@ GROUP BY p.token
 
 
 @query("q_stream_countmin_merge", oracle=_STREAM_CMS_ORACLE)
+@_restores_conf
 def q_stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-user detection over the event stream: every micro-batch
     builds its own CMS cells (``countmin_build_tokens``) and APPENDS
@@ -697,6 +754,7 @@ WHERE rn = 1
 
 
 @query("q_stream_ann_route", oracle=_STREAM_ANN_ORACLE)
+@_restores_conf
 def q_stream_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN serving over the static IVF index (X4 serving
     composed with X12): 20% of the embeddings table arrives as a
@@ -824,6 +882,7 @@ WHERE rn = 1
 
 
 @query("q_stream_pq_serve", oracle=_STREAM_PQ_ORACLE)
+@_restores_conf
 def q_stream_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PQ-ADC serving: the corpus lives as m=4 PQ codes per
     vector (batch pq_encode, broadcast with pre-resolved codebook
@@ -939,6 +998,7 @@ def _stream_knn_oracle() -> str:
 
 
 @query("q_stream_knn_classifier", oracle=_stream_knn_oracle())
+@_restores_conf
 def q_stream_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming kNN-vote classifier over the static BQ seed index.
 
@@ -1060,6 +1120,7 @@ FROM est
 
 
 @query("q_stream_hll_merge", oracle=_STREAM_HLL_ORACLE)
+@_restores_conf
 def q_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user cardinality over the event stream: every
     micro-batch builds its own HLL registers
@@ -1158,6 +1219,7 @@ FROM top10 s JOIN c e ON e.item = s.item
 
 
 @query("q_stream_mg_merge", oracle=_STREAM_MG_ORACLE)
+@_restores_conf
 def q_stream_mg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter users over the event stream: every micro-batch
     appends its own map-side-combined (item, count) partials to a
@@ -1245,6 +1307,7 @@ _STREAM_HDR_ORACLE = _hdr_oracle(
 
 
 @query("q_stream_hdr_merge", oracle=_STREAM_HDR_ORACLE)
+@_restores_conf
 def q_stream_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-value percentiles over the stream: every micro-batch
     builds its own HDR log-histogram (operators/sketch.py hdr_build)
@@ -1297,6 +1360,7 @@ from ..queries.advanced import _CUSUM_ORACLE as _STREAM_CUSUM_ORACLE  # noqa: E4
 
 
 @query("q_stream_cusum", oracle=_STREAM_CUSUM_ORACLE)
+@_restores_conf
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift monitoring as a log-structured stream job: each
     micro-batch appends its own (source, hour, count) partials —
@@ -1412,6 +1476,7 @@ FROM ham WHERE d <= 8
 
 
 @query("q_stream_image_dedup", oracle=_STREAM_IMAGE_ORACLE)
+@_restores_conf
 def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming image admission control: the new-image stream is
     fingerprinted PER ROW inside the stream (synth → decode → dHash
@@ -1541,6 +1606,7 @@ SELECT query_id, doc_id, score_q FROM (
 
 
 @query("q_stream_bm25_serve", oracle=_STREAM_BM25_ORACLE)
+@_restores_conf
 def q_stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 serving over the static inverted index (X5
     retrieval composed with X12): documents with doc_id % 97 == 0
@@ -1647,6 +1713,7 @@ def _stream_dsir_oracle() -> str:
 
 
 @query("q_stream_dsir", oracle=_stream_dsir_oracle())
+@_restores_conf
 def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DSIR importance scoring over the static weight
     table.  The <= 1024 integer bucket weights are computed
