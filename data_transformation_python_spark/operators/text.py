@@ -946,6 +946,44 @@ def quality_classifier(
     )
 
 
+def quality_classifier_serve(
+    df: DataFrame,
+    weights: list[int],
+    bias: int = 0,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score documents with a LEARNED weight table — the "swap in
+    learned weights" step quality_classifier's docstring promises.
+
+    ``weights[b]`` is the fixed-point BIGINT weight of hash bucket
+    ``b`` (produced by training.lr_train); the vector folds into a
+    broadcast literal array so the scorer stays a single shuffle-free
+    codegen'd projection, identical in shape to the deterministic
+    variant above.  ``len(weights)`` must equal ``n_buckets``."""
+    if len(weights) != n_buckets:
+        raise ValueError(
+            f"quality_classifier_serve: got {len(weights)} weights for"
+            f" {n_buckets} buckets"
+        )
+    bucket = (
+        f"pmod(CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT),"
+        f" {n_buckets})"
+    )
+    w_lit = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in weights) + ")"
+    z = (
+        f"CAST({bias} AS BIGINT) + aggregate(transform(split({text_col},"
+        f" ' '), t -> element_at({w_lit}, CAST({bucket} + 1 AS INT))),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(z).alias("z_scaled"),
+    ).withColumn("pred_label", F.col("z_scaled") > 0)
+
+
 # ---------------------------------------------------------------------------
 # BPE merge learning (Sennrich et al. 2016) — the tokenizer-TRAINING
 # operator: learn the first k byte-pair merges from the corpus.  The

@@ -1505,3 +1505,20 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_substring_trim(
         load(spark, sf_dir, "documents"), n=8, min_docs=2
     )
+
+
+# --------------------------------------------------------------------------
+# quality-classifier TRAINING: quantized logistic regression by
+# full-batch GD over hashed features, distilling the deterministic
+# teacher the serving path (text_quality_classifier) already scores.
+# The Spark side runs the real iterative loop (persisted compact
+# feature frame; per-iteration one narrow scoring map + one
+# map-side-combined gradient aggregate to <=1025 rows); the oracle
+# unrolls the identical integer GD as a MATERIALIZED-CTE chain.
+# --------------------------------------------------------------------------
+from ..operators import training as tr  # noqa: E402
+
+
+@query("text_lr_train", oracle=tr.lr_unrolled_oracle_sql())
+def text_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tr.lr_train_score(load(spark, sf_dir, "documents"))
