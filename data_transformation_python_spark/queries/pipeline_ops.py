@@ -1522,3 +1522,37 @@ from ..operators import training as tr  # noqa: E402
 @query("text_lr_train", oracle=tr.lr_unrolled_oracle_sql())
 def text_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.lr_train_score(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# HTML-to-text extraction front door: deterministic synthetic pages
+# built from the documents corpus (nav/script/style/ad/footer
+# furniture around real paragraph content), then the density-based
+# boilerplate-strip cascade — both stages pure string algebra shared
+# with the oracle through per-dialect expression builders.
+# --------------------------------------------------------------------------
+from ..operators import extraction as ex  # noqa: E402
+
+
+def _html_extract_oracle() -> str:
+    e = ex.html_extract_expr("html", "duckdb")
+    synth = ex.synth_html_expr("text", "doc_id", "duckdb")
+    return f"""
+WITH pages AS (SELECT doc_id, {synth} AS html FROM documents)
+SELECT doc_id,
+       CAST(len({e['blocks']}) AS BIGINT) AS n_blocks,
+       CAST(len({e['kept']}) AS BIGINT) AS n_kept,
+       CAST(length({e['extracted']}) AS BIGINT) AS extracted_len,
+       {e['extracted']} AS extracted
+FROM pages
+"""
+
+
+@query("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(ex.synth_html_expr("text", "doc_id", "spark")).alias("html"),
+    )
+    return ex.html_extract(pages)

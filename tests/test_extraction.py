@@ -1,0 +1,71 @@
+"""HTML-to-text extraction (operators/extraction.py).
+
+Oracle parity pins the synth→extract pipeline cross-engine; these
+tests pin the extraction SEMANTICS on hand-built pages where the
+expected output is known by eye: script/style/comment content must
+never leak, link-dominated blocks must drop, entities must decode,
+and short fragments must be rejected.
+"""
+
+from __future__ import annotations
+
+from data_transformation_python_spark.operators import extraction as ex
+
+
+def _extract(spark, html: str) -> dict:
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return ex.html_extract(df).collect()[0].asDict()
+
+
+def test_script_style_comment_content_never_leaks(spark):
+    out = _extract(
+        spark,
+        "<html><head><style>.x{secretcss:1}</style>"
+        "<script>var secretjs = 'leaky string here';</script></head>"
+        "<body><!-- secretcomment --><p>This paragraph is the only "
+        "visible content and easily long enough.</p></body></html>",
+    )
+    assert "secret" not in out["extracted"]
+    assert out["n_kept"] == 1
+    assert out["extracted"].startswith("This paragraph")
+
+
+def test_link_dominated_block_drops_text_block_stays(spark):
+    out = _extract(
+        spark,
+        '<body><nav><a href="/">navigation link one</a> '
+        '<a href="/">navigation link two</a></nav>'
+        "<p>Plain prose with one small <a href=\"#\">ref</a> inside "
+        "a much longer sentence survives.</p></body>",
+    )
+    assert out["n_kept"] == 1
+    assert "navigation" not in out["extracted"]
+    assert "Plain prose" in out["extracted"]
+    # the anchor inside the kept block is stripped to its text
+    assert "ref" in out["extracted"] and "href" not in out["extracted"]
+
+
+def test_entities_decode_and_whitespace_collapses(spark):
+    out = _extract(
+        spark,
+        "<p>A &quot;b&quot;   c&nbsp;&amp;\n\td, it&#39;s &lt;tagless&gt; "
+        "and definitely long enough to keep around.</p>",
+    )
+    assert out["extracted"].startswith('A "b" c & d, it\'s <tagless>')
+    assert "  " not in out["extracted"]
+
+
+def test_short_blocks_reject(spark):
+    out = _extract(spark, "<p>too short</p><div>also tiny</div>")
+    assert out["n_kept"] == 0 and out["extracted"] == ""
+
+
+def test_pre_tag_does_not_split(spark):
+    # <pre> is not a configured block tag and must not prefix-match p
+    out = _extract(
+        spark,
+        "<p>alpha beta gamma delta <pre>epsilon</pre> zeta eta theta "
+        "iota kappa together one block.</p>",
+    )
+    assert out["n_kept"] == 1
+    assert "epsilon" in out["extracted"]
