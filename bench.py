@@ -579,11 +579,18 @@ def corpus_scale_entries(spark, corpus_dir: str):
     ]
 
 
-def bench_framework_run_all(spark, sf_dir: str) -> float:
-    """Time the framework layer end-to-end over example_project:
+def bench_framework_run_all(
+    spark, sf_dir: str, project: str = "example_project"
+) -> float:
+    """Time the framework layer end-to-end over a model project:
     parse → dependency DAG → level-parallel materialization of every
     model (views, typed tables, incrementals) against the bench
-    tables.  Returns wall seconds; raises if any model fails."""
+    tables.  Returns wall seconds; raises if any model fails.
+
+    ``project="example_pipeline"`` runs the LLM curation funnel
+    (ingest → language-ID → Gopher filter → MinHash dedup → DSIR
+    selection → packing) — the §2.12 operator surface composed as
+    framework materializations."""
     import shutil
     import uuid
     from pathlib import Path
@@ -600,11 +607,9 @@ def bench_framework_run_all(spark, sf_dir: str) -> float:
     from data_transformation_python_spark.parser import SQLParser
     from data_transformation_python_spark.state import create_state_manager
 
-    src = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "example_project"
-    )
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), project)
     tmp = tempfile.mkdtemp(prefix="dtps_bench_proj_")
-    proj = os.path.join(tmp, "example_project")
+    proj = os.path.join(tmp, project)
     shutil.copytree(src, proj)
     os.environ["TESTDATA_DIR"] = sf_dir  # sources.yml reads ${TESTDATA_DIR}
     db = f"bench_fw_{uuid.uuid4().hex[:8]}"
@@ -836,6 +841,22 @@ def main() -> None:
         samples["framework_run_all"] = fw
     except Exception as e:
         errors["framework_run_all"] = str(e).split("\n")[0][:200]
+
+    # the LLM curation funnel composed as framework materializations
+    # (example_pipeline: ingest → langid → Gopher → MinHash dedup →
+    # DSIR → packing) — proves the operator surface and the
+    # model/DAG/incremental framework run as one product
+    try:
+        fw = [
+            round(
+                bench_framework_run_all(spark, sf_dir, "example_pipeline"), 4
+            )
+            for _ in range(max(1, repeats))
+        ]
+        timings["pipeline_run_all"] = round(_median(fw), 4)
+        samples["pipeline_run_all"] = fw
+    except Exception as e:
+        errors["pipeline_run_all"] = str(e).split("\n")[0][:200]
 
     # corpus-scale pass: same operators at >=50k hash-derived docs
     # (fixture documents/embeddings are ~500 rows at every sf, which

@@ -1,0 +1,6 @@
+SELECT CASE WHEN
+    (SELECT COUNT(*) FROM analytics_pipeline.silver_dedup)
+        <= (SELECT COUNT(*) FROM analytics_pipeline.silver_quality)
+    AND (SELECT COUNT(*) FROM analytics_pipeline.silver_quality)
+        <= (SELECT COUNT(*) FROM analytics_pipeline.bronze_documents)
+    THEN 0 ELSE 1 END AS failed_rows

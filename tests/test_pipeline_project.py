@@ -1,0 +1,143 @@
+"""End-to-end curation-pipeline project (example_pipeline): the LLM
+training-data funnel — ingest → language-ID → Gopher filter → MinHash
+dedup → DSIR selection → sequence packing — running as framework
+materializations with DQ tests.  This proves the §2.12 operator
+surface and the model/DAG/incremental framework compose as ONE
+product, not two separately-tested halves.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+
+from data_transformation_python_spark.config import load_config
+from data_transformation_python_spark.dependency import (
+    ParallelExecutor,
+    build_dependency_graph,
+)
+from data_transformation_python_spark.executor import ModelExecutor, SparkExecutor
+from data_transformation_python_spark.model import ModelRegistry
+from data_transformation_python_spark.parser import SQLParser
+from data_transformation_python_spark.state import create_state_manager
+from data_transformation_python_spark.testing import TestRunner
+
+EXAMPLE = "/root/repo/example_pipeline"
+MODELS = [
+    "bronze_documents",
+    "silver_signals",
+    "silver_quality",
+    "silver_dedup",
+    "gold_dsir_selected",
+    "gold_packed",
+]
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory, spark):
+    proj = tmp_path_factory.mktemp("proj") / "example_pipeline"
+    shutil.copytree(EXAMPLE, proj)
+    db = f"pipeline_{uuid.uuid4().hex[:8]}"
+    for tst in (proj / "tests").glob("*.sql"):
+        tst.write_text(
+            tst.read_text().replace("analytics_pipeline.", f"{db}.")
+        )
+    config = load_config(proj)
+    config.database = db
+    parser = SQLParser(config.models_dir)
+    state = create_state_manager(config.state_dir, config.env_name)
+    ex = SparkExecutor(spark, database=db)
+    mx = ModelExecutor(ex, parser, config, state)
+    yield {
+        "config": config,
+        "parser": parser,
+        "state": state,
+        "ex": ex,
+        "mx": mx,
+        "db": db,
+    }
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _run_all(project) -> list[dict]:
+    parsed = project["parser"].parse_directory()
+    levels = build_dependency_graph(parsed).topological_sort()
+    return ParallelExecutor(max_parallelism=4).execute_levels(
+        levels, lambda name: project["mx"].execute_model(name)
+    )
+
+
+def test_funnel_dag_runs_and_narrows(project, spark):
+    results = _run_all(project)
+    failed = [r for r in results if not r.get("success")]
+    assert not failed, failed
+    db = project["db"]
+    for m in MODELS:
+        assert spark.catalog.tableExists(f"{db}.{m}"), m
+
+    n_bronze = spark.table(f"{db}.bronze_documents").count()
+    n_quality = spark.table(f"{db}.silver_quality").count()
+    n_dedup = spark.table(f"{db}.silver_dedup").count()
+    # the funnel must narrow monotonically and keep a real corpus
+    assert n_bronze >= n_quality >= n_dedup > 0
+    assert n_quality < n_bronze  # the Gopher gate actually rejects
+
+    # DSIR admits only non-target docs, bounded by the keep-k var
+    sel = spark.table(f"{db}.gold_dsir_selected")
+    assert 0 < sel.count() <= 50
+    # packing covers exactly the en slice + the DSIR-selected docs
+    packed = spark.table(f"{db}.gold_packed")
+    n_en = (
+        spark.table(f"{db}.silver_dedup")
+        .where("lang = 'en'")
+        .count()
+    )
+    assert packed.count() == n_en + sel.count()
+    # every pack offset respects the 512-token budget
+    assert packed.where("pack_offset < 0 OR pack_offset >= 512").count() == 0
+
+
+def test_dq_and_custom_tests_pass(project, spark):
+    db = project["db"]
+    if not spark.catalog.tableExists(f"{db}.gold_packed"):
+        _run_all(project)
+    registry = ModelRegistry(project["config"].models_dir)
+    runner = TestRunner(
+        project["ex"],
+        registry,
+        project["config"].tests_dir,
+        state=project["state"],
+    )
+    results = []
+    for m in MODELS:
+        results += runner.run_model_tests(m, f"{db}.{m}")
+    results += runner.run_custom_sql_tests()
+    assert results, "no DQ tests discovered"
+    bad = [r for r in results if not r.passed]
+    assert not bad, bad
+    # both custom SQL tests must have been discovered and run
+    custom = {r.test_name for r in results if r.model == "custom"}
+    assert custom == {"funnel_monotone", "packed_docs_accounted"}
+
+
+def test_incremental_rerun_is_stable(project, spark):
+    """Re-running the DAG must merge-idempotently: same row counts,
+    no duplicate doc_ids from the unique-key incremental ingest."""
+    db = project["db"]
+    if not spark.catalog.tableExists(f"{db}.gold_packed"):
+        _run_all(project)
+    before = {m: spark.table(f"{db}.{m}").count() for m in MODELS}
+    results = _run_all(project)
+    assert all(r.get("success") for r in results)
+    after = {m: spark.table(f"{db}.{m}").count() for m in MODELS}
+    assert before == after
+    dup = (
+        spark.table(f"{db}.bronze_documents")
+        .groupBy("doc_id")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup == 0
