@@ -566,6 +566,22 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
+            # wide-batch twin: 2 000 queries against the same 45k
+            # seeds — prices the per-query top-k window exchange
+            # (WindowGroupLimit map-side trim; see knn_classify
+            # docstring), which the 100-query entry barely exercises
+            "sim_knn_classify_wide",
+            lambda: sim.knn_classify(
+                emb,
+                emb.filter("vec_id % 10 != 0").selectExpr(
+                    "vec_id",
+                    "CAST(pmod(xxhash64(vec_id), 7) AS BIGINT) AS label",
+                ),
+                query_ids=range(0, 50000, 25),
+                k=5,
+            ),
+        ),
+        (
             # DSIR importance resampling at corpus scale: 2% target
             # slice vs the 98% raw pool — two 1024-bucket histogram
             # shuffles + a broadcast-weight scoring join

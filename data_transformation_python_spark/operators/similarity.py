@@ -1745,6 +1745,21 @@ def knn_classify(
     its k nearest seeds map-side — one narrow pass over the corpus,
     zero corpus shuffles, the same plan ann-route serving uses.
     Output: (query_id, pred_label, votes, best_hamming).
+
+    Wide-batch shape (measured on the sim_knn_classify_wide bench
+    twin: 2 000 queries × 45k seeds = 90M pairs): a single per-query
+    ROW_NUMBER window would SORT the full pair stream — even with
+    Spark's map-side WindowGroupLimit trim the sort dominated (7.7 s
+    of a 10 s run; OOM-prone at bench heap).  Instead the top-k runs
+    in two passes with IDENTICAL output: (1) aggregate pairs into a
+    (query, hamming) HISTOGRAM — hash-agg into ≤ 129 cells per query,
+    map-side combined, no sort — and derive each query's CUT distance
+    (the k-th-nearest Hamming value) from the tiny cumulative
+    histogram; (2) regenerate the pairs (popcounts are ~0.6 s for all
+    90M — far cheaper than sorting them) and keep only
+    ``hamming <= cut``, leaving ≤ k+ties rows per query for the exact
+    ROW_NUMBER tie-break.  Degenerate corpora where many seeds tie AT
+    the cut re-inflate pass 2 toward the old cost — never beyond it.
     """
     query_ids = list(query_ids)
     sigs = bq_encode(df, vec_col, id_col)
@@ -1765,9 +1780,31 @@ def knn_classify(
             ),
         )
     )
+    # pass 1: per-query cut distance from the Hamming histogram
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy("hamming")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        ham.groupBy("query_id", "hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .withColumn("__cum", F.sum("__c").over(w_cum))
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("__cum") >= k, F.col("hamming"))),
+                F.max("hamming"),  # fewer than k seeds: keep all
+            ).alias("__cut")
+        )
+    )
+    # pass 2: only the <= cut survivors reach the exact tie-break
     w_k = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    topk = ham.withColumn("__r", F.row_number().over(w_k)).filter(
-        F.col("__r") <= k
+    topk = (
+        ham.join(F.broadcast(cuts), "query_id")
+        .filter(F.col("hamming") <= F.col("__cut"))
+        .withColumn("__r", F.row_number().over(w_k))
+        .filter(F.col("__r") <= k)
     )
     votes = topk.groupBy("query_id", label_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("votes"),
