@@ -625,3 +625,142 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {target}")
         spark.sql(f"DROP TABLE IF EXISTS __stg_{target}")
         spark.catalog.dropTempView(src)
+
+
+# --------------------------------------------------------------------------
+# THE COMPOSED PRODUCT under the correctness gate: execute the REAL
+# framework (parse -> dependency DAG -> level-parallel
+# materialization) over the example_pipeline curation project —
+# ingest -> language-ID + Gopher filter -> MinHash-LSH dedup -> DSIR
+# selection -> sequence packing — and return the final gold_packed
+# table; the oracle replays every stage as one DuckDB CTE chain.
+# This pins the claim the per-stage gates cannot: the §2.12 operator
+# semantics SURVIVE composition through models, refs, $vars, and
+# incremental materializations.
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH bronze AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+signals AS (
+  SELECT doc_id, text, lang, n_tokens,
+         list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_token_len,
+         len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+         len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+         len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','and','of','to','is'], x))) AS n_stop_en,
+         len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist','ein'], x))) AS n_stop_de,
+         len(list_filter(string_split(text, ' '), x -> list_contains(['el','la','los','y','es','un'], x))) AS n_stop_es
+  FROM bronze),
+quality AS (
+  SELECT doc_id, text, lang, n_tokens
+  FROM signals
+  WHERE n_tokens > 0
+    AND CAST(sum_token_len AS DOUBLE) / n_tokens >= 3.0
+    AND CAST(sum_token_len AS DOUBLE) / n_tokens <= 10.0
+    AND CAST(n_symbols AS DOUBLE) / n_tokens < 0.1
+    AND CAST(n_alpha_words AS DOUBLE) / n_tokens >= 0.8
+    AND n_stop_en >= 2),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM quality),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+sig AS (SELECT doc_id,
+  MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+  MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+  MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+  MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+drops AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id),
+dedup AS (SELECT q.* FROM quality q LEFT JOIN drops d ON q.doc_id = d.doc_id
+          WHERE d.doc_id IS NULL),
+dtok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM dedup),
+grams AS (
+  SELECT doc_id, lang, tk[i] AS gram FROM dtok, unnest(generate_series(1, len(tk))) AS u(i)
+  UNION ALL
+  SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] FROM dtok, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+b AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) % 1024 AS bucket
+      FROM grams),
+t_hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_b FROM b WHERE lang = 'en' GROUP BY 1),
+r_hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_b FROM b WHERE lang <> 'en' GROUP BY 1),
+tot AS (SELECT (SELECT CAST(SUM(t_b) AS BIGINT) FROM t_hist) AS tt,
+               (SELECT CAST(SUM(r_b) AS BIGINT) FROM r_hist) AS rt),
+wts AS (SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+               CAST(1000000 * (COALESCE(t.t_b, 0) + 1) * (rt + 1024)
+                    // ((COALESCE(r.r_b, 0) + 1) * (tt + 1024)) - 1000000 AS BIGINT) AS w_b
+        FROM r_hist r FULL OUTER JOIN t_hist t ON r.bucket = t.bucket, tot),
+c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE lang <> 'en' GROUP BY 1, 2),
+sc AS (SELECT doc_id, CAST(SUM(c * w_b) AS BIGINT) AS dsir_score FROM c JOIN wts USING (bucket) GROUP BY 1),
+selected AS (SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rank FROM sc) t
+  WHERE rank <= 50),
+sel AS (
+  SELECT d.doc_id, d.lang, d.n_tokens FROM dedup d WHERE d.lang = 'en'
+  UNION ALL
+  SELECT d.doc_id, d.lang, d.n_tokens FROM dedup d JOIN selected s ON d.doc_id = s.doc_id),
+cum AS (SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sel)
+SELECT doc_id, lang, n_tokens,
+       lang || '/' || CAST((cum - n_tokens) // 512 AS STRING) AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+FROM cum
+"""
+
+
+@query("pipeline_curation_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..config import load_config
+    from ..dependency import ParallelExecutor, build_dependency_graph
+    from ..executor import ModelExecutor, SparkExecutor
+    from ..parser import SQLParser
+    from ..state import create_state_manager
+
+    src = Path(__file__).resolve().parents[2] / "example_pipeline"
+    tmp = tempfile.mkdtemp(prefix="dtps_funnel_")
+    proj = Path(tmp) / "example_pipeline"
+    shutil.copytree(src, proj)
+    db = f"funnel_{uuid.uuid4().hex[:8]}"
+    old_env = os.environ.get("TESTDATA_DIR")
+    os.environ["TESTDATA_DIR"] = sf_dir  # sources.yml reads ${TESTDATA_DIR}
+    try:
+        config = load_config(proj)
+        config.database = db
+        parser = SQLParser(config.models_dir)
+        state = create_state_manager(config.state_dir, config.env_name)
+        mx = ModelExecutor(
+            SparkExecutor(spark, database=db), parser, config, state
+        )
+        levels = build_dependency_graph(
+            parser.parse_directory()
+        ).topological_sort()
+        results = ParallelExecutor(max_parallelism=4).execute_levels(
+            levels, lambda name: mx.execute_model(name)
+        )
+        failed = [r for r in results if not r.get("success")]
+        if failed:
+            raise RuntimeError(f"curation funnel failed: {failed[:1]}")
+        # materialize into local rows BEFORE the database drops — the
+        # returned frame must outlive the temp warehouse
+        packed = spark.table(f"{db}.gold_packed")
+        return spark.createDataFrame(packed.collect(), packed.schema)
+    finally:
+        if old_env is None:
+            os.environ.pop("TESTDATA_DIR", None)
+        else:
+            os.environ["TESTDATA_DIR"] = old_env
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -46,9 +46,14 @@ c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
       FROM b WHERE lang <> 'en' GROUP BY doc_id, bucket),
 sc AS (SELECT doc_id, CAST(SUM(c * w_b) AS BIGINT) AS dsir_score
        FROM c JOIN wts USING (bucket) GROUP BY doc_id)
-SELECT doc_id, dsir_score, rank FROM (
-    SELECT doc_id, dsir_score,
-           CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
-                AS BIGINT) AS rank
-    FROM sc
-) WHERE rank <= $dsir_keep_k
+-- inner ORDER BY + LIMIT is a distributed TakeOrdered; the global
+-- single-partition window then runs on <= $dsir_keep_k rows only
+-- (same bounded pattern as operators/sampling.py — do not copy onto
+-- an unbounded frame)
+SELECT doc_id, dsir_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+            AS BIGINT) AS rank
+FROM (
+    SELECT doc_id, dsir_score FROM sc
+    ORDER BY dsir_score DESC, doc_id LIMIT $dsir_keep_k
+)
