@@ -104,141 +104,235 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 9 head: (1) the eleven
-# brand-new never-checked gates — the five H.264 rungs (inter
-# residuals, fractional-pel, 16x8/8x16 partitions, P_8x8, the
-# 8x4/4x8/4x4 sub-split ladder), DSIR batch + streaming, the kNN-vote
-# classifier batch + streaming twins, the trigram phrase scan/serve
-# pair; (2) the gates whose CODE
-# or ORACLE changed this round — the PSNR gate (now 9 codecs × 48
-# constants) and the whole H.264 family, since the shared decoder
-# gained the inter-residual branches and the stats census a p16r key;
-# (3) the STALEST entries, per the round-8 audit: multimodal_wav_meta
-# and text_tfidf_topterms last driver-checked in round 4, then the
-# r5-era names (dedup_exact, dedup_simhash, the frozen TPC-H shapes
-# q01/q03/q04/q05/q06/q10, multimodal_avi_meta, multimodal_bmp_meta)
-# and the r5 SQL/window/set-op/DQ tail that has sat past position 50
-# since round 7.  The round-8 window (bm25/phrase serving, the
-# cross-modal near-dup family, sketches, streaming twins) moves
-# behind them — all just driver-checked, all still green in the local
-# full-registry PARITY sweep, which is what keeps everything past
-# position 50 honest (tests/test_oracle_parity.py + committed
-# PARITY_r{N}.json).  Names absent from the registry are ignored;
-# registered names absent from this list keep registration order.
+# rotated STALEST-FIRST each round.  Round 10 head: (1) the three
+# brand-new never-checked gates — the quantized-LR training loop, the
+# HTML extraction front door, and the composed curation-funnel gate
+# that executes the real framework DAG; (2) the gates whose CODE
+# changed this round — the kNN-vote pair (knn_classify reworked to
+# the two-pass histogram-cut top-k; output bit-identical but the plan
+# is new) and the DSIR pair (weight-numerator overflow guard);
+# (3) everything else ordered by LAST-DRIVER-CHECKED ROUND ascending,
+# computed from the committed CORRECTNESS_r{1..9}.json ledger
+# (ties alphabetical): the 13 r5-era entries the round-9 verdict
+# flagged lead, then the r6 block fills the window; r7/r8/r9 names
+# follow for future rounds.  Everything past position 50 stays honest
+# through the local full-registry PARITY sweep
+# (tests/test_oracle_parity.py + committed PARITY_r{N}.json).
+# Names absent from the registry are ignored; registered names absent
+# from this list keep registration order.
 _PRIORITY: list[str] = [
-    # (1) new in round 9 — never driver-checked
-    "multimodal_h264pr_meta",
-    "multimodal_h264q_meta",
-    "multimodal_h264part_meta",
-    "multimodal_h264p8_meta",
-    "multimodal_h264sub_meta",
-    "samp_dsir",
-    "q_stream_dsir",
+    # (1) new in round 10 — never driver-checked
+    "text_lr_train",
+    "text_html_extract",
+    "pipeline_curation_funnel",
+    # (2) code changed in round 10 (knn two-pass top-k; DSIR
+    #     overflow guard)
     "text_knn_classifier",
     "q_stream_knn_classifier",
-    "text_phrase3_search",
-    "text_phrase3_serve",
-    # (2) code/oracle changed in round 9 (shared H.264 decoder)
-    "multimodal_codec_psnr",
-    "multimodal_h264p_meta",
-    "multimodal_h264ac8_meta",
-    "multimodal_h264cac8_meta",
-    "multimodal_h264c_meta",
-    "multimodal_h264dc_meta",
-    # (3) stalest: r4-era
-    "multimodal_wav_meta",
-    "text_tfidf_topterms",
-    # r5-era
+    "samp_dsir",
+    "q_stream_dsir",
+    # (3) stalest-first: last driver-checked in round 5
+    "q_cdc_merge",
+    "q_cdc_retirement",
+    "q_incremental_watermark",
+    "q_silver_clean",
+    "q_stream_dedup_watermark",
+    "sim_cosine_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_ivf_topk",
+    "sim_kmeans_blas",
+    "sim_lsh_buckets",
+    "text_gopher_quality",
+    "text_quality_filter",
+    "text_repetition_stats",
+    # (3) stalest-first: last driver-checked in round 6
+    "curation_domain_stats",
+    "curation_pipeline_filter",
+    "decontam_ngram",
+    "dedup_cc_twophase",
+    "dedup_connected_components",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_survivors",
+    "dedup_repeated_spans",
+    "dedup_simhash_pairs",
+    "dedup_span_dup_stats",
+    "multimodal_avi_frames",
+    "multimodal_bmp_resize",
+    "multimodal_gif_meta",
+    "multimodal_jpeg_meta",
+    "multimodal_png_meta",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_cube_grouping",
+    "q_event_funnel",
+    "q_global_percentile_exact",
+    "q_grouping_sets",
+    "q_profile_orders",
+    "q_range_join_binned",
+    "q_retention_cohorts",
+    "q_skew_profile",
+    "q_snapshot_scd2",
+    "q_source_csv_roundtrip",
+    "q_source_freshness",
+    "q_source_json_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_stream_dedup_index",
+    "q_stream_foreachbatch_upsert",
+    "q_stream_stream_join",
+    "q_value_histogram",
+    "q_winsorize_values",
+    "samp_shuffle_order",
+    "samp_temperature",
+    "sim_kmeans_converged",
+    "sim_pq_adc_topk",
+    "sim_pq_codes",
+    "sim_pq_codes_blas",
+    "text_chunk_windows",
+    "text_quality_classifier",
+    # (3) stalest-first: last driver-checked in round 7
+    "dedup_semantic_clusters",
+    "dedup_winnow_candidates",
+    "multimodal_adpcm_meta",
+    "multimodal_features",
+    "multimodal_mjpeg_meta",
+    "multimodal_mp4_meta",
+    "multimodal_mpeg_meta",
+    "multimodal_ppm_meta",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_parts",
+    "q12_late_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_rich_no_orders",
+    "q_asof_join",
+    "q_json_metadata",
+    "q_pivot_status",
+    "q_sessionize_batch",
+    "q_stream_countmin_merge",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_static_join",
+    "q_stream_windowed_counts",
+    "q_unpivot_measures",
+    "samp_stratified",
+    "samp_weighted",
+    "sim_centroid_sums",
+    "sim_embedding_neardup",
+    "sim_ivfpq_topk",
+    "sim_kmeans",
+    "sim_random_projection",
+    "sketch_bloom_decontam",
+    "sketch_countmin_tokens",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_language_id",
+    "text_rolling_fingerprint",
+    "text_token_freq",
+    "text_token_stats",
+    # (3) stalest-first: last driver-checked in round 8
+    "dedup_editdist_verify",
+    "dedup_leakage_split",
+    "dedup_span_extract",
+    "dedup_span_trim",
+    "graph_pagerank_tokens",
+    "multimodal_audio_neardup",
+    "multimodal_binaryfile_ingest",
+    "multimodal_bmp_equalize",
+    "multimodal_dhash_neardup",
+    "multimodal_image_dedup_cc",
+    "multimodal_scene_cuts",
+    "multimodal_video_neardup",
+    "multimodal_wav_frames",
+    "pack_sequences",
+    "q_cusum_changepoint",
+    "q_incremental_aggregate",
+    "q_mad_outliers",
+    "q_stream_ann_route",
+    "q_stream_bm25_serve",
+    "q_stream_cusum",
+    "q_stream_hdr_merge",
+    "q_stream_hll_merge",
+    "q_stream_image_dedup",
+    "q_stream_mg_merge",
+    "q_stream_pq_serve",
+    "samp_reservoir",
+    "samp_token_quota",
+    "sim_bq_hamming_topk",
+    "sim_sq8_topk",
+    "sketch_bloom_join",
+    "sketch_hdr_grouped",
+    "sketch_hdr_quantiles",
+    "sketch_hll_distinct",
+    "sketch_kmv_overlap",
+    "sketch_mg_heavyhitters",
+    "text_bm25_serve",
+    "text_bm25_topk",
+    "text_bpe_learn",
+    "text_bpe_tokenize",
+    "text_lm_backoff",
+    "text_phrase_search",
+    "text_phrase_serve",
+    "text_pii_scrub",
+    "text_vocab_growth",
+    # (3) stalest-first: last driver-checked in round 9
     "dedup_exact",
     "dedup_simhash",
     "multimodal_avi_meta",
     "multimodal_bmp_meta",
+    "multimodal_codec_psnr",
+    "multimodal_h264ac8_meta",
+    "multimodal_h264c_meta",
+    "multimodal_h264cac8_meta",
+    "multimodal_h264dc_meta",
+    "multimodal_h264p8_meta",
+    "multimodal_h264p_meta",
+    "multimodal_h264part_meta",
+    "multimodal_h264pr_meta",
+    "multimodal_h264q_meta",
+    "multimodal_h264sub_meta",
+    "multimodal_wav_meta",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q04_order_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q10_returned_items",
-    # r5 SQL/window/set-op/DQ tail (past position 50 since round 7)
-    "q_quantiles",
-    "q_lag_lead",
-    "q_salted_join",
-    "q_range_frame_trailing",
-    "q_monthly_revenue",
-    "q_top_customers",
-    "q_window_rank",
-    "q_running_total",
-    "q_rollup_returnflag",
-    "q_union_nations",
-    "q_intersect_custkeys",
-    "q_except_customers",
-    "q_customers_without_orders",
-    "q_region_rollup",
     "q_above_nation_average",
-    "q_status_matrix",
+    "q_customers_without_orders",
     "q_dq_tests",
+    "q_except_customers",
     "q_gold_aggregate",
-    "q_var_substitution",
-    "q_string_agg",
+    "q_intersect_custkeys",
+    "q_lag_lead",
+    "q_monthly_revenue",
+    "q_quantiles",
+    "q_range_frame_trailing",
+    "q_region_rollup",
+    "q_rollup_returnflag",
+    "q_running_total",
+    "q_salted_join",
     "q_scalar_functions",
-    "text_quality_filter",
-    "text_repetition_stats",
-    "text_gopher_quality",
-    "sim_lsh_buckets",
-    "sim_cosine_topk",
-    "q_stream_dedup_watermark",
-    "q_silver_clean",
-    "q_cdc_merge",
-    "q_cdc_retirement",
-    "q_incremental_watermark",
-    "sim_ivf_topk",
-    "sim_ivf_kmeans_topk",
-    "sim_kmeans_blas",
-    # round-8 window (just checked) and later: keep prior order
-    "text_bm25_topk",
-    "text_bm25_serve",
-    "q_stream_bm25_serve",
-    "text_phrase_search",
-    "text_phrase_serve",
-    "multimodal_dhash_neardup",
-    "dedup_span_trim",
-    "multimodal_image_dedup_cc",
-    "multimodal_audio_neardup",
-    "multimodal_video_neardup",
-    "multimodal_binaryfile_ingest",
-    "q_stream_image_dedup",
-    "q_incremental_aggregate",
-    "dedup_leakage_split",
-    "sketch_bloom_join",
-    "graph_pagerank_tokens",
-    "multimodal_scene_cuts",
-    "multimodal_bmp_equalize",
-    "q_mad_outliers",
-    "q_cusum_changepoint",
-    "q_stream_cusum",
-    "dedup_span_extract",
-    "text_lm_backoff",
-    "text_vocab_growth",
-    "sketch_hdr_quantiles",
-    "sketch_hdr_grouped",
-    "q_stream_hdr_merge",
-    "text_bpe_tokenize",
-    "multimodal_wav_frames",
-    "sketch_hll_distinct",
-    "q_stream_hll_merge",
-    "sketch_kmv_overlap",
-    "sketch_mg_heavyhitters",
-    "sim_sq8_topk",
-    "text_bpe_learn",
-    "q_stream_mg_merge",
-    "sim_bq_hamming_topk",
-    "dedup_editdist_verify",
-    "q_stream_ann_route",
-    "q_stream_pq_serve",
-    "samp_reservoir",
-    "pack_sequences",
-    "text_pii_scrub",
-    "samp_token_quota",
+    "q_status_matrix",
+    "q_string_agg",
+    "q_top_customers",
+    "q_union_nations",
+    "q_var_substitution",
+    "q_window_rank",
+    "text_phrase3_search",
+    "text_phrase3_serve",
+    "text_tfidf_topterms",
 ]
 
 
