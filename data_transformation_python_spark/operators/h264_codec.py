@@ -55,11 +55,28 @@ FULL-PEL motion compensation with picture-edge extension
 (Table 7-13 mb_type 30).  Every implemented P mode is lossless, so
 GOPs close the loop bit-exactly.
 
-Still honestly stubbed in multimodal.decode_media: fractional-pel
-interpolation (six-tap luma / bilinear chroma), inter residuals,
-P partitions below 16x16, the Intra_4x4 residual path, CABAC, and
-B slices.  Dense temporal prediction with residuals is covered
-Spark-side by the IPV1 codec (video_codec.py).
+Round 9 extended the inter path: fractional-pel interpolation (the
+§8.4.2.2.1 six-tap half-pel + quarter-pel averaging and bilinear
+chroma), inter RESIDUALS on top of motion compensation, and the full
+partition ladder (P_L0_L0_16x8 / 8x16, P_8x8 with the Table 7-17
+8x8/8x4/4x8/4x4 sub-splits, each with per-partition median MV
+prediction per §8.4.1.3).
+
+B slices (round 10): non-reference B pictures in IBPBP GOPs —
+Main-profile SPS (Baseline forbids B), pic_order_cnt_type 0 with
+explicit poc_lsb and POC output reordering (decode ≠ display order),
+a reference-only DPB with nearest-POC list init (§8.2.4.2.3),
+B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14) with PER-LIST
+§8.4.1.3 median MV prediction, and the §8.4.2.3.2 default
+bi-prediction mean.  Every implemented B mode is lossless.
+
+Still honestly stubbed in multimodal.decode_media: the Intra_4x4
+residual path, the 2<=nC<8 coeff_token columns, CABAC, weighted
+(bi-)prediction, B_Skip/B_Direct (co-located MV derivation),
+sub-16x16 B partitions, B inter residuals, multi-slice pictures, and
+interlaced coding.  Dense
+temporal prediction with residuals is also covered Spark-side by the
+IPV1 codec (video_codec.py).
 
 Losslessness contract: I_PCM stores YCbCr 4:2:0 samples verbatim, so
 the roundtrip is bit-exact in that domain.  With GRAYSCALE input
@@ -199,16 +216,30 @@ def _nal(nal_unit_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 
 
 # -- parameter sets ---------------------------------------------------------
-def _sps_rbsp(w: int, h: int, max_ref_frames: int = 0) -> bytes:
+def _sps_rbsp(
+    w: int,
+    h: int,
+    max_ref_frames: int = 0,
+    poc_type: int = 2,
+    profile: int = 66,
+) -> bytes:
+    """poc_type 2 (output order == decode order) for I/P streams;
+    B GOPs need poc_type 0 (explicit pic_order_cnt_lsb, 8 bits here —
+    display order ≠ decode order) and the Main profile (77: Baseline
+    forbids B slices; CAVLC stays on)."""
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     bw = _EgWriter()
-    bw.u(66, 8)   # profile_idc: Baseline
-    bw.u(0xC0, 8)  # constraint_set0+1, reserved zeros
+    bw.u(profile, 8)   # profile_idc: 66 Baseline / 77 Main
+    # Baseline streams assert constraint_set0+1; Main-with-B asserts
+    # only constraint_set1 (Main conformance)
+    bw.u(0xC0 if profile == 66 else 0x40, 8)
     bw.u(30, 8)   # level_idc 3.0
     bw.ue(0)      # seq_parameter_set_id
     bw.ue(0)      # log2_max_frame_num_minus4
-    bw.ue(2)      # pic_order_cnt_type 2 (output order == decode order)
-    bw.ue(max_ref_frames)  # max_num_ref_frames (1 for P GOPs)
+    bw.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        bw.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 → 8-bit poc_lsb
+    bw.ue(max_ref_frames)  # max_num_ref_frames (1 for P, 2 for B GOPs)
     bw.u(0, 1)    # gaps_in_frame_num_value_allowed_flag
     bw.ue(mb_w - 1)
     bw.ue(mb_h - 1)
@@ -279,9 +310,16 @@ def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 # -- slice coding (all-I_PCM IDR) -------------------------------------------
-def _idr_slice_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, idr_pic_id: int) -> bytes:
+def _idr_slice_rbsp(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    idr_pic_id: int,
+    poc_lsb: int | None = None,
+) -> bytes:
     """One IDR slice covering the whole frame, every MB I_PCM.
-    Planes are PADDED to multiples of 16 (8 for chroma) already."""
+    Planes are PADDED to multiples of 16 (8 for chroma) already.
+    ``poc_lsb`` is emitted only under a poc_type-0 SPS (B GOPs)."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     bw = _EgWriter()
     bw.ue(0)            # first_mb_in_slice
@@ -289,6 +327,8 @@ def _idr_slice_rbsp(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, idr_pic_id: i
     bw.ue(0)            # pic_parameter_set_id
     bw.u(0, 4)          # frame_num (log2_max_frame_num = 4)
     bw.ue(idr_pic_id)   # idr_pic_id
+    if poc_lsb is not None:
+        bw.u(poc_lsb % 256, 8)  # pic_order_cnt_lsb (poc_type 0)
     bw.u(0, 1)          # no_output_of_prior_pics_flag
     bw.u(0, 1)          # long_term_reference_flag
     bw.se(0)            # slice_qp_delta
@@ -361,7 +401,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         log2_max_poc_lsb = br.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1")
-    br.ue()  # max_num_ref_frames
+    max_ref = br.ue()  # max_num_ref_frames
     br.u(1)
     mb_w = br.ue() + 1
     mb_h = br.ue() + 1
@@ -378,6 +418,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         "profile": profile, "level": level, "w": w, "h": h,
         "mb_w": mb_w, "mb_h": mb_h, "log2_max_frame_num": log2_mfn,
         "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
+        "max_ref": max_ref,
     }
 
 
@@ -393,7 +434,7 @@ def _parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("slice groups (FMO)")
     br.ue(); br.ue()
     weighted_pred = br.u(1)
-    br.u(2)
+    weighted_bipred = br.u(2)
     init_qp_delta = br.se()  # pic_init_qp_minus26
     br.se(); br.se()
     dbf_present = br.u(1)
@@ -405,6 +446,7 @@ def _parse_pps(rbsp: bytes) -> dict:
         "redundant_present": redundant_present,
         "init_qp_delta": init_qp_delta,
         "weighted_pred": weighted_pred,
+        "weighted_bipred": weighted_bipred,
     }
 
 
@@ -1940,6 +1982,7 @@ def _p_slice_rbsp(
     mv_pair_candidates: list | None = None,
     mv_quad_candidates: list | None = None,
     mv_sub_candidates: list | None = None,
+    poc_lsb: int | None = None,
 ) -> tuple[bytes, dict]:
     """One P slice covering the whole picture.  Per macroblock, in
     raster order, the encoder takes the first LOSSLESS mode:
@@ -1977,15 +2020,15 @@ def _p_slice_rbsp(
     bw.ue(5)            # slice_type: P (all slices in pic)
     bw.ue(0)            # pic_parameter_set_id
     bw.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
-    # pic_order_cnt_type 2: no POC syntax
+    if poc_lsb is not None:
+        bw.u(poc_lsb % 256, 8)  # pic_order_cnt_lsb (poc_type 0)
     bw.u(0, 1)          # num_ref_idx_active_override_flag
     bw.u(0, 1)          # ref_pic_list_modification_flag_l0 (§7.3.3.1)
     bw.u(0, 1)          # adaptive_ref_pic_marking_mode_flag (7.3.3.3)
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
     ms = _MotionState(mbh, mbw)
-    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
-             "p16r": 0, "ipcm": 0, "i16": 0, "is_p": True}
+    stats = _stats_zero(is_p=True)
     skip_run = 0
 
     def _mc_mb(mx: int, my: int, mv: tuple):
@@ -2253,8 +2296,7 @@ def _pr_slice_rbsp(
         raise AssertionError(f"dense-8 inter encoder derived nC {nc}")
 
     ms = _MotionState(mbh, mbw)
-    stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
-             "p16r": 0, "ipcm": 0, "i16": 0, "is_p": True}
+    stats = _stats_zero(is_p=True)
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
         y0, x0 = my * 16, mx * 16
@@ -2362,12 +2404,7 @@ def h264_encode_gop_pr(
         _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0)),
     ]
     stats_list: list[dict] = [
-        {
-            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
-            "p16r": 0,
-            "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
-            "i16": 0, "is_p": False,
-        }
+        _stats_zero(ipcm=(y0.shape[0] // 16) * (y0.shape[1] // 16))
     ]
     recs: list[tuple] = [frames_yuv[0]]  # I_PCM: lossless
     ref = frames_yuv[0]
@@ -2405,12 +2442,7 @@ def h264_encode_gop_p(
         _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0)),
     ]
     stats_list: list[dict] = [
-        {
-            "skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
-            "p16r": 0,
-            "ipcm": (y0.shape[0] // 16) * (y0.shape[1] // 16),
-            "i16": 0, "is_p": False,
-        }
+        _stats_zero(ipcm=(y0.shape[0] // 16) * (y0.shape[1] // 16))
     ]
     ref = frames_yuv[0]
     for fno, cur in enumerate(frames_yuv[1:], start=1):
@@ -2421,6 +2453,213 @@ def h264_encode_gop_p(
         nals.append(_nal(1, rbsp, ref_idc=2))
         stats_list.append(stats)
         ref = cur  # closed loop: every mode is exact
+    return nals, stats_list
+
+
+def _stats_zero(**flags) -> dict:
+    s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
+         "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "ipcm": 0, "i16": 0,
+         "is_p": False, "is_b": False}
+    s.update(flags)
+    return s
+
+
+def _b_slice_rbsp(
+    src: tuple, ref0: tuple, ref1: tuple, frame_num: int, poc_lsb: int,
+    l0_candidates: list, l1_candidates: list, bi_candidates: list,
+) -> tuple[bytes, dict]:
+    """One B slice covering the whole picture (Table 7-14 subset).
+    Per macroblock, in raster order, the encoder takes the first
+    LOSSLESS mode:
+
+    1. B_L0_16x16 (mb_type 1) — the first ``l0_candidates`` vector
+       whose MC copy from the PAST reference matches exactly,
+    2. B_L1_16x16 (mb_type 2) — same against the FUTURE reference,
+    3. B_Bi_16x16 (mb_type 3) — the first (mv0, mv1) pair whose
+       default bi-prediction ``(predL0 + predL1 + 1) >> 1``
+       (§8.4.2.3.2, weighted_bipred_idc 0) matches exactly,
+    4. I_PCM (mb_type 48 = 25 + 23, Table 7-14) — intra fallback.
+
+    Each list keeps its own §8.4.1.3 motion state: a macroblock
+    predicted from only one list contributes refIdx −1 / mv 0 to the
+    OTHER list's median derivation (§8.4.1.3.2), exactly like an
+    intra block.  B_Skip / B_Direct (co-located MV derivation) and
+    sub-16x16 B partitions are not emitted — the decoder rejects
+    them explicitly.  B pictures are NON-REFERENCE (nal_ref_idc 0):
+    no dec_ref_pic_marking in the header, and the GOP's prediction
+    chain never passes through a B picture."""
+    y, cb, cr = (p.astype(np.uint8) for p in src)
+    r0y, r0cb, r0cr = ref0
+    r1y, r1cb, r1cr = ref1
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    bw = _EgWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(6)            # slice_type: B (all slices in pic)
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(frame_num % 16, 4)  # frame_num
+    bw.u(poc_lsb % 256, 8)   # pic_order_cnt_lsb (poc_type 0)
+    bw.u(1, 1)          # direct_spatial_mv_pred_flag (no direct MBs)
+    bw.u(0, 1)          # num_ref_idx_active_override_flag
+    bw.u(0, 1)          # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)          # ref_pic_list_modification_flag_l1
+    # nal_ref_idc 0 → dec_ref_pic_marking absent (§7.3.3)
+    bw.se(0)            # slice_qp_delta
+    bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
+    ms0, ms1 = _MotionState(mbh, mbw), _MotionState(mbh, mbw)
+    stats = _stats_zero(is_b=True)
+
+    def _src_mb(mx: int, my: int):
+        return (
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+        )
+
+    def _bi_mb(mx: int, my: int, mv0: tuple, mv1: tuple):
+        p0 = _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv0)
+        p1 = _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv1)
+        return tuple(
+            ((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1).astype(
+                np.uint8
+            )
+            for a, b in zip(p0, p1)
+        )
+
+    for idx in range(mbh * mbw):
+        my, mx = divmod(idx, mbw)
+        s = _src_mb(mx, my)
+        bw.ue(0)  # mb_skip_run: never B_Skip (direct-mode derivation)
+        hit0 = next(
+            (
+                mv for mv in l0_candidates
+                if all(
+                    np.array_equal(a, b)
+                    for a, b in zip(
+                        _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv), s
+                    )
+                )
+            ),
+            None,
+        )
+        if hit0 is not None:
+            mvp = _mvp_16x16(ms0, mx, my)
+            bw.ue(1)                  # mb_type B_L0_16x16
+            bw.se(hit0[0] - mvp[0])   # mvd_l0
+            bw.se(hit0[1] - mvp[1])
+            bw.ue(0)                  # coded_block_pattern: cbp 0
+            ms0.set_mb(mx, my, hit0)
+            ms1.set_intra(mx, my)     # refIdxL1 −1 for L1 derivations
+            stats["bl0"] += 1
+            continue
+        hit1 = next(
+            (
+                mv for mv in l1_candidates
+                if all(
+                    np.array_equal(a, b)
+                    for a, b in zip(
+                        _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv), s
+                    )
+                )
+            ),
+            None,
+        )
+        if hit1 is not None:
+            mvp = _mvp_16x16(ms1, mx, my)
+            bw.ue(2)                  # mb_type B_L1_16x16
+            bw.se(hit1[0] - mvp[0])   # mvd_l1
+            bw.se(hit1[1] - mvp[1])
+            bw.ue(0)
+            ms1.set_mb(mx, my, hit1)
+            ms0.set_intra(mx, my)
+            stats["bl1"] += 1
+            continue
+        hitb = next(
+            (
+                (mv0, mv1) for mv0, mv1 in bi_candidates
+                if all(
+                    np.array_equal(a, b)
+                    for a, b in zip(_bi_mb(mx, my, mv0, mv1), s)
+                )
+            ),
+            None,
+        )
+        if hitb is not None:
+            mv0, mv1 = hitb
+            mvp0 = _mvp_16x16(ms0, mx, my)
+            mvp1 = _mvp_16x16(ms1, mx, my)
+            bw.ue(3)                  # mb_type B_Bi_16x16
+            bw.se(mv0[0] - mvp0[0])   # mvd_l0 before mvd_l1 (§7.3.5.1)
+            bw.se(mv0[1] - mvp0[1])
+            bw.se(mv1[0] - mvp1[0])
+            bw.se(mv1[1] - mvp1[1])
+            bw.ue(0)
+            ms0.set_mb(mx, my, mv0)
+            ms1.set_mb(mx, my, mv1)
+            stats["bbi"] += 1
+            continue
+        bw.ue(48)  # mb_type: I_PCM in a B slice (25 + 23, Table 7-14)
+        bw.align_zero()
+        bw.raw_bytes(s[0].tobytes())
+        bw.raw_bytes(s[1].tobytes())
+        bw.raw_bytes(s[2].tobytes())
+        ms0.set_intra(mx, my)
+        ms1.set_intra(mx, my)
+        stats["ipcm"] += 1
+    bw.rbsp_trailing()
+    return bw.tobytes(), stats
+
+
+def h264_encode_gop_b(
+    frames_yuv: list[tuple], w: int, h: int,
+    l0_candidates: list, l1_candidates: list, bi_candidates: list,
+    p_candidates: list | None = None,
+) -> tuple[list[bytes], list[dict]]:
+    """Encode a hierarchical-free IBPBP GOP with NON-REFERENCE B
+    pictures: display order [I, B, P, B, P, ...] (``frames_yuv`` in
+    DISPLAY order, odd length), DECODE order [I, P, B, P, B, ...] —
+    each B is emitted AFTER its future reference and predicts from
+    both surrounding reference pictures.
+
+    Bitstream structure: Main-profile SPS (B slices are outside
+    Baseline), pic_order_cnt_type 0 with poc_lsb = 2·display_index
+    (decode order ≠ output order needs explicit POC), max_ref 2.
+    frame_num follows §7.4.3: reference pictures increment it (I=0,
+    P_j=j), a non-reference B carries PrevRefFrameNum + 1 — the same
+    value the NEXT reference picture uses.  P pictures ride the
+    existing lossless ``_p_slice_rbsp``; every implemented B mode is
+    lossless too, so the whole GOP closes bit-exactly.
+
+    Returns ([SPS, PPS, IDR, P, B, P, B, ...] NALs in decode order,
+    per-picture stats in DECODE order)."""
+    if len(frames_yuv) % 2 == 0:
+        raise ValueError("IBPBP GOP needs an odd display-frame count")
+    y0, cb0, cr0 = frames_yuv[0]
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=2, poc_type=0,
+                          profile=77)),
+        _nal(8, _pps_rbsp()),
+        _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0, poc_lsb=0)),
+    ]
+    stats_list = [
+        _stats_zero(ipcm=(y0.shape[0] // 16) * (y0.shape[1] // 16))
+    ]
+    prev_ref = frames_yuv[0]
+    for j in range(1, (len(frames_yuv) + 1) // 2):
+        p_frame = frames_yuv[2 * j]
+        b_frame = frames_yuv[2 * j - 1]
+        rbsp, pstats = _p_slice_rbsp(
+            p_frame, prev_ref, j, p_candidates or [(0, 0)],
+            poc_lsb=4 * j,
+        )
+        nals.append(_nal(1, rbsp, ref_idc=2))
+        stats_list.append(pstats)
+        rbsp, bstats = _b_slice_rbsp(
+            b_frame, prev_ref, p_frame, j + 1, 4 * j - 2,
+            l0_candidates, l1_candidates, bi_candidates,
+        )
+        nals.append(_nal(1, rbsp, ref_idc=0))
+        stats_list.append(bstats)
+        prev_ref = p_frame  # every P mode is exact → rec == src
     return nals, stats_list
 
 
@@ -2445,14 +2684,24 @@ def h264_decode_gop(
     legitimately produce skipped macroblocks with NONZERO derived
     motion; intra macroblock types ride along at mb_type − 5
     (Table 7-13), so a changed region can drop back to I_PCM
-    (conditional replenishment).  Fractional-pel motion (luma
-    six-tap / chroma bilinear interpolation), P partitions other
-    than 16x16, inter residuals, and B slices stay honest
+    (conditional replenishment); fractional-pel motion, sub-16x16
+    partitions, and inter residuals ride the round-8/9 paths.
+
+    B pictures (round 10): decoded from a reference-only DPB with
+    nearest-POC L0/L1 selection, per-list median MV prediction, and
+    the §8.4.2.3.2 rounded bi-prediction mean; output is reordered
+    to display order by POC.  B_Skip/B_Direct, B partitions,
+    weighted bi-prediction, and B inter residuals stay honest
     NotImplementedError."""
     sps = pps = None
     frames: list[np.ndarray] = []
     stats_all: list[dict] = []
-    ref = None  # previous picture's PADDED (y, cb, cr) uint8 planes
+    # decoded-picture buffer of REFERENCE pictures only: (poc_key,
+    # padded planes) in decode order, trimmed to the SPS sliding
+    # window; non-reference B pictures never enter it
+    ref_dpb: list[tuple[int, tuple]] = []
+    order_keys: list[int] = []  # POC for poc_type 0, decode idx else
+    seq = 0
     for nal in nals:
         ntype = nal[0] & 0x1F
         rbsp = _unescape_ebsp(nal[1:])
@@ -2467,24 +2716,42 @@ def h264_decode_gop(
             if br.ue() != 0:
                 raise NotImplementedError("multi-slice pictures")
             slice_type = br.ue()
+            is_b = False
             if slice_type % 5 == 2:
                 is_p = False
             elif slice_type % 5 == 0:
                 is_p = True
                 if ntype == 5:
                     raise ValueError("IDR picture with a P slice")
-                if ref is None:
+                if not ref_dpb:
                     raise ValueError("P slice without a reference picture")
+            elif slice_type % 5 == 1:
+                is_p, is_b = False, True
+                if ntype == 5:
+                    raise ValueError("IDR picture with a B slice")
+                if sps["poc_type"] != 0:
+                    raise NotImplementedError(
+                        "B slices need explicit output order "
+                        "(pic_order_cnt_type 0)"
+                    )
+                if len(ref_dpb) < 2:
+                    raise ValueError(
+                        "B slice without two reference pictures"
+                    )
             else:
                 raise NotImplementedError(
-                    "only I and P slices are supported (no B/SP/SI)"
+                    "only I, P, and B slices are supported (no SP/SI)"
                 )
             br.ue()  # pps id
             br.u(sps["log2_max_frame_num"])
             if ntype == 5:
                 br.ue()  # idr_pic_id
+            poc_lsb = None
             if sps["poc_type"] == 0:
-                br.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+                # no MSB-wrap handling: GOPs stay far below the
+                # 2^log2_max_poc_lsb wrap (the encoder emits <128
+                # pictures per IDR)
+                poc_lsb = br.u(sps["log2_max_poc_lsb"])
             if pps["redundant_present"]:
                 br.ue()  # redundant_pic_cnt
             if is_p:
@@ -2498,6 +2765,22 @@ def h264_decode_gop(
                     )
                 if pps["weighted_pred"]:
                     raise NotImplementedError("weighted prediction")
+            if is_b:
+                br.u(1)  # direct_spatial_mv_pred_flag (no direct MBs)
+                if br.u(1):  # num_ref_idx_active_override_flag
+                    raise NotImplementedError(
+                        "num_ref_idx_active override (one ref per list)"
+                    )
+                mod0 = br.u(1)  # ref_pic_list_modification_flag_l0
+                mod1 = br.u(1)  # ref_pic_list_modification_flag_l1
+                if mod0 or mod1:
+                    raise NotImplementedError(
+                        "reference picture list modification"
+                    )
+                if pps["weighted_bipred"]:
+                    raise NotImplementedError(
+                        "weighted bi-prediction (weighted_bipred_idc)"
+                    )
             nal_ref_idc = (nal[0] >> 5) & 0x3
             if ntype == 5:
                 br.u(1); br.u(1)  # dec_ref_pic_marking (IDR form)
@@ -2545,18 +2828,44 @@ def h264_decode_gop(
             # (§7.3.4: mb_skip_run precedes every coded MB, plus one
             # trailing run when the picture ends in skips)
             ms = _MotionState(mbh, mbw)
-            stats = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0,
-                     "p8x8": 0, "p16r": 0, "ipcm": 0, "i16": 0,
-                     "is_p": is_p}
+            stats = _stats_zero(is_p=is_p, is_b=is_b)
+            key = poc_lsb if sps["poc_type"] == 0 else 2 * seq
             if is_p:
-                ry, rcb, rcr = ref
+                # RefPicList0[0] for P = the most recently decoded
+                # reference picture (descending PicNum, §8.2.4.2.1)
+                ry, rcb, rcr = ref_dpb[-1][1]
+            if is_b:
+                # RefPicList init for B (§8.2.4.2.3): L0[0] = nearest
+                # PAST reference by POC, L1[0] = nearest FUTURE one
+                past = max(
+                    (e for e in ref_dpb if e[0] < key),
+                    key=lambda e: e[0],
+                    default=None,
+                )
+                fut = min(
+                    (e for e in ref_dpb if e[0] > key),
+                    key=lambda e: e[0],
+                    default=None,
+                )
+                if past is None or fut is None:
+                    raise ValueError(
+                        "B slice needs references on both temporal sides"
+                    )
+                r0y, r0cb, r0cr = past[1]
+                r1y, r1cb, r1cr = fut[1]
+                ms0 = _MotionState(mbh, mbw)
+                ms1 = _MotionState(mbh, mbw)
             pending_skips = 0
-            need_run = is_p
+            need_run = is_p or is_b
             for my in range(mbh):
                 for mx in range(mbw):
                     if need_run:
                         pending_skips = br.ue()
                         need_run = False
+                        if is_b and pending_skips:
+                            raise NotImplementedError(
+                                "B_Skip (direct-mode MV derivation)"
+                            )
                     if pending_skips > 0:
                         pending_skips -= 1
                         mv = _pskip_mv(ms, mx, my)
@@ -2575,6 +2884,90 @@ def h264_decode_gop(
                         # MB the run preceded (§7.3.4), not a new run
                         continue
                     mb_type = br.ue()
+                    if is_b:
+                        need_run = True
+                        if mb_type == 0:
+                            raise NotImplementedError(
+                                "B_Direct_16x16 (co-located MV "
+                                "derivation)"
+                            )
+                        if mb_type in (1, 2, 3):
+                            # B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+                            # (Table 7-14); each list keeps its own
+                            # §8.4.1.3 motion state, and a one-list MB
+                            # contributes refIdx −1 to the other list
+                            use_l0 = mb_type in (1, 3)
+                            use_l1 = mb_type in (2, 3)
+                            mv0 = mv1 = None
+                            if use_l0:  # mvd_l0 precedes mvd_l1
+                                mvp = _mvp_16x16(ms0, mx, my)
+                                mv0 = (mvp[0] + br.se(),
+                                       mvp[1] + br.se())
+                            if use_l1:
+                                mvp = _mvp_16x16(ms1, mx, my)
+                                mv1 = (mvp[0] + br.se(),
+                                       mvp[1] + br.se())
+                            cbp_i = _CBP_INTER_DEC.get(br.ue())
+                            if cbp_i is None:
+                                raise NotImplementedError(
+                                    "coded_block_pattern beyond the "
+                                    "transcribed Table 9-4 Inter "
+                                    "prefix (codeNum 0..12)"
+                                )
+                            if cbp_i != 0:
+                                raise NotImplementedError(
+                                    "inter residuals in B slices"
+                                )
+                            if use_l0:
+                                p0 = _mc_mb_planes(
+                                    r0y, r0cb, r0cr, mx, my, mv0
+                                )
+                                ms0.set_mb(mx, my, mv0)
+                            else:
+                                ms0.set_intra(mx, my)
+                            if use_l1:
+                                p1 = _mc_mb_planes(
+                                    r1y, r1cb, r1cr, mx, my, mv1
+                                )
+                                ms1.set_mb(mx, my, mv1)
+                            else:
+                                ms1.set_intra(mx, my)
+                            if use_l0 and use_l1:
+                                # default bi-prediction (§8.4.2.3.2,
+                                # weighted_bipred_idc 0): rounded mean
+                                # of the two CLIPPED predictions
+                                outp = tuple(
+                                    (
+                                        (a.astype(np.int64)
+                                         + b.astype(np.int64) + 1)
+                                        >> 1
+                                    )
+                                    for a, b in zip(p0, p1)
+                                )
+                                stats["bbi"] += 1
+                            elif use_l0:
+                                outp = tuple(
+                                    q.astype(np.int64) for q in p0
+                                )
+                                stats["bl0"] += 1
+                            else:
+                                outp = tuple(
+                                    q.astype(np.int64) for q in p1
+                                )
+                                stats["bl1"] += 1
+                            y[my * 16 : my * 16 + 16,
+                              mx * 16 : mx * 16 + 16] = outp[0]
+                            cb[my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8] = outp[1]
+                            cr[my * 8 : my * 8 + 8,
+                               mx * 8 : mx * 8 + 8] = outp[2]
+                            continue
+                        if mb_type <= 22:
+                            raise NotImplementedError(
+                                f"B mb_type {mb_type}: partitions "
+                                "below 16x16 in B slices"
+                            )
+                        mb_type -= 23  # intra types in B (Table 7-14)
                     if is_p:
                         need_run = True
                         if mb_type == 0:  # P_L0_16x16 (Table 7-13)
@@ -2831,6 +3224,9 @@ def h264_decode_gop(
                         stats["ipcm"] += 1
                         if is_p:
                             ms.set_intra(mx, my)
+                        if is_b:
+                            ms0.set_intra(mx, my)
+                            ms1.set_intra(mx, my)
                         is_pcm[my, mx] = True
                         nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
                         for g in nc_c:
@@ -2861,6 +3257,9 @@ def h264_decode_gop(
                     stats["i16"] += 1
                     if is_p:
                         ms.set_intra(mx, my)
+                    if is_b:
+                        ms0.set_intra(mx, my)
+                        ms1.set_intra(mx, my)
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 * ((mb_type - 1) // 12)
@@ -3013,7 +3412,11 @@ def h264_decode_gop(
             y = y.astype(np.uint8)
             cb = cb.astype(np.uint8)
             cr = cr.astype(np.uint8)
-            ref = (y, cb, cr)  # padded planes — the MC reference
+            if nal_ref_idc:
+                # sliding-window marking (§8.2.5.3): only REFERENCE
+                # pictures enter the DPB, trimmed to the SPS window
+                ref_dpb.append((key, (y, cb, cr)))
+                del ref_dpb[: -max(1, sps["max_ref"])]
             w, h = sps["w"], sps["h"]
             frames.append(
                 _yuv420_to_rgb(
@@ -3023,9 +3426,14 @@ def h264_decode_gop(
                 )
             )
             stats_all.append(stats)
+            order_keys.append(key)
+            seq += 1
     if not frames:
         raise ValueError("no slice NAL in access unit")
-    return frames, stats_all
+    # emit in OUTPUT order: POC for poc_type-0 streams (B GOPs decode
+    # out of display order), decode order otherwise
+    order = sorted(range(len(frames)), key=lambda i: order_keys[i])
+    return [frames[i] for i in order], [stats_all[i] for i in order]
 
 
 def h264_decode_frame(nals: list[bytes]) -> np.ndarray:

@@ -4621,6 +4621,198 @@ def h264sub_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264SUB_META_SCHEMA)
 
 
+H264B_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("bl0_mbs", T.LongType()),
+        T.StructField("bl1_mbs", T.LongType()),
+        T.StructField("bbi_mbs", T.LongType()),
+        T.StructField("b_ipcm_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _h264b_dims(doc_id: int):
+    """(w, h, mvx, mvy) for the B-GOP fixture — macroblock-aligned
+    dims (the h264p census lesson) and quarter-pel vectors that are
+    multiples of 8 so luma AND chroma MC stay full-pel; display GOP
+    length is FIXED at 5 (I B P B P: two reference pans of 2·mv keep
+    total travel ≤ 8 px, far under one macroblock)."""
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        8,
+        8 if doc_id % 3 == 0 else 0,
+    )
+
+
+def _write_h264b(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IBPBP GOP, md5 of the DISPLAY-order RGB
+    frames).  Reference pictures pan by 2·mv; each B picture between
+    them takes one of three flavors cycling on (doc_id + i) % 3:
+
+    - 0: the L0 midpoint pan (= mc_shift(prev_ref, mv)) with ONE
+      re-textured macroblock → census (mbs − 1)·B_L0 + 1·I_PCM,
+    - 1: content built FROM THE FUTURE (mc_shift(next_ref, −mv)) —
+      exact from L1 everywhere, but the encoder's L0-first candidate
+      also matches on the interior (where shift∘shift composes
+      cleanly), so the census splits (mbw−1)(mbh−[mvy>0])·B_L0 +
+      edge-strip·B_L1 — one picture genuinely exercising BOTH lists,
+    - 2: the rounded mean of the two one-sided predictions — the
+      interior again goes B_L0 (there both terms agree), the edge
+      strip only matches the true bi-prediction → B_Bi.
+
+    Every implemented B mode is lossless, so the census is pure
+    geometry and the decode (with POC output reordering) hashes to
+    the source display sequence bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _rgb_to_yuv420,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    rgb0 = _h264cac8_frame_rgb(doc_id, 0, w, h)
+    f0 = _rgb_to_yuv420(rgb0)
+    mb_w, mb_h = w // 16, h // 16
+    frames = [f0]
+    prev = f0
+    for i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        flavor = (doc_id + i) % 3
+        if flavor == 0:
+            b = [pl.copy() for pl in mc_shift_planes(*prev, mv)]
+            pmx, pmy = doc_id % mb_w, doc_id % mb_h
+            xs = np.arange(16, dtype=np.int64)[None, :]
+            ys = np.arange(16, dtype=np.int64)[:, None]
+            b[0][pmy * 16 : pmy * 16 + 16, pmx * 16 : pmx * 16 + 16] = (
+                (doc_id * 11 + i * 41 + xs * 19 + ys * 23) % 256
+            ).astype(np.uint8)
+            b = tuple(pl.astype(np.uint8) for pl in b)
+        elif flavor == 1:
+            b = mc_shift_planes(*pfr, neg)
+        else:
+            a0 = mc_shift_planes(*prev, mv)
+            a1 = mc_shift_planes(*pfr, neg)
+            b = tuple(
+                ((x.astype(np.int64) + z.astype(np.int64) + 1) >> 1)
+                .astype(np.uint8)
+                for x, z in zip(a0, a1)
+            )
+        frames.extend([b, pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[mv],
+        l1_candidates=[neg],
+        bi_candidates=[(mv, neg)],
+        p_candidates=[two],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(
+            _yuv420_to_rgb(
+                fy[:h, :w],
+                fcb[: (h + 1) // 2, : (w + 1) // 2],
+                fcr[: (h + 1) // 2, : (w + 1) // 2],
+            ).tobytes()
+        )
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264b_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a B-GOP H.264 stream per row, plus the display-order
+    source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264b(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264b_metadata(df: DataFrame) -> DataFrame:
+    """Decode the IBPBP GOP through the bi-predictive decoder and
+    emit the oracle evidence: ``roundtrip_exact`` — the decoded
+    frames, REORDERED from decode order to display order by POC, hash
+    to the source sequence bit-for-bit (reference-only DPB, nearest-
+    POC list init, per-list median MV prediction, the §8.4.2.3.2
+    rounded bi-prediction mean, and the skip-run machinery all have
+    to agree) — plus the exact B/P macroblock mode census, pure
+    geometry formulas the SQL twin recomputes from doc_id alone."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264B_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"  # 2+IDR+4
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["bl0_mbs"].append(sum(s["bl0"] for s in bst))
+                out["bl1_mbs"].append(sum(s["bl1"] for s in bst))
+                out["bbi_mbs"].append(sum(s["bbi"] for s in bst))
+                out["b_ipcm_mbs"].append(sum(s["ipcm"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264B_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "text_lr_train",
     "text_html_extract",
     "pipeline_curation_funnel",
+    "multimodal_h264b_meta",
     # (2) code changed in round 10 (knn two-pass top-k; DSIR
     #     overflow guard)
     "text_knn_classifier",

@@ -2607,3 +2607,72 @@ def multimodal_h264cac8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mm.h264cac8_metadata(mm.synth_h264cac8_table(docs))
+
+
+# --------------------------------------------------------------------------
+# H.264 B-slice GOPs — bi-predictive inter coding (Table 7-14
+# B_L0/B_L1/B_Bi_16x16 on the existing MC stack, Main-profile SPS,
+# poc_type-0 output reordering, non-reference B pictures): the mode
+# census is pure geometry, so the oracle recomputes every count from
+# doc_id alone
+# --------------------------------------------------------------------------
+_H264B_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS dy
+  FROM documents),
+m AS (
+  SELECT doc_id, mbw, mbh,
+         mbw * mbh AS mbs,
+         (mbw - 1) * (mbh - dy) AS ex,
+         doc_id % 3 AS f0,
+         (doc_id + 1) % 3 AS f1
+  FROM g)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST((CASE WHEN f0 = 0 THEN mbs - 1 ELSE ex END)
+          + (CASE WHEN f1 = 0 THEN mbs - 1 ELSE ex END) AS BIGINT)
+         AS bl0_mbs,
+       CAST((CASE WHEN f0 = 1 THEN mbs - ex ELSE 0 END)
+          + (CASE WHEN f1 = 1 THEN mbs - ex ELSE 0 END) AS BIGINT)
+         AS bl1_mbs,
+       CAST((CASE WHEN f0 = 2 THEN mbs - ex ELSE 0 END)
+          + (CASE WHEN f1 = 2 THEN mbs - ex ELSE 0 END) AS BIGINT)
+         AS bbi_mbs,
+       CAST((CASE WHEN f0 = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN f1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS b_ipcm_mbs,
+       CAST(2 * (mbw + mbh - 1) AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - (mbw + mbh - 1)) AS BIGINT) AS skip_mbs,
+       TRUE AS roundtrip_exact
+FROM m
+"""
+
+
+@query("multimodal_h264b_meta", oracle=_H264B_ORACLE)
+def multimodal_h264b_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-predictive H.264 B-slice GOPs (round 10,
+    operators/h264_codec.py h264_encode_gop_b / h264_decode_gop):
+    IBPBP structure with NON-REFERENCE B pictures between reference
+    pans — Main-profile SPS (Baseline forbids B slices),
+    pic_order_cnt_type 0 with explicit poc_lsb (decode order ≠
+    display order, so the decoder reorders its output by POC), a
+    reference-only DPB with nearest-POC list initialization
+    (§8.2.4.2.3), B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14)
+    with PER-LIST §8.4.1.3 median MV prediction (a one-list MB
+    contributes refIdx −1 to the other list), the §8.4.2.3.2 rounded
+    bi-prediction mean, and I_PCM intra fallback at mb_type 48.
+    Every implemented mode is lossless, so ``roundtrip_exact`` pins
+    the whole bi-predictive pipeline bit-for-bit and the macroblock
+    census replays as pure geometry.  B_Skip/B_Direct (co-located MV
+    derivation), sub-16x16 B partitions, weighted bi-prediction, and
+    CABAC stay honest NotImplementedError."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264b_metadata(mm.synth_h264b_table(docs))
