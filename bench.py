@@ -118,11 +118,13 @@ def corpus_scale_entries(spark, corpus_dir: str):
     from pyspark.sql.window import Window
 
     from data_transformation_python_spark.operators import dedup as dd
+    from data_transformation_python_spark.operators import extraction as ex
     from data_transformation_python_spark.operators import multimodal as mm
     from data_transformation_python_spark.operators import sampling as sp
     from data_transformation_python_spark.operators import similarity as sim
     from data_transformation_python_spark.operators import sketch as sk
     from data_transformation_python_spark.operators import text as tx
+    from data_transformation_python_spark.operators import training as tr
     from data_transformation_python_spark.operators.dedup import simhash_sql
     from data_transformation_python_spark.operators.graph import (
         connected_components,
@@ -590,6 +592,26 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 docs.filter("doc_id % 50 != 0"),
                 docs.filter("doc_id % 50 = 0"),
                 k=100,
+            ),
+        ),
+        (
+            # quantized-LR training at corpus scale: one corpus
+            # tokenization into the persisted per-doc count frame +
+            # 12 GD iterations of narrow-scoring-map + <=1025-row
+            # gradient collect — prices the iterative loop shape
+            "text_lr_train",
+            lambda: tr.lr_train_score(docs),
+        ),
+        (
+            # HTML synth + boilerplate-strip cascade at corpus
+            # scale: one shuffle-free regexp/HOF projection per doc
+            "text_html_extract",
+            lambda: ex.html_extract(
+                docs.selectExpr(
+                    "doc_id",
+                    ex.synth_html_expr("text", "doc_id", "spark")
+                    + " AS html",
+                )
             ),
         ),
     ]

@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "text_html_extract",
     "pipeline_curation_funnel",
     "multimodal_h264b_meta",
+    "q_stream_lr_serve",
+    "q_stream_html_extract",
     # (2) code changed in round 10 (knn two-pass top-k; DSIR
     #     overflow guard)
     "text_knn_classifier",

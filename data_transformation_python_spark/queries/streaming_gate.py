@@ -1797,3 +1797,111 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# streaming LEARNED-classifier serving — the deployment twin of
+# text_lr_train: the quantized-LR weight table is TRAINED batch-side
+# (the full 12-iteration GD loop), folded into the streaming plan as
+# a literal array, and every streamed document scores itself
+# row-locally through the serving path — a stateless narrow map in
+# append mode, the ingest-time quality-filter shape (train offline,
+# filter the firehose).  Oracle: the SAME unrolled GD chain as
+# text_lr_train, projected to the serving columns.
+# --------------------------------------------------------------------------
+def _stream_lr_oracle() -> str:
+    from ..operators import training as tr
+
+    return (
+        "SELECT doc_id, z_scaled, pred_label FROM ("
+        + tr.lr_unrolled_oracle_sql()
+        + ") base"
+    )
+
+
+@query("q_stream_lr_serve", oracle=_stream_lr_oracle())
+@_restores_conf
+def q_stream_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantized-LR serving over a batch-trained model.
+
+    ``training.lr_train`` fits the classifier on the static corpus
+    (persisted feature frame, 12 control-plane GD iterations); the
+    learned ≤1025-BIGINT weight table folds into the streaming plan
+    via ``text.quality_classifier_serve``'s broadcast-literal array,
+    so each streamed document scores itself with one higher-order
+    aggregate over its own tokens — no stream state, no shuffle,
+    append mode.  Bit-exact against the text_lr_train oracle's final
+    scoring CTEs."""
+    from ..operators import training as tr
+    from ..operators.text import quality_classifier_serve
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    W = tr.lr_train(docs)
+    weights = [W.get(b, 0) for b in range(1024)]
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = quality_classifier_serve(
+        stream, weights, bias=W.get(-1, 0), n_buckets=1024
+    )
+    name = f"stream_lr_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming HTML extraction — the ingest front door as a stream: raw
+# markup arrives, the density-based boilerplate strip runs as ONE
+# stateless narrow projection per document (the same dual-dialect
+# expression pipeline as text_html_extract), append mode, no state.
+# --------------------------------------------------------------------------
+def _stream_html_oracle() -> str:
+    from .pipeline_ops import _html_extract_oracle
+
+    return _html_extract_oracle()
+
+
+@query("q_stream_html_extract", oracle=_stream_html_oracle())
+@_restores_conf
+def q_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HTML-to-text extraction: the synthetic crawler pages
+    are built row-locally from the streamed documents and the whole
+    extraction cascade (script/style strip, block segmentation,
+    link-density keep rule, entity decode) runs inside the same
+    narrow projection — zero stream state, zero shuffles.  SAME
+    oracle as the batch gate: batch plan, streaming plan, and DuckDB
+    replay pin one answer."""
+    from ..operators import extraction as ex
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pages = stream.select(
+        "doc_id",
+        F.expr(ex.synth_html_expr("text", "doc_id", "spark")).alias("html"),
+    )
+    out = ex.html_extract(pages)
+    name = f"stream_html_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
