@@ -104,10 +104,11 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 10 head: (1) the three
+# rotated STALEST-FIRST each round.  Round 10 head: (1) the six
 # brand-new never-checked gates — the quantized-LR training loop, the
-# HTML extraction front door, and the composed curation-funnel gate
-# that executes the real framework DAG; (2) the gates whose CODE
+# HTML extraction front door, the composed curation-funnel gate that
+# executes the real framework DAG, the H.264 B-slice census, and the
+# two streaming serving twins; (2) the gates whose CODE
 # changed this round — the kNN-vote pair (knn_classify reworked to
 # the two-pass histogram-cut top-k; output bit-identical but the plan
 # is new) and the DSIR pair (weight-numerator overflow guard);
