@@ -749,6 +749,27 @@ def jvm_calibration(spark, shots: int = 5, n: int = 500_000_000,
     }
 
 
+def sched_calibration(spark, shots: int = 5, tasks: int = 2000) -> dict:
+    """Task-SCHEDULING throughput probe: one job of ``tasks`` trivial
+    tasks (the work per task is ~nothing, so wall time ≈ scheduler +
+    task-launch + IPC overhead).  The arithmetic probes miss host
+    degradation that only taxes per-task overhead — observed round
+    10: range_2e10_sum flat (+2%) while shuffle/Python-worker-heavy
+    entries ran uniformly 1.5-2x slower and the tiny range_5e8 probe
+    (scheduling-floor-dominated) read +25%.  This probe separates
+    the two regimes explicitly."""
+    times = []
+    for _ in range(shots):
+        t0 = time.perf_counter()
+        spark.range(0, tasks, 1, tasks).selectExpr("sum(id)").collect()
+        times.append(round(time.perf_counter() - t0, 4))
+    return {
+        "probe": f"tasks_{tasks}_sum",
+        "shots": times,
+        "median": round(_median(times), 4),
+    }
+
+
 def _time_entry(
     run, spark, repeats: int, budget: float = 12.0
 ) -> tuple[float, list[float]]:
@@ -836,6 +857,7 @@ def main() -> None:
     calibration2 = jvm_calibration(
         spark, shots=7, n=20_000_000_000, name="range_2e10_sum"
     )
+    calibration3 = sched_calibration(spark)
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -930,6 +952,7 @@ def main() -> None:
         "repeats": repeats,
         "calibration": calibration,
         "calibration2": calibration2,
+        "calibration3": calibration3,
     }
     if errors:
         payload["errors"] = errors
