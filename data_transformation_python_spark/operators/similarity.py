@@ -1760,6 +1760,13 @@ def knn_classify(
     ``hamming <= cut``, leaving ≤ k+ties rows per query for the exact
     ROW_NUMBER tie-break.  Degenerate corpora where many seeds tie AT
     the cut re-inflate pass 2 toward the old cost — never beyond it.
+
+    Contract boundary (measured, scaling sweep r10): the brute-force
+    pair stream is |seeds|×|queries| popcounts per pass and goes
+    superlinear past ~10⁵ seeds × 10³ queries (540M pairs ≈ 40 s at
+    300k×2000).  Brute force is the recall-1.0 baseline; beyond that
+    regime shard the query batch or serve through the IVF/BQ ANN
+    routes in this module.
     """
     query_ids = list(query_ids)
     sigs = bq_encode(df, vec_col, id_col)
