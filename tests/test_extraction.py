@@ -69,3 +69,52 @@ def test_pre_tag_does_not_split(spark):
     )
     assert out["n_kept"] == 1
     assert "epsilon" in out["extracted"]
+
+
+# -- property-based fuzz: the extractor must be total and safe --------------
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FRAG = st.one_of(
+    st.text(
+        alphabet="abcdefgh <>/&;#\"'.!\n\t=-", min_size=0, max_size=30
+    ),
+    st.sampled_from(
+        [
+            "<script>var x = 'evil';</script>",
+            "<style>.a{b:c}</style>",
+            "<p>a paragraph that is certainly long enough to keep</p>",
+            "<div class='x'>",
+            "</div>",
+            "<a href='#'>link text</a>",
+            "<!-- comment -->",
+            "&amp;&lt;&gt;&quot;&#39;&nbsp;",
+            "<br/>",
+            "<p",  # unterminated tag
+            "</p></p>",
+        ]
+    ),
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_FRAG, min_size=0, max_size=12))
+def test_html_extract_total_on_arbitrary_markup(spark, frags):
+    """Any tag soup must extract without throwing, never leak script
+    or style CONTENT that was properly delimited, and keep counts
+    consistent."""
+    html = "".join(frags)
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    from data_transformation_python_spark.operators import extraction as ex
+
+    out = ex.html_extract(df).collect()[0].asDict()
+    assert out["n_kept"] <= out["n_blocks"]
+    assert out["extracted_len"] == len(out["extracted"])
+    if "<script>var x = 'evil';</script>" in html:
+        assert "evil" not in out["extracted"]
+    # kept blocks honor the minimum-length rule
+    for block in out["extracted"].split("\n"):
+        if block:
+            assert len(block) >= 25
