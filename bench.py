@@ -700,18 +700,47 @@ _EPHEMERAL = [
     # exprIds / plan ids / cached-RDD ids change every session
     (re.compile(r"#\d+L?"), "#x"),
     (re.compile(r"plan_id=\d+"), "plan_id=x"),
-    # uuids, md5-derived temp suffixes, checkpoint dir hashes.  The
-    # lookahead demands at least one a-f char so pure-decimal literals
-    # of 8+ digits (range bounds, limits, thresholds) are NOT
-    # normalized — a plan that only changes such a literal must still
-    # change the fingerprint.
-    (re.compile(r"\b(?=[0-9a-f]*[a-f])[0-9a-f]{8,}\b", re.I), "H"),
+    # uuid-shaped tokens (8-4-4-4-12) normalize as a WHOLE first: a
+    # group that happens to be all-decimal (~2.3%/group) would escape
+    # the generic rule's at-least-one-a-f lookahead and leak an
+    # ephemeral token into the fingerprint.
+    (
+        re.compile(
+            r"(?<![0-9a-f])[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
+            r"-[0-9a-f]{4}-[0-9a-f]{12}(?![0-9a-f])",
+            re.I,
+        ),
+        "UUID",
+    ),
+    # md5-derived temp suffixes, checkpoint dir hashes.  Hex-run
+    # anchors, not \b: ephemeral hex is routinely glued to word chars
+    # (stream_lr_9c2d41ab, bench_fw_<hex> — `_` is a word char, so \b
+    # never fires there).  The lookahead demands at least one a-f char
+    # so pure-decimal literals of 8+ digits (range bounds, limits,
+    # thresholds) are NOT normalized — a plan that only changes such a
+    # literal must still change the fingerprint.
+    (
+        re.compile(
+            r"(?<![0-9a-f])(?=[0-9a-f]*[a-f])[0-9a-f]{8,}(?![0-9a-f])",
+            re.I,
+        ),
+        "H",
+    ),
     # session temp dirs and warehouse paths
     (re.compile(r"(/tmp|/private/var|/var/folders)/\S+"), "TMP"),
     # constant-folded current_timestamp()/current_date() literals
     (re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?"), "TS"),
     (re.compile(r"\d{4}-\d{2}-\d{2}"), "DT"),
 ]
+
+
+# Version stamp of the normalizer itself: editing _EPHEMERAL
+# re-fingerprints plans that did not change, so bench_diff must only
+# compare fingerprints produced under the SAME rule set (round 10's
+# hex-regex fix read as ~10 phantom "plan changes").
+PLAN_FP_VERSION = hashlib.sha256(
+    "\n".join(f"{p.pattern}->{r}" for p, r in _EPHEMERAL).encode()
+).hexdigest()[:8]
 
 
 def plan_fingerprint(df) -> str | None:
@@ -953,6 +982,7 @@ def main() -> None:
         "calibration": calibration,
         "calibration2": calibration2,
         "calibration3": calibration3,
+        "plan_fp_version": PLAN_FP_VERSION,
     }
     if errors:
         payload["errors"] = errors

@@ -309,15 +309,19 @@ def dsir_importance_sample(
             # non-ANSI mode would otherwise wrap silently → wrong
             # selections with no error); the guard turns overflow into
             # a hard failure instead of relying on callers reading the
-            # scale/corpus-size caveat in the docstring.  Non-overflow
-            # values are bit-identical to the plain product.
+            # scale/corpus-size caveat in the docstring.  BOTH products
+            # are guarded — the denominator (r_b+1)*(T+B) wraps first
+            # when the raw pool dwarfs the target (r_b~1e9, T~1e10)
+            # while the numerator stays in range.  Non-overflow values
+            # are bit-identical to the plain products.
             (
                 F.expr(
                     f"if(try_multiply(try_multiply("
-                    f"CAST({scale} AS BIGINT), t_b + 1), R + {B}) IS NULL,"
+                    f"CAST({scale} AS BIGINT), t_b + 1), R + {B}) IS NULL"
+                    f" OR try_multiply(r_b + 1, T + {B}) IS NULL,"
                     f" CAST(raise_error('dsir_importance_sample: weight"
-                    f" numerator overflows BIGINT — lower scale or"
-                    f" n_buckets') AS BIGINT),"
+                    f" numerator or denominator overflows BIGINT —"
+                    f" lower scale or n_buckets') AS BIGINT),"
                     f" CAST({scale} AS BIGINT) * (t_b + 1) * (R + {B})"
                     f" div ((r_b + 1) * (T + {B})) - {scale})"
                 )

@@ -653,3 +653,30 @@ class TestDsirImportanceSample:
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
         # identical texts -> identical scores -> ties break on doc_id
         assert [r["doc_id"] for r in a] == [0, 1, 2]
+
+    def test_denominator_overflow_raises(self, spark):
+        """The BIGINT guard must fire on DENOMINATOR wrap too, not
+        just the numerator: (r_b+1)*(T+B) overflows first when the
+        raw pool dwarfs the target.  num_buckets=2^61 inflates T+B to
+        >= 2^61 while scale=1 keeps the numerator in range (t_b <= 2
+        here so numerator <= 3*(R+B) < 2^63); a raw doc repeating one
+        token drives r_b to 3 -> (3+1)*(T+2^61) >= 2^63 -> overflow,
+        which must surface as the loud raise_error, never a silent
+        wrap into wrong weights."""
+        import pytest
+
+        from data_transformation_python_spark.operators.sampling import (
+            dsir_importance_sample,
+        )
+
+        target = spark.createDataFrame(
+            [(9, "tt uu")], "doc_id long, text string"
+        )
+        raw = spark.createDataFrame(
+            [(0, "zz zz zz zz"), (1, "tt uu vv")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(Exception, match="overflows BIGINT"):
+            dsir_importance_sample(
+                raw, target, k=2, num_buckets=2**61, scale=1
+            ).collect()

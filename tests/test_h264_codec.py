@@ -1357,9 +1357,9 @@ def test_b_direct_and_even_gop_rejected():
     frames, nals, _stats, np = _b_fixture()
     with pytest.raises(ValueError, match="odd display-frame count"):
         h264_encode_gop_b(frames[:4], 48, 32, [], [], [])
-    # corrupt the first B slice's mb_type ue(0)+run into B_Direct:
-    # decode a stream whose B slice starts with mb_skip_run 1 -> the
-    # B_Skip/direct guard must fire, not a silent mis-decode
+    # rebuild the first B slice with a forbidden leading symbol and
+    # decode the full stream: the decoder's B_Skip / B_Direct guards
+    # must fire (NotImplementedError), never a silent mis-decode
     from data_transformation_python_spark.operators.h264_codec import (
         _EgReader,
         _EgWriter,
@@ -1369,9 +1369,38 @@ def test_b_direct_and_even_gop_rejected():
 
     b_nal = nals[4]  # SPS PPS IDR P B ...
     rbsp = bytearray(_unescape_ebsp(b_nal[1:]))
-    # rewrite: copy header bits up to the first mb_skip_run, then
-    # write run=1 (one B_Skip) — header is bit-identical prefix, so
-    # just flip the run's Exp-Golomb 1 -> 010: simplest is to rebuild
-    # a tiny slice; instead assert the encoder never emits skips:
     br = _EgReader(bytes(rbsp))
     assert br.ue() == 0 and br.ue() == 6  # first_mb, slice_type B
+    assert br.ue() == 0                   # pic_parameter_set_id
+    frame_num = br.u(4)                   # log2_max_frame_num = 4
+    poc_lsb = br.u(8)                     # log2_max_poc_lsb = 8
+
+    def _corrupt_b(*payload_syms):
+        # replay h264_encode_gop_b's exact B slice header (so the
+        # decoder reaches the MB loop with valid refs), then emit the
+        # forbidden leading symbols instead of the encoder's
+        # mb_skip_run 0 + mb_type
+        bw = _EgWriter()
+        bw.ue(0)                 # first_mb_in_slice
+        bw.ue(6)                 # slice_type B
+        bw.ue(0)                 # pic_parameter_set_id
+        bw.u(frame_num, 4)       # frame_num
+        bw.u(poc_lsb, 8)         # pic_order_cnt_lsb
+        bw.u(1, 1)               # direct_spatial_mv_pred_flag
+        bw.u(0, 1)               # num_ref_idx_active_override_flag
+        bw.u(0, 1)               # ref_pic_list_modification_flag_l0
+        bw.u(0, 1)               # ref_pic_list_modification_flag_l1
+        bw.se(0)                 # slice_qp_delta (nal_ref_idc 0)
+        bw.ue(1)                 # disable_deblocking_filter_idc
+        for v in payload_syms:
+            bw.ue(v)
+        bw.rbsp_trailing()
+        return _nal(1, bw.tobytes(), ref_idc=0)
+
+    bad = list(nals)
+    bad[4] = _corrupt_b(1)       # mb_skip_run 1 -> one B_Skip
+    with pytest.raises(NotImplementedError, match="B_Skip"):
+        h264_decode_gop(bad)
+    bad[4] = _corrupt_b(0, 0)    # run 0, mb_type 0 -> B_Direct_16x16
+    with pytest.raises(NotImplementedError, match="B_Direct"):
+        h264_decode_gop(bad)
