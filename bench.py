@@ -614,6 +614,21 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 )
             ),
         ),
+        (
+            # hardened real-web cascade over the MESSY fixture:
+            # quote-aware tags, CDATA/truncation strips, numeric
+            # character-reference decode — prices the dirty-mode
+            # expression overhead vs the clean cascade above
+            "text_html_extract_dirty",
+            lambda: ex.html_extract(
+                docs.selectExpr(
+                    "doc_id",
+                    ex.synth_html_dirty_expr("text", "doc_id", "spark")
+                    + " AS html",
+                ),
+                dirty=True,
+            ),
+        ),
     ]
 
 

@@ -1556,3 +1556,37 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ex.synth_html_expr("text", "doc_id", "spark")).alias("html"),
     )
     return ex.html_extract(pages)
+
+
+def _html_extract_dirty_oracle() -> str:
+    e = ex.html_extract_expr("html", "duckdb", dirty=True)
+    synth = ex.synth_html_dirty_expr("text", "doc_id", "duckdb")
+    return f"""
+WITH pages AS (SELECT doc_id, {synth} AS html FROM documents)
+SELECT doc_id,
+       CAST(len({e['blocks']}) AS BIGINT) AS n_blocks,
+       CAST(len({e['kept']}) AS BIGINT) AS n_kept,
+       CAST(length({e['extracted']}) AS BIGINT) AS extracted_len,
+       {e['extracted']} AS extracted
+FROM pages
+"""
+
+
+@query("text_html_extract_dirty", oracle=_html_extract_dirty_oracle())
+def text_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardened extraction over the MESSY fixture grammar
+    (synth_html_dirty_expr): quoted-``>`` attributes, unclosed and
+    mis-nested tags, body-level CDATA, general numeric character
+    references (decimal / hex / supra-BMP surrogate pair / invalid
+    surrogate left literal / ``&amp;#NN;`` staying literal), and
+    odd-doc pages truncated mid-tag — all replayed bit-for-bit by the
+    DuckDB oracle through the same dual-dialect expression builders.
+    Still ONE shuffle-free JVM projection per document, zero UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(
+            ex.synth_html_dirty_expr("text", "doc_id", "spark")
+        ).alias("html"),
+    )
+    return ex.html_extract(pages, dirty=True)

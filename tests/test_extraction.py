@@ -118,3 +118,88 @@ def test_html_extract_total_on_arbitrary_markup(spark, frags):
     for block in out["extracted"].split("\n"):
         if block:
             assert len(block) >= 25
+
+
+# -- dirty-markup cascade (html_extract(dirty=True)) -------------------------
+
+
+def _extract_dirty(spark, html: str) -> dict:
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return ex.html_extract(df, dirty=True).collect()[0].asDict()
+
+
+def test_numeric_character_references_decode(spark):
+    out = _extract_dirty(
+        spark,
+        "<p>It&#8217;s d&#233;j&#224; &#x2014; gr&#xFC;n &#65;. and a "
+        "wide &#128512; plus padding to pass the length rule.</p>",
+    )
+    assert "It’s déjà — grün A." in out["extracted"]
+    assert "\U0001F600" in out["extracted"]  # supra-BMP surrogate path
+
+
+def test_invalid_and_escaped_numeric_refs_stay_literal(spark):
+    out = _extract_dirty(
+        spark,
+        "<p>&#xD800; surrogate and &#1114112; overflow and &#0; zero "
+        "and &amp;#66; escaped all stay literal, padded long enough.</p>",
+    )
+    for literal in ("&#xD800;", "&#1114112;", "&#0;", "&#66;"):
+        assert literal in out["extracted"], literal
+    # the escaped form must NOT double-decode to the letter B
+    assert " B " not in out["extracted"]
+
+
+def test_quoted_gt_attribute_does_not_bleed(spark):
+    out = _extract_dirty(
+        spark,
+        '<div data-note="id > 0" class="m"><p>Visible paragraph body '
+        "comfortably past the minimum length.</p></div>",
+    )
+    assert out["extracted"].startswith("Visible paragraph")
+    assert '">' not in out["extracted"] and "id > 0" not in out["extracted"]
+
+
+def test_cdata_and_truncated_tail_never_leak(spark):
+    out = _extract_dirty(
+        spark,
+        "<p>Real content sentence that is clearly long enough to "
+        "keep.</p><![CDATA[ junk <p>cdatainner</p> ]]>"
+        '<img src="truncated-at-eof',
+    )
+    assert "cdatainner" not in out["extracted"]
+    assert "junk" not in out["extracted"]
+    assert "truncated-at-eof" not in out["extracted"]
+    assert out["extracted"].startswith("Real content")
+
+
+def test_clean_default_sql_unchanged():
+    """dirty=False must emit byte-identical SQL to the pre-dirty
+    builder — existing gate results and plan fingerprints depend on
+    it.  Pin by asserting none of the dirty-only constructs appear."""
+    for dialect in ("spark", "duckdb"):
+        e = ex.html_extract_expr("html", dialect)
+        blob = "||".join(e.values())
+        assert "CDATA" not in blob
+        assert "'&#')" not in blob  # numeric-ref split absent
+        assert "UTF-16BE" not in blob and "chr(CAST" not in blob
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_FRAG, min_size=0, max_size=12))
+def test_html_extract_dirty_total_on_arbitrary_markup(spark, frags):
+    """The hardened cascade must be total on the same tag soup (plus
+    numeric-ref shrapnel the base alphabet already generates via
+    '&', '#' and digits-free hex letters), leak nothing, and keep
+    counts consistent."""
+    html = "".join(frags)
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = ex.html_extract(df, dirty=True).collect()[0].asDict()
+    assert out["n_kept"] <= out["n_blocks"]
+    assert out["extracted_len"] == len(out["extracted"])
+    if "<script>var x = 'evil';</script>" in html:
+        assert "evil" not in out["extracted"]
+    for block in out["extracted"].split("\n"):
+        if block:
+            assert len(block) >= 25
