@@ -584,6 +584,24 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
+            # auto-routed serve FORCED past the measured brute-force
+            # boundary: 5 000 queries x 45k seeds = 225M pairs >
+            # max_pair_cells -> banded-Hamming candidates (8x8-bit
+            # bands, pigeonhole-exact within Hamming 7); prices the
+            # band join + candidate dedup the boundary docstring
+            # promises as the escape route
+            "sim_knn_classify_auto_wide",
+            lambda: sim.knn_classify_auto(
+                emb,
+                emb.filter("vec_id % 10 != 0").selectExpr(
+                    "vec_id",
+                    "CAST(pmod(xxhash64(vec_id), 7) AS BIGINT) AS label",
+                ),
+                query_ids=range(0, 50000, 10),
+                k=5,
+            ),
+        ),
+        (
             # DSIR importance resampling at corpus scale: 2% target
             # slice vs the 98% raw pool — two 1024-bucket histogram
             # shuffles + a broadcast-weight scoring join

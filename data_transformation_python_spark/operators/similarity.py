@@ -1765,8 +1765,9 @@ def knn_classify(
     pair stream is |seeds|×|queries| popcounts per pass and goes
     superlinear past ~10⁵ seeds × 10³ queries (540M pairs ≈ 40 s at
     300k×2000).  Brute force is the recall-1.0 baseline; beyond that
-    regime shard the query batch or serve through the IVF/BQ ANN
-    routes in this module.
+    regime shard the query batch or serve through ``knn_classify_auto``
+    (this module), which size-probes the pair volume and flips to the
+    banded-Hamming candidate route past the boundary.
     """
     query_ids = list(query_ids)
     sigs = bq_encode(df, vec_col, id_col)
@@ -1787,6 +1788,14 @@ def knn_classify(
             ),
         )
     )
+    return _knn_topk_vote(ham, k, label_col)
+
+
+def _knn_topk_vote(ham, k: int, label_col: str) -> DataFrame:
+    """Shared tail of the kNN-vote classifiers: two-pass histogram-cut
+    top-k over a (query_id, neighbor_id, hamming, label) pair stream,
+    then the deterministic majority vote.  See ``knn_classify`` for
+    why the histogram cut replaces a full per-query sort."""
     # pass 1: per-query cut distance from the Hamming histogram
     w_cum = (
         Window.partitionBy("query_id")
@@ -1830,3 +1839,125 @@ def knn_classify(
             "best_hamming",
         )
     )
+
+
+def knn_classify_auto(
+    df: DataFrame,
+    labels: DataFrame,
+    query_ids,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_pair_cells: int = 100_000_000,
+    bands: int = 8,
+) -> DataFrame:
+    """``knn_classify`` with the measured contract boundary built in:
+    one cheap size probe (seed count × query count), and past
+    ``max_pair_cells`` (default 10⁸ = the r10-measured ~10⁵ seeds ×
+    10³ queries knee) the serve flips — loudly, via ``warnings`` —
+    from the recall-1.0 brute-force pair stream to banded-Hamming
+    candidate generation:
+
+    - the 64 packed sign bits split into ``bands`` equal bands
+      (default 8 × 8-bit); seeds explode into (band, value) keys once
+      (8 rows × ~10 B per seed — a narrow map, never a corpus
+      shuffle), queries likewise on the broadcast side;
+    - a band-key broadcast join yields candidates = seeds sharing at
+      least one band with the query; expected candidates per query ≈
+      bands · |seeds| / 2^(64/bands) — at 10⁶ seeds ≈ 31× fewer
+      pairs than brute force;
+    - PIGEONHOLE GUARANTEE: any seed within Hamming ≤ bands-1 of the
+      query is ALWAYS a candidate (64 bits into 8 bands: a distance
+      ≤ 7 cannot disagree in every band).  Whenever a query has ≥ k
+      seeds within that radius its top-k — and therefore its vote —
+      is EXACTLY the brute-force answer; only queries whose k-th
+      neighbor is farther can diverge (their candidate recall
+      follows the banded S-curve, like MinHash-LSH);
+    - the exact two-pass histogram-cut top-k + deterministic vote
+      then run on the candidate stream, unchanged.
+
+    Same output contract as ``knn_classify``:
+    (query_id, pred_label, votes, best_hamming).
+    """
+    query_ids = list(query_ids)
+    n_queries = len(query_ids)
+    n_seeds = labels.count()  # size probe: one cheap count job
+    if n_seeds * n_queries <= max_pair_cells:
+        return knn_classify(
+            df, labels, query_ids, k=k, vec_col=vec_col,
+            id_col=id_col, label_col=label_col,
+        )
+    import warnings
+
+    warnings.warn(
+        f"knn_classify_auto: {n_seeds} seeds x {n_queries} queries ="
+        f" {n_seeds * n_queries} pairs exceeds max_pair_cells="
+        f"{max_pair_cells}; switching from brute force to the"
+        f" banded-Hamming candidate route ({bands} bands — exact for"
+        f" queries with >= k seeds within Hamming {bands - 1};"
+        f" S-curve recall beyond). Raise max_pair_cells to force"
+        f" brute force.",
+        stacklevel=2,
+    )
+    sigs = bq_encode(df, vec_col, id_col)
+    seed_sigs = sigs.join(labels.select(id_col, label_col), id_col)
+    q_sigs = sigs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sig_lo").alias("__qlo"),
+        F.col("sig_hi").alias("__qhi"),
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    half_bands = 32 // width  # bands served from sig_lo
+
+    def _band_val(lo: str, hi: str) -> str:
+        return (
+            f"CASE WHEN __b < {half_bands}"
+            f" THEN shiftright({lo}, __b * {width}) & {mask}"
+            f" ELSE shiftright({hi}, (__b - {half_bands}) * {width})"
+            f" & {mask} END"
+        )
+
+    band_ix = f"explode(sequence(0, {bands - 1})) AS __b"
+    seed_bands = seed_sigs.withColumnRenamed(id_col, "neighbor_id").selectExpr(
+        "neighbor_id", "sig_lo", "sig_hi", label_col, band_ix
+    ).selectExpr(
+        "neighbor_id", "sig_lo", "sig_hi", label_col, "__b",
+        _band_val("sig_lo", "sig_hi") + " AS __bv",
+    )
+    q_bands = q_sigs.selectExpr(
+        "query_id", "__qlo", "__qhi", band_ix
+    ).selectExpr(
+        "query_id", "__qlo", "__qhi", "__b",
+        _band_val("__qlo", "__qhi") + " AS __bv",
+    )
+    # A pair may collide in several bands; emit it exactly once — at
+    # its FIRST matching band — via a row-local filter instead of a
+    # candidate-wide DISTINCT (measured: the distinct's 7M-row wide
+    # shuffle dominated the route; this check is a few JVM byte ops
+    # per joined row and leaves the plan with ZERO wide shuffles).
+    first_band = (
+        f"__b = 0 OR size(filter(sequence(0, __b - 1), bb -> "
+        f"CASE WHEN bb < {half_bands}"
+        f" THEN (shiftright(sig_lo ^ __qlo, bb * {width}) & {mask}) = 0"
+        f" ELSE (shiftright(sig_hi ^ __qhi, (bb - {half_bands})"
+        f" * {width}) & {mask}) = 0 END)) = 0"
+    )
+    cand = (
+        seed_bands.join(F.broadcast(q_bands), ["__b", "__bv"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.expr(first_band))
+        .select(
+            "query_id", "neighbor_id", "sig_lo", "sig_hi",
+            "__qlo", "__qhi", label_col,
+        )
+    )
+    ham = cand.withColumn(
+        "hamming",
+        F.expr(
+            "CAST(bit_count(sig_lo ^ __qlo)"
+            " + bit_count(sig_hi ^ __qhi) AS BIGINT)"
+        ),
+    )
+    return _knn_topk_vote(ham, k, label_col)

@@ -1405,6 +1405,24 @@ def text_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(emb, seeds, query_ids=range(0, 50, 5), k=5)
 
 
+@query("sim_knn_classify_auto", oracle=_KNN_ORACLE)
+def sim_knn_classify_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-routing kNN serve (operators/similarity.py
+    knn_classify_auto): size-probes |seeds| × |queries| and stays on
+    the recall-1.0 brute-force plan below the measured boundary —
+    which the fixture is, so this gate must be BIT-IDENTICAL to
+    text_knn_classifier (same oracle).  Past the boundary the serve
+    flips to banded-Hamming candidate generation (pigeonhole-exact
+    within Hamming ≤ bands-1); the route flip and the banded path's
+    agreement contract are pinned by tests/test_similarity_paths.py,
+    the sim_neardup size-probe shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter("vec_id % 5 != 0").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    return sim.knn_classify_auto(emb, seeds, query_ids=range(0, 50, 5), k=5)
+
+
 # --------------------------------------------------------------------------
 # BPE tokenizer train -> apply composition (distinct-word cache)
 # --------------------------------------------------------------------------

@@ -7,6 +7,7 @@ at or above the LSH S-curve recall bound, from a single corpus scan.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import warnings
 
@@ -515,3 +516,81 @@ def test_bq_packing_hamming_recall_and_plan(spark):
     assert got[1][0] == 64, got                          # antipode distance
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_knn_classify_auto_route_flip_and_agreement(spark, emb):
+    """knn_classify_auto must (a) stay on the brute-force plan below
+    the size boundary with BIT-IDENTICAL output, (b) flip — loudly —
+    to the banded-Hamming candidate route when forced over it, with a
+    band-join plan (no |seeds|x|queries| cross product), and (c) on
+    the banded route agree EXACTLY with brute force for every query
+    whose k-th neighbor sits within the pigeonhole radius
+    (hamming <= bands-1 guarantees candidate membership)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from data_transformation_python_spark.operators import similarity as sim
+
+    seeds = emb.filter("vec_id % 5 != 0").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    qids = list(range(0, 50, 5))
+    k, bands = 5, 8
+
+    brute = sim.knn_classify(emb, seeds, qids, k=k)
+    # (a) small regime: auto == brute, and silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        small = sim.knn_classify_auto(emb, seeds, qids, k=k)
+        small_rows = {tuple(r) for r in small.collect()}
+    assert not any("banded" in str(w.message) for w in caught)
+    assert small_rows == {tuple(r) for r in brute.collect()}
+
+    # (b) forced over budget: warning + banded plan
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        banded = sim.knn_classify_auto(
+            emb, seeds, qids, k=k, max_pair_cells=1, bands=bands
+        )
+        banded_rows = {r["query_id"]: tuple(r) for r in banded.collect()}
+    assert any("banded-Hamming" in str(w.message) for w in caught)
+    plan = banded._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bv" in plan, plan[:1500]
+
+    # (c) pigeonhole-exact regime: a clustered fixture where every
+    # query has >= k seeds within Hamming <= bands-1 (7 labeled
+    # near-copies per cluster, at most 2 sign flips each), so the
+    # banded route must agree with brute force bit-for-bit on EVERY
+    # query — the guarantee, not a statistical recall claim.
+    rows = []
+    for c in range(10):
+        base = [
+            (1.0 if hashlib.md5(f"{c}:{i}".encode()).digest()[0] & 1
+             else -1.0) * (0.5 + 0.01 * i)
+            for i in range(64)
+        ]
+        for m in range(8):
+            v = list(base)
+            for j in range(m % 3):  # flip 0-2 dims -> hamming <= 2
+                v[(c + j * 11) % 64] *= -1.0
+            rows.append((c * 10 + m, v, c))
+    cdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    cseeds = cdf.filter("vec_id % 10 != 0").select("vec_id", "label")
+    cqids = [c * 10 for c in range(10)]
+    cbrute = {
+        r["query_id"]: tuple(r)
+        for r in sim.knn_classify(cdf, cseeds, cqids, k=k).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cbanded = {
+            r["query_id"]: tuple(r)
+            for r in sim.knn_classify_auto(
+                cdf, cseeds, cqids, k=k, max_pair_cells=1, bands=bands
+            ).collect()
+        }
+    assert cbanded == cbrute
+    # and the vote recovers every cluster label
+    assert all(cbanded[c * 10][1] == c for c in range(10))
