@@ -764,3 +764,71 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.environ["TESTDATA_DIR"] = old_env
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("pipeline_funnel_incremental", oracle=_FUNNEL_ORACLE)
+def pipeline_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's INCREMENTAL story under the correctness gate: the
+    same example_pipeline DAG executed TWICE against a staged source —
+    batch 1 is documents with doc_id % 4 != 0 (cold build: the
+    unique_key MERGE's initial CTAS), batch 2 is ONLY the remaining
+    quarter (the MERGE must retain every batch-1 row while inserting
+    the new keys, and every downstream silver/gold model must rebuild
+    from the merged bronze).  The final gold_packed must equal the
+    one-shot full-corpus oracle — the two-batch-vs-one-shot shape
+    q_incremental_aggregate uses, now through the whole composed
+    product (models, refs, $vars, DQ tests, level-parallel DAG)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..config import load_config
+    from ..dependency import ParallelExecutor, build_dependency_graph
+    from ..executor import ModelExecutor, SparkExecutor
+    from ..parser import SQLParser
+    from ..state import create_state_manager
+
+    src = Path(__file__).resolve().parents[2] / "example_pipeline"
+    tmp = tempfile.mkdtemp(prefix="dtps_funnel_inc_")
+    proj = Path(tmp) / "example_pipeline"
+    shutil.copytree(src, proj)
+    docs = load(spark, sf_dir, "documents")
+    batches = []
+    for i, pred in enumerate(("doc_id % 4 != 0", "doc_id % 4 = 0")):
+        bdir = Path(tmp) / f"batch{i + 1}"
+        docs.filter(pred).write.parquet(str(bdir / "documents.parquet"))
+        batches.append(str(bdir))
+    db = f"funnel_inc_{uuid.uuid4().hex[:8]}"
+    old_env = os.environ.get("TESTDATA_DIR")
+    try:
+        config = load_config(proj)
+        config.database = db
+        parser = SQLParser(config.models_dir)
+        state = create_state_manager(config.state_dir, config.env_name)
+        mx = ModelExecutor(
+            SparkExecutor(spark, database=db), parser, config, state
+        )
+        levels = build_dependency_graph(
+            parser.parse_directory()
+        ).topological_sort()
+        for bdir in batches:
+            os.environ["TESTDATA_DIR"] = bdir
+            results = ParallelExecutor(max_parallelism=4).execute_levels(
+                levels, lambda name: mx.execute_model(name)
+            )
+            failed = [r for r in results if not r.get("success")]
+            if failed:
+                raise RuntimeError(
+                    f"incremental funnel failed ({bdir}): {failed[:1]}"
+                )
+        packed = spark.table(f"{db}.gold_packed")
+        return spark.createDataFrame(packed.collect(), packed.schema)
+    finally:
+        if old_env is None:
+            os.environ.pop("TESTDATA_DIR", None)
+        else:
+            os.environ["TESTDATA_DIR"] = old_env
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(tmp, ignore_errors=True)
