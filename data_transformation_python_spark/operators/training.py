@@ -27,10 +27,15 @@ it bit-for-bit — see ``lr_unrolled_oracle_sql``):
   exactly representable in fixed point: with weights scaled by
   ``S = 2^scale_log2`` the scaled probability is
   ``p4 = clamp(z + 2S, 0, 4S)`` (no division at all).
-- Class balance: positive-class residuals are multiplied by
-  ``K = max(1, (N−P) // P)`` — the teacher labels are heavily skewed
-  (~8% positive on the test corpus) and an unbalanced fit converges to
-  the majority-class predictor.
+- Class balance, SYMMETRIC: minority-class residuals are multiplied
+  by the integer imbalance ratio — positives by
+  ``Kp = max(1, (N−P) // P)``, negatives by
+  ``Kn = max(1, P // (N−P))`` — because an unbalanced fit converges to
+  the majority-class predictor from EITHER side (measured: the ~8%-
+  positive teacher needed Kp; the 78%-positive Gopher verdict sat at
+  majority until Kn landed — 0.776 → 0.952 accuracy).  With positives
+  in the minority Kn = 1 and the arithmetic is bit-identical to the
+  one-sided form, so pre-existing gates replay unchanged.
 - Step: per-bucket normalized with harmonic decay,
   ``Δw_b = −trunc(E·g_b / (4S·m_b·k))`` where ``m_b`` is the bucket's
   total occurrence count and ``k`` the iteration — sign-SGD-like,
@@ -103,6 +108,7 @@ def lr_train(
     scale_log2: int = 16,
     step_mult: int = 16,
     iters: int = 12,
+    label_expr: str | None = None,
 ) -> dict[int, int]:
     """Fit the quantized logistic regression; returns the learned
     weight table ``{bucket: scaled_weight}`` with the bias at key −1.
@@ -110,6 +116,15 @@ def lr_train(
     Weights are fixed-point BIGINTs scaled by ``2**scale_log2``; feed
     them to ``text.quality_classifier_serve`` (or ``lr_train_score``)
     to score documents.
+
+    ``label_expr`` (a boolean SQL expression over ``df``'s columns,
+    e.g. ``"lang = 'en'"``) switches the target from the default
+    DISTILLATION teacher — which is exactly linear in the hashed
+    counts, so the student can recover it bit-for-bit — to a GROUND-
+    TRUTH label the feature space cannot perfectly represent: the
+    honest-classifier regime, where the contract is a pinned accuracy
+    floor, not teacher equality.  The GD loop, fixed-point arithmetic,
+    and oracle replay are identical either way.
     """
     S = 1 << scale_log2
     S2, S4 = 2 * S, 4 * S
@@ -119,24 +134,38 @@ def lr_train(
 
     # ---- one corpus scan → compact per-doc feature rows -------------
     # (doc_id, y, counts: array<struct<b,c>>) with the bias feature
-    # (b=-1, c=1) appended; the teacher label is a narrow HOF aggregate
-    # over the same tokenization.
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(
-            f"transform(split({text_col}, ' '),"
-            f" t -> named_struct('b', {b_expr}, 'tw', {tw_expr}))"
-        ).alias("bt"),
-    )
-    lab = tok.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN aggregate(bt, CAST(0 AS BIGINT),"
-            " (a, x) -> a + x.tw) > 0"
-            " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        ).alias("y"),
-        F.explode(F.col("bt.b")).alias("b"),
-    )
+    # (b=-1, c=1) appended; the label is either the teacher (a narrow
+    # HOF aggregate over the same tokenization) or the caller's
+    # ground-truth column expression.
+    if label_expr is None:
+        tok = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"transform(split({text_col}, ' '),"
+                f" t -> named_struct('b', {b_expr}, 'tw', {tw_expr}))"
+            ).alias("bt"),
+        )
+        lab = tok.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN aggregate(bt, CAST(0 AS BIGINT),"
+                " (a, x) -> a + x.tw) > 0"
+                " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("y"),
+            F.explode(F.col("bt.b")).alias("b"),
+        )
+    else:
+        tok = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"CASE WHEN ({label_expr}) THEN CAST(1 AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END"
+            ).alias("y"),
+            F.expr(
+                f"transform(split({text_col}, ' '), t -> {b_expr})"
+            ).alias("bt"),
+        )
+        lab = tok.select("doc_id", "y", F.explode("bt").alias("b"))
     feats = (
         lab.groupBy("doc_id", "y", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -176,7 +205,8 @@ def lr_train(
         raise ValueError("lr_train: empty corpus")
     N = m[-1]
     P = next(r["p"] for r in m_rows if r["b"] == -1)
-    kk = max(1, (N - P) // max(P, 1))
+    kkp = max(1, (N - P) // max(P, 1))
+    kkn = max(1, P // max(N - P, 1))
 
     # ---- GD loop: T tiny jobs, weights as a broadcast literal -------
     W = {b: 0 for b in m}
@@ -191,7 +221,8 @@ def lr_train(
         )
         r = (
             f"(least(greatest({z} + {S2}, CAST(0 AS BIGINT)),"
-            f" CAST({S4} AS BIGINT)) - {S4} * y) * (1 + {kk - 1} * y)"
+            f" CAST({S4} AS BIGINT)) - {S4} * y)"
+            f" * ({kkn} + {kkp - kkn} * y)"
         )
         grad = (
             feats.select(F.expr(r).alias("r"), F.explode("counts").alias("x"))
@@ -221,12 +252,15 @@ def lr_train_score(
     scale_log2: int = 16,
     step_mult: int = 16,
     iters: int = 12,
+    label_expr: str | None = None,
 ) -> DataFrame:
     """End-to-end train → score: fit the classifier, then score every
     document THROUGH THE SERVING PATH (text.quality_classifier_serve)
-    with the learned weights, alongside the teacher label.
+    with the learned weights, alongside the target label.
 
-    Output: (doc_id, z_scaled, pred_label, teacher_label, agree).
+    Output: (doc_id, z_scaled, pred_label, teacher_label, agree);
+    with ``label_expr`` the fourth column is the ground-truth label
+    and is named ``true_label``.
     """
     from .text import quality_classifier_serve
 
@@ -238,6 +272,7 @@ def lr_train_score(
         scale_log2=scale_log2,
         step_mult=step_mult,
         iters=iters,
+        label_expr=label_expr,
     )
     weights = [W.get(b, 0) for b in range(n_buckets)]
     scored = quality_classifier_serve(
@@ -248,23 +283,30 @@ def lr_train_score(
         id_col=id_col,
         n_buckets=n_buckets,
     )
-    tw = _teacher_expr("t")
-    teacher = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(
+    if label_expr is None:
+        tw = _teacher_expr("t")
+        label_col, label_sql = "teacher_label", (
             f"CASE WHEN aggregate(transform(split({text_col}, ' '),"
             f" t -> {tw}), CAST(0 AS BIGINT), (a, x) -> a + x) > 0"
             f" THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        ).alias("teacher_label"),
+        )
+    else:
+        label_col, label_sql = "true_label", (
+            f"CASE WHEN ({label_expr}) THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    target = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(label_sql).alias(label_col),
     )
     return (
-        scored.join(teacher, "doc_id")
+        scored.join(target, "doc_id")
         .select(
             "doc_id",
             "z_scaled",
             "pred_label",
-            "teacher_label",
-            F.expr("pred_label = (teacher_label = 1)").alias("agree"),
+            label_col,
+            F.expr(f"pred_label = ({label_col} = 1)").alias("agree"),
         )
     )
 
@@ -278,9 +320,15 @@ def lr_unrolled_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    label_sql: str | None = None,
 ) -> str:
     """DuckDB twin: the full GD loop unrolled as a MATERIALIZED-CTE
     chain (4 CTEs per iteration), bit-exact with ``lr_train_score``.
+
+    ``label_sql`` mirrors ``lr_train``'s ``label_expr``: a boolean
+    DuckDB expression over the table's columns replaces the distilled
+    teacher as the target, and the output's fourth column is named
+    ``true_label``.
 
     MATERIALIZED is load-bearing: each w{k} is referenced by both
     z{k+1} and w{k+1}; inlined CTEs would re-evaluate the whole prefix
@@ -293,21 +341,32 @@ def lr_unrolled_oracle_sql(
     def sdiv(g: str, d: str) -> str:
         return f"CAST(sign({g}) AS BIGINT) * CAST((abs({g}) // ({d})) AS BIGINT)"
 
+    if label_sql is None:
+        lab_cte = """lab AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN SUM(tw) > 0 THEN CAST(1 AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS y FROM fb GROUP BY doc_id)"""
+        label_name = "teacher_label"
+    else:
+        lab_cte = f"""lab AS MATERIALIZED (SELECT {id_col} AS doc_id,
+  CASE WHEN ({label_sql}) THEN CAST(1 AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS y FROM {table})"""
+        label_name = "true_label"
+
     parts = [
         f"""WITH toks AS (SELECT {id_col} AS doc_id,
   unnest(string_split({text_col}, ' ')) AS t FROM {table}),
 fb AS MATERIALIZED (SELECT doc_id, {h} % {n_buckets} AS b,
   {h} % 4096 % 1001 - 500 AS tw FROM toks),
-lab AS MATERIALIZED (SELECT doc_id,
-  CASE WHEN SUM(tw) > 0 THEN CAST(1 AS BIGINT)
-       ELSE CAST(0 AS BIGINT) END AS y FROM fb GROUP BY doc_id),
+{lab_cte},
 cnt AS MATERIALIZED (
   SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM fb GROUP BY 1, 2
   UNION ALL
   SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lab),
 m AS MATERIALIZED (SELECT b, SUM(c) AS m FROM cnt GROUP BY b),
-bal AS MATERIALIZED (SELECT GREATEST(1,
-  (COUNT(*) - SUM(y)) // GREATEST(SUM(y), 1)) AS kk FROM lab),
+bal AS MATERIALIZED (SELECT
+  GREATEST(1, (COUNT(*) - SUM(y)) // GREATEST(SUM(y), 1)) AS kkp,
+  GREATEST(1, SUM(y) // GREATEST(COUNT(*) - SUM(y), 1)) AS kkn
+  FROM lab),
 w0 AS MATERIALIZED (SELECT b, CAST(0 AS BIGINT) AS w FROM m)"""
     ]
     for k in range(1, iters + 1):
@@ -319,7 +378,7 @@ w0 AS MATERIALIZED (SELECT b, CAST(0 AS BIGINT) AS w FROM m)"""
         )
         parts.append(
             f"""r{k} AS MATERIALIZED (SELECT lab.doc_id,
-  (LEAST(GREATEST(z + {S2}, 0), {S4}) - {S4} * y) * (1 + (kk - 1) * y) AS r
+  (LEAST(GREATEST(z + {S2}, 0), {S4}) - {S4} * y) * (kkn + (kkp - kkn) * y) AS r
   FROM z{k} JOIN lab USING (doc_id), bal)"""
         )
         parts.append(
@@ -337,8 +396,53 @@ w0 AS MATERIALIZED (SELECT b, CAST(0 AS BIGINT) AS w FROM m)"""
     )
     return (
         ",\n".join(parts)
-        + """
+        + f"""
 SELECT zf.doc_id AS doc_id, z AS z_scaled, z > 0 AS pred_label,
-       y AS teacher_label, (z > 0) = (y = 1) AS agree
+       y AS {label_name}, (z > 0) = (y = 1) AS agree
 FROM zf JOIN lab USING (doc_id)"""
     )
+
+
+def gopher_label_exprs() -> tuple[str, str]:
+    """(spark_expr, duckdb_sql) boolean expressions for the Gopher
+    §A1.1 combined verdict over a ``text`` column — the same gates
+    and thresholds as ``text.gopher_quality`` / its oracle (mean word
+    length in [3, 10], symbol ratio < 0.1, ≥ 80% alphabetic words,
+    ≥ 2 English stopwords).  The honest training target for
+    ``lr_train(label_expr=...)``: computed FROM the text, so it is
+    learnable, but built from ratio thresholds, so the hashed-count
+    feature space cannot represent it exactly.  (The fixture's
+    ``lang`` column was measured NOT learnable — it is metadata
+    uncorrelated with the synthetic token stream; a bag-of-words fit
+    on it converges to the majority class by construction.)"""
+    toks_s = "split(text, ' ')"
+    sum_s = (
+        f"aggregate({toks_s}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+    )
+    n_s = f"size({toks_s})"
+    spark = (
+        f"CAST({sum_s} AS DOUBLE) / {n_s} >= 3.0"
+        f" AND CAST({sum_s} AS DOUBLE) / {n_s} <= 10.0"
+        f" AND CAST(size(regexp_extract_all(text, '#', 0))"
+        f" + size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0))"
+        f" AS DOUBLE) / {n_s} < 0.1"
+        f" AND CAST(size(filter({toks_s}, x -> x rlike '[a-zA-Z]'))"
+        f" AS DOUBLE) / {n_s} >= 0.8"
+        f" AND size(filter({toks_s}, x -> array_contains("
+        f"array('the','a','and','of','to','is'), x))) >= 2"
+    )
+    toks_d = "string_split(text, ' ')"
+    sum_d = f"list_sum(list_transform({toks_d}, x -> CAST(length(x) AS BIGINT)))"
+    n_d = f"len({toks_d})"
+    duck = (
+        f"CAST({sum_d} AS DOUBLE) / {n_d} >= 3.0"
+        f" AND CAST({sum_d} AS DOUBLE) / {n_d} <= 10.0"
+        f" AND CAST(len(regexp_extract_all(text, '#'))"
+        f" + len(regexp_extract_all(text, '\\.\\.\\.'))"
+        f" AS DOUBLE) / {n_d} < 0.1"
+        f" AND CAST(len(list_filter({toks_d},"
+        f" x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / {n_d} >= 0.8"
+        f" AND len(list_filter({toks_d}, x -> list_contains("
+        f"['the','a','and','of','to','is'], x))) >= 2"
+    )
+    return spark, duck

@@ -1542,6 +1542,34 @@ def text_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.lr_train_score(load(spark, sf_dir, "documents"))
 
 
+_GOPHER_SPARK_LABEL, _GOPHER_DUCK_LABEL = tr.gopher_label_exprs()
+
+
+@query(
+    "text_lr_train_gopher",
+    oracle=tr.lr_unrolled_oracle_sql(label_sql=_GOPHER_DUCK_LABEL),
+)
+def text_lr_train_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer on a NON-DISTILLATION target: the Gopher §A1.1
+    combined verdict — computed from the text, so it is learnable,
+    but built from ratio thresholds, so the hashed-count feature
+    space cannot represent it exactly: the honest-classifier regime
+    (text_lr_train's teacher is linear in the features by
+    construction).  Same fixed-point GD loop, still replayed
+    bit-for-bit by the unrolled DuckDB oracle — the weights and every
+    per-doc score are exact; only the CONTRACT changes: a pinned
+    accuracy floor + confusion counts (tests/test_training.py)
+    instead of teacher equality.  Target selection was measured, not
+    assumed: the fixture's ``lang`` column is metadata uncorrelated
+    with the synthetic token stream (a fit on it converges to the
+    majority class — Bayes = majority), while the Gopher verdict on
+    this corpus is driven by the stopword gate and fits to 0.952 vs
+    the 0.776 majority baseline once class balancing is symmetric."""
+    return tr.lr_train_score(
+        load(spark, sf_dir, "documents"), label_expr=_GOPHER_SPARK_LABEL
+    )
+
+
 # --------------------------------------------------------------------------
 # HTML-to-text extraction front door: deterministic synthetic pages
 # built from the documents corpus (nav/script/style/ad/footer
