@@ -104,79 +104,41 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 10 head: (1) the six
-# brand-new never-checked gates — the quantized-LR training loop, the
-# HTML extraction front door, the composed curation-funnel gate that
-# executes the real framework DAG, the H.264 B-slice census, and the
-# two streaming serving twins; (2) the gates whose CODE
-# changed this round — the kNN-vote pair (knn_classify reworked to
-# the two-pass histogram-cut top-k; output bit-identical but the plan
-# is new) and the DSIR pair (weight-numerator overflow guard);
+# rotated STALEST-FIRST each round.  Round 11 head: (1) the four
+# brand-new never-checked gates — the hardened dirty-markup
+# extraction, the auto-routing kNN serve, the two-batch incremental
+# funnel, and the Gopher-target (non-distillation) trainer; (2) the
+# gates whose CODE changed this round — the DSIR pair (denominator
+# overflow guard), the LR pair (symmetric class balance), the kNN
+# pair (top-k/vote tail factored out), and the extraction pair
+# (dirty-mode parameter; defaults pinned byte-identical by test);
 # (3) everything else ordered by LAST-DRIVER-CHECKED ROUND ascending,
-# computed from the committed CORRECTNESS_r{1..9}.json ledger
-# (ties alphabetical): the 13 r5-era entries the round-9 verdict
-# flagged lead, then the r6 block fills the window; r7/r8/r9 names
-# follow for future rounds.  Everything past position 50 stays honest
-# through the local full-registry PARITY sweep
-# (tests/test_oracle_parity.py + committed PARITY_r{N}.json).
-# Names absent from the registry are ignored; registered names absent
-# from this list keep registration order.
+# computed from the committed CORRECTNESS_r{1..10}.json ledger (ties
+# alphabetical): the 18 r6-era entries lead, then the r7 block fills
+# the window (the first 20 of its 49 land in round 11; the rest head
+# round 12).  Everything past position 50 stays honest through the
+# local full-registry PARITY sweep (tests/test_oracle_parity.py +
+# committed PARITY_r{N}.json).  Names absent from the registry are
+# ignored; registered names absent from this list keep registration
+# order.
 _PRIORITY: list[str] = [
-    # (1) new in round 10 — never driver-checked
-    "text_lr_train",
-    "text_html_extract",
-    "pipeline_curation_funnel",
-    "multimodal_h264b_meta",
-    "q_stream_lr_serve",
-    "q_stream_html_extract",
-    # (2) code changed in round 10 (knn two-pass top-k; DSIR
-    #     overflow guard)
-    "text_knn_classifier",
-    "q_stream_knn_classifier",
+    # (1) new in round 11 — never driver-checked
+    "pipeline_funnel_incremental",
+    "sim_knn_classify_auto",
+    "text_html_extract_dirty",
+    "text_lr_train_gopher",
+    # (2) code changed in round 11 (DSIR denominator guard;
+    #     symmetric LR balance; knn top-k refactor; extraction
+    #     dirty param — all bit-identical by design, re-gated)
     "samp_dsir",
     "q_stream_dsir",
-    # (3) stalest-first: last driver-checked in round 5
-    "q_cdc_merge",
-    "q_cdc_retirement",
-    "q_incremental_watermark",
-    "q_silver_clean",
-    "q_stream_dedup_watermark",
-    "sim_cosine_topk",
-    "sim_ivf_kmeans_topk",
-    "sim_ivf_topk",
-    "sim_kmeans_blas",
-    "sim_lsh_buckets",
-    "text_gopher_quality",
-    "text_quality_filter",
-    "text_repetition_stats",
+    "text_lr_train",
+    "q_stream_lr_serve",
+    "text_knn_classifier",
+    "q_stream_knn_classifier",
+    "text_html_extract",
+    "q_stream_html_extract",
     # (3) stalest-first: last driver-checked in round 6
-    "curation_domain_stats",
-    "curation_pipeline_filter",
-    "decontam_ngram",
-    "dedup_cc_twophase",
-    "dedup_connected_components",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_survivors",
-    "dedup_repeated_spans",
-    "dedup_simhash_pairs",
-    "dedup_span_dup_stats",
-    "multimodal_avi_frames",
-    "multimodal_bmp_resize",
-    "multimodal_gif_meta",
-    "multimodal_jpeg_meta",
-    "multimodal_png_meta",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_cube_grouping",
-    "q_event_funnel",
-    "q_global_percentile_exact",
-    "q_grouping_sets",
-    "q_profile_orders",
-    "q_range_join_binned",
-    "q_retention_cohorts",
-    "q_skew_profile",
     "q_snapshot_scd2",
     "q_source_csv_roundtrip",
     "q_source_freshness",
@@ -337,6 +299,49 @@ _PRIORITY: list[str] = [
     "text_phrase3_search",
     "text_phrase3_serve",
     "text_tfidf_topterms",
+    # (3) stalest-first: last driver-checked in round 10
+    "curation_domain_stats",
+    "curation_pipeline_filter",
+    "decontam_ngram",
+    "dedup_cc_twophase",
+    "dedup_connected_components",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_survivors",
+    "dedup_repeated_spans",
+    "dedup_simhash_pairs",
+    "dedup_span_dup_stats",
+    "multimodal_avi_frames",
+    "multimodal_bmp_resize",
+    "multimodal_gif_meta",
+    "multimodal_h264b_meta",
+    "multimodal_jpeg_meta",
+    "multimodal_png_meta",
+    "pipeline_curation_funnel",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_cdc_merge",
+    "q_cdc_retirement",
+    "q_cube_grouping",
+    "q_event_funnel",
+    "q_global_percentile_exact",
+    "q_grouping_sets",
+    "q_incremental_watermark",
+    "q_profile_orders",
+    "q_range_join_binned",
+    "q_retention_cohorts",
+    "q_silver_clean",
+    "q_skew_profile",
+    "q_stream_dedup_watermark",
+    "sim_cosine_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_ivf_topk",
+    "sim_kmeans_blas",
+    "sim_lsh_buckets",
+    "text_gopher_quality",
+    "text_quality_filter",
+    "text_repetition_stats",
 ]
 
 
