@@ -1,0 +1,163 @@
+"""bench_diff.py regression-gate logic — the host-estimator and
+plan-fingerprint machinery, pinned on synthetic artifacts (no Spark).
+
+Round-10 lesson encoded here: host degradation is multi-regime.  The
+arithmetic probe can be flat while task-scheduling overhead doubles;
+the gate must (a) take the max over the probe regimes it has, (b)
+when the OLD file predates the sched probe, recognize the regime
+shift from the plan-STABLE fleet (identical optimized plans cannot be
+code regressions) and demote those entries to suspect(host), while
+(c) still hard-gating plan-CHANGED entries on the raw ratio, and (d)
+never comparing fingerprints made by different normalizer versions.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+
+def _run(tmp_path, old: dict, new: dict, argv=()):
+    import bench_diff
+
+    op, np_ = tmp_path / "old.json", tmp_path / "new.json"
+    op.write_text(json.dumps(old))
+    np_.write_text(json.dumps(new))
+    old_argv = sys.argv
+    sys.argv = ["bench_diff.py", str(op), str(np_), *argv]
+    try:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            code = bench_diff.main()
+        return code, buf.getvalue()
+    finally:
+        sys.argv = old_argv
+
+
+def _cal(median, probe="range_2e10_sum"):
+    return {"probe": probe, "median": median, "shots": [median]}
+
+
+def test_sched_probe_excuses_task_regime_slowdown(tmp_path):
+    """cal2 flat, cal3 2x: a uniform 1.8x raw slowdown must be
+    excused (max-over-regimes host factor) and classified."""
+    qs_old = {f"q{i}": 2.0 for i in range(10)}
+    qs_new = {f"q{i}": 3.6 for i in range(10)}
+    old = {"queries": qs_old, "value": 20.0,
+           "calibration2": _cal(1.0),
+           "calibration3": _cal(1.0, "tasks_2000_sum")}
+    new = {"queries": qs_new, "value": 36.0,
+           "calibration2": _cal(1.02),
+           "calibration3": _cal(2.0, "tasks_2000_sum")}
+    code, out = _run(tmp_path, old, new)
+    assert code == 0, out
+    assert "using max 2.000x" in out
+    assert "classification: host-side degradation" in out
+    assert "REGRESSED" not in out
+
+
+def test_plan_stable_fleet_demotes_to_suspect_without_old_sched_probe(
+    tmp_path,
+):
+    """Old file predates calibration3; arith flat; >=15% of the
+    plan-stable fleet reads raw >1.5x -> regime shift: plan-stable
+    entries become suspect(host) (exit 0), but a plan-CHANGED entry
+    over the raw gate still fails the run."""
+    n = 30
+    fp_old = {f"q{i}": f"fp{i}" for i in range(n)}
+    fp_new = dict(fp_old)
+    qs_old = {f"q{i}": 2.0 for i in range(n)}
+    qs_new = {f"q{i}": (4.0 if i < 10 else 2.1) for i in range(n)}
+    old = {"queries": qs_old, "value": 60.0, "calibration2": _cal(1.0),
+           "plan_fp": fp_old}
+    new = {"queries": qs_new, "value": 80.0, "calibration2": _cal(1.02),
+           "calibration3": _cal(2.0, "tasks_2000_sum"), "plan_fp": fp_new}
+    # old lacks cal3 -> estimators = arith only (no sched pairing)
+    code, out = _run(tmp_path, old, new)
+    assert code == 0, out
+    assert "regime-specific host degradation" in out
+    assert out.count("suspect(host)") == 10
+    assert "REGRESSED" not in out
+
+    # now flip one regressed entry's fingerprint: it must hard-gate
+    fp_new2 = dict(fp_new, q0="DIFFERENT")
+    new2 = dict(new, plan_fp=fp_new2)
+    code, out = _run(tmp_path, old, new2)
+    assert code == 1, out
+    assert "REGRESSED q0" in out
+    assert out.count("suspect(host)") == 9
+
+
+def test_fp_version_mismatch_skips_plan_comparison(tmp_path):
+    """Different normalizer versions re-fingerprint unchanged plans
+    (the r10 phantom set) — the gate must not read those as plan
+    changes."""
+    old = {"queries": {"q0": 2.0, "q1": 2.0}, "value": 4.0,
+           "calibration2": _cal(1.0),
+           "plan_fp": {"q0": "aaa", "q1": "bbb"},
+           "plan_fp_version": "v1"}
+    new = {"queries": {"q0": 2.1, "q1": 2.0}, "value": 4.1,
+           "calibration2": _cal(1.0),
+           "plan_fp": {"q0": "zzz", "q1": "yyy"},
+           "plan_fp_version": "v2"}
+    code, out = _run(tmp_path, old, new)
+    assert code == 0, out
+    assert "NOT comparable" in out
+    assert "plan fingerprint changed" not in out
+
+
+def test_real_regression_still_gates_under_all_probes(tmp_path):
+    """Host probes flat, one entry 2x: a real regression must exit 1
+    whether or not its plan changed."""
+    old = {"queries": {"q0": 2.0, "q1": 2.0}, "value": 4.0,
+           "calibration2": _cal(1.0),
+           "calibration3": _cal(1.0, "tasks_2000_sum")}
+    new = {"queries": {"q0": 4.0, "q1": 2.0}, "value": 6.0,
+           "calibration2": _cal(1.0),
+           "calibration3": _cal(1.0, "tasks_2000_sum")}
+    code, out = _run(tmp_path, old, new)
+    assert code == 1
+    assert "REGRESSED q0" in out
+
+
+def test_plan_fp_version_stamp_changes_with_rules(monkeypatch):
+    """bench.PLAN_FP_VERSION must be derived from the _EPHEMERAL
+    rules so any edit re-stamps the artifacts."""
+    import hashlib
+    import re as _re
+
+    import bench
+
+    recomputed = hashlib.sha256(
+        "\n".join(f"{p.pattern}->{r}" for p, r in bench._EPHEMERAL).encode()
+    ).hexdigest()[:8]
+    assert bench.PLAN_FP_VERSION == recomputed
+    mutated = bench._EPHEMERAL + [(_re.compile("zz"), "Z")]
+    stamped = hashlib.sha256(
+        "\n".join(f"{p.pattern}->{r}" for p, r in mutated).encode()
+    ).hexdigest()[:8]
+    assert stamped != bench.PLAN_FP_VERSION
+
+
+@pytest.mark.parametrize(
+    "token,expected",
+    [
+        ("stream_lr_9c2d41ab", "stream_lr_H"),          # word-glued hex
+        ("bench_fw_deadbeef12", "bench_fw_H"),
+        ("12345678", "12345678"),                       # pure decimal kept
+        ("a1b2c3d4-1111-2222-3333-444455556666", "UUID"),
+        ("12345678-1234-1234-1234-123456789012", "UUID"),  # all-decimal uuid
+    ],
+)
+def test_plan_fp_normalizer_tokens(token, expected):
+    import bench
+
+    s = token
+    for pat, repl in bench._EPHEMERAL:
+        s = pat.sub(repl, s)
+    assert s == expected, (token, s)
