@@ -124,6 +124,7 @@ def _register_all() -> None:
 _PRIORITY: list[str] = [
     # (1) new in round 11 — never driver-checked
     "pipeline_funnel_incremental",
+    "q_stream_html_extract_dirty",
     "sim_knn_classify_auto",
     "text_html_extract_dirty",
     "text_lr_train_gopher",

@@ -1905,3 +1905,47 @@ def q_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _stream_html_dirty_oracle() -> str:
+    from .pipeline_ops import _html_extract_dirty_oracle
+
+    return _html_extract_dirty_oracle()
+
+
+@query("q_stream_html_extract_dirty", oracle=_stream_html_dirty_oracle())
+@_restores_conf
+def q_stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text_html_extract_dirty: the MESSY fixture
+    pages (quoted-'>' attributes, unclosed tags, body CDATA, numeric
+    character references, truncated tails) stream through the
+    hardened cascade — still one stateless narrow projection, zero
+    stream state, zero shuffles; the numeric-ref decode is row-local
+    string algebra so it composes into the same plan.  SAME oracle as
+    the batch gate."""
+    from ..operators import extraction as ex
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pages = stream.select(
+        "doc_id",
+        F.expr(
+            ex.synth_html_dirty_expr("text", "doc_id", "spark")
+        ).alias("html"),
+    )
+    out = ex.html_extract(pages, dirty=True)
+    name = f"stream_htmld_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
