@@ -196,30 +196,37 @@ class ModelExecutor:
                 else []
             )
             raw_rel = f"{rel}__raw" if nanos_cols else rel
-            # Source files can evolve BETWEEN CLI invocations while the
-            # persistent metastore keeps the schema frozen at first
-            # registration — fingerprint the full arrow footer schema
-            # (names AND types, so nanos↔micros vintage flips count as
-            # drift too) into TBLPROPERTIES and re-register on change.
-            # Re-registration drops BOTH possible objects under either
-            # name/type (a vintage flip also flips which name is the
-            # view and which the table).
-            sig = None
+            # Source DEFINITIONS can evolve BETWEEN CLI invocations
+            # while the persistent metastore keeps the registration
+            # frozen — fingerprint the resolved PATH + format +
+            # options AND (for parquet) the full arrow footer schema
+            # (names AND types, so nanos↔micros vintage flips count
+            # as drift too) into TBLPROPERTIES and re-register on
+            # change.  The path is part of the signature because
+            # ${ENV}-substituted sources legitimately move between
+            # runs (staged/batched ingest); a schema-only signature
+            # silently kept reading the FIRST batch's files — caught
+            # by the pipeline_funnel_incremental gate.
+            # Re-registration drops BOTH possible objects under
+            # either name (a vintage flip also flips which name is
+            # the view and which the table).
+            import hashlib
+
+            ident = f"{st.path}|{st.format}|{sorted(st.options.items())}"
             if st.format.lower() == "parquet":
                 try:
-                    import hashlib
-
                     import pyarrow.dataset as ds
 
-                    sig = hashlib.md5(
-                        str(ds.dataset(st.path, format="parquet").schema).encode()
-                    ).hexdigest()
+                    ident += "|" + str(
+                        ds.dataset(st.path, format="parquet").schema
+                    )
                 except Exception:
-                    sig = None
-                stored = self._stored_source_sig(rel)
-                if sig is not None and stored is not None and stored != sig:
-                    for name in (rel, f"{rel}__raw"):
-                        self._drop_table_or_view(name)
+                    pass
+            sig = hashlib.md5(ident.encode()).hexdigest()
+            stored = self._stored_source_sig(rel)
+            if stored is not None and stored != sig:
+                for name in (rel, f"{rel}__raw"):
+                    self._drop_table_or_view(name)
             opts = ", ".join(
                 [f"path '{st.path}'"]
                 + [f"{k} '{v}'" for k, v in st.options.items()]

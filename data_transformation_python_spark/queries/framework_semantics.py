@@ -803,18 +803,26 @@ def pipeline_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = f"funnel_inc_{uuid.uuid4().hex[:8]}"
     old_env = os.environ.get("TESTDATA_DIR")
     try:
-        config = load_config(proj)
-        config.database = db
-        parser = SQLParser(config.models_dir)
-        state = create_state_manager(config.state_dir, config.env_name)
-        mx = ModelExecutor(
-            SparkExecutor(spark, database=db), parser, config, state
-        )
-        levels = build_dependency_graph(
-            parser.parse_directory()
-        ).topological_sort()
         for bdir in batches:
+            # ${TESTDATA_DIR} is substituted when sources.yml is READ
+            # (config.load_yaml), so the env var must be set BEFORE
+            # load_config and the executor rebuilt per batch — exactly
+            # what a scheduler does per run.  The catalog tables and
+            # the on-disk state dir carry the incremental state
+            # across batches.  (The first version set the env inside
+            # a single-config loop; the sf0.01 parity sweep caught it
+            # reading the default path for BOTH batches.)
             os.environ["TESTDATA_DIR"] = bdir
+            config = load_config(proj)
+            config.database = db
+            parser = SQLParser(config.models_dir)
+            state = create_state_manager(config.state_dir, config.env_name)
+            mx = ModelExecutor(
+                SparkExecutor(spark, database=db), parser, config, state
+            )
+            levels = build_dependency_graph(
+                parser.parse_directory()
+            ).topological_sort()
             results = ParallelExecutor(max_parallelism=4).execute_levels(
                 levels, lambda name: mx.execute_model(name)
             )
@@ -823,6 +831,17 @@ def pipeline_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(
                     f"incremental funnel failed ({bdir}): {failed[:1]}"
                 )
+        # self-check: after batch 2 the MERGE-maintained bronze must
+        # hold the whole corpus (batch-1 rows retained + batch-2 keys
+        # inserted) — a staging/env regression fails loudly here
+        # instead of surfacing as a silent oracle mismatch
+        n_bronze = spark.table(f"{db}.bronze_documents").count()
+        n_docs = docs.count()
+        if n_bronze != n_docs:
+            raise RuntimeError(
+                f"incremental funnel: bronze has {n_bronze} rows after"
+                f" batch 2, expected the full corpus {n_docs}"
+            )
         packed = spark.table(f"{db}.gold_packed")
         return spark.createDataFrame(packed.collect(), packed.schema)
     finally:

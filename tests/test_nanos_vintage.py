@@ -175,3 +175,48 @@ def test_source_vintage_flip_micros_to_nanos(vanilla_conf, tmp_path):
         assert out.first()["ts"] == _TS[0]
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_source_path_drift_reregisters(vanilla_conf, tmp_path):
+    """PATH drift on a registered source: ${ENV}-substituted source
+    paths legitimately move between runs (staged/batched ingest — the
+    pipeline_funnel_incremental shape).  The registration fingerprint
+    must cover the resolved path, not just the footer schema: with a
+    schema-only signature the CREATE TABLE IF NOT EXISTS kept the
+    catalog object pointing at the FIRST batch's files and run 2
+    silently re-read batch 1."""
+    from types import SimpleNamespace
+
+    from data_transformation_python_spark.config import SourceRegistry
+    from data_transformation_python_spark.executor import (
+        ModelExecutor,
+        SparkExecutor,
+    )
+
+    spark = vanilla_conf
+    d1, d2 = tmp_path / "b1", tmp_path / "b2"
+    d1.mkdir(); d2.mkdir()
+    for d, ids in ((d1, [1, 2]), (d2, [3])):
+        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        pq.write_table(t, d / "documents.parquet")
+
+    def reg(d):
+        return SourceRegistry(
+            {"sources": {"raw": {"tables": {"documents": {
+                "path": str(d / "documents.parquet"),
+                "format": "parquet"}}}}}
+        )
+
+    db = f"pathdrift_{uuid.uuid4().hex[:8]}"
+    ex = SparkExecutor(spark, database=db)
+    try:
+        mx1 = ModelExecutor(ex, None, SimpleNamespace(sources=reg(d1)))
+        rel1 = mx1._source_relation("raw", "documents")
+        assert spark.table(rel1).count() == 2
+        # same schema, NEW path (a fresh executor, as a scheduler
+        # builds per run) — must re-register, not silently keep batch 1
+        mx2 = ModelExecutor(ex, None, SimpleNamespace(sources=reg(d2)))
+        rel2 = mx2._source_relation("raw", "documents")
+        assert {r["doc_id"] for r in spark.table(rel2).collect()} == {3}
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
