@@ -1850,7 +1850,7 @@ def knn_classify_auto(
     id_col: str = "vec_id",
     label_col: str = "label",
     max_pair_cells: int = 100_000_000,
-    bands: int = 8,
+    bands: int | None = None,
 ) -> DataFrame:
     """``knn_classify`` with the measured contract boundary built in:
     one cheap size probe (seed count × query count), and past
@@ -1859,9 +1859,14 @@ def knn_classify_auto(
     from the recall-1.0 brute-force pair stream to banded-Hamming
     candidate generation:
 
-    - the 64 packed sign bits split into ``bands`` equal bands
-      (default 8 × 8-bit); seeds explode into (band, value) keys once
-      (8 rows × ~10 B per seed — a narrow map, never a corpus
+    - the 64 packed sign bits split into ``bands`` equal bands;
+      ``bands=None`` (default) auto-sizes by the seed count — 8 ×
+      8-bit bands up to 2²⁰ seeds (≤ ~4 000 seeds per bucket value),
+      4 × 16-bit bands beyond (the cosine_neardup lesson: a fixed
+      band width is a linear-blowup dial waiting for a big corpus;
+      wider bands trade the pigeonhole radius 7 → 3 for 256× smaller
+      buckets).  Seeds explode into (band, value) keys once
+      (bands rows × ~10 B per seed — a narrow map, never a corpus
       shuffle), queries likewise on the broadcast side;
     - a band-key broadcast join yields candidates = seeds sharing at
       least one band with the query; expected candidates per query ≈
@@ -1890,6 +1895,13 @@ def knn_classify_auto(
         )
     import warnings
 
+    if bands is None:
+        bands = 8 if n_seeds <= 1 << 20 else 4
+    if bands not in (4, 8):
+        raise ValueError(
+            "knn_classify_auto: bands must be 4 (16-bit) or 8 (8-bit)"
+            " — the 64-bit code splits on byte boundaries"
+        )
     warnings.warn(
         f"knn_classify_auto: {n_seeds} seeds x {n_queries} queries ="
         f" {n_seeds * n_queries} pairs exceeds max_pair_cells="

@@ -583,14 +583,18 @@ def test_knn_classify_auto_route_flip_and_agreement(spark, emb):
         r["query_id"]: tuple(r)
         for r in sim.knn_classify(cdf, cseeds, cqids, k=k).collect()
     }
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        cbanded = {
-            r["query_id"]: tuple(r)
-            for r in sim.knn_classify_auto(
-                cdf, cseeds, cqids, k=k, max_pair_cells=1, bands=bands
-            ).collect()
-        }
-    assert cbanded == cbrute
-    # and the vote recovers every cluster label
-    assert all(cbanded[c * 10][1] == c for c in range(10))
+    # both band widths (8x8-bit auto default at this size, and the
+    # 4x16-bit big-corpus dial) must agree with brute force here: the
+    # clusters sit within Hamming 2, inside EITHER pigeonhole radius
+    for bw in (None, 4):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cbanded = {
+                r["query_id"]: tuple(r)
+                for r in sim.knn_classify_auto(
+                    cdf, cseeds, cqids, k=k, max_pair_cells=1, bands=bw
+                ).collect()
+            }
+        assert cbanded == cbrute, bw
+        # and the vote recovers every cluster label
+        assert all(cbanded[c * 10][1] == c for c in range(10))
