@@ -265,6 +265,13 @@ def html_extract_expr(
     )
     kept = f"{t_fn}({f_fn}({blocks}, b -> {keep}), b -> {norm})"
     extracted = f"{join_fn}({kept}, chr(10))"
+    if dialect != "spark":
+        # DuckDB's array_to_string over an EMPTY list is NULL where
+        # Spark's array_join is '' — a page with zero kept blocks
+        # must extract to '' in both engines (caught by the
+        # cross-engine fuzz; the fixture grammars always keep >= 1
+        # block, so the gates never exercised it)
+        extracted = f"COALESCE({extracted}, '')"
     return {"blocks": blocks, "kept": kept, "extracted": extracted}
 
 

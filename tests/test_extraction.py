@@ -203,3 +203,55 @@ def test_html_extract_dirty_total_on_arbitrary_markup(spark, frags):
     for block in out["extracted"].split("\n"):
         if block:
             assert len(block) >= 25
+
+
+# -- cross-engine fuzz: Spark and DuckDB must agree on ARBITRARY soup --------
+
+_DIRTY_FRAG = st.one_of(
+    st.text(
+        alphabet="abcdefgh <>/&;#\"'.!\n\t=-0123456789xX", min_size=0,
+        max_size=24,
+    ),
+    st.sampled_from(
+        [
+            "&#65;", "&#x41;", "&#8217;", "&#128512;",       # valid refs
+            "&#xD800;", "&#1114112;", "&#0;", "&#",          # invalid/cut
+            "&amp;#66;",                                       # escaped
+            "<![CDATA[ x<y ]]>",
+            '<div data-a="1 > 2">',
+            "<p>a paragraph that is certainly long enough to keep</p>",
+            "<p", "</p></p>", "<img src=\"trunc",             # truncation
+            "<script>var x = 'evil';</script>",
+            "<a href='#'>link text</a>",
+        ]
+    ),
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_DIRTY_FRAG, min_size=0, max_size=10))
+def test_html_extract_dirty_cross_engine_parity(spark, frags):
+    """The dirty cascade's dual-dialect expression builders must
+    produce IDENTICAL (n_blocks, n_kept, extracted) in Spark and
+    DuckDB on arbitrary tag soup — not just on the fixture grammars
+    the oracle gates replay.  Documents travel as a registered
+    relation (no SQL-literal escaping in play on either side)."""
+    import duckdb
+    import pyarrow as pa
+
+    html = "".join(frags)
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    srow = ex.html_extract(df, dirty=True).collect()[0]
+
+    con = duckdb.connect()
+    con.register("pages", pa.table({"doc_id": [1], "html": [html]}))
+    e = ex.html_extract_expr("html", "duckdb", dirty=True)
+    drow = con.execute(
+        f"SELECT CAST(len({e['blocks']}) AS BIGINT) AS n_blocks,"
+        f" CAST(len({e['kept']}) AS BIGINT) AS n_kept,"
+        f" {e['extracted']} AS extracted FROM pages"
+    ).fetchone()
+    assert (srow["n_blocks"], srow["n_kept"], srow["extracted"]) == (
+        drow[0], drow[1], drow[2]
+    ), html
