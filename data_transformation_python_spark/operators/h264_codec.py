@@ -259,7 +259,7 @@ def _sps_rbsp(
     return bw.tobytes()
 
 
-def _pps_rbsp() -> bytes:
+def _pps_rbsp(weighted_pred: bool = False) -> bytes:
     bw = _EgWriter()
     bw.ue(0)      # pic_parameter_set_id
     bw.ue(0)      # seq_parameter_set_id
@@ -268,7 +268,7 @@ def _pps_rbsp() -> bytes:
     bw.ue(0)      # num_slice_groups_minus1
     bw.ue(0)      # num_ref_idx_l0_default_active_minus1
     bw.ue(0)      # num_ref_idx_l1_default_active_minus1
-    bw.u(0, 1)    # weighted_pred_flag
+    bw.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag (P slices)
     bw.u(0, 2)    # weighted_bipred_idc
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
@@ -1950,6 +1950,36 @@ def mc_shift_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     )
 
 
+def _wp_plane(pred: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
+    """Explicit weighted prediction for one plane, single-list form
+    (§8.4.2.3.2, eq. 8-270/8-271): scale the motion-compensated
+    prediction by ``w`` with rounding at ``logwd`` bits, add offset
+    ``o``, and Clip1 to the 8-bit sample range.  Applied identically
+    by the encoder's mode search and the decoder's reconstruction, so
+    the fade GOP loop stays closed bit-for-bit."""
+    p = pred.astype(np.int64)
+    if logwd >= 1:
+        v = ((p * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = p * w + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wp_planes(planes: tuple, wp: tuple | None) -> tuple:
+    """Apply explicit weighted prediction to a (y, cb, cr) prediction
+    triple; ``wp`` is (luma_log2_denom, wY, oY, chroma_log2_denom,
+    wCb, oCb, wCr, oCr) from the §7.3.3.2 pred_weight_table, or None
+    for unweighted slices (identity)."""
+    if wp is None:
+        return planes
+    ld, wy, oy, cd, wcb, ocb, wcr, ocr = wp
+    return (
+        _wp_plane(planes[0], wy, oy, ld),
+        _wp_plane(planes[1], wcb, ocb, cd),
+        _wp_plane(planes[2], wcr, ocr, cd),
+    )
+
+
 #: partition geometry per kind: (luma (x_off, y_off, w, h),
 #: chroma (x_off, y_off, w, h)) for each of the two partitions
 _PART_GEOM = {
@@ -1983,6 +2013,7 @@ def _p_slice_rbsp(
     mv_quad_candidates: list | None = None,
     mv_sub_candidates: list | None = None,
     poc_lsb: int | None = None,
+    wp: tuple | None = None,
 ) -> tuple[bytes, dict]:
     """One P slice covering the whole picture.  Per macroblock, in
     raster order, the encoder takes the first LOSSLESS mode:
@@ -2011,7 +2042,15 @@ def _p_slice_rbsp(
     Every mode is exact, so the reconstruction IS the source — the
     closed loop that lets the oracle pin the decode bit-for-bit.
     ``src``/``ref`` are PADDED uint8 (y, cb, cr) planes; vectors are
-    quarter-pel and may be fractional (§8.4.2.2 interpolation)."""
+    quarter-pel and may be fractional (§8.4.2.2 interpolation).
+
+    ``wp`` — explicit weighted prediction (§8.4.2.3): when given as
+    (luma_log2_denom, wY, oY, chroma_log2_denom, wCb, oCb, wCr, oCr),
+    the slice header carries the §7.3.3.2 pred_weight_table (the PPS
+    must assert weighted_pred_flag) and EVERY inter prediction —
+    including P_Skip — is scaled through eq. 8-270/8-271 before the
+    lossless-mode comparison, so fade content matches inter modes
+    exactly instead of falling back to I_PCM."""
     y, cb, cr = (p.astype(np.uint8) for p in src)
     ry, rcb, rcr = ref
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
@@ -2024,6 +2063,27 @@ def _p_slice_rbsp(
         bw.u(poc_lsb % 256, 8)  # pic_order_cnt_lsb (poc_type 0)
     bw.u(0, 1)          # num_ref_idx_active_override_flag
     bw.u(0, 1)          # ref_pic_list_modification_flag_l0 (§7.3.3.1)
+    if wp is not None:
+        # pred_weight_table (§7.3.3.2), one L0 reference: explicit
+        # luma AND chroma weights — present exactly when the PPS
+        # asserts weighted_pred_flag for a P slice
+        ld, wy, oy, cd, wcb, ocb, wcr, ocr = wp
+        bw.ue(ld)       # luma_log2_weight_denom
+        bw.ue(cd)       # chroma_log2_weight_denom
+        if (wy, oy) == (1 << ld, 0):
+            bw.u(0, 1)  # luma_weight_l0_flag: identity → defaults
+        else:
+            bw.u(1, 1)  # luma_weight_l0_flag
+            bw.se(wy)   # luma_weight_l0[0]
+            bw.se(oy)   # luma_offset_l0[0]
+        if (wcb, ocb, wcr, ocr) == (1 << cd, 0, 1 << cd, 0):
+            bw.u(0, 1)  # chroma_weight_l0_flag: identity → defaults
+        else:
+            bw.u(1, 1)  # chroma_weight_l0_flag
+            bw.se(wcb)  # chroma_weight_l0[0][Cb]
+            bw.se(ocb)  # chroma_offset_l0[0][Cb]
+            bw.se(wcr)  # chroma_weight_l0[0][Cr]
+            bw.se(ocr)  # chroma_offset_l0[0][Cr]
     bw.u(0, 1)          # adaptive_ref_pic_marking_mode_flag (7.3.3.3)
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
@@ -2032,7 +2092,7 @@ def _p_slice_rbsp(
     skip_run = 0
 
     def _mc_mb(mx: int, my: int, mv: tuple):
-        return _mc_mb_planes(ry, rcb, rcr, mx, my, mv)
+        return _wp_planes(_mc_mb_planes(ry, rcb, rcr, mx, my, mv), wp)
 
     def _src_mb(mx: int, my: int):
         return (
@@ -2046,15 +2106,20 @@ def _p_slice_rbsp(
         py_ = _interp_luma_block(
             ry, mx * 16 + lx, my * 16 + ly, lw, lh, mv[0], mv[1]
         )
+        if wp is not None:
+            py_ = _wp_plane(py_, wp[1], wp[2], wp[0])
         if not np.array_equal(
             py_, y[my * 16 + ly : my * 16 + ly + lh,
                    mx * 16 + lx : mx * 16 + lx + lw]
         ):
             return False
-        for plane, rp in ((cb, rcb), (cr, rcr)):
+        for pi, (plane, rp) in enumerate(((cb, rcb), (cr, rcr))):
             pc = _interp_chroma_block(
                 rp, mx * 8 + cx, my * 8 + cy, cw, ch, mv[0], mv[1]
             )
+            if wp is not None:
+                w_, o_ = (wp[4], wp[5]) if pi == 0 else (wp[6], wp[7])
+                pc = _wp_plane(pc, w_, o_, wp[3])
             if not np.array_equal(
                 pc, plane[my * 8 + cy : my * 8 + cy + ch,
                           mx * 8 + cx : mx * 8 + cx + cw]
@@ -2456,6 +2521,42 @@ def h264_encode_gop_p(
     return nals, stats_list
 
 
+def h264_encode_gop_pwp(
+    frames_yuv: list[tuple], w: int, h: int, wp: tuple,
+    mv_candidates: list | None = None,
+) -> tuple[list[bytes], list[dict]]:
+    """Encode a GOP whose P slices carry EXPLICIT WEIGHTED PREDICTION
+    (§8.4.2.3): frame 0 as an all-I_PCM IDR, every later frame as a P
+    slice under a weighted_pred_flag PPS whose header writes the
+    §7.3.3.2 pred_weight_table ``wp`` = (luma_log2_denom, wY, oY,
+    chroma_log2_denom, wCb, oCb, wCr, oCr).  Every inter prediction —
+    P_Skip included — is scaled through eq. 8-270/8-271 before the
+    lossless-mode comparison, so global fades (optionally composed
+    with pans) code as P_Skip / P_L0_16x16 instead of I_PCM.  Main
+    profile (Baseline forbids weighted prediction); CAVLC stays on.
+    Returns ([SPS, PPS, IDR, P, ...] NAL units, per-frame stats)."""
+    if mv_candidates is None:
+        mv_candidates = [(0, 0)]
+    y0, cb0, cr0 = frames_yuv[0]
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=1, profile=77)),
+        _nal(8, _pps_rbsp(weighted_pred=True)),
+        _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0)),
+    ]
+    stats_list: list[dict] = [
+        _stats_zero(ipcm=(y0.shape[0] // 16) * (y0.shape[1] // 16))
+    ]
+    ref = frames_yuv[0]
+    for fno, cur in enumerate(frames_yuv[1:], start=1):
+        rbsp, stats = _p_slice_rbsp(
+            cur, ref, fno, mv_candidates, wp=wp,
+        )
+        nals.append(_nal(1, rbsp, ref_idc=2))
+        stats_list.append(stats)
+        ref = cur  # closed loop: every mode is exact
+    return nals, stats_list
+
+
 def _stats_zero(**flags) -> dict:
     s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
          "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "ipcm": 0, "i16": 0,
@@ -2686,6 +2787,12 @@ def h264_decode_gop(
     (Table 7-13), so a changed region can drop back to I_PCM
     (conditional replenishment); fractional-pel motion, sub-16x16
     partitions, and inter residuals ride the round-8/9 paths.
+    Explicit weighted prediction (round 11): when the PPS asserts
+    weighted_pred_flag, the §7.3.3.2 pred_weight_table parses from
+    the P slice header and EVERY P inter prediction — P_Skip, all
+    partition shapes, and the pre-residual prediction of the lossy
+    path — is scaled through §8.4.2.3.2 eq. 8-270/8-271 before use,
+    which is how fade GOPs stay inter-coded.
 
     B pictures (round 10): decoded from a reference-only DPB with
     nearest-POC L0/L1 selection, per-list median MV prediction, and
@@ -2754,6 +2861,7 @@ def h264_decode_gop(
                 poc_lsb = br.u(sps["log2_max_poc_lsb"])
             if pps["redundant_present"]:
                 br.ue()  # redundant_pic_cnt
+            wp = None
             if is_p:
                 if br.u(1):  # num_ref_idx_active_override_flag
                     raise NotImplementedError(
@@ -2764,7 +2872,23 @@ def h264_decode_gop(
                         "reference picture list modification"
                     )
                 if pps["weighted_pred"]:
-                    raise NotImplementedError("weighted prediction")
+                    # pred_weight_table (§7.3.3.2), one L0 reference;
+                    # absent flags default to the identity weight
+                    # 2^logWD with zero offset (§7.4.3.2)
+                    luma_ld = br.ue()   # luma_log2_weight_denom
+                    chroma_ld = br.ue()  # chroma_log2_weight_denom
+                    if br.u(1):  # luma_weight_l0_flag
+                        wy, oy = br.se(), br.se()
+                    else:
+                        wy, oy = 1 << luma_ld, 0
+                    if br.u(1):  # chroma_weight_l0_flag
+                        wcb, ocb = br.se(), br.se()
+                        wcr, ocr = br.se(), br.se()
+                    else:
+                        wcb = wcr = 1 << chroma_ld
+                        ocb = ocr = 0
+                    wp = (luma_ld, wy, oy, chroma_ld,
+                          wcb, ocb, wcr, ocr)
             if is_b:
                 br.u(1)  # direct_spatial_mv_pred_flag (no direct MBs)
                 if br.u(1):  # num_ref_idx_active_override_flag
@@ -2829,6 +2953,23 @@ def h264_decode_gop(
             # trailing run when the picture ends in skips)
             ms = _MotionState(mbh, mbw)
             stats = _stats_zero(is_p=is_p, is_b=is_b)
+            if wp is not None:
+                # echo the parsed pred_weight_table so oracle gates
+                # can pin the header round-trip from the stats alone
+                stats["wp_log2_denom"] = wp[0]
+                stats["wp_luma_w"], stats["wp_luma_off"] = wp[1], wp[2]
+                stats["wp_cb_w"], stats["wp_cb_off"] = wp[4], wp[5]
+                stats["wp_cr_w"], stats["wp_cr_off"] = wp[6], wp[7]
+
+            def _wpl(p):
+                return p if wp is None else _wp_plane(p, wp[1], wp[2], wp[0])
+
+            def _wpcb(p):
+                return p if wp is None else _wp_plane(p, wp[4], wp[5], wp[3])
+
+            def _wpcr(p):
+                return p if wp is None else _wp_plane(p, wp[6], wp[7], wp[3])
+
             key = poc_lsb if sps["poc_type"] == 0 else 2 * seq
             if is_p:
                 # RefPicList0[0] for P = the most recently decoded
@@ -2869,8 +3010,9 @@ def h264_decode_gop(
                     if pending_skips > 0:
                         pending_skips -= 1
                         mv = _pskip_mv(ms, mx, my)
-                        sy, scb, scr = _mc_mb_planes(
-                            ry, rcb, rcr, mx, my, mv
+                        sy, scb, scr = _wp_planes(
+                            _mc_mb_planes(ry, rcb, rcr, mx, my, mv),
+                            wp,
                         )
                         y[my * 16 : my * 16 + 16,
                           mx * 16 : mx * 16 + 16] = sy
@@ -2982,10 +3124,16 @@ def h264_decode_gop(
                                     "transcribed Table 9-4 Inter "
                                     "prefix (codeNum 0..12)"
                                 )
+                            # weighted prediction (when the PPS asserts
+                            # it) scales the MC prediction BEFORE any
+                            # residual is added (§8.4.2.3)
                             py, pcb, pcr = (
                                 p.astype(np.int64)
-                                for p in _mc_mb_planes(
-                                    ry, rcb, rcr, mx, my, mv
+                                for p in _wp_planes(
+                                    _mc_mb_planes(
+                                        ry, rcb, rcr, mx, my, mv
+                                    ),
+                                    wp,
                                 )
                             )
                             ms.set_mb(mx, my, mv)
@@ -3143,19 +3291,21 @@ def h264_decode_gop(
                                 )
                                 y[my * 16 + ly : my * 16 + ly + lh,
                                   mx * 16 + lx : mx * 16 + lx + lw] = (
-                                    _interp_luma_block(
+                                    _wpl(_interp_luma_block(
                                         ry, mx * 16 + lx, my * 16 + ly,
                                         lw, lh, pmv[0], pmv[1],
-                                    )
+                                    ))
                                 )
-                                for plane, rp in ((cb, rcb), (cr, rcr)):
+                                for plane, rp, wfn in (
+                                    (cb, rcb, _wpcb), (cr, rcr, _wpcr)
+                                ):
                                     plane[
                                         my * 8 + cy : my * 8 + cy + ch,
                                         mx * 8 + cx : mx * 8 + cx + cw,
-                                    ] = _interp_chroma_block(
+                                    ] = wfn(_interp_chroma_block(
                                         rp, mx * 8 + cx, my * 8 + cy,
                                         cw, ch, pmv[0], pmv[1],
-                                    )
+                                    ))
                             stats["p16x8" if kind == "16x8"
                                   else "p8x16"] += 1
                             continue
@@ -3199,20 +3349,22 @@ def h264_decode_gop(
                                 lx_, ly_ = bx0 * 4, by0 * 4
                                 y[ly_ : ly_ + h4 * 4,
                                   lx_ : lx_ + w4 * 4] = (
-                                    _interp_luma_block(
+                                    _wpl(_interp_luma_block(
                                         ry, lx_, ly_, w4 * 4, h4 * 4,
                                         pmv[0], pmv[1],
-                                    )
+                                    ))
                                 )
                                 cxp, cyp = bx0 * 2, by0 * 2
-                                for plane, rp in ((cb, rcb), (cr, rcr)):
+                                for plane, rp, wfn in (
+                                    (cb, rcb, _wpcb), (cr, rcr, _wpcr)
+                                ):
                                     plane[
                                         cyp : cyp + h4 * 2,
                                         cxp : cxp + w4 * 2,
-                                    ] = _interp_chroma_block(
+                                    ] = wfn(_interp_chroma_block(
                                         rp, cxp, cyp, w4 * 2, h4 * 2,
                                         pmv[0], pmv[1],
-                                    )
+                                    ))
                             stats["p8x8"] += 1
                             continue
                         if mb_type == 4:

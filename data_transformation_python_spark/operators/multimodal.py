@@ -4813,6 +4813,233 @@ def h264b_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264B_META_SCHEMA)
 
 
+H264WP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("p_ipcm_mbs", T.LongType()),
+        T.StructField("luma_w", T.LongType()),
+        T.StructField("luma_off", T.LongType()),
+        T.StructField("cb_w", T.LongType()),
+        T.StructField("cb_off", T.LongType()),
+        T.StructField("cr_w", T.LongType()),
+        T.StructField("cr_off", T.LongType()),
+        T.StructField("log2_denom", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _h264wp_dims(doc_id: int):
+    """(w, h, mvx, mvy) for the weighted-prediction fade-GOP fixture:
+    macroblock-aligned dims and full-pel pan vectors (multiples of 8
+    quarter-pel so chroma MC stays full-pel too)."""
+    return (
+        32 + 16 * (doc_id % 3),
+        16 + 16 * (doc_id % 2),
+        8,
+        8 if doc_id % 3 == 0 else 0,
+    )
+
+
+def _h264wp_params(doc_id: int) -> tuple:
+    """The §7.3.3.2 pred_weight_table for one GOP — (luma_log2_denom,
+    wY, oY, chroma_log2_denom, wCb, oCb, wCr, oCr).  Gains stay at or
+    below 1 (w <= 2^denom) and offsets within ±2, so four fade steps
+    over mid-range textures never clip: the census geometry cannot
+    degenerate into saturated-uniform regions."""
+    return (
+        5,
+        30 + doc_id % 3, (doc_id % 5) - 2,
+        5,
+        31 + doc_id % 2, (doc_id % 3) - 1,
+        32 - doc_id % 2, 1 - (doc_id % 3),
+    )
+
+
+def _h264wp_frame0(doc_id: int, w: int, h: int):
+    """Deterministic mid-range [40, 216) YUV texture with adjacent
+    luma deltas of ±19 — large enough that a 2 px pan never matches
+    the unshifted frame anywhere, even after four fade steps."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:h, 0:w]
+    y = (40 + (xs * 19 + ys * 23 + doc_id * 7) % 176).astype(np.uint8)
+    cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+    cb = (60 + (cxs * 13 + cys * 29 + doc_id * 3) % 136).astype(np.uint8)
+    cr = (60 + (cxs * 31 + cys * 11 + doc_id * 5) % 136).astype(np.uint8)
+    return y, cb, cr
+
+
+def _write_h264wp(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IPPPP fade GOP under explicit weighted
+    prediction, md5 of the source RGB frames).  Frame t in 1..4 takes
+    one of three flavors cycling on (doc_id + t) % 3, every one built
+    by applying the EXACT §8.4.2.3.2 weighting formula the decoder
+    will run:
+
+    - 0: pure fade — F_t = WP(F_{t-1}) → every MB P_Skip at the
+      derived zero skip vector,
+    - 1: fade + pan — F_t = WP(shift(F_{t-1}, mv)) → the first
+      row/column strip (mbw + mbh − 1 MBs, where the §8.4.1.1 skip
+      derivation returns 0) codes P_L0_16x16 at the pan vector, the
+      interior skips with real NONZERO derived motion,
+    - 2: fade + one re-textured macroblock → (mbs − 1) P_Skip +
+      1 I_PCM (conditional replenishment inside a weighted slice).
+
+    Every mode is lossless so the census is pure geometry and the
+    decode hashes to the source bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _wp_plane,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_pwp,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264wp_dims(doc_id)
+    wp = _h264wp_params(doc_id)
+    ld, wy, oy, cd, wcb, ocb, wcr, ocr = wp
+    mv = (mvx, mvy)
+    mb_w, mb_h = w // 16, h // 16
+
+    def fade(planes):
+        return (
+            _wp_plane(planes[0], wy, oy, ld),
+            _wp_plane(planes[1], wcb, ocb, cd),
+            _wp_plane(planes[2], wcr, ocr, cd),
+        )
+
+    f0 = _h264wp_frame0(doc_id, w, h)
+    frames = [f0]
+    prev = f0
+    for t in range(1, 5):
+        flavor = (doc_id + t) % 3
+        if flavor == 0:
+            cur = fade(prev)
+        elif flavor == 1:
+            cur = fade(mc_shift_planes(*prev, mv))
+        else:
+            cur = [pl.copy() for pl in fade(prev)]
+            pmx, pmy = doc_id % mb_w, doc_id % mb_h
+            xs = np.arange(16, dtype=np.int64)[None, :]
+            ys = np.arange(16, dtype=np.int64)[:, None]
+            cur[0][pmy * 16 : pmy * 16 + 16, pmx * 16 : pmx * 16 + 16] = (
+                (doc_id * 11 + t * 41 + xs * 19 + ys * 23) % 256
+            ).astype(np.uint8)
+            cur = tuple(cur)
+        frames.append(cur)
+        prev = cur
+    nals, _stats = h264_encode_gop_pwp(frames, w, h, wp, mv_candidates=[mv])
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264wp_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a weighted-prediction fade-GOP H.264 stream per row,
+    plus the source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264wp(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264wp_metadata(df: DataFrame) -> DataFrame:
+    """Decode the fade GOP through the weighted-prediction P path and
+    emit the oracle evidence: ``roundtrip_exact`` (the parsed
+    pred_weight_table, the §8.4.2.3.2 scaling of every P_Skip and
+    P_L0_16x16 prediction, and the skip-run machinery reproduce the
+    source bit-for-bit), the exact skip/P16/I_PCM census (pure
+    geometry the SQL twin recomputes from doc_id alone), and the
+    decoder-parsed weight/offset/denominator columns (pinning the
+    header round-trip, asserted identical across all four P
+    slices)."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264WP_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264wp_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"  # 2+IDR+4
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                pst = [s for s in stats if s["is_p"]]
+                wps = {
+                    (
+                        s["wp_log2_denom"],
+                        s["wp_luma_w"], s["wp_luma_off"],
+                        s["wp_cb_w"], s["wp_cb_off"],
+                        s["wp_cr_w"], s["wp_cr_off"],
+                    )
+                    for s in pst
+                }
+                assert len(wps) == 1, "pred_weight_table drifted"
+                ld, wy, oy, wcb, ocb, wcr, ocr = next(iter(wps))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["p_ipcm_mbs"].append(sum(s["ipcm"] for s in pst))
+                out["luma_w"].append(wy)
+                out["luma_off"].append(oy)
+                out["cb_w"].append(wcb)
+                out["cb_off"].append(ocb)
+                out["cr_w"].append(wcr)
+                out["cr_off"].append(ocr)
+                out["log2_denom"].append(ld)
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264WP_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

@@ -1404,3 +1404,149 @@ def test_b_direct_and_even_gop_rejected():
     bad[4] = _corrupt_b(0, 0)    # run 0, mb_type 0 -> B_Direct_16x16
     with pytest.raises(NotImplementedError, match="B_Direct"):
         h264_decode_gop(bad)
+
+
+class TestWeightedPrediction:
+    """Explicit weighted prediction for P slices (§7.3.3.2
+    pred_weight_table + §8.4.2.3.2 single-list scaling)."""
+
+    @staticmethod
+    def _texture(doc_id, w, h):
+        import numpy as np
+
+        ys, xs = np.mgrid[0:h, 0:w]
+        y = (40 + (xs * 19 + ys * 23 + doc_id * 7) % 176).astype(np.uint8)
+        cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+        cb = (60 + (cxs * 13 + cys * 29) % 136).astype(np.uint8)
+        cr = (60 + (cxs * 31 + cys * 11) % 136).astype(np.uint8)
+        return y, cb, cr
+
+    @staticmethod
+    def _fade(planes, wp):
+        ld, wy, oy, cd, wcb, ocb, wcr, ocr = wp
+        return (
+            hc._wp_plane(planes[0], wy, oy, ld),
+            hc._wp_plane(planes[1], wcb, ocb, cd),
+            hc._wp_plane(planes[2], wcr, ocr, cd),
+        )
+
+    def test_fade_pan_gop_roundtrip_and_census(self):
+        """Fade+pan GOP: decode ≡ source bit-for-bit; the census is
+        the pan geometry (edge strip P16, interior P_Skip with
+        NONZERO derived motion — all under weighting); the parsed
+        pred_weight_table echoes through the stats."""
+        import numpy as np
+
+        w, h, mv = 48, 32, (8, 8)
+        wp = (5, 30, -2, 5, 31, 1, 33, -1)
+        f0 = self._texture(3, w, h)
+        frames, prev = [f0], f0
+        for _t in range(3):
+            cur = self._fade(hc.mc_shift_planes(*prev, mv), wp)
+            frames.append(cur)
+            prev = cur
+        nals, enc_stats = hc.h264_encode_gop_pwp(
+            frames, w, h, wp, mv_candidates=[mv]
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, (fy, fcb, fcr) in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(fy, fcb, fcr))
+        pst = [s for s in stats if s["is_p"]]
+        mbw, mbh = w // 16, h // 16
+        strip = mbw + mbh - 1
+        assert [s["p16"] for s in pst] == [strip] * 3
+        assert [s["skip"] for s in pst] == [mbw * mbh - strip] * 3
+        assert all(s["ipcm"] == 0 for s in pst)
+        for s in pst:
+            assert (
+                s["wp_log2_denom"], s["wp_luma_w"], s["wp_luma_off"],
+                s["wp_cb_w"], s["wp_cb_off"],
+                s["wp_cr_w"], s["wp_cr_off"],
+            ) == (5, 30, -2, 31, 1, 33, -1)
+        # encoder and decoder censuses agree
+        assert [s["p16"] for s in enc_stats if s["is_p"]] == [strip] * 3
+
+    def test_fractional_pel_fade(self):
+        """WP applies AFTER §8.4.2.2 interpolation: a half-pel pan
+        composed with a fade still codes losslessly as inter."""
+        import numpy as np
+
+        w, h, mv = 32, 32, (2, 0)  # half-pel luma, quarter-pel chroma
+        wp = (5, 31, 1, 5, 32, -2, 30, 2)
+        f0 = self._texture(7, w, h)
+        f1 = self._fade(hc.mc_interp_planes(*f0, mv), wp)
+        nals, _ = hc.h264_encode_gop_pwp([f0, f1], w, h, wp,
+                                         mv_candidates=[mv])
+        dec, stats = hc.h264_decode_gop(nals)
+        assert np.array_equal(dec[1], hc._yuv420_to_rgb(*f1))
+        p = next(s for s in stats if s["is_p"])
+        assert p["ipcm"] == 0 and p["p16"] + p["skip"] == 4
+
+    def test_default_weight_flags(self):
+        """Identity weights are written as flag-0 table entries
+        (§7.4.3.2 defaults: w = 2^logWD, o = 0) and parse back as the
+        identity — a pure-pan GOP under an identity weighted PPS
+        decodes identically to the unweighted encoder's."""
+        import numpy as np
+
+        w, h, mv = 48, 16, (8, 0)
+        ident = (5, 32, 0, 6, 64, 0, 64, 0)  # both flags take the 0 path
+        f0 = self._texture(11, w, h)
+        f1 = hc.mc_shift_planes(*f0, mv)
+        f2 = hc.mc_shift_planes(*f1, mv)
+        nals_wp, _ = hc.h264_encode_gop_pwp([f0, f1, f2], w, h, ident,
+                                            mv_candidates=[mv])
+        nals_plain, _ = hc.h264_encode_gop_p([f0, f1, f2], w, h,
+                                             mv_candidates=[mv])
+        dec_wp, st_wp = hc.h264_decode_gop(nals_wp)
+        dec_plain, st_plain = hc.h264_decode_gop(nals_plain)
+        for a, b in zip(dec_wp, dec_plain):
+            assert np.array_equal(a, b)
+        pst = [s for s in st_wp if s["is_p"]]
+        assert all(s["wp_luma_w"] == 32 and s["wp_luma_off"] == 0
+                   and s["wp_cb_w"] == 64 and s["wp_cr_off"] == 0
+                   for s in pst)
+        assert (
+            [(s["skip"], s["p16"]) for s in pst]
+            == [(s["skip"], s["p16"]) for s in st_plain if s["is_p"]]
+        )
+
+    def test_clipping_stays_closed_loop(self):
+        """Gains above 1 with large offsets saturate samples at 255;
+        Clip1 is part of eq. 8-270 on BOTH sides, so the loop stays
+        closed even through saturation."""
+        import numpy as np
+
+        w, h = 32, 16
+        wp = (5, 40, 60, 5, 40, 60, 40, 60)  # ×1.25 + 60 → saturates
+        f0 = self._texture(5, w, h)
+        frames, prev = [f0], f0
+        for _t in range(2):
+            cur = self._fade(prev, wp)
+            frames.append(cur)
+            prev = cur
+        assert frames[2][0].max() == 255  # saturation actually happened
+        nals, _ = hc.h264_encode_gop_pwp(frames, w, h, wp)
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, (fy, fcb, fcr) in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(fy, fcb, fcr))
+        assert all(s["skip"] == 2 for s in stats if s["is_p"])
+
+    def test_wp_fixture_and_metadata_shape(self):
+        """The Spark fixture's stream decodes to its own rec_md5 and
+        the pure-geometry census the oracle recomputes."""
+        import hashlib
+
+        payload, rec_md5 = mm._write_h264wp(4)
+        nals = hc.split_annexb(payload)
+        assert len(nals) == 7
+        frames, stats = hc.h264_decode_gop(nals)
+        md5 = hashlib.md5()
+        for fr in frames:
+            md5.update(fr.tobytes())
+        assert md5.hexdigest() == rec_md5
+        # doc 4: mbw 3, mbh 1, flavors t=1..4 → 2,0,1,2
+        pst = [s for s in stats if s["is_p"]]
+        assert sum(s["ipcm"] for s in pst) == 2
+        assert sum(s["p16"] for s in pst) == 3  # one pan frame, strip 3
+        assert sum(s["skip"] for s in pst) == 4 * 3 - 2 - 3
