@@ -178,6 +178,20 @@ class _EgReader:
             self._bits[start * 8 : self.i]
         ).tobytes()
 
+    def more_rbsp_data(self) -> bool:
+        """§7.2 more_rbsp_data(): True while syntax bits remain, i.e.
+        the position is strictly before the LAST set bit (the
+        rbsp_stop_one_bit — everything after it is alignment zeros).
+        This is what lets a slice's macroblock loop terminate at the
+        slice's own data end instead of a caller-known count, the
+        prerequisite for multi-slice pictures."""
+        last = getattr(self, "_last_one", None)
+        if last is None:
+            nz = np.flatnonzero(self._bits)
+            last = int(nz[-1]) if nz.size else -1
+            self._last_one = last
+        return self.i < last
+
 
 # -- NAL framing (§7.4.1.1) -------------------------------------------------
 def _escape_ebsp(rbsp: bytes) -> bytes:
@@ -316,13 +330,18 @@ def _idr_slice_rbsp(
     cr: np.ndarray,
     idr_pic_id: int,
     poc_lsb: int | None = None,
+    first_mb: int = 0,
+    n_mbs: int | None = None,
 ) -> bytes:
-    """One IDR slice covering the whole frame, every MB I_PCM.
-    Planes are PADDED to multiples of 16 (8 for chroma) already.
-    ``poc_lsb`` is emitted only under a poc_type-0 SPS (B GOPs)."""
+    """One IDR slice covering the whole frame, every MB I_PCM — or,
+    for multi-slice IDRs, the ``n_mbs`` macroblocks from raster
+    address ``first_mb`` (I_PCM has no neighbour dependence, so the
+    split is purely structural).  Planes are PADDED to multiples of
+    16 (8 for chroma) already.  ``poc_lsb`` is emitted only under a
+    poc_type-0 SPS (B GOPs)."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     bw = _EgWriter()
-    bw.ue(0)            # first_mb_in_slice
+    bw.ue(first_mb)     # first_mb_in_slice
     bw.ue(7)            # slice_type: I (all slices in pic)
     bw.ue(0)            # pic_parameter_set_id
     bw.u(0, 4)          # frame_num (log2_max_frame_num = 4)
@@ -333,13 +352,14 @@ def _idr_slice_rbsp(
     bw.u(0, 1)          # long_term_reference_flag
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
-    for my in range(mb_h):
-        for mx in range(mb_w):
-            bw.ue(25)   # mb_type I_PCM (I-slice table, §7.4.5)
-            bw.align_zero()  # pcm_alignment_zero_bit(s)
-            bw.raw_bytes(y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].tobytes())
-            bw.raw_bytes(cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes())
-            bw.raw_bytes(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes())
+    last_mb = first_mb + (n_mbs if n_mbs is not None else mb_h * mb_w - first_mb)
+    for addr in range(first_mb, last_mb):
+        my, mx = divmod(addr, mb_w)
+        bw.ue(25)   # mb_type I_PCM (I-slice table, §7.4.5)
+        bw.align_zero()  # pcm_alignment_zero_bit(s)
+        bw.raw_bytes(y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].tobytes())
+        bw.raw_bytes(cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes())
+        bw.raw_bytes(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes())
     bw.rbsp_trailing()
     return bw.tobytes()
 
@@ -1702,12 +1722,23 @@ class _MotionState:
         self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
         self.inter = np.zeros((mbh * 4, mbw * 4), bool)
         self.avail = np.zeros((mbh * 4, mbw * 4), bool)
+        # multi-slice pictures: per-MB slice-id grid + the slice being
+        # coded.  §6.4.9: a neighbour in a DIFFERENT slice is
+        # unavailable for prediction — set slice_mb to enable the
+        # check; None (single-slice pictures) skips it entirely.
+        self.slice_mb = None
+        self.cur_slice = 0
 
     def nbr(self, bx: int, by: int):
         if (
             bx < 0 or by < 0
             or by >= self.mv.shape[0] or bx >= self.mv.shape[1]
             or not self.avail[by, bx]
+        ):
+            return None
+        if (
+            self.slice_mb is not None
+            and self.slice_mb[by >> 2, bx >> 2] != self.cur_slice
         ):
             return None
         if self.inter[by, bx]:
@@ -2014,8 +2045,16 @@ def _p_slice_rbsp(
     mv_sub_candidates: list | None = None,
     poc_lsb: int | None = None,
     wp: tuple | None = None,
+    first_mb: int = 0,
+    n_mbs: int | None = None,
+    ms: "_MotionState | None" = None,
 ) -> tuple[bytes, dict]:
-    """One P slice covering the whole picture.  Per macroblock, in
+    """One P slice covering the whole picture — or, for MULTI-SLICE
+    pictures, the ``n_mbs`` macroblocks starting at raster address
+    ``first_mb`` (the caller shares one slice-aware ``ms`` across the
+    picture's slices and advances ``ms.cur_slice`` per slice, so
+    §6.4.9 cross-slice neighbour unavailability shapes skip/MV
+    derivation identically to the decoder).  Per macroblock, in
     raster order, the encoder takes the first LOSSLESS mode:
 
     1. P_Skip — when MC at the §8.4.1.1 derived skip MV reproduces
@@ -2055,7 +2094,7 @@ def _p_slice_rbsp(
     ry, rcb, rcr = ref
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     bw = _EgWriter()
-    bw.ue(0)            # first_mb_in_slice
+    bw.ue(first_mb)     # first_mb_in_slice
     bw.ue(5)            # slice_type: P (all slices in pic)
     bw.ue(0)            # pic_parameter_set_id
     bw.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
@@ -2087,7 +2126,8 @@ def _p_slice_rbsp(
     bw.u(0, 1)          # adaptive_ref_pic_marking_mode_flag (7.3.3.3)
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
-    ms = _MotionState(mbh, mbw)
+    if ms is None:
+        ms = _MotionState(mbh, mbw)
     stats = _stats_zero(is_p=True)
     skip_run = 0
 
@@ -2127,8 +2167,11 @@ def _p_slice_rbsp(
                 return False
         return True
 
-    for idx in range(mbh * mbw):
+    last_mb = first_mb + (n_mbs if n_mbs is not None else mbh * mbw - first_mb)
+    for idx in range(first_mb, last_mb):
         my, mx = divmod(idx, mbw)
+        if ms.slice_mb is not None:
+            ms.slice_mb[my, mx] = ms.cur_slice
         s = _src_mb(mx, my)
         smv = _pskip_mv(ms, mx, my)
         if all(
@@ -2557,10 +2600,70 @@ def h264_encode_gop_pwp(
     return nals, stats_list
 
 
+def h264_encode_gop_p_ms(
+    frames_yuv: list[tuple], w: int, h: int, n_slices: int,
+    mv_candidates: list | None = None, wp: tuple | None = None,
+) -> tuple[list[bytes], list[dict]]:
+    """Encode a GOP where EVERY picture is split into ``n_slices``
+    row-aligned slices (§7.4.3 first_mb_in_slice > 0) — the
+    slice-parallel layout real encoders emit so a decoder farm can
+    reconstruct one picture concurrently.  Each slice carries its own
+    header, skip-run state, and (optionally, ``wp``) pred_weight_table;
+    prediction availability stops at slice boundaries (§6.4.9), which
+    the shared slice-aware _MotionState enforces identically to the
+    decoder, so each slice's first row re-anchors its motion field.
+    Frame 0 is an all-I_PCM IDR split the same way (purely
+    structural: I_PCM has no neighbour dependence).  Returns
+    ([SPS, PPS, IDR×n, P×n, ...] NAL units, per-PICTURE stats)."""
+    if mv_candidates is None:
+        mv_candidates = [(0, 0)]
+    y0, cb0, cr0 = frames_yuv[0]
+    mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
+    if not 1 <= n_slices <= mbh:
+        raise ValueError(
+            f"n_slices must be in [1, mb rows = {mbh}], got {n_slices}"
+        )
+    rows = [round(i * mbh / n_slices) for i in range(n_slices + 1)]
+    starts = [r * mbw for r in rows]
+    profile = 77 if wp is not None else 66
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=1, profile=profile)),
+        _nal(8, _pps_rbsp(weighted_pred=wp is not None)),
+    ]
+    for k in range(n_slices):
+        nals.append(_nal(5, _idr_slice_rbsp(
+            y0, cb0, cr0, idr_pic_id=0,
+            first_mb=starts[k], n_mbs=starts[k + 1] - starts[k],
+        )))
+    stats_list: list[dict] = [
+        _stats_zero(ipcm=mbh * mbw, n_slices=n_slices)
+    ]
+    ref = frames_yuv[0]
+    sum_keys = ("skip", "p16", "p16x8", "p8x16", "p8x8", "p16r",
+                "ipcm", "i16")
+    for fno, cur in enumerate(frames_yuv[1:], start=1):
+        ms = _MotionState(mbh, mbw)
+        ms.slice_mb = np.full((mbh, mbw), -1, np.int64)
+        pstats = _stats_zero(is_p=True, n_slices=n_slices)
+        for k in range(n_slices):
+            ms.cur_slice = k
+            rbsp, st = _p_slice_rbsp(
+                cur, ref, fno, mv_candidates, wp=wp,
+                first_mb=starts[k], n_mbs=starts[k + 1] - starts[k],
+                ms=ms,
+            )
+            nals.append(_nal(1, rbsp, ref_idc=2))
+            for kk in sum_keys:
+                pstats[kk] += st[kk]
+        stats_list.append(pstats)
+        ref = cur  # closed loop: every mode is exact
+    return nals, stats_list
+
+
 def _stats_zero(**flags) -> dict:
     s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
          "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "ipcm": 0, "i16": 0,
-         "is_p": False, "is_b": False}
+         "is_p": False, "is_b": False, "n_slices": 1}
     s.update(flags)
     return s
 
@@ -2809,6 +2912,7 @@ def h264_decode_gop(
     ref_dpb: list[tuple[int, tuple]] = []
     order_keys: list[int] = []  # POC for poc_type 0, decode idx else
     seq = 0
+    pic_open = False  # a multi-slice picture awaiting its next slice
     for nal in nals:
         ntype = nal[0] & 0x1F
         rbsp = _unescape_ebsp(nal[1:])
@@ -2820,8 +2924,7 @@ def h264_decode_gop(
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
             br = _EgReader(rbsp)
-            if br.ue() != 0:
-                raise NotImplementedError("multi-slice pictures")
+            first_mb = br.ue()  # first_mb_in_slice (§7.4.3)
             slice_type = br.ue()
             is_b = False
             if slice_type % 5 == 2:
@@ -2922,37 +3025,82 @@ def h264_decode_gop(
                 if br.ue() != 1:
                     br.se(); br.se()
             mbw, mbh = sps["mb_w"], sps["mb_h"]
-            y = np.zeros((mbh * 16, mbw * 16), np.int64)
-            cb = np.zeros((mbh * 8, mbw * 8), np.int64)
-            cr = np.zeros((mbh * 8, mbw * 8), np.int64)
-            is_pcm = np.zeros((mbh, mbw), bool)
-            # per-4x4-luma-block AC TotalCoeff grid for nC (§9.2.1);
-            # I_PCM blocks count 16.  Chroma AC blocks keep their own
-            # per-plane grids (2x2 blocks per MB per plane).
-            nc_grid = np.zeros((mbh * 4, mbw * 4), np.int64)
-            nc_c = [
-                np.zeros((mbh * 2, mbw * 2), np.int64),
-                np.zeros((mbh * 2, mbw * 2), np.int64),
-            ]
+            total_mbs = mbh * mbw
+            if first_mb == 0:
+                # ---- new picture: per-PICTURE state ----
+                if pic_open:
+                    raise ValueError(
+                        "new picture before the previous multi-slice "
+                        "picture completed"
+                    )
+                y = np.zeros((mbh * 16, mbw * 16), np.int64)
+                cb = np.zeros((mbh * 8, mbw * 8), np.int64)
+                cr = np.zeros((mbh * 8, mbw * 8), np.int64)
+                is_pcm = np.zeros((mbh, mbw), bool)
+                # per-4x4-luma-block AC TotalCoeff grid for nC
+                # (§9.2.1); I_PCM blocks count 16.  Chroma AC blocks
+                # keep their own per-plane grids (2x2 per MB/plane).
+                nc_grid = np.zeros((mbh * 4, mbw * 4), np.int64)
+                nc_c = [
+                    np.zeros((mbh * 2, mbw * 2), np.int64),
+                    np.zeros((mbh * 2, mbw * 2), np.int64),
+                ]
+                # per-MB slice ownership: §6.4.9 makes a neighbour in
+                # another slice UNAVAILABLE for every prediction (MV,
+                # skip derivation, intra, and CAVLC nC)
+                slice_mb = np.full((mbh, mbw), -1, np.int64)
+                slice_idx = 0
+                addr = 0
+                pic_open = True
 
-            def _nc_in(grid, gx: int, gy: int) -> int:
-                has_a, has_b = gx > 0, gy > 0
-                if has_a and has_b:
-                    return int((grid[gy, gx - 1] + grid[gy - 1, gx] + 1) >> 1)
-                if has_a:
-                    return int(grid[gy, gx - 1])
-                if has_b:
-                    return int(grid[gy - 1, gx])
-                return 0
+                def _nc_in(grid, gx: int, gy: int) -> int:
+                    g = grid.shape[0] // mbh  # blocks/MB edge: 4 or 2
+                    has_a = (
+                        gx > 0
+                        and slice_mb[gy // g, (gx - 1) // g] == slice_idx
+                    )
+                    has_b = (
+                        gy > 0
+                        and slice_mb[(gy - 1) // g, gx // g] == slice_idx
+                    )
+                    if has_a and has_b:
+                        return int(
+                            (grid[gy, gx - 1] + grid[gy - 1, gx] + 1) >> 1
+                        )
+                    if has_a:
+                        return int(grid[gy, gx - 1])
+                    if has_b:
+                        return int(grid[gy - 1, gx])
+                    return 0
 
-            def _nc_of(gx: int, gy: int) -> int:
-                return _nc_in(nc_grid, gx, gy)
-            # P-slice motion state: per-MB mv (quarter-pel) + inter
-            # flag for the §8.4.1.3 predictor; skip-run state machine
-            # (§7.3.4: mb_skip_run precedes every coded MB, plus one
-            # trailing run when the picture ends in skips)
-            ms = _MotionState(mbh, mbw)
-            stats = _stats_zero(is_p=is_p, is_b=is_b)
+                def _nc_of(gx: int, gy: int) -> int:
+                    return _nc_in(nc_grid, gx, gy)
+                # P-slice motion state: per-MB mv (quarter-pel) +
+                # inter flag for the §8.4.1.3 predictor; slice-aware
+                # so cross-slice neighbours go unavailable
+                ms = _MotionState(mbh, mbw)
+                ms.slice_mb = slice_mb
+                ms.cur_slice = 0
+                stats = _stats_zero(is_p=is_p, is_b=is_b)
+            else:
+                # ---- continuation slice of the open picture ----
+                if not pic_open:
+                    raise ValueError(
+                        "first_mb_in_slice > 0 without an open picture"
+                    )
+                if first_mb != addr:
+                    raise ValueError(
+                        f"slice gap/overlap: picture decoded to MB "
+                        f"{addr}, slice starts at {first_mb}"
+                    )
+                if is_b:
+                    raise NotImplementedError("multi-slice B pictures")
+                if is_p != stats["is_p"]:
+                    raise NotImplementedError(
+                        "mixed slice types within one picture"
+                    )
+                slice_idx += 1
+                ms.cur_slice = slice_idx
             if wp is not None:
                 # echo the parsed pred_weight_table so oracle gates
                 # can pin the header round-trip from the stats alone
@@ -2998,569 +3146,586 @@ def h264_decode_gop(
                 ms1 = _MotionState(mbh, mbw)
             pending_skips = 0
             need_run = is_p or is_b
-            for my in range(mbh):
-                for mx in range(mbw):
-                    if need_run:
-                        pending_skips = br.ue()
-                        need_run = False
-                        if is_b and pending_skips:
-                            raise NotImplementedError(
-                                "B_Skip (direct-mode MV derivation)"
-                            )
-                    if pending_skips > 0:
-                        pending_skips -= 1
-                        mv = _pskip_mv(ms, mx, my)
-                        sy, scb, scr = _wp_planes(
-                            _mc_mb_planes(ry, rcb, rcr, mx, my, mv),
-                            wp,
+            while addr < total_mbs:
+                my, mx = divmod(addr, mbw)
+                slice_mb[my, mx] = slice_idx
+                if need_run:
+                    if not br.more_rbsp_data():
+                        break  # slice ends after a coded macroblock
+                    pending_skips = br.ue()
+                    need_run = False
+                    if is_b and pending_skips:
+                        raise NotImplementedError(
+                            "B_Skip (direct-mode MV derivation)"
                         )
+                if pending_skips > 0:
+                    pending_skips -= 1
+                    mv = _pskip_mv(ms, mx, my)
+                    sy, scb, scr = _wp_planes(
+                        _mc_mb_planes(ry, rcb, rcr, mx, my, mv),
+                        wp,
+                    )
+                    y[my * 16 : my * 16 + 16,
+                      mx * 16 : mx * 16 + 16] = sy
+                    cb[my * 8 : my * 8 + 8,
+                       mx * 8 : mx * 8 + 8] = scb
+                    cr[my * 8 : my * 8 + 8,
+                       mx * 8 : mx * 8 + 8] = scr
+                    ms.set_mb(mx, my, mv)
+                    stats["skip"] += 1
+                    addr += 1
+                    # after the run: the next symbol is the coded
+                    # MB the run preceded (§7.3.4), not a new run
+                    continue
+                if not br.more_rbsp_data():
+                    break  # slice data exhausted (trailing run / I end)
+                mb_type = br.ue()
+                addr += 1
+                if is_b:
+                    need_run = True
+                    if mb_type == 0:
+                        raise NotImplementedError(
+                            "B_Direct_16x16 (co-located MV "
+                            "derivation)"
+                        )
+                    if mb_type in (1, 2, 3):
+                        # B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+                        # (Table 7-14); each list keeps its own
+                        # §8.4.1.3 motion state, and a one-list MB
+                        # contributes refIdx −1 to the other list
+                        use_l0 = mb_type in (1, 3)
+                        use_l1 = mb_type in (2, 3)
+                        mv0 = mv1 = None
+                        if use_l0:  # mvd_l0 precedes mvd_l1
+                            mvp = _mvp_16x16(ms0, mx, my)
+                            mv0 = (mvp[0] + br.se(),
+                                   mvp[1] + br.se())
+                        if use_l1:
+                            mvp = _mvp_16x16(ms1, mx, my)
+                            mv1 = (mvp[0] + br.se(),
+                                   mvp[1] + br.se())
+                        cbp_i = _CBP_INTER_DEC.get(br.ue())
+                        if cbp_i is None:
+                            raise NotImplementedError(
+                                "coded_block_pattern beyond the "
+                                "transcribed Table 9-4 Inter "
+                                "prefix (codeNum 0..12)"
+                            )
+                        if cbp_i != 0:
+                            raise NotImplementedError(
+                                "inter residuals in B slices"
+                            )
+                        if use_l0:
+                            p0 = _mc_mb_planes(
+                                r0y, r0cb, r0cr, mx, my, mv0
+                            )
+                            ms0.set_mb(mx, my, mv0)
+                        else:
+                            ms0.set_intra(mx, my)
+                        if use_l1:
+                            p1 = _mc_mb_planes(
+                                r1y, r1cb, r1cr, mx, my, mv1
+                            )
+                            ms1.set_mb(mx, my, mv1)
+                        else:
+                            ms1.set_intra(mx, my)
+                        if use_l0 and use_l1:
+                            # default bi-prediction (§8.4.2.3.2,
+                            # weighted_bipred_idc 0): rounded mean
+                            # of the two CLIPPED predictions
+                            outp = tuple(
+                                (
+                                    (a.astype(np.int64)
+                                     + b.astype(np.int64) + 1)
+                                    >> 1
+                                )
+                                for a, b in zip(p0, p1)
+                            )
+                            stats["bbi"] += 1
+                        elif use_l0:
+                            outp = tuple(
+                                q.astype(np.int64) for q in p0
+                            )
+                            stats["bl0"] += 1
+                        else:
+                            outp = tuple(
+                                q.astype(np.int64) for q in p1
+                            )
+                            stats["bl1"] += 1
                         y[my * 16 : my * 16 + 16,
-                          mx * 16 : mx * 16 + 16] = sy
+                          mx * 16 : mx * 16 + 16] = outp[0]
                         cb[my * 8 : my * 8 + 8,
-                           mx * 8 : mx * 8 + 8] = scb
+                           mx * 8 : mx * 8 + 8] = outp[1]
                         cr[my * 8 : my * 8 + 8,
-                           mx * 8 : mx * 8 + 8] = scr
-                        ms.set_mb(mx, my, mv)
-                        stats["skip"] += 1
-                        # after the run: the next symbol is the coded
-                        # MB the run preceded (§7.3.4), not a new run
+                           mx * 8 : mx * 8 + 8] = outp[2]
                         continue
-                    mb_type = br.ue()
-                    if is_b:
-                        need_run = True
-                        if mb_type == 0:
+                    if mb_type <= 22:
+                        raise NotImplementedError(
+                            f"B mb_type {mb_type}: partitions "
+                            "below 16x16 in B slices"
+                        )
+                    mb_type -= 23  # intra types in B (Table 7-14)
+                if is_p:
+                    need_run = True
+                    if mb_type == 0:  # P_L0_16x16 (Table 7-13)
+                        mvp = _mvp_16x16(ms, mx, my)
+                        mv = (mvp[0] + br.se(), mvp[1] + br.se())
+                        # coded_block_pattern me(v), Table 9-4
+                        # Inter column (transcribed prefix)
+                        cbp_i = _CBP_INTER_DEC.get(br.ue())
+                        if cbp_i is None:
                             raise NotImplementedError(
-                                "B_Direct_16x16 (co-located MV "
-                                "derivation)"
+                                "coded_block_pattern beyond the "
+                                "transcribed Table 9-4 Inter "
+                                "prefix (codeNum 0..12)"
                             )
-                        if mb_type in (1, 2, 3):
-                            # B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
-                            # (Table 7-14); each list keeps its own
-                            # §8.4.1.3 motion state, and a one-list MB
-                            # contributes refIdx −1 to the other list
-                            use_l0 = mb_type in (1, 3)
-                            use_l1 = mb_type in (2, 3)
-                            mv0 = mv1 = None
-                            if use_l0:  # mvd_l0 precedes mvd_l1
-                                mvp = _mvp_16x16(ms0, mx, my)
-                                mv0 = (mvp[0] + br.se(),
-                                       mvp[1] + br.se())
-                            if use_l1:
-                                mvp = _mvp_16x16(ms1, mx, my)
-                                mv1 = (mvp[0] + br.se(),
-                                       mvp[1] + br.se())
-                            cbp_i = _CBP_INTER_DEC.get(br.ue())
-                            if cbp_i is None:
-                                raise NotImplementedError(
-                                    "coded_block_pattern beyond the "
-                                    "transcribed Table 9-4 Inter "
-                                    "prefix (codeNum 0..12)"
-                                )
-                            if cbp_i != 0:
-                                raise NotImplementedError(
-                                    "inter residuals in B slices"
-                                )
-                            if use_l0:
-                                p0 = _mc_mb_planes(
-                                    r0y, r0cb, r0cr, mx, my, mv0
-                                )
-                                ms0.set_mb(mx, my, mv0)
-                            else:
-                                ms0.set_intra(mx, my)
-                            if use_l1:
-                                p1 = _mc_mb_planes(
-                                    r1y, r1cb, r1cr, mx, my, mv1
-                                )
-                                ms1.set_mb(mx, my, mv1)
-                            else:
-                                ms1.set_intra(mx, my)
-                            if use_l0 and use_l1:
-                                # default bi-prediction (§8.4.2.3.2,
-                                # weighted_bipred_idc 0): rounded mean
-                                # of the two CLIPPED predictions
-                                outp = tuple(
-                                    (
-                                        (a.astype(np.int64)
-                                         + b.astype(np.int64) + 1)
-                                        >> 1
-                                    )
-                                    for a, b in zip(p0, p1)
-                                )
-                                stats["bbi"] += 1
-                            elif use_l0:
-                                outp = tuple(
-                                    q.astype(np.int64) for q in p0
-                                )
-                                stats["bl0"] += 1
-                            else:
-                                outp = tuple(
-                                    q.astype(np.int64) for q in p1
-                                )
-                                stats["bl1"] += 1
-                            y[my * 16 : my * 16 + 16,
-                              mx * 16 : mx * 16 + 16] = outp[0]
-                            cb[my * 8 : my * 8 + 8,
-                               mx * 8 : mx * 8 + 8] = outp[1]
-                            cr[my * 8 : my * 8 + 8,
-                               mx * 8 : mx * 8 + 8] = outp[2]
+                        # weighted prediction (when the PPS asserts
+                        # it) scales the MC prediction BEFORE any
+                        # residual is added (§8.4.2.3)
+                        py, pcb, pcr = (
+                            p.astype(np.int64)
+                            for p in _wp_planes(
+                                _mc_mb_planes(
+                                    ry, rcb, rcr, mx, my, mv
+                                ),
+                                wp,
+                            )
+                        )
+                        ms.set_mb(mx, my, mv)
+                        y0_, x0_ = my * 16, mx * 16
+                        cy0_, cx0_ = my * 8, mx * 8
+                        if cbp_i == 0:
+                            y[y0_ : y0_ + 16, x0_ : x0_ + 16] = py
+                            cb[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = pcb
+                            cr[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = pcr
+                            stats["p16"] += 1
                             continue
-                        if mb_type <= 22:
-                            raise NotImplementedError(
-                                f"B mb_type {mb_type}: partitions "
-                                "below 16x16 in B slices"
-                            )
-                        mb_type -= 23  # intra types in B (Table 7-14)
-                    if is_p:
-                        need_run = True
-                        if mb_type == 0:  # P_L0_16x16 (Table 7-13)
-                            mvp = _mvp_16x16(ms, mx, my)
-                            mv = (mvp[0] + br.se(), mvp[1] + br.se())
-                            # coded_block_pattern me(v), Table 9-4
-                            # Inter column (transcribed prefix)
-                            cbp_i = _CBP_INTER_DEC.get(br.ue())
-                            if cbp_i is None:
-                                raise NotImplementedError(
-                                    "coded_block_pattern beyond the "
-                                    "transcribed Table 9-4 Inter "
-                                    "prefix (codeNum 0..12)"
-                                )
-                            # weighted prediction (when the PPS asserts
-                            # it) scales the MC prediction BEFORE any
-                            # residual is added (§8.4.2.3)
-                            py, pcb, pcr = (
-                                p.astype(np.int64)
-                                for p in _wp_planes(
-                                    _mc_mb_planes(
-                                        ry, rcb, rcr, mx, my, mv
-                                    ),
-                                    wp,
-                                )
-                            )
-                            ms.set_mb(mx, my, mv)
-                            y0_, x0_ = my * 16, mx * 16
-                            cy0_, cx0_ = my * 8, mx * 8
-                            if cbp_i == 0:
-                                y[y0_ : y0_ + 16, x0_ : x0_ + 16] = py
-                                cb[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = pcb
-                                cr[cy0_ : cy0_ + 8, cx0_ : cx0_ + 8] = pcr
-                                stats["p16"] += 1
-                                continue
-                            # inter residuals (§7.3.5.3.2/.3): luma
-                            # LumaLevel4x4 per coded 8x8 quadrant (all
-                            # 16 scan positions — no DC/AC split),
-                            # then chroma DC + (cbpC 2) chroma AC,
-                            # all added to the MC prediction
-                            cbpl_i, cbpc_i = cbp_i & 15, cbp_i >> 4
-                            qp = min(51, max(0, qp + br.se()))
-                            gx0, gy0 = mx * 4, my * 4
-                            rec_mb = np.empty((16, 16), np.int64)
-                            for bi in range(16):
-                                bx, by = _BLK_SCAN[bi]
-                                pblk = py[by * 4 : by * 4 + 4,
-                                          bx * 4 : bx * 4 + 4]
-                                if not cbpl_i & (1 << (bi // 4)):
-                                    rec_mb[by * 4 : by * 4 + 4,
-                                           bx * 4 : bx * 4 + 4] = pblk
-                                    continue
-                                nc = _nc_of(gx0 + bx, gy0 + by)
-                                c16 = cavlc_decode_block(
-                                    br, ct_dec=_ct_dec_for_nc(nc)
-                                )
-                                nc_grid[gy0 + by, gx0 + bx] = sum(
-                                    1 for v in c16 if v != 0
-                                )
-                                cm = np.zeros(16, np.int64)
-                                cm[np.array(_ZZ4)] = np.array(
-                                    c16, np.int64
-                                )
-                                d = _ac_dequant(cm.reshape(4, 4), qp)
-                                r = (_inv_transform4x4(d) + 32) >> 6
+                        # inter residuals (§7.3.5.3.2/.3): luma
+                        # LumaLevel4x4 per coded 8x8 quadrant (all
+                        # 16 scan positions — no DC/AC split),
+                        # then chroma DC + (cbpC 2) chroma AC,
+                        # all added to the MC prediction
+                        cbpl_i, cbpc_i = cbp_i & 15, cbp_i >> 4
+                        qp = min(51, max(0, qp + br.se()))
+                        gx0, gy0 = mx * 4, my * 4
+                        rec_mb = np.empty((16, 16), np.int64)
+                        for bi in range(16):
+                            bx, by = _BLK_SCAN[bi]
+                            pblk = py[by * 4 : by * 4 + 4,
+                                      bx * 4 : bx * 4 + 4]
+                            if not cbpl_i & (1 << (bi // 4)):
                                 rec_mb[by * 4 : by * 4 + 4,
-                                       bx * 4 : bx * 4 + 4] = pblk + r
-                            y[y0_ : y0_ + 16, x0_ : x0_ + 16] = np.clip(
-                                rec_mb, 0, 255
+                                       bx * 4 : bx * 4 + 4] = pblk
+                                continue
+                            nc = _nc_of(gx0 + bx, gy0 + by)
+                            c16 = cavlc_decode_block(
+                                br, ct_dec=_ct_dec_for_nc(nc)
                             )
-                            qpc = _chroma_qpc(qp)
-                            dccs = []
-                            if cbpc_i:
-                                for _ in range(2):
-                                    cc = cavlc_decode_block(
-                                        br, _CT_NCM1_DEC, _TZ_CDC_DEC,
-                                        max_coeff=4,
+                            nc_grid[gy0 + by, gx0 + bx] = sum(
+                                1 for v in c16 if v != 0
+                            )
+                            cm = np.zeros(16, np.int64)
+                            cm[np.array(_ZZ4)] = np.array(
+                                c16, np.int64
+                            )
+                            d = _ac_dequant(cm.reshape(4, 4), qp)
+                            r = (_inv_transform4x4(d) + 32) >> 6
+                            rec_mb[by * 4 : by * 4 + 4,
+                                   bx * 4 : bx * 4 + 4] = pblk + r
+                        y[y0_ : y0_ + 16, x0_ : x0_ + 16] = np.clip(
+                            rec_mb, 0, 255
+                        )
+                        qpc = _chroma_qpc(qp)
+                        dccs = []
+                        if cbpc_i:
+                            for _ in range(2):
+                                cc = cavlc_decode_block(
+                                    br, _CT_NCM1_DEC, _TZ_CDC_DEC,
+                                    max_coeff=4,
+                                )
+                                dccs.append(
+                                    _chroma_dc_dequant(cc, qpc)
+                                )
+                        for pi, (plane, cpred) in enumerate(
+                            ((cb, pcb), (cr, pcr))
+                        ):
+                            if cbpc_i == 2:
+                                cgx0, cgy0 = mx * 2, my * 2
+                                rec8 = np.empty((8, 8), np.int64)
+                                for cbi in range(4):
+                                    cbx, cby = cbi % 2, cbi // 2
+                                    cac = cavlc_decode_block(
+                                        br,
+                                        ct_dec=_ct_dec_for_nc(
+                                            _nc_in(
+                                                nc_c[pi],
+                                                cgx0 + cbx,
+                                                cgy0 + cby,
+                                            )
+                                        ),
+                                        max_coeff=15,
                                     )
-                                    dccs.append(
-                                        _chroma_dc_dequant(cc, qpc)
+                                    nc_c[pi][
+                                        cgy0 + cby, cgx0 + cbx
+                                    ] = sum(
+                                        1 for v in cac if v != 0
                                     )
-                            for pi, (plane, cpred) in enumerate(
-                                ((cb, pcb), (cr, pcr))
-                            ):
-                                if cbpc_i == 2:
-                                    cgx0, cgy0 = mx * 2, my * 2
-                                    rec8 = np.empty((8, 8), np.int64)
-                                    for cbi in range(4):
-                                        cbx, cby = cbi % 2, cbi // 2
-                                        cac = cavlc_decode_block(
-                                            br,
-                                            ct_dec=_ct_dec_for_nc(
-                                                _nc_in(
-                                                    nc_c[pi],
-                                                    cgx0 + cbx,
-                                                    cgy0 + cby,
-                                                )
-                                            ),
-                                            max_coeff=15,
-                                        )
-                                        nc_c[pi][
-                                            cgy0 + cby, cgx0 + cbx
-                                        ] = sum(
-                                            1 for v in cac if v != 0
-                                        )
-                                        cm = np.zeros(16, np.int64)
-                                        cm[np.array(_ZZ4[1:])] = (
-                                            np.array(cac, np.int64)
-                                        )
-                                        d = _ac_dequant(
-                                            cm.reshape(4, 4), qpc
-                                        )
-                                        d[0, 0] = dccs[pi][cby, cbx]
-                                        r = (
-                                            _inv_transform4x4(d) + 32
-                                        ) >> 6
-                                        rec8[
+                                    cm = np.zeros(16, np.int64)
+                                    cm[np.array(_ZZ4[1:])] = (
+                                        np.array(cac, np.int64)
+                                    )
+                                    d = _ac_dequant(
+                                        cm.reshape(4, 4), qpc
+                                    )
+                                    d[0, 0] = dccs[pi][cby, cbx]
+                                    r = (
+                                        _inv_transform4x4(d) + 32
+                                    ) >> 6
+                                    rec8[
+                                        cby * 4 : cby * 4 + 4,
+                                        cbx * 4 : cbx * 4 + 4,
+                                    ] = (
+                                        cpred[
                                             cby * 4 : cby * 4 + 4,
                                             cbx * 4 : cbx * 4 + 4,
-                                        ] = (
-                                            cpred[
-                                                cby * 4 : cby * 4 + 4,
-                                                cbx * 4 : cbx * 4 + 4,
-                                            ]
-                                            + r
-                                        )
-                                    out8 = np.clip(rec8, 0, 255)
-                                elif cbpc_i:
-                                    rc = (dccs[pi] + 32) >> 6
-                                    out8 = np.clip(
-                                        cpred
-                                        + np.repeat(
-                                            np.repeat(rc, 4, axis=0),
-                                            4,
-                                            axis=1,
-                                        ),
-                                        0,
-                                        255,
+                                        ]
+                                        + r
                                     )
-                                else:
-                                    out8 = cpred
-                                plane[
-                                    cy0_ : cy0_ + 8, cx0_ : cx0_ + 8
-                                ] = out8
-                            stats["p16r"] += 1
-                            continue
-                        if mb_type in (1, 2):
-                            # P_L0_L0_16x8 / P_L0_L0_8x16 (Table
-                            # 7-13): two partitions, each with its own
-                            # mvd against the §8.4.1.3.1 DIRECTIONAL
-                            # predictor; partition 0's reconstructed
-                            # mv feeds partition 1's derivation
-                            kind = "16x8" if mb_type == 1 else "8x16"
-                            pmvs = []
-                            for part in range(2):
-                                (lx, ly, lw, lh), _c = (
-                                    _PART_GEOM[kind][part]
+                                out8 = np.clip(rec8, 0, 255)
+                            elif cbpc_i:
+                                rc = (dccs[pi] + 32) >> 6
+                                out8 = np.clip(
+                                    cpred
+                                    + np.repeat(
+                                        np.repeat(rc, 4, axis=0),
+                                        4,
+                                        axis=1,
+                                    ),
+                                    0,
+                                    255,
                                 )
-                                bx0 = mx * 4 + lx // 4
-                                by0 = my * 4 + ly // 4
+                            else:
+                                out8 = cpred
+                            plane[
+                                cy0_ : cy0_ + 8, cx0_ : cx0_ + 8
+                            ] = out8
+                        stats["p16r"] += 1
+                        continue
+                    if mb_type in (1, 2):
+                        # P_L0_L0_16x8 / P_L0_L0_8x16 (Table
+                        # 7-13): two partitions, each with its own
+                        # mvd against the §8.4.1.3.1 DIRECTIONAL
+                        # predictor; partition 0's reconstructed
+                        # mv feeds partition 1's derivation
+                        kind = "16x8" if mb_type == 1 else "8x16"
+                        pmvs = []
+                        for part in range(2):
+                            (lx, ly, lw, lh), _c = (
+                                _PART_GEOM[kind][part]
+                            )
+                            bx0 = mx * 4 + lx // 4
+                            by0 = my * 4 + ly // 4
+                            mvp = _mvp_part(
+                                ms, bx0, by0, lw // 4, lh // 4,
+                                kind, part,
+                            )
+                            pmv = (mvp[0] + br.se(),
+                                   mvp[1] + br.se())
+                            ms.set_part(
+                                bx0, by0, lw // 4, lh // 4, pmv
+                            )
+                            pmvs.append(pmv)
+                        if br.ue() != 0:
+                            raise NotImplementedError(
+                                "inter residuals on sub-16x16 "
+                                "partitions (cbp != 0)"
+                            )
+                        for part, pmv in enumerate(pmvs):
+                            (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                                _PART_GEOM[kind][part]
+                            )
+                            y[my * 16 + ly : my * 16 + ly + lh,
+                              mx * 16 + lx : mx * 16 + lx + lw] = (
+                                _wpl(_interp_luma_block(
+                                    ry, mx * 16 + lx, my * 16 + ly,
+                                    lw, lh, pmv[0], pmv[1],
+                                ))
+                            )
+                            for plane, rp, wfn in (
+                                (cb, rcb, _wpcb), (cr, rcr, _wpcr)
+                            ):
+                                plane[
+                                    my * 8 + cy : my * 8 + cy + ch,
+                                    mx * 8 + cx : mx * 8 + cx + cw,
+                                ] = wfn(_interp_chroma_block(
+                                    rp, mx * 8 + cx, my * 8 + cy,
+                                    cw, ch, pmv[0], pmv[1],
+                                ))
+                        stats["p16x8" if kind == "16x8"
+                              else "p8x16"] += 1
+                        continue
+                    if mb_type == 3:  # P_8x8 (Table 7-13)
+                        # §7.3.5.2: four sub_mb_types first, then
+                        # mvds per (mbPartIdx, subMbPartIdx); the
+                        # whole Table 7-17 split ladder decodes
+                        # (8x8/8x4/4x8/4x4), each sub-partition
+                        # predicted by the general §8.4.1.3
+                        # median over its 4x4-granular neighbours
+                        sub_types = [br.ue() for _ in range(4)]
+                        if any(s > 3 for s in sub_types):
+                            raise NotImplementedError(
+                                f"sub_mb_type {max(sub_types)} "
+                                "(B sub-macroblock types)"
+                            )
+                        smvs = []
+                        for part in range(4):
+                            (lx, ly, _lw, _lh), _c = (
+                                _PART_GEOM8[part]
+                            )
+                            pbx = mx * 4 + lx // 4
+                            pby = my * 4 + ly // 4
+                            for dx4, dy4, w4, h4 in _SUB_GEOM[
+                                sub_types[part]
+                            ]:
+                                bx0, by0 = pbx + dx4, pby + dy4
                                 mvp = _mvp_part(
-                                    ms, bx0, by0, lw // 4, lh // 4,
-                                    kind, part,
+                                    ms, bx0, by0, w4, h4, "sub", 0
                                 )
                                 pmv = (mvp[0] + br.se(),
                                        mvp[1] + br.se())
-                                ms.set_part(
-                                    bx0, by0, lw // 4, lh // 4, pmv
-                                )
-                                pmvs.append(pmv)
-                            if br.ue() != 0:
-                                raise NotImplementedError(
-                                    "inter residuals on sub-16x16 "
-                                    "partitions (cbp != 0)"
-                                )
-                            for part, pmv in enumerate(pmvs):
-                                (lx, ly, lw, lh), (cx, cy, cw, ch) = (
-                                    _PART_GEOM[kind][part]
-                                )
-                                y[my * 16 + ly : my * 16 + ly + lh,
-                                  mx * 16 + lx : mx * 16 + lx + lw] = (
-                                    _wpl(_interp_luma_block(
-                                        ry, mx * 16 + lx, my * 16 + ly,
-                                        lw, lh, pmv[0], pmv[1],
-                                    ))
-                                )
-                                for plane, rp, wfn in (
-                                    (cb, rcb, _wpcb), (cr, rcr, _wpcr)
-                                ):
-                                    plane[
-                                        my * 8 + cy : my * 8 + cy + ch,
-                                        mx * 8 + cx : mx * 8 + cx + cw,
-                                    ] = wfn(_interp_chroma_block(
-                                        rp, mx * 8 + cx, my * 8 + cy,
-                                        cw, ch, pmv[0], pmv[1],
-                                    ))
-                            stats["p16x8" if kind == "16x8"
-                                  else "p8x16"] += 1
-                            continue
-                        if mb_type == 3:  # P_8x8 (Table 7-13)
-                            # §7.3.5.2: four sub_mb_types first, then
-                            # mvds per (mbPartIdx, subMbPartIdx); the
-                            # whole Table 7-17 split ladder decodes
-                            # (8x8/8x4/4x8/4x4), each sub-partition
-                            # predicted by the general §8.4.1.3
-                            # median over its 4x4-granular neighbours
-                            sub_types = [br.ue() for _ in range(4)]
-                            if any(s > 3 for s in sub_types):
-                                raise NotImplementedError(
-                                    f"sub_mb_type {max(sub_types)} "
-                                    "(B sub-macroblock types)"
-                                )
-                            smvs = []
-                            for part in range(4):
-                                (lx, ly, _lw, _lh), _c = (
-                                    _PART_GEOM8[part]
-                                )
-                                pbx = mx * 4 + lx // 4
-                                pby = my * 4 + ly // 4
-                                for dx4, dy4, w4, h4 in _SUB_GEOM[
-                                    sub_types[part]
-                                ]:
-                                    bx0, by0 = pbx + dx4, pby + dy4
-                                    mvp = _mvp_part(
-                                        ms, bx0, by0, w4, h4, "sub", 0
-                                    )
-                                    pmv = (mvp[0] + br.se(),
-                                           mvp[1] + br.se())
-                                    ms.set_part(bx0, by0, w4, h4, pmv)
-                                    smvs.append((bx0, by0, w4, h4, pmv))
-                            if br.ue() != 0:
-                                raise NotImplementedError(
-                                    "inter residuals on P_8x8 "
-                                    "sub-macroblocks (cbp != 0)"
-                                )
-                            for bx0, by0, w4, h4, pmv in smvs:
-                                lx_, ly_ = bx0 * 4, by0 * 4
-                                y[ly_ : ly_ + h4 * 4,
-                                  lx_ : lx_ + w4 * 4] = (
-                                    _wpl(_interp_luma_block(
-                                        ry, lx_, ly_, w4 * 4, h4 * 4,
-                                        pmv[0], pmv[1],
-                                    ))
-                                )
-                                cxp, cyp = bx0 * 2, by0 * 2
-                                for plane, rp, wfn in (
-                                    (cb, rcb, _wpcb), (cr, rcr, _wpcr)
-                                ):
-                                    plane[
-                                        cyp : cyp + h4 * 2,
-                                        cxp : cxp + w4 * 2,
-                                    ] = wfn(_interp_chroma_block(
-                                        rp, cxp, cyp, w4 * 2, h4 * 2,
-                                        pmv[0], pmv[1],
-                                    ))
-                            stats["p8x8"] += 1
-                            continue
-                        if mb_type == 4:
+                                ms.set_part(bx0, by0, w4, h4, pmv)
+                                smvs.append((bx0, by0, w4, h4, pmv))
+                        if br.ue() != 0:
                             raise NotImplementedError(
-                                "P_8x8ref0 macroblocks"
+                                "inter residuals on P_8x8 "
+                                "sub-macroblocks (cbp != 0)"
                             )
-                        mb_type -= 5  # intra types in P (Table 7-13)
-                    if mb_type == 25:  # I_PCM
-                        stats["ipcm"] += 1
-                        if is_p:
-                            ms.set_intra(mx, my)
-                        if is_b:
-                            ms0.set_intra(mx, my)
-                            ms1.set_intra(mx, my)
-                        is_pcm[my, mx] = True
-                        nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
-                        for g in nc_c:
-                            g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
-                        br.align_zero()
-                        y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                            np.frombuffer(br.raw(256), np.uint8)
-                            .reshape(16, 16)
-                            .astype(np.int64)
-                        )
-                        cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                            np.frombuffer(br.raw(64), np.uint8)
-                            .reshape(8, 8)
-                            .astype(np.int64)
-                        )
-                        cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                            np.frombuffer(br.raw(64), np.uint8)
-                            .reshape(8, 8)
-                            .astype(np.int64)
-                        )
+                        for bx0, by0, w4, h4, pmv in smvs:
+                            lx_, ly_ = bx0 * 4, by0 * 4
+                            y[ly_ : ly_ + h4 * 4,
+                              lx_ : lx_ + w4 * 4] = (
+                                _wpl(_interp_luma_block(
+                                    ry, lx_, ly_, w4 * 4, h4 * 4,
+                                    pmv[0], pmv[1],
+                                ))
+                            )
+                            cxp, cyp = bx0 * 2, by0 * 2
+                            for plane, rp, wfn in (
+                                (cb, rcb, _wpcb), (cr, rcr, _wpcr)
+                            ):
+                                plane[
+                                    cyp : cyp + h4 * 2,
+                                    cxp : cxp + w4 * 2,
+                                ] = wfn(_interp_chroma_block(
+                                    rp, cxp, cyp, w4 * 2, h4 * 2,
+                                    pmv[0], pmv[1],
+                                ))
+                        stats["p8x8"] += 1
                         continue
-                    if not 1 <= mb_type <= 24:
+                    if mb_type == 4:
                         raise NotImplementedError(
-                            f"mb_type {mb_type}: I_NxN macroblocks require "
-                            "per-4x4 prediction + AC residual decoding"
+                            "P_8x8ref0 macroblocks"
                         )
-                    # I_16x16_<pred>_<cbpC>_<cbpL> (Table 7-11)
-                    stats["i16"] += 1
+                    mb_type -= 5  # intra types in P (Table 7-13)
+                if mb_type == 25:  # I_PCM
+                    stats["ipcm"] += 1
                     if is_p:
                         ms.set_intra(mx, my)
                     if is_b:
                         ms0.set_intra(mx, my)
                         ms1.set_intra(mx, my)
-                    pred_mode = (mb_type - 1) % 4
-                    cbp_chroma = ((mb_type - 1) // 4) % 3
-                    cbp_luma = 15 * ((mb_type - 1) // 12)
-                    if br.ue() != 0:
-                        raise NotImplementedError(
-                            "non-DC intra_chroma_pred_mode"
-                        )
-                    qp = min(51, max(0, qp + br.se()))  # mb_qp_delta
-                    gx0, gy0 = mx * 4, my * 4
-
-                    def _ct_dec_for(nc: int):
-                        # nC < 2: transcribed VLC column; nC >= 8:
-                        # formula-defined 6-bit FLC column (covers
-                        # I_PCM neighbours, which count 16); the
-                        # lookup-defined middle columns stay honest
-                        if nc < 2:
-                            return _CT_NC02_DEC
-                        if nc >= 8:
-                            return _CT_NC8_DEC
-                        raise NotImplementedError(
-                            "coeff_token columns for 2 <= nC < 8 are "
-                            "not implemented (lookup-defined in the "
-                            "spec; no codec libs to transcribe them "
-                            "against — the nC >= 8 column IS "
-                            "implemented because it is a formula)"
-                        )
-
-                    # Intra16x16DCLevel: nC derived as for blkIdx 0
-                    c_zz = cavlc_decode_block(
-                        br, ct_dec=_ct_dec_for(_nc_of(gx0, gy0))
+                    is_pcm[my, mx] = True
+                    nc_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+                    for g in nc_c:
+                        g[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+                    br.align_zero()
+                    y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                        np.frombuffer(br.raw(256), np.uint8)
+                        .reshape(16, 16)
+                        .astype(np.int64)
                     )
-                    y0, x0 = my * 16, mx * 16
-                    avail_top, avail_left = my > 0, mx > 0
-                    pred = _intra16_pred_luma(
-                        pred_mode,
-                        y[y0 - 1, x0 : x0 + 16] if avail_top else None,
-                        y[y0 : y0 + 16, x0 - 1] if avail_left else None,
-                        y[y0 - 1, x0 - 1]
-                        if (avail_top and avail_left)
-                        else 0,
+                    cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        np.frombuffer(br.raw(64), np.uint8)
+                        .reshape(8, 8)
+                        .astype(np.int64)
+                    )
+                    cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        np.frombuffer(br.raw(64), np.uint8)
+                        .reshape(8, 8)
+                        .astype(np.int64)
+                    )
+                    continue
+                if not 1 <= mb_type <= 24:
+                    raise NotImplementedError(
+                        f"mb_type {mb_type}: I_NxN macroblocks require "
+                        "per-4x4 prediction + AC residual decoding"
+                    )
+                # I_16x16_<pred>_<cbpC>_<cbpL> (Table 7-11)
+                stats["i16"] += 1
+                if is_p:
+                    ms.set_intra(mx, my)
+                if is_b:
+                    ms0.set_intra(mx, my)
+                    ms1.set_intra(mx, my)
+                pred_mode = (mb_type - 1) % 4
+                cbp_chroma = ((mb_type - 1) // 4) % 3
+                cbp_luma = 15 * ((mb_type - 1) // 12)
+                if br.ue() != 0:
+                    raise NotImplementedError(
+                        "non-DC intra_chroma_pred_mode"
+                    )
+                qp = min(51, max(0, qp + br.se()))  # mb_qp_delta
+                gx0, gy0 = mx * 4, my * 4
+
+                def _ct_dec_for(nc: int):
+                    # nC < 2: transcribed VLC column; nC >= 8:
+                    # formula-defined 6-bit FLC column (covers
+                    # I_PCM neighbours, which count 16); the
+                    # lookup-defined middle columns stay honest
+                    if nc < 2:
+                        return _CT_NC02_DEC
+                    if nc >= 8:
+                        return _CT_NC8_DEC
+                    raise NotImplementedError(
+                        "coeff_token columns for 2 <= nC < 8 are "
+                        "not implemented (lookup-defined in the "
+                        "spec; no codec libs to transcribe them "
+                        "against — the nC >= 8 column IS "
+                        "implemented because it is a formula)"
+                    )
+
+                # Intra16x16DCLevel: nC derived as for blkIdx 0
+                c_zz = cavlc_decode_block(
+                    br, ct_dec=_ct_dec_for(_nc_of(gx0, gy0))
+                )
+                y0, x0 = my * 16, mx * 16
+                # §6.4.9: intra-prediction neighbours in a DIFFERENT
+                # slice are unavailable (single-slice pictures: every
+                # decoded MB owns slice 0, so this reduces to bounds)
+                avail_top = my > 0 and slice_mb[my - 1, mx] == slice_idx
+                avail_left = mx > 0 and slice_mb[my, mx - 1] == slice_idx
+                pred = _intra16_pred_luma(
+                    pred_mode,
+                    y[y0 - 1, x0 : x0 + 16] if avail_top else None,
+                    y[y0 : y0 + 16, x0 - 1] if avail_left else None,
+                    y[y0 - 1, x0 - 1]
+                    if (avail_top and avail_left)
+                    else 0,
+                    avail_top,
+                    avail_left,
+                )
+                dc = _luma_dc_dequant(c_zz, qp)
+                if cbp_luma:
+                    # Intra16x16ACLevel, 16 blocks in §6.4.3
+                    # z-scan; real nC bookkeeping per block
+                    rec_mb = np.empty((16, 16), np.int64)
+                    for bi in range(16):
+                        bx, by = _BLK_SCAN[bi]
+                        ac = cavlc_decode_block(
+                            br,
+                            ct_dec=_ct_dec_for(
+                                _nc_of(gx0 + bx, gy0 + by)
+                            ),
+                            max_coeff=15,
+                        )
+                        nc_grid[gy0 + by, gx0 + bx] = sum(
+                            1 for v in ac if v != 0
+                        )
+                        cm = np.zeros(16, np.int64)
+                        cm[_ZZ4[1:]] = ac
+                        d = _ac_dequant(cm.reshape(4, 4), qp)
+                        d[0, 0] = dc[by, bx]
+                        r = (_inv_transform4x4(d) + 32) >> 6
+                        rec_mb[
+                            by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                        ] = (
+                            pred[
+                                by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                            ]
+                            + r
+                        )
+                    y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                        rec_mb, 0, 255
+                    )
+                else:
+                    r = (dc + 32) >> 6
+                    y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                        pred
+                        + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1),
+                        0,
+                        255,
+                    )
+                cy0, cx0 = my * 8, mx * 8
+                qpc = _chroma_qpc(qp)
+                # §7.3.5.3.3 residual order: ChromaDCLevel for
+                # BOTH components first, then (cbp_chroma 2) all
+                # ChromaACLevel blocks of Cb, then of Cr
+                dccs = []
+                if cbp_chroma:
+                    for _ in range(2):
+                        cc = cavlc_decode_block(
+                            br, _CT_NCM1_DEC, _TZ_CDC_DEC, max_coeff=4
+                        )
+                        dccs.append(_chroma_dc_dequant(cc, qpc))
+                for pi, plane in enumerate((cb, cr)):
+                    cpred = _chroma_dc_pred(
+                        plane[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
+                        plane[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
                         avail_top,
                         avail_left,
                     )
-                    dc = _luma_dc_dequant(c_zz, qp)
-                    if cbp_luma:
-                        # Intra16x16ACLevel, 16 blocks in §6.4.3
-                        # z-scan; real nC bookkeeping per block
-                        rec_mb = np.empty((16, 16), np.int64)
-                        for bi in range(16):
-                            bx, by = _BLK_SCAN[bi]
-                            ac = cavlc_decode_block(
+                    if cbp_chroma == 2:
+                        # chroma AC: 4 blocks in raster scan, nC
+                        # from the per-plane chroma grid (§9.2.1)
+                        cgx0, cgy0 = mx * 2, my * 2
+                        rec8 = np.empty((8, 8), np.int64)
+                        for cbi in range(4):
+                            cbx, cby = cbi % 2, cbi // 2
+                            cac = cavlc_decode_block(
                                 br,
                                 ct_dec=_ct_dec_for(
-                                    _nc_of(gx0 + bx, gy0 + by)
+                                    _nc_in(
+                                        nc_c[pi],
+                                        cgx0 + cbx,
+                                        cgy0 + cby,
+                                    )
                                 ),
                                 max_coeff=15,
                             )
-                            nc_grid[gy0 + by, gx0 + bx] = sum(
-                                1 for v in ac if v != 0
+                            nc_c[pi][cgy0 + cby, cgx0 + cbx] = sum(
+                                1 for v in cac if v != 0
                             )
                             cm = np.zeros(16, np.int64)
-                            cm[_ZZ4[1:]] = ac
-                            d = _ac_dequant(cm.reshape(4, 4), qp)
-                            d[0, 0] = dc[by, bx]
+                            cm[_ZZ4[1:]] = cac
+                            d = _ac_dequant(cm.reshape(4, 4), qpc)
+                            d[0, 0] = dccs[pi][cby, cbx]
                             r = (_inv_transform4x4(d) + 32) >> 6
-                            rec_mb[
-                                by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                            rec8[
+                                cby * 4 : cby * 4 + 4,
+                                cbx * 4 : cbx * 4 + 4,
                             ] = (
-                                pred[
-                                    by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
+                                cpred[
+                                    cby * 4 : cby * 4 + 4,
+                                    cbx * 4 : cbx * 4 + 4,
                                 ]
                                 + r
                             )
-                        y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                            rec_mb, 0, 255
-                        )
-                    else:
-                        r = (dc + 32) >> 6
-                        y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                            pred
-                            + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1),
+                        cpred = np.clip(rec8, 0, 255)
+                    elif cbp_chroma:
+                        rc = (dccs[pi] + 32) >> 6
+                        cpred = np.clip(
+                            cpred
+                            + np.repeat(np.repeat(rc, 4, axis=0), 4, axis=1),
                             0,
                             255,
                         )
-                    cy0, cx0 = my * 8, mx * 8
-                    qpc = _chroma_qpc(qp)
-                    # §7.3.5.3.3 residual order: ChromaDCLevel for
-                    # BOTH components first, then (cbp_chroma 2) all
-                    # ChromaACLevel blocks of Cb, then of Cr
-                    dccs = []
-                    if cbp_chroma:
-                        for _ in range(2):
-                            cc = cavlc_decode_block(
-                                br, _CT_NCM1_DEC, _TZ_CDC_DEC, max_coeff=4
-                            )
-                            dccs.append(_chroma_dc_dequant(cc, qpc))
-                    for pi, plane in enumerate((cb, cr)):
-                        cpred = _chroma_dc_pred(
-                            plane[cy0 - 1, cx0 : cx0 + 8] if avail_top else None,
-                            plane[cy0 : cy0 + 8, cx0 - 1] if avail_left else None,
-                            avail_top,
-                            avail_left,
-                        )
-                        if cbp_chroma == 2:
-                            # chroma AC: 4 blocks in raster scan, nC
-                            # from the per-plane chroma grid (§9.2.1)
-                            cgx0, cgy0 = mx * 2, my * 2
-                            rec8 = np.empty((8, 8), np.int64)
-                            for cbi in range(4):
-                                cbx, cby = cbi % 2, cbi // 2
-                                cac = cavlc_decode_block(
-                                    br,
-                                    ct_dec=_ct_dec_for(
-                                        _nc_in(
-                                            nc_c[pi],
-                                            cgx0 + cbx,
-                                            cgy0 + cby,
-                                        )
-                                    ),
-                                    max_coeff=15,
-                                )
-                                nc_c[pi][cgy0 + cby, cgx0 + cbx] = sum(
-                                    1 for v in cac if v != 0
-                                )
-                                cm = np.zeros(16, np.int64)
-                                cm[_ZZ4[1:]] = cac
-                                d = _ac_dequant(cm.reshape(4, 4), qpc)
-                                d[0, 0] = dccs[pi][cby, cbx]
-                                r = (_inv_transform4x4(d) + 32) >> 6
-                                rec8[
-                                    cby * 4 : cby * 4 + 4,
-                                    cbx * 4 : cbx * 4 + 4,
-                                ] = (
-                                    cpred[
-                                        cby * 4 : cby * 4 + 4,
-                                        cbx * 4 : cbx * 4 + 4,
-                                    ]
-                                    + r
-                                )
-                            cpred = np.clip(rec8, 0, 255)
-                        elif cbp_chroma:
-                            rc = (dccs[pi] + 32) >> 6
-                            cpred = np.clip(
-                                cpred
-                                + np.repeat(np.repeat(rc, 4, axis=0), 4, axis=1),
-                                0,
-                                255,
-                            )
-                        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = cpred
+                    plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = cpred
+            if addr < total_mbs:
+                # picture incomplete: the next NAL must carry the
+                # continuation slice (first_mb_in_slice == addr)
+                continue
+            pic_open = False
+            stats["n_slices"] = slice_idx + 1
             y = y.astype(np.uint8)
             cb = cb.astype(np.uint8)
             cr = cr.astype(np.uint8)
@@ -3580,6 +3745,8 @@ def h264_decode_gop(
             stats_all.append(stats)
             order_keys.append(key)
             seq += 1
+    if pic_open:
+        raise ValueError("stream ended inside a multi-slice picture")
     if not frames:
         raise ValueError("no slice NAL in access unit")
     # emit in OUTPUT order: POC for poc_type-0 streams (B GOPs decode

@@ -5040,6 +5040,175 @@ def h264wp_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264WP_META_SCHEMA)
 
 
+H264MS_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_slices", T.LongType()),
+        T.StructField("nal_count", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("idr_ipcm_mbs", T.LongType()),
+        T.StructField("luma_w", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _h264ms_dims(doc_id: int):
+    """(w, h, n_slices, mvx, mvy) for the multi-slice fixture: 2..4
+    macroblock rows with the slice count varying INDEPENDENTLY below
+    the row count (so pictures with multi-row slices — where skip
+    propagation crosses rows within a slice — are covered alongside
+    one-row-per-slice pictures), full-pel pan vectors."""
+    h_mb = 2 + doc_id % 3  # 2..4 macroblock rows
+    n_slices = 2 + (doc_id // 3) % (h_mb - 1) if h_mb > 2 else 2
+    return (
+        32 + 16 * (doc_id % 2),
+        16 * h_mb,
+        n_slices,
+        8,
+        8 if doc_id % 3 == 0 else 0,
+    )
+
+
+def _write_h264ms(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IPPPP pan+fade GOP where EVERY picture
+    is split into n_slices row-aligned slices, md5 of the source RGB
+    frames).  Composes the two round-11 rungs: each slice carries its
+    own header AND §7.3.3.2 pred_weight_table, and §6.4.9 cross-slice
+    neighbour unavailability re-anchors the motion field at every
+    slice's first row — so a pan picture codes S·mbw + (mbh − S)
+    P_L0_16x16 macroblocks (each slice's first row, where the
+    §8.4.1.1 skip derivation returns 0, plus each remaining row's
+    first column) and skips the rest with real derived motion, all
+    under the §8.4.2.3.2 weighting.  Every mode is lossless, so the
+    census is pure geometry and the decode hashes to the source
+    bit-for-bit."""
+    import hashlib
+
+    from .h264_codec import (
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_p_ms,
+        mc_shift_planes,
+        _wp_plane,
+    )
+
+    w, h, n_slices, mvx, mvy = _h264ms_dims(doc_id)
+    wp = _h264wp_params(doc_id)
+    ld, wy, oy, cd, wcb, ocb, wcr, ocr = wp
+    mv = (mvx, mvy)
+
+    def fade(planes):
+        return (
+            _wp_plane(planes[0], wy, oy, ld),
+            _wp_plane(planes[1], wcb, ocb, cd),
+            _wp_plane(planes[2], wcr, ocr, cd),
+        )
+
+    f0 = _h264wp_frame0(doc_id, w, h)
+    frames = [f0]
+    prev = f0
+    for _t in range(1, 5):
+        cur = fade(mc_shift_planes(*prev, mv))
+        frames.append(cur)
+        prev = cur
+    nals, _stats = h264_encode_gop_p_ms(
+        frames, w, h, n_slices, mv_candidates=[mv], wp=wp
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264ms_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a multi-slice weighted pan-GOP H.264 stream per row,
+    plus the source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264ms(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264ms_metadata(df: DataFrame) -> DataFrame:
+    """Decode the multi-slice GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (slice continuation at first_mb_in_slice,
+    §7.2 more_rbsp_data slice-end detection, per-slice skip runs and
+    pred_weight_tables, and §6.4.9 cross-slice unavailability all
+    reproduce the source bit-for-bit), the slice count parsed back
+    from the stream, and the skip/P16 census whose slice-boundary
+    geometry the SQL twin recomputes from doc_id alone."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264MS_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, n_sl, _mvx, _mvy = _h264ms_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + 5 * n_sl, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                pst = [s for s in stats if s["is_p"]]
+                assert {s["n_slices"] for s in stats} == {n_sl}
+                assert {s["wp_luma_w"] for s in pst} == {
+                    _h264wp_params(int(doc_id))[1]
+                }
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["n_slices"].append(n_sl)
+                out["nal_count"].append(len(nals))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["idr_ipcm_mbs"].append(
+                    sum(s["ipcm"] for s in stats if not s["is_p"])
+                )
+                out["luma_w"].append(pst[0]["wp_luma_w"])
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264MS_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

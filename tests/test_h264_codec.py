@@ -1550,3 +1550,114 @@ class TestWeightedPrediction:
         assert sum(s["ipcm"] for s in pst) == 2
         assert sum(s["p16"] for s in pst) == 3  # one pan frame, strip 3
         assert sum(s["skip"] for s in pst) == 4 * 3 - 2 - 3
+
+
+class TestMultiSlice:
+    """Multi-slice pictures: §7.4.3 first_mb_in_slice, §7.2
+    more_rbsp_data slice-end detection, §6.4.9 cross-slice neighbour
+    unavailability."""
+
+    @staticmethod
+    def _pan_gop(doc_id, w, h, mv, nf=5):
+        import numpy as np
+
+        ys, xs = np.mgrid[0:h, 0:w]
+        y = (40 + (xs * 19 + ys * 23 + doc_id * 7) % 176).astype(np.uint8)
+        cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+        cb = (60 + (cxs * 13 + cys * 29) % 136).astype(np.uint8)
+        cr = (60 + (cxs * 31 + cys * 11) % 136).astype(np.uint8)
+        frames, prev = [(y, cb, cr)], (y, cb, cr)
+        for _ in range(nf - 1):
+            cur = hc.mc_shift_planes(*prev, mv)
+            frames.append(cur)
+            prev = cur
+        return frames
+
+    def test_roundtrip_and_slice_boundary_census(self):
+        """Each slice's first row re-anchors the motion field (skip
+        derivation returns 0 across the boundary), so a pan picture
+        codes S*mbw + (mbh - S) P16 MBs; the decode is bit-exact."""
+        import numpy as np
+
+        w, h, mv, S = 48, 64, (8, 8), 3  # 3x4 MBs, 3 slices
+        frames = self._pan_gop(1, w, h, mv)
+        nals, enc_stats = hc.h264_encode_gop_p_ms(
+            frames, w, h, S, mv_candidates=[mv]
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+        mbw, mbh = w // 16, h // 16
+        pst = [s for s in stats if s["is_p"]]
+        assert all(s["n_slices"] == S for s in stats)
+        assert [s["p16"] for s in pst] == [S * mbw + mbh - S] * 4
+        assert [s["skip"] for s in pst] == [
+            mbw * mbh - S * mbw - mbh + S
+        ] * 4
+        # single-slice control: SAME content, strip census instead
+        nals1, _ = hc.h264_encode_gop_p_ms(frames, w, h, 1,
+                                           mv_candidates=[mv])
+        _, st1 = hc.h264_decode_gop(nals1)
+        assert [s["p16"] for s in st1 if s["is_p"]] == [mbw + mbh - 1] * 4
+
+    def test_single_slice_bitstream_unchanged(self):
+        """n_slices=1 through the multi-slice encoder emits the exact
+        bytes of the classic single-slice encoder — the refactor
+        cannot have moved a bit."""
+        w, h, mv = 48, 32, (8, 0)
+        frames = self._pan_gop(2, w, h, mv)
+        a, _ = hc.h264_encode_gop_p_ms(frames, w, h, 1, mv_candidates=[mv])
+        b, _ = hc.h264_encode_gop_p(frames, w, h, mv_candidates=[mv])
+        assert a == b
+
+    def test_weighted_multislice_composes(self):
+        """Per-slice pred_weight_tables: WP and multi-slice compose
+        losslessly on fade+pan content."""
+        import numpy as np
+
+        w, h, mv, S = 32, 48, (8, 0), 2
+        wp = (5, 30, 1, 5, 31, -1, 33, 0)
+        frames = [None]
+        base = self._pan_gop(3, w, h, mv, nf=1)[0]
+        frames = [base]
+        prev = base
+        for _ in range(3):
+            shifted = hc.mc_shift_planes(*prev, mv)
+            cur = (
+                hc._wp_plane(shifted[0], wp[1], wp[2], wp[0]),
+                hc._wp_plane(shifted[1], wp[4], wp[5], wp[3]),
+                hc._wp_plane(shifted[2], wp[6], wp[7], wp[3]),
+            )
+            frames.append(cur)
+            prev = cur
+        nals, _ = hc.h264_encode_gop_p_ms(frames, w, h, S,
+                                          mv_candidates=[mv], wp=wp)
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+        pst = [s for s in stats if s["is_p"]]
+        assert all(s["wp_luma_w"] == 30 and s["n_slices"] == S
+                   for s in pst)
+
+    def test_slice_gap_and_truncation_rejected(self):
+        """A continuation slice that skips ahead, and a stream ending
+        mid-picture, both fail loudly instead of mis-decoding."""
+        import pytest
+
+        w, h, mv, S = 32, 32, (8, 0), 2
+        frames = self._pan_gop(4, w, h, mv, nf=2)
+        nals, _ = hc.h264_encode_gop_p_ms(frames, w, h, S,
+                                          mv_candidates=[mv])
+        # nals: SPS PPS IDR0 IDR1 P0 P1 — drop a continuation slice:
+        # the incomplete IDR never reaches the DPB, so the following
+        # P slice fails loudly at reference lookup
+        with pytest.raises(ValueError,
+                           match="reference|incomplete|gap|open"):
+            hc.h264_decode_gop([nals[0], nals[1], nals[2], nals[4],
+                                nals[5]])
+        # stream truncated inside the last picture
+        with pytest.raises(ValueError, match="ended inside"):
+            hc.h264_decode_gop(nals[:-1])
+        # continuation without any open picture
+        with pytest.raises(ValueError, match="without an open"):
+            hc.h264_decode_gop([nals[0], nals[1], nals[3]])
