@@ -1661,3 +1661,84 @@ class TestMultiSlice:
         # continuation without any open picture
         with pytest.raises(ValueError, match="without an open"):
             hc.h264_decode_gop([nals[0], nals[1], nals[3]])
+
+
+class TestMultiSliceFuzz:
+    """Property-based: ANY content (including pathological uniform /
+    saturated planes), ANY row split, ANY weight table → the
+    multi-slice encode→decode loop must stay closed bit-for-bit.
+    The encoder only emits modes it verified lossless, so the
+    invariant is decoder-side: slice stitching, more_rbsp_data
+    termination, and §6.4.9 availability must reproduce the
+    encoder's exact reconstruction."""
+
+    def test_random_gops_roundtrip(self):
+        import numpy as np
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            seed=st.integers(0, 2**31 - 1),
+            mbw=st.integers(1, 4),
+            mbh=st.integers(1, 4),
+            n_frames=st.integers(2, 4),
+            wp_on=st.booleans(),
+        )
+        def run(seed, mbw, mbh, n_frames, wp_on):
+            rng = np.random.default_rng(seed)
+            w, h = mbw * 16, mbh * 16
+            n_slices = int(rng.integers(1, mbh + 1))
+            wp = None
+            if wp_on:
+                ld = int(rng.integers(0, 7))
+                cd = int(rng.integers(0, 7))
+                wp = (
+                    ld,
+                    int(rng.integers(-32, 65)), int(rng.integers(-16, 17)),
+                    cd,
+                    int(rng.integers(-32, 65)), int(rng.integers(-16, 17)),
+                    int(rng.integers(-32, 65)), int(rng.integers(-16, 17)),
+                )
+            mv = (int(rng.integers(-2, 3)) * 8, int(rng.integers(-2, 3)) * 8)
+
+            def rnd_frame():
+                return (
+                    rng.integers(0, 256, (h, w), dtype=np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                )
+
+            frames = [rnd_frame()]
+            for t in range(1, n_frames):
+                kind = int(rng.integers(0, 3))
+                if kind == 0:
+                    cur = rnd_frame()  # scene cut → I_PCM replenishment
+                else:
+                    cur = hc.mc_shift_planes(*frames[-1], mv)
+                    if wp is not None:
+                        cur = (
+                            hc._wp_plane(cur[0], wp[1], wp[2], wp[0]),
+                            hc._wp_plane(cur[1], wp[4], wp[5], wp[3]),
+                            hc._wp_plane(cur[2], wp[6], wp[7], wp[3]),
+                        )
+                    if kind == 2:  # partial replenishment
+                        cur = tuple(pl.copy() for pl in cur)
+                        pmx = int(rng.integers(0, mbw))
+                        pmy = int(rng.integers(0, mbh))
+                        cur[0][pmy * 16 : pmy * 16 + 16,
+                               pmx * 16 : pmx * 16 + 16] = rng.integers(
+                            0, 256, (16, 16), dtype=np.uint8
+                        )
+                frames.append(cur)
+            nals, _ = hc.h264_encode_gop_p_ms(
+                frames, w, h, n_slices, mv_candidates=[mv], wp=wp
+            )
+            dec, stats = hc.h264_decode_gop(nals)
+            assert len(dec) == n_frames
+            for fr, f in zip(dec, frames):
+                assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+            assert all(s["n_slices"] == n_slices for s in stats)
+
+        run()
