@@ -273,7 +273,9 @@ def _sps_rbsp(
     return bw.tobytes()
 
 
-def _pps_rbsp(weighted_pred: bool = False) -> bytes:
+def _pps_rbsp(
+    weighted_pred: bool = False, weighted_bipred_idc: int = 0,
+) -> bytes:
     bw = _EgWriter()
     bw.ue(0)      # pic_parameter_set_id
     bw.ue(0)      # seq_parameter_set_id
@@ -283,7 +285,7 @@ def _pps_rbsp(weighted_pred: bool = False) -> bytes:
     bw.ue(0)      # num_ref_idx_l0_default_active_minus1
     bw.ue(0)      # num_ref_idx_l1_default_active_minus1
     bw.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag (P slices)
-    bw.u(0, 2)    # weighted_bipred_idc
+    bw.u(weighted_bipred_idc, 2)  # weighted_bipred_idc (B: 1=explicit)
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
     bw.se(0)      # chroma_qp_index_offset
@@ -2011,6 +2013,58 @@ def _wp_planes(planes: tuple, wp: tuple | None) -> tuple:
     )
 
 
+def _wpb_single(planes: tuple, wpb: tuple | None, lst: int) -> tuple:
+    """Explicit weighted bi-prediction, ONE-list case (§8.4.2.3.2:
+    when only predFlagL0 or predFlagL1 is set, the single-list
+    eq. 8-270/8-271 applies with that list's weights and the shared
+    denominators).  ``wpb`` is (luma_log2_denom, chroma_log2_denom,
+    (wY,oY,wCb,oCb,wCr,oCr) for L0, same for L1), or None (identity,
+    weighted_bipred_idc 0)."""
+    if wpb is None:
+        return planes
+    ld, cd, l0, l1 = wpb
+    wy, oy, wcb, ocb, wcr, ocr = l0 if lst == 0 else l1
+    return (
+        _wp_plane(planes[0], wy, oy, ld),
+        _wp_plane(planes[1], wcb, ocb, cd),
+        _wp_plane(planes[2], wcr, ocr, cd),
+    )
+
+
+def _wpb_bi_plane(
+    p0: np.ndarray, p1: np.ndarray,
+    w0: int, w1: int, o0: int, o1: int, logwd: int,
+) -> np.ndarray:
+    """Explicit weighted bi-prediction, BOTH-lists case (§8.4.2.3.2
+    eq. 8-272): ((p0·w0 + p1·w1 + 2^logWD) >> (logWD+1)) +
+    ((o0 + o1 + 1) >> 1), Clip1'd."""
+    v = (
+        (p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
+         + (1 << logwd)) >> (logwd + 1)
+    ) + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wpb_bi(p0: tuple, p1: tuple, wpb: tuple | None) -> tuple:
+    """Bi-prediction of two (y, cb, cr) MC triples: the §8.4.2.3.2
+    rounded mean when ``wpb`` is None (weighted_bipred_idc 0), the
+    explicit eq. 8-272 weighting otherwise."""
+    if wpb is None:
+        return tuple(
+            ((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1).astype(
+                np.uint8
+            )
+            for a, b in zip(p0, p1)
+        )
+    ld, cd, (wy0, oy0, wcb0, ocb0, wcr0, ocr0), \
+        (wy1, oy1, wcb1, ocb1, wcr1, ocr1) = wpb
+    return (
+        _wpb_bi_plane(p0[0], p1[0], wy0, wy1, oy0, oy1, ld),
+        _wpb_bi_plane(p0[1], p1[1], wcb0, wcb1, ocb0, ocb1, cd),
+        _wpb_bi_plane(p0[2], p1[2], wcr0, wcr1, ocr0, ocr1, cd),
+    )
+
+
 #: partition geometry per kind: (luma (x_off, y_off, w, h),
 #: chroma (x_off, y_off, w, h)) for each of the two partitions
 _PART_GEOM = {
@@ -2671,6 +2725,7 @@ def _stats_zero(**flags) -> dict:
 def _b_slice_rbsp(
     src: tuple, ref0: tuple, ref1: tuple, frame_num: int, poc_lsb: int,
     l0_candidates: list, l1_candidates: list, bi_candidates: list,
+    wpb: tuple | None = None,
 ) -> tuple[bytes, dict]:
     """One B slice covering the whole picture (Table 7-14 subset).
     Per macroblock, in raster order, the encoder takes the first
@@ -2680,9 +2735,16 @@ def _b_slice_rbsp(
        whose MC copy from the PAST reference matches exactly,
     2. B_L1_16x16 (mb_type 2) — same against the FUTURE reference,
     3. B_Bi_16x16 (mb_type 3) — the first (mv0, mv1) pair whose
-       default bi-prediction ``(predL0 + predL1 + 1) >> 1``
-       (§8.4.2.3.2, weighted_bipred_idc 0) matches exactly,
+       bi-prediction — the ``(predL0 + predL1 + 1) >> 1`` rounded
+       mean (§8.4.2.3.2, weighted_bipred_idc 0), or the explicit
+       eq. 8-272 weighting when ``wpb`` is given — matches exactly,
     4. I_PCM (mb_type 48 = 25 + 23, Table 7-14) — intra fallback.
+
+    ``wpb`` — EXPLICIT WEIGHTED BI-PREDICTION (weighted_bipred_idc
+    1): (luma_log2_denom, chroma_log2_denom, L0 weights, L1 weights)
+    writes the §7.3.3.2 pred_weight_table with BOTH list loops into
+    the header, one-list predictions scale through eq. 8-270/8-271
+    with their list's weights, and bi-predictions through eq. 8-272.
 
     Each list keeps its own §8.4.1.3 motion state: a macroblock
     predicted from only one list contributes refIdx −1 / mv 0 to the
@@ -2706,6 +2768,28 @@ def _b_slice_rbsp(
     bw.u(0, 1)          # num_ref_idx_active_override_flag
     bw.u(0, 1)          # ref_pic_list_modification_flag_l0
     bw.u(0, 1)          # ref_pic_list_modification_flag_l1
+    if wpb is not None:
+        # pred_weight_table (§7.3.3.2) under weighted_bipred_idc 1:
+        # shared denominators, then the L0 loop, then the L1 loop;
+        # identity planes written as spec-default flag-0 entries
+        ld, cd, l0w, l1w = wpb
+        bw.ue(ld)       # luma_log2_weight_denom
+        bw.ue(cd)       # chroma_log2_weight_denom
+        for wy, oy, wcb, ocb, wcr, ocr in (l0w, l1w):
+            if (wy, oy) == (1 << ld, 0):
+                bw.u(0, 1)
+            else:
+                bw.u(1, 1)
+                bw.se(wy)
+                bw.se(oy)
+            if (wcb, ocb, wcr, ocr) == (1 << cd, 0, 1 << cd, 0):
+                bw.u(0, 1)
+            else:
+                bw.u(1, 1)
+                bw.se(wcb)
+                bw.se(ocb)
+                bw.se(wcr)
+                bw.se(ocr)
     # nal_ref_idc 0 → dec_ref_pic_marking absent (§7.3.3)
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
@@ -2722,12 +2806,7 @@ def _b_slice_rbsp(
     def _bi_mb(mx: int, my: int, mv0: tuple, mv1: tuple):
         p0 = _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv0)
         p1 = _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv1)
-        return tuple(
-            ((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1).astype(
-                np.uint8
-            )
-            for a, b in zip(p0, p1)
-        )
+        return _wpb_bi(p0, p1, wpb)
 
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
@@ -2739,7 +2818,11 @@ def _b_slice_rbsp(
                 if all(
                     np.array_equal(a, b)
                     for a, b in zip(
-                        _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv), s
+                        _wpb_single(
+                            _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv),
+                            wpb, 0,
+                        ),
+                        s,
                     )
                 )
             ),
@@ -2761,7 +2844,11 @@ def _b_slice_rbsp(
                 if all(
                     np.array_equal(a, b)
                     for a, b in zip(
-                        _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv), s
+                        _wpb_single(
+                            _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv),
+                            wpb, 1,
+                        ),
+                        s,
                     )
                 )
             ),
@@ -2817,6 +2904,7 @@ def h264_encode_gop_b(
     frames_yuv: list[tuple], w: int, h: int,
     l0_candidates: list, l1_candidates: list, bi_candidates: list,
     p_candidates: list | None = None,
+    wpb: tuple | None = None,
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a hierarchical-free IBPBP GOP with NON-REFERENCE B
     pictures: display order [I, B, P, B, P, ...] (``frames_yuv`` in
@@ -2833,6 +2921,12 @@ def h264_encode_gop_b(
     existing lossless ``_p_slice_rbsp``; every implemented B mode is
     lossless too, so the whole GOP closes bit-exactly.
 
+    ``wpb`` turns on EXPLICIT WEIGHTED BI-PREDICTION
+    (weighted_bipred_idc 1): B slices carry two-list
+    pred_weight_tables and predict through §8.4.2.3.2 eq. 8-270/272;
+    the reference P pans stay unweighted (weighted_pred_flag 0 — the
+    two PPS flags are independent).
+
     Returns ([SPS, PPS, IDR, P, B, P, B, ...] NALs in decode order,
     per-picture stats in DECODE order)."""
     if len(frames_yuv) % 2 == 0:
@@ -2841,7 +2935,9 @@ def h264_encode_gop_b(
     nals = [
         _nal(7, _sps_rbsp(w, h, max_ref_frames=2, poc_type=0,
                           profile=77)),
-        _nal(8, _pps_rbsp()),
+        _nal(8, _pps_rbsp(
+            weighted_bipred_idc=1 if wpb is not None else 0
+        )),
         _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0, poc_lsb=0)),
     ]
     stats_list = [
@@ -2859,7 +2955,7 @@ def h264_encode_gop_b(
         stats_list.append(pstats)
         rbsp, bstats = _b_slice_rbsp(
             b_frame, prev_ref, p_frame, j + 1, 4 * j - 2,
-            l0_candidates, l1_candidates, bi_candidates,
+            l0_candidates, l1_candidates, bi_candidates, wpb=wpb,
         )
         nals.append(_nal(1, rbsp, ref_idc=0))
         stats_list.append(bstats)
@@ -2900,8 +2996,11 @@ def h264_decode_gop(
     B pictures (round 10): decoded from a reference-only DPB with
     nearest-POC L0/L1 selection, per-list median MV prediction, and
     the §8.4.2.3.2 rounded bi-prediction mean; output is reordered
-    to display order by POC.  B_Skip/B_Direct, B partitions,
-    weighted bi-prediction, and B inter residuals stay honest
+    to display order by POC.  Explicit weighted bi-prediction
+    (round 11, weighted_bipred_idc 1): the two-list pred_weight_table
+    parses and one-list/bi predictions scale through eq. 8-270/8-272.
+    B_Skip/B_Direct, B partitions, IMPLICIT weighted bi-prediction
+    (idc 2), and B inter residuals stay honest
     NotImplementedError."""
     sps = pps = None
     frames: list[np.ndarray] = []
@@ -2964,7 +3063,7 @@ def h264_decode_gop(
                 poc_lsb = br.u(sps["log2_max_poc_lsb"])
             if pps["redundant_present"]:
                 br.ue()  # redundant_pic_cnt
-            wp = None
+            wp = wpb = None
             if is_p:
                 if br.u(1):  # num_ref_idx_active_override_flag
                     raise NotImplementedError(
@@ -3004,9 +3103,31 @@ def h264_decode_gop(
                     raise NotImplementedError(
                         "reference picture list modification"
                     )
-                if pps["weighted_bipred"]:
+                if pps["weighted_bipred"] == 1:
+                    # explicit weighted bi-prediction: the §7.3.3.2
+                    # pred_weight_table with BOTH list loops (shared
+                    # denominators; absent flags default to identity
+                    # 2^logWD / 0 per §7.4.3.2)
+                    luma_ld = br.ue()
+                    chroma_ld = br.ue()
+                    lsts = []
+                    for _ in range(2):
+                        if br.u(1):  # luma_weight_lX_flag
+                            wy_, oy_ = br.se(), br.se()
+                        else:
+                            wy_, oy_ = 1 << luma_ld, 0
+                        if br.u(1):  # chroma_weight_lX_flag
+                            wcb_, ocb_ = br.se(), br.se()
+                            wcr_, ocr_ = br.se(), br.se()
+                        else:
+                            wcb_ = wcr_ = 1 << chroma_ld
+                            ocb_ = ocr_ = 0
+                        lsts.append((wy_, oy_, wcb_, ocb_, wcr_, ocr_))
+                    wpb = (luma_ld, chroma_ld, lsts[0], lsts[1])
+                elif pps["weighted_bipred"] == 2:
                     raise NotImplementedError(
-                        "weighted bi-prediction (weighted_bipred_idc)"
+                        "implicit weighted bi-prediction "
+                        "(weighted_bipred_idc 2, POC-distance weights)"
                     )
             nal_ref_idc = (nal[0] >> 5) & 0x3
             if ntype == 5:
@@ -3108,6 +3229,15 @@ def h264_decode_gop(
                 stats["wp_luma_w"], stats["wp_luma_off"] = wp[1], wp[2]
                 stats["wp_cb_w"], stats["wp_cb_off"] = wp[4], wp[5]
                 stats["wp_cr_w"], stats["wp_cr_off"] = wp[6], wp[7]
+            if wpb is not None:
+                # echo the two-list table for the oracle gates
+                stats["wpb_log2_denom"] = wpb[0]
+                stats["wpb_l0_w"], stats["wpb_l0_off"] = (
+                    wpb[2][0], wpb[2][1],
+                )
+                stats["wpb_l1_w"], stats["wpb_l1_off"] = (
+                    wpb[3][0], wpb[3][1],
+                )
 
             def _wpl(p):
                 return p if wp is None else _wp_plane(p, wp[1], wp[2], wp[0])
@@ -3230,26 +3360,24 @@ def h264_decode_gop(
                         else:
                             ms1.set_intra(mx, my)
                         if use_l0 and use_l1:
-                            # default bi-prediction (§8.4.2.3.2,
-                            # weighted_bipred_idc 0): rounded mean
-                            # of the two CLIPPED predictions
+                            # bi-prediction (§8.4.2.3.2): the rounded
+                            # mean at weighted_bipred_idc 0, the
+                            # explicit eq. 8-272 weighting at idc 1
                             outp = tuple(
-                                (
-                                    (a.astype(np.int64)
-                                     + b.astype(np.int64) + 1)
-                                    >> 1
-                                )
-                                for a, b in zip(p0, p1)
+                                q.astype(np.int64)
+                                for q in _wpb_bi(p0, p1, wpb)
                             )
                             stats["bbi"] += 1
                         elif use_l0:
                             outp = tuple(
-                                q.astype(np.int64) for q in p0
+                                q.astype(np.int64)
+                                for q in _wpb_single(p0, wpb, 0)
                             )
                             stats["bl0"] += 1
                         else:
                             outp = tuple(
-                                q.astype(np.int64) for q in p1
+                                q.astype(np.int64)
+                                for q in _wpb_single(p1, wpb, 1)
                             )
                             stats["bl1"] += 1
                         y[my * 16 : my * 16 + 16,

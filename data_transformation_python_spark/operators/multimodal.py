@@ -5040,6 +5040,217 @@ def h264wp_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264WP_META_SCHEMA)
 
 
+H264WB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("bl0_mbs", T.LongType()),
+        T.StructField("bl1_mbs", T.LongType()),
+        T.StructField("bbi_mbs", T.LongType()),
+        T.StructField("b_ipcm_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("l0_luma_w", T.LongType()),
+        T.StructField("l1_luma_w", T.LongType()),
+        T.StructField("log2_denom", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _h264wb_params(doc_id: int) -> tuple:
+    """Two-list §7.3.3.2 weight table for the weighted-bi fixture:
+    L0 dims (gain < 1, negative offset), L1 brightens (gain > 1,
+    positive offset) — pointwise distinct on the [40, 216) fixture
+    range, so a one-list prediction can never accidentally match the
+    other list's content and the census stays pure geometry; extrema
+    stay inside [0, 255], so nothing clips into uniformity."""
+    return (
+        5, 5,
+        (27 + doc_id % 3, -8 + doc_id % 3,
+         29 + doc_id % 2, -6, 30, -5 + doc_id % 2),
+        (35 - doc_id % 3, 8 - doc_id % 3,
+         35 - doc_id % 2, 6, 34, 5 - doc_id % 2),
+    )
+
+
+def _write_h264wb(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IBPBP GOP under EXPLICIT WEIGHTED
+    BI-PREDICTION, md5 of the DISPLAY-order RGB frames).  Reference
+    pictures pan by 2·mv unweighted; each B picture between them is
+    built by the EXACT §8.4.2.3.2 formula the decoder runs, cycling
+    flavors on (doc_id + i) % 3:
+
+    - 0: L0-weighted midpoint pan with ONE re-textured macroblock →
+      (mbs − 1)·B_L0 + 1·I_PCM,
+    - 1: L1-weighted content from the future — because the two
+      lists' weights are pointwise distinct, the encoder's L0-first
+      candidate can never match, so the WHOLE picture goes B_L1
+      (unlike the unweighted twin, where the interior matched L0),
+    - 2: the eq. 8-272 weighted mean of both one-sided predictions →
+      all B_Bi (neither single list matches).
+
+    Every implemented mode is lossless, so the census is pure
+    geometry and the decode (with POC output reordering) hashes to
+    the source display sequence bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _wp_plane,
+        _wpb_bi,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    wpb = _h264wb_params(doc_id)
+    ld, cd, l0w, l1w = wpb
+
+    def _one_list(planes, ws):
+        wy, oy, wcb, ocb, wcr, ocr = ws
+        return (
+            _wp_plane(planes[0], wy, oy, ld),
+            _wp_plane(planes[1], wcb, ocb, cd),
+            _wp_plane(planes[2], wcr, ocr, cd),
+        )
+
+    f0 = _h264wp_frame0(doc_id, w, h)
+    mb_w, mb_h = w // 16, h // 16
+    frames = [f0]
+    prev = f0
+    for i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        flavor = (doc_id + i) % 3
+        if flavor == 0:
+            b = [pl.copy() for pl in
+                 _one_list(mc_shift_planes(*prev, mv), l0w)]
+            pmx, pmy = doc_id % mb_w, doc_id % mb_h
+            xs = np.arange(16, dtype=np.int64)[None, :]
+            ys = np.arange(16, dtype=np.int64)[:, None]
+            b[0][pmy * 16 : pmy * 16 + 16, pmx * 16 : pmx * 16 + 16] = (
+                (doc_id * 11 + i * 41 + xs * 19 + ys * 23) % 256
+            ).astype(np.uint8)
+            b = tuple(b)
+        elif flavor == 1:
+            b = _one_list(mc_shift_planes(*pfr, neg), l1w)
+        else:
+            b = _wpb_bi(
+                mc_shift_planes(*prev, mv),
+                mc_shift_planes(*pfr, neg),
+                wpb,
+            )
+        frames.extend([b, pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[mv],
+        l1_candidates=[neg],
+        bi_candidates=[(mv, neg)],
+        p_candidates=[two],
+        wpb=wpb,
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264wb_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a weighted-bi-prediction B-GOP stream per row, plus the
+    display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264wb(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264wb_metadata(df: DataFrame) -> DataFrame:
+    """Decode the weighted-bi GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (the two-list pred_weight_table parse, the
+    eq. 8-270/8-272 scalings on every B prediction, POC reordering,
+    and the DPB machinery reproduce the display sequence
+    bit-for-bit), the B-mode census — sharpened by the weighting:
+    L1-flavor pictures go ENTIRELY B_L1 because the distinct L0
+    weights can no longer shadow them — and the decoder-parsed
+    per-list luma weights."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264WB_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                wps = {
+                    (s["wpb_log2_denom"], s["wpb_l0_w"], s["wpb_l1_w"])
+                    for s in bst
+                }
+                assert len(wps) == 1, "pred_weight_table drifted"
+                ld, l0w, l1w = next(iter(wps))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["bl0_mbs"].append(sum(s["bl0"] for s in bst))
+                out["bl1_mbs"].append(sum(s["bl1"] for s in bst))
+                out["bbi_mbs"].append(sum(s["bbi"] for s in bst))
+                out["b_ipcm_mbs"].append(sum(s["ipcm"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["l0_luma_w"].append(l0w)
+                out["l1_luma_w"].append(l1w)
+                out["log2_denom"].append(ld)
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264WB_META_SCHEMA)
+
+
 H264MS_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

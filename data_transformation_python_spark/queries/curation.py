@@ -2655,6 +2655,77 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# H.264 explicit weighted BI-prediction (weighted_bipred_idc 1: the
+# two-list §7.3.3.2 pred_weight_table + §8.4.2.3.2 eq. 8-270/8-272)
+# over IBPBP GOPs: distinct per-list weights sharpen the B census to
+# pure per-flavor geometry
+# --------------------------------------------------------------------------
+_H264WB_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+m AS (
+  SELECT doc_id, mbw, mbh,
+         mbw * mbh AS mbs,
+         doc_id % 3 AS f0,
+         (doc_id + 1) % 3 AS f1
+  FROM g)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST((CASE WHEN f0 = 0 THEN mbs - 1 ELSE 0 END)
+          + (CASE WHEN f1 = 0 THEN mbs - 1 ELSE 0 END) AS BIGINT)
+         AS bl0_mbs,
+       CAST((CASE WHEN f0 = 1 THEN mbs ELSE 0 END)
+          + (CASE WHEN f1 = 1 THEN mbs ELSE 0 END) AS BIGINT)
+         AS bl1_mbs,
+       CAST((CASE WHEN f0 = 2 THEN mbs ELSE 0 END)
+          + (CASE WHEN f1 = 2 THEN mbs ELSE 0 END) AS BIGINT)
+         AS bbi_mbs,
+       CAST((CASE WHEN f0 = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN f1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS b_ipcm_mbs,
+       CAST(2 * (mbw + mbh - 1) AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - (mbw + mbh - 1)) AS BIGINT) AS skip_mbs,
+       CAST(27 + doc_id % 3 AS BIGINT) AS l0_luma_w,
+       CAST(35 - doc_id % 3 AS BIGINT) AS l1_luma_w,
+       CAST(5 AS BIGINT) AS log2_denom,
+       TRUE AS roundtrip_exact
+FROM m
+"""
+
+
+@query("multimodal_h264wb_meta", oracle=_H264WB_ORACLE)
+def multimodal_h264wb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit WEIGHTED BI-PREDICTION (round 11,
+    operators/h264_codec.py h264_encode_gop_b(wpb=...) /
+    h264_decode_gop — the third spec rung closed this round):
+    weighted_bipred_idc 1 in the PPS, the §7.3.3.2 pred_weight_table
+    with BOTH list loops (shared log2 denominators, identity planes
+    as spec-default flag-0 entries) parsed from every B slice header,
+    one-list predictions scaled through eq. 8-270/8-271 with their
+    list's weights, and TRUE bi-predictions through eq. 8-272
+    ((p0·w0 + p1·w1 + 2^logWD) >> (logWD+1)) + rounded offset mean —
+    the fade-transition machinery real encoders use for cross-fades.
+    The per-list weights are chosen pointwise-distinct, which
+    SHARPENS the census vs the unweighted B gate: an L1-built picture
+    can no longer be shadowed by the L0-first candidate (interior
+    shift-composition), so it decodes ENTIRELY B_L1 — geometry the
+    SQL twin recomputes from doc_id.  All modes stay lossless:
+    ``roundtrip_exact`` pins decode ≡ display-order source
+    bit-for-bit.  Implicit weighted bi-prediction (idc 2,
+    POC-distance weights) stays honest NotImplementedError."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264wb_metadata(mm.synth_h264wb_table(docs))
+
+
+# --------------------------------------------------------------------------
 # H.264 multi-slice pictures (§7.4.3 first_mb_in_slice, §7.2
 # more_rbsp_data slice-end detection, §6.4.9 cross-slice neighbour
 # unavailability) composed with weighted prediction: the census is

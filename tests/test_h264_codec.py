@@ -1742,3 +1742,96 @@ class TestMultiSliceFuzz:
             assert all(s["n_slices"] == n_slices for s in stats)
 
         run()
+
+
+class TestWeightedBiPrediction:
+    """Explicit weighted bi-prediction (weighted_bipred_idc 1): the
+    two-list §7.3.3.2 pred_weight_table and §8.4.2.3.2
+    eq. 8-270/8-272."""
+
+    @staticmethod
+    def _fixture(doc_id=1):
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        payload, rec = mm._write_h264wb(doc_id)
+        return hc.split_annexb(payload), rec, mm._h264b_dims(doc_id)
+
+    def test_roundtrip_and_sharpened_census(self):
+        """Distinct per-list weights make the L1-built picture decode
+        ENTIRELY B_L1 (the unweighted twin's interior went B_L0 via
+        shift composition) — and the decode is bit-exact."""
+        import hashlib
+
+        nals, rec, (w, h, _mvx, _mvy) = self._fixture(1)
+        frames, stats = hc.h264_decode_gop(nals)
+        md5 = hashlib.md5()
+        for fr in frames:
+            md5.update(fr.tobytes())
+        assert md5.hexdigest() == rec
+        mbs = (w // 16) * (h // 16)
+        bst = [s for s in stats if s["is_b"]]
+        # doc 1 flavors: B0 = L1-built, B1 = bi-built
+        assert [(s["bl0"], s["bl1"], s["bbi"]) for s in bst] == [
+            (0, mbs, 0), (0, 0, mbs)
+        ]
+        assert all(s["wpb_l0_w"] == 28 and s["wpb_l1_w"] == 34
+                   for s in bst)
+
+    def test_eq8_272_formula(self):
+        """The bi formula is the spec's, not a weighted mean rebuilt
+        differently: hand-check one pixel."""
+        import numpy as np
+
+        p0 = np.array([[100]], np.uint8)
+        p1 = np.array([[200]], np.uint8)
+        # ((100*27 + 200*35 + 32) >> 6) + ((-8 + 8 + 1) >> 1)
+        expect = ((100 * 27 + 200 * 35 + 32) >> 6) + 0
+        got = hc._wpb_bi_plane(p0, p1, 27, 35, -8, 8, 5)
+        assert int(got[0, 0]) == expect
+        # offset rounding is the SHARED mean, floor-shifted
+        got2 = hc._wpb_bi_plane(p0, p1, 27, 35, -8, 5, 5)
+        assert int(got2[0, 0]) == ((100 * 27 + 200 * 35 + 32) >> 6) + (
+            (-8 + 5 + 1) >> 1
+        )
+
+    def test_identity_tables_match_unweighted(self):
+        """An all-identity two-list table (flag-0 entries both lists)
+        decodes bit-identically to the unweighted B encoder."""
+        import numpy as np
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        doc = 3
+        w, h, mvx, mvy = mm._h264b_dims(doc)
+        mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+        f0 = mm._h264wp_frame0(doc, w, h)
+        pf1 = hc.mc_shift_planes(*f0, two)
+        b1 = hc.mc_shift_planes(*f0, mv)  # L0-exact midpoint
+        pf2 = hc.mc_shift_planes(*pf1, two)
+        b2 = hc.mc_shift_planes(*pf1, mv)
+        frames = [f0, b1, pf1, b2, pf2]
+        ident = (4, 6, (16, 0, 64, 0, 64, 0), (16, 0, 64, 0, 64, 0))
+        n_w, _ = hc.h264_encode_gop_b(frames, w, h, [mv], [neg],
+                                      [(mv, neg)], [two], wpb=ident)
+        n_p, _ = hc.h264_encode_gop_b(frames, w, h, [mv], [neg],
+                                      [(mv, neg)], [two])
+        d_w, st_w = hc.h264_decode_gop(n_w)
+        d_p, st_p = hc.h264_decode_gop(n_p)
+        for a, b in zip(d_w, d_p):
+            assert np.array_equal(a, b)
+        assert [s["bl0"] for s in st_w] == [s["bl0"] for s in st_p]
+
+    def test_implicit_bipred_rejected(self):
+        """weighted_bipred_idc 2 (implicit POC-distance weights) must
+        fail loudly."""
+        import pytest
+
+        nals, _rec, _dims = self._fixture(2)
+        bad = list(nals)
+        bad[1] = hc._nal(8, hc._pps_rbsp(weighted_bipred_idc=2))
+        with pytest.raises(NotImplementedError, match="implicit"):
+            hc.h264_decode_gop(bad)
