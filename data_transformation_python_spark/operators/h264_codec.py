@@ -2065,6 +2065,31 @@ def _wpb_bi(p0: tuple, p1: tuple, wpb: tuple | None) -> tuple:
     )
 
 
+def _implicit_bi_weights(curr_poc: int, poc0: int, poc1: int) -> tuple:
+    """Implicit weighted bi-prediction weights (§8.4.2.3.1,
+    weighted_bipred_idc 2): POC-distance derived (w0, w1) with
+    logWD = 5 and zero offsets — tb/td clipped to ±128, the
+    DistScaleFactor ladder, and every degenerate case (equal POCs,
+    td = 0, scale factor outside [-64, 128]) falling back to the
+    equal 32/32 split, which reproduces the default rounded mean
+    bit-for-bit."""
+    if poc1 == poc0:
+        return (32, 32)
+    tb = min(127, max(-128, curr_poc - poc0))
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        return (32, 32)
+    # spec "/" truncates toward zero; td here is a clipped nonzero int
+    tx = (16384 + abs(td) // 2) // td if td > 0 else -(
+        (16384 + abs(td) // 2) // -td
+    )
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return (32, 32)
+    return (64 - w1, w1)
+
+
 #: partition geometry per kind: (luma (x_off, y_off, w, h),
 #: chroma (x_off, y_off, w, h)) for each of the two partitions
 _PART_GEOM = {
@@ -2726,6 +2751,7 @@ def _b_slice_rbsp(
     src: tuple, ref0: tuple, ref1: tuple, frame_num: int, poc_lsb: int,
     l0_candidates: list, l1_candidates: list, bi_candidates: list,
     wpb: tuple | None = None,
+    implicit_pocs: tuple | None = None,
 ) -> tuple[bytes, dict]:
     """One B slice covering the whole picture (Table 7-14 subset).
     Per macroblock, in raster order, the encoder takes the first
@@ -2745,6 +2771,14 @@ def _b_slice_rbsp(
     writes the §7.3.3.2 pred_weight_table with BOTH list loops into
     the header, one-list predictions scale through eq. 8-270/8-271
     with their list's weights, and bi-predictions through eq. 8-272.
+
+    ``implicit_pocs`` — IMPLICIT weighted bi-prediction
+    (weighted_bipred_idc 2): (curr_poc, poc_L0, poc_L1) derives the
+    §8.4.2.3.1 POC-distance weights; NO pred_weight_table is written
+    (the weights are decoder-derived), one-list predictions stay
+    UNWEIGHTED (implicit mode only touches bi-predicted blocks), and
+    bi-predictions use (p0·w0 + p1·w1 + 32) >> 6.  Mutually
+    exclusive with ``wpb``.
 
     Each list keeps its own §8.4.1.3 motion state: a macroblock
     predicted from only one list contributes refIdx −1 / mv 0 to the
@@ -2806,6 +2840,12 @@ def _b_slice_rbsp(
     def _bi_mb(mx: int, my: int, mv0: tuple, mv1: tuple):
         p0 = _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv0)
         p1 = _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv1)
+        if implicit_pocs is not None:
+            w0, w1 = _implicit_bi_weights(*implicit_pocs)
+            return tuple(
+                _wpb_bi_plane(a, b, w0, w1, 0, 0, 5)
+                for a, b in zip(p0, p1)
+            )
         return _wpb_bi(p0, p1, wpb)
 
     for idx in range(mbh * mbw):
@@ -2959,6 +2999,59 @@ def h264_encode_gop_b(
         )
         nals.append(_nal(1, rbsp, ref_idc=0))
         stats_list.append(bstats)
+        prev_ref = p_frame  # every P mode is exact → rec == src
+    return nals, stats_list
+
+
+def h264_encode_gop_bimp(
+    frames_yuv: list[tuple], w: int, h: int,
+    l0_candidates: list, l1_candidates: list, bi_candidates: list,
+    p_candidates: list | None = None,
+) -> tuple[list[bytes], list[dict]]:
+    """Encode an I(BBP)* GOP under IMPLICIT weighted bi-prediction
+    (weighted_bipred_idc 2): display order [I, B, B, P, B, B, P, ...]
+    (length 1 + 3k), decode order [I, P, B, B, ...].  TWO consecutive
+    non-reference B pictures sit UNEVENLY between their references
+    (POC 2 and 4 of a 0..6 span), so the §8.4.2.3.1 POC-distance
+    derivation produces genuinely asymmetric weights — (43, 21) for
+    the early B, (22, 42) for the late one — which an equidistant
+    IBPBP GOP could never distinguish from the default mean (its
+    derivation lands exactly on 32/32).  No pred_weight_table is
+    written: the decoder re-derives the weights from POC alone.
+    Returns ([SPS, PPS, IDR, P, B, B, ...] NALs in decode order,
+    per-picture stats in DECODE order)."""
+    if len(frames_yuv) % 3 != 1:
+        raise ValueError("I(BBP)* GOP needs 1 + 3k display frames")
+    y0, cb0, cr0 = frames_yuv[0]
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=2, poc_type=0,
+                          profile=77)),
+        _nal(8, _pps_rbsp(weighted_bipred_idc=2)),
+        _nal(5, _idr_slice_rbsp(y0, cb0, cr0, idr_pic_id=0, poc_lsb=0)),
+    ]
+    stats_list = [
+        _stats_zero(ipcm=(y0.shape[0] // 16) * (y0.shape[1] // 16))
+    ]
+    prev_ref = frames_yuv[0]
+    for j in range(1, len(frames_yuv) // 3 + 1):
+        p_frame = frames_yuv[3 * j]
+        poc0, poc1 = 6 * (j - 1), 6 * j
+        rbsp, pstats = _p_slice_rbsp(
+            p_frame, prev_ref, j, p_candidates or [(0, 0)],
+            poc_lsb=poc1,
+        )
+        nals.append(_nal(1, rbsp, ref_idc=2))
+        stats_list.append(pstats)
+        for bi_idx in (1, 2):  # display indices 3j-2, 3j-1
+            b_frame = frames_yuv[3 * j - 3 + bi_idx]
+            curr_poc = poc0 + 2 * bi_idx
+            rbsp, bstats = _b_slice_rbsp(
+                b_frame, prev_ref, p_frame, j + 1, curr_poc,
+                l0_candidates, l1_candidates, bi_candidates,
+                implicit_pocs=(curr_poc, poc0, poc1),
+            )
+            nals.append(_nal(1, rbsp, ref_idc=0))
+            stats_list.append(bstats)
         prev_ref = p_frame  # every P mode is exact → rec == src
     return nals, stats_list
 
@@ -3124,11 +3217,9 @@ def h264_decode_gop(
                             ocb_ = ocr_ = 0
                         lsts.append((wy_, oy_, wcb_, ocb_, wcr_, ocr_))
                     wpb = (luma_ld, chroma_ld, lsts[0], lsts[1])
-                elif pps["weighted_bipred"] == 2:
-                    raise NotImplementedError(
-                        "implicit weighted bi-prediction "
-                        "(weighted_bipred_idc 2, POC-distance weights)"
-                    )
+                # idc 2 (implicit): weights derive from POC distances
+                # once the reference pair is selected below — no
+                # pred_weight_table to parse
             nal_ref_idc = (nal[0] >> 5) & 0x3
             if ntype == 5:
                 br.u(1); br.u(1)  # dec_ref_pic_marking (IDR form)
@@ -3272,6 +3363,13 @@ def h264_decode_gop(
                     )
                 r0y, r0cb, r0cr = past[1]
                 r1y, r1cb, r1cr = fut[1]
+                wbi = None
+                if pps["weighted_bipred"] == 2:
+                    # implicit mode (§8.4.2.3.1): POC-distance
+                    # weights, re-derived — never signalled; one-list
+                    # predictions stay unweighted
+                    wbi = _implicit_bi_weights(key, past[0], fut[0])
+                    stats["wbi_w0"], stats["wbi_w1"] = wbi
                 ms0 = _MotionState(mbh, mbw)
                 ms1 = _MotionState(mbh, mbw)
             pending_skips = 0
@@ -3362,11 +3460,20 @@ def h264_decode_gop(
                         if use_l0 and use_l1:
                             # bi-prediction (§8.4.2.3.2): the rounded
                             # mean at weighted_bipred_idc 0, the
-                            # explicit eq. 8-272 weighting at idc 1
-                            outp = tuple(
-                                q.astype(np.int64)
-                                for q in _wpb_bi(p0, p1, wpb)
-                            )
+                            # explicit eq. 8-272 weighting at idc 1,
+                            # POC-distance implicit weights at idc 2
+                            if wbi is not None:
+                                outp = tuple(
+                                    _wpb_bi_plane(
+                                        a, b, wbi[0], wbi[1], 0, 0, 5
+                                    ).astype(np.int64)
+                                    for a, b in zip(p0, p1)
+                                )
+                            else:
+                                outp = tuple(
+                                    q.astype(np.int64)
+                                    for q in _wpb_bi(p0, p1, wpb)
+                                )
                             stats["bbi"] += 1
                         elif use_l0:
                             outp = tuple(

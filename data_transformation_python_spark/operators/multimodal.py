@@ -5251,6 +5251,186 @@ def h264wb_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264WB_META_SCHEMA)
 
 
+H264WI_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("bl0_mbs", T.LongType()),
+        T.StructField("bbi_mbs", T.LongType()),
+        T.StructField("b_ipcm_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("early_w0", T.LongType()),
+        T.StructField("early_w1", T.LongType()),
+        T.StructField("late_w0", T.LongType()),
+        T.StructField("late_w1", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _write_h264wi(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one I(BB P)×2 GOP under IMPLICIT weighted
+    bi-prediction, md5 of the DISPLAY-order RGB frames).  TWO
+    non-reference B pictures sit unevenly between each reference pair
+    (POC 2 and 4 of a 0..6 span), so the §8.4.2.3.1 POC-distance
+    ladder derives genuinely asymmetric weights — (43, 21) for the
+    early B, (22, 42) for the late one — that the decoder must
+    re-derive from POC alone (nothing is signalled).  Per group:
+
+    - early B: the implicit-weighted mix of two NON-composing
+      one-sided predictions (forward 1 pan unit vs backward 1 from
+      the future = 2 units — pointwise distinct on the texture, so
+      no single-list candidate can shadow the mix) → all B_Bi,
+    - late B: a plain 2-unit pan with ONE re-textured macroblock —
+      implicit mode leaves one-list predictions UNWEIGHTED, so this
+      decodes (mbs − 1)·B_L0 + 1·I_PCM through the plain-copy path.
+
+    Every mode is lossless; the census and the derived weight pairs
+    replay as constants in the SQL twin."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _implicit_bi_weights,
+        _wpb_bi_plane,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_bimp,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, nmv = (mvx, mvy), (-mvx, -mvy)
+    two, three = (2 * mvx, 2 * mvy), (3 * mvx, 3 * mvy)
+    mb_w, mb_h = w // 16, h // 16
+    f0 = _h264wp_frame0(doc_id, w, h)
+    frames = [f0]
+    prev = f0
+    ew0, ew1 = _implicit_bi_weights(2, 0, 6)  # early-B derivation
+    for j in range(2):
+        pfr = mc_shift_planes(*prev, three)
+        p0 = mc_shift_planes(*prev, mv)
+        p1 = mc_shift_planes(*pfr, nmv)
+        b1 = tuple(
+            _wpb_bi_plane(a, b, ew0, ew1, 0, 0, 5)
+            for a, b in zip(p0, p1)
+        )
+        b2 = [pl.copy() for pl in mc_shift_planes(*prev, two)]
+        pmx, pmy = doc_id % mb_w, doc_id % mb_h
+        xs = np.arange(16, dtype=np.int64)[None, :]
+        ys = np.arange(16, dtype=np.int64)[:, None]
+        b2[0][pmy * 16 : pmy * 16 + 16, pmx * 16 : pmx * 16 + 16] = (
+            (doc_id * 11 + j * 41 + xs * 19 + ys * 23) % 256
+        ).astype(np.uint8)
+        b2 = tuple(b2)
+        frames.extend([b1, b2, pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_bimp(
+        frames, w, h,
+        l0_candidates=[mv, two],
+        l1_candidates=[nmv],
+        bi_candidates=[(mv, nmv)],
+        p_candidates=[three],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264wi_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach an implicit-weighted I(BBP)×2 H.264 stream per row,
+    plus the display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264wi(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264wi_metadata(df: DataFrame) -> DataFrame:
+    """Decode the implicit-weighted GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (the POC-distance weight derivation — tb/td
+    clipping, tx, DistScaleFactor — must land on the encoder's exact
+    integers for every bi-predicted block, with NOTHING signalled in
+    the bitstream), the census, and the per-position derived weight
+    pairs (early B (43, 21), late B (22, 42)) as decoder-echoed
+    constants."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264WI_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 9, "unexpected NAL count"  # 2+I+2*3
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                # display order: B(poc 2|8) early, B(poc 4|10) late
+                early = {(s["wbi_w0"], s["wbi_w1"])
+                         for i, s in enumerate(bst) if i % 2 == 0}
+                late = {(s["wbi_w0"], s["wbi_w1"])
+                        for i, s in enumerate(bst) if i % 2 == 1}
+                assert len(early) == 1 and len(late) == 1
+                (ew0, ew1), (lw0, lw1) = next(iter(early)), next(iter(late))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["bl0_mbs"].append(sum(s["bl0"] for s in bst))
+                out["bbi_mbs"].append(sum(s["bbi"] for s in bst))
+                out["b_ipcm_mbs"].append(sum(s["ipcm"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["early_w0"].append(ew0)
+                out["early_w1"].append(ew1)
+                out["late_w0"].append(lw0)
+                out["late_w1"].append(lw1)
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264WI_META_SCHEMA)
+
+
 H264MS_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

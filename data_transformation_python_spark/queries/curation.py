@@ -2726,6 +2726,65 @@ def multimodal_h264wb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# H.264 IMPLICIT weighted bi-prediction (weighted_bipred_idc 2): the
+# §8.4.2.3.1 POC-distance weight ladder, exercised by UNEVEN B
+# placement (I BB P groups); weights are decoder-derived constants
+# --------------------------------------------------------------------------
+_H264WI_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+m AS (
+  SELECT doc_id, mbw, mbh, mbw * mbh AS mbs,
+         mbw + mbh - 1 AS strip
+  FROM g)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(7 AS BIGINT) AS n_frames,
+       CAST(7 * mbs AS BIGINT) AS mb_count,
+       CAST(2 * (mbs - 1) AS BIGINT) AS bl0_mbs,
+       CAST(2 * mbs AS BIGINT) AS bbi_mbs,
+       CAST(2 AS BIGINT) AS b_ipcm_mbs,
+       CAST(2 * strip AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - strip) AS BIGINT) AS skip_mbs,
+       CAST(43 AS BIGINT) AS early_w0,
+       CAST(21 AS BIGINT) AS early_w1,
+       CAST(22 AS BIGINT) AS late_w0,
+       CAST(42 AS BIGINT) AS late_w1,
+       TRUE AS roundtrip_exact
+FROM m
+"""
+
+
+@query("multimodal_h264wi_meta", oracle=_H264WI_ORACLE)
+def multimodal_h264wi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPLICIT weighted bi-prediction (round 11,
+    operators/h264_codec.py h264_encode_gop_bimp / h264_decode_gop —
+    the fourth spec rung closed this round, emptying the weighted-
+    prediction family): weighted_bipred_idc 2 derives bi-prediction
+    weights from PICTURE ORDER COUNT DISTANCES alone — the §8.4.2.3.1
+    ladder (tb/td clipped to ±128, tx = (16384 + |td/2|)/td,
+    DistScaleFactor = (tb·tx + 32) >> 6, w1 = DSF >> 2, w0 = 64 − w1,
+    degenerate cases falling back to the 32/32 default mean) — with
+    NOTHING signalled in the bitstream.  The I(BB P)×2 GOP places two
+    B pictures UNEVENLY between their references (POC 2 and 4 of a
+    0..6 span), forcing asymmetric weights (43, 21)/(22, 42) that an
+    equidistant GOP could never distinguish from the default mean
+    (its derivation lands exactly on 32/32 — test-pinned).  One-list
+    predictions stay unweighted (implicit touches only bi blocks) —
+    the late-B pan decodes through the plain-copy path.  Every mode
+    is lossless: ``roundtrip_exact`` pins the derivation bit-for-bit,
+    census and derived weights replay as pure geometry/constants."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264wi_metadata(mm.synth_h264wi_table(docs))
+
+
+# --------------------------------------------------------------------------
 # H.264 multi-slice pictures (§7.4.3 first_mb_in_slice, §7.2
 # more_rbsp_data slice-end detection, §6.4.9 cross-slice neighbour
 # unavailability) composed with weighted prediction: the census is

@@ -1825,13 +1825,72 @@ class TestWeightedBiPrediction:
             assert np.array_equal(a, b)
         assert [s["bl0"] for s in st_w] == [s["bl0"] for s in st_p]
 
-    def test_implicit_bipred_rejected(self):
-        """weighted_bipred_idc 2 (implicit POC-distance weights) must
-        fail loudly."""
-        import pytest
+    def test_implicit_equidistant_equals_default_mean(self):
+        """§8.4.2.3.1: an EQUIDISTANT B picture derives exactly
+        (32, 32), so flipping an unweighted IBPBP stream's PPS to
+        weighted_bipred_idc 2 decodes bit-identically — the implicit
+        ladder (tb/td clip, tx, DistScaleFactor) lands on the default
+        mean, not near it."""
+        import numpy as np
 
-        nals, _rec, _dims = self._fixture(2)
-        bad = list(nals)
-        bad[1] = hc._nal(8, hc._pps_rbsp(weighted_bipred_idc=2))
-        with pytest.raises(NotImplementedError, match="implicit"):
-            hc.h264_decode_gop(bad)
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        payload, _rec = mm._write_h264b(4)  # unweighted IBPBP twin
+        nals = hc.split_annexb(payload)
+        imp = list(nals)
+        imp[1] = hc._nal(8, hc._pps_rbsp(weighted_bipred_idc=2))
+        d0, s0 = hc.h264_decode_gop(nals)
+        d2, s2 = hc.h264_decode_gop(imp)
+        for a, b in zip(d0, d2):
+            assert np.array_equal(a, b)
+        assert all(s.get("wbi_w0") == 32 and s.get("wbi_w1") == 32
+                   for s in s2 if s["is_b"])
+        assert hc._implicit_bi_weights(2, 0, 4) == (32, 32)
+
+
+class TestImplicitBiPrediction:
+    """Implicit weighted bi-prediction (weighted_bipred_idc 2): the
+    §8.4.2.3.1 POC-distance ladder, nothing signalled."""
+
+    def test_weight_ladder(self):
+        # uneven I(BB)P span 0..6: early/late B
+        assert hc._implicit_bi_weights(2, 0, 6) == (43, 21)
+        assert hc._implicit_bi_weights(4, 0, 6) == (22, 42)
+        # equidistant → exactly the default mean weights
+        assert hc._implicit_bi_weights(2, 0, 4) == (32, 32)
+        # degenerate: identical POCs → default
+        assert hc._implicit_bi_weights(3, 5, 5) == (32, 32)
+
+    def test_ibbp_gop_roundtrip_census_and_derived_weights(self):
+        import hashlib
+
+        import numpy as np
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        doc = 1
+        w, h, _mvx, _mvy = mm._h264b_dims(doc)
+        payload, rec = mm._write_h264wi(doc)
+        nals = hc.split_annexb(payload)
+        frames, stats = hc.h264_decode_gop(nals)
+        md5 = hashlib.md5()
+        for fr in frames:
+            md5.update(fr.tobytes())
+        assert md5.hexdigest() == rec
+        mbs = (w // 16) * (h // 16)
+        bst = [s for s in stats if s["is_b"]]
+        # early Bs: all B_Bi under (43,21); late Bs: plain-copy L0 +
+        # one I_PCM (implicit leaves one-list prediction unweighted)
+        assert [(s["bbi"], s["bl0"], s["ipcm"]) for s in bst] == [
+            (mbs, 0, 0), (0, mbs - 1, 1),
+            (mbs, 0, 0), (0, mbs - 1, 1),
+        ]
+        assert [(s["wbi_w0"], s["wbi_w1"]) for s in bst] == [
+            (43, 21), (22, 42), (43, 21), (22, 42),
+        ]
+        # display-order POC reordering held for the 7-frame GOP
+        assert len(frames) == 7
