@@ -2090,6 +2090,126 @@ def _implicit_bi_weights(curr_poc: int, poc0: int, poc1: int) -> tuple:
     return (64 - w1, w1)
 
 
+def _spatial_direct(ms0, ms1, mx: int, my: int, col):
+    """Spatial direct motion derivation for one B macroblock
+    (§8.4.1.2.2, direct_spatial_mv_pred_flag 1, all refIdx in
+    {0, −1}):
+
+    - per list, refIdxLX = MinPositive over neighbours A/B/C (C
+      falling back to D), i.e. 0 iff ANY neighbour predicts from
+      that list;
+    - both lists empty → directZeroPredictionFlag: bi-predict both
+      lists at refIdx 0 / mv 0;
+    - otherwise each used list takes its §8.4.1.3 16x16 median, and
+      per 8x8 sub-block (direct_8x8_inference_flag 1: the colocated
+      CORNER 4x4 of the macroblock) the colZeroFlag — colocated
+      block in RefPicList1[0] is inter with refIdx 0 and |mv| ≤ 1
+      quarter-pel in both components — zeroes that block's mv.
+
+    ``col`` is (mv_grid, inter_grid) of the colocated reference (or
+    None, treated as intra everywhere).  Returns (use0, use1,
+    blocks) with blocks = four per-8x8 (mv0, mv1) pairs in raster
+    order."""
+    def _ref_used(ms) -> bool:
+        a = ms.nbr(mx * 4 - 1, my * 4)
+        b = ms.nbr(mx * 4, my * 4 - 1)
+        c = ms.nbr(mx * 4 + 4, my * 4 - 1)
+        if c is None:
+            c = ms.nbr(mx * 4 - 1, my * 4 - 1)
+        return any(t is not None and t[2] == 0 for t in (a, b, c))
+
+    use0, use1 = _ref_used(ms0), _ref_used(ms1)
+    if not use0 and not use1:
+        # directZeroPredictionFlag: both lists, zero motion
+        return True, True, [((0, 0), (0, 0))] * 4
+    mv0 = _mvp_16x16(ms0, mx, my) if use0 else None
+    mv1 = _mvp_16x16(ms1, mx, my) if use1 else None
+    blocks = []
+    for sy in (0, 1):
+        for sx in (0, 1):
+            cz = False
+            if col is not None:
+                cy, cx = my * 4 + 3 * sy, mx * 4 + 3 * sx
+                col_mv, col_inter = col
+                cz = (
+                    bool(col_inter[cy, cx])
+                    and abs(int(col_mv[cy, cx, 0])) <= 1
+                    and abs(int(col_mv[cy, cx, 1])) <= 1
+                )
+            blocks.append((
+                (0, 0) if (use0 and cz) else mv0,
+                (0, 0) if (use1 and cz) else mv1,
+            ))
+    return use0, use1, blocks
+
+
+def _direct_mb_pred(
+    ref0: tuple, ref1: tuple, mx: int, my: int,
+    use0: bool, use1: bool, blocks: list,
+    wpb: tuple | None = None, wbi: tuple | None = None,
+) -> tuple:
+    """Reconstruct one spatial-direct B macroblock from its
+    _spatial_direct derivation: per 8x8 sub-block, MC from each used
+    list at that block's (possibly colZero'd) vector, combined by
+    one-list copy / rounded mean / explicit eq. 8-272 (``wpb``) /
+    implicit POC weights (``wbi``) — shared verbatim by the encoder's
+    lossless-mode check and the decoder's reconstruction."""
+    y_out = np.empty((16, 16), np.uint8)
+    cb_out = np.empty((8, 8), np.uint8)
+    cr_out = np.empty((8, 8), np.uint8)
+    for bi_idx, (bmv0, bmv1) in enumerate(blocks):
+        sx, sy = bi_idx % 2, bi_idx // 2
+        lx, ly = mx * 16 + sx * 8, my * 16 + sy * 8
+        cx, cy = mx * 8 + sx * 4, my * 8 + sy * 4
+        p0 = p1 = None
+        if use0:
+            p0 = (
+                _interp_luma_block(ref0[0], lx, ly, 8, 8, *bmv0),
+                _interp_chroma_block(ref0[1], cx, cy, 4, 4, *bmv0),
+                _interp_chroma_block(ref0[2], cx, cy, 4, 4, *bmv0),
+            )
+        if use1:
+            p1 = (
+                _interp_luma_block(ref1[0], lx, ly, 8, 8, *bmv1),
+                _interp_chroma_block(ref1[1], cx, cy, 4, 4, *bmv1),
+                _interp_chroma_block(ref1[2], cx, cy, 4, 4, *bmv1),
+            )
+        if use0 and use1:
+            if wbi is not None:
+                blk = tuple(
+                    _wpb_bi_plane(a, b, wbi[0], wbi[1], 0, 0, 5)
+                    for a, b in zip(p0, p1)
+                )
+            else:
+                blk = _wpb_bi(p0, p1, wpb)
+        elif use0:
+            blk = _wpb_single(p0, wpb, 0)
+        else:
+            blk = _wpb_single(p1, wpb, 1)
+        y_out[sy * 8 : sy * 8 + 8, sx * 8 : sx * 8 + 8] = blk[0]
+        cb_out[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = blk[1]
+        cr_out[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = blk[2]
+    return y_out, cb_out, cr_out
+
+
+def _direct_update_ms(ms0, ms1, mx: int, my: int,
+                      use0: bool, use1: bool, blocks: list) -> None:
+    """Feed a direct macroblock's derived per-8x8 motion back into
+    the two list motion states (an unused list contributes
+    refIdx −1, like intra) — later §8.4.1.3 derivations see it."""
+    for bi_idx, (bmv0, bmv1) in enumerate(blocks):
+        sx, sy = bi_idx % 2, bi_idx // 2
+        bx0, by0 = mx * 4 + sx * 2, my * 4 + sy * 2
+        if use0:
+            ms0.set_part(bx0, by0, 2, 2, bmv0)
+        else:
+            ms0.set_part(bx0, by0, 2, 2, (0, 0), inter=False)
+        if use1:
+            ms1.set_part(bx0, by0, 2, 2, bmv1)
+        else:
+            ms1.set_part(bx0, by0, 2, 2, (0, 0), inter=False)
+
+
 #: partition geometry per kind: (luma (x_off, y_off, w, h),
 #: chroma (x_off, y_off, w, h)) for each of the two partitions
 _PART_GEOM = {
@@ -2741,7 +2861,8 @@ def h264_encode_gop_p_ms(
 
 def _stats_zero(**flags) -> dict:
     s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
-         "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "ipcm": 0, "i16": 0,
+         "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "bskip": 0,
+         "bdir": 0, "ipcm": 0, "i16": 0,
          "is_p": False, "is_b": False, "n_slices": 1}
     s.update(flags)
     return s
@@ -2752,11 +2873,21 @@ def _b_slice_rbsp(
     l0_candidates: list, l1_candidates: list, bi_candidates: list,
     wpb: tuple | None = None,
     implicit_pocs: tuple | None = None,
+    direct: bool = False,
+    direct_col: tuple | None = None,
+    direct_as_coded: bool = False,
 ) -> tuple[bytes, dict]:
     """One B slice covering the whole picture (Table 7-14 subset).
     Per macroblock, in raster order, the encoder takes the first
     LOSSLESS mode:
 
+    0. B_Skip (``direct=True``) — when the §8.4.1.2.2 SPATIAL DIRECT
+       derivation (refIdx MinPositive over neighbours, per-list
+       16x16 medians, per-8x8 colZeroFlag against ``direct_col`` =
+       the colocated L1 reference's (mv, inter) grids) reproduces
+       the source exactly; run-length coded via ``mb_skip_run``, or
+       written as explicit B_Direct_16x16 + cbp 0 macroblocks when
+       ``direct_as_coded`` (bit-different, decode-identical),
     1. B_L0_16x16 (mb_type 1) — the first ``l0_candidates`` vector
        whose MC copy from the PAST reference matches exactly,
     2. B_L1_16x16 (mb_type 2) — same against the FUTURE reference,
@@ -2848,10 +2979,36 @@ def _b_slice_rbsp(
             )
         return _wpb_bi(p0, p1, wpb)
 
+    wbi_enc = (
+        _implicit_bi_weights(*implicit_pocs)
+        if implicit_pocs is not None else None
+    )
+    skip_run = 0
     for idx in range(mbh * mbw):
         my, mx = divmod(idx, mbw)
         s = _src_mb(mx, my)
-        bw.ue(0)  # mb_skip_run: never B_Skip (direct-mode derivation)
+        if direct:
+            use0, use1, blocks = _spatial_direct(
+                ms0, ms1, mx, my, direct_col
+            )
+            pred = _direct_mb_pred(
+                ref0, ref1, mx, my, use0, use1, blocks,
+                wpb=wpb, wbi=wbi_enc,
+            )
+            if all(np.array_equal(a, b) for a, b in zip(pred, s)):
+                if direct_as_coded:
+                    bw.ue(skip_run)
+                    skip_run = 0
+                    bw.ue(0)  # mb_type B_Direct_16x16 (Table 7-14)
+                    bw.ue(0)  # coded_block_pattern: cbp 0
+                    stats["bdir"] += 1
+                else:
+                    skip_run += 1
+                    stats["bskip"] += 1
+                _direct_update_ms(ms0, ms1, mx, my, use0, use1, blocks)
+                continue
+        bw.ue(skip_run)  # mb_skip_run before every coded MB
+        skip_run = 0
         hit0 = next(
             (
                 mv for mv in l0_candidates
@@ -2936,6 +3093,8 @@ def _b_slice_rbsp(
         ms0.set_intra(mx, my)
         ms1.set_intra(mx, my)
         stats["ipcm"] += 1
+    if skip_run:
+        bw.ue(skip_run)  # trailing run when the picture ends in skips
     bw.rbsp_trailing()
     return bw.tobytes(), stats
 
@@ -2945,6 +3104,8 @@ def h264_encode_gop_b(
     l0_candidates: list, l1_candidates: list, bi_candidates: list,
     p_candidates: list | None = None,
     wpb: tuple | None = None,
+    direct: bool = False,
+    direct_as_coded: bool = False,
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a hierarchical-free IBPBP GOP with NON-REFERENCE B
     pictures: display order [I, B, P, B, P, ...] (``frames_yuv`` in
@@ -2984,18 +3145,26 @@ def h264_encode_gop_b(
         _stats_zero(ipcm=(y0.shape[0] // 16) * (y0.shape[1] // 16))
     ]
     prev_ref = frames_yuv[0]
+    mbh_, mbw_ = y0.shape[0] // 16, y0.shape[1] // 16
     for j in range(1, (len(frames_yuv) + 1) // 2):
         p_frame = frames_yuv[2 * j]
         b_frame = frames_yuv[2 * j - 1]
+        ms_p = _MotionState(mbh_, mbw_)
         rbsp, pstats = _p_slice_rbsp(
             p_frame, prev_ref, j, p_candidates or [(0, 0)],
-            poc_lsb=4 * j,
+            poc_lsb=4 * j, ms=ms_p,
         )
         nals.append(_nal(1, rbsp, ref_idc=2))
         stats_list.append(pstats)
+        # colocated motion of RefPicList1[0] (this P) for the B's
+        # §8.4.1.2.2 colZeroFlag — identical to what the decoder
+        # stores into its DPB
+        col = (ms_p.mv.copy(), (ms_p.inter & ms_p.avail).copy())
         rbsp, bstats = _b_slice_rbsp(
             b_frame, prev_ref, p_frame, j + 1, 4 * j - 2,
             l0_candidates, l1_candidates, bi_candidates, wpb=wpb,
+            direct=direct, direct_col=col,
+            direct_as_coded=direct_as_coded,
         )
         nals.append(_nal(1, rbsp, ref_idc=0))
         stats_list.append(bstats)
@@ -3185,7 +3354,11 @@ def h264_decode_gop(
                     wp = (luma_ld, wy, oy, chroma_ld,
                           wcb, ocb, wcr, ocr)
             if is_b:
-                br.u(1)  # direct_spatial_mv_pred_flag (no direct MBs)
+                if not br.u(1):  # direct_spatial_mv_pred_flag
+                    raise NotImplementedError(
+                        "temporal direct mode (direct_spatial_mv_"
+                        "pred_flag 0 — co-located MV scaling)"
+                    )
                 if br.u(1):  # num_ref_idx_active_override_flag
                     raise NotImplementedError(
                         "num_ref_idx_active override (one ref per list)"
@@ -3363,6 +3536,7 @@ def h264_decode_gop(
                     )
                 r0y, r0cb, r0cr = past[1]
                 r1y, r1cb, r1cr = fut[1]
+                col_fut = fut[2]  # colocated motion (RefPicList1[0])
                 wbi = None
                 if pps["weighted_bipred"] == 2:
                     # implicit mode (§8.4.2.3.1): POC-distance
@@ -3382,10 +3556,29 @@ def h264_decode_gop(
                         break  # slice ends after a coded macroblock
                     pending_skips = br.ue()
                     need_run = False
-                    if is_b and pending_skips:
-                        raise NotImplementedError(
-                            "B_Skip (direct-mode MV derivation)"
-                        )
+                if pending_skips > 0 and is_b:
+                    # B_Skip (§8.4.1.2.2 spatial direct): derive the
+                    # per-list refIdx/medians + per-8x8 colZeroFlag
+                    # against the colocated L1 reference and
+                    # reconstruct; derived motion feeds later medians
+                    pending_skips -= 1
+                    use0, use1, blocks = _spatial_direct(
+                        ms0, ms1, mx, my, col_fut
+                    )
+                    sy_, scb_, scr_ = _direct_mb_pred(
+                        (r0y, r0cb, r0cr), (r1y, r1cb, r1cr),
+                        mx, my, use0, use1, blocks,
+                        wpb=wpb, wbi=wbi,
+                    )
+                    y[my * 16 : my * 16 + 16,
+                      mx * 16 : mx * 16 + 16] = sy_
+                    cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = scb_
+                    cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = scr_
+                    _direct_update_ms(ms0, ms1, mx, my,
+                                      use0, use1, blocks)
+                    stats["bskip"] += 1
+                    addr += 1
+                    continue
                 if pending_skips > 0:
                     pending_skips -= 1
                     mv = _pskip_mv(ms, mx, my)
@@ -3412,10 +3605,37 @@ def h264_decode_gop(
                 if is_b:
                     need_run = True
                     if mb_type == 0:
-                        raise NotImplementedError(
-                            "B_Direct_16x16 (co-located MV "
-                            "derivation)"
+                        # B_Direct_16x16 (Table 7-14): same spatial
+                        # derivation as B_Skip, plus a coded_block_
+                        # pattern (residuals stay out of scope)
+                        cbp_i = _CBP_INTER_DEC.get(br.ue())
+                        if cbp_i is None:
+                            raise NotImplementedError(
+                                "coded_block_pattern beyond the "
+                                "transcribed Table 9-4 Inter prefix"
+                            )
+                        if cbp_i != 0:
+                            raise NotImplementedError(
+                                "inter residuals on B_Direct_16x16"
+                            )
+                        use0, use1, blocks = _spatial_direct(
+                            ms0, ms1, mx, my, col_fut
                         )
+                        sy_, scb_, scr_ = _direct_mb_pred(
+                            (r0y, r0cb, r0cr), (r1y, r1cb, r1cr),
+                            mx, my, use0, use1, blocks,
+                            wpb=wpb, wbi=wbi,
+                        )
+                        y[my * 16 : my * 16 + 16,
+                          mx * 16 : mx * 16 + 16] = sy_
+                        cb[my * 8 : my * 8 + 8,
+                           mx * 8 : mx * 8 + 8] = scb_
+                        cr[my * 8 : my * 8 + 8,
+                           mx * 8 : mx * 8 + 8] = scr_
+                        _direct_update_ms(ms0, ms1, mx, my,
+                                          use0, use1, blocks)
+                        stats["bdir"] += 1
+                        continue
                     if mb_type in (1, 2, 3):
                         # B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
                         # (Table 7-14); each list keeps its own
@@ -3966,8 +4186,14 @@ def h264_decode_gop(
             cr = cr.astype(np.uint8)
             if nal_ref_idc:
                 # sliding-window marking (§8.2.5.3): only REFERENCE
-                # pictures enter the DPB, trimmed to the SPS window
-                ref_dpb.append((key, (y, cb, cr)))
+                # pictures enter the DPB, trimmed to the SPS window;
+                # each entry keeps its MOTION FIELD too — the
+                # colocated source for §8.4.1.2.2 spatial-direct
+                # colZeroFlag derivation in later B pictures
+                ref_dpb.append((
+                    key, (y, cb, cr),
+                    (ms.mv.copy(), (ms.inter & ms.avail).copy()),
+                ))
                 del ref_dpb[: -max(1, sps["max_ref"])]
             w, h = sps["w"], sps["h"]
             frames.append(

@@ -5431,6 +5431,168 @@ def h264wi_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264WI_META_SCHEMA)
 
 
+H264BD_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("bskip_mbs", T.LongType()),
+        T.StructField("bl0_mbs", T.LongType()),
+        T.StructField("bl1_mbs", T.LongType()),
+        T.StructField("b_ipcm_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _write_h264bd(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IBPBP GOP whose B pictures are almost
+    entirely B_Skip, md5 of the DISPLAY-order RGB frames).  Each B
+    picture SEEDS one corner macroblock with a coded one-list mode,
+    and every later macroblock rides the §8.4.1.2.2 SPATIAL DIRECT
+    derivation: refIdx MinPositive over neighbours picks up the
+    seed's list, the per-list 16x16 median propagates its vector,
+    and the per-8x8 colZeroFlag consults the COLOCATED P picture's
+    stored motion field (a pan — never near-zero, so no zeroing
+    fires; the degenerate first macroblock exercises
+    directZeroPrediction and never matches pan content).  Flavors
+    cycle on (doc_id + i) % 2:
+
+    - 0: L0 midpoint pan (+ one re-textured macroblock on two-row
+      pictures → I_PCM island inside the skip field) → 1·B_L0 seed,
+      rest B_Skip,
+    - 1: content built from the FUTURE → 1·B_L1 seed, rest B_Skip
+      deriving a one-list L1 direct prediction.
+
+    Every mode is lossless; the census is pure geometry."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    mb_w, mb_h = w // 16, h // 16
+    f0 = _h264wp_frame0(doc_id, w, h)
+    frames = [f0]
+    prev = f0
+    for i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        if (doc_id + i) % 2 == 0:
+            b = [pl.copy() for pl in mc_shift_planes(*prev, mv)]
+            if mb_h == 2:
+                pmx = doc_id % mb_w
+                xs = np.arange(16, dtype=np.int64)[None, :]
+                ys = np.arange(16, dtype=np.int64)[:, None]
+                b[0][16:32, pmx * 16 : pmx * 16 + 16] = (
+                    (doc_id * 11 + i * 41 + xs * 19 + ys * 23) % 256
+                ).astype(np.uint8)
+            b = tuple(b)
+        else:
+            b = mc_shift_planes(*pfr, neg)
+        frames.extend([b, pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[mv],
+        l1_candidates=[neg],
+        bi_candidates=[(mv, neg)],
+        p_candidates=[two],
+        direct=True,
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264bd_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a B_Skip/spatial-direct H.264 GOP per row, plus the
+    display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264bd(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264bd_metadata(df: DataFrame) -> DataFrame:
+    """Decode the B_Skip GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (the spatial-direct derivation — MinPositive
+    refIdx selection, per-list medians, per-8x8 colZeroFlag against
+    the DPB-stored colocated motion field, skip-run machinery, and
+    POC reordering — reproduces the display sequence bit-for-bit)
+    and the seed/skip census as pure geometry."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264BD_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["bskip_mbs"].append(sum(s["bskip"] for s in bst))
+                out["bl0_mbs"].append(sum(s["bl0"] for s in bst))
+                out["bl1_mbs"].append(sum(s["bl1"] for s in bst))
+                out["b_ipcm_mbs"].append(sum(s["ipcm"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264BD_META_SCHEMA)
+
+
 H264MS_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -123,6 +123,7 @@ def _register_all() -> None:
 # order.
 _PRIORITY: list[str] = [
     # (1) new in round 11 — never driver-checked
+    "multimodal_h264bd_meta",
     "multimodal_h264wi_meta",
     "multimodal_h264wb_meta",
     "multimodal_h264ms_meta",

@@ -2726,6 +2726,68 @@ def multimodal_h264wb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# H.264 B_Skip / B_Direct_16x16 via §8.4.1.2.2 spatial direct
+# derivation (refIdx MinPositive, per-list medians, colZeroFlag on
+# the DPB-stored colocated motion field): seed/skip census is pure
+# geometry
+# --------------------------------------------------------------------------
+_H264BD_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+m AS (
+  SELECT doc_id, mbw, mbh, mbw * mbh AS mbs,
+         mbw + mbh - 1 AS strip,
+         CASE WHEN mbh = 2 THEN 1 ELSE 0 END AS retex
+  FROM g)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST(2 * mbs - 2 - retex AS BIGINT) AS bskip_mbs,
+       CAST(1 AS BIGINT) AS bl0_mbs,
+       CAST(1 AS BIGINT) AS bl1_mbs,
+       CAST(retex AS BIGINT) AS b_ipcm_mbs,
+       CAST(2 * strip AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - strip) AS BIGINT) AS skip_mbs,
+       TRUE AS roundtrip_exact
+FROM m
+"""
+
+
+@query("multimodal_h264bd_meta", oracle=_H264BD_ORACLE)
+def multimodal_h264bd_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B_Skip / B_Direct_16x16 via SPATIAL DIRECT derivation
+    (round 11, operators/h264_codec.py _spatial_direct /
+    h264_encode_gop_b(direct=True) — the fifth spec rung closed this
+    round, finishing the Table 7-14 16x16 B-mode family): per
+    macroblock, refIdxL0/L1 = MinPositive over the A/B/C neighbours
+    (C falling back to D), each used list takes its §8.4.1.3 16x16
+    median, directZeroPrediction covers the no-neighbour corner, and
+    per 8x8 sub-block (direct_8x8_inference_flag) the colZeroFlag
+    consults the COLOCATED RefPicList1[0] picture's motion field —
+    which reference pictures now carry INTO THE DPB — zeroing
+    near-static motion (never firing here: the colocated pans at 16
+    quarter-pel, by construction).  B pictures seed ONE coded
+    macroblock and skip the rest: the derived motion propagates
+    through the median chain exactly as the encoder's shared
+    derivation predicted, run-length coded via mb_skip_run (the
+    explicit B_Direct_16x16 + cbp form decodes identically,
+    test-pinned).  Every mode stays lossless: ``roundtrip_exact``
+    pins the derivation bit-for-bit; the seed/skip census replays as
+    pure geometry.  TEMPORAL direct (direct_spatial_mv_pred_flag 0,
+    co-located MV scaling) and direct residuals stay honest
+    NotImplementedError."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264bd_metadata(mm.synth_h264bd_table(docs))
+
+
+# --------------------------------------------------------------------------
 # H.264 IMPLICIT weighted bi-prediction (weighted_bipred_idc 2): the
 # §8.4.2.3.1 POC-distance weight ladder, exercised by UNEVEN B
 # placement (I BB P groups); weights are decoder-derived constants

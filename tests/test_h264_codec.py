@@ -1357,9 +1357,9 @@ def test_b_direct_and_even_gop_rejected():
     frames, nals, _stats, np = _b_fixture()
     with pytest.raises(ValueError, match="odd display-frame count"):
         h264_encode_gop_b(frames[:4], 48, 32, [], [], [])
-    # rebuild the first B slice with a forbidden leading symbol and
-    # decode the full stream: the decoder's B_Skip / B_Direct guards
-    # must fire (NotImplementedError), never a silent mis-decode
+    # rebuild the first B slice with direct_spatial_mv_pred_flag 0:
+    # TEMPORAL direct (co-located MV scaling) is out of scope and
+    # must fail loudly, never silently mis-derive
     from data_transformation_python_spark.operators.h264_codec import (
         _EgReader,
         _EgWriter,
@@ -1375,34 +1375,23 @@ def test_b_direct_and_even_gop_rejected():
     frame_num = br.u(4)                   # log2_max_frame_num = 4
     poc_lsb = br.u(8)                     # log2_max_poc_lsb = 8
 
-    def _corrupt_b(*payload_syms):
-        # replay h264_encode_gop_b's exact B slice header (so the
-        # decoder reaches the MB loop with valid refs), then emit the
-        # forbidden leading symbols instead of the encoder's
-        # mb_skip_run 0 + mb_type
-        bw = _EgWriter()
-        bw.ue(0)                 # first_mb_in_slice
-        bw.ue(6)                 # slice_type B
-        bw.ue(0)                 # pic_parameter_set_id
-        bw.u(frame_num, 4)       # frame_num
-        bw.u(poc_lsb, 8)         # pic_order_cnt_lsb
-        bw.u(1, 1)               # direct_spatial_mv_pred_flag
-        bw.u(0, 1)               # num_ref_idx_active_override_flag
-        bw.u(0, 1)               # ref_pic_list_modification_flag_l0
-        bw.u(0, 1)               # ref_pic_list_modification_flag_l1
-        bw.se(0)                 # slice_qp_delta (nal_ref_idc 0)
-        bw.ue(1)                 # disable_deblocking_filter_idc
-        for v in payload_syms:
-            bw.ue(v)
-        bw.rbsp_trailing()
-        return _nal(1, bw.tobytes(), ref_idc=0)
-
+    bw = _EgWriter()
+    bw.ue(0)                 # first_mb_in_slice
+    bw.ue(6)                 # slice_type B
+    bw.ue(0)                 # pic_parameter_set_id
+    bw.u(frame_num, 4)       # frame_num
+    bw.u(poc_lsb, 8)         # pic_order_cnt_lsb
+    bw.u(0, 1)               # direct_spatial_mv_pred_flag: TEMPORAL
+    bw.u(0, 1)               # num_ref_idx_active_override_flag
+    bw.u(0, 1)               # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)               # ref_pic_list_modification_flag_l1
+    bw.se(0)                 # slice_qp_delta (nal_ref_idc 0)
+    bw.ue(1)                 # disable_deblocking_filter_idc
+    bw.ue(0)                 # mb_skip_run 0
+    bw.rbsp_trailing()
     bad = list(nals)
-    bad[4] = _corrupt_b(1)       # mb_skip_run 1 -> one B_Skip
-    with pytest.raises(NotImplementedError, match="B_Skip"):
-        h264_decode_gop(bad)
-    bad[4] = _corrupt_b(0, 0)    # run 0, mb_type 0 -> B_Direct_16x16
-    with pytest.raises(NotImplementedError, match="B_Direct"):
+    bad[4] = _nal(1, bw.tobytes(), ref_idc=0)
+    with pytest.raises(NotImplementedError, match="temporal direct"):
         h264_decode_gop(bad)
 
 
@@ -1894,3 +1883,89 @@ class TestImplicitBiPrediction:
         ]
         # display-order POC reordering held for the 7-frame GOP
         assert len(frames) == 7
+
+
+class TestBDirectSpatial:
+    """B_Skip / B_Direct_16x16 via §8.4.1.2.2 spatial direct: refIdx
+    MinPositive, per-list medians, colZeroFlag on the colocated
+    motion field reference pictures now carry into the DPB."""
+
+    @staticmethod
+    def _gop(doc=1, as_coded=False):
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        import numpy as np
+
+        w, h, mvx, mvy = mm._h264b_dims(doc)
+        mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+        f0 = mm._h264wp_frame0(doc, w, h)
+        pf1 = hc.mc_shift_planes(*f0, two)
+        b1 = hc.mc_shift_planes(*f0, mv)           # L0-seedable pan
+        pf2 = hc.mc_shift_planes(*pf1, two)
+        b2 = hc.mc_shift_planes(*pf2, neg)         # future-built
+        frames = [f0, b1, pf1, b2, pf2]
+        nals, stats = hc.h264_encode_gop_b(
+            frames, w, h, [mv], [neg], [(mv, neg)], [two],
+            direct=True, direct_as_coded=as_coded,
+        )
+        return frames, nals, stats, (w, h), np
+
+    def test_skip_field_propagates_seed_motion(self):
+        frames, nals, _enc, (w, h), np = self._gop(1)
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+        mbs = (w // 16) * (h // 16)
+        bst = [s for s in stats if s["is_b"]]
+        # one coded seed per B picture, everything else B_Skip
+        assert [(s["bl0"] + s["bl1"], s["bskip"]) for s in bst] == [
+            (1, mbs - 1), (1, mbs - 1)
+        ]
+        # the L1-flavor picture seeds B_L1 and skips ONE-LIST L1
+        # direct (use0 stays False through the median chain)
+        assert bst[1]["bl1"] == 1 and bst[1]["bl0"] == 0
+
+    def test_direct_coded_form_decodes_identically(self):
+        """B_Direct_16x16 + cbp 0 macroblocks (mb_type 0) are the
+        bit-different, decode-identical twin of the skip run."""
+        frames, nals_s, _e1, _dims, np = self._gop(2)
+        _f2, nals_c, _e2, _d2, _np = self._gop(2, as_coded=True)
+        assert nals_s != nals_c
+        dec_s, st_s = hc.h264_decode_gop(nals_s)
+        dec_c, st_c = hc.h264_decode_gop(nals_c)
+        for a, b in zip(dec_s, dec_c):
+            assert np.array_equal(a, b)
+        bs = [s for s in st_s if s["is_b"]]
+        bc = [s for s in st_c if s["is_b"]]
+        assert sum(s["bskip"] for s in bs) == sum(s["bdir"] for s in bc)
+        assert all(s["bskip"] == 0 for s in bc)
+
+    def test_col_zero_flag_zeroes_static_motion(self):
+        """A STATIC GOP (refs identical): seeds code zero-motion, the
+        colocated P is all-skip at derived mv 0 → colZeroFlag fires
+        and the direct field zeroes — reconstruction stays exact."""
+        import numpy as np
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        w, h = 48, 32
+        f0 = mm._h264wp_frame0(7, w, h)
+        frames = [f0, f0, f0, f0, f0]  # fully static IBPBP
+        nals, _ = hc.h264_encode_gop_b(
+            frames, w, h, [(0, 0)], [(0, 0)], [((0, 0), (0, 0))],
+            [(0, 0)], direct=True,
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr in dec:
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f0))
+        bst = [s for s in stats if s["is_b"]]
+        mbs = (w // 16) * (h // 16)
+        # static content: EVERY B macroblock skips (first MB hits
+        # directZeroPrediction, which matches static content)
+        assert [(s["bskip"], s["bl0"]) for s in bst] == [(mbs, 0)] * 2
+        pst = [s for s in stats if s["is_p"]]
+        assert all(s["skip"] == mbs for s in pst)  # colocated all-skip
