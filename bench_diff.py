@@ -38,6 +38,19 @@ import argparse
 import json
 import sys
 
+#: Entries whose optimized-plan TEXT is nondeterministic on identical
+#: code, so fingerprint drift there is never a plan regression.
+#: q_profile_orders: multiple exact countDistinct columns go through
+#: Catalyst's RewriteDistinctAggregates, which groups the distinct
+#: aggregates via a Scala HashMap keyed by expression trees — fresh
+#: exprIds each construction → the Expand/Aggregate KEY ORDER in the
+#: plan string varies per run (verified: three constructions in one
+#: session yield three fingerprints; the diff is only the grouping
+#: list order).  Semantically identical plans; excluded by name
+#: rather than over-normalizing bracketed lists, which would mask
+#: real key-set changes everywhere else.
+FP_UNSTABLE = {"q_profile_orders"}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -111,7 +124,8 @@ def main() -> int:
     over, nver = old.get("plan_fp_version"), new.get("plan_fp_version")
     fp_comparable = not (over and nver and over != nver)
     plan_changed = sorted(
-        n for n in set(ofp) & set(nfp) if ofp[n] != nfp[n]
+        n for n in set(ofp) & set(nfp)
+        if ofp[n] != nfp[n] and n not in FP_UNSTABLE
     ) if fp_comparable else []
     plan_changed_set = set(plan_changed)
 

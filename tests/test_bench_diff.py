@@ -161,3 +161,28 @@ def test_plan_fp_normalizer_tokens(token, expected):
     for pat, repl in bench._EPHEMERAL:
         s = pat.sub(repl, s)
     assert s == expected, (token, s)
+
+
+def test_fp_unstable_entries_never_read_as_plan_changes(tmp_path):
+    """q_profile_orders' optimized-plan TEXT is nondeterministic on
+    identical code (RewriteDistinctAggregates orders its Expand keys
+    through a HashMap over fresh exprIds), so a fingerprint flip
+    there must not be reported as a plan change nor raw-ratio gated —
+    while the same flip on any other entry still is."""
+    base = {
+        "queries": {"q_profile_orders": 1.0, "q_other": 1.0},
+        "calibration2": _cal(1.0),
+        "plan_fp_version": "v1",
+        "plan_fp": {"q_profile_orders": "aaaa", "q_other": "bbbb"},
+    }
+    new = {
+        "queries": {"q_profile_orders": 1.05, "q_other": 1.05},
+        "calibration2": _cal(1.0),
+        "plan_fp_version": "v1",
+        "plan_fp": {"q_profile_orders": "cccc", "q_other": "dddd"},
+    }
+    code, out = _run(tmp_path, base, new)
+    assert "q_other" in out.split("plan fingerprint changed")[1].split("\n")[0]
+    assert "q_profile_orders" not in out.split(
+        "plan fingerprint changed"
+    )[1].split("\n")[0]
