@@ -104,10 +104,13 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 11 head: (1) the four
-# brand-new never-checked gates — the hardened dirty-markup
-# extraction, the auto-routing kNN serve, the two-batch incremental
-# funnel, and the Gopher-target (non-distillation) trainer; (2) the
+# rotated STALEST-FIRST each round.  Round 11 head: (1) the
+# brand-new never-checked gates — the five H.264 rungs closed late in
+# the round (B_Skip/B_Direct spatial direct, implicit and explicit
+# weighted bi-prediction, multi-slice pictures, explicit weighted
+# prediction), the hardened dirty-markup extraction, the auto-routing
+# kNN serve, the two-batch incremental funnel, and the Gopher-target
+# (non-distillation) trainer; (2) the
 # gates whose CODE changed this round — the DSIR pair (denominator
 # overflow guard), the LR pair (symmetric class balance), the kNN
 # pair (top-k/vote tail factored out), and the extraction pair

@@ -1969,3 +1969,64 @@ class TestBDirectSpatial:
         assert [(s["bskip"], s["bl0"]) for s in bst] == [(mbs, 0)] * 2
         pst = [s for s in stats if s["is_p"]]
         assert all(s["skip"] == mbs for s in pst)  # colocated all-skip
+
+
+def test_b_direct_fuzz_roundtrip():
+    """Property-based: random GOP content (scene cuts, pans, partial
+    replenishment, occasionally STATIC pictures that drive
+    colZeroFlag and directZeroPrediction) through the direct-enabled
+    B encoder must stay bit-exact — the encoder only emits what its
+    shared derivation verified, so the invariant is that the
+    decoder's derivation chain (refIdx MinPositive, medians,
+    colocated lookups) lands on the same integers."""
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        mbw=st.integers(1, 3),
+        mbh=st.integers(1, 3),
+        as_coded=st.booleans(),
+    )
+    def run(seed, mbw, mbh, as_coded):
+        rng = np.random.default_rng(seed)
+        w, h = mbw * 16, mbh * 16
+        mv = (int(rng.integers(-1, 2)) * 8, int(rng.integers(-1, 2)) * 8)
+        neg = (-mv[0], -mv[1])
+        two = (2 * mv[0], 2 * mv[1])
+
+        def rnd():
+            return (
+                rng.integers(0, 256, (h, w), dtype=np.uint8),
+                rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+            )
+
+        f0 = rnd()
+        p1 = hc.mc_shift_planes(*f0, two)
+        p2 = hc.mc_shift_planes(*p1, two)
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            b1 = hc.mc_shift_planes(*f0, mv)     # L0-matchable pan
+        elif kind == 1:
+            b1 = hc.mc_shift_planes(*p1, neg)    # L1-matchable
+        else:
+            b1 = rnd()                           # scene cut → I_PCM
+        b2 = [pl.copy() for pl in hc.mc_shift_planes(*p1, mv)]
+        pmx = int(rng.integers(0, mbw))
+        b2[0][0:16, pmx * 16 : pmx * 16 + 16] = rng.integers(
+            0, 256, (16, 16), dtype=np.uint8
+        )
+        frames = [f0, b1, p1, tuple(b2), p2]
+        nals, _ = hc.h264_encode_gop_b(
+            frames, w, h, [mv], [neg], [(mv, neg)], [two],
+            direct=True, direct_as_coded=as_coded,
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+
+    run()
