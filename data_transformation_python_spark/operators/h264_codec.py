@@ -2210,6 +2210,43 @@ def _direct_update_ms(ms0, ms1, mx: int, my: int,
             ms1.set_part(bx0, by0, 2, 2, (0, 0), inter=False)
 
 
+def _temporal_direct(mx: int, my: int, col, curr_poc: int,
+                     poc0: int, poc1: int):
+    """Temporal direct motion derivation for one B macroblock
+    (§8.4.1.2.3, direct_spatial_mv_pred_flag 0): per 8x8 sub-block
+    (direct_8x8_inference — the colocated CORNER 4x4 of the MB in
+    RefPicList1[0]), scale the colocated vector by POC distance:
+    mvL0 = (DistScaleFactor·mvCol + 128) >> 8, mvL1 = mvL0 − mvCol,
+    with the same tb/td/tx ladder as implicit weighting; an INTRA
+    colocated block contributes mvCol = 0 (both derived vectors 0).
+    Both lists always predict (refIdx 0 each).  ``col`` is
+    (mv_grid, inter_grid) of the colocated reference.  Returns the
+    four per-8x8 (mv0, mv1) pairs in raster order."""
+    tb = min(127, max(-128, curr_poc - poc0))
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        td = 1  # degenerate spacing: scale collapses to mvCol/0
+    tx = (16384 + abs(td) // 2) // td if td > 0 else -(
+        (16384 + abs(td) // 2) // -td
+    )
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    blocks = []
+    for sy in (0, 1):
+        for sx in (0, 1):
+            mvc = (0, 0)
+            if col is not None:
+                cy, cx = my * 4 + 3 * sy, mx * 4 + 3 * sx
+                col_mv, col_inter = col
+                if col_inter[cy, cx]:
+                    mvc = (int(col_mv[cy, cx, 0]),
+                           int(col_mv[cy, cx, 1]))
+            mv0 = ((dsf * mvc[0] + 128) >> 8,
+                   (dsf * mvc[1] + 128) >> 8)
+            mv1 = (mv0[0] - mvc[0], mv0[1] - mvc[1])
+            blocks.append((mv0, mv1))
+    return blocks
+
+
 #: partition geometry per kind: (luma (x_off, y_off, w, h),
 #: chroma (x_off, y_off, w, h)) for each of the two partitions
 _PART_GEOM = {
@@ -2876,18 +2913,24 @@ def _b_slice_rbsp(
     direct: bool = False,
     direct_col: tuple | None = None,
     direct_as_coded: bool = False,
+    direct_mode: str = "spatial",
+    direct_pocs: tuple | None = None,
 ) -> tuple[bytes, dict]:
     """One B slice covering the whole picture (Table 7-14 subset).
     Per macroblock, in raster order, the encoder takes the first
     LOSSLESS mode:
 
-    0. B_Skip (``direct=True``) — when the §8.4.1.2.2 SPATIAL DIRECT
-       derivation (refIdx MinPositive over neighbours, per-list
-       16x16 medians, per-8x8 colZeroFlag against ``direct_col`` =
-       the colocated L1 reference's (mv, inter) grids) reproduces
-       the source exactly; run-length coded via ``mb_skip_run``, or
-       written as explicit B_Direct_16x16 + cbp 0 macroblocks when
-       ``direct_as_coded`` (bit-different, decode-identical),
+    0. B_Skip (``direct=True``) — when the direct derivation
+       reproduces the source exactly: §8.4.1.2.2 SPATIAL
+       (``direct_mode="spatial"``: refIdx MinPositive over
+       neighbours, per-list 16x16 medians, per-8x8 colZeroFlag
+       against ``direct_col`` = the colocated L1 reference's
+       (mv, inter) grids) or §8.4.1.2.3 TEMPORAL
+       (``direct_mode="temporal"``: the colocated vector scaled by
+       the ``direct_pocs`` = (curr, poc0, poc1) POC distances);
+       run-length coded via ``mb_skip_run``, or written as explicit
+       B_Direct_16x16 + cbp 0 macroblocks when ``direct_as_coded``
+       (bit-different, decode-identical),
     1. B_L0_16x16 (mb_type 1) — the first ``l0_candidates`` vector
        whose MC copy from the PAST reference matches exactly,
     2. B_L1_16x16 (mb_type 2) — same against the FUTURE reference,
@@ -2929,7 +2972,9 @@ def _b_slice_rbsp(
     bw.ue(0)            # pic_parameter_set_id
     bw.u(frame_num % 16, 4)  # frame_num
     bw.u(poc_lsb % 256, 8)   # pic_order_cnt_lsb (poc_type 0)
-    bw.u(1, 1)          # direct_spatial_mv_pred_flag (no direct MBs)
+    # direct_spatial_mv_pred_flag: 1 spatial (§8.4.1.2.2), 0 temporal
+    # (§8.4.1.2.3 colocated-MV scaling)
+    bw.u(1 if direct_mode == "spatial" else 0, 1)
     bw.u(0, 1)          # num_ref_idx_active_override_flag
     bw.u(0, 1)          # ref_pic_list_modification_flag_l0
     bw.u(0, 1)          # ref_pic_list_modification_flag_l1
@@ -2988,9 +3033,15 @@ def _b_slice_rbsp(
         my, mx = divmod(idx, mbw)
         s = _src_mb(mx, my)
         if direct:
-            use0, use1, blocks = _spatial_direct(
-                ms0, ms1, mx, my, direct_col
-            )
+            if direct_mode == "temporal":
+                use0 = use1 = True
+                blocks = _temporal_direct(
+                    mx, my, direct_col, *direct_pocs
+                )
+            else:
+                use0, use1, blocks = _spatial_direct(
+                    ms0, ms1, mx, my, direct_col
+                )
             pred = _direct_mb_pred(
                 ref0, ref1, mx, my, use0, use1, blocks,
                 wpb=wpb, wbi=wbi_enc,
@@ -3106,6 +3157,7 @@ def h264_encode_gop_b(
     wpb: tuple | None = None,
     direct: bool = False,
     direct_as_coded: bool = False,
+    direct_mode: str = "spatial",
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a hierarchical-free IBPBP GOP with NON-REFERENCE B
     pictures: display order [I, B, P, B, P, ...] (``frames_yuv`` in
@@ -3165,6 +3217,8 @@ def h264_encode_gop_b(
             l0_candidates, l1_candidates, bi_candidates, wpb=wpb,
             direct=direct, direct_col=col,
             direct_as_coded=direct_as_coded,
+            direct_mode=direct_mode,
+            direct_pocs=(4 * j - 2, 4 * j - 4, 4 * j),
         )
         nals.append(_nal(1, rbsp, ref_idc=0))
         stats_list.append(bstats)
@@ -3353,12 +3407,12 @@ def h264_decode_gop(
                         ocb = ocr = 0
                     wp = (luma_ld, wy, oy, chroma_ld,
                           wcb, ocb, wcr, ocr)
+            direct_spatial = True
             if is_b:
-                if not br.u(1):  # direct_spatial_mv_pred_flag
-                    raise NotImplementedError(
-                        "temporal direct mode (direct_spatial_mv_"
-                        "pred_flag 0 — co-located MV scaling)"
-                    )
+                # direct_spatial_mv_pred_flag: 1 → §8.4.1.2.2 spatial
+                # derivation, 0 → §8.4.1.2.3 temporal (colocated MV
+                # scaled by POC distances)
+                direct_spatial = bool(br.u(1))
                 if br.u(1):  # num_ref_idx_active_override_flag
                     raise NotImplementedError(
                         "num_ref_idx_active override (one ref per list)"
@@ -3537,6 +3591,7 @@ def h264_decode_gop(
                 r0y, r0cb, r0cr = past[1]
                 r1y, r1cb, r1cr = fut[1]
                 col_fut = fut[2]  # colocated motion (RefPicList1[0])
+                b_pocs = (key, past[0], fut[0])  # temporal-direct POCs
                 wbi = None
                 if pps["weighted_bipred"] == 2:
                     # implicit mode (§8.4.2.3.1): POC-distance
@@ -3562,9 +3617,15 @@ def h264_decode_gop(
                     # against the colocated L1 reference and
                     # reconstruct; derived motion feeds later medians
                     pending_skips -= 1
-                    use0, use1, blocks = _spatial_direct(
-                        ms0, ms1, mx, my, col_fut
-                    )
+                    if direct_spatial:
+                        use0, use1, blocks = _spatial_direct(
+                            ms0, ms1, mx, my, col_fut
+                        )
+                    else:
+                        use0 = use1 = True
+                        blocks = _temporal_direct(
+                            mx, my, col_fut, *b_pocs
+                        )
                     sy_, scb_, scr_ = _direct_mb_pred(
                         (r0y, r0cb, r0cr), (r1y, r1cb, r1cr),
                         mx, my, use0, use1, blocks,
@@ -3618,9 +3679,15 @@ def h264_decode_gop(
                             raise NotImplementedError(
                                 "inter residuals on B_Direct_16x16"
                             )
-                        use0, use1, blocks = _spatial_direct(
-                            ms0, ms1, mx, my, col_fut
-                        )
+                        if direct_spatial:
+                            use0, use1, blocks = _spatial_direct(
+                                ms0, ms1, mx, my, col_fut
+                            )
+                        else:
+                            use0 = use1 = True
+                            blocks = _temporal_direct(
+                                mx, my, col_fut, *b_pocs
+                            )
                         sy_, scb_, scr_ = _direct_mb_pred(
                             (r0y, r0cb, r0cr), (r1y, r1cb, r1cr),
                             mx, my, use0, use1, blocks,

@@ -5593,6 +5593,169 @@ def h264bd_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264BD_META_SCHEMA)
 
 
+H264TD_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("bskip_mbs", T.LongType()),
+        T.StructField("b_coded_mbs", T.LongType()),
+        T.StructField("b_ipcm_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("skip_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _write_h264td(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IBPBP GOP whose B pictures are ENTIRELY
+    B_Skip under TEMPORAL direct, md5 of the DISPLAY-order frames).
+    With direct_spatial_mv_pred_flag 0, every macroblock's motion
+    comes from the COLOCATED RefPicList1[0] block scaled by POC
+    distance — no neighbour seeding at all, unlike the spatial twin:
+    the colocated P pans at mvCol = 2·mv, the mid-GOP POC ratio makes
+    DistScaleFactor exactly 128, so mvL0 = mvCol/2 = mv and mvL1 =
+    mvL0 − mvCol = −mv — the true midpoint bi-prediction — and the B
+    content is built as exactly that rounded mean.  Flavor
+    (doc_id + i) % 2 == 1 re-textures one macroblock (I_PCM inside
+    the all-skip field).  Every mode is lossless; the census is pure
+    geometry."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    mb_w, mb_h = w // 16, h // 16
+    f0 = _h264wp_frame0(doc_id, w, h)
+    frames = [f0]
+    prev = f0
+    for i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        p0 = mc_shift_planes(*prev, mv)
+        p1 = mc_shift_planes(*pfr, neg)
+        b = tuple(
+            ((a.astype(np.int64) + c.astype(np.int64) + 1) >> 1)
+            .astype(np.uint8)
+            for a, c in zip(p0, p1)
+        )
+        if (doc_id + i) % 2 == 1:
+            b = [pl.copy() for pl in b]
+            pmx, pmy = doc_id % mb_w, doc_id % mb_h
+            xs = np.arange(16, dtype=np.int64)[None, :]
+            ys = np.arange(16, dtype=np.int64)[:, None]
+            b[0][pmy * 16 : pmy * 16 + 16, pmx * 16 : pmx * 16 + 16] = (
+                (doc_id * 11 + i * 41 + xs * 19 + ys * 23) % 256
+            ).astype(np.uint8)
+            b = tuple(b)
+        frames.extend([b, pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[mv],
+        l1_candidates=[neg],
+        bi_candidates=[(mv, neg)],
+        p_candidates=[two],
+        direct=True,
+        direct_mode="temporal",
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264td_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a temporal-direct B-GOP stream per row, plus the
+    display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264td(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264td_metadata(df: DataFrame) -> DataFrame:
+    """Decode the temporal-direct GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (the §8.4.1.2.3 scaling — tb/td clips, tx,
+    DistScaleFactor, mvL0 = (DSF·mvCol + 128) >> 8, mvL1 = mvL0 −
+    mvCol — applied per 8x8 against the DPB-stored colocated motion
+    reproduces the display sequence bit-for-bit) and the all-skip
+    census: ZERO coded B macroblocks, the defining signature of
+    temporal direct (the spatial twin needs one coded seed per
+    picture)."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264TD_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["bskip_mbs"].append(sum(s["bskip"] for s in bst))
+                out["b_coded_mbs"].append(
+                    sum(s["bl0"] + s["bl1"] + s["bbi"] + s["bdir"]
+                        for s in bst)
+                )
+                out["b_ipcm_mbs"].append(sum(s["ipcm"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["skip_mbs"].append(sum(s["skip"] for s in pst))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264TD_META_SCHEMA)
+
+
 H264MS_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -126,6 +126,7 @@ def _register_all() -> None:
 # order.
 _PRIORITY: list[str] = [
     # (1) new in round 11 — never driver-checked
+    "multimodal_h264td_meta",
     "multimodal_h264bd_meta",
     "multimodal_h264wi_meta",
     "multimodal_h264wb_meta",

@@ -2726,6 +2726,61 @@ def multimodal_h264wb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# H.264 TEMPORAL direct mode (§8.4.1.2.3: colocated MV scaled by POC
+# distance) — all-skip B pictures, zero coded B macroblocks
+# --------------------------------------------------------------------------
+_H264TD_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+m AS (
+  SELECT doc_id, mbw, mbh, mbw * mbh AS mbs,
+         mbw + mbh - 1 AS strip
+  FROM g)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST(2 * mbs - 1 AS BIGINT) AS bskip_mbs,
+       CAST(0 AS BIGINT) AS b_coded_mbs,
+       CAST(1 AS BIGINT) AS b_ipcm_mbs,
+       CAST(2 * strip AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - strip) AS BIGINT) AS skip_mbs,
+       TRUE AS roundtrip_exact
+FROM m
+"""
+
+
+@query("multimodal_h264td_meta", oracle=_H264TD_ORACLE)
+def multimodal_h264td_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL direct mode (round 11, operators/h264_codec.py
+    _temporal_direct / h264_encode_gop_b(direct_mode='temporal') —
+    the sixth spec rung closed this round, completing BOTH §8.4.1.2
+    direct derivations): direct_spatial_mv_pred_flag 0 derives every
+    B macroblock's motion from the COLOCATED RefPicList1[0] block
+    scaled by picture-order-count distance — mvL0 = (DistScaleFactor
+    · mvCol + 128) >> 8, mvL1 = mvL0 − mvCol, per 8x8 sub-block
+    against the DPB-stored colocated motion field, intra colocated
+    contributing mvCol = 0.  The IBPBP fixture's colocated P pans at
+    mvCol = 2·mv and the mid-GOP POC ratio lands DistScaleFactor on
+    exactly 128, so the derivation produces the true midpoint
+    bi-prediction (mv, −mv) — and the B content IS that rounded
+    mean, so the pictures decode ENTIRELY as B_Skip: ZERO coded B
+    macroblocks, the defining census signature vs the spatial twin
+    (which needs one coded seed per picture to boot its neighbour
+    medians).  One re-textured macroblock per alternate B exercises
+    I_PCM inside the all-skip field.  ``roundtrip_exact`` pins the
+    scaling ladder bit-for-bit."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264td_metadata(mm.synth_h264td_table(docs))
+
+
+# --------------------------------------------------------------------------
 # H.264 B_Skip / B_Direct_16x16 via §8.4.1.2.2 spatial direct
 # derivation (refIdx MinPositive, per-list medians, colZeroFlag on
 # the DPB-stored colocated motion field): seed/skip census is pure

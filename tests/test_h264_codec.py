@@ -1357,9 +1357,8 @@ def test_b_direct_and_even_gop_rejected():
     frames, nals, _stats, np = _b_fixture()
     with pytest.raises(ValueError, match="odd display-frame count"):
         h264_encode_gop_b(frames[:4], 48, 32, [], [], [])
-    # rebuild the first B slice with direct_spatial_mv_pred_flag 0:
-    # TEMPORAL direct (co-located MV scaling) is out of scope and
-    # must fail loudly, never silently mis-derive
+    # rebuild the first B slice with a sub-16x16 B partition type:
+    # out of scope and must fail loudly, never silently mis-decode
     from data_transformation_python_spark.operators.h264_codec import (
         _EgReader,
         _EgWriter,
@@ -1381,17 +1380,18 @@ def test_b_direct_and_even_gop_rejected():
     bw.ue(0)                 # pic_parameter_set_id
     bw.u(frame_num, 4)       # frame_num
     bw.u(poc_lsb, 8)         # pic_order_cnt_lsb
-    bw.u(0, 1)               # direct_spatial_mv_pred_flag: TEMPORAL
+    bw.u(1, 1)               # direct_spatial_mv_pred_flag
     bw.u(0, 1)               # num_ref_idx_active_override_flag
     bw.u(0, 1)               # ref_pic_list_modification_flag_l0
     bw.u(0, 1)               # ref_pic_list_modification_flag_l1
     bw.se(0)                 # slice_qp_delta (nal_ref_idc 0)
     bw.ue(1)                 # disable_deblocking_filter_idc
     bw.ue(0)                 # mb_skip_run 0
+    bw.ue(4)                 # mb_type B_L0_L0_16x8: sub-16x16 B part
     bw.rbsp_trailing()
     bad = list(nals)
     bad[4] = _nal(1, bw.tobytes(), ref_idc=0)
-    with pytest.raises(NotImplementedError, match="temporal direct"):
+    with pytest.raises(NotImplementedError, match="partitions below"):
         h264_decode_gop(bad)
 
 
@@ -2030,3 +2030,53 @@ def test_b_direct_fuzz_roundtrip():
             assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
 
     run()
+
+
+class TestTemporalDirect:
+    """Temporal direct mode (§8.4.1.2.3): colocated MV scaled by POC
+    distance, no neighbour seeding."""
+
+    def test_all_skip_roundtrip_and_scaling(self):
+        import hashlib
+
+        import numpy as np
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        doc = 3
+        w, h, _mvx, _mvy = mm._h264b_dims(doc)
+        payload, rec = mm._write_h264td(doc)
+        nals = hc.split_annexb(payload)
+        frames, stats = hc.h264_decode_gop(nals)
+        md5 = hashlib.md5()
+        for fr in frames:
+            md5.update(fr.tobytes())
+        assert md5.hexdigest() == rec
+        mbs = (w // 16) * (h // 16)
+        bst = [s for s in stats if s["is_b"]]
+        # ZERO coded B macroblocks — temporal direct needs no seeds
+        assert sum(s["bl0"] + s["bl1"] + s["bbi"] for s in bst) == 0
+        assert sum(s["bskip"] for s in bst) == 2 * mbs - 1
+        assert sum(s["ipcm"] for s in bst) == 1
+
+    def test_scaling_formula(self):
+        """Midpoint POC ratio → DistScaleFactor 128 → mvL0 is exactly
+        half the colocated vector; asymmetric ratios scale
+        accordingly; intra colocated derives zero motion."""
+        import numpy as np
+
+        col_mv = np.zeros((4, 4, 2), np.int64)
+        col_mv[:, :] = (16, 8)
+        col_inter = np.ones((4, 4), bool)
+        blocks = hc._temporal_direct(0, 0, (col_mv, col_inter), 2, 0, 4)
+        assert blocks == [((8, 4), (-8, -4))] * 4
+        # early-B of a 0..6 span: DSF 85 → mvL0 = (85*16+128)>>8 = 5
+        blocks = hc._temporal_direct(0, 0, (col_mv, col_inter), 2, 0, 6)
+        assert blocks[0][0] == (5, 3) and blocks[0][1] == (-11, -5)
+        # intra colocated → both derived vectors zero
+        blocks = hc._temporal_direct(
+            0, 0, (col_mv, np.zeros((4, 4), bool)), 2, 0, 4
+        )
+        assert blocks == [((0, 0), (0, 0))] * 4
