@@ -52,10 +52,66 @@ import sys
 FP_UNSTABLE = {"q_profile_orders"}
 
 
+def merge_mirrors(sides: list[dict]) -> dict:
+    """Collapse N same-code bench runs ("mirrors") into one side by
+    taking the per-entry MINIMUM wall clock.  Timing noise on this
+    host is one-sided (scheduling/IPC contention only ever ADDS
+    time), so the min across mirrors is the robust estimator of the
+    code's true cost — the r11 verdict's lr_train 16.2↔24.4 s and
+    h264sub 14.1↔30.2 s identical-code swings collapse to their fast
+    draws.  Calibration probes take the min median for the same
+    reason.  Plan fingerprints must agree across mirrors; an entry
+    whose fp differs BETWEEN mirrors of one side is dropped from fp
+    comparison and reported (intra-side fp instability is plan
+    nondeterminism, not a code change).  Errors union."""
+    if len(sides) == 1:
+        return sides[0]
+    out = dict(sides[0])
+    qs: dict[str, float] = {}
+    for s in sides:
+        for name, t in s.get("queries", {}).items():
+            qs[name] = min(qs.get(name, float("inf")), t)
+    out["queries"] = qs
+    out["value"] = min(
+        (s["value"] for s in sides if s.get("value") is not None),
+        default=out.get("value"),
+    )
+    fps: dict[str, set] = {}
+    for s in sides:
+        for name, fp in (s.get("plan_fp") or {}).items():
+            fps.setdefault(name, set()).add(fp)
+    out["plan_fp"] = {n: v.pop() for n, v in fps.items() if len(v) == 1}
+    out["_fp_intra_unstable"] = sorted(
+        n for n, v in fps.items() if len(v) > 1
+    )
+    for key in ("calibration", "calibration2", "calibration3"):
+        probes = [s[key] for s in sides if isinstance(s.get(key), dict)
+                  and s[key].get("median")]
+        if probes:
+            by_probe: dict = {}
+            for p in probes:
+                cur = by_probe.get(p.get("probe"))
+                if cur is None or p["median"] < cur["median"]:
+                    by_probe[p.get("probe")] = p
+            # keep the healthiest (lowest-median) probe variant
+            out[key] = min(by_probe.values(), key=lambda p: p["median"])
+    errs = sorted({e for s in sides for e in (s.get("errors") or [])})
+    if errs:
+        out["errors"] = errs
+    vers = {s.get("plan_fp_version") for s in sides
+            if s.get("plan_fp_version")}
+    out["plan_fp_version"] = vers.pop() if len(vers) == 1 else (
+        "MIXED" if vers else None
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
+    ap.add_argument("old", help="bench json (comma-separate N "
+                    "same-code mirrors to compare per-entry minima)")
+    ap.add_argument("new", help="bench json (comma-separated mirrors "
+                    "accepted, as for old)")
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.5)
     args = ap.parse_args()
@@ -90,7 +146,18 @@ def main() -> int:
             return {"queries": pairs, "value": total}
         return {"queries": {}}
 
-    old, new = _load(args.old), _load(args.new)
+    old = merge_mirrors([_load(p) for p in args.old.split(",")])
+    new = merge_mirrors([_load(p) for p in args.new.split(",")])
+    n_old, n_new = args.old.count(",") + 1, args.new.count(",") + 1
+    if n_old > 1 or n_new > 1:
+        print(
+            f"  mirrors: per-entry MIN over {n_old} old / {n_new} new "
+            f"same-code runs (one-sided-noise robust estimator)"
+        )
+    for side, d in (("old", old), ("new", new)):
+        for n in d.get("_fp_intra_unstable") or []:
+            print(f"  excluded (unstable fp, {side}-side mirrors "
+                  f"disagree) {n}")
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
     # Host estimators, one per degradation regime; >1 means the new
@@ -128,6 +195,14 @@ def main() -> int:
         if ofp[n] != nfp[n] and n not in FP_UNSTABLE
     ) if fp_comparable else []
     plan_changed_set = set(plan_changed)
+    # FP_UNSTABLE names are never GATED on fingerprint drift, but the
+    # drift stays VISIBLE so a real plan regression there is still
+    # observable in the report (it would otherwise be a permanent
+    # blind spot).
+    fp_excluded = sorted(
+        n for n in set(ofp) & set(nfp)
+        if ofp[n] != nfp[n] and n in FP_UNSTABLE
+    ) if fp_comparable else []
 
     # A real regression must survive whichever probe regime excuses
     # it most — divide new timings by the LARGEST estimator.
@@ -232,6 +307,10 @@ def main() -> int:
     if plan_changed:
         print(f"  plan fingerprint changed ({len(plan_changed)}): "
               + ", ".join(plan_changed))
+    for n in fp_excluded:
+        print(f"  excluded (unstable fp) {n}: fingerprint differs "
+              f"but is known-nondeterministic (FP_UNSTABLE); "
+              f"reported, not gated")
     for r, name, ot, nt in sorted(improved):
         print(f"  improved  {name}: {ot:.2f}s -> {nt:.2f}s ({r:.2f}x)")
     for r, name, ot, nt in sorted(suspects, reverse=True):

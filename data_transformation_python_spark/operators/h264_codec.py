@@ -2225,7 +2225,15 @@ def _temporal_direct(mx: int, my: int, col, curr_poc: int,
     tb = min(127, max(-128, curr_poc - poc0))
     td = min(127, max(-128, poc1 - poc0))
     if td == 0:
-        td = 1  # degenerate spacing: scale collapses to mvCol/0
+        # Unreachable here: temporal direct requires a past L0 and a
+        # future L1 reference (poc0 < curr_poc < poc1 ⇒ td ≥ 2).  The
+        # spec's long-term-reference fallback (§8.4.1.2.3, mvL0 =
+        # mvCol) is a feature this decoder does not implement, so
+        # fail loudly rather than guess a scale.
+        raise NotImplementedError(
+            "temporal direct with equal L0/L1 POCs (long-term "
+            "reference path) is not supported"
+        )
     tx = (16384 + abs(td) // 2) // td if td > 0 else -(
         (16384 + abs(td) // 2) // -td
     )

@@ -186,3 +186,114 @@ def test_fp_unstable_entries_never_read_as_plan_changes(tmp_path):
     assert "q_profile_orders" not in out.split(
         "plan fingerprint changed"
     )[1].split("\n")[0]
+
+
+def test_fp_unstable_drift_stays_visible(tmp_path):
+    """ADVICE r11: FP_UNSTABLE drift must not be silently swallowed —
+    a visible 'excluded (unstable fp)' line keeps plan drift on
+    q_profile_orders observable even though it is never gated."""
+    base = {
+        "queries": {"q_profile_orders": 1.0},
+        "calibration2": _cal(1.0),
+        "plan_fp_version": "v1",
+        "plan_fp": {"q_profile_orders": "aaaa"},
+    }
+    new = {
+        "queries": {"q_profile_orders": 1.05},
+        "calibration2": _cal(1.0),
+        "plan_fp_version": "v1",
+        "plan_fp": {"q_profile_orders": "cccc"},
+    }
+    code, out = _run(tmp_path, base, new)
+    assert code == 0
+    assert "excluded (unstable fp) q_profile_orders" in out
+    # and when the fingerprint does NOT drift, no line is printed
+    new["plan_fp"]["q_profile_orders"] = "aaaa"
+    code, out = _run(tmp_path, base, new)
+    assert "excluded (unstable fp)" not in out
+
+
+def _run_mirrors(tmp_path, olds, news, argv=()):
+    import io
+    import bench_diff
+    from contextlib import redirect_stdout
+
+    opaths, npaths = [], []
+    for i, d in enumerate(olds):
+        p = tmp_path / f"old{i}.json"
+        p.write_text(json.dumps(d))
+        opaths.append(str(p))
+    for i, d in enumerate(news):
+        p = tmp_path / f"new{i}.json"
+        p.write_text(json.dumps(d))
+        npaths.append(str(p))
+    old_argv = sys.argv
+    sys.argv = ["bench_diff.py", ",".join(opaths), ",".join(npaths),
+                *argv]
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            code = bench_diff.main()
+        return code, buf.getvalue()
+    finally:
+        sys.argv = old_argv
+
+
+def test_mirror_minima_collapse_one_sided_noise(tmp_path):
+    """r11 verdict item 3: identical-code mirrors swing 1.5-2x on
+    this host (lr_train 16.2<->24.4 s).  Feeding both mirrors of each
+    side takes the per-entry MIN, so the noisy draw neither gates nor
+    reads as an improvement."""
+    old_a = {"queries": {"q_lr": 16.2, "q_x": 1.0}, "value": 17.2,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_lr": "ff", "q_x": "gg"}}
+    old_b = {"queries": {"q_lr": 24.4, "q_x": 1.0}, "value": 25.4,
+             "calibration2": _cal(1.3), "plan_fp_version": "v1",
+             "plan_fp": {"q_lr": "ff", "q_x": "gg"}}
+    new_a = {"queries": {"q_lr": 26.0, "q_x": 1.0}, "value": 27.0,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_lr": "ff", "q_x": "gg"}}
+    new_b = {"queries": {"q_lr": 16.5, "q_x": 1.0}, "value": 17.5,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_lr": "ff", "q_x": "gg"}}
+    code, out = _run_mirrors(tmp_path, [old_a, old_b], [new_a, new_b])
+    assert code == 0, out
+    assert "mirrors: per-entry MIN over 2 old / 2 new" in out
+    assert "REGRESSED" not in out
+    # single-file comparison of the two noisy draws WOULD gate
+    code1, out1 = _run_mirrors(tmp_path, [old_a], [new_a])
+    assert code1 == 1 and "REGRESSED q_lr" in out1
+
+
+def test_mirror_intra_side_fp_instability_excluded(tmp_path):
+    """A fingerprint that differs BETWEEN same-side mirrors is plan
+    nondeterminism, not a code change: dropped from fp comparison
+    with a visible line, and never listed as a plan change."""
+    old_a = {"queries": {"q_nd": 1.0}, "value": 1.0,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_nd": "aa"}}
+    old_b = {"queries": {"q_nd": 1.0}, "value": 1.0,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_nd": "bb"}}
+    new = {"queries": {"q_nd": 1.02}, "value": 1.02,
+           "calibration2": _cal(1.0), "plan_fp_version": "v1",
+           "plan_fp": {"q_nd": "cc"}}
+    code, out = _run_mirrors(tmp_path, [old_a, old_b], [new])
+    assert code == 0, out
+    assert "excluded (unstable fp, old-side mirrors disagree) q_nd" in out
+    assert "plan fingerprint changed" not in out
+
+
+def test_mirror_merge_keeps_healthiest_probe(tmp_path):
+    """merge_mirrors takes the lowest-median calibration probe: the
+    min-of-timings side must be judged against the healthiest host
+    reading, not a degraded mirror's."""
+    import bench_diff
+
+    merged = bench_diff.merge_mirrors([
+        {"queries": {"a": 2.0}, "value": 2.0, "calibration2": _cal(1.4)},
+        {"queries": {"a": 1.5}, "value": 1.5, "calibration2": _cal(1.0)},
+    ])
+    assert merged["queries"]["a"] == 1.5
+    assert merged["value"] == 1.5
+    assert merged["calibration2"]["median"] == 1.0
