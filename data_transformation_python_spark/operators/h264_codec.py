@@ -70,11 +70,16 @@ B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14) with PER-LIST
 §8.4.1.3 median MV prediction, and the §8.4.2.3.2 default
 bi-prediction mean.  Every implemented B mode is lossless.
 
+Rounds 11–12 closed weighted (bi-)prediction (explicit + implicit),
+B_Skip/B_Direct in both spatial and temporal flavors, multi-slice
+pictures, and (round 12) MULTI-SLICE B PICTURES — per-slice
+pred_weight_tables and §6.4.9 direct-mode re-anchoring at slice
+boundaries (h264_encode_gop_b_ms).
+
 Still honestly stubbed in multimodal.decode_media: the Intra_4x4
-residual path, the 2<=nC<8 coeff_token columns, CABAC, weighted
-(bi-)prediction, B_Skip/B_Direct (co-located MV derivation),
-sub-16x16 B partitions, B inter residuals, multi-slice pictures, and
-interlaced coding.  Dense
+residual path, the 2<=nC<8 coeff_token columns, CABAC, slice groups
+(FMO) / arbitrary slice order, sub-16x16 B partitions, B inter
+residuals, and interlaced coding.  Dense
 temporal prediction with residuals is also covered Spark-side by the
 IPV1 codec (video_codec.py).
 
@@ -2923,10 +2928,22 @@ def _b_slice_rbsp(
     direct_as_coded: bool = False,
     direct_mode: str = "spatial",
     direct_pocs: tuple | None = None,
+    first_mb: int = 0,
+    n_mbs: int | None = None,
+    ms0: "_MotionState | None" = None,
+    ms1: "_MotionState | None" = None,
 ) -> tuple[bytes, dict]:
-    """One B slice covering the whole picture (Table 7-14 subset).
-    Per macroblock, in raster order, the encoder takes the first
-    LOSSLESS mode:
+    """One B slice covering the whole picture — or, for MULTI-SLICE
+    B pictures (round 12), the ``n_mbs`` macroblocks starting at
+    raster address ``first_mb``: the caller shares one slice-aware
+    (``ms0``, ``ms1``) pair across the picture's slices and advances
+    their ``cur_slice`` per slice, so §6.4.9 cross-slice neighbour
+    unavailability shapes BOTH lists' medians and the spatial-direct
+    derivation identically to the decoder (each slice's first
+    macroblock re-anchors: no neighbours → directZeroPrediction,
+    which pan content never matches, so every slice opens with a
+    coded seed).  Per macroblock, in raster order, the encoder takes
+    the first LOSSLESS mode:
 
     0. B_Skip (``direct=True``) — when the direct derivation
        reproduces the source exactly: §8.4.1.2.2 SPATIAL
@@ -2974,8 +2991,10 @@ def _b_slice_rbsp(
     r0y, r0cb, r0cr = ref0
     r1y, r1cb, r1cr = ref1
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    if n_mbs is None:
+        n_mbs = mbh * mbw - first_mb
     bw = _EgWriter()
-    bw.ue(0)            # first_mb_in_slice
+    bw.ue(first_mb)     # first_mb_in_slice
     bw.ue(6)            # slice_type: B (all slices in pic)
     bw.ue(0)            # pic_parameter_set_id
     bw.u(frame_num % 16, 4)  # frame_num
@@ -3011,7 +3030,8 @@ def _b_slice_rbsp(
     # nal_ref_idc 0 → dec_ref_pic_marking absent (§7.3.3)
     bw.se(0)            # slice_qp_delta
     bw.ue(1)            # disable_deblocking_filter_idc: filter OFF
-    ms0, ms1 = _MotionState(mbh, mbw), _MotionState(mbh, mbw)
+    if ms0 is None:
+        ms0, ms1 = _MotionState(mbh, mbw), _MotionState(mbh, mbw)
     stats = _stats_zero(is_b=True)
 
     def _src_mb(mx: int, my: int):
@@ -3037,8 +3057,11 @@ def _b_slice_rbsp(
         if implicit_pocs is not None else None
     )
     skip_run = 0
-    for idx in range(mbh * mbw):
+    for idx in range(first_mb, first_mb + n_mbs):
         my, mx = divmod(idx, mbw)
+        if ms0.slice_mb is not None:
+            # slice ownership (shared grid between the two lists)
+            ms0.slice_mb[my, mx] = ms0.cur_slice
         s = _src_mb(mx, my)
         if direct:
             if direct_mode == "temporal":
@@ -3229,6 +3252,108 @@ def h264_encode_gop_b(
             direct_pocs=(4 * j - 2, 4 * j - 4, 4 * j),
         )
         nals.append(_nal(1, rbsp, ref_idc=0))
+        stats_list.append(bstats)
+        prev_ref = p_frame  # every P mode is exact → rec == src
+    return nals, stats_list
+
+
+def h264_encode_gop_b_ms(
+    frames_yuv: list[tuple], w: int, h: int, n_slices: int,
+    l0_candidates: list, l1_candidates: list, bi_candidates: list,
+    p_candidates: list | None = None,
+    wpb_slices: list | None = None,
+    direct: bool = False,
+    direct_mode: str = "spatial",
+) -> tuple[list[bytes], list[dict]]:
+    """Encode an IBPBP GOP where EVERY picture — IDR, P, and B — is
+    split into ``n_slices`` row-aligned slices (round 12: the
+    composition of the round-11 multi-slice machinery with the
+    round-10/11 B machinery).  Each B slice carries its own header
+    (first_mb_in_slice per §7.4.3), its own skip-run state, its own
+    direct_spatial_mv_pred_flag, and — ``wpb_slices`` — its OWN
+    §7.3.3.2 two-list pred_weight_table (``wpb_slices[k]`` applies to
+    slice ``k`` of every B picture; the spec scopes the table to the
+    slice, so weights may genuinely differ across one picture).  The
+    shared slice-aware (ms0, ms1) pair makes §6.4.9 cross-slice
+    neighbour unavailability shape per-list medians and the
+    spatial-direct derivation exactly as the decoder re-derives them:
+    every slice's first macroblock sees no neighbours, derives
+    directZeroPrediction, fails to match pan content, and opens the
+    slice with a coded one-list seed — the direct-mode re-anchoring
+    this layout exists to prove.  P pictures ride the multi-slice
+    path unweighted (weighted_pred_flag 0 — independent of
+    weighted_bipred_idc).  Returns ([SPS, PPS, IDR×n, P×n, B×n, ...]
+    NALs in decode order, per-PICTURE stats in decode order)."""
+    if len(frames_yuv) % 2 == 0:
+        raise ValueError("IBPBP GOP needs an odd display-frame count")
+    if wpb_slices is not None and len(wpb_slices) != n_slices:
+        raise ValueError("wpb_slices must carry one table per slice")
+    y0, cb0, cr0 = frames_yuv[0]
+    mbh, mbw = y0.shape[0] // 16, y0.shape[1] // 16
+    if not 1 <= n_slices <= mbh:
+        raise ValueError(
+            f"n_slices must be in [1, mb rows = {mbh}], got {n_slices}"
+        )
+    rows = [round(i * mbh / n_slices) for i in range(n_slices + 1)]
+    starts = [r * mbw for r in rows]
+    nals = [
+        _nal(7, _sps_rbsp(w, h, max_ref_frames=2, poc_type=0,
+                          profile=77)),
+        _nal(8, _pps_rbsp(
+            weighted_bipred_idc=1 if wpb_slices is not None else 0
+        )),
+    ]
+    for k in range(n_slices):
+        nals.append(_nal(5, _idr_slice_rbsp(
+            y0, cb0, cr0, idr_pic_id=0, poc_lsb=0,
+            first_mb=starts[k], n_mbs=starts[k + 1] - starts[k],
+        )))
+    stats_list: list[dict] = [
+        _stats_zero(ipcm=mbh * mbw, n_slices=n_slices)
+    ]
+    prev_ref = frames_yuv[0]
+    p_keys = ("skip", "p16", "p16x8", "p8x16", "p8x8", "p16r",
+              "ipcm", "i16")
+    b_keys = ("bl0", "bl1", "bbi", "bskip", "bdir", "ipcm")
+    for j in range(1, (len(frames_yuv) + 1) // 2):
+        p_frame = frames_yuv[2 * j]
+        b_frame = frames_yuv[2 * j - 1]
+        ms_p = _MotionState(mbh, mbw)
+        ms_p.slice_mb = np.full((mbh, mbw), -1, np.int64)
+        pstats = _stats_zero(is_p=True, n_slices=n_slices)
+        for k in range(n_slices):
+            ms_p.cur_slice = k
+            rbsp, st = _p_slice_rbsp(
+                p_frame, prev_ref, j, p_candidates or [(0, 0)],
+                poc_lsb=4 * j,
+                first_mb=starts[k], n_mbs=starts[k + 1] - starts[k],
+                ms=ms_p,
+            )
+            nals.append(_nal(1, rbsp, ref_idc=2))
+            for kk in p_keys:
+                pstats[kk] += st[kk]
+        stats_list.append(pstats)
+        # colocated motion of RefPicList1[0] (this P, ALL slices) for
+        # the B's direct derivations — identical to the decoder's DPB
+        col = (ms_p.mv.copy(), (ms_p.inter & ms_p.avail).copy())
+        ms0, ms1 = _MotionState(mbh, mbw), _MotionState(mbh, mbw)
+        ms0.slice_mb = ms1.slice_mb = np.full((mbh, mbw), -1, np.int64)
+        bstats = _stats_zero(is_b=True, n_slices=n_slices)
+        for k in range(n_slices):
+            ms0.cur_slice = ms1.cur_slice = k
+            rbsp, st = _b_slice_rbsp(
+                b_frame, prev_ref, p_frame, j + 1, 4 * j - 2,
+                l0_candidates, l1_candidates, bi_candidates,
+                wpb=wpb_slices[k] if wpb_slices is not None else None,
+                direct=direct, direct_col=col,
+                direct_mode=direct_mode,
+                direct_pocs=(4 * j - 2, 4 * j - 4, 4 * j),
+                first_mb=starts[k], n_mbs=starts[k + 1] - starts[k],
+                ms0=ms0, ms1=ms1,
+            )
+            nals.append(_nal(1, rbsp, ref_idc=0))
+            for kk in b_keys:
+                bstats[kk] += st[kk]
         stats_list.append(bstats)
         prev_ref = p_frame  # every P mode is exact → rec == src
     return nals, stats_list
@@ -3528,6 +3653,18 @@ def h264_decode_gop(
                 ms = _MotionState(mbh, mbw)
                 ms.slice_mb = slice_mb
                 ms.cur_slice = 0
+                if is_b:
+                    # B-slice per-PICTURE motion states, one per
+                    # reference list, sharing the picture's slice
+                    # grid: §6.4.9 makes cross-slice neighbours
+                    # unavailable to per-list medians AND the
+                    # §8.4.1.2.2 spatial-direct derivation, which is
+                    # what re-anchors direct mode at every slice's
+                    # first row in multi-slice B pictures (round 12)
+                    ms0 = _MotionState(mbh, mbw)
+                    ms1 = _MotionState(mbh, mbw)
+                    ms0.slice_mb = ms1.slice_mb = slice_mb
+                    ms0.cur_slice = ms1.cur_slice = 0
                 stats = _stats_zero(is_p=is_p, is_b=is_b)
             else:
                 # ---- continuation slice of the open picture ----
@@ -3540,14 +3677,14 @@ def h264_decode_gop(
                         f"slice gap/overlap: picture decoded to MB "
                         f"{addr}, slice starts at {first_mb}"
                     )
-                if is_b:
-                    raise NotImplementedError("multi-slice B pictures")
-                if is_p != stats["is_p"]:
+                if (is_p, is_b) != (stats["is_p"], stats["is_b"]):
                     raise NotImplementedError(
                         "mixed slice types within one picture"
                     )
                 slice_idx += 1
                 ms.cur_slice = slice_idx
+                if is_b:
+                    ms0.cur_slice = ms1.cur_slice = slice_idx
             if wp is not None:
                 # echo the parsed pred_weight_table so oracle gates
                 # can pin the header round-trip from the stats alone
@@ -3563,6 +3700,12 @@ def h264_decode_gop(
                 )
                 stats["wpb_l1_w"], stats["wpb_l1_off"] = (
                     wpb[3][0], wpb[3][1],
+                )
+                # multi-slice B pictures carry one table PER SLICE:
+                # accumulate the L0 luma weights so a gate can pin
+                # every slice's table from the picture stats alone
+                stats["wpb_luma_w_sum"] = (
+                    stats.get("wpb_luma_w_sum", 0) + wpb[2][0]
                 )
 
             def _wpl(p):
@@ -3607,8 +3750,9 @@ def h264_decode_gop(
                     # predictions stay unweighted
                     wbi = _implicit_bi_weights(key, past[0], fut[0])
                     stats["wbi_w0"], stats["wbi_w1"] = wbi
-                ms0 = _MotionState(mbh, mbw)
-                ms1 = _MotionState(mbh, mbw)
+                # per-list motion states are per-PICTURE (created at
+                # first_mb == 0), so continuation slices of a
+                # multi-slice B picture extend the same fields
             pending_skips = 0
             need_run = is_p or is_b
             while addr < total_mbs:

@@ -5925,6 +5925,209 @@ def h264ms_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=H264MS_META_SCHEMA)
 
 
+H264MSB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_slices", T.LongType()),
+        T.StructField("nal_count", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("bl0_mbs", T.LongType()),
+        T.StructField("bskip_mbs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("pskip_mbs", T.LongType()),
+        T.StructField("idr_ipcm_mbs", T.LongType()),
+        T.StructField("wpb_luma_w_sum", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _h264msb_wpb(doc_id: int, k: int) -> tuple:
+    """Slice ``k``'s §7.3.3.2 two-list pred_weight_table for the
+    multi-slice-B fixture: the L0 luma weight VARIES PER SLICE
+    (30 + (doc_id + k) % 3 against denominator 2^5 — a ≤1 gain, so
+    mid-range textures never clip), everything else identity.  The
+    spec scopes the table to the slice, and per-slice weights are
+    what prove each slice's header is parsed and applied
+    independently."""
+    ld, cd = 5, 5
+    wy = 30 + (doc_id + k) % 3
+    return (
+        ld, cd,
+        (wy, 0, 1 << cd, 0, 1 << cd, 0),
+        (1 << ld, 0, 1 << cd, 0, 1 << cd, 0),
+    )
+
+
+def _write_h264msb(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IBPBP GOP where EVERY picture — IDR, P,
+    and B — is split into n_slices row-aligned slices, md5 of the
+    DISPLAY-order RGB frames).  Round 12's composition of the two
+    landed families (reference parity: none — extension surface):
+
+    - each B slice carries its OWN §7.3.3.2 two-list
+      pred_weight_table (_h264msb_wpb: per-slice L0 luma weights),
+      and the B content is built per slice-row-band with that
+      slice's weighting, so decode is only exact if every slice's
+      table is parsed and applied to exactly its macroblocks;
+    - §8.4.1.2.2 SPATIAL DIRECT re-anchors at every slice boundary:
+      the slice's first macroblock sees no in-slice neighbours
+      (§6.4.9), derives directZeroPrediction, never matches pan
+      content, and opens the slice with a coded B_L0 seed — after
+      which MinPositive + per-list medians propagate the pan vector
+      and the REST of the slice rides B_Skip.  The census is
+      therefore pure slice-boundary geometry: 2·S B_L0 seeds,
+      2·(mbs − S) B_Skip, and the P pictures replay the multi-slice
+      pan census 2·(S·mbw + mbh − S) P16.
+
+    Every mode stays lossless, so the decode hashes to the source
+    display sequence bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _wp_plane,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b_ms,
+        mc_shift_planes,
+    )
+
+    w, h, n_slices, mvx, mvy = _h264ms_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    mbh = h // 16
+    rows = [round(i * mbh / n_slices) for i in range(n_slices + 1)]
+    wpbs = [_h264msb_wpb(doc_id, k) for k in range(n_slices)]
+    f0 = _h264wp_frame0(doc_id, w, h)
+    frames = [f0]
+    prev = f0
+    for _i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        # B content: the L0 midpoint pan, luma weighted PER SLICE
+        # BAND with that slice's table (chroma weights are identity)
+        base = mc_shift_planes(*prev, mv)
+        by = base[0].copy()
+        for k in range(n_slices):
+            r0, r1 = rows[k] * 16, rows[k + 1] * 16
+            ld, _cd, l0, _l1 = wpbs[k]
+            by[r0:r1, :] = _wp_plane(
+                base[0][r0:r1, :], l0[0], l0[1], ld
+            )
+        frames.extend([
+            (by.astype(np.uint8), base[1], base[2]),
+            pfr,
+        ])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b_ms(
+        frames, w, h, n_slices,
+        l0_candidates=[mv],
+        l1_candidates=[neg],
+        bi_candidates=[(mv, neg)],
+        p_candidates=[two],
+        wpb_slices=wpbs,
+        direct=True,
+        direct_mode="spatial",
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264msb_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a multi-slice-B H.264 stream per row, plus the
+    display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264msb(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264msb_metadata(df: DataFrame) -> DataFrame:
+    """Decode the multi-slice-B GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (per-slice B headers with their own
+    pred_weight_tables, §6.4.9 spatial-direct re-anchoring at slice
+    boundaries, per-list medians across continuation slices, POC
+    reordering — all bit-for-bit), the slice count parsed back from
+    the stream, the seed/skip census whose slice-boundary geometry
+    the SQL twin recomputes from doc_id alone, and the SUM of the
+    per-slice L0 luma weights (pinning every slice's parsed table,
+    not just the last one)."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264MSB_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, n_sl, _mvx, _mvy = _h264ms_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 2 + 5 * n_sl, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                assert {s["n_slices"] for s in stats} == {n_sl}
+                assert sum(s["bl1"] + s["bbi"] + s["bdir"] + s["ipcm"]
+                           for s in bst) == 0
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["n_slices"].append(n_sl)
+                out["nal_count"].append(len(nals))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["bl0_mbs"].append(sum(s["bl0"] for s in bst))
+                out["bskip_mbs"].append(sum(s["bskip"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["pskip_mbs"].append(sum(s["skip"] for s in pst))
+                out["idr_ipcm_mbs"].append(
+                    sum(s["ipcm"] for s in stats
+                        if not s["is_p"] and not s["is_b"])
+                )
+                out["wpb_luma_w_sum"].append(
+                    sum(s["wpb_luma_w_sum"] for s in bst)
+                )
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264MSB_META_SCHEMA)
+
+
 def h264pr_metadata(df: DataFrame) -> DataFrame:
     """Decode the inter-residual GOP through the full pipeline —
     Table 9-4 Inter cbp, mb_qp_delta, LumaLevel4x4 CAVLC (all 16 scan

@@ -2955,12 +2955,82 @@ def multimodal_h264ms_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit a 100 TB video corpus is processed by.  Every mode stays
     lossless, so ``roundtrip_exact`` pins the whole slice machinery
     bit-for-bit and the census replays as pure geometry.  Slice
-    groups (FMO), arbitrary slice order, and multi-slice B pictures
-    stay honest NotImplementedError."""
+    groups (FMO) and arbitrary slice order stay honest
+    NotImplementedError; multi-slice B pictures landed in round 12
+    (multimodal_h264msb_meta)."""
     from ..operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents")
     return mm.h264ms_metadata(mm.synth_h264ms_table(docs))
+
+
+# --------------------------------------------------------------------------
+# H.264 multi-slice B pictures (round 12): per-slice two-list
+# pred_weight_tables + §8.4.1.2.2 spatial-direct re-anchoring at
+# §6.4.9 slice boundaries; census and per-slice weight sums are pure
+# geometry recomputable from doc_id alone
+# --------------------------------------------------------------------------
+_H264MSB_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 2 AS mbw,
+         2 + doc_id % 3 AS mbh
+  FROM documents),
+m AS (
+  SELECT doc_id, mbw, mbh, mbw * mbh AS mbs,
+         CASE WHEN mbh = 2 THEN 2
+              ELSE 2 + (doc_id // 3) % (mbh - 1) END AS s
+  FROM g)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(s AS BIGINT) AS n_slices,
+       CAST(2 + 5 * s AS BIGINT) AS nal_count,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST(2 * s AS BIGINT) AS bl0_mbs,
+       CAST(2 * (mbs - s) AS BIGINT) AS bskip_mbs,
+       CAST(2 * (s * mbw + mbh - s) AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - (s * mbw + mbh - s)) AS BIGINT) AS pskip_mbs,
+       CAST(mbs AS BIGINT) AS idr_ipcm_mbs,
+       CAST(2 * (CASE WHEN s = 2 THEN 63 - (doc_id + 2) % 3
+                      WHEN s = 3 THEN 93
+                      ELSE 123 + doc_id % 3 END) AS BIGINT)
+         AS wpb_luma_w_sum,
+       TRUE AS roundtrip_exact
+FROM m
+"""
+
+
+@query("multimodal_h264msb_meta", oracle=_H264MSB_ORACLE)
+def multimodal_h264msb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SLICE B PICTURES (round 12, operators/h264_codec.py
+    h264_encode_gop_b_ms / h264_decode_gop — the composition of the
+    round-11 slice machinery with the round-10/11 B machinery, the
+    last composable rung on the r11 verdict's list): every picture of
+    an IBPBP GOP — IDR, P, AND B — splits into 2..4 row-aligned
+    slices.  Each B slice carries its own header and its OWN
+    §7.3.3.2 two-list pred_weight_table (per-slice L0 luma weights —
+    the B content is weighted per slice band, so decode is exact only
+    if each table is applied to exactly its slice's macroblocks), and
+    the §8.4.1.2.2 SPATIAL DIRECT derivation re-anchors at every
+    §6.4.9 slice boundary: the slice's first macroblock sees no
+    in-slice neighbours, derives directZeroPrediction, never matches
+    pan content, and opens the slice with a coded B_L0 seed, after
+    which MinPositive + per-list medians propagate the pan vector and
+    the rest of the slice rides B_Skip — so the census is pure
+    slice-boundary geometry (2S seeds, 2(mbs−S) skips), and the
+    decoder's accumulated per-slice weight sum pins every parsed
+    table.  Slices are the intra-picture parallelism unit a decoder
+    farm exploits on B-frame-heavy corpora.  Every mode stays
+    lossless: ``roundtrip_exact`` pins POC reordering, per-list
+    medians across continuation slices, and the per-slice weighting
+    bit-for-bit.  Remaining h264 stubs: lookup coeff_token columns,
+    CABAC, FMO/ASO, sub-16x16 B partitions, interlaced, H.265."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264msb_metadata(mm.synth_h264msb_table(docs))
 
 
 # --------------------------------------------------------------------------

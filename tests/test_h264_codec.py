@@ -2080,3 +2080,154 @@ class TestTemporalDirect:
             0, 0, (col_mv, np.zeros((4, 4), bool)), 2, 0, 4
         )
         assert blocks == [((0, 0), (0, 0))] * 4
+
+
+class TestMultiSliceB:
+    """Multi-slice B pictures (round 12): per-slice two-list
+    pred_weight_tables, §6.4.9 spatial-direct re-anchoring at slice
+    boundaries, and per-list medians across continuation slices."""
+
+    @staticmethod
+    def _fixture(doc_id):
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        return mm._write_h264msb(doc_id), mm._h264ms_dims(doc_id)
+
+    def test_roundtrip_and_reanchor_census(self):
+        """Spatial direct re-anchors at every slice boundary: each
+        slice opens with a coded B_L0 seed (directZeroPrediction
+        never matches pan content), the rest rides B_Skip; the
+        accumulated per-slice L0 luma weight sum pins every parsed
+        table.  Decode is bit-exact under the per-slice weighting."""
+        import hashlib
+
+        for doc in (0, 4, 8, 17):  # n_slices 2, 3, 4, 4
+            (payload, rec), (w, h, S, _x, _y) = self._fixture(doc)
+            nals = hc.split_annexb(payload)
+            assert len(nals) == 2 + 5 * S
+            frames, stats = hc.h264_decode_gop(nals)
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec
+            mbs = (w // 16) * (h // 16)
+            bst = [s for s in stats if s["is_b"]]
+            assert all(s["n_slices"] == S for s in stats)
+            assert sum(s["bl0"] for s in bst) == 2 * S
+            assert sum(s["bskip"] for s in bst) == 2 * (mbs - S)
+            assert sum(s["bl1"] + s["bbi"] + s["bdir"] + s["ipcm"]
+                       for s in bst) == 0
+            assert sum(s["wpb_luma_w_sum"] for s in bst) == 2 * sum(
+                30 + (doc + k) % 3 for k in range(S)
+            )
+
+    def test_single_slice_bitstream_unchanged(self):
+        """n_slices=1 through the multi-slice B encoder emits the
+        exact bytes of the classic gop_b encoder — the refactor
+        cannot have moved a bit (so every prior B gate replays)."""
+        import numpy as np
+
+        w, h, mv = 48, 32, (8, 8)
+        neg, two = (-8, -8), (16, 16)
+        ys, xs = np.mgrid[0:h, 0:w]
+        y = (40 + (xs * 19 + ys * 23) % 176).astype(np.uint8)
+        cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+        cbp = (60 + (cxs * 13 + cys * 29) % 136).astype(np.uint8)
+        crp = (60 + (cxs * 31 + cys * 11) % 136).astype(np.uint8)
+        f0 = (y, cbp, crp)
+        frames, prev = [f0], f0
+        for _ in range(2):
+            pfr = hc.mc_shift_planes(*prev, two)
+            frames.extend([hc.mc_shift_planes(*prev, mv), pfr])
+            prev = pfr
+        kw = dict(l0_candidates=[mv], l1_candidates=[neg],
+                  bi_candidates=[(mv, neg)], p_candidates=[two],
+                  direct=True)
+        a, _ = hc.h264_encode_gop_b_ms(frames, w, h, 1, **kw)
+        b, _ = hc.h264_encode_gop_b(frames, w, h, **kw)
+        assert a == b
+        wpb = (5, 5, (30, 1, 31, 0, 33, -1), (32, 0, 32, 0, 32, 0))
+        fw = [f0]
+        prev = f0
+        for _ in range(2):
+            pfr = hc.mc_shift_planes(*prev, two)
+            base = hc.mc_shift_planes(*prev, mv)
+            bf = (hc._wp_plane(base[0], 30, 1, 5),
+                  hc._wp_plane(base[1], 31, 0, 5),
+                  hc._wp_plane(base[2], 33, -1, 5))
+            fw.extend([bf, pfr])
+            prev = pfr
+        kw.pop("direct")
+        a, _ = hc.h264_encode_gop_b_ms(fw, w, h, 1, wpb_slices=[wpb],
+                                       **kw)
+        b, _ = hc.h264_encode_gop_b(fw, w, h, wpb=wpb, **kw)
+        assert a == b
+
+    def test_temporal_direct_needs_no_seeds_across_slices(self):
+        """The contrast case: TEMPORAL direct derives from the
+        colocated picture, not neighbours, so a multi-slice B picture
+        with bi-mean content rides B_Skip EVERYWHERE — zero per-slice
+        seeds — proving the re-anchoring census is a spatial-direct
+        (neighbour-availability) effect, not a slice-header tax."""
+        import numpy as np
+
+        w, h, S, mv = 32, 48, 3, (8, 8)
+        neg, two = (-8, -8), (16, 16)
+        ys, xs = np.mgrid[0:h, 0:w]
+        y = (40 + (xs * 19 + ys * 23) % 176).astype(np.uint8)
+        cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+        cbp = (60 + (cxs * 13 + cys * 29) % 136).astype(np.uint8)
+        crp = (60 + (cxs * 31 + cys * 11) % 136).astype(np.uint8)
+        f0 = (y, cbp, crp)
+        frames, prev = [f0], f0
+        for _ in range(2):
+            pfr = hc.mc_shift_planes(*prev, two)
+            a0 = hc.mc_shift_planes(*prev, mv)
+            a1 = hc.mc_shift_planes(*pfr, neg)
+            b = tuple(
+                ((p.astype(np.int64) + q.astype(np.int64) + 1) >> 1)
+                .astype(np.uint8)
+                for p, q in zip(a0, a1)
+            )
+            frames.extend([b, pfr])
+            prev = pfr
+        nals, _ = hc.h264_encode_gop_b_ms(
+            frames, w, h, S,
+            l0_candidates=[mv], l1_candidates=[neg],
+            bi_candidates=[(mv, neg)], p_candidates=[two],
+            direct=True, direct_mode="temporal",
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+        mbs = (w // 16) * (h // 16)
+        bst = [s for s in stats if s["is_b"]]
+        assert sum(s["bskip"] for s in bst) == 2 * mbs
+        assert sum(s["bl0"] + s["bl1"] + s["bbi"] for s in bst) == 0
+
+    def test_mixed_slice_types_rejected(self):
+        """A P continuation slice inside an open B picture (and vice
+        versa) fails loudly instead of mis-decoding."""
+        import pytest
+
+        (payload, _rec), (w, h, S, _x, _y) = self._fixture(4)
+        nals = hc.split_annexb(payload)
+        # layout: SPS PPS IDR*S P*S B*S P*S B*S; splice a P
+        # continuation (first_mb > 0) where a B continuation belongs
+        p_cont = nals[2 + S + 1]        # P picture, slice 1
+        b_first = nals[2 + 2 * S]       # B picture, slice 0
+        bad = nals[: 2 + 2 * S + 1] + [p_cont]
+        with pytest.raises((NotImplementedError, ValueError),
+                           match="mixed|gap"):
+            hc.h264_decode_gop(bad)
+        # and a B continuation inside an open P picture — rejected
+        # loudly too (here at B reference validation, which runs
+        # before the continuation-type check: the open P never
+        # completed, so the DPB lacks the B's temporal sides)
+        b_cont = nals[2 + 2 * S + 1]    # B picture, slice 1
+        bad = nals[: 2 + S + 1] + [b_cont]
+        with pytest.raises((NotImplementedError, ValueError),
+                           match="mixed|gap|reference"):
+            hc.h264_decode_gop(bad)
