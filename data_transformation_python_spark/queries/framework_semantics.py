@@ -631,18 +631,28 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # THE COMPOSED PRODUCT under the correctness gate: execute the REAL
 # framework (parse -> dependency DAG -> level-parallel
 # materialization) over the example_pipeline curation project —
-# ingest -> language-ID + Gopher filter -> MinHash-LSH dedup -> DSIR
-# selection -> sequence packing — and return the final gold_packed
-# table; the oracle replays every stage as one DuckDB CTE chain.
-# This pins the claim the per-stage gates cannot: the §2.12 operator
-# semantics SURVIVE composition through models, refs, $vars, and
-# incremental materializations.
+# ingest (+ synthetic-PII stamp) -> language-ID + Gopher filter ->
+# MinHash-LSH dedup -> PII scrub -> benchmark decontamination ->
+# DSIR selection -> sequence packing — and return the final
+# gold_packed table; the oracle replays every stage as one DuckDB
+# CTE chain.  This pins the claim the per-stage gates cannot: the
+# §2.12 operator semantics SURVIVE composition through models, refs,
+# $vars, and incremental materializations.  (Round 12 added the
+# scrub + decontam stages — X8/X9 were standalone-gated but absent
+# from the composed DAG; a real curation pipeline runs both.)
 # --------------------------------------------------------------------------
 _FUNNEL_ORACLE = """
-WITH bronze AS (
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS STRING)
+              || '@mail.example or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') AS text,
+         lang, source, n_chars
+  FROM documents),
+bronze AS (
   SELECT doc_id, text, lang, source, n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents),
+  FROM raw),
 signals AS (
   SELECT doc_id, text, lang, n_tokens,
          list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS sum_token_len,
@@ -680,7 +690,32 @@ drops AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
           ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id),
 dedup AS (SELECT q.* FROM quality q LEFT JOIN drops d ON q.doc_id = d.doc_id
           WHERE d.doc_id IS NULL),
-dtok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM dedup),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS text,
+         lang, n_tokens
+  FROM dedup),
+bt AS (SELECT string_split(text, ' ') AS t FROM bronze WHERE doc_id % 20 = 0),
+bidx AS (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+         FROM bt WHERE len(t) >= 8),
+bench8 AS (SELECT DISTINCT
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+             t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS shingle
+           FROM bidx),
+ttk AS (SELECT doc_id, string_split(text, ' ') AS t FROM scrubbed
+        WHERE doc_id % 20 <> 0),
+tidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+         FROM ttk WHERE len(t) >= 8),
+tsh AS (SELECT DISTINCT doc_id,
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS shingle
+        FROM tidx),
+hits AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN bench8 USING (shingle)),
+decon AS (SELECT s.* FROM scrubbed s LEFT JOIN hits h ON s.doc_id = h.doc_id
+          WHERE h.doc_id IS NULL AND s.doc_id % 20 <> 0),
+dtok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM decon),
 grams AS (
   SELECT doc_id, lang, tk[i] AS gram FROM dtok, unnest(generate_series(1, len(tk))) AS u(i)
   UNION ALL
@@ -702,9 +737,9 @@ selected AS (SELECT doc_id FROM (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rank FROM sc) t
   WHERE rank <= 50),
 sel AS (
-  SELECT d.doc_id, d.lang, d.n_tokens FROM dedup d WHERE d.lang = 'en'
+  SELECT d.doc_id, d.lang, d.n_tokens FROM decon d WHERE d.lang = 'en'
   UNION ALL
-  SELECT d.doc_id, d.lang, d.n_tokens FROM dedup d JOIN selected s ON d.doc_id = s.doc_id),
+  SELECT d.doc_id, d.lang, d.n_tokens FROM decon d JOIN selected s ON d.doc_id = s.doc_id),
 cum AS (SELECT doc_id, lang, n_tokens,
         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sel)

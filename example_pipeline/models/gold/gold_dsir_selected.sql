@@ -12,7 +12,7 @@
 WITH toks AS (
     SELECT doc_id, lang,
            filter(split(text, ' '), x -> x <> '') AS tk
-    FROM {{ ref('silver_dedup') }}
+    FROM {{ ref('silver_decontam') }}
 ),
 grams AS (
     SELECT doc_id, lang,

@@ -6,11 +6,11 @@
 -- groups at any scale.
 WITH sel AS (
     SELECT d.doc_id, d.lang, d.n_tokens
-    FROM {{ ref('silver_dedup') }} d
+    FROM {{ ref('silver_decontam') }} d
     WHERE d.lang = 'en'
     UNION ALL
     SELECT d.doc_id, d.lang, d.n_tokens
-    FROM {{ ref('silver_dedup') }} d
+    FROM {{ ref('silver_decontam') }} d
     JOIN {{ ref('gold_dsir_selected') }} s ON d.doc_id = s.doc_id
 ),
 cum AS (

@@ -30,6 +30,8 @@ MODELS = [
     "silver_signals",
     "silver_quality",
     "silver_dedup",
+    "silver_scrubbed",
+    "silver_decontam",
     "gold_dsir_selected",
     "gold_packed",
 ]
@@ -80,9 +82,23 @@ def test_funnel_dag_runs_and_narrows(project, spark):
     n_bronze = spark.table(f"{db}.bronze_documents").count()
     n_quality = spark.table(f"{db}.silver_quality").count()
     n_dedup = spark.table(f"{db}.silver_dedup").count()
+    n_scrub = spark.table(f"{db}.silver_scrubbed").count()
+    n_decon = spark.table(f"{db}.silver_decontam").count()
     # the funnel must narrow monotonically and keep a real corpus
     assert n_bronze >= n_quality >= n_dedup > 0
     assert n_quality < n_bronze  # the Gopher gate actually rejects
+    # scrub is a 1:1 projection; decontam drops the eval stand-ins
+    # (and any 8-gram-contaminated doc) but keeps a real corpus
+    assert n_scrub == n_dedup
+    assert 0 < n_decon < n_scrub
+
+    # the ingest-stamped PII must not survive the scrub, and the
+    # placeholders must appear (the scrub is load-bearing, not a
+    # no-op regexp over clean text)
+    scrubbed = spark.table(f"{db}.silver_scrubbed")
+    assert scrubbed.where("text rlike '@mail\\\\.example'").count() == 0
+    assert scrubbed.where("text rlike '\\\\+1-555-[0-9]{4}'").count() == 0
+    assert scrubbed.where("text rlike '<EMAIL>'").count() == n_scrub
 
     # DSIR admits only non-target docs, bounded by the keep-k var
     sel = spark.table(f"{db}.gold_dsir_selected")
@@ -90,7 +106,7 @@ def test_funnel_dag_runs_and_narrows(project, spark):
     # packing covers exactly the en slice + the DSIR-selected docs
     packed = spark.table(f"{db}.gold_packed")
     n_en = (
-        spark.table(f"{db}.silver_dedup")
+        spark.table(f"{db}.silver_decontam")
         .where("lang = 'en'")
         .count()
     )
