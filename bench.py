@@ -647,6 +647,15 @@ def corpus_scale_entries(spark, corpus_dir: str):
                 dirty=True,
             ),
         ),
+        (
+            # unigram-LM tokenizer training at corpus scale (round
+            # 12): one word-histogram shuffle over the corpus, then
+            # two Viterbi E-steps over the distinct-word cache with
+            # the vocab broadcast — corpus-sized cost is the
+            # histogram scan only
+            "text_unigram_lm_train",
+            lambda: tx.unigram_lm_train(docs),
+        ),
     ]
 
 

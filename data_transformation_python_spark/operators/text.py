@@ -1514,3 +1514,365 @@ def vocab_growth(
             "cum_tokens"
         ),
     )
+
+
+# -- unigram-LM tokenizer training (SentencePiece-family) -------------------
+#
+# Kudo 2018 ("Subword Regularization") trains a unigram language
+# model over subword pieces by EM + vocabulary pruning.  This is the
+# deterministic-integer Viterbi-EM ("hard EM", the decode-time
+# objective SentencePiece itself optimizes at inference) variant:
+#
+# - seed inventory: every substring of length 1..4 of the distinct-
+#   word cache, counted by corpus occurrence; ALL single characters
+#   (never pruned — coverage guarantee) + the top-``seed_multi``
+#   multi-char pieces by (count, piece) order;
+# - piece scores: integer-quantized base-2 negative log-likelihoods,
+#   L(x) = 256*(nlb(x)-1) + (256*x DIV 2^(nlb(x)-1)) - 256 with
+#   nlb(x) = length(bin(x)) — exact BIGINT arithmetic both engines
+#   reproduce bit-for-bit (no floating log anywhere);
+#   neg_q(p) = L(total + V) - L(cnt(p) + 1)  (+1 smoothing);
+# - E-step: per distinct word, the VITERBI segmentation under the
+#   additive quantized scores.  Uniqueness trick: piece (j, i)
+#   costs neg_q*2^13 + 2^i, so a segmentation's total encodes its
+#   cut-set as a bitmask in the low 13 bits — every segmentation of
+#   a word has a DISTINCT total, the optimum is unique, and a piece
+#   lies on THE optimal path iff dp[j] + w(j,i) + sp[i] == dp[n]
+#   (prefix DP + suffix DP, no backpointers).  Expected counts =
+#   corpus-weighted occurrences on optimal paths;
+# - M-step: re-quantize scores from the Viterbi counts;
+# - prune: keep all chars + the top-``keep_multi`` multi-char pieces
+#   by (count DESC, piece) — the pruning trajectory the oracle pins;
+# - one more EM round under the pruned vocabulary, then emit the
+#   final vocab (piece, piece_len, cnt, neg_logprob_q).
+#
+# Scale posture: the corpus is touched ONCE (the word histogram —
+# one map-side-combined shuffle); every E-step is a single narrow
+# projection over the distinct-word cache with the vocabulary
+# BROADCAST as a map literal (vocab is control-plane: ≤ seed_multi +
+# alphabet entries here, ≤ a few hundred thousand for a production
+# 32k..1M-piece tokenizer — still broadcastable), followed by one
+# vocab-sized groupBy.  Driver-side state is vocab-sized only, like
+# k-means centroids / BPE merges.  No reference counterpart
+# (extension surface, SURVEY §2.12 X5 family).
+
+_ULM_BIG = 1 << 40
+
+
+def _ulm_lq(x: int) -> int:
+    """Integer-quantized log2 (Python twin of the SQL formula —
+    identical BIGINT arithmetic)."""
+    nlb = int(x).bit_length()
+    return 256 * (nlb - 1) + (256 * x) // (1 << (nlb - 1)) - 256
+
+
+def ulm_lq_sql(x: str, dialect: str) -> str:
+    """The L(x) quantized-log2 expression in either dialect.  ``x``
+    must be a non-negative BIGINT expression (callers pass cnt+1 /
+    tot+V, both >= 1)."""
+    nlb = f"length(bin({x}))"
+    if dialect == "spark":
+        pw = f"shiftleft(CAST(1 AS BIGINT), {nlb} - 1)"
+        return f"(256 * ({nlb} - 1) + (256 * ({x})) DIV {pw} - 256)"
+    pw = f"(CAST(1 AS BIGINT) << ({nlb} - 1))"
+    return f"(256 * ({nlb} - 1) + (256 * ({x})) // {pw} - 256)"
+
+
+def _ulm_dp_expr(scale: int, max_piece: int, forward: bool) -> str:
+    """The per-word Viterbi DP as ONE Spark higher-order-function
+    expression over columns (word, n, vmap): an aggregate() over the
+    positions, state = the dp array (index p+1 = position p).
+    Forward: dp[0]=0, dp[i] = min over L of dp[i-L] + w(j=i-L, i).
+    Backward (suffix): sp[n]=0, sp[i] = min over L of w(i, i+L) +
+    sp[i+L].  Pieces outside the vocab cost BIG (chars are always in
+    the vocab, so every position stays reachable)."""
+    B = _ULM_BIG
+    if forward:
+        init = f"transform(sequence(0, n), p -> IF(p = 0, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
+        terms = ", ".join(
+            f"IF(i >= {L}, element_at(acc, i - {L} + 1) + "
+            f"COALESCE(try_element_at(vmap, substr(word, i - {L} + 1, {L}))"
+            f" * {scale} + shiftleft(1, i), CAST({B} AS BIGINT)),"
+            f" CAST({B} AS BIGINT))"
+            for L in range(1, max_piece + 1)
+        )
+        step = (
+            f"(acc, i) -> transform(sequence(0, n), p -> "
+            f"IF(p <> i, element_at(acc, p + 1), LEAST({terms})))"
+        )
+    else:
+        init = f"transform(sequence(0, n), p -> IF(p = n, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
+        terms = ", ".join(
+            f"IF(n - s + {L} <= n, "
+            f"COALESCE(try_element_at(vmap, substr(word, n - s + 1, {L}))"
+            f" * {scale} + shiftleft(1, n - s + {L}), CAST({B} AS BIGINT))"
+            f" + element_at(acc, n - s + {L} + 1), CAST({B} AS BIGINT))"
+            for L in range(1, max_piece + 1)
+        )
+        step = (
+            f"(acc, s) -> transform(sequence(0, n), p -> "
+            f"IF(p <> n - s, element_at(acc, p + 1), LEAST({terms})))"
+        )
+    return f"aggregate(sequence(1, n), {init}, {step})"
+
+
+def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
+               max_piece: int) -> dict:
+    """One Viterbi E-step: segment every distinct word under the
+    broadcast vocab->neg_q map, return {piece: corpus-weighted count
+    on optimal paths}.  One projection + one vocab-sized groupBy."""
+    spark = words.sparkSession
+    pairs: list = []
+    for p, neg in sorted(vocab.items()):
+        pairs.extend([F.lit(p), F.lit(int(neg)).cast("long")])
+    with_dp = (
+        words.withColumn("vmap", F.create_map(*pairs))
+        .withColumn("dp", F.expr(_ulm_dp_expr(scale, max_piece, True)))
+        .withColumn("sp", F.expr(_ulm_dp_expr(scale, max_piece, False)))
+    )
+    # every position is reachable (chars are in the vocab), and the
+    # two DPs must agree on the unique optimal total — fail loudly
+    # rather than emit a silently-wrong count table
+    bad = with_dp.filter(
+        F.expr("element_at(dp, n + 1) <> element_at(sp, 1)")
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"unigram-LM E-step: {bad} words where prefix/suffix DP "
+            "totals disagree"
+        )
+    chosen = (
+        with_dp.select(
+            "word", "cnt", "n", "dp", "sp", "vmap",
+            F.explode(F.expr("sequence(0, n - 1)")).alias("j"),
+        )
+        .select(
+            "*", F.explode(F.expr(f"sequence(1, {max_piece})")).alias("L")
+        )
+        .filter(F.expr("j + L <= n"))
+        .select(
+            "cnt",
+            F.expr("substr(word, j + 1, L)").alias("piece"),
+            F.expr(
+                "element_at(dp, j + 1) + try_element_at(vmap, "
+                f"substr(word, j + 1, L)) * {scale} + shiftleft(1, j + L)"
+                " + element_at(sp, j + L + 1)"
+            ).alias("path_cost"),
+            F.expr("element_at(dp, n + 1)").alias("total"),
+        )
+        .filter(F.col("path_cost").isNotNull()
+                & (F.col("path_cost") == F.col("total")))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    return {r["piece"]: int(r["c"]) for r in chosen.collect()}
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word: int = 12,
+    max_piece: int = 4,
+    seed_multi: int = 48,
+    keep_multi: int = 24,
+) -> DataFrame:
+    """Train the unigram-LM tokenizer (module docstring above):
+    seed -> E -> M -> prune -> E -> M, returning the final vocabulary
+    (piece, piece_len, cnt, neg_logprob_q) ordered by piece."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    scale = 1 << 13  # low 13 bits hold the cut-set bitmask (n <= 12)
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= max_word))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("n", F.length("word").cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # seed inventory: substring occurrence counts, corpus-weighted
+    occ = (
+        words.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, n), j -> "
+                    f"transform(sequence(1, least({max_piece}, n - j + 1)),"
+                    " L -> substr(word, j, L))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    chars = occ.filter(F.length("piece") == 1).collect()
+    multi = (
+        occ.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(seed_multi)
+        .collect()
+    )
+    try:
+        counts = {r["piece"]: int(r["c"]) for r in chars + multi}
+
+        def _scores(cnts: dict) -> dict:
+            tot = sum(cnts.values()) + len(cnts)
+            return {
+                p: _ulm_lq(tot) - _ulm_lq(c + 1) for p, c in cnts.items()
+            }
+
+        # round 1: E under seed scores, M, prune
+        c1 = _ulm_estep(words, _scores(counts), scale, max_piece)
+        c1 = {p: c1.get(p, 0) for p in counts}
+        kept_multi = sorted(
+            (p for p in c1 if len(p) > 1),
+            key=lambda p: (-c1[p], p),
+        )[:keep_multi]
+        v1 = {p: c1[p] for p in c1 if len(p) == 1 or p in set(kept_multi)}
+        # round 2: E under re-estimated scores over the pruned vocab
+        c2 = _ulm_estep(words, _scores(v1), scale, max_piece)
+        c2 = {p: c2.get(p, 0) for p in v1}
+        neg2 = _scores(c2)
+    finally:
+        words.unpersist()
+    rows = [
+        (p, len(p), c2[p], neg2[p]) for p in sorted(c2)
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, piece_len bigint, cnt bigint,"
+        " neg_logprob_q bigint"
+    )
+
+
+def unigram_lm_oracle_sql(
+    max_word: int = 12,
+    max_piece: int = 4,
+    seed_multi: int = 48,
+    keep_multi: int = 24,
+) -> str:
+    """The DuckDB twin of ``unigram_lm_train``: the whole trajectory
+    — seed, quantized scores, two Viterbi E-steps (prefix + suffix
+    DPs unrolled position-by-position, MATERIALIZED so the ~70-CTE
+    chain stays linear), the prune, and the final re-estimation —
+    unrolled into one query.  All-BIGINT arithmetic, so the match is
+    bit-exact."""
+    scale = 1 << 13
+
+    def lq(x: str) -> str:
+        return ulm_lq_sql(x, "duckdb")
+
+    def vocab_ctes(r: int, src_counts: str) -> list[str]:
+        """v{r} = pieces + quantized neg scores from counts CTE."""
+        return [
+            f",t{r} AS (SELECT CAST(SUM(c) + COUNT(*) AS BIGINT) AS tt"
+            f" FROM {src_counts})",
+            f",v{r} AS MATERIALIZED (SELECT piece, "
+            + lq("tt") + " - " + lq("c + 1")
+            + f" AS neg FROM {src_counts}, t{r})",
+        ]
+
+    def estep_ctes(r: int) -> list[str]:
+        """cand{r} + unrolled prefix/suffix DPs + chosen + counts
+        over vocabulary v{r-1}."""
+        parts = [
+            f",cand{r} AS MATERIALIZED ("
+            f"SELECT c.word, c.cnt, c.n, c.j, c.j + c.L AS i,"
+            f" v.neg * {scale} + (CAST(1 AS BIGINT) << (c.j + c.L)) AS wq"
+            f" FROM cpl c JOIN v{r - 1} v"
+            f" ON v.piece = substr(c.word, c.j + 1, c.L))",
+            f",dp{r}_0 AS (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS val"
+            f" FROM w)",
+            f",sp{r}_0 AS (SELECT word, n AS i, CAST(0 AS BIGINT) AS val"
+            f" FROM w)",
+        ]
+        for i in range(1, max_word + 1):
+            prev = " UNION ALL ".join(
+                f"SELECT * FROM dp{r}_{k}"
+                for k in range(max(0, i - max_piece), i)
+            )
+            parts.append(
+                f",dp{r}_{i} AS MATERIALIZED ("
+                f"SELECT c.word, {i} AS i, MIN(p.val + c.wq) AS val"
+                f" FROM cand{r} c JOIN ({prev}) p"
+                f" ON p.word = c.word AND p.i = c.j"
+                f" WHERE c.i = {i} GROUP BY 1)"
+            )
+        for s in range(1, max_word + 1):
+            prev = " UNION ALL ".join(
+                f"SELECT * FROM sp{r}_{k}"
+                for k in range(max(0, s - max_piece), s)
+            )
+            parts.append(
+                f",sp{r}_{s} AS MATERIALIZED ("
+                f"SELECT c.word, c.j AS i, MIN(c.wq + p.val) AS val"
+                f" FROM cand{r} c JOIN ({prev}) p"
+                f" ON p.word = c.word AND p.i = c.i"
+                f" WHERE c.n - c.j = {s} GROUP BY 1, 2)"
+            )
+        dpall = " UNION ALL ".join(
+            f"SELECT * FROM dp{r}_{i}" for i in range(max_word + 1)
+        )
+        spall = " UNION ALL ".join(
+            f"SELECT * FROM sp{r}_{s}" for s in range(max_word + 1)
+        )
+        parts += [
+            f",dpall{r} AS MATERIALIZED ({dpall})",
+            f",spall{r} AS MATERIALIZED ({spall})",
+            f",tot{r} AS (SELECT word, val FROM spall{r} WHERE i = 0)",
+            f",ch{r} AS MATERIALIZED ("
+            f"SELECT c.cnt, substr(c.word, c.j + 1, c.i - c.j) AS piece"
+            f" FROM cand{r} c"
+            f" JOIN dpall{r} d ON d.word = c.word AND d.i = c.j"
+            f" JOIN spall{r} s ON s.word = c.word AND s.i = c.i"
+            f" JOIN tot{r} t ON t.word = c.word"
+            f" WHERE d.val + c.wq + s.val = t.val)",
+            f",c{r}r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c"
+            f" FROM ch{r} GROUP BY 1)",
+            f",c{r} AS MATERIALIZED (SELECT v.piece, "
+            f"CAST(COALESCE(r.c, 0) AS BIGINT) AS c"
+            f" FROM v{r - 1} v LEFT JOIN c{r}r r USING (piece))",
+        ]
+        return parts
+
+    parts = [
+        "WITH w AS MATERIALIZED ("
+        "SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt,"
+        " CAST(length(t) AS INT) AS n"
+        " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
+        f" WHERE t <> '' AND length(t) <= {max_word} GROUP BY 1)",
+        ",posj AS (SELECT word, cnt, n,"
+        " unnest(generate_series(1, n)) AS j FROM w)",
+        ",posl AS (SELECT word, cnt, j, unnest(generate_series(1,"
+        f" least({max_piece}, n - j + 1))) AS L FROM posj)",
+        ",occ AS MATERIALIZED (SELECT substr(word, j, L) AS piece,"
+        " CAST(SUM(cnt) AS BIGINT) AS c FROM posl GROUP BY 1)",
+        ",v0c AS MATERIALIZED ("
+        "SELECT piece, c FROM occ WHERE length(piece) = 1"
+        " UNION ALL SELECT piece, c FROM ("
+        "SELECT piece, c FROM occ WHERE length(piece) > 1"
+        f" ORDER BY c DESC, piece LIMIT {seed_multi}) q)",
+        # shared candidate scaffolding (positions x lengths per word)
+        ",cp0 AS (SELECT word, cnt, n,"
+        " unnest(generate_series(0, n - 1)) AS j FROM w)",
+        ",cpl AS (SELECT word, cnt, n, j, unnest(generate_series(1,"
+        f" least({max_piece}, n - j))) AS L FROM cp0)",
+    ]
+    parts += vocab_ctes(0, "v0c")
+    parts += estep_ctes(1)
+    parts += [
+        ",v1c AS MATERIALIZED ("
+        "SELECT piece, c FROM c1 WHERE length(piece) = 1"
+        " UNION ALL SELECT piece, c FROM ("
+        "SELECT piece, c FROM c1 WHERE length(piece) > 1"
+        f" ORDER BY c DESC, piece LIMIT {keep_multi}) q)",
+    ]
+    parts += vocab_ctes(1, "v1c")
+    parts += estep_ctes(2)
+    parts += [
+        ",tf AS (SELECT CAST(SUM(c) + COUNT(*) AS BIGINT) AS tt FROM c2)",
+        "SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,"
+        " c AS cnt, " + lq("tt") + " - " + lq("c + 1")
+        + " AS neg_logprob_q FROM c2, tf ORDER BY piece",
+    ]
+    return "\n".join(parts)

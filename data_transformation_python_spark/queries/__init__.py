@@ -101,86 +101,42 @@ def _register_all() -> None:
     from . import tpch_full  # noqa: F401
     from . import curation  # noqa: F401
 
-
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 11 head: (1) the
-# brand-new never-checked gates — the five H.264 rungs closed late in
-# the round (B_Skip/B_Direct spatial direct, implicit and explicit
-# weighted bi-prediction, multi-slice pictures, explicit weighted
-# prediction), the hardened dirty-markup extraction, the auto-routing
-# kNN serve, the two-batch incremental funnel, and the Gopher-target
-# (non-distillation) trainer; (2) the
-# gates whose CODE changed this round — the DSIR pair (denominator
-# overflow guard), the LR pair (symmetric class balance), the kNN
-# pair (top-k/vote tail factored out), and the extraction pair
-# (dirty-mode parameter; defaults pinned byte-identical by test);
-# (3) everything else ordered by LAST-DRIVER-CHECKED ROUND ascending,
-# computed from the committed CORRECTNESS_r{1..10}.json ledger (ties
-# alphabetical): the 18 r6-era entries lead, then the r7 block fills
-# the window (the first 20 of its 49 land in round 11; the rest head
-# round 12).  Everything past position 50 stays honest through the
-# local full-registry PARITY sweep (tests/test_oracle_parity.py +
-# committed PARITY_r{N}.json).  Names absent from the registry are
-# ignored; registered names absent from this list keep registration
-# order.
+# rotated STALEST-FIRST each round.  Round 12 head: (1) the
+# brand-new never-checked gates — multi-slice B pictures (the last
+# composable codec rung) and the unigram-LM tokenizer trainer;
+# (2) the gates whose CODE changed this round — BOTH funnel gates
+# (the composed DAG gained the PII-scrub and decontamination stages,
+# and bronze now stamps synthetic PII: oracle updated in lockstep)
+# and the seven B/multi-slice codec gates (the _b_slice_rbsp
+# slice-parameter refactor + per-picture decoder B states; the
+# single-slice byte-identity is test-pinned, re-gated anyway per
+# convention); (3) everything else ordered by LAST-DRIVER-CHECKED
+# ROUND ascending, computed from the committed
+# CORRECTNESS_r{1..11}.json ledger (ties alphabetical): the 36
+# r7-era entries land in full, then the r8 block contributes its
+# first 3 (the rest head round 13).  Everything past position 50
+# stays honest through the local full-registry PARITY sweep
+# (tests/test_oracle_parity.py + committed PARITY_r{N}.json).  Names
+# absent from the registry are ignored; registered names absent from
+# this list keep registration order.
 _PRIORITY: list[str] = [
-    # (1) new in round 11 — never driver-checked
-    "multimodal_h264td_meta",
-    "multimodal_h264bd_meta",
-    "multimodal_h264wi_meta",
-    "multimodal_h264wb_meta",
-    "multimodal_h264ms_meta",
-    "multimodal_h264wp_meta",
+    # (1) new in round 12 — never driver-checked
+    "multimodal_h264msb_meta",
+    "text_unigram_lm_train",
+    # (2) code changed in round 12 (funnel stages +
+    #     oracle; B/slice encoder-decoder refactor)
+    "pipeline_curation_funnel",
     "pipeline_funnel_incremental",
-    "q_stream_html_extract_dirty",
-    "sim_knn_classify_auto",
-    "text_html_extract_dirty",
-    "text_lr_train_gopher",
-    # (2) code changed in round 11 (DSIR denominator guard;
-    #     symmetric LR balance; knn top-k refactor; extraction
-    #     dirty param — all bit-identical by design, re-gated)
-    "samp_dsir",
-    "q_stream_dsir",
-    "text_lr_train",
-    "q_stream_lr_serve",
-    "text_knn_classifier",
-    "q_stream_knn_classifier",
-    "text_html_extract",
-    "q_stream_html_extract",
-    # (3) stalest-first: last driver-checked in round 6
-    "q_snapshot_scd2",
-    "q_source_csv_roundtrip",
-    "q_source_freshness",
-    "q_source_json_roundtrip",
-    "q_source_orc_roundtrip",
-    "q_stream_dedup_index",
-    "q_stream_foreachbatch_upsert",
-    "q_stream_stream_join",
-    "q_value_histogram",
-    "q_winsorize_values",
-    "samp_shuffle_order",
-    "samp_temperature",
-    "sim_kmeans_converged",
-    "sim_pq_adc_topk",
-    "sim_pq_codes",
-    "sim_pq_codes_blas",
-    "text_chunk_windows",
-    "text_quality_classifier",
+    "multimodal_h264b_meta",
+    "multimodal_h264bd_meta",
+    "multimodal_h264td_meta",
+    "multimodal_h264wb_meta",
+    "multimodal_h264wi_meta",
+    "multimodal_h264wp_meta",
+    "multimodal_h264ms_meta",
     # (3) stalest-first: last driver-checked in round 7
-    "dedup_semantic_clusters",
-    "dedup_winnow_candidates",
-    "multimodal_adpcm_meta",
-    "multimodal_features",
-    "multimodal_mjpeg_meta",
-    "multimodal_mp4_meta",
-    "multimodal_mpeg_meta",
-    "multimodal_ppm_meta",
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_parts",
     "q12_late_shipping",
     "q13_order_distribution",
     "q14_promo_revenue",
@@ -325,10 +281,8 @@ _PRIORITY: list[str] = [
     "multimodal_avi_frames",
     "multimodal_bmp_resize",
     "multimodal_gif_meta",
-    "multimodal_h264b_meta",
     "multimodal_jpeg_meta",
     "multimodal_png_meta",
-    "pipeline_curation_funnel",
     "q_approx_distinct",
     "q_approx_percentile",
     "q_cdc_merge",
@@ -352,6 +306,50 @@ _PRIORITY: list[str] = [
     "text_gopher_quality",
     "text_quality_filter",
     "text_repetition_stats",
+    # (3) stalest-first: last driver-checked in round 11
+    "dedup_semantic_clusters",
+    "dedup_winnow_candidates",
+    "multimodal_adpcm_meta",
+    "multimodal_features",
+    "multimodal_mjpeg_meta",
+    "multimodal_mp4_meta",
+    "multimodal_mpeg_meta",
+    "multimodal_ppm_meta",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_parts",
+    "q_snapshot_scd2",
+    "q_source_csv_roundtrip",
+    "q_source_freshness",
+    "q_source_json_roundtrip",
+    "q_source_orc_roundtrip",
+    "q_stream_dedup_index",
+    "q_stream_dsir",
+    "q_stream_foreachbatch_upsert",
+    "q_stream_html_extract",
+    "q_stream_html_extract_dirty",
+    "q_stream_knn_classifier",
+    "q_stream_lr_serve",
+    "q_stream_stream_join",
+    "q_value_histogram",
+    "q_winsorize_values",
+    "samp_dsir",
+    "samp_shuffle_order",
+    "samp_temperature",
+    "sim_kmeans_converged",
+    "sim_knn_classify_auto",
+    "sim_pq_adc_topk",
+    "sim_pq_codes",
+    "sim_pq_codes_blas",
+    "text_chunk_windows",
+    "text_html_extract",
+    "text_html_extract_dirty",
+    "text_knn_classifier",
+    "text_lr_train",
+    "text_lr_train_gopher",
+    "text_quality_classifier",
 ]
 
 

@@ -1292,6 +1292,29 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# text: unigram-LM tokenizer training (round 12) — the SentencePiece-
+# family counterpart to the BPE learner: substring seed inventory,
+# integer-quantized log2 likelihoods, two Viterbi hard-EM rounds with
+# a prune in between.  The cut-set-bitmask cost encoding makes every
+# word's optimal segmentation UNIQUE, so expected counts extract from
+# prefix+suffix DPs without backpointers and the whole trajectory
+# replays bit-exactly against the unrolled ~70-CTE oracle.
+# --------------------------------------------------------------------------
+@query("text_unigram_lm_train", oracle=tx.unigram_lm_oracle_sql())
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram-LM tokenizer on the documents corpus
+    (operators/text.py unigram_lm_train): seed -> E -> M -> prune ->
+    E -> M, emitting the final vocabulary (piece, piece_len, cnt,
+    neg_logprob_q).  Corpus-sized work is ONE word-histogram shuffle;
+    each E-step is a single narrow projection over the distinct-word
+    cache with the vocabulary broadcast as a map literal (the per-
+    word Viterbi runs JVM-side inside one aggregate() expression) +
+    one vocab-sized groupBy.  Driver state is vocab-sized, like
+    k-means centroids and the BPE merge table."""
+    return tx.unigram_lm_train(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # similarity serving: binary quantization — the 1-bit rung of the
 # quantization ladder (32x compression): popcount Hamming shortlist
 # over packed sign words, exact integer-cosine rerank of the

@@ -71,10 +71,120 @@ ENTRIES = [
     # round 8g: BM25 one-shot retrieval — one scan + broadcast stats,
     # expected ~linear with a tiny constant
     "text_bm25_topk",
+    # round 12: the r11/r12 plans the verdict asked to sweep — the
+    # auto-routed kNN serve (banded route past the 10^8-pair knee:
+    # fixed 5k queries, seeds scale with the corpus, expect ~linear
+    # in seeds; band width auto-flips at 2^20 seeds), the dirty-mode
+    # extraction cascade (one shuffle-free projection, expect the
+    # clean cascade's exponent with a ~2x constant), and unigram-LM
+    # tokenizer training (corpus-sized cost is one histogram shuffle;
+    # E-steps run on the distinct-word cache, expect ~linear with a
+    # near-constant tail)
+    "sim_knn_classify_auto_wide",
+    "text_html_extract_dirty",
+    "text_unigram_lm_train",
 ]
 
 
+def sweep_funnel_incremental(sizes_m: list[int] | None = None) -> list[dict]:
+    """The incremental-value curve (round 12): cold-build the
+    example_pipeline funnel on a fixed 75% batch 1 (doc_id % 16 >= 4
+    of the sf0.1 corpus), then time ONLY the batch-2 run at several
+    batch-2 sizes (doc_id % 16 < m).  The bronze MERGE touches
+    batch-2 rows only; silver/gold are full table rebuilds — so the
+    curve's slope prices the MERGE + per-row work and its intercept
+    the rebuild floor (the part merge_buckets partition-pruning and
+    incremental silver strategies attack at 100 TB)."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from data_transformation_python_spark.config import load_config
+    from data_transformation_python_spark.dependency import (
+        ParallelExecutor,
+        build_dependency_graph,
+    )
+    from data_transformation_python_spark.executor import (
+        ModelExecutor,
+        SparkExecutor,
+    )
+    from data_transformation_python_spark.parser import SQLParser
+    from data_transformation_python_spark.state import create_state_manager
+
+    sizes_m = sizes_m or [1, 2, 4]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = Path(__file__).resolve().parent / "example_pipeline"
+    results = []
+    for m in sizes_m:
+        tmp = tempfile.mkdtemp(prefix="dtps_sweep_funnel_")
+        proj = Path(tmp) / "example_pipeline"
+        shutil.copytree(src, proj)
+        b1 = Path(tmp) / "b1"
+        b2 = Path(tmp) / "b2"
+        docs.filter("doc_id % 16 >= 4").write.parquet(
+            str(b1 / "documents.parquet")
+        )
+        batch2 = docs.filter(f"doc_id % 16 < {m}")
+        n2 = batch2.count()
+        batch2.write.parquet(str(b2 / "documents.parquet"))
+        db = f"sweep_funnel_{uuid.uuid4().hex[:8]}"
+        old_env = os.environ.get("TESTDATA_DIR")
+        try:
+            t2 = None
+            for bdir in (str(b1), str(b2)):
+                os.environ["TESTDATA_DIR"] = bdir
+                config = load_config(proj)
+                config.database = db
+                parser = SQLParser(config.models_dir)
+                state = create_state_manager(
+                    config.state_dir, config.env_name
+                )
+                mx = ModelExecutor(
+                    SparkExecutor(spark, database=db), parser, config, state
+                )
+                levels = build_dependency_graph(
+                    parser.parse_directory()
+                ).topological_sort()
+                t0 = time.time()
+                rs = ParallelExecutor(max_parallelism=4).execute_levels(
+                    levels, lambda name: mx.execute_model(name)
+                )
+                t2 = time.time() - t0  # keeps the LAST (batch-2) time
+                bad = [r for r in rs if not r.get("success")]
+                if bad:
+                    raise RuntimeError(f"funnel sweep failed: {bad[:1]}")
+            results.append(
+                {"batch2_docs": n2, "batch2_run_sec": round(t2, 3)}
+            )
+            print(f"funnel batch2={n2} docs -> {t2:.2f}s", flush=True)
+        finally:
+            if old_env is None:
+                os.environ.pop("TESTDATA_DIR", None)
+            else:
+                os.environ["TESTDATA_DIR"] = old_env
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            shutil.rmtree(tmp, ignore_errors=True)
+    if len(results) >= 2:
+        lo, hi = results[0], results[-1]
+        k = math.log(hi["batch2_run_sec"] / lo["batch2_run_sec"]) / math.log(
+            hi["batch2_docs"] / lo["batch2_docs"]
+        )
+        print(f"funnel_incremental batch-2 exponent k={k:.2f} "
+              f"(rebuild floor flattens it by design)", flush=True)
+        results.append({"exponent": round(k, 3)})
+    return results
+
+
 def main() -> None:
+    # SWEEP_FUNNEL=1 runs the batch-2-size funnel sweep instead of
+    # the corpus-size entry sweep
+    if os.environ.get("SWEEP_FUNNEL"):
+        print(json.dumps({"funnel_incremental":
+                          sweep_funnel_incremental()}, indent=1))
+        return
     # SWEEP_ENTRIES=a,b,c restricts the run (re-sweeping one family
     # shouldn't cost a full pass over all of them)
     global ENTRIES

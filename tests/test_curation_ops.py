@@ -680,3 +680,90 @@ class TestDsirImportanceSample:
             dsir_importance_sample(
                 raw, target, k=2, num_buckets=2**61, scale=1
             ).collect()
+
+
+def test_unigram_lm_train_semantics(spark):
+    """Unigram-LM Viterbi-EM on a hand-checkable corpus: (1) the seed
+    keeps all chars + top multi-char substrings; (2) the Viterbi
+    E-step segments under quantized scores and counts pieces on THE
+    unique optimal path (cut-set bitmask tie-break); (3) frequent
+    multi-char pieces win counts over their constituent chars;
+    (4) pruning keeps chars unconditionally; (5) the output is
+    deterministic across invocations."""
+    from data_transformation_python_spark.operators.text import (
+        unigram_lm_train,
+    )
+
+    # 'abab' dominates: the piece 'ab' (and 'abab') should absorb the
+    # segmentation mass; 'xy' is rare, 'z' appears only alone
+    docs = spark.createDataFrame(
+        [("abab abab abab abab xy z",), ("abab abab xy q",)],
+        "text string",
+    )
+    out = unigram_lm_train(docs, seed_multi=6, keep_multi=3)
+    rows = {r.piece: r for r in out.collect()}
+    # chars survive pruning even with zero final usage
+    for ch in "abxyzq":
+        assert ch in rows, (ch, sorted(rows))
+    # multi-char vocabulary is bounded by keep_multi
+    multi = [p for p in rows if len(p) > 1]
+    assert len(multi) <= 3, multi
+    # 'abab' words segment through multi-char pieces, not chars:
+    # the best multi piece carries the corpus mass
+    assert any(rows[p].cnt > 0 for p in multi), {
+        p: rows[p].cnt for p in multi
+    }
+    # 'z' occurs once as a full word -> its char is on the path
+    assert rows["z"].cnt == 1, rows["z"]
+    # counts with higher mass quantize to lower neg_logprob
+    used = sorted((r.cnt, -r.neg_logprob_q) for r in rows.values())
+    assert used == sorted(used)  # monotone: cnt up => neg down
+    # determinism: a second run reproduces the table bit-for-bit
+    again = {r.piece: r for r in
+             unigram_lm_train(docs, seed_multi=6, keep_multi=3).collect()}
+    assert {p: (r.cnt, r.neg_logprob_q) for p, r in rows.items()} == {
+        p: (r.cnt, r.neg_logprob_q) for p, r in again.items()
+    }
+
+
+def test_unigram_lm_quantized_log_is_exact_and_monotone():
+    """The L(x) integer log2: exact at powers of two, strictly
+    monotone over BIGINT-range inputs, and the Python twin equals the
+    SQL formula in BOTH dialects (DuckDB-executed check)."""
+    import duckdb
+
+    from data_transformation_python_spark.operators.text import (
+        _ulm_lq,
+        ulm_lq_sql,
+    )
+
+    assert _ulm_lq(1) == 0 and _ulm_lq(2) == 256 and _ulm_lq(4) == 512
+    xs = [1, 2, 3, 5, 7, 8, 100, 1023, 1024, 10**6, 10**9]
+    vals = [_ulm_lq(x) for x in xs]
+    assert vals == sorted(vals) and len(set(vals)) == len(vals)
+    con = duckdb.connect()
+    for x in xs:
+        # cast: bare literals are INT32 in DuckDB and 256*x overflows
+        # (gate callers always pass BIGINT count expressions)
+        got = con.execute(
+            f"SELECT {ulm_lq_sql(f'CAST({x} AS BIGINT)', 'duckdb')}"
+        ).fetchone()[0]
+        assert got == _ulm_lq(x), (x, got, _ulm_lq(x))
+
+
+def test_unigram_lm_optimal_path_is_unique(spark):
+    """The cut-set bitmask encoding: every segmentation of a word has
+    a distinct total cost, so the prefix/suffix on-path test extracts
+    exactly one segmentation — even when piece scores tie.  'aaaa'
+    with equal-scored pieces {a, aa} has 5 segmentations; the counts
+    must reflect exactly one (the smallest-bitmask one), never a
+    blend (which would overcount occurrences)."""
+    from data_transformation_python_spark.operators.text import _ulm_estep
+
+    words = spark.createDataFrame(
+        [("aaaa", 1, 4)], "word string, cnt bigint, n int"
+    )
+    counts = _ulm_estep(words, {"a": 100, "aa": 100}, 1 << 13, 4)
+    # equal per-piece cost => fewer pieces is cheaper => 'aa'+'aa';
+    # a blended extraction would also report 'a' occurrences
+    assert counts == {"aa": 2}, counts
