@@ -72,14 +72,16 @@ bi-prediction mean.  Every implemented B mode is lossless.
 
 Rounds 11–12 closed weighted (bi-)prediction (explicit + implicit),
 B_Skip/B_Direct in both spatial and temporal flavors, multi-slice
-pictures, and (round 12) MULTI-SLICE B PICTURES — per-slice
+pictures, (round 12) MULTI-SLICE B PICTURES — per-slice
 pred_weight_tables and §6.4.9 direct-mode re-anchoring at slice
-boundaries (h264_encode_gop_b_ms).
+boundaries (h264_encode_gop_b_ms) — and (round 12) B_8x8
+SUB-MACROBLOCKS (Table 7-18 modes 1-3: four independent per-list
+motion derivations per macroblock, §7.3.5.2 two-loop mvd order).
 
 Still honestly stubbed in multimodal.decode_media: the Intra_4x4
 residual path, the 2<=nC<8 coeff_token columns, CABAC, slice groups
-(FMO) / arbitrary slice order, sub-16x16 B partitions, B inter
-residuals, and interlaced coding.  Dense
+(FMO) / arbitrary slice order, B_Direct_8x8 and the sub-8x8 B splits
+(Table 7-18 rows 4+), B inter residuals, and interlaced coding.  Dense
 temporal prediction with residuals is also covered Spark-side by the
 IPV1 codec (video_codec.py).
 
@@ -2912,7 +2914,8 @@ def h264_encode_gop_p_ms(
 def _stats_zero(**flags) -> dict:
     s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
          "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "bskip": 0,
-         "bdir": 0, "ipcm": 0, "i16": 0,
+         "bdir": 0, "b8x8": 0, "b8_l0": 0, "b8_l1": 0, "b8_bi": 0,
+         "ipcm": 0, "i16": 0,
          "is_p": False, "is_b": False, "n_slices": 1}
     s.update(flags)
     return s
@@ -2932,6 +2935,7 @@ def _b_slice_rbsp(
     n_mbs: int | None = None,
     ms0: "_MotionState | None" = None,
     ms1: "_MotionState | None" = None,
+    sub_candidates: list | None = None,
 ) -> tuple[bytes, dict]:
     """One B slice covering the whole picture — or, for MULTI-SLICE
     B pictures (round 12), the ``n_mbs`` macroblocks starting at
@@ -2963,7 +2967,17 @@ def _b_slice_rbsp(
        bi-prediction — the ``(predL0 + predL1 + 1) >> 1`` rounded
        mean (§8.4.2.3.2, weighted_bipred_idc 0), or the explicit
        eq. 8-272 weighting when ``wpb`` is given — matches exactly,
-    4. I_PCM (mb_type 48 = 25 + 23, Table 7-14) — intra fallback.
+    4. B_8x8 (mb_type 22, round 12) — the first ``sub_candidates``
+       entry (modes, mvs) whose four 8x8 sub-macroblocks all match:
+       modes are Table 7-18 sub_mb_types 1/2/3 (B_L0_8x8 / B_L1_8x8
+       / B_Bi_8x8; B_Direct_8x8 and the sub-8x8 splits stay out of
+       scope), mvs carries one vector (one-list) or a pair (bi) per
+       sub-block.  Syntax per §7.3.5.2: four sub_mb_types, then ALL
+       mvd_l0 in mbPartIdx order, then ALL mvd_l1 — each list's
+       §8.4.1.3 median derives per sub-block with earlier sub-blocks'
+       reconstructed state visible (a one-list sub-block marks the
+       OTHER list refIdx −1, like the 16x16 modes),
+    5. I_PCM (mb_type 48 = 25 + 23, Table 7-14) — intra fallback.
 
     ``wpb`` — EXPLICIT WEIGHTED BI-PREDICTION (weighted_bipred_idc
     1): (luma_log2_denom, chroma_log2_denom, L0 weights, L1 weights)
@@ -3051,6 +3065,61 @@ def _b_slice_rbsp(
                 for a, b in zip(p0, p1)
             )
         return _wpb_bi(p0, p1, wpb)
+
+    def _part_planes(ref: tuple, mx: int, my: int, geom: tuple,
+                     mv: tuple):
+        (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+        ryy, rcbb, rcrr = ref
+        return (
+            _interp_luma_block(ryy, mx * 16 + lx, my * 16 + ly,
+                               lw, lh, mv[0], mv[1]),
+            _interp_chroma_block(rcbb, mx * 8 + cx, my * 8 + cy,
+                                 cw, ch, mv[0], mv[1]),
+            _interp_chroma_block(rcrr, mx * 8 + cx, my * 8 + cy,
+                                 cw, ch, mv[0], mv[1]),
+        )
+
+    def _sub_pred(mx: int, my: int, geom: tuple, mode: int, mvv):
+        """Weighted prediction of one 8x8 sub-macroblock under
+        Table 7-18 mode 1/2/3 (mvv: mv, mv, or (mv0, mv1))."""
+        if mode == 1:
+            return _wpb_single(_part_planes(ref0, mx, my, geom, mvv),
+                               wpb, 0)
+        if mode == 2:
+            return _wpb_single(_part_planes(ref1, mx, my, geom, mvv),
+                               wpb, 1)
+        p0 = _part_planes(ref0, mx, my, geom, mvv[0])
+        p1 = _part_planes(ref1, mx, my, geom, mvv[1])
+        if implicit_pocs is not None:
+            w0, w1 = _implicit_bi_weights(*implicit_pocs)
+            return tuple(
+                _wpb_bi_plane(a, b, w0, w1, 0, 0, 5)
+                for a, b in zip(p0, p1)
+            )
+        return _wpb_bi(p0, p1, wpb)
+
+    def _sub_matches(mx: int, my: int, modes: tuple, mvs: tuple) -> bool:
+        for part in range(4):
+            geom = _PART_GEOM8[part]
+            (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+            py_, pcb_, pcr_ = _sub_pred(mx, my, geom, modes[part],
+                                        mvs[part])
+            if not np.array_equal(
+                py_, y[my * 16 + ly : my * 16 + ly + lh,
+                       mx * 16 + lx : mx * 16 + lx + lw]
+            ):
+                return False
+            if not np.array_equal(
+                pcb_, cb[my * 8 + cy : my * 8 + cy + ch,
+                         mx * 8 + cx : mx * 8 + cx + cw]
+            ):
+                return False
+            if not np.array_equal(
+                pcr_, cr[my * 8 + cy : my * 8 + cy + ch,
+                         mx * 8 + cx : mx * 8 + cx + cw]
+            ):
+                return False
+        return True
 
     wbi_enc = (
         _implicit_bi_weights(*implicit_pocs)
@@ -3167,6 +3236,42 @@ def _b_slice_rbsp(
             ms1.set_mb(mx, my, mv1)
             stats["bbi"] += 1
             continue
+        sub_hit = next(
+            (
+                (modes, mvs) for modes, mvs in (sub_candidates or ())
+                if _sub_matches(mx, my, modes, mvs)
+            ),
+            None,
+        )
+        if sub_hit is not None:
+            modes, mvs = sub_hit
+            bw.ue(22)  # mb_type B_8x8 (Table 7-14)
+            for t in modes:
+                bw.ue(t)  # sub_mb_type (Table 7-18: 1/2/3)
+            # §7.3.5.2: ALL mvd_l0 in mbPartIdx order, THEN all
+            # mvd_l1 — each list's state (incl. refIdx −1 marks for
+            # the other-list sub-blocks) advances per sub-block,
+            # exactly like the decoder
+            for lst, msx in ((0, ms0), (1, ms1)):
+                uses = (1, 3) if lst == 0 else (2, 3)
+                for part in range(4):
+                    (lx, ly, _w, _h), _c = _PART_GEOM8[part]
+                    bx0 = mx * 4 + lx // 4
+                    by0 = my * 4 + ly // 4
+                    if modes[part] in uses:
+                        mv = (mvs[part][lst] if modes[part] == 3
+                              else mvs[part])
+                        mvp = _mvp_part(msx, bx0, by0, 2, 2,
+                                        "8x8", part)
+                        bw.se(mv[0] - mvp[0])
+                        bw.se(mv[1] - mvp[1])
+                        msx.set_part(bx0, by0, 2, 2, mv)
+                    else:
+                        msx.set_part(bx0, by0, 2, 2, (0, 0),
+                                     inter=False)
+            bw.ue(0)  # coded_block_pattern: cbp 0
+            stats["b8x8"] += 1
+            continue
         bw.ue(48)  # mb_type: I_PCM in a B slice (25 + 23, Table 7-14)
         bw.align_zero()
         bw.raw_bytes(s[0].tobytes())
@@ -3189,6 +3294,7 @@ def h264_encode_gop_b(
     direct: bool = False,
     direct_as_coded: bool = False,
     direct_mode: str = "spatial",
+    sub_candidates: list | None = None,
 ) -> tuple[list[bytes], list[dict]]:
     """Encode a hierarchical-free IBPBP GOP with NON-REFERENCE B
     pictures: display order [I, B, P, B, P, ...] (``frames_yuv`` in
@@ -3250,6 +3356,7 @@ def h264_encode_gop_b(
             direct_as_coded=direct_as_coded,
             direct_mode=direct_mode,
             direct_pocs=(4 * j - 2, 4 * j - 4, 4 * j),
+            sub_candidates=sub_candidates,
         )
         nals.append(_nal(1, rbsp, ref_idc=0))
         stats_list.append(bstats)
@@ -3314,7 +3421,8 @@ def h264_encode_gop_b_ms(
     prev_ref = frames_yuv[0]
     p_keys = ("skip", "p16", "p16x8", "p8x16", "p8x8", "p16r",
               "ipcm", "i16")
-    b_keys = ("bl0", "bl1", "bbi", "bskip", "bdir", "ipcm")
+    b_keys = ("bl0", "bl1", "bbi", "bskip", "bdir", "b8x8",
+              "b8_l0", "b8_l1", "b8_bi", "ipcm")
     for j in range(1, (len(frames_yuv) + 1) // 2):
         p_frame = frames_yuv[2 * j]
         b_frame = frames_yuv[2 * j - 1]
@@ -3933,7 +4041,124 @@ def h264_decode_gop(
                         cr[my * 8 : my * 8 + 8,
                            mx * 8 : mx * 8 + 8] = outp[2]
                         continue
-                    if mb_type <= 22:
+                    if mb_type == 22:
+                        # B_8x8 (Table 7-14, round 12): four Table
+                        # 7-18 sub-macroblocks, each one-list or bi
+                        subs = [br.ue() for _ in range(4)]
+                        if any(t == 0 for t in subs):
+                            raise NotImplementedError(
+                                "B_Direct_8x8 sub-macroblocks"
+                            )
+                        if any(t > 3 for t in subs):
+                            raise NotImplementedError(
+                                "B sub-partitions below 8x8 "
+                                "(Table 7-18 sub_mb_type > 3)"
+                            )
+                        # §7.3.5.2: ALL mvd_l0 in mbPartIdx order,
+                        # then all mvd_l1; each list's median
+                        # derivation sees earlier sub-blocks' state,
+                        # and one-list sub-blocks mark the other
+                        # list refIdx −1 as the loop passes them
+                        smv = [[None] * 4, [None] * 4]
+                        for lst, msx in ((0, ms0), (1, ms1)):
+                            uses = (1, 3) if lst == 0 else (2, 3)
+                            for part in range(4):
+                                (lx, ly, _w, _h), _c = (
+                                    _PART_GEOM8[part]
+                                )
+                                bx0 = mx * 4 + lx // 4
+                                by0 = my * 4 + ly // 4
+                                if subs[part] in uses:
+                                    mvp = _mvp_part(
+                                        msx, bx0, by0, 2, 2,
+                                        "8x8", part,
+                                    )
+                                    mv = (mvp[0] + br.se(),
+                                          mvp[1] + br.se())
+                                    smv[lst][part] = mv
+                                    msx.set_part(bx0, by0, 2, 2, mv)
+                                else:
+                                    msx.set_part(
+                                        bx0, by0, 2, 2, (0, 0),
+                                        inter=False,
+                                    )
+                        cbp_i = _CBP_INTER_DEC.get(br.ue())
+                        if cbp_i is None:
+                            raise NotImplementedError(
+                                "coded_block_pattern beyond the "
+                                "transcribed Table 9-4 Inter prefix"
+                            )
+                        if cbp_i != 0:
+                            raise NotImplementedError(
+                                "inter residuals in B slices"
+                            )
+                        for part in range(4):
+                            geom = _PART_GEOM8[part]
+                            (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+
+                            def _pp(ryy, rcbb, rcrr, mv):
+                                return (
+                                    _interp_luma_block(
+                                        ryy, mx * 16 + lx,
+                                        my * 16 + ly, lw, lh,
+                                        mv[0], mv[1],
+                                    ),
+                                    _interp_chroma_block(
+                                        rcbb, mx * 8 + cx,
+                                        my * 8 + cy, cw, ch,
+                                        mv[0], mv[1],
+                                    ),
+                                    _interp_chroma_block(
+                                        rcrr, mx * 8 + cx,
+                                        my * 8 + cy, cw, ch,
+                                        mv[0], mv[1],
+                                    ),
+                                )
+
+                            if subs[part] == 1:
+                                outp = _wpb_single(
+                                    _pp(r0y, r0cb, r0cr,
+                                        smv[0][part]),
+                                    wpb, 0,
+                                )
+                            elif subs[part] == 2:
+                                outp = _wpb_single(
+                                    _pp(r1y, r1cb, r1cr,
+                                        smv[1][part]),
+                                    wpb, 1,
+                                )
+                            else:
+                                p0 = _pp(r0y, r0cb, r0cr,
+                                         smv[0][part])
+                                p1 = _pp(r1y, r1cb, r1cr,
+                                         smv[1][part])
+                                if wbi is not None:
+                                    outp = tuple(
+                                        _wpb_bi_plane(
+                                            a, b, wbi[0], wbi[1],
+                                            0, 0, 5,
+                                        )
+                                        for a, b in zip(p0, p1)
+                                    )
+                                else:
+                                    outp = _wpb_bi(p0, p1, wpb)
+                            y[my * 16 + ly : my * 16 + ly + lh,
+                              mx * 16 + lx : mx * 16 + lx + lw] = (
+                                outp[0]
+                            )
+                            cb[my * 8 + cy : my * 8 + cy + ch,
+                               mx * 8 + cx : mx * 8 + cx + cw] = (
+                                outp[1]
+                            )
+                            cr[my * 8 + cy : my * 8 + cy + ch,
+                               mx * 8 + cx : mx * 8 + cx + cw] = (
+                                outp[2]
+                            )
+                            stats[{1: "b8_l0", 2: "b8_l1",
+                                   3: "b8_bi"}[subs[part]]] += 1
+                        stats["b8x8"] += 1
+                        continue
+                    if mb_type < 22:
                         raise NotImplementedError(
                             f"B mb_type {mb_type}: partitions "
                             "below 16x16 in B slices"

@@ -6069,6 +6069,210 @@ def synth_h264msb_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+H264B8_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("nal_count", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("b8x8_mbs", T.LongType()),
+        T.StructField("b8_l0_subs", T.LongType()),
+        T.StructField("b8_l1_subs", T.LongType()),
+        T.StructField("b8_bi_subs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("pskip_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def _write_h264b8(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of one IBPBP GOP whose B pictures are ALL
+    B_8x8 macroblocks, md5 of the DISPLAY-order RGB frames).  Each B
+    macroblock is a QUADRANT MOSAIC: its four Table 7-18
+    sub-macroblocks take a rotation (doc_id % 4) of the mode pattern
+    (B_L0, B_L1, B_Bi, B_L0), with the pattern's trailing L0 slot
+    carrying a DIFFERENT vector than the leading one — so one
+    macroblock holds up to four independent per-list median
+    derivations, the §7.3.5.2 two-loop mvd order (all mvd_l0 in
+    mbPartIdx order, then all mvd_l1) is load-bearing, and a one-list
+    sub-block's refIdx −1 mark on the other list shapes its
+    neighbours' medians.  Every mode is lossless: the decode hashes
+    to the source display sequence bit-for-bit and the census is
+    pure geometry (every B macroblock B_8x8; per-mode sub-block
+    counts fixed by the pattern: 2/1/1 per macroblock)."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _PART_GEOM8,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    mv2 = (2 * mvx, 0)  # the second L0 vector (full-pel chroma too)
+    mbw, mbh = w // 16, h // 16
+    rot = doc_id % 4
+    base = (1, 2, 3, 1)
+    modes = tuple(base[(p + rot) % 4] for p in range(4))
+    seen_l0 = False
+    mvs = []
+    for m in modes:
+        if m == 1:
+            mvs.append(mv if not seen_l0 else mv2)
+            seen_l0 = True
+        elif m == 2:
+            mvs.append(neg)
+        else:
+            mvs.append((mv, neg))
+    mvs = tuple(mvs)
+    f0 = _h264wp_frame0(doc_id, w, h)
+
+    def mosaic(prev, pfr):
+        A = mc_shift_planes(*prev, mv)
+        B = mc_shift_planes(*pfr, neg)
+        C = tuple(
+            ((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1)
+            .astype(np.uint8)
+            for a, b in zip(A, B)
+        )
+        D = mc_shift_planes(*prev, mv2)
+        by_mode = []
+        seen = False
+        for m in modes:
+            if m == 1:
+                by_mode.append(A if not seen else D)
+                seen = True
+            else:
+                by_mode.append(B if m == 2 else C)
+        out = [p.copy() for p in A]
+        for my in range(mbh):
+            for mx in range(mbw):
+                for part in range(4):
+                    (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                        _PART_GEOM8[part]
+                    )
+                    s = by_mode[part]
+                    out[0][my * 16 + ly : my * 16 + ly + lh,
+                           mx * 16 + lx : mx * 16 + lx + lw] = (
+                        s[0][my * 16 + ly : my * 16 + ly + lh,
+                             mx * 16 + lx : mx * 16 + lx + lw]
+                    )
+                    for pi in (1, 2):
+                        out[pi][my * 8 + cy : my * 8 + cy + ch,
+                                mx * 8 + cx : mx * 8 + cx + cw] = (
+                            s[pi][my * 8 + cy : my * 8 + cy + ch,
+                                  mx * 8 + cx : mx * 8 + cx + cw]
+                        )
+        return tuple(p.astype(np.uint8) for p in out)
+
+    frames, prev = [f0], f0
+    for _i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        frames.extend([mosaic(prev, pfr), pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[mv],
+        l1_candidates=[neg],
+        bi_candidates=[(mv, neg)],
+        p_candidates=[two],
+        sub_candidates=[(modes, mvs)],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264b8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a B_8x8 sub-partition H.264 GOP per row, plus the
+    display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264b8(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264b8_metadata(df: DataFrame) -> DataFrame:
+    """Decode the B_8x8 GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (four independent sub-macroblock motion
+    derivations per macroblock, the two-loop §7.3.5.2 mvd order,
+    per-list medians with refIdx −1 marks, weighted/implicit hooks,
+    POC reordering — all bit-for-bit) and the mode census as pure
+    geometry (every B macroblock B_8x8; 2/1/1 L0/L1/Bi sub-blocks
+    per macroblock from the rotated pattern)."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264B8_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                assert sum(s["bl0"] + s["bl1"] + s["bbi"] + s["ipcm"]
+                           + s["bskip"] for s in bst) == 0
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["nal_count"].append(len(nals))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["b8x8_mbs"].append(sum(s["b8x8"] for s in bst))
+                out["b8_l0_subs"].append(sum(s["b8_l0"] for s in bst))
+                out["b8_l1_subs"].append(sum(s["b8_l1"] for s in bst))
+                out["b8_bi_subs"].append(sum(s["b8_bi"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["pskip_mbs"].append(sum(s["skip"] for s in pst))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264B8_META_SCHEMA)
+
+
 def h264msb_metadata(df: DataFrame) -> DataFrame:
     """Decode the multi-slice-B GOP and emit the oracle evidence:
     ``roundtrip_exact`` (per-slice B headers with their own

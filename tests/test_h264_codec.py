@@ -2231,3 +2231,153 @@ class TestMultiSliceB:
         with pytest.raises((NotImplementedError, ValueError),
                            match="mixed|gap|reference"):
             hc.h264_decode_gop(bad)
+
+
+class TestB8x8SubMacroblocks:
+    """B_8x8 (Table 7-14 mb_type 22 / Table 7-18 sub_mb_types 1-3,
+    round 12): four independent per-list motion derivations per
+    macroblock, §7.3.5.2 two-loop mvd order."""
+
+    def test_roundtrip_and_mode_census(self):
+        import hashlib
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        for doc in (0, 1, 2, 3, 7):  # all four pattern rotations
+            payload, rec = mm._write_h264b8(doc)
+            nals = hc.split_annexb(payload)
+            frames, stats = hc.h264_decode_gop(nals)
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc
+            w, h, _x, _y = mm._h264b_dims(doc)
+            mbs = (w // 16) * (h // 16)
+            bst = [s for s in stats if s["is_b"]]
+            assert sum(s["b8x8"] for s in bst) == 2 * mbs
+            assert sum(s["b8_l0"] for s in bst) == 4 * mbs
+            assert sum(s["b8_l1"] for s in bst) == 2 * mbs
+            assert sum(s["b8_bi"] for s in bst) == 2 * mbs
+            assert sum(s["bl0"] + s["bl1"] + s["bbi"] + s["ipcm"]
+                       for s in bst) == 0
+
+    def test_weighted_bi_composes_with_sub_partitions(self):
+        """Explicit weighted bi-prediction applies per sub-macroblock
+        through eq. 8-270/8-272: a quadrant mosaic whose parts are
+        weighted one-list scalings / weighted bi means stays a
+        lossless closed loop."""
+        import numpy as np
+
+        w, h, mv = 32, 32, (8, 8)
+        neg, two = (-8, -8), (16, 16)
+        wpb = (5, 5, (30, 1, 31, 0, 33, -1), (34, -1, 32, 0, 32, 0))
+        ys, xs = np.mgrid[0:h, 0:w]
+        y = (40 + (xs * 19 + ys * 23) % 176).astype(np.uint8)
+        cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+        cbp = (60 + (cxs * 13 + cys * 29) % 136).astype(np.uint8)
+        crp = (60 + (cxs * 31 + cys * 11) % 136).astype(np.uint8)
+        f0 = (y, cbp, crp)
+        modes, mbw, mbh = (1, 2, 3, 1), w // 16, h // 16
+        mvs = (mv, neg, (mv, neg), (16, 0))
+
+        def wp1(planes, lst):
+            ld, cd, l0, l1 = wpb
+            t = l0 if lst == 0 else l1
+            return (
+                hc._wp_plane(planes[0], t[0], t[1], ld),
+                hc._wp_plane(planes[1], t[2], t[3], cd),
+                hc._wp_plane(planes[2], t[4], t[5], cd),
+            )
+
+        def mosaic(prev, pfr):
+            A = wp1(hc.mc_shift_planes(*prev, mv), 0)
+            B = wp1(hc.mc_shift_planes(*pfr, neg), 1)
+            C = hc._wpb_bi(
+                hc.mc_shift_planes(*prev, mv),
+                hc.mc_shift_planes(*pfr, neg), wpb,
+            )
+            D = wp1(hc.mc_shift_planes(*prev, (16, 0)), 0)
+            srcs = [A, B, C, D]
+            out = [p.copy().astype(np.uint8) for p in A]
+            for my in range(mbh):
+                for mx in range(mbw):
+                    for part, s in enumerate(srcs):
+                        (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                            hc._PART_GEOM8[part]
+                        )
+                        out[0][my * 16 + ly : my * 16 + ly + lh,
+                               mx * 16 + lx : mx * 16 + lx + lw] = (
+                            s[0][my * 16 + ly : my * 16 + ly + lh,
+                                 mx * 16 + lx : mx * 16 + lx + lw]
+                        )
+                        for pi in (1, 2):
+                            out[pi][my * 8 + cy : my * 8 + cy + ch,
+                                    mx * 8 + cx : mx * 8 + cx + cw] = (
+                                s[pi][my * 8 + cy : my * 8 + cy + ch,
+                                      mx * 8 + cx : mx * 8 + cx + cw]
+                            )
+            return tuple(p.astype(np.uint8) for p in out)
+
+        frames, prev = [f0], f0
+        for _ in range(2):
+            pfr = hc.mc_shift_planes(*prev, two)
+            frames.extend([mosaic(prev, pfr), pfr])
+            prev = pfr
+        nals, _ = hc.h264_encode_gop_b(
+            frames, w, h,
+            l0_candidates=[mv], l1_candidates=[neg],
+            bi_candidates=[(mv, neg)], p_candidates=[two],
+            wpb=wpb, sub_candidates=[(modes, mvs)],
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+        bst = [s for s in stats if s["is_b"]]
+        assert sum(s["b8x8"] for s in bst) == 2 * mbw * mbh
+
+    def test_unsupported_sub_types_rejected(self):
+        """B_Direct_8x8 (sub_mb_type 0) and the sub-8x8 splits
+        (sub_mb_type > 3) fail loudly in the decoder."""
+        import pytest
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        payload, _ = mm._write_h264b8(0)
+        nals = hc.split_annexb(payload)
+        # NALs: SPS PPS IDR P B P B; find the first B slice and
+        # patch its first sub_mb_type.  Slice header for this B is
+        # fixed-width up to the first mb field; rather than bit-edit,
+        # decode a hand-built stream: reuse the encoder but splice a
+        # bad sub type via a monkeypatched candidate is intrusive —
+        # instead assert the decoder's guard directly on a crafted
+        # reader by checking the error path through a stream whose B
+        # slice starts with mb_type 22 and sub types (0,...):
+        # simplest faithful check: flip the encoder to emit type 0.
+        import data_transformation_python_spark.operators.h264_codec as hcm
+
+        real_ue = hcm._EgWriter.ue
+        state = {"armed": False, "n": 0}
+
+        def patched(self, v):
+            if v == 22:
+                state["armed"] = True
+                state["n"] = 0
+                return real_ue(self, v)
+            if state["armed"]:
+                state["n"] += 1
+                if state["n"] == 1:
+                    state["armed"] = False
+                    return real_ue(self, 0)  # B_Direct_8x8
+            return real_ue(self, v)
+
+        try:
+            hcm._EgWriter.ue = patched
+            payload_bad, _ = mm._write_h264b8(0)
+        finally:
+            hcm._EgWriter.ue = real_ue
+        with pytest.raises(NotImplementedError, match="B_Direct_8x8"):
+            hc.h264_decode_gop(hc.split_annexb(payload_bad))
