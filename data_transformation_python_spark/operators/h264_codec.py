@@ -2150,49 +2150,64 @@ def _spatial_direct(ms0, ms1, mx: int, my: int, col):
     return use0, use1, blocks
 
 
+def _direct_part_pred(
+    ref0: tuple, ref1: tuple, mx: int, my: int, bi_idx: int,
+    use0: bool, use1: bool, blocks: list,
+    wpb: tuple | None = None, wbi: tuple | None = None,
+) -> tuple:
+    """One 8x8 sub-block's direct prediction (raster sub-block
+    ``bi_idx``): MC from each used list at the derived (possibly
+    colZero'd) vector, combined by one-list copy / rounded mean /
+    explicit eq. 8-272 (``wpb``) / implicit POC weights (``wbi``).
+    Shared by whole-MB B_Skip/B_Direct_16x16 reconstruction AND
+    (round 12) B_Direct_8x8 sub-macroblocks inside B_8x8."""
+    bmv0, bmv1 = blocks[bi_idx]
+    sx, sy = bi_idx % 2, bi_idx // 2
+    lx, ly = mx * 16 + sx * 8, my * 16 + sy * 8
+    cx, cy = mx * 8 + sx * 4, my * 8 + sy * 4
+    p0 = p1 = None
+    if use0:
+        p0 = (
+            _interp_luma_block(ref0[0], lx, ly, 8, 8, *bmv0),
+            _interp_chroma_block(ref0[1], cx, cy, 4, 4, *bmv0),
+            _interp_chroma_block(ref0[2], cx, cy, 4, 4, *bmv0),
+        )
+    if use1:
+        p1 = (
+            _interp_luma_block(ref1[0], lx, ly, 8, 8, *bmv1),
+            _interp_chroma_block(ref1[1], cx, cy, 4, 4, *bmv1),
+            _interp_chroma_block(ref1[2], cx, cy, 4, 4, *bmv1),
+        )
+    if use0 and use1:
+        if wbi is not None:
+            return tuple(
+                _wpb_bi_plane(a, b, wbi[0], wbi[1], 0, 0, 5)
+                for a, b in zip(p0, p1)
+            )
+        return _wpb_bi(p0, p1, wpb)
+    if use0:
+        return _wpb_single(p0, wpb, 0)
+    return _wpb_single(p1, wpb, 1)
+
+
 def _direct_mb_pred(
     ref0: tuple, ref1: tuple, mx: int, my: int,
     use0: bool, use1: bool, blocks: list,
     wpb: tuple | None = None, wbi: tuple | None = None,
 ) -> tuple:
     """Reconstruct one spatial-direct B macroblock from its
-    _spatial_direct derivation: per 8x8 sub-block, MC from each used
-    list at that block's (possibly colZero'd) vector, combined by
-    one-list copy / rounded mean / explicit eq. 8-272 (``wpb``) /
-    implicit POC weights (``wbi``) — shared verbatim by the encoder's
-    lossless-mode check and the decoder's reconstruction."""
+    _spatial_direct derivation — the four _direct_part_pred blocks
+    assembled; shared verbatim by the encoder's lossless-mode check
+    and the decoder's reconstruction."""
     y_out = np.empty((16, 16), np.uint8)
     cb_out = np.empty((8, 8), np.uint8)
     cr_out = np.empty((8, 8), np.uint8)
-    for bi_idx, (bmv0, bmv1) in enumerate(blocks):
+    for bi_idx in range(len(blocks)):
         sx, sy = bi_idx % 2, bi_idx // 2
-        lx, ly = mx * 16 + sx * 8, my * 16 + sy * 8
-        cx, cy = mx * 8 + sx * 4, my * 8 + sy * 4
-        p0 = p1 = None
-        if use0:
-            p0 = (
-                _interp_luma_block(ref0[0], lx, ly, 8, 8, *bmv0),
-                _interp_chroma_block(ref0[1], cx, cy, 4, 4, *bmv0),
-                _interp_chroma_block(ref0[2], cx, cy, 4, 4, *bmv0),
-            )
-        if use1:
-            p1 = (
-                _interp_luma_block(ref1[0], lx, ly, 8, 8, *bmv1),
-                _interp_chroma_block(ref1[1], cx, cy, 4, 4, *bmv1),
-                _interp_chroma_block(ref1[2], cx, cy, 4, 4, *bmv1),
-            )
-        if use0 and use1:
-            if wbi is not None:
-                blk = tuple(
-                    _wpb_bi_plane(a, b, wbi[0], wbi[1], 0, 0, 5)
-                    for a, b in zip(p0, p1)
-                )
-            else:
-                blk = _wpb_bi(p0, p1, wpb)
-        elif use0:
-            blk = _wpb_single(p0, wpb, 0)
-        else:
-            blk = _wpb_single(p1, wpb, 1)
+        blk = _direct_part_pred(
+            ref0, ref1, mx, my, bi_idx, use0, use1, blocks,
+            wpb=wpb, wbi=wbi,
+        )
         y_out[sy * 8 : sy * 8 + 8, sx * 8 : sx * 8 + 8] = blk[0]
         cb_out[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = blk[1]
         cr_out[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] = blk[2]
@@ -2915,7 +2930,7 @@ def _stats_zero(**flags) -> dict:
     s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
          "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "bskip": 0,
          "bdir": 0, "b8x8": 0, "b8_l0": 0, "b8_l1": 0, "b8_bi": 0,
-         "ipcm": 0, "i16": 0,
+         "b8_dir": 0, "ipcm": 0, "i16": 0,
          "is_p": False, "is_b": False, "n_slices": 1}
     s.update(flags)
     return s
@@ -3079,9 +3094,30 @@ def _b_slice_rbsp(
                                  cw, ch, mv[0], mv[1]),
         )
 
-    def _sub_pred(mx: int, my: int, geom: tuple, mode: int, mvv):
+    def _mb_direct(mx: int, my: int):
+        """The current macroblock's direct derivation — (use0, use1,
+        per-8x8 blocks) — for B_Direct_8x8 sub-macroblocks.  Spatial
+        derivation consults only OUTSIDE-the-MB neighbours, so it is
+        safe to compute before this MB's own state updates."""
+        if direct_mode == "temporal":
+            return True, True, _temporal_direct(
+                mx, my, direct_col, *direct_pocs
+            )
+        return _spatial_direct(ms0, ms1, mx, my, direct_col)
+
+    def _sub_pred(mx: int, my: int, geom: tuple, mode: int, mvv,
+                  drv=None):
         """Weighted prediction of one 8x8 sub-macroblock under
-        Table 7-18 mode 1/2/3 (mvv: mv, mv, or (mv0, mv1))."""
+        Table 7-18 mode 0/1/2/3 (mvv: None for direct, mv, mv, or
+        (mv0, mv1); ``drv`` = the MB's direct derivation when any
+        sub-block is direct)."""
+        if mode == 0:
+            part = _PART_GEOM8.index(geom)
+            duse0, duse1, dblocks = drv
+            return _direct_part_pred(
+                ref0, ref1, mx, my, part, duse0, duse1, dblocks,
+                wpb=wpb, wbi=wbi_enc,
+            )
         if mode == 1:
             return _wpb_single(_part_planes(ref0, mx, my, geom, mvv),
                                wpb, 0)
@@ -3098,12 +3134,13 @@ def _b_slice_rbsp(
             )
         return _wpb_bi(p0, p1, wpb)
 
-    def _sub_matches(mx: int, my: int, modes: tuple, mvs: tuple) -> bool:
+    def _sub_matches(mx: int, my: int, modes: tuple, mvs: tuple,
+                     drv=None) -> bool:
         for part in range(4):
             geom = _PART_GEOM8[part]
             (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
             py_, pcb_, pcr_ = _sub_pred(mx, my, geom, modes[part],
-                                        mvs[part])
+                                        mvs[part], drv=drv)
             if not np.array_equal(
                 py_, y[my * 16 + ly : my * 16 + ly + lh,
                        mx * 16 + lx : mx * 16 + lx + lw]
@@ -3236,29 +3273,40 @@ def _b_slice_rbsp(
             ms1.set_mb(mx, my, mv1)
             stats["bbi"] += 1
             continue
-        sub_hit = next(
-            (
-                (modes, mvs) for modes, mvs in (sub_candidates or ())
-                if _sub_matches(mx, my, modes, mvs)
-            ),
-            None,
-        )
+        sub_hit = None
+        mb_drv = None
+        for modes, mvs in (sub_candidates or ()):
+            if any(m == 0 for m in modes) and mb_drv is None:
+                mb_drv = _mb_direct(mx, my)
+            if _sub_matches(mx, my, modes, mvs, drv=mb_drv):
+                sub_hit = (modes, mvs)
+                break
         if sub_hit is not None:
             modes, mvs = sub_hit
             bw.ue(22)  # mb_type B_8x8 (Table 7-14)
             for t in modes:
-                bw.ue(t)  # sub_mb_type (Table 7-18: 1/2/3)
+                bw.ue(t)  # sub_mb_type (Table 7-18: 0/1/2/3)
             # §7.3.5.2: ALL mvd_l0 in mbPartIdx order, THEN all
             # mvd_l1 — each list's state (incl. refIdx −1 marks for
-            # the other-list sub-blocks) advances per sub-block,
-            # exactly like the decoder
+            # the other-list sub-blocks AND the direct sub-blocks'
+            # DERIVED vectors) advances per sub-block, exactly like
+            # the decoder; B_Direct_8x8 writes no mvd in either loop
             for lst, msx in ((0, ms0), (1, ms1)):
                 uses = (1, 3) if lst == 0 else (2, 3)
                 for part in range(4):
                     (lx, ly, _w, _h), _c = _PART_GEOM8[part]
                     bx0 = mx * 4 + lx // 4
                     by0 = my * 4 + ly // 4
-                    if modes[part] in uses:
+                    if modes[part] == 0:
+                        duse0, duse1, dblocks = mb_drv
+                        used = duse0 if lst == 0 else duse1
+                        if used:
+                            msx.set_part(bx0, by0, 2, 2,
+                                         dblocks[part][lst])
+                        else:
+                            msx.set_part(bx0, by0, 2, 2, (0, 0),
+                                         inter=False)
+                    elif modes[part] in uses:
                         mv = (mvs[part][lst] if modes[part] == 3
                               else mvs[part])
                         mvp = _mvp_part(msx, bx0, by0, 2, 2,
@@ -3271,6 +3319,7 @@ def _b_slice_rbsp(
                                      inter=False)
             bw.ue(0)  # coded_block_pattern: cbp 0
             stats["b8x8"] += 1
+            stats["b8_dir"] += sum(1 for m in modes if m == 0)
             continue
         bw.ue(48)  # mb_type: I_PCM in a B slice (25 + 23, Table 7-14)
         bw.align_zero()
@@ -3422,7 +3471,7 @@ def h264_encode_gop_b_ms(
     p_keys = ("skip", "p16", "p16x8", "p8x16", "p8x8", "p16r",
               "ipcm", "i16")
     b_keys = ("bl0", "bl1", "bbi", "bskip", "bdir", "b8x8",
-              "b8_l0", "b8_l1", "b8_bi", "ipcm")
+              "b8_l0", "b8_l1", "b8_bi", "b8_dir", "ipcm")
     for j in range(1, (len(frames_yuv) + 1) // 2):
         p_frame = frames_yuv[2 * j]
         b_frame = frames_yuv[2 * j - 1]
@@ -4045,15 +4094,28 @@ def h264_decode_gop(
                         # B_8x8 (Table 7-14, round 12): four Table
                         # 7-18 sub-macroblocks, each one-list or bi
                         subs = [br.ue() for _ in range(4)]
-                        if any(t == 0 for t in subs):
-                            raise NotImplementedError(
-                                "B_Direct_8x8 sub-macroblocks"
-                            )
                         if any(t > 3 for t in subs):
                             raise NotImplementedError(
                                 "B sub-partitions below 8x8 "
                                 "(Table 7-18 sub_mb_type > 3)"
                             )
+                        mb_drv = None
+                        if any(t == 0 for t in subs):
+                            # B_Direct_8x8 (round 12): the MB-level
+                            # direct derivation (spatial consults
+                            # only outside-the-MB neighbours; safe
+                            # before this MB's state updates), each
+                            # direct sub-block taking its raster
+                            # 8x8 entry
+                            if direct_spatial:
+                                mb_drv = _spatial_direct(
+                                    ms0, ms1, mx, my, col_fut
+                                )
+                            else:
+                                mb_drv = (True, True,
+                                          _temporal_direct(
+                                              mx, my, col_fut,
+                                              *b_pocs))
                         # §7.3.5.2: ALL mvd_l0 in mbPartIdx order,
                         # then all mvd_l1; each list's median
                         # derivation sees earlier sub-blocks' state,
@@ -4068,7 +4130,21 @@ def h264_decode_gop(
                                 )
                                 bx0 = mx * 4 + lx // 4
                                 by0 = my * 4 + ly // 4
-                                if subs[part] in uses:
+                                if subs[part] == 0:
+                                    duse0, duse1, dblocks = mb_drv
+                                    used = (duse0 if lst == 0
+                                            else duse1)
+                                    if used:
+                                        msx.set_part(
+                                            bx0, by0, 2, 2,
+                                            dblocks[part][lst],
+                                        )
+                                    else:
+                                        msx.set_part(
+                                            bx0, by0, 2, 2, (0, 0),
+                                            inter=False,
+                                        )
+                                elif subs[part] in uses:
                                     mvp = _mvp_part(
                                         msx, bx0, by0, 2, 2,
                                         "8x8", part,
@@ -4115,7 +4191,15 @@ def h264_decode_gop(
                                     ),
                                 )
 
-                            if subs[part] == 1:
+                            if subs[part] == 0:
+                                duse0, duse1, dblocks = mb_drv
+                                outp = _direct_part_pred(
+                                    (r0y, r0cb, r0cr),
+                                    (r1y, r1cb, r1cr),
+                                    mx, my, part, duse0, duse1,
+                                    dblocks, wpb=wpb, wbi=wbi,
+                                )
+                            elif subs[part] == 1:
                                 outp = _wpb_single(
                                     _pp(r0y, r0cb, r0cr,
                                         smv[0][part]),
@@ -4154,7 +4238,8 @@ def h264_decode_gop(
                                mx * 8 + cx : mx * 8 + cx + cw] = (
                                 outp[2]
                             )
-                            stats[{1: "b8_l0", 2: "b8_l1",
+                            stats[{0: "b8_dir", 1: "b8_l0",
+                                   2: "b8_l1",
                                    3: "b8_bi"}[subs[part]]] += 1
                         stats["b8x8"] += 1
                         continue

@@ -6192,6 +6192,202 @@ def _write_h264b8(doc_id: int) -> tuple[bytes, str]:
     return annexb(nals), md5.hexdigest()
 
 
+def _write_h264b8d(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of an IBPBP GOP whose B macroblocks mix
+    B_Direct_8x8 WITH coded sub-macroblocks, md5 of the DISPLAY-order
+    RGB frames).  The quadrant-mosaic pattern is a doc-rotation of
+    (B_Direct_8x8, B_L0, B_L1, B_Bi) under TEMPORAL direct
+    (direct_spatial_mv_pred_flag 0): the direct quadrant derives its
+    motion from the COLOCATED P picture's stored field scaled by POC
+    distance — the midpoint ratio lands DistScaleFactor on exactly
+    128, so the derived pair is (mv, −mv) and the quadrant content is
+    the true bi-prediction mean, with NO mvd written for it in either
+    §7.3.5.2 loop.  One macroblock therefore holds a parse-free
+    derived quadrant NEXT TO three parsed ones — the mixed case
+    neither the whole-MB direct gates nor the all-coded B_8x8 gate
+    exercises.  Lossless; census pure geometry (1/1/1/1
+    dir/L0/L1/Bi sub-blocks per macroblock, rotation-invariant)."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _PART_GEOM8,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    mv, neg, two = (mvx, mvy), (-mvx, -mvy), (2 * mvx, 2 * mvy)
+    mbw, mbh = w // 16, h // 16
+    rot = doc_id % 4
+    base = (0, 1, 2, 3)
+    modes = tuple(base[(p + rot) % 4] for p in range(4))
+    mvs = tuple(
+        {0: None, 1: mv, 2: neg, 3: (mv, neg)}[m] for m in modes
+    )
+    f0 = _h264wp_frame0(doc_id, w, h)
+
+    def mosaic(prev, pfr):
+        A = mc_shift_planes(*prev, mv)
+        B = mc_shift_planes(*pfr, neg)
+        C = tuple(
+            ((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1)
+            .astype(np.uint8)
+            for a, b in zip(A, B)
+        )
+        # temporal direct at DSF 128 derives (mv, -mv) → content C
+        by_mode = [{0: C, 1: A, 2: B, 3: C}[m] for m in modes]
+        out = [p.copy() for p in A]
+        for my in range(mbh):
+            for mx in range(mbw):
+                for part in range(4):
+                    (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                        _PART_GEOM8[part]
+                    )
+                    s = by_mode[part]
+                    out[0][my * 16 + ly : my * 16 + ly + lh,
+                           mx * 16 + lx : mx * 16 + lx + lw] = (
+                        s[0][my * 16 + ly : my * 16 + ly + lh,
+                             mx * 16 + lx : mx * 16 + lx + lw]
+                    )
+                    for pi in (1, 2):
+                        out[pi][my * 8 + cy : my * 8 + cy + ch,
+                                mx * 8 + cx : mx * 8 + cx + cw] = (
+                            s[pi][my * 8 + cy : my * 8 + cy + ch,
+                                  mx * 8 + cx : mx * 8 + cx + cw]
+                        )
+        return tuple(p.astype(np.uint8) for p in out)
+
+    frames, prev = [f0], f0
+    for _i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        frames.extend([mosaic(prev, pfr), pfr])
+        prev = pfr
+    # 16x16 candidate lists are EMPTY on purpose: on the pan's
+    # interior shift∘shift composes, so A == B == C and a 16x16 mode
+    # would absorb whole macroblocks — the gate is about the mixed
+    # sub-macroblock syntax, so every B macroblock must take the
+    # B_8x8 path (the census assert would catch a leak loudly)
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[],
+        l1_candidates=[],
+        bi_candidates=[],
+        p_candidates=[two],
+        direct_mode="temporal",
+        sub_candidates=[(modes, mvs)],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+def synth_h264b8d_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a mixed B_Direct_8x8 GOP per row, plus the
+    display-order source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264b8d(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+H264B8D_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("nal_count", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("b8x8_mbs", T.LongType()),
+        T.StructField("b8_dir_subs", T.LongType()),
+        T.StructField("b8_l0_subs", T.LongType()),
+        T.StructField("b8_l1_subs", T.LongType()),
+        T.StructField("b8_bi_subs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("pskip_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def h264b8d_metadata(df: DataFrame) -> DataFrame:
+    """Decode the mixed B_Direct_8x8 GOP and emit the oracle
+    evidence: ``roundtrip_exact`` (a parse-free temporal-direct
+    quadrant derived from the DPB colocated field next to three
+    parsed quadrants, the §7.3.5.2 loops skipping the direct one —
+    all bit-for-bit) and the per-mode census as pure geometry."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264B8D_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                assert sum(s["bl0"] + s["bl1"] + s["bbi"] + s["ipcm"]
+                           + s["bskip"] for s in bst) == 0
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["nal_count"].append(len(nals))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["b8x8_mbs"].append(sum(s["b8x8"] for s in bst))
+                out["b8_dir_subs"].append(
+                    sum(s["b8_dir"] for s in bst)
+                )
+                out["b8_l0_subs"].append(sum(s["b8_l0"] for s in bst))
+                out["b8_l1_subs"].append(sum(s["b8_l1"] for s in bst))
+                out["b8_bi_subs"].append(sum(s["b8_bi"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["pskip_mbs"].append(sum(s["skip"] for s in pst))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264B8D_META_SCHEMA)
+
+
 def synth_h264b8_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a B_8x8 sub-partition H.264 GOP per row, plus the
     display-order source hash the decode must reproduce."""

@@ -3041,12 +3041,61 @@ def multimodal_h264b8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     marking the other list refIdx −1.  Every mode is lossless, so the
     decode hashes to the display sequence bit-for-bit and the census
     is pure geometry (2/1/1 L0/L1/Bi sub-blocks per macroblock —
-    rotation-invariant).  B_Direct_8x8 and the sub-8x8 B splits
-    (Table 7-18 rows 4+) stay honest NotImplementedError."""
+    rotation-invariant).  B_Direct_8x8 landed in the same round
+    (multimodal_h264b8d_meta); the sub-8x8 B splits (Table 7-18
+    rows 4+) stay honest NotImplementedError."""
     from ..operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents")
     return mm.h264b8_metadata(mm.synth_h264b8_table(docs))
+
+
+_H264B8D_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+g AS (SELECT doc_id, mbw, mbh, mbw * mbh AS mbs FROM m)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(7 AS BIGINT) AS nal_count,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST(2 * mbs AS BIGINT) AS b8x8_mbs,
+       CAST(2 * mbs AS BIGINT) AS b8_dir_subs,
+       CAST(2 * mbs AS BIGINT) AS b8_l0_subs,
+       CAST(2 * mbs AS BIGINT) AS b8_l1_subs,
+       CAST(2 * mbs AS BIGINT) AS b8_bi_subs,
+       CAST(2 * (mbw + mbh - 1) AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - (mbw + mbh - 1)) AS BIGINT) AS pskip_mbs,
+       TRUE AS roundtrip_exact
+FROM g
+"""
+
+
+@query("multimodal_h264b8d_meta", oracle=_H264B8D_ORACLE)
+def multimodal_h264b8d_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B_DIRECT_8x8 MIXED WITH CODED SUB-MACROBLOCKS (round 12,
+    operators/h264_codec.py — closes the Table 7-18 8x8 row
+    entirely): each B macroblock's quadrants are a doc-rotated
+    (B_Direct_8x8, B_L0, B_L1, B_Bi) pattern under TEMPORAL direct.
+    The direct quadrant derives motion from the DPB-stored colocated
+    P field scaled by POC distance (the midpoint ratio lands
+    DistScaleFactor on exactly 128 → the derived pair is (mv, −mv)
+    and the quadrant is the true bi-prediction mean) and writes NO
+    mvd in either §7.3.5.2 loop — a parse-free derived quadrant
+    NEXT TO three parsed ones, the mixed case neither the whole-MB
+    direct gates nor the all-coded B_8x8 gate exercises; its derived
+    state still feeds later medians.  Lossless roundtrip
+    bit-for-bit; census pure geometry (1/1/1/1 per macroblock,
+    rotation-invariant).  Only the sub-8x8 B splits (Table 7-18
+    rows 4+) remain from the B partition family."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264b8d_metadata(mm.synth_h264b8d_table(docs))
 
 
 @query("multimodal_h264msb_meta", oracle=_H264MSB_ORACLE)

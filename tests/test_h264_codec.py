@@ -2338,25 +2338,15 @@ class TestB8x8SubMacroblocks:
         assert sum(s["b8x8"] for s in bst) == 2 * mbw * mbh
 
     def test_unsupported_sub_types_rejected(self):
-        """B_Direct_8x8 (sub_mb_type 0) and the sub-8x8 splits
-        (sub_mb_type > 3) fail loudly in the decoder."""
+        """The sub-8x8 B splits (Table 7-18 sub_mb_type > 3) fail
+        loudly in the decoder (patch the encoder to emit type 4 =
+        B_L0_8x4 where a supported type belongs)."""
         import pytest
 
         from data_transformation_python_spark.operators import (
             multimodal as mm,
         )
 
-        payload, _ = mm._write_h264b8(0)
-        nals = hc.split_annexb(payload)
-        # NALs: SPS PPS IDR P B P B; find the first B slice and
-        # patch its first sub_mb_type.  Slice header for this B is
-        # fixed-width up to the first mb field; rather than bit-edit,
-        # decode a hand-built stream: reuse the encoder but splice a
-        # bad sub type via a monkeypatched candidate is intrusive —
-        # instead assert the decoder's guard directly on a crafted
-        # reader by checking the error path through a stream whose B
-        # slice starts with mb_type 22 and sub types (0,...):
-        # simplest faithful check: flip the encoder to emit type 0.
         import data_transformation_python_spark.operators.h264_codec as hcm
 
         real_ue = hcm._EgWriter.ue
@@ -2371,7 +2361,7 @@ class TestB8x8SubMacroblocks:
                 state["n"] += 1
                 if state["n"] == 1:
                     state["armed"] = False
-                    return real_ue(self, 0)  # B_Direct_8x8
+                    return real_ue(self, 4)  # B_L0_8x4
             return real_ue(self, v)
 
         try:
@@ -2379,5 +2369,96 @@ class TestB8x8SubMacroblocks:
             payload_bad, _ = mm._write_h264b8(0)
         finally:
             hcm._EgWriter.ue = real_ue
-        with pytest.raises(NotImplementedError, match="B_Direct_8x8"):
+        with pytest.raises(NotImplementedError, match="below 8x8"):
             hc.h264_decode_gop(hc.split_annexb(payload_bad))
+
+    def test_direct_8x8_spatial_zero_prediction_in_isolated_mb(self):
+        """B_Direct_8x8 under SPATIAL direct in a one-MB picture: no
+        neighbours → directZeroPrediction → the direct sub-block is
+        the zero-motion bi mean; the other three quadrants stay
+        coded.  Lossless roundtrip + census."""
+        import numpy as np
+
+        w = h = 16
+        mv, neg, two = (8, 8), (-8, -8), (16, 16)
+        ys, xs = np.mgrid[0:h, 0:w]
+        y = (40 + (xs * 19 + ys * 23) % 176).astype(np.uint8)
+        cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+        cbp = (60 + (cxs * 13 + cys * 29) % 136).astype(np.uint8)
+        crp = (60 + (cxs * 31 + cys * 11) % 136).astype(np.uint8)
+        f0 = (y, cbp, crp)
+        modes = (0, 1, 2, 3)
+        mvs = (None, mv, neg, (mv, neg))
+
+        def bimean(a, b):
+            return tuple(
+                ((p.astype(np.int64) + q.astype(np.int64) + 1) >> 1)
+                .astype(np.uint8)
+                for p, q in zip(a, b)
+            )
+
+        frames, prev = [f0], f0
+        for _ in range(2):
+            pfr = hc.mc_shift_planes(*prev, two)
+            srcs = [
+                bimean(prev, pfr),                    # directZero
+                hc.mc_shift_planes(*prev, mv),
+                hc.mc_shift_planes(*pfr, neg),
+                bimean(hc.mc_shift_planes(*prev, mv),
+                       hc.mc_shift_planes(*pfr, neg)),
+            ]
+            out = [p.copy() for p in srcs[1]]
+            for part, s in enumerate(srcs):
+                (lx, ly, lw, lh), (cx, cy, cw, ch) = (
+                    hc._PART_GEOM8[part]
+                )
+                out[0][ly : ly + lh, lx : lx + lw] = (
+                    s[0][ly : ly + lh, lx : lx + lw]
+                )
+                for pi in (1, 2):
+                    out[pi][cy : cy + ch, cx : cx + cw] = (
+                        s[pi][cy : cy + ch, cx : cx + cw]
+                    )
+            frames.extend(
+                [tuple(p.astype(np.uint8) for p in out), pfr]
+            )
+            prev = pfr
+        nals, _ = hc.h264_encode_gop_b(
+            frames, w, h,
+            l0_candidates=[mv], l1_candidates=[neg],
+            bi_candidates=[(mv, neg)], p_candidates=[two],
+            sub_candidates=[(modes, mvs)],
+        )
+        dec, stats = hc.h264_decode_gop(nals)
+        for fr, f in zip(dec, frames):
+            assert np.array_equal(fr, hc._yuv420_to_rgb(*f))
+        bst = [s for s in stats if s["is_b"]]
+        assert sum(s["b8x8"] for s in bst) == 2
+        assert sum(s["b8_dir"] for s in bst) == 2
+        assert sum(s["b8_l0"] for s in bst) == 2
+        assert sum(s["b8_l1"] for s in bst) == 2
+        assert sum(s["b8_bi"] for s in bst) == 2
+
+    def test_mixed_direct_fixture_census(self):
+        """The b8d fixture: temporal-direct quadrant (parse-free,
+        DSF 128 → bi mean) next to three coded quadrants; all four
+        rotations roundtrip losslessly with the 1/1/1/1 census."""
+        import hashlib
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        for doc in (0, 1, 2, 3):
+            payload, rec = mm._write_h264b8d(doc)
+            frames, stats = hc.h264_decode_gop(hc.split_annexb(payload))
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc
+            w, h, _x, _y = mm._h264b_dims(doc)
+            mbs = (w // 16) * (h // 16)
+            bst = [s for s in stats if s["is_b"]]
+            assert sum(s["b8x8"] for s in bst) == 2 * mbs
+            for k in ("b8_dir", "b8_l0", "b8_l1", "b8_bi"):
+                assert sum(s[k] for s in bst) == 2 * mbs, (doc, k)
