@@ -74,14 +74,16 @@ Rounds 11–12 closed weighted (bi-)prediction (explicit + implicit),
 B_Skip/B_Direct in both spatial and temporal flavors, multi-slice
 pictures, (round 12) MULTI-SLICE B PICTURES — per-slice
 pred_weight_tables and §6.4.9 direct-mode re-anchoring at slice
-boundaries (h264_encode_gop_b_ms) — and (round 12) B_8x8
-SUB-MACROBLOCKS (Table 7-18 modes 1-3: four independent per-list
-motion derivations per macroblock, §7.3.5.2 two-loop mvd order).
+boundaries (h264_encode_gop_b_ms) — and (round 12) the COMPLETE
+Table 7-18 B sub-macroblock ladder: B_8x8 one-partition modes,
+B_Direct_8x8 mixed with coded quadrants, and the sub-8x8 splits
+(8x4/4x8/4x4 — up to twelve motion partitions per macroblock, the
+§7.3.5.2 two-loop mvd order nesting per-sub-partition medians).
 
 Still honestly stubbed in multimodal.decode_media: the Intra_4x4
 residual path, the 2<=nC<8 coeff_token columns, CABAC, slice groups
-(FMO) / arbitrary slice order, B_Direct_8x8 and the sub-8x8 B splits
-(Table 7-18 rows 4+), B inter residuals, and interlaced coding.  Dense
+(FMO) / arbitrary slice order, B inter residuals, and interlaced
+coding.  Dense
 temporal prediction with residuals is also covered Spark-side by the
 IPV1 codec (video_codec.py).
 
@@ -2303,6 +2305,31 @@ _SUB_GEOM = {
     3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
 }
 
+#: Table 7-18 sub-8x8 B splits (round 12): sub_mb_type →
+#: (_SUB_GEOM kind, list usage 0=L0 / 1=L1 / 2=Bi).  Rows 0-3 (the
+#: one-partition 8x8 forms incl. B_Direct_8x8) are handled inline.
+_B_SUB_SPLIT = {
+    4: (1, 0), 5: (2, 0),    # B_L0_8x4 / B_L0_4x8
+    6: (1, 1), 7: (2, 1),    # B_L1_8x4 / B_L1_4x8
+    8: (1, 2), 9: (2, 2),    # B_Bi_8x4 / B_Bi_4x8
+    10: (3, 0), 11: (3, 1), 12: (3, 2),  # the 4x4 rows
+}
+
+
+def _b_subpart_geoms(part: int, kind: int) -> list:
+    """The ((luma), (chroma)) MB-relative geometries of one B
+    sub-macroblock's sub-partitions: _PART_GEOM8[part]'s 8x8 region
+    split by _SUB_GEOM[kind] (4x4-granular offsets)."""
+    (plx, ply, _w, _h), _c = _PART_GEOM8[part]
+    out = []
+    for dx4, dy4, w4, h4 in _SUB_GEOM[kind]:
+        lx, ly = plx + dx4 * 4, ply + dy4 * 4
+        out.append((
+            (lx, ly, w4 * 4, h4 * 4),
+            (lx // 2, ly // 2, w4 * 2, h4 * 2),
+        ))
+    return out
+
 
 def _p_slice_rbsp(
     src: tuple, ref: tuple, frame_num: int, mv_candidates: list,
@@ -2930,7 +2957,8 @@ def _stats_zero(**flags) -> dict:
     s = {"skip": 0, "p16": 0, "p16x8": 0, "p8x16": 0, "p8x8": 0,
          "p16r": 0, "bl0": 0, "bl1": 0, "bbi": 0, "bskip": 0,
          "bdir": 0, "b8x8": 0, "b8_l0": 0, "b8_l1": 0, "b8_bi": 0,
-         "b8_dir": 0, "ipcm": 0, "i16": 0,
+         "b8_dir": 0, "b8_split": 0, "b8_parts": 0,
+         "ipcm": 0, "i16": 0,
          "is_p": False, "is_b": False, "n_slices": 1}
     s.update(flags)
     return s
@@ -3105,23 +3133,13 @@ def _b_slice_rbsp(
             )
         return _spatial_direct(ms0, ms1, mx, my, direct_col)
 
-    def _sub_pred(mx: int, my: int, geom: tuple, mode: int, mvv,
-                  drv=None):
-        """Weighted prediction of one 8x8 sub-macroblock under
-        Table 7-18 mode 0/1/2/3 (mvv: None for direct, mv, mv, or
-        (mv0, mv1); ``drv`` = the MB's direct derivation when any
-        sub-block is direct)."""
-        if mode == 0:
-            part = _PART_GEOM8.index(geom)
-            duse0, duse1, dblocks = drv
-            return _direct_part_pred(
-                ref0, ref1, mx, my, part, duse0, duse1, dblocks,
-                wpb=wpb, wbi=wbi_enc,
-            )
-        if mode == 1:
+    def _usage_pred(mx: int, my: int, geom: tuple, usage: int, mvv):
+        """Weighted prediction of ONE motion partition (geom) under
+        list usage 0=L0 / 1=L1 / 2=Bi (mvv: mv, mv, or (mv0, mv1))."""
+        if usage == 0:
             return _wpb_single(_part_planes(ref0, mx, my, geom, mvv),
                                wpb, 0)
-        if mode == 2:
+        if usage == 1:
             return _wpb_single(_part_planes(ref1, mx, my, geom, mvv),
                                wpb, 1)
         p0 = _part_planes(ref0, mx, my, geom, mvv[0])
@@ -3134,28 +3152,50 @@ def _b_slice_rbsp(
             )
         return _wpb_bi(p0, p1, wpb)
 
+    def _region_matches(mx: int, my: int, geom: tuple, pred) -> bool:
+        (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+        py_, pcb_, pcr_ = pred
+        return (
+            np.array_equal(
+                py_, y[my * 16 + ly : my * 16 + ly + lh,
+                       mx * 16 + lx : mx * 16 + lx + lw]
+            )
+            and np.array_equal(
+                pcb_, cb[my * 8 + cy : my * 8 + cy + ch,
+                         mx * 8 + cx : mx * 8 + cx + cw]
+            )
+            and np.array_equal(
+                pcr_, cr[my * 8 + cy : my * 8 + cy + ch,
+                         mx * 8 + cx : mx * 8 + cx + cw]
+            )
+        )
+
     def _sub_matches(mx: int, my: int, modes: tuple, mvs: tuple,
                      drv=None) -> bool:
         for part in range(4):
-            geom = _PART_GEOM8[part]
-            (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
-            py_, pcb_, pcr_ = _sub_pred(mx, my, geom, modes[part],
-                                        mvs[part], drv=drv)
-            if not np.array_equal(
-                py_, y[my * 16 + ly : my * 16 + ly + lh,
-                       mx * 16 + lx : mx * 16 + lx + lw]
-            ):
-                return False
-            if not np.array_equal(
-                pcb_, cb[my * 8 + cy : my * 8 + cy + ch,
-                         mx * 8 + cx : mx * 8 + cx + cw]
-            ):
-                return False
-            if not np.array_equal(
-                pcr_, cr[my * 8 + cy : my * 8 + cy + ch,
-                         mx * 8 + cx : mx * 8 + cx + cw]
-            ):
-                return False
+            mode = modes[part]
+            if mode == 0:
+                duse0, duse1, dblocks = drv
+                pred = _direct_part_pred(
+                    ref0, ref1, mx, my, part, duse0, duse1, dblocks,
+                    wpb=wpb, wbi=wbi_enc,
+                )
+                if not _region_matches(mx, my, _PART_GEOM8[part],
+                                       pred):
+                    return False
+            elif mode <= 3:
+                pred = _usage_pred(mx, my, _PART_GEOM8[part],
+                                   mode - 1, mvs[part])
+                if not _region_matches(mx, my, _PART_GEOM8[part],
+                                       pred):
+                    return False
+            else:
+                kind, usage = _B_SUB_SPLIT[mode]
+                for i, geom in enumerate(_b_subpart_geoms(part, kind)):
+                    pred = _usage_pred(mx, my, geom, usage,
+                                       mvs[part][i])
+                    if not _region_matches(mx, my, geom, pred):
+                        return False
         return True
 
     wbi_enc = (
@@ -3297,7 +3337,8 @@ def _b_slice_rbsp(
                     (lx, ly, _w, _h), _c = _PART_GEOM8[part]
                     bx0 = mx * 4 + lx // 4
                     by0 = my * 4 + ly // 4
-                    if modes[part] == 0:
+                    mode = modes[part]
+                    if mode == 0:
                         duse0, duse1, dblocks = mb_drv
                         used = duse0 if lst == 0 else duse1
                         if used:
@@ -3306,20 +3347,48 @@ def _b_slice_rbsp(
                         else:
                             msx.set_part(bx0, by0, 2, 2, (0, 0),
                                          inter=False)
-                    elif modes[part] in uses:
-                        mv = (mvs[part][lst] if modes[part] == 3
+                    elif mode <= 3 and mode in uses:
+                        mv = (mvs[part][lst] if mode == 3
                               else mvs[part])
                         mvp = _mvp_part(msx, bx0, by0, 2, 2,
                                         "8x8", part)
                         bw.se(mv[0] - mvp[0])
                         bw.se(mv[1] - mvp[1])
                         msx.set_part(bx0, by0, 2, 2, mv)
+                    elif mode > 3:
+                        # sub-8x8 split: per sub-partition mvd for
+                        # the used list(s), each against the general
+                        # §8.4.1.3 median at its own granularity,
+                        # earlier sub-partitions feeding later ones
+                        kind, usage = _B_SUB_SPLIT[mode]
+                        used = (usage == 2) or (usage == lst)
+                        if used:
+                            for i, (dx4, dy4, w4, h4) in enumerate(
+                                _SUB_GEOM[kind]
+                            ):
+                                sx0, sy0 = bx0 + dx4, by0 + dy4
+                                mv = (mvs[part][i][lst]
+                                      if usage == 2
+                                      else mvs[part][i])
+                                mvp = _mvp_part(msx, sx0, sy0,
+                                                w4, h4, "sub", 0)
+                                bw.se(mv[0] - mvp[0])
+                                bw.se(mv[1] - mvp[1])
+                                msx.set_part(sx0, sy0, w4, h4, mv)
+                        else:
+                            msx.set_part(bx0, by0, 2, 2, (0, 0),
+                                         inter=False)
                     else:
                         msx.set_part(bx0, by0, 2, 2, (0, 0),
                                      inter=False)
             bw.ue(0)  # coded_block_pattern: cbp 0
             stats["b8x8"] += 1
             stats["b8_dir"] += sum(1 for m in modes if m == 0)
+            stats["b8_split"] += sum(1 for m in modes if m > 3)
+            stats["b8_parts"] += sum(
+                len(_SUB_GEOM[_B_SUB_SPLIT[m][0]])
+                for m in modes if m > 3
+            )
             continue
         bw.ue(48)  # mb_type: I_PCM in a B slice (25 + 23, Table 7-14)
         bw.align_zero()
@@ -3471,7 +3540,8 @@ def h264_encode_gop_b_ms(
     p_keys = ("skip", "p16", "p16x8", "p8x16", "p8x8", "p16r",
               "ipcm", "i16")
     b_keys = ("bl0", "bl1", "bbi", "bskip", "bdir", "b8x8",
-              "b8_l0", "b8_l1", "b8_bi", "b8_dir", "ipcm")
+              "b8_l0", "b8_l1", "b8_bi", "b8_dir", "b8_split",
+              "b8_parts", "ipcm")
     for j in range(1, (len(frames_yuv) + 1) // 2):
         p_frame = frames_yuv[2 * j]
         b_frame = frames_yuv[2 * j - 1]
@@ -4094,10 +4164,10 @@ def h264_decode_gop(
                         # B_8x8 (Table 7-14, round 12): four Table
                         # 7-18 sub-macroblocks, each one-list or bi
                         subs = [br.ue() for _ in range(4)]
-                        if any(t > 3 for t in subs):
-                            raise NotImplementedError(
-                                "B sub-partitions below 8x8 "
-                                "(Table 7-18 sub_mb_type > 3)"
+                        if any(t > 12 for t in subs):
+                            raise ValueError(
+                                "sub_mb_type beyond Table 7-18 "
+                                "(max 12)"
                             )
                         mb_drv = None
                         if any(t == 0 for t in subs):
@@ -4130,7 +4200,8 @@ def h264_decode_gop(
                                 )
                                 bx0 = mx * 4 + lx // 4
                                 by0 = my * 4 + ly // 4
-                                if subs[part] == 0:
+                                st = subs[part]
+                                if st == 0:
                                     duse0, duse1, dblocks = mb_drv
                                     used = (duse0 if lst == 0
                                             else duse1)
@@ -4144,7 +4215,7 @@ def h264_decode_gop(
                                             bx0, by0, 2, 2, (0, 0),
                                             inter=False,
                                         )
-                                elif subs[part] in uses:
+                                elif st <= 3 and st in uses:
                                     mvp = _mvp_part(
                                         msx, bx0, by0, 2, 2,
                                         "8x8", part,
@@ -4153,6 +4224,38 @@ def h264_decode_gop(
                                           mvp[1] + br.se())
                                     smv[lst][part] = mv
                                     msx.set_part(bx0, by0, 2, 2, mv)
+                                elif st > 3:
+                                    # sub-8x8 split (round 12): one
+                                    # mvd per sub-partition for the
+                                    # used list(s), general §8.4.1.3
+                                    # median at each sub-partition's
+                                    # own granularity
+                                    kind, usage = _B_SUB_SPLIT[st]
+                                    used = (usage == 2
+                                            or usage == lst)
+                                    if used:
+                                        pmvs = []
+                                        for dx4, dy4, w4, h4 in (
+                                            _SUB_GEOM[kind]
+                                        ):
+                                            sx0 = bx0 + dx4
+                                            sy0 = by0 + dy4
+                                            mvp = _mvp_part(
+                                                msx, sx0, sy0,
+                                                w4, h4, "sub", 0,
+                                            )
+                                            mv = (mvp[0] + br.se(),
+                                                  mvp[1] + br.se())
+                                            pmvs.append(mv)
+                                            msx.set_part(
+                                                sx0, sy0, w4, h4, mv
+                                            )
+                                        smv[lst][part] = pmvs
+                                    else:
+                                        msx.set_part(
+                                            bx0, by0, 2, 2, (0, 0),
+                                            inter=False,
+                                        )
                                 else:
                                     msx.set_part(
                                         bx0, by0, 2, 2, (0, 0),
@@ -4168,79 +4271,107 @@ def h264_decode_gop(
                             raise NotImplementedError(
                                 "inter residuals in B slices"
                             )
-                        for part in range(4):
-                            geom = _PART_GEOM8[part]
-                            (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+                        def _fetch(geom, ref3, mv):
+                            (flx, fly, flw, flh), (fcx, fcy, fcw,
+                                                   fch) = geom
+                            ryy, rcbb, rcrr = ref3
+                            return (
+                                _interp_luma_block(
+                                    ryy, mx * 16 + flx,
+                                    my * 16 + fly, flw, flh,
+                                    mv[0], mv[1],
+                                ),
+                                _interp_chroma_block(
+                                    rcbb, mx * 8 + fcx,
+                                    my * 8 + fcy, fcw, fch,
+                                    mv[0], mv[1],
+                                ),
+                                _interp_chroma_block(
+                                    rcrr, mx * 8 + fcx,
+                                    my * 8 + fcy, fcw, fch,
+                                    mv[0], mv[1],
+                                ),
+                            )
 
-                            def _pp(ryy, rcbb, rcrr, mv):
-                                return (
-                                    _interp_luma_block(
-                                        ryy, mx * 16 + lx,
-                                        my * 16 + ly, lw, lh,
-                                        mv[0], mv[1],
-                                    ),
-                                    _interp_chroma_block(
-                                        rcbb, mx * 8 + cx,
-                                        my * 8 + cy, cw, ch,
-                                        mv[0], mv[1],
-                                    ),
-                                    _interp_chroma_block(
-                                        rcrr, mx * 8 + cx,
-                                        my * 8 + cy, cw, ch,
-                                        mv[0], mv[1],
-                                    ),
+                        def _combine(geom, usage, mv0_, mv1_):
+                            if usage == 0:
+                                return _wpb_single(
+                                    _fetch(geom, (r0y, r0cb, r0cr),
+                                           mv0_), wpb, 0,
                                 )
-
-                            if subs[part] == 0:
-                                duse0, duse1, dblocks = mb_drv
-                                outp = _direct_part_pred(
-                                    (r0y, r0cb, r0cr),
-                                    (r1y, r1cb, r1cr),
-                                    mx, my, part, duse0, duse1,
-                                    dblocks, wpb=wpb, wbi=wbi,
+                            if usage == 1:
+                                return _wpb_single(
+                                    _fetch(geom, (r1y, r1cb, r1cr),
+                                           mv1_), wpb, 1,
                                 )
-                            elif subs[part] == 1:
-                                outp = _wpb_single(
-                                    _pp(r0y, r0cb, r0cr,
-                                        smv[0][part]),
-                                    wpb, 0,
-                                )
-                            elif subs[part] == 2:
-                                outp = _wpb_single(
-                                    _pp(r1y, r1cb, r1cr,
-                                        smv[1][part]),
-                                    wpb, 1,
-                                )
-                            else:
-                                p0 = _pp(r0y, r0cb, r0cr,
-                                         smv[0][part])
-                                p1 = _pp(r1y, r1cb, r1cr,
-                                         smv[1][part])
-                                if wbi is not None:
-                                    outp = tuple(
-                                        _wpb_bi_plane(
-                                            a, b, wbi[0], wbi[1],
-                                            0, 0, 5,
-                                        )
-                                        for a, b in zip(p0, p1)
+                            p0 = _fetch(geom, (r0y, r0cb, r0cr),
+                                        mv0_)
+                            p1 = _fetch(geom, (r1y, r1cb, r1cr),
+                                        mv1_)
+                            if wbi is not None:
+                                return tuple(
+                                    _wpb_bi_plane(
+                                        a, b, wbi[0], wbi[1],
+                                        0, 0, 5,
                                     )
-                                else:
-                                    outp = _wpb_bi(p0, p1, wpb)
-                            y[my * 16 + ly : my * 16 + ly + lh,
-                              mx * 16 + lx : mx * 16 + lx + lw] = (
-                                outp[0]
-                            )
-                            cb[my * 8 + cy : my * 8 + cy + ch,
-                               mx * 8 + cx : mx * 8 + cx + cw] = (
-                                outp[1]
-                            )
-                            cr[my * 8 + cy : my * 8 + cy + ch,
-                               mx * 8 + cx : mx * 8 + cx + cw] = (
-                                outp[2]
-                            )
-                            stats[{0: "b8_dir", 1: "b8_l0",
-                                   2: "b8_l1",
-                                   3: "b8_bi"}[subs[part]]] += 1
+                                    for a, b in zip(p0, p1)
+                                )
+                            return _wpb_bi(p0, p1, wpb)
+
+                        def _emit(geom, outp):
+                            (flx, fly, flw, flh), (fcx, fcy, fcw,
+                                                   fch) = geom
+                            y[my * 16 + fly : my * 16 + fly + flh,
+                              mx * 16 + flx : mx * 16 + flx + flw] \
+                                = outp[0]
+                            cb[my * 8 + fcy : my * 8 + fcy + fch,
+                               mx * 8 + fcx : mx * 8 + fcx + fcw] \
+                                = outp[1]
+                            cr[my * 8 + fcy : my * 8 + fcy + fch,
+                               mx * 8 + fcx : mx * 8 + fcx + fcw] \
+                                = outp[2]
+
+                        for part in range(4):
+                            st = subs[part]
+                            if st == 0:
+                                duse0, duse1, dblocks = mb_drv
+                                _emit(
+                                    _PART_GEOM8[part],
+                                    _direct_part_pred(
+                                        (r0y, r0cb, r0cr),
+                                        (r1y, r1cb, r1cr),
+                                        mx, my, part, duse0, duse1,
+                                        dblocks, wpb=wpb, wbi=wbi,
+                                    ),
+                                )
+                                stats["b8_dir"] += 1
+                            elif st <= 3:
+                                _emit(
+                                    _PART_GEOM8[part],
+                                    _combine(
+                                        _PART_GEOM8[part], st - 1,
+                                        smv[0][part], smv[1][part],
+                                    ),
+                                )
+                                stats[{1: "b8_l0", 2: "b8_l1",
+                                       3: "b8_bi"}[st]] += 1
+                            else:
+                                kind, usage = _B_SUB_SPLIT[st]
+                                geoms = _b_subpart_geoms(part, kind)
+                                for i, geom in enumerate(geoms):
+                                    mv0_ = (smv[0][part][i]
+                                            if usage != 1 else None)
+                                    mv1_ = (smv[1][part][i]
+                                            if usage != 0 else None)
+                                    _emit(
+                                        geom,
+                                        _combine(geom, usage,
+                                                 mv0_, mv1_),
+                                    )
+                                stats[{0: "b8_l0", 1: "b8_l1",
+                                       2: "b8_bi"}[usage]] += 1
+                                stats["b8_split"] += 1
+                                stats["b8_parts"] += len(geoms)
                         stats["b8x8"] += 1
                         continue
                     if mb_type < 22:

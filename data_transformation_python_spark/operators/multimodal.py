@@ -6286,6 +6286,221 @@ def _write_h264b8d(doc_id: int) -> tuple[bytes, str]:
     return annexb(nals), md5.hexdigest()
 
 
+def _write_h264b8s(doc_id: int) -> tuple[bytes, str]:
+    """(Annex-B stream of an IBPBP GOP whose B macroblocks carry the
+    SUB-8x8 Table 7-18 splits, md5 of the DISPLAY-order RGB frames).
+    Quadrants take a doc-rotation of (B_L0_8x4, B_L1_4x8, B_Bi_4x4,
+    B_L0_4x4) — up to TWELVE independent motion partitions per
+    macroblock (2+2+4+4), the finest motion field a B slice carries,
+    each sub-partition with its own vector from a 4-vector pool so
+    the per-sub-partition §8.4.1.3 medians (earlier sub-partitions
+    feeding later ones, one-list sub-MBs marking the other list
+    refIdx −1) are all load-bearing.  16x16 candidate lists stay
+    empty (interior shift-composition would absorb macroblocks).
+    Lossless; census pure geometry (4 split sub-MBs and 12 motion
+    partitions per macroblock, 2/1/1 L0/L1/Bi — rotation-invariant)."""
+    import hashlib
+
+    import numpy as np
+
+    from .h264_codec import (
+        _B_SUB_SPLIT,
+        _b_subpart_geoms,
+        _yuv420_to_rgb,
+        annexb,
+        h264_encode_gop_b,
+        mc_shift_planes,
+    )
+
+    w, h, mvx, mvy = _h264b_dims(doc_id)
+    two = (2 * mvx, 2 * mvy)
+    pool = [(mvx, mvy), (mvx, 0), (0, mvx), (2 * mvx, mvy)]
+    mbw, mbh = w // 16, h // 16
+    rot = doc_id % 4
+    base = (4, 7, 12, 10)
+    modes = tuple(base[(p + rot) % 4] for p in range(4))
+
+    def neg_v(v):
+        return (-v[0], -v[1])
+
+    def mvs_for(mode, part):
+        kind, usage = _B_SUB_SPLIT[mode]
+        n = len(_b_subpart_geoms(part, kind))
+        vs = [pool[(part + i) % 4] for i in range(n)]
+        if usage == 0:
+            return tuple(vs)
+        if usage == 1:
+            return tuple(neg_v(v) for v in vs)
+        return tuple((v, neg_v(v)) for v in vs)
+
+    mvs = tuple(mvs_for(modes[p], p) for p in range(4))
+    f0 = _h264wp_frame0(doc_id, w, h)
+
+    def bimean(a, b):
+        return tuple(
+            ((p.astype(np.int64) + q.astype(np.int64) + 1) >> 1)
+            .astype(np.uint8)
+            for p, q in zip(a, b)
+        )
+
+    def mosaic(prev, pfr):
+        sh0 = {v: mc_shift_planes(*prev, v) for v in pool}
+        sh1 = {v: mc_shift_planes(*pfr, neg_v(v)) for v in pool}
+        out = [p.copy() for p in sh0[pool[0]]]
+        for my in range(mbh):
+            for mx in range(mbw):
+                for part in range(4):
+                    kind, usage = _B_SUB_SPLIT[modes[part]]
+                    geoms = _b_subpart_geoms(part, kind)
+                    for i, geom in enumerate(geoms):
+                        (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+                        if usage == 0:
+                            s = sh0[mvs[part][i]]
+                        elif usage == 1:
+                            s = sh1[neg_v(mvs[part][i])]
+                        else:
+                            v = mvs[part][i][0]
+                            s = bimean(sh0[v], sh1[v])
+                        out[0][my * 16 + ly : my * 16 + ly + lh,
+                               mx * 16 + lx : mx * 16 + lx + lw] = (
+                            s[0][my * 16 + ly : my * 16 + ly + lh,
+                                 mx * 16 + lx : mx * 16 + lx + lw]
+                        )
+                        for pi in (1, 2):
+                            out[pi][
+                                my * 8 + cy : my * 8 + cy + ch,
+                                mx * 8 + cx : mx * 8 + cx + cw,
+                            ] = s[pi][
+                                my * 8 + cy : my * 8 + cy + ch,
+                                mx * 8 + cx : mx * 8 + cx + cw,
+                            ]
+        return tuple(p.astype(np.uint8) for p in out)
+
+    frames, prev = [f0], f0
+    for _i in range(2):
+        pfr = mc_shift_planes(*prev, two)
+        frames.extend([mosaic(prev, pfr), pfr])
+        prev = pfr
+    nals, _stats = h264_encode_gop_b(
+        frames, w, h,
+        l0_candidates=[],
+        l1_candidates=[],
+        bi_candidates=[],
+        p_candidates=[two],
+        sub_candidates=[(modes, mvs)],
+    )
+    md5 = hashlib.md5()
+    for fy, fcb, fcr in frames:
+        md5.update(_yuv420_to_rgb(fy, fcb, fcr).tobytes())
+    return annexb(nals), md5.hexdigest()
+
+
+H264B8S_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("nal_count", T.LongType()),
+        T.StructField("mb_count", T.LongType()),
+        T.StructField("b8x8_mbs", T.LongType()),
+        T.StructField("b8_split_subs", T.LongType()),
+        T.StructField("b8_motion_parts", T.LongType()),
+        T.StructField("b8_l0_subs", T.LongType()),
+        T.StructField("b8_l1_subs", T.LongType()),
+        T.StructField("b8_bi_subs", T.LongType()),
+        T.StructField("p16_mbs", T.LongType()),
+        T.StructField("pskip_mbs", T.LongType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+    ]
+)
+
+
+def synth_h264b8s_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a sub-8x8-split B GOP per row, plus the display-order
+    source hash the decode must reproduce."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("rec_md5", T.StringType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            pairs = [_write_h264b8s(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [p for p, _ in pairs],
+                    "rec_md5": [m for _, m in pairs],
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(par)
+        .mapInPandas(_batches, schema=schema)
+    )
+
+
+def h264b8s_metadata(df: DataFrame) -> DataFrame:
+    """Decode the sub-8x8-split B GOP and emit the oracle evidence:
+    ``roundtrip_exact`` (twelve per-macroblock motion partitions, the
+    two-loop §7.3.5.2 order with per-sub-partition medians — all
+    bit-for-bit) and the split/partition census as pure geometry."""
+    from .h264_codec import h264_decode_gop, split_annexb
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in H264B8S_META_SCHEMA.fieldNames()}
+            for doc_id, payload, rec_md5 in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["payload"],
+                pdf["rec_md5"],
+            ):
+                w, h, _mvx, _mvy = _h264b_dims(int(doc_id))
+                nals = split_annexb(bytes(payload))
+                assert len(nals) == 7, "unexpected NAL count"
+                frames, stats = h264_decode_gop(nals)
+                md5 = hashlib.md5()
+                for fr in frames:
+                    md5.update(fr.tobytes())
+                mb_w, mb_h = w // 16, h // 16
+                bst = [s for s in stats if s["is_b"]]
+                pst = [s for s in stats if s["is_p"]]
+                assert sum(s["bl0"] + s["bl1"] + s["bbi"] + s["ipcm"]
+                           + s["bskip"] + s["b8_dir"]
+                           for s in bst) == 0
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["nal_count"].append(len(nals))
+                out["mb_count"].append(len(frames) * mb_w * mb_h)
+                out["b8x8_mbs"].append(sum(s["b8x8"] for s in bst))
+                out["b8_split_subs"].append(
+                    sum(s["b8_split"] for s in bst)
+                )
+                out["b8_motion_parts"].append(
+                    sum(s["b8_parts"] for s in bst)
+                )
+                out["b8_l0_subs"].append(sum(s["b8_l0"] for s in bst))
+                out["b8_l1_subs"].append(sum(s["b8_l1"] for s in bst))
+                out["b8_bi_subs"].append(sum(s["b8_bi"] for s in bst))
+                out["p16_mbs"].append(sum(s["p16"] for s in pst))
+                out["pskip_mbs"].append(sum(s["skip"] for s in pst))
+                out["roundtrip_exact"].append(
+                    md5.hexdigest() == str(rec_md5)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=H264B8S_META_SCHEMA)
+
+
 def synth_h264b8d_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a mixed B_Direct_8x8 GOP per row, plus the
     display-order source hash the decode must reproduce."""

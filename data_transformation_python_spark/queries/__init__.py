@@ -105,8 +105,9 @@ def _register_all() -> None:
 # queries per round, so iteration order is a verification budget,
 # rotated STALEST-FIRST each round.  Round 12 head: (1) the
 # brand-new never-checked gates — multi-slice B pictures, B_8x8
-# sub-macroblocks (all-coded + mixed B_Direct_8x8), and the
-# unigram-LM tokenizer trainer;
+# sub-macroblocks (all-coded, mixed B_Direct_8x8, and the sub-8x8
+# splits completing the B partition family), and the unigram-LM
+# tokenizer trainer;
 # (2) the gates whose CODE changed this round — BOTH funnel gates
 # (the composed DAG gained the PII-scrub and decontamination stages,
 # and bronze now stamps synthetic PII: oracle updated in lockstep)
@@ -116,8 +117,8 @@ def _register_all() -> None:
 # convention); (3) everything else ordered by LAST-DRIVER-CHECKED
 # ROUND ascending, computed from the committed
 # CORRECTNESS_r{1..11}.json ledger (ties alphabetical): the 36
-# r7-era entries land in full, then the r8 block contributes its
-# first 1 (the rest head round 13).  Everything past position 50
+# r7-era entries land in full and fill the window exactly (the r8
+# block heads round 13).  Everything past position 50
 # stays honest through the local full-registry PARITY sweep
 # (tests/test_oracle_parity.py + committed PARITY_r{N}.json).  Names
 # absent from the registry are ignored; registered names absent from
@@ -127,6 +128,7 @@ _PRIORITY: list[str] = [
     "multimodal_h264msb_meta",
     "multimodal_h264b8_meta",
     "multimodal_h264b8d_meta",
+    "multimodal_h264b8s_meta",
     "text_unigram_lm_train",
     # (2) code changed in round 12 (funnel stages +
     #     oracle; B/slice encoder-decoder refactor)

@@ -3043,7 +3043,7 @@ def multimodal_h264b8_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure geometry (2/1/1 L0/L1/Bi sub-blocks per macroblock —
     rotation-invariant).  B_Direct_8x8 landed in the same round
     (multimodal_h264b8d_meta); the sub-8x8 B splits (Table 7-18
-    rows 4+) stay honest NotImplementedError."""
+    rows 4+) landed in the same round too (multimodal_h264b8s_meta)."""
     from ..operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents")
@@ -3090,12 +3090,62 @@ def multimodal_h264b8d_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct gates nor the all-coded B_8x8 gate exercises; its derived
     state still feeds later medians.  Lossless roundtrip
     bit-for-bit; census pure geometry (1/1/1/1 per macroblock,
-    rotation-invariant).  Only the sub-8x8 B splits (Table 7-18
-    rows 4+) remain from the B partition family."""
+    rotation-invariant).  The sub-8x8 splits landed in the same round
+    (multimodal_h264b8s_meta), completing the B partition family."""
     from ..operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents")
     return mm.h264b8d_metadata(mm.synth_h264b8d_table(docs))
+
+
+_H264B8S_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS mbw,
+         1 + doc_id % 2 AS mbh
+  FROM documents),
+g AS (SELECT doc_id, mbw, mbh, mbw * mbh AS mbs FROM m)
+SELECT doc_id,
+       CAST(16 * mbw AS BIGINT) AS width,
+       CAST(16 * mbh AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(7 AS BIGINT) AS nal_count,
+       CAST(5 * mbs AS BIGINT) AS mb_count,
+       CAST(2 * mbs AS BIGINT) AS b8x8_mbs,
+       CAST(8 * mbs AS BIGINT) AS b8_split_subs,
+       CAST(24 * mbs AS BIGINT) AS b8_motion_parts,
+       CAST(4 * mbs AS BIGINT) AS b8_l0_subs,
+       CAST(2 * mbs AS BIGINT) AS b8_l1_subs,
+       CAST(2 * mbs AS BIGINT) AS b8_bi_subs,
+       CAST(2 * (mbw + mbh - 1) AS BIGINT) AS p16_mbs,
+       CAST(2 * (mbs - (mbw + mbh - 1)) AS BIGINT) AS pskip_mbs,
+       TRUE AS roundtrip_exact
+FROM g
+"""
+
+
+@query("multimodal_h264b8s_meta", oracle=_H264B8S_ORACLE)
+def multimodal_h264b8s_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-8x8 B SPLITS (round 12, operators/h264_codec.py — the
+    LAST rung of the Table 7-18 ladder, completing the entire B
+    partition family): each B macroblock's quadrants take a
+    doc-rotated (B_L0_8x4, B_L1_4x8, B_Bi_4x4, B_L0_4x4) pattern —
+    TWELVE independent motion partitions per macroblock (2+2+4+4),
+    the finest motion field a B slice carries, each sub-partition
+    with its own vector from a 4-vector pool.  The §7.3.5.2 two-loop
+    order now nests per-sub-partition mvds (all mvd_l0 in mbPartIdx
+    then subMbPartIdx order, THEN all mvd_l1), each against the
+    general §8.4.1.3 median at the sub-partition's own 4x4
+    granularity with earlier sub-partitions feeding later
+    derivations.  Lossless roundtrip bit-for-bit; census pure
+    geometry (8 split sub-MBs and 24 motion partitions per 2-B-GOP
+    macroblock, 2/1/1 L0/L1/Bi — rotation-invariant).  The B
+    partition family is now COMPLETE: remaining h264 stubs are
+    VLC-table columns, CABAC, FMO/ASO, interlaced, H.265 only."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    return mm.h264b8s_metadata(mm.synth_h264b8s_table(docs))
 
 
 @query("multimodal_h264msb_meta", oracle=_H264MSB_ORACLE)
@@ -3122,7 +3172,7 @@ def multimodal_h264msb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless: ``roundtrip_exact`` pins POC reordering, per-list
     medians across continuation slices, and the per-slice weighting
     bit-for-bit.  Remaining h264 stubs: lookup coeff_token columns,
-    CABAC, FMO/ASO, B_Direct_8x8/sub-8x8 B splits, interlaced, H.265."""
+    CABAC, FMO/ASO, interlaced, H.265 (B partition family complete)."""
     from ..operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents")

@@ -2338,9 +2338,9 @@ class TestB8x8SubMacroblocks:
         assert sum(s["b8x8"] for s in bst) == 2 * mbw * mbh
 
     def test_unsupported_sub_types_rejected(self):
-        """The sub-8x8 B splits (Table 7-18 sub_mb_type > 3) fail
-        loudly in the decoder (patch the encoder to emit type 4 =
-        B_L0_8x4 where a supported type belongs)."""
+        """A sub_mb_type beyond Table 7-18 (> 12) fails loudly in
+        the decoder (patch the encoder to emit type 13 where a
+        supported type belongs)."""
         import pytest
 
         from data_transformation_python_spark.operators import (
@@ -2361,7 +2361,7 @@ class TestB8x8SubMacroblocks:
                 state["n"] += 1
                 if state["n"] == 1:
                     state["armed"] = False
-                    return real_ue(self, 4)  # B_L0_8x4
+                    return real_ue(self, 13)  # past Table 7-18
             return real_ue(self, v)
 
         try:
@@ -2369,8 +2369,36 @@ class TestB8x8SubMacroblocks:
             payload_bad, _ = mm._write_h264b8(0)
         finally:
             hcm._EgWriter.ue = real_ue
-        with pytest.raises(NotImplementedError, match="below 8x8"):
+        with pytest.raises(ValueError, match="beyond Table 7-18"):
             hc.h264_decode_gop(hc.split_annexb(payload_bad))
+
+    def test_sub_8x8_splits_roundtrip_and_census(self):
+        """The sub-8x8 rows (B_L0_8x4 / B_L1_4x8 / B_Bi_4x4 /
+        B_L0_4x4): twelve motion partitions per macroblock, all four
+        pattern rotations lossless with the 8-split/24-partition
+        census."""
+        import hashlib
+
+        from data_transformation_python_spark.operators import (
+            multimodal as mm,
+        )
+
+        for doc in (0, 1, 2, 3):
+            payload, rec = mm._write_h264b8s(doc)
+            frames, stats = hc.h264_decode_gop(hc.split_annexb(payload))
+            md5 = hashlib.md5()
+            for fr in frames:
+                md5.update(fr.tobytes())
+            assert md5.hexdigest() == rec, doc
+            w, h, _x, _y = mm._h264b_dims(doc)
+            mbs = (w // 16) * (h // 16)
+            bst = [s for s in stats if s["is_b"]]
+            assert sum(s["b8x8"] for s in bst) == 2 * mbs
+            assert sum(s["b8_split"] for s in bst) == 8 * mbs
+            assert sum(s["b8_parts"] for s in bst) == 24 * mbs
+            assert sum(s["b8_l0"] for s in bst) == 4 * mbs
+            assert sum(s["b8_l1"] for s in bst) == 2 * mbs
+            assert sum(s["b8_bi"] for s in bst) == 2 * mbs
 
     def test_direct_8x8_spatial_zero_prediction_in_isolated_mb(self):
         """B_Direct_8x8 under SPATIAL direct in a one-MB picture: no
