@@ -1617,10 +1617,13 @@ def _ulm_dp_expr(scale: int, max_piece: int, forward: bool) -> str:
 
 
 def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
-               max_piece: int) -> dict:
+               max_piece: int, return_frame: bool = False):
     """One Viterbi E-step: segment every distinct word under the
     broadcast vocab->neg_q map, return {piece: corpus-weighted count
-    on optimal paths}.  One projection + one vocab-sized groupBy."""
+    on optimal paths} — or, ``return_frame``, the raw (word, piece)
+    occurrence rows (one per on-path piece occurrence, the
+    segmentation table the SERVING path joins documents against).
+    One projection + one vocab-sized groupBy."""
     spark = words.sparkSession
     pairs: list = []
     for p, neg in sorted(vocab.items()):
@@ -1651,6 +1654,7 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
         )
         .filter(F.expr("j + L <= n"))
         .select(
+            "word",
             "cnt",
             F.expr("substr(word, j + 1, L)").alias("piece"),
             F.expr(
@@ -1662,10 +1666,14 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
         )
         .filter(F.col("path_cost").isNotNull()
                 & (F.col("path_cost") == F.col("total")))
-        .groupBy("piece")
+    )
+    if return_frame:
+        return chosen.select("word", "piece")
+    counts = (
+        chosen.groupBy("piece")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    return {r["piece"]: int(r["c"]) for r in chosen.collect()}
+    return {r["piece"]: int(r["c"]) for r in counts.collect()}
 
 
 def unigram_lm_train(
@@ -1679,9 +1687,39 @@ def unigram_lm_train(
     """Train the unigram-LM tokenizer (module docstring above):
     seed -> E -> M -> prune -> E -> M, returning the final vocabulary
     (piece, piece_len, cnt, neg_logprob_q) ordered by piece."""
+    spark = df.sparkSession
+    words, c2, neg2 = _ulm_fit(
+        df, text_col, max_word, max_piece, seed_multi, keep_multi
+    )
+    words.unpersist()
+    rows = [
+        (p, len(p), c2[p], neg2[p]) for p in sorted(c2)
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, piece_len bigint, cnt bigint,"
+        " neg_logprob_q bigint"
+    )
+
+
+def _ulm_scores(cnts: dict) -> dict:
+    """M-step: +1-smoothed quantized neg-log scores from counts."""
+    tot = sum(cnts.values()) + len(cnts)
+    return {p: _ulm_lq(tot) - _ulm_lq(c + 1) for p, c in cnts.items()}
+
+
+def _ulm_fit(
+    df: DataFrame,
+    text_col: str,
+    max_word: int,
+    max_piece: int,
+    seed_multi: int,
+    keep_multi: int,
+):
+    """Shared trainer core: returns (the PERSISTED distinct-word
+    cache — caller unpersists, the final vocab counts c2, and the
+    final quantized scores neg2)."""
     from pyspark import StorageLevel
 
-    spark = df.sparkSession
     scale = 1 << 13  # low 13 bits hold the cut-set bitmask (n <= 12)
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
@@ -1713,36 +1751,80 @@ def unigram_lm_train(
         .limit(seed_multi)
         .collect()
     )
+    counts = {r["piece"]: int(r["c"]) for r in chars + multi}
+    # round 1: E under seed scores, M, prune
+    c1 = _ulm_estep(words, _ulm_scores(counts), scale, max_piece)
+    c1 = {p: c1.get(p, 0) for p in counts}
+    kept_multi = sorted(
+        (p for p in c1 if len(p) > 1),
+        key=lambda p: (-c1[p], p),
+    )[:keep_multi]
+    v1 = {p: c1[p] for p in c1 if len(p) == 1 or p in set(kept_multi)}
+    # round 2: E under re-estimated scores over the pruned vocab
+    c2 = _ulm_estep(words, _ulm_scores(v1), scale, max_piece)
+    c2 = {p: c2.get(p, 0) for p in v1}
+    return words, c2, _ulm_scores(c2)
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word: int = 12,
+    max_piece: int = 4,
+    seed_multi: int = 48,
+    keep_multi: int = 24,
+) -> DataFrame:
+    """The unigram-LM SERVING path (round 12 — the train→tokenize
+    composition, the counterpart of bpe_tokenize_counts): train the
+    vocabulary, then segment the corpus under the FINAL scores (a
+    third Viterbi pass over the distinct-word cache) and join the
+    per-word segmentation back onto the documents — per document the
+    piece totals a training pipeline feeds its packer/budgeter.
+
+    Scale posture: training as unigram_lm_train; serving adds ONE
+    more narrow E-step projection over the distinct-word cache and
+    one word-key join from documents onto the vocab-segmented cache
+    (AQE broadcasts the cache when it fits), then a doc-key groupBy.
+    Returns (doc_id, n_words, n_pieces, n_distinct_pieces) — BIGINT,
+    bit-exact against the extended unrolled oracle."""
+    scale = 1 << 13
+    words, _c2, neg2 = _ulm_fit(
+        df, text_col, max_word, max_piece, seed_multi, keep_multi
+    )
     try:
-        counts = {r["piece"]: int(r["c"]) for r in chars + multi}
-
-        def _scores(cnts: dict) -> dict:
-            tot = sum(cnts.values()) + len(cnts)
-            return {
-                p: _ulm_lq(tot) - _ulm_lq(c + 1) for p, c in cnts.items()
-            }
-
-        # round 1: E under seed scores, M, prune
-        c1 = _ulm_estep(words, _scores(counts), scale, max_piece)
-        c1 = {p: c1.get(p, 0) for p in counts}
-        kept_multi = sorted(
-            (p for p in c1 if len(p) > 1),
-            key=lambda p: (-c1[p], p),
-        )[:keep_multi]
-        v1 = {p: c1[p] for p in c1 if len(p) == 1 or p in set(kept_multi)}
-        # round 2: E under re-estimated scores over the pruned vocab
-        c2 = _ulm_estep(words, _scores(v1), scale, max_piece)
-        c2 = {p: c2.get(p, 0) for p in v1}
-        neg2 = _scores(c2)
+        seg = _ulm_estep(words, neg2, scale, max_piece,
+                         return_frame=True)
+        doc_words = (
+            df.select(
+                id_col,
+                F.explode(F.split(F.col(text_col), " ")).alias("word"),
+            )
+            .filter(
+                (F.col("word") != "")
+                & (F.length("word") <= max_word)
+            )
+        )
+        nw = doc_words.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words")
+        )
+        pieces = (
+            doc_words.join(seg, "word")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+                F.countDistinct("piece").cast("bigint").alias(
+                    "n_distinct_pieces"
+                ),
+            )
+        )
+        out = nw.join(pieces, id_col).select(
+            id_col, "n_words", "n_pieces", "n_distinct_pieces"
+        )
+        # materialize before unpersisting the word cache under it
+        return out.localCheckpoint(eager=True)
     finally:
         words.unpersist()
-    rows = [
-        (p, len(p), c2[p], neg2[p]) for p in sorted(c2)
-    ]
-    return spark.createDataFrame(
-        rows, "piece string, piece_len bigint, cnt bigint,"
-        " neg_logprob_q bigint"
-    )
 
 
 def unigram_lm_oracle_sql(
@@ -1750,6 +1832,7 @@ def unigram_lm_oracle_sql(
     max_piece: int = 4,
     seed_multi: int = 48,
     keep_multi: int = 24,
+    serve: bool = False,
 ) -> str:
     """The DuckDB twin of ``unigram_lm_train``: the whole trajectory
     — seed, quantized scores, two Viterbi E-steps (prefix + suffix
@@ -1821,7 +1904,7 @@ def unigram_lm_oracle_sql(
             f",spall{r} AS MATERIALIZED ({spall})",
             f",tot{r} AS (SELECT word, val FROM spall{r} WHERE i = 0)",
             f",ch{r} AS MATERIALIZED ("
-            f"SELECT c.cnt, substr(c.word, c.j + 1, c.i - c.j) AS piece"
+            f"SELECT c.word, c.cnt, substr(c.word, c.j + 1, c.i - c.j) AS piece"
             f" FROM cand{r} c"
             f" JOIN dpall{r} d ON d.word = c.word AND d.i = c.j"
             f" JOIN spall{r} s ON s.word = c.word AND s.i = c.i"
@@ -1869,6 +1952,28 @@ def unigram_lm_oracle_sql(
     ]
     parts += vocab_ctes(1, "v1c")
     parts += estep_ctes(2)
+    if serve:
+        # the serving twin: score the final vocab (v2), run a THIRD
+        # Viterbi pass, and join the per-word segmentation onto the
+        # documents — mirroring unigram_tokenize exactly
+        parts += vocab_ctes(2, "c2")
+        parts += estep_ctes(3)
+        parts += [
+            ",dw AS (SELECT doc_id, t AS word"
+            " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
+            f" WHERE t <> '' AND length(t) <= {max_word})",
+            ",nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words"
+            " FROM dw GROUP BY 1)",
+            ",seg AS (SELECT word, piece FROM ch3)",
+            ",pc AS (SELECT doc_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_pieces,"
+            " CAST(COUNT(DISTINCT piece) AS BIGINT)"
+            " AS n_distinct_pieces"
+            " FROM dw JOIN seg USING (word) GROUP BY 1)",
+            "SELECT doc_id, n_words, n_pieces, n_distinct_pieces"
+            " FROM nw JOIN pc USING (doc_id) ORDER BY doc_id",
+        ]
+        return "\n".join(parts)
     parts += [
         ",tf AS (SELECT CAST(SUM(c) + COUNT(*) AS BIGINT) AS tt FROM c2)",
         "SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,"
@@ -1876,3 +1981,17 @@ def unigram_lm_oracle_sql(
         + " AS neg_logprob_q FROM c2, tf ORDER BY piece",
     ]
     return "\n".join(parts)
+
+
+def unigram_tokenize_oracle_sql(
+    max_word: int = 12,
+    max_piece: int = 4,
+    seed_multi: int = 48,
+    keep_multi: int = 24,
+) -> str:
+    """The DuckDB twin of ``unigram_tokenize``: the full trainer
+    chain plus a third unrolled Viterbi pass under the final scores
+    and the document join."""
+    return unigram_lm_oracle_sql(
+        max_word, max_piece, seed_multi, keep_multi, serve=True
+    )

@@ -1314,6 +1314,21 @@ def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_lm_train(load(spark, sf_dir, "documents"))
 
 
+@query("text_unigram_tokenize", oracle=tx.unigram_tokenize_oracle_sql())
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM SERVING path (round 12 — the train→tokenize
+    composition, the counterpart of text_bpe_tokenize): train the
+    vocabulary, segment the distinct-word cache under the FINAL
+    quantized scores (a third Viterbi pass), and join the per-word
+    segmentation onto the documents — per-document piece totals, the
+    numbers a training pipeline's packer/budgeter consumes.  Serving
+    adds one narrow E-step projection + one word-key join (cache
+    broadcast by AQE) + one doc-key groupBy on top of training; the
+    whole trajectory replays bit-exactly against the extended
+    unrolled oracle (a third dp/sp chain + the document join)."""
+    return tx.unigram_tokenize(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # similarity serving: binary quantization — the 1-bit rung of the
 # quantization ladder (32x compression): popcount Hamming shortlist
