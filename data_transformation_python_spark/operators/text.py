@@ -1578,42 +1578,120 @@ def ulm_lq_sql(x: str, dialect: str) -> str:
     return f"(256 * ({nlb} - 1) + (256 * ({x})) // {pw} - 256)"
 
 
-def _ulm_dp_expr(scale: int, max_piece: int, forward: bool) -> str:
+def _ulm_dp_expr(scale: int, max_piece: int, forward: bool,
+                 word: str = "word", n: str = "n",
+                 vmap: str = "vmap") -> str:
     """The per-word Viterbi DP as ONE Spark higher-order-function
-    expression over columns (word, n, vmap): an aggregate() over the
-    positions, state = the dp array (index p+1 = position p).
-    Forward: dp[0]=0, dp[i] = min over L of dp[i-L] + w(j=i-L, i).
-    Backward (suffix): sp[n]=0, sp[i] = min over L of w(i, i+L) +
-    sp[i+L].  Pieces outside the vocab cost BIG (chars are always in
-    the vocab, so every position stays reachable)."""
+    expression over (``word``, ``n``, ``vmap``) — column names by
+    default, arbitrary sub-expressions for callers that inline the DP
+    per token of a streamed document (the serving twin): an
+    aggregate() over the positions, state = the dp array (index p+1 =
+    position p).  Forward: dp[0]=0, dp[i] = min over L of dp[i-L] +
+    w(j=i-L, i).  Backward (suffix): sp[n]=0, sp[i] = min over L of
+    w(i, i+L) + sp[i+L].  Pieces outside the vocab cost BIG (chars
+    are always in the vocab, so every position stays reachable)."""
     B = _ULM_BIG
     if forward:
-        init = f"transform(sequence(0, n), p -> IF(p = 0, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
+        init = f"transform(sequence(0, {n}), p -> IF(p = 0, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
         terms = ", ".join(
             f"IF(i >= {L}, element_at(acc, i - {L} + 1) + "
-            f"COALESCE(try_element_at(vmap, substr(word, i - {L} + 1, {L}))"
+            f"COALESCE(try_element_at({vmap}, substr({word}, i - {L} + 1, {L}))"
             f" * {scale} + shiftleft(1, i), CAST({B} AS BIGINT)),"
             f" CAST({B} AS BIGINT))"
             for L in range(1, max_piece + 1)
         )
         step = (
-            f"(acc, i) -> transform(sequence(0, n), p -> "
+            f"(acc, i) -> transform(sequence(0, {n}), p -> "
             f"IF(p <> i, element_at(acc, p + 1), LEAST({terms})))"
         )
     else:
-        init = f"transform(sequence(0, n), p -> IF(p = n, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
+        init = f"transform(sequence(0, {n}), p -> IF(p = {n}, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
         terms = ", ".join(
-            f"IF(n - s + {L} <= n, "
-            f"COALESCE(try_element_at(vmap, substr(word, n - s + 1, {L}))"
-            f" * {scale} + shiftleft(1, n - s + {L}), CAST({B} AS BIGINT))"
-            f" + element_at(acc, n - s + {L} + 1), CAST({B} AS BIGINT))"
+            f"IF({n} - s + {L} <= {n}, "
+            f"COALESCE(try_element_at({vmap}, substr({word}, {n} - s + 1, {L}))"
+            f" * {scale} + shiftleft(1, {n} - s + {L}), CAST({B} AS BIGINT))"
+            f" + element_at(acc, {n} - s + {L} + 1), CAST({B} AS BIGINT))"
             for L in range(1, max_piece + 1)
         )
         step = (
-            f"(acc, s) -> transform(sequence(0, n), p -> "
-            f"IF(p <> n - s, element_at(acc, p + 1), LEAST({terms})))"
+            f"(acc, s) -> transform(sequence(0, {n}), p -> "
+            f"IF(p <> {n} - s, element_at(acc, p + 1), LEAST({terms})))"
         )
-    return f"aggregate(sequence(1, n), {init}, {step})"
+    return f"aggregate(sequence(1, {n}), {init}, {step})"
+
+
+def _ulm_word_pieces_expr(scale: int, max_piece: int,
+                          w: str = "w") -> str:
+    """The on-path piece LIST of one word as a single row-local
+    expression (the streaming serve path): both DPs computed once and
+    let-bound through a one-element transform(array(struct(...)))
+    (Spark has no LET), then every (j, L) candidate filtered by the
+    dp[j] + w'(j, j+L) + sp[j+L] == dp[n] on-path test.  The unique-
+    optimum bitmask encoding guarantees exactly one segmentation
+    survives."""
+    nn = f"(length({w}))"
+    dp = _ulm_dp_expr(scale, max_piece, True, word=w, n=nn)
+    sp = _ulm_dp_expr(scale, max_piece, False, word=w, n=nn)
+    onpath = (
+        f"j + L <= {nn}"
+        f" AND try_element_at(vmap, substr({w}, j + 1, L)) IS NOT NULL"
+        f" AND element_at(t.d, j + 1)"
+        f" + try_element_at(vmap, substr({w}, j + 1, L)) * {scale}"
+        f" + shiftleft(1, j + L) + element_at(t.s, j + L + 1)"
+        f" = element_at(t.d, {nn} + 1)"
+    )
+    return (
+        f"element_at(transform(array(named_struct('d', {dp}, 's', {sp})),"
+        f" t -> flatten(transform(sequence(0, {nn} - 1), j -> "
+        f"filter(transform(sequence(1, {max_piece}), L -> "
+        f"IF({onpath}, substr({w}, j + 1, L), "
+        f"CAST(NULL AS STRING))), x -> x IS NOT NULL)))), 1)"
+    )
+
+
+def unigram_tokenize_serve(
+    df: DataFrame,
+    vocab: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word: int = 12,
+    max_piece: int = 4,
+) -> DataFrame:
+    """Serve a TRAINED unigram-LM vocabulary over (possibly streamed)
+    documents with ZERO shuffles and zero state: the vocab→neg_q
+    table folds into the plan as a broadcast map literal and every
+    document segments its own tokens row-locally (per word: both
+    Viterbi DPs + the on-path piece extraction inside one projection
+    — streaming-legal, append mode).  Returns (doc_id, n_words,
+    n_pieces, n_distinct_pieces), bit-identical to the batch
+    ``unigram_tokenize`` join path (same unique-optimum arithmetic)."""
+    scale = 1 << 13
+    pairs: list = []
+    for p_, neg in sorted(vocab.items()):
+        pairs.extend([F.lit(p_), F.lit(int(neg)).cast("long")])
+    toks = (
+        f"filter(split({text_col}, ' '),"
+        f" x -> x <> '' AND length(x) <= {max_word})"
+    )
+    pieces = (
+        f"flatten(transform({toks}, w -> "
+        + _ulm_word_pieces_expr(scale, max_piece, "w")
+        + "))"
+    )
+    return (
+        df.withColumn("vmap", F.create_map(*pairs))
+        .filter(F.expr(f"size({toks}) > 0"))
+        .select(
+            id_col,
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+            F.expr(f"CAST(size({pieces}) AS BIGINT)").alias(
+                "n_pieces"
+            ),
+            F.expr(
+                f"CAST(size(array_distinct({pieces})) AS BIGINT)"
+            ).alias("n_distinct_pieces"),
+        )
+    )
 
 
 def _ulm_estep(words: DataFrame, vocab: dict, scale: int,

@@ -107,7 +107,7 @@ def _register_all() -> None:
 # brand-new never-checked gates — multi-slice B pictures, B_8x8
 # sub-macroblocks (all-coded, mixed B_Direct_8x8, and the sub-8x8
 # splits completing the B partition family), and the unigram-LM
-# tokenizer trainer + its tokenize serving twin;
+# tokenizer trainer + its tokenize serving twin (batch + stream);
 # (2) the gates whose CODE changed this round — BOTH funnel gates
 # (the composed DAG gained the PII-scrub and decontamination stages,
 # and bronze now stamps synthetic PII: oracle updated in lockstep)
@@ -117,8 +117,8 @@ def _register_all() -> None:
 # convention); (3) everything else ordered by LAST-DRIVER-CHECKED
 # ROUND ascending, computed from the committed
 # CORRECTNESS_r{1..11}.json ledger (ties alphabetical): the 36
-# r7-era entries fill the window to its brim (the last r7 name and
-# the r8 block head round 13).  Everything past position 50
+# r7-era entries fill the rest (the last two r7 names and the r8
+# block head round 13).  Everything past position 50
 # stays honest through the local full-registry PARITY sweep
 # (tests/test_oracle_parity.py + committed PARITY_r{N}.json).  Names
 # absent from the registry are ignored; registered names absent from
@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "multimodal_h264b8s_meta",
     "text_unigram_lm_train",
     "text_unigram_tokenize",
+    "q_stream_unigram_serve",
     # (2) code changed in round 12 (funnel stages +
     #     oracle; B/slice encoder-decoder refactor)
     "pipeline_curation_funnel",

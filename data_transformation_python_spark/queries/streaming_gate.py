@@ -1949,3 +1949,51 @@ def q_stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming unigram-LM tokenizer serving — the trained vocabulary
+# folds into the streaming plan as a broadcast map literal and every
+# streamed document segments its own tokens ROW-LOCALLY (per word:
+# both Viterbi DPs + the on-path piece extraction inside one
+# projection) — zero stream state, zero shuffles, append mode.
+# --------------------------------------------------------------------------
+def _stream_unigram_oracle() -> str:
+    from ..operators import text as tx
+
+    return tx.unigram_tokenize_oracle_sql()
+
+
+@query("q_stream_unigram_serve", oracle=_stream_unigram_oracle())
+@_restores_conf
+def q_stream_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming unigram-LM tokenization over a batch-trained
+    vocabulary (round 12 — the streaming twin of
+    text_unigram_tokenize): ``text._ulm_fit`` trains on the static
+    corpus (control-plane vocab), then each streamed document
+    segments row-locally under the broadcast vocab→neg_q map literal
+    via the same unique-optimum Viterbi arithmetic — batch join path,
+    row-local streaming path, and the unrolled DuckDB oracle pin ONE
+    answer."""
+    from ..operators import text as tx
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words, _c2, neg2 = tx._ulm_fit(docs, "text", 12, 4, 48, 24)
+    words.unpersist()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = tx.unigram_tokenize_serve(stream, neg2)
+    name = f"stream_ulm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
