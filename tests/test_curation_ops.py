@@ -767,3 +767,28 @@ def test_unigram_lm_optimal_path_is_unique(spark):
     # equal per-piece cost => fewer pieces is cheaper => 'aa'+'aa';
     # a blended extraction would also report 'a' occurrences
     assert counts == {"aa": 2}, counts
+
+
+def test_unigram_serve_path_equals_batch_join_path(spark):
+    """The row-local streaming serve expression and the batch
+    distinct-word-cache join must produce bit-identical per-document
+    piece totals (same unique-optimum Viterbi arithmetic, two
+    different plans)."""
+    from data_transformation_python_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab xy z"), (2, "abab q xy xy"), (3, "z abab")],
+        ["doc_id", "text"],
+    )
+    batch = {
+        r.doc_id: (r.n_words, r.n_pieces, r.n_distinct_pieces)
+        for r in tx.unigram_tokenize(docs, seed_multi=6,
+                                     keep_multi=3).collect()
+    }
+    words, _c2, neg2 = tx._ulm_fit(docs, "text", 12, 4, 6, 3)
+    words.unpersist()
+    serve = {
+        r.doc_id: (r.n_words, r.n_pieces, r.n_distinct_pieces)
+        for r in tx.unigram_tokenize_serve(docs, neg2).collect()
+    }
+    assert batch == serve, (batch, serve)
