@@ -844,27 +844,42 @@ def sched_calibration(spark, shots: int = 5, tasks: int = 2000) -> dict:
 def _time_entry(
     run, spark, repeats: int, budget: float = 12.0
 ) -> tuple[float, list[float]]:
-    """Median-of-``repeats`` wall time for one bench entry.
+    """Median-of-``repeats`` wall time for one bench entry, with the
+    COLD first shot treated as warm-up, never as the estimate.
 
     Single-shot timings at fixture scale are dominated by JIT /
     scheduling jitter (identical-code totals historically swung
-    170→226 s, individual entries 3×); the median of 3 discards the
+    170→226 s, individual entries 3×); the median discards the
     first-run codegen outlier and makes round-over-round deltas
-    signal.  Jitter is absolute (~±1 s), so it dominates FAST entries
-    — entries that have already burned ``budget`` seconds stop
-    repeating early, bounding the harness cost on the slow tail where
-    relative noise is small anyway.  Checkpoint blocks are dropped
-    between samples so repeats don't accumulate driver block
-    storage."""
-    samples = []
+    signal.  Two round-12 lessons folded in (both root-caused in the
+    r12 verdict — the cold shot poisoned the median and manufactured
+    that round's only flagged "regression"):
+
+    - the repeat ``budget`` applies to POST-first-shot time only.
+      Previously one cold shot >= budget terminated sampling, so the
+      cold shot WAS the median (dhash@50k samples [11.99, 2.87] ->
+      median 7.43 s, a fake 2.5x regression; png_roundtrip's mirror
+      read a single-shot [20.50]).  Now every entry takes at least
+      one post-cold sample whenever ``repeats`` >= 2;
+    - the reported median EXCLUDES the first sample whenever >= 2
+      samples exist, so the estimate is the warm steady state.  The
+      cold shot stays visible in the returned ``samples`` list.
+
+    Jitter is absolute (~±1 s), so it dominates FAST entries; the
+    budget still bounds harness cost on the slow tail, where relative
+    noise is small anyway.  Checkpoint blocks are dropped between
+    samples so repeats don't accumulate driver block storage."""
+    samples: list[float] = []
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         run()
         samples.append(round(time.perf_counter() - t0, 4))
-        _drop_checkpoints(spark)
-        if sum(samples) >= budget:
+        if spark is not None:
+            _drop_checkpoints(spark)
+        if sum(samples[1:]) >= budget:
             break
-    return round(_median(samples), 4), samples
+    steady = samples[1:] if len(samples) >= 2 else samples
+    return round(_median(steady), 4), samples
 
 
 def main() -> None:

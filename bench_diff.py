@@ -63,15 +63,26 @@ def merge_mirrors(sides: list[dict]) -> dict:
     reason.  Plan fingerprints must agree across mirrors; an entry
     whose fp differs BETWEEN mirrors of one side is dropped from fp
     comparison and reported (intra-side fp instability is plan
-    nondeterminism, not a code change).  Errors union."""
+    nondeterminism, not a code change).  Errors union.
+
+    The min is one-sided-noise robust but can MASK an intermittent
+    real regression that manifests in only some mirrors (r12 advice):
+    the per-entry [min, max] spread is therefore kept in ``_spread``
+    and the gate reports any entry whose SLOW draw would regress
+    while its fast draw passes — visible, not silently filtered."""
     if len(sides) == 1:
         return sides[0]
     out = dict(sides[0])
     qs: dict[str, float] = {}
+    hi: dict[str, float] = {}
     for s in sides:
         for name, t in s.get("queries", {}).items():
             qs[name] = min(qs.get(name, float("inf")), t)
+            hi[name] = max(hi.get(name, float("-inf")), t)
     out["queries"] = qs
+    out["_spread"] = {
+        n: [qs[n], hi[n]] for n in qs if hi[n] > qs[n]
+    }
     out["value"] = min(
         (s["value"] for s in sides if s.get("value") is not None),
         default=out.get("value"),
@@ -271,6 +282,22 @@ def main() -> int:
                 improved.append((r, name, ot, nt))
     removed = sorted(set(oq) - set(nq))
 
+    # Intermittent-regression visibility (r12 advice): the new-side
+    # per-entry MIN can hide a regression that reproduces in only
+    # some mirrors.  Report (don't gate) entries whose SLOWEST
+    # new-side draw fails the adjusted gate while the fast draw — the
+    # judged estimate — passes.
+    gated = {n for _, n, _, _ in regressions}
+    intermittent = []
+    for name, (mn, mx) in sorted((new.get("_spread") or {}).items()):
+        ot = oq.get(name)
+        if ot is None or ot <= 0 or name in gated:
+            continue
+        if max(ot, mx) < args.floor:
+            continue
+        if (mx / host) / ot > args.ratio >= (mn / host) / ot:
+            intermittent.append((mx / host / ot, name, ot, mn, mx))
+
     print(
         f"total: {old.get('value')}s -> {new.get('value')}s "
         f"({len(nq)} queries; {len(added)} added, {len(removed)} removed)"
@@ -316,6 +343,13 @@ def main() -> int:
     for r, name, ot, nt in sorted(suspects, reverse=True):
         print(f"  suspect(host) {name}: {ot:.2f}s -> {nt:.2f}s "
               f"({r:.2f}x raw, plan unchanged)")
+    for r, name, ot, mn, mx in sorted(intermittent, reverse=True):
+        print(
+            f"  suspect(intermittent) {name}: {ot:.2f}s -> "
+            f"{mn:.2f}..{mx:.2f}s across new mirrors — slow draw "
+            f"{r:.2f}x adjusted fails the gate, fast draw passes; "
+            f"verify solo before trusting the min"
+        )
     for r, name, ot, nt in sorted(regressions, reverse=True):
         print(f"  REGRESSED {name}: {ot:.2f}s -> {nt:.2f}s ({r:.2f}x)")
     if removed:

@@ -297,3 +297,44 @@ def test_mirror_merge_keeps_healthiest_probe(tmp_path):
     assert merged["queries"]["a"] == 1.5
     assert merged["value"] == 1.5
     assert merged["calibration2"]["median"] == 1.0
+
+
+def test_mirror_min_cannot_hide_intermittent_regression(tmp_path):
+    """r12 advice: the new-side per-entry MIN masks a regression
+    that manifests in only some mirrors.  The gate still judges the
+    min (exit 0 — one-sided-noise robustness kept), but the entry
+    whose SLOW draw fails the adjusted gate is reported as
+    suspect(intermittent) so it can be verified solo."""
+    old = {"queries": {"q_i": 2.0, "q_ok": 1.0}, "value": 3.0,
+           "calibration2": _cal(1.0), "plan_fp_version": "v1",
+           "plan_fp": {"q_i": "aa", "q_ok": "bb"}}
+    new_a = {"queries": {"q_i": 2.1, "q_ok": 1.0}, "value": 3.1,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_i": "aa", "q_ok": "bb"}}
+    new_b = {"queries": {"q_i": 9.0, "q_ok": 1.05}, "value": 10.05,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_i": "aa", "q_ok": "bb"}}
+    code, out = _run_mirrors(tmp_path, [old], [new_a, new_b])
+    assert code == 0, out
+    assert "suspect(intermittent) q_i" in out
+    assert "2.10..9.00s across new mirrors" in out
+    # q_ok's spread (1.0..1.05) never fails the gate: not reported
+    assert "suspect(intermittent) q_ok" not in out
+
+
+def test_intermittent_report_skips_entries_already_gated(tmp_path):
+    """An entry whose FAST draw already regresses is REGRESSED, not
+    double-reported as intermittent."""
+    old = {"queries": {"q_r": 2.0}, "value": 2.0,
+           "calibration2": _cal(1.0), "plan_fp_version": "v1",
+           "plan_fp": {"q_r": "aa"}}
+    new_a = {"queries": {"q_r": 4.0}, "value": 4.0,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_r": "aa"}}
+    new_b = {"queries": {"q_r": 9.0}, "value": 9.0,
+             "calibration2": _cal(1.0), "plan_fp_version": "v1",
+             "plan_fp": {"q_r": "aa"}}
+    code, out = _run_mirrors(tmp_path, [old], [new_a, new_b])
+    assert code == 1
+    assert "REGRESSED q_r" in out
+    assert "suspect(intermittent)" not in out
