@@ -3384,6 +3384,18 @@ def _b_slice_rbsp(
             bw.ue(0)  # coded_block_pattern: cbp 0
             stats["b8x8"] += 1
             stats["b8_dir"] += sum(1 for m in modes if m == 0)
+            # per-list sub-block census, symmetric with the decoder's
+            # (r12 advice: the encoder never incremented these, so an
+            # encode-vs-decode stats comparison would silently read
+            # 0 L0/L1/Bi sub-blocks on the encoder side): non-split
+            # coded sub-mbs by sub_mb_type, splits by their used list
+            stats["b8_l0"] += sum(1 for m in modes if m == 1)
+            stats["b8_l1"] += sum(1 for m in modes if m == 2)
+            stats["b8_bi"] += sum(1 for m in modes if m == 3)
+            for m in modes:
+                if m > 3:
+                    stats[{0: "b8_l0", 1: "b8_l1",
+                           2: "b8_bi"}[_B_SUB_SPLIT[m][1]]] += 1
             stats["b8_split"] += sum(1 for m in modes if m > 3)
             stats["b8_parts"] += sum(
                 len(_SUB_GEOM[_B_SUB_SPLIT[m][0]])

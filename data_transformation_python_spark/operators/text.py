@@ -1628,7 +1628,16 @@ def _ulm_word_pieces_expr(scale: int, max_piece: int,
     (Spark has no LET), then every (j, L) candidate filtered by the
     dp[j] + w'(j, j+L) + sp[j+L] == dp[n] on-path test.  The unique-
     optimum bitmask encoding guarantees exactly one segmentation
-    survives."""
+    survives.
+
+    OUT-OF-VOCAB guard (r12 advice): a word containing a character
+    absent from the trained vocab has no in-vocab path — dp[n] >=
+    BIG — and the on-path filter would otherwise silently emit an
+    EMPTY piece list (try_element_at returns NULL for every
+    candidate, every path costs BIG).  Such a word now yields NULL
+    (not []), so callers can count and surface unsegmentable words
+    instead of silently undercounting pieces — the serving twin of
+    the batch path's fail-loud DP assertion in ``_ulm_estep``."""
     nn = f"(length({w}))"
     dp = _ulm_dp_expr(scale, max_piece, True, word=w, n=nn)
     sp = _ulm_dp_expr(scale, max_piece, False, word=w, n=nn)
@@ -1642,10 +1651,12 @@ def _ulm_word_pieces_expr(scale: int, max_piece: int,
     )
     return (
         f"element_at(transform(array(named_struct('d', {dp}, 's', {sp})),"
-        f" t -> flatten(transform(sequence(0, {nn} - 1), j -> "
+        f" t -> IF(element_at(t.d, {nn} + 1) >= {_ULM_BIG}, "
+        f"CAST(NULL AS ARRAY<STRING>), "
+        f"flatten(transform(sequence(0, {nn} - 1), j -> "
         f"filter(transform(sequence(1, {max_piece}), L -> "
         f"IF({onpath}, substr({w}, j + 1, L), "
-        f"CAST(NULL AS STRING))), x -> x IS NOT NULL)))), 1)"
+        f"CAST(NULL AS STRING))), x -> x IS NOT NULL))))), 1)"
     )
 
 
@@ -1663,8 +1674,16 @@ def unigram_tokenize_serve(
     document segments its own tokens row-locally (per word: both
     Viterbi DPs + the on-path piece extraction inside one projection
     — streaming-legal, append mode).  Returns (doc_id, n_words,
-    n_pieces, n_distinct_pieces), bit-identical to the batch
-    ``unigram_tokenize`` join path (same unique-optimum arithmetic)."""
+    n_pieces, n_distinct_pieces, n_unsegmented); on in-vocab input
+    the first four are bit-identical to the batch
+    ``unigram_tokenize`` join path (same unique-optimum arithmetic)
+    and n_unsegmented is 0.
+
+    Out-of-vocab words (a character absent from the trained vocab —
+    possible on streams the trainer never saw) are COUNTED in
+    n_unsegmented and n_words but contribute no pieces: visible,
+    never silently dropped (r12 advice — the batch path fails loudly
+    on the analogous inconsistency)."""
     scale = 1 << 13
     pairs: list = []
     for p_, neg in sorted(vocab.items()):
@@ -1673,11 +1692,12 @@ def unigram_tokenize_serve(
         f"filter(split({text_col}, ' '),"
         f" x -> x <> '' AND length(x) <= {max_word})"
     )
-    pieces = (
-        f"flatten(transform({toks}, w -> "
+    segs = (
+        f"transform({toks}, w -> "
         + _ulm_word_pieces_expr(scale, max_piece, "w")
-        + "))"
+        + ")"
     )
+    pieces = f"flatten(filter({segs}, a -> a IS NOT NULL))"
     return (
         df.withColumn("vmap", F.create_map(*pairs))
         .filter(F.expr(f"size({toks}) > 0"))
@@ -1690,6 +1710,9 @@ def unigram_tokenize_serve(
             F.expr(
                 f"CAST(size(array_distinct({pieces})) AS BIGINT)"
             ).alias("n_distinct_pieces"),
+            F.expr(
+                f"CAST(size(filter({segs}, a -> a IS NULL)) AS BIGINT)"
+            ).alias("n_unsegmented"),
         )
     )
 
@@ -1701,7 +1724,13 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
     on optimal paths} — or, ``return_frame``, the raw (word, piece)
     occurrence rows (one per on-path piece occurrence, the
     segmentation table the SERVING path joins documents against).
-    One projection + one vocab-sized groupBy."""
+    One projection + one vocab-sized groupBy.  The DP frame is
+    PERSISTED across its two consumers (the fail-loud consistency
+    count and the chosen/counts aggregation) — r12 advice: unpersisted
+    it re-ran the expensive per-word Viterbi aggregate() twice per
+    E-step (6 redundant DP passes per training run)."""
+    from pyspark import StorageLevel
+
     spark = words.sparkSession
     pairs: list = []
     for p, neg in sorted(vocab.items()):
@@ -1710,6 +1739,7 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
         words.withColumn("vmap", F.create_map(*pairs))
         .withColumn("dp", F.expr(_ulm_dp_expr(scale, max_piece, True)))
         .withColumn("sp", F.expr(_ulm_dp_expr(scale, max_piece, False)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # every position is reachable (chars are in the vocab), and the
     # two DPs must agree on the unique optimal total — fail loudly
@@ -1718,6 +1748,7 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
         F.expr("element_at(dp, n + 1) <> element_at(sp, 1)")
     ).count()
     if bad:
+        with_dp.unpersist()
         raise AssertionError(
             f"unigram-LM E-step: {bad} words where prefix/suffix DP "
             "totals disagree"
@@ -1746,12 +1777,18 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
                 & (F.col("path_cost") == F.col("total")))
     )
     if return_frame:
-        return chosen.select("word", "piece")
+        # materialize the (word, piece) segmentation before releasing
+        # the DP cache under it (the caller joins it later)
+        seg = chosen.select("word", "piece").localCheckpoint(eager=True)
+        with_dp.unpersist()
+        return seg
     counts = (
         chosen.groupBy("piece")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    return {r["piece"]: int(r["c"]) for r in counts.collect()}
+    out = {r["piece"]: int(r["c"]) for r in counts.collect()}
+    with_dp.unpersist()
+    return out
 
 
 def unigram_lm_train(
@@ -1911,6 +1948,7 @@ def unigram_lm_oracle_sql(
     seed_multi: int = 48,
     keep_multi: int = 24,
     serve: bool = False,
+    unsegmented: bool = False,
 ) -> str:
     """The DuckDB twin of ``unigram_lm_train``: the whole trajectory
     — seed, quantized scores, two Viterbi E-steps (prefix + suffix
@@ -2048,6 +2086,26 @@ def unigram_lm_oracle_sql(
             " CAST(COUNT(DISTINCT piece) AS BIGINT)"
             " AS n_distinct_pieces"
             " FROM dw JOIN seg USING (word) GROUP BY 1)",
+        ]
+        if unsegmented:
+            # a word is unsegmentable iff the third-pass suffix DP
+            # never reached position 0 (no in-vocab path — the
+            # DuckDB unroll has no BIG sentinel: unreachable = no
+            # tot3 row), mirroring the Spark serve path's
+            # dp[n] >= BIG word-level NULL
+            parts += [
+                ",un AS (SELECT doc_id,"
+                " CAST(COUNT(*) AS BIGINT) AS n_unsegmented"
+                " FROM dw LEFT JOIN (SELECT DISTINCT word FROM tot3) s"
+                " USING (word) WHERE s.word IS NULL GROUP BY 1)",
+                "SELECT doc_id, n_words, n_pieces, n_distinct_pieces,"
+                " CAST(COALESCE(un.n_unsegmented, 0) AS BIGINT)"
+                " AS n_unsegmented"
+                " FROM nw JOIN pc USING (doc_id)"
+                " LEFT JOIN un USING (doc_id) ORDER BY doc_id",
+            ]
+            return "\n".join(parts)
+        parts += [
             "SELECT doc_id, n_words, n_pieces, n_distinct_pieces"
             " FROM nw JOIN pc USING (doc_id) ORDER BY doc_id",
         ]
@@ -2066,10 +2124,14 @@ def unigram_tokenize_oracle_sql(
     max_piece: int = 4,
     seed_multi: int = 48,
     keep_multi: int = 24,
+    unsegmented: bool = False,
 ) -> str:
     """The DuckDB twin of ``unigram_tokenize``: the full trainer
     chain plus a third unrolled Viterbi pass under the final scores
-    and the document join."""
+    and the document join.  ``unsegmented`` adds the n_unsegmented
+    column the STREAMING serve path emits (the batch join path keeps
+    the four-column shape)."""
     return unigram_lm_oracle_sql(
-        max_word, max_piece, seed_multi, keep_multi, serve=True
+        max_word, max_piece, seed_multi, keep_multi, serve=True,
+        unsegmented=unsegmented,
     )

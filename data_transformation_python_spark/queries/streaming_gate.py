@@ -1961,7 +1961,7 @@ def q_stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_unigram_oracle() -> str:
     from ..operators import text as tx
 
-    return tx.unigram_tokenize_oracle_sql()
+    return tx.unigram_tokenize_oracle_sql(unsegmented=True)
 
 
 @query("q_stream_unigram_serve", oracle=_stream_unigram_oracle())

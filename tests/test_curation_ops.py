@@ -792,3 +792,34 @@ def test_unigram_serve_path_equals_batch_join_path(spark):
         for r in tx.unigram_tokenize_serve(docs, neg2).collect()
     }
     assert batch == serve, (batch, serve)
+
+
+def test_unigram_serve_surfaces_out_of_vocab_words(spark):
+    """r12 advice (medium): a served word containing a character the
+    trained vocab never saw has NO in-vocab segmentation (every path
+    costs BIG) — it must be counted in n_unsegmented, not silently
+    emit an empty piece list while n_words still counts it."""
+    from data_transformation_python_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(1, "abab abab xy z"), (2, "abab q xy xy")],
+        ["doc_id", "text"],
+    )
+    words, _c2, neg2 = tx._ulm_fit(train, "text", 12, 4, 6, 3)
+    words.unpersist()
+    # 'c' never appears in the training corpus -> "cc" is OOV;
+    # every other word segments normally
+    served = spark.createDataFrame(
+        [(9, "abab cc xy"), (10, "abab xy")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in tx.unigram_tokenize_serve(served, neg2).collect()
+    }
+    assert rows[9].n_words == 3
+    assert rows[9].n_unsegmented == 1
+    assert rows[10].n_unsegmented == 0
+    # the OOV word contributes no pieces: doc 9's pieces are exactly
+    # doc 10's (same in-vocab words)
+    assert rows[9].n_pieces == rows[10].n_pieces
+    assert rows[9].n_distinct_pieces == rows[10].n_distinct_pieces

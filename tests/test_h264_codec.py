@@ -2337,6 +2337,37 @@ class TestB8x8SubMacroblocks:
         bst = [s for s in stats if s["is_b"]]
         assert sum(s["b8x8"] for s in bst) == 2 * mbw * mbh
 
+    def test_encoder_stats_symmetric_with_decoder(self, monkeypatch):
+        """r12 advice: the encoder's B_8x8 branch must census
+        b8_l0/b8_l1/b8_bi exactly like the decoder (it used to
+        increment only b8x8/b8_dir/b8_split/b8_parts, so any future
+        encode-vs-decode stats comparison would read 0 L0/L1/Bi
+        sub-blocks on the encoder side).  Pinned over both the
+        non-split (b8) and sub-8x8-split (b8s) fixtures."""
+        keys = ("b8x8", "b8_dir", "b8_l0", "b8_l1", "b8_bi",
+                "b8_split", "b8_parts")
+        captured: dict = {}
+        real = hc.h264_encode_gop_b
+
+        def spy(*a, **k):
+            nals, stats = real(*a, **k)
+            captured["stats"] = stats
+            return nals, stats
+
+        monkeypatch.setattr(hc, "h264_encode_gop_b", spy)
+        for writer, doc in ((mm._write_h264b8, 3),
+                            (mm._write_h264b8s, 2)):
+            payload, _rec = writer(doc)
+            _frames, dstats = hc.h264_decode_gop(
+                hc.split_annexb(payload)
+            )
+            enc = {k: sum(s.get(k, 0) for s in captured["stats"])
+                   for k in keys}
+            dec = {k: sum(s.get(k, 0) for s in dstats)
+                   for k in keys}
+            assert enc == dec, (writer.__name__, enc, dec)
+            assert enc["b8_l0"] > 0, writer.__name__
+
     def test_unsupported_sub_types_rejected(self):
         """A sub_mb_type beyond Table 7-18 (> 12) fails loudly in
         the decoder (patch the encoder to emit type 13 where a
