@@ -1949,13 +1949,22 @@ def unigram_lm_oracle_sql(
     keep_multi: int = 24,
     serve: bool = False,
     unsegmented: bool = False,
+    src: str = "documents",
+    parts_only: bool = False,
 ) -> str:
     """The DuckDB twin of ``unigram_lm_train``: the whole trajectory
     — seed, quantized scores, two Viterbi E-steps (prefix + suffix
     DPs unrolled position-by-position, MATERIALIZED so the ~70-CTE
     chain stays linear), the prune, and the final re-estimation —
     unrolled into one query.  All-BIGINT arithmetic, so the match is
-    bit-exact."""
+    bit-exact.
+
+    ``src`` names the corpus CTE/table (doc_id, text) the trainer and
+    the serve join read; ``parts_only`` (serve mode) returns ONLY the
+    CTE chain — starting with "," so it splices after a caller's own
+    WITH chain, ending at ``pc`` (doc_id, n_pieces,
+    n_distinct_pieces) — for embedding into a larger oracle (the
+    curation funnel's tokenize-then-pack stage)."""
     scale = 1 << 13
 
     def lq(x: str) -> str:
@@ -2035,10 +2044,10 @@ def unigram_lm_oracle_sql(
         return parts
 
     parts = [
-        "WITH w AS MATERIALIZED ("
+        (", " if parts_only else "WITH ") + "w AS MATERIALIZED ("
         "SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt,"
         " CAST(length(t) AS INT) AS n"
-        " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
+        f" FROM {src}, unnest(string_split(text, ' ')) AS u(t)"
         f" WHERE t <> '' AND length(t) <= {max_word} GROUP BY 1)",
         ",posj AS (SELECT word, cnt, n,"
         " unnest(generate_series(1, n)) AS j FROM w)",
@@ -2076,7 +2085,7 @@ def unigram_lm_oracle_sql(
         parts += estep_ctes(3)
         parts += [
             ",dw AS (SELECT doc_id, t AS word"
-            " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
+            f" FROM {src}, unnest(string_split(text, ' ')) AS u(t)"
             f" WHERE t <> '' AND length(t) <= {max_word})",
             ",nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words"
             " FROM dw GROUP BY 1)",
@@ -2087,6 +2096,8 @@ def unigram_lm_oracle_sql(
             " AS n_distinct_pieces"
             " FROM dw JOIN seg USING (word) GROUP BY 1)",
         ]
+        if parts_only:
+            return "\n".join(parts)
         if unsegmented:
             # a word is unsegmentable iff the third-pass suffix DP
             # never reached position 0 (no in-vocab path — the

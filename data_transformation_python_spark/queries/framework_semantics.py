@@ -641,7 +641,7 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scrub + decontam stages — X8/X9 were standalone-gated but absent
 # from the composed DAG; a real curation pipeline runs both.)
 # --------------------------------------------------------------------------
-_FUNNEL_ORACLE = """
+_FUNNEL_PREFIX = """
 WITH raw AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS STRING)
@@ -735,19 +735,42 @@ c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE lang <> 
 sc AS (SELECT doc_id, CAST(SUM(c * w_b) AS BIGINT) AS dsir_score FROM c JOIN wts USING (bucket) GROUP BY 1),
 selected AS (SELECT doc_id FROM (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rank FROM sc) t
-  WHERE rank <= 50),
+  WHERE rank <= 50)
+"""
+
+# The tokenize-then-pack tail (round 13): the funnel trains a
+# unigram-LM tokenizer on the decontaminated corpus and packs
+# TRAINED-TOKENIZER PIECES, not whitespace tokens — silver_vocab +
+# silver_tokenized in the Spark DAG, the unrolled text.py trainer +
+# serve chain here (same constants, same bit-exact BIGINT
+# arithmetic; the ~100-CTE chain is generated, not hand-kept).
+def _funnel_oracle() -> str:
+    from ..operators import text as _tx
+
+    tok_parts = _tx.unigram_lm_oracle_sql(
+        serve=True, src="decon", parts_only=True
+    )
+    return _FUNNEL_PREFIX + tok_parts + """
+,tokenized AS (
+  SELECT d.doc_id, d.lang, d.n_tokens,
+         CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces
+  FROM decon d LEFT JOIN pc ON d.doc_id = pc.doc_id),
 sel AS (
-  SELECT d.doc_id, d.lang, d.n_tokens FROM decon d WHERE d.lang = 'en'
+  SELECT doc_id, lang, n_tokens, n_pieces FROM tokenized WHERE lang = 'en'
   UNION ALL
-  SELECT d.doc_id, d.lang, d.n_tokens FROM decon d JOIN selected s ON d.doc_id = s.doc_id),
-cum AS (SELECT doc_id, lang, n_tokens,
-        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT t.doc_id, t.lang, t.n_tokens, t.n_pieces
+  FROM tokenized t JOIN selected s ON t.doc_id = s.doc_id),
+cum AS (SELECT doc_id, lang, n_tokens, n_pieces,
+        SUM(n_pieces) OVER (PARTITION BY lang ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sel)
-SELECT doc_id, lang, n_tokens,
-       lang || '/' || CAST((cum - n_tokens) // 512 AS STRING) AS pack_id,
-       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+SELECT doc_id, lang, n_tokens, n_pieces,
+       lang || '/' || CAST((cum - n_pieces) // 512 AS STRING) AS pack_id,
+       CAST((cum - n_pieces) % 512 AS BIGINT) AS pack_offset
 FROM cum
 """
+
+
+_FUNNEL_ORACLE = _funnel_oracle()
 
 
 @query("pipeline_curation_funnel", oracle=_FUNNEL_ORACLE)

@@ -1,5 +1,7 @@
 SELECT CASE WHEN
-    (SELECT COUNT(*) FROM analytics_pipeline.silver_decontam)
+    (SELECT COUNT(*) FROM analytics_pipeline.silver_tokenized)
+        = (SELECT COUNT(*) FROM analytics_pipeline.silver_decontam)
+    AND (SELECT COUNT(*) FROM analytics_pipeline.silver_decontam)
         <= (SELECT COUNT(*) FROM analytics_pipeline.silver_scrubbed)
     AND (SELECT COUNT(*) FROM analytics_pipeline.silver_scrubbed)
         = (SELECT COUNT(*) FROM analytics_pipeline.silver_dedup)

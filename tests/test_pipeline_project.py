@@ -32,6 +32,8 @@ MODELS = [
     "silver_dedup",
     "silver_scrubbed",
     "silver_decontam",
+    "silver_vocab",
+    "silver_tokenized",
     "gold_dsir_selected",
     "gold_packed",
 ]
@@ -111,8 +113,50 @@ def test_funnel_dag_runs_and_narrows(project, spark):
         .count()
     )
     assert packed.count() == n_en + sel.count()
-    # every pack offset respects the 512-token budget
+    # every pack offset respects the 512-PIECE budget (round 13: the
+    # packer budgets trained-tokenizer pieces, not whitespace tokens)
     assert packed.where("pack_offset < 0 OR pack_offset >= 512").count() == 0
+
+    # the trained vocabulary is a real pipeline artifact: all corpus
+    # chars plus up to keep_multi multi-char pieces, every score > 0
+    vocab = spark.table(f"{db}.silver_vocab")
+    n_multi = vocab.where("piece_len > 1").count()
+    assert 0 < n_multi <= 24
+    assert vocab.where("neg_logprob_q <= 0").count() == 0
+    # tokenization covers every decontam survivor exactly once, and
+    # multi-char pieces actually fire (pieces < whitespace-ish chars)
+    tok = spark.table(f"{db}.silver_tokenized")
+    assert tok.count() == n_decon
+    assert tok.where("n_pieces <= 0").count() == 0
+    # piece counts are what gold_packed budgets by
+    assert (
+        packed.join(tok, "doc_id")
+        .where(packed.n_pieces != tok.n_pieces)
+        .count()
+        == 0
+    )
+
+
+def test_tokenizer_models_pinned_to_generator(project):
+    """The silver_vocab/silver_tokenized model SQL embeds DP
+    expressions GENERATED by operators/text.py _ulm_dp_expr (scale
+    8192, max_piece 4).  Pin the checked-in files against the
+    generator so the model and the operator (and therefore the
+    DuckDB oracle built from the same machinery) cannot drift
+    apart silently."""
+    from data_transformation_python_spark.operators.text import (
+        _ulm_dp_expr,
+    )
+
+    models = project["config"].models_dir
+    vocab_sql = (models / "silver" / "silver_vocab.sql").read_text()
+    tok_sql = (models / "silver" / "silver_tokenized.sql").read_text()
+    for forward in (True, False):
+        expr = _ulm_dp_expr(8192, 4, forward)
+        assert expr in vocab_sql, ("silver_vocab.sql DP drifted from "
+                                   "_ulm_dp_expr", forward)
+        assert expr in tok_sql, ("silver_tokenized.sql DP drifted "
+                                 "from _ulm_dp_expr", forward)
 
 
 def test_dq_and_custom_tests_pass(project, spark):
