@@ -288,6 +288,20 @@ def corpus_scale_entries(spark, corpus_dir: str):
             ),
         ),
         (
+            # round 13: the FUNNEL decontam-stage shape — eval-suite
+            # size FIXED (500 docs regardless of corpus size, unlike
+            # decontam_ngram's 1-per-mille slice), corpus swept; the
+            # bench shingle set is constant and broadcasts, so the
+            # scaling curve prices the map-side shingling of the
+            # training corpus alone (expect ~linear)
+            "funnel_decontam_fixed_eval",
+            lambda: dd.contamination_hits(
+                docs.filter("doc_id >= 500"),
+                docs.filter("doc_id < 500"),
+                n=8,
+            ),
+        ),
+        (
             # 100 clusters over 50k vectors, one exact centroid update
             "sim_kmeans",
             lambda: sim.kmeans_lloyd(emb, stride=500, assign_passes=2),

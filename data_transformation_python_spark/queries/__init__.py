@@ -103,81 +103,43 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 12 head: (1) the
-# brand-new never-checked gates — multi-slice B pictures, B_8x8
-# sub-macroblocks (all-coded, mixed B_Direct_8x8, and the sub-8x8
-# splits completing the B partition family), and the unigram-LM
-# tokenizer trainer + its tokenize serving twin (batch + stream);
-# (2) the gates whose CODE changed this round — BOTH funnel gates
-# (the composed DAG gained the PII-scrub and decontamination stages,
-# and bronze now stamps synthetic PII: oracle updated in lockstep)
-# and the seven B/multi-slice codec gates (the _b_slice_rbsp
-# slice-parameter refactor + per-picture decoder B states; the
-# single-slice byte-identity is test-pinned, re-gated anyway per
-# convention); (3) everything else ordered by LAST-DRIVER-CHECKED
-# ROUND ascending, computed from the committed
-# CORRECTNESS_r{1..11}.json ledger (ties alphabetical): the 36
-# r7-era entries fill the rest (the last two r7 names and the r8
-# block head round 13).  Everything past position 50
+# rotated STALEST-FIRST each round.  Round 13 head: (1) the one
+# brand-new never-checked gate — the streaming funnel admission
+# twin; (2) the gates whose CODE changed this round — BOTH funnel
+# gates (the DAG gained the silver_vocab/silver_tokenized
+# tokenize-then-pack stages, gold_packed budgets pieces, oracle
+# extended in lockstep), the three unigram gates (_ulm_estep now
+# persists the DP frame; the serve path gained the out-of-vocab
+# guard + n_unsegmented column), and the three B_8x8 gates (the
+# encoder stats census gained the per-list b8 keys — decoder output
+# unchanged, re-gated per convention); (3) everything else ordered
+# by LAST-DRIVER-CHECKED ROUND ascending, computed from the
+# committed CORRECTNESS_r{1..12}.json ledger (ties alphabetical) —
+# the whole list below is machine-generated from that ledger: the
+# two remaining r7 names then the 44-name r8 block fill the window
+# (39 of them fit; the last 5 r8 names + the r9 block head
+# round 14).  Everything past position 50
 # stays honest through the local full-registry PARITY sweep
 # (tests/test_oracle_parity.py + committed PARITY_r{N}.json).  Names
 # absent from the registry are ignored; registered names absent from
 # this list keep registration order.
 _PRIORITY: list[str] = [
-    # (1) new in round 12 — never driver-checked
-    "multimodal_h264msb_meta",
-    "multimodal_h264b8_meta",
-    "multimodal_h264b8d_meta",
-    "multimodal_h264b8s_meta",
+    # (1) new in round 13 — never driver-checked
+    "q_stream_funnel_admission",
+    # (2) code changed in round 13 (funnel gained the
+    #     silver_vocab/silver_tokenized tokenize-then-pack
+    #     stages + oracle; _ulm_estep persist + serve OOV
+    #     guard touch the three unigram gates; the encoder
+    #     B_8x8 stats census touches the three b8 gates)
+    "pipeline_curation_funnel",
+    "pipeline_funnel_incremental",
     "text_unigram_lm_train",
     "text_unigram_tokenize",
     "q_stream_unigram_serve",
-    # (2) code changed in round 12 (funnel stages +
-    #     oracle; B/slice encoder-decoder refactor)
-    "pipeline_curation_funnel",
-    "pipeline_funnel_incremental",
-    "multimodal_h264b_meta",
-    "multimodal_h264bd_meta",
-    "multimodal_h264td_meta",
-    "multimodal_h264wb_meta",
-    "multimodal_h264wi_meta",
-    "multimodal_h264wp_meta",
-    "multimodal_h264ms_meta",
+    "multimodal_h264b8_meta",
+    "multimodal_h264b8d_meta",
+    "multimodal_h264b8s_meta",
     # (3) stalest-first: last driver-checked in round 7
-    "q12_late_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_rich_no_orders",
-    "q_asof_join",
-    "q_json_metadata",
-    "q_pivot_status",
-    "q_sessionize_batch",
-    "q_stream_countmin_merge",
-    "q_stream_dedup",
-    "q_stream_sessionize",
-    "q_stream_static_join",
-    "q_stream_windowed_counts",
-    "q_unpivot_measures",
-    "samp_stratified",
-    "samp_weighted",
-    "sim_centroid_sums",
-    "sim_embedding_neardup",
-    "sim_ivfpq_topk",
-    "sim_kmeans",
-    "sim_random_projection",
-    "sketch_bloom_decontam",
-    "sketch_countmin_tokens",
-    "text_bpe_tokens",
-    "text_fingerprint",
-    "text_language_id",
-    "text_rolling_fingerprint",
     "text_token_freq",
     "text_token_stats",
     # (3) stalest-first: last driver-checked in round 8
@@ -357,6 +319,49 @@ _PRIORITY: list[str] = [
     "text_lr_train",
     "text_lr_train_gopher",
     "text_quality_classifier",
+    # (3) stalest-first: last driver-checked in round 12
+    "multimodal_h264b_meta",
+    "multimodal_h264bd_meta",
+    "multimodal_h264ms_meta",
+    "multimodal_h264msb_meta",
+    "multimodal_h264td_meta",
+    "multimodal_h264wb_meta",
+    "multimodal_h264wi_meta",
+    "multimodal_h264wp_meta",
+    "q12_late_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_rich_no_orders",
+    "q_asof_join",
+    "q_json_metadata",
+    "q_pivot_status",
+    "q_sessionize_batch",
+    "q_stream_countmin_merge",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_static_join",
+    "q_stream_windowed_counts",
+    "q_unpivot_measures",
+    "samp_stratified",
+    "samp_weighted",
+    "sim_centroid_sums",
+    "sim_embedding_neardup",
+    "sim_ivfpq_topk",
+    "sim_kmeans",
+    "sim_random_projection",
+    "sketch_bloom_decontam",
+    "sketch_countmin_tokens",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_language_id",
+    "text_rolling_fingerprint",
 ]
 
 

@@ -1997,3 +1997,354 @@ def q_stream_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# streaming FUNNEL ADMISSION — the whole ingest-side curation funnel
+# (langid + Gopher quality + LSH-dedup probe + PII scrub + DSIR
+# admission threshold) composed into ONE stateless per-document
+# streaming decision: every probe is a broadcast artifact built
+# batch-side from the corpus (the band index, the DSIR weight array,
+# the selection cutoff pair), so the stream never aggregates and
+# never shuffles — the production ingest shape of the batch funnel
+# in example_pipeline/.  Exact-8-gram decontamination stays a
+# BATCH/compaction-time stage by design (it needs the full eval
+# shingle set; production pipelines apply it at compaction) — the
+# admitted set equals the funnel's quality ∩ dedup-survivor ∩
+# (target-lang ∪ DSIR-selected-by-cutoff) mix on non-eval docs, and
+# the oracle replays these exact stream semantics (batch DSIR
+# weights included) end to end.
+# --------------------------------------------------------------------------
+_ADM_STAMP = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@mail.example or call +1-555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+_ADM_SCRUB = (
+    "regexp_replace(regexp_replace(t2,"
+    " '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>'),"
+    " '\\\\+1-555-[0-9]{4}', '<PHONE>')"
+)
+
+
+def _adm_enrich(df: DataFrame):
+    """Row-local funnel signals over (doc_id, text, lang): the
+    bronze PII stamp, the silver_signals quality signals, the
+    predicted language, the four MinHash band keys (array_min over
+    the shingle transform == the batch MIN-over-exploded-shingles),
+    and the scrubbed text — every expression the model SQL uses,
+    computed per row so the SAME helper serves the batch control
+    plane and the stream."""
+    df = df.withColumn("t2", F.expr(_ADM_STAMP))
+    tk = "split(t2, ' ')"
+    df = (
+        df.withColumn("n_tokens", F.expr(f"CAST(size({tk}) AS BIGINT)"))
+        .withColumn(
+            "sum_token_len",
+            F.expr(
+                f"aggregate({tk}, CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + length(x))"
+            ),
+        )
+        .withColumn(
+            "n_alpha_words",
+            F.expr(
+                f"CAST(size(filter({tk}, x -> x rlike '[a-zA-Z]'))"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "n_symbols",
+            F.expr(
+                "CAST(size(regexp_extract_all(t2, '#', 0))"
+                " + size(regexp_extract_all(t2, '\\\\.\\\\.\\\\.', 0))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    for col, words in (
+        ("n_stop_en", "'the','a','and','of','to','is'"),
+        ("n_stop_de", "'der','die','das','und','ist','ein'"),
+        ("n_stop_es", "'el','la','los','y','es','un'"),
+    ):
+        df = df.withColumn(
+            col,
+            F.expr(
+                f"CAST(size(filter({tk},"
+                f" x -> array_contains(array({words}), x))) AS BIGINT)"
+            ),
+        )
+    df = df.withColumn(
+        "quality",
+        F.expr(
+            "n_tokens > 0"
+            " AND CAST(sum_token_len AS DOUBLE) / n_tokens >= 3.0"
+            " AND CAST(sum_token_len AS DOUBLE) / n_tokens <= 10.0"
+            " AND CAST(n_symbols AS DOUBLE) / n_tokens < 0.1"
+            " AND CAST(n_alpha_words AS DOUBLE) / n_tokens >= 0.8"
+            " AND n_stop_en >= 2"
+        ),
+    ).withColumn(
+        "predicted_lang",
+        F.expr(
+            "CASE WHEN n_stop_en >= greatest(n_stop_de, n_stop_es)"
+            " AND n_stop_en > 0 THEN 'en'"
+            " WHEN n_stop_de >= n_stop_es AND n_stop_de > 0 THEN 'de'"
+            " WHEN n_stop_es > 0 THEN 'es' ELSE 'unknown' END"
+        ),
+    )
+    shg = (
+        f"IF(size({tk}) >= 3, transform(sequence(1, size({tk}) - 2),"
+        f" i -> concat_ws(' ', element_at({tk}, i),"
+        f" element_at({tk}, i + 1), element_at({tk}, i + 2))),"
+        " CAST(NULL AS ARRAY<STRING>))"
+    )
+    for i in range(8):
+        df = df.withColumn(
+            f"m{i}",
+            F.expr(
+                f"array_min(transform({shg},"
+                f" s -> md5(concat('{i}:', s))))"
+            ),
+        )
+    for b in range(4):
+        df = df.withColumn(
+            f"bkey{b}", F.expr(f"md5(concat(m{2 * b}, m{2 * b + 1}))")
+        )
+    return df.withColumn("sc_text", F.expr(_ADM_SCRUB))
+
+
+def _adm_dedup_pass(df: DataFrame, indexes: list) -> DataFrame:
+    """Probe the four static band indexes (broadcast stream-static
+    left joins) and keep docs no band bucket of which holds a
+    smaller doc_id — the batch greedy keep-smallest rule, row-local
+    on the stream side."""
+    for b, idx in enumerate(indexes):
+        idx = idx.select(
+            F.col("bkey").alias(f"ibk{b}"), F.col("min_id").alias(f"min{b}")
+        )
+        df = df.join(
+            F.broadcast(idx), df[f"bkey{b}"] == idx[f"ibk{b}"], "left"
+        )
+    cond = " AND ".join(
+        f"COALESCE(min{b} >= doc_id, true)" for b in range(4)
+    )
+    return df.filter(F.expr(cond))
+
+
+def _stream_admission_oracle() -> str:
+    from .framework_semantics import _FUNNEL_PREFIX
+
+    B, scale = 1024, 10**6
+    return _FUNNEL_PREFIX + f"""
+,cutoff AS (
+  SELECT dsir_score AS cs, doc_id AS cd FROM (
+    SELECT doc_id, dsir_score,
+           ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk,
+           COUNT(*) OVER () AS ntot
+    FROM sc) t
+  WHERE rnk = LEAST(50, ntot)),
+sq AS (SELECT s.doc_id, s.lang, s.n_tokens, s.text FROM scrubbed s
+       WHERE s.doc_id % 20 <> 0),
+stk AS (SELECT doc_id, list_filter(string_split(text, ' '),
+               x -> x <> '') AS tk FROM sq WHERE lang <> 'en'),
+sg AS (SELECT doc_id, tk[i] AS gram
+       FROM stk, unnest(generate_series(1, len(tk))) AS u(i)
+       UNION ALL
+       SELECT doc_id, tk[i] || ' ' || tk[i+1]
+       FROM stk, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+sbk AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) % {B}
+               AS bucket FROM sg),
+ssc AS (SELECT s.doc_id,
+               CAST(SUM(COALESCE(w.w_b,
+                 CAST({scale} * (tot.rt + {B}) // (tot.tt + {B})
+                      - {scale} AS BIGINT))) AS BIGINT) AS score
+        FROM sbk s LEFT JOIN wts w USING (bucket), tot
+        GROUP BY 1),
+adm AS (
+  SELECT doc_id, lang, n_tokens, 'target' AS admitted_via
+  FROM sq WHERE lang = 'en'
+  UNION ALL
+  SELECT q.doc_id, q.lang, q.n_tokens, 'dsir'
+  FROM sq q JOIN ssc ON q.doc_id = ssc.doc_id, cutoff
+  WHERE q.lang <> 'en'
+    AND (ssc.score > cutoff.cs
+         OR (ssc.score = cutoff.cs AND q.doc_id <= cutoff.cd)))
+SELECT a.doc_id, a.lang, a.n_tokens,
+       CASE WHEN g.n_stop_en >= greatest(g.n_stop_de, g.n_stop_es)
+                 AND g.n_stop_en > 0 THEN 'en'
+            WHEN g.n_stop_de >= g.n_stop_es AND g.n_stop_de > 0
+                 THEN 'de'
+            WHEN g.n_stop_es > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted_lang,
+       a.admitted_via
+FROM adm a JOIN signals g ON a.doc_id = g.doc_id
+ORDER BY a.doc_id
+"""
+
+
+@query("q_stream_funnel_admission", oracle=_stream_admission_oracle())
+@_restores_conf
+def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel admission (round 13 — r12-verdict item 7):
+    every streamed document is admitted or dropped by ONE stateless
+    projection plus broadcast probes, composing the batch funnel's
+    gate stages in ingest order:
+
+    1. bronze PII stamp + silver_signals quality signals + langid —
+       pure row-local expressions (the model SQL formulas verbatim,
+       shared via ``_adm_enrich`` with the batch control plane);
+    2. MinHash-LSH dedup probe — four band keys computed row-locally
+       (array_min over the shingle transform), probed against the
+       quality-survivor band index via broadcast stream-static left
+       joins; a doc drops iff any bucket holds a smaller doc_id
+       (the batch greedy keep-smallest rule);
+    3. PII scrub (row-local regexps) feeding
+    4. DSIR admission — the weight table and the top-k cutoff pair
+       (score, doc_id) are batch-built from the decontaminated
+       corpus and folded in as literals; each doc scores its own
+       unigram+bigram stream and passes iff it would have made the
+       batch top-k (tie-exact pair compare).
+
+    Eval stand-ins (doc_id % 20 == 0) are excluded row-locally;
+    exact-8-gram decontamination is deliberately NOT in the stream —
+    it is a batch/compaction-time stage (needs the full eval shingle
+    set) — and the oracle replays the stream semantics exactly, so
+    the gate pins: admitted = quality ∩ dedup-survivor ∩ non-eval ∩
+    (target-lang ∪ cutoff-passing), with scores from the REAL batch
+    funnel's decontam-trained weights.  At 100 TB: the band index is
+    the persisted LSH table (broadcast or bucket-joined), the weight
+    array is 8 KB, the cutoff is two integers — per-doc cost is the
+    doc's own token count, zero stream state."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    B, scale = 1024, 10**6
+    bucket_of = (
+        "pmod(CAST(conv(substr(md5({g}), 1, 12), 16, 10) AS BIGINT),"
+        f" {B})"
+    )
+    tk2 = "filter(split(sc_text, ' '), x -> x <> '')"
+    grams = (
+        f"concat({tk2}, transform("
+        f"slice(sequence(1, size({tk2}) + 1), 1,"
+        f" greatest(size({tk2}) - 1, 0)),"
+        f" i -> concat(element_at({tk2}, i), ' ',"
+        f" element_at({tk2}, i + 1))))"
+    )
+
+    # ---- batch control plane: band index, decontam corpus, DSIR
+    # weights, selection cutoff --------------------------------------
+    enriched = _adm_enrich(docs).persist()
+    try:
+        qual = enriched.filter("quality")
+        indexes = [
+            qual.groupBy(F.col(f"bkey{b}").alias("bkey"))
+            .agg(F.min("doc_id").alias("min_id"))
+            .filter(F.col("bkey").isNotNull())
+            for b in range(4)
+        ]
+        survivors = _adm_dedup_pass(qual, indexes).select(
+            "doc_id", "lang", "n_tokens", "t2", "sc_text"
+        ).persist()
+        # decontam (batch-side by design): eval 8-grams from the
+        # STAMPED text, training 8-grams from the SCRUBBED text
+        def _g8(df, col):
+            t = f"split({col}, ' ')"
+            g8 = (
+                f"IF(size({t}) >= 8, transform(sequence(1, size({t}) - 7),"
+                f" i -> concat_ws(' ', "
+                + ", ".join(f"element_at({t}, i + {k})" for k in range(8))
+                + ")), CAST(NULL AS ARRAY<STRING>))"
+            )
+            return df.select(
+                "doc_id", F.explode(F.expr(g8)).alias("shingle")
+            ).distinct()
+
+        bench = (
+            _g8(enriched.filter("doc_id % 20 = 0"), "t2")
+            .select("shingle").distinct()
+        )
+        tr = survivors.filter("doc_id % 20 != 0")
+        hits = (
+            _g8(tr, "sc_text")
+            .join(F.broadcast(bench), "shingle")
+            .select("doc_id").distinct()
+        )
+        decon = tr.join(hits, "doc_id", "left_anti")
+
+        def _hist(df) -> dict[int, int]:
+            rows = (
+                df.withColumn("g", F.explode(F.expr(grams)))
+                .select(F.expr(bucket_of.format(g="g")).alias("b"))
+                .groupBy("b").count().collect()
+            )
+            return {int(r["b"]): int(r["count"]) for r in rows}
+
+        t_h = _hist(decon.filter("lang = 'en'"))
+        r_h = _hist(decon.filter("lang != 'en'"))
+        T_, R_ = sum(t_h.values()), sum(r_h.values())
+        w_arr = [
+            scale * (t_h.get(b, 0) + 1) * (R_ + B)
+            // ((r_h.get(b, 0) + 1) * (T_ + B))
+            - scale
+            for b in range(B)
+        ]
+        warr_lit = "array(" + ", ".join(f"{w}L" for w in w_arr) + ")"
+        score = (
+            f"aggregate({grams}, CAST(0 AS BIGINT), (acc, g) -> acc"
+            f" + element_at({warr_lit},"
+            f" CAST({bucket_of.format(g='g')} AS INT) + 1))"
+        )
+        top = (
+            decon.filter("lang != 'en'")
+            .select("doc_id", F.expr(score).alias("s"))
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(50)
+            .collect()
+        )
+        if top:
+            cs, cd = int(top[-1]["s"]), int(top[-1]["doc_id"])
+        else:  # nothing scored: admit no dsir docs
+            cs, cd = (1 << 62), -1
+
+        # ---- the stream: one stateless projection + broadcast
+        # probes per document ----------------------------------------
+        stream_schema = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).schema
+        stream = (
+            spark.readStream.schema(stream_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "text", "lang")
+        )
+        st = _adm_enrich(stream).filter("quality AND doc_id % 20 != 0")
+        st = _adm_dedup_pass(st, indexes)
+        admitted = st.withColumn("s", F.expr(score)).filter(
+            f"lang = 'en' OR s > {cs}L"
+            f" OR (s = {cs}L AND doc_id <= {cd}L)"
+        ).select(
+            "doc_id", "lang", "n_tokens", "predicted_lang",
+            F.expr("IF(lang = 'en', 'target', 'dsir')").alias(
+                "admitted_via"
+            ),
+        )
+        name = f"stream_adm_{uuid.uuid4().hex[:8]}"
+        q = (
+            admitted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+    finally:
+        enriched.unpersist()
+        try:
+            survivors.unpersist()
+        except Exception:
+            pass

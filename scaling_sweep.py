@@ -83,6 +83,10 @@ ENTRIES = [
     "sim_knn_classify_auto_wide",
     "text_html_extract_dirty",
     "text_unigram_lm_train",
+    # round 13: the funnel's decontam stage (r12-verdict item 6) —
+    # eval-suite size FIXED at 500 docs, corpus swept; the bench
+    # shingle set broadcasts, expect ~linear map-side shingling
+    "funnel_decontam_fixed_eval",
 ]
 
 

@@ -185,3 +185,58 @@ def test_streaming_state_under_rocksdb_provider(spark, sf_dir):
         else:
             spark.conf.unset(key)
     assert got == base and len(got) > 0
+
+
+def test_stream_admission_is_the_batch_funnel_mix_plus_deferred_decontam():
+    """r12-verdict item 7 done-criterion, pinned DuckDB-side (no
+    Spark — both sides are deterministic oracles): the streaming
+    admission set equals the batch funnel's admitted training mix
+    (quality ∩ dedup-survivor ∩ (en ∪ DSIR-selected), i.e. exactly
+    gold_packed's doc set) PLUS only docs the batch-side exact-8-gram
+    decontamination removes at compaction time (deliberately not a
+    stream stage — the admission gate's docstring documents the
+    split).  So: packed ⊆ admitted, and every extra admitted doc is
+    a decontam-dropped doc, never a quality/dedup/selection
+    disagreement."""
+    import duckdb
+
+    from data_transformation_python_spark.queries.framework_semantics import (
+        _FUNNEL_PREFIX,
+    )
+    from data_transformation_python_spark.queries.streaming_gate import (
+        _stream_admission_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    admitted = {
+        r[0] for r in con.execute(_stream_admission_oracle()).fetchall()
+    }
+    packed = {
+        r[0]
+        for r in con.execute(
+            _FUNNEL_PREFIX
+            + """
+,mix AS (
+  SELECT doc_id FROM decon WHERE lang = 'en'
+  UNION
+  SELECT d.doc_id FROM decon d JOIN selected s ON d.doc_id = s.doc_id)
+SELECT doc_id FROM mix
+"""
+        ).fetchall()
+    }
+    decon_set = {
+        r[0]
+        for r in con.execute(
+            _FUNNEL_PREFIX + "\nSELECT doc_id FROM decon"
+        ).fetchall()
+    }
+    assert packed, "empty funnel mix — fixture regression"
+    assert packed <= admitted, sorted(packed - admitted)[:5]
+    extras = admitted - packed
+    # every extra is a doc batch decontam dropped (8-gram hit), not a
+    # quality/dedup/DSIR disagreement
+    assert extras.isdisjoint(decon_set), sorted(extras & decon_set)[:5]
