@@ -1692,26 +1692,34 @@ def unigram_tokenize_serve(
         f"filter(split({text_col}, ' '),"
         f" x -> x <> '' AND length(x) <= {max_word})"
     )
+    # Stage the per-word segmentation list and the flattened pieces
+    # as COLUMNS so the double-DP expression runs ONCE per document:
+    # Catalyst's CollapseProject keeps non-cheap multi-use aliases
+    # (HOF aggregates) staged instead of inlining them into every
+    # consumer — without this the segs expression evaluated 3x per
+    # row (n_pieces, n_distinct_pieces, n_unsegmented), which read
+    # ~1.9x on the r13 stream-serve bench entry.
     segs = (
         f"transform({toks}, w -> "
         + _ulm_word_pieces_expr(scale, max_piece, "w")
         + ")"
     )
-    pieces = f"flatten(filter({segs}, a -> a IS NOT NULL))"
     return (
         df.withColumn("vmap", F.create_map(*pairs))
         .filter(F.expr(f"size({toks}) > 0"))
+        .withColumn("segs", F.expr(segs))
+        .withColumn(
+            "pieces", F.expr("flatten(filter(segs, a -> a IS NOT NULL))")
+        )
         .select(
             id_col,
             F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
-            F.expr(f"CAST(size({pieces}) AS BIGINT)").alias(
-                "n_pieces"
-            ),
+            F.expr("CAST(size(pieces) AS BIGINT)").alias("n_pieces"),
             F.expr(
-                f"CAST(size(array_distinct({pieces})) AS BIGINT)"
+                "CAST(size(array_distinct(pieces)) AS BIGINT)"
             ).alias("n_distinct_pieces"),
             F.expr(
-                f"CAST(size(filter({segs}, a -> a IS NULL)) AS BIGINT)"
+                "CAST(size(filter(segs, a -> a IS NULL)) AS BIGINT)"
             ).alias("n_unsegmented"),
         )
     )

@@ -2034,9 +2034,17 @@ def _adm_enrich(df: DataFrame):
     the shingle transform == the batch MIN-over-exploded-shingles),
     and the scrubbed text — every expression the model SQL uses,
     computed per row so the SAME helper serves the batch control
-    plane and the stream."""
-    df = df.withColumn("t2", F.expr(_ADM_STAMP))
-    tk = "split(t2, ' ')"
+    plane and the stream.
+
+    The token and shingle ARRAYS are staged as columns so they
+    compute once per document: Catalyst keeps non-cheap multi-use
+    aliases staged (CollapseProject), and without this every signal
+    re-split the text (~15x) and every minhash re-built the shingle
+    list (8x) — the dominant cost of the first cut of this gate."""
+    df = df.withColumn("t2", F.expr(_ADM_STAMP)).withColumn(
+        "tk_arr", F.expr("split(t2, ' ')")
+    )
+    tk = "tk_arr"
     df = (
         df.withColumn("n_tokens", F.expr(f"CAST(size({tk}) AS BIGINT)"))
         .withColumn(
@@ -2093,17 +2101,20 @@ def _adm_enrich(df: DataFrame):
             " WHEN n_stop_es > 0 THEN 'es' ELSE 'unknown' END"
         ),
     )
-    shg = (
-        f"IF(size({tk}) >= 3, transform(sequence(1, size({tk}) - 2),"
-        f" i -> concat_ws(' ', element_at({tk}, i),"
-        f" element_at({tk}, i + 1), element_at({tk}, i + 2))),"
-        " CAST(NULL AS ARRAY<STRING>))"
+    df = df.withColumn(
+        "shg_arr",
+        F.expr(
+            f"IF(size({tk}) >= 3, transform(sequence(1, size({tk}) - 2),"
+            f" i -> concat_ws(' ', element_at({tk}, i),"
+            f" element_at({tk}, i + 1), element_at({tk}, i + 2))),"
+            " CAST(NULL AS ARRAY<STRING>))"
+        ),
     )
     for i in range(8):
         df = df.withColumn(
             f"m{i}",
             F.expr(
-                f"array_min(transform({shg},"
+                f"array_min(transform(shg_arr,"
                 f" s -> md5(concat('{i}:', s))))"
             ),
         )
@@ -2250,8 +2261,12 @@ def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_tokens", "t2", "sc_text"
         ).persist()
         # decontam (batch-side by design): eval 8-grams from the
-        # STAMPED text, training 8-grams from the SCRUBBED text
-        def _g8(df, col):
+        # STAMPED text, training 8-grams from the SCRUBBED text.
+        # Only the broadcast (bench) side needs a DISTINCT — the
+        # probe side's duplicate shingles collapse in the
+        # distinct-doc hit set anyway, and dropping that corpus-wide
+        # (doc, shingle) shuffle is the cheapest 100-TB win here.
+        def _g8(df, col, dedup):
             t = f"split({col}, ' ')"
             g8 = (
                 f"IF(size({t}) >= 8, transform(sequence(1, size({t}) - 7),"
@@ -2259,32 +2274,36 @@ def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + ", ".join(f"element_at({t}, i + {k})" for k in range(8))
                 + ")), CAST(NULL AS ARRAY<STRING>))"
             )
-            return df.select(
+            out = df.select(
                 "doc_id", F.explode(F.expr(g8)).alias("shingle")
-            ).distinct()
+            )
+            return out.distinct() if dedup else out
 
         bench = (
-            _g8(enriched.filter("doc_id % 20 = 0"), "t2")
+            _g8(enriched.filter("doc_id % 20 = 0"), "t2", dedup=True)
             .select("shingle").distinct()
         )
         tr = survivors.filter("doc_id % 20 != 0")
         hits = (
-            _g8(tr, "sc_text")
+            _g8(tr, "sc_text", dedup=False)
             .join(F.broadcast(bench), "shingle")
             .select("doc_id").distinct()
         )
         decon = tr.join(hits, "doc_id", "left_anti")
 
-        def _hist(df) -> dict[int, int]:
-            rows = (
-                df.withColumn("g", F.explode(F.expr(grams)))
-                .select(F.expr(bucket_of.format(g="g")).alias("b"))
-                .groupBy("b").count().collect()
+        # both DSIR histograms in ONE pass over the exploded grams
+        # (keyed by target-membership) instead of two corpus scans
+        t_h: dict[int, int] = {}
+        r_h: dict[int, int] = {}
+        for r in (
+            decon.withColumn("g", F.explode(F.expr(grams)))
+            .select(
+                F.expr("lang = 'en'").alias("tgt"),
+                F.expr(bucket_of.format(g="g")).alias("b"),
             )
-            return {int(r["b"]): int(r["count"]) for r in rows}
-
-        t_h = _hist(decon.filter("lang = 'en'"))
-        r_h = _hist(decon.filter("lang != 'en'"))
+            .groupBy("tgt", "b").count().collect()
+        ):
+            (t_h if r["tgt"] else r_h)[int(r["b"])] = int(r["count"])
         T_, R_ = sum(t_h.values()), sum(r_h.values())
         w_arr = [
             scale * (t_h.get(b, 0) + 1) * (R_ + B)
