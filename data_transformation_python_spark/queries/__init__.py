@@ -103,9 +103,10 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 13 head: (1) the one
-# brand-new never-checked gate — the streaming funnel admission
-# twin; (2) the gates whose CODE changed this round — BOTH funnel
+# rotated STALEST-FIRST each round.  Round 13 head: (1) the two
+# brand-new never-checked gates — the streaming funnel admission
+# twin and the BPE-vs-unigram tokenizer comparison; (2) the gates
+# whose CODE changed this round — BOTH funnel
 # gates (the DAG gained the silver_vocab/silver_tokenized
 # tokenize-then-pack stages, gold_packed budgets pieces, oracle
 # extended in lockstep), the three unigram gates (_ulm_estep now
@@ -117,7 +118,7 @@ def _register_all() -> None:
 # committed CORRECTNESS_r{1..12}.json ledger (ties alphabetical) —
 # the whole list below is machine-generated from that ledger: the
 # two remaining r7 names then the 44-name r8 block fill the window
-# (39 of them fit; the last 5 r8 names + the r9 block head
+# (38 of them fit; the last 6 r8 names + the r9 block head
 # round 14).  Everything past position 50
 # stays honest through the local full-registry PARITY sweep
 # (tests/test_oracle_parity.py + committed PARITY_r{N}.json).  Names
@@ -126,6 +127,7 @@ def _register_all() -> None:
 _PRIORITY: list[str] = [
     # (1) new in round 13 — never driver-checked
     "q_stream_funnel_admission",
+    "text_tokenizer_compare",
     # (2) code changed in round 13 (funnel gained the
     #     silver_vocab/silver_tokenized tokenize-then-pack
     #     stages + oracle; _ulm_estep persist + serve OOV

@@ -1329,6 +1329,63 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_tokenize(load(spark, sf_dir, "documents"))
 
 
+def _tokenizer_compare_oracle() -> str:
+    """Both trained-tokenizer chains over ONE corpus in one query:
+    the unrolled BPE learn+segment stages (s4 = the final word
+    segmentation) and the unrolled unigram trainer+serve chain (pc =
+    per-doc piece counts, spliced via parts_only — the CTE name sets
+    are disjoint, verified), joined per document."""
+    bpe_parts = "\n".join(tx._bpe_oracle_ctes(4))
+    ulm_parts = tx.unigram_lm_oracle_sql(serve=True, parts_only=True)
+    return bpe_parts + ulm_parts + """
+,docwords AS (
+  SELECT doc_id, t AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> '')
+,bpc AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(s.syms)) AS BIGINT) AS bpe_pieces
+  FROM docwords d JOIN s4 s ON d.word = s.word GROUP BY 1)
+SELECT b.doc_id, b.n_words, b.bpe_pieces,
+       pc.n_pieces AS ulm_pieces,
+       CAST(1000000 * pc.n_pieces // b.bpe_pieces AS BIGINT)
+       AS ulm_per_bpe_q
+FROM bpc b JOIN pc ON b.doc_id = pc.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("text_tokenizer_compare", oracle=_tokenizer_compare_oracle())
+def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EVALUATION (round 13): train BOTH tokenizer families
+    the repo carries — BPE (greedy-merge, text_bpe_tokenize) and
+    unigram-LM (Viterbi-EM, text_unigram_tokenize) — on the same
+    corpus and emit the per-document comparison table a tokenizer
+    selection would read: word count, piece count under each family,
+    and the integer-quantized ULM/BPE piece ratio.  Both serving
+    paths are the distinct-word-cache join shape, so the comparison
+    costs two trainings plus two word-key joins — corpus touched
+    once per family.  The oracle runs both unrolled chains (disjoint
+    CTE namespaces) in one query; everything is BIGINT, so the
+    comparison replays bit-exactly.  Documents whose words all
+    exceed the unigram max_word (none in this corpus family) would
+    drop from the inner join on both sides identically."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = tx.bpe_tokenize_stats(docs).select(
+        "doc_id", "n_words",
+        F.col("n_pieces").alias("bpe_pieces"),
+    )
+    ulm = tx.unigram_tokenize(docs).select(
+        "doc_id", F.col("n_pieces").alias("ulm_pieces")
+    )
+    return bpe.join(ulm, "doc_id").select(
+        "doc_id", "n_words", "bpe_pieces", "ulm_pieces",
+        F.expr(
+            "CAST(1000000 * ulm_pieces DIV bpe_pieces AS BIGINT)"
+        ).alias("ulm_per_bpe_q"),
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity serving: binary quantization — the 1-bit rung of the
 # quantization ladder (32x compression): popcount Hamming shortlist
