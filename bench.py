@@ -856,7 +856,7 @@ def sched_calibration(spark, shots: int = 5, tasks: int = 2000) -> dict:
 
 
 def _time_entry(
-    run, spark, repeats: int, budget: float = 12.0
+    run, spark, repeats: int, budget: float = 12.0, hard_cap: float = 45.0
 ) -> tuple[float, list[float]]:
     """Median-of-``repeats`` wall time for one bench entry, with the
     COLD first shot treated as warm-up, never as the estimate.
@@ -865,34 +865,46 @@ def _time_entry(
     scheduling jitter (identical-code totals historically swung
     170→226 s, individual entries 3×); the median discards the
     first-run codegen outlier and makes round-over-round deltas
-    signal.  Two round-12 lessons folded in (both root-caused in the
-    r12 verdict — the cold shot poisoned the median and manufactured
-    that round's only flagged "regression"):
+    signal.  Lessons from rounds 12 and 13 folded in (each
+    root-caused in that round's verdict):
 
-    - the repeat ``budget`` applies to POST-first-shot time only.
-      Previously one cold shot >= budget terminated sampling, so the
-      cold shot WAS the median (dhash@50k samples [11.99, 2.87] ->
-      median 7.43 s, a fake 2.5x regression; png_roundtrip's mirror
-      read a single-shot [20.50]).  Now every entry takes at least
-      one post-cold sample whenever ``repeats`` >= 2;
     - the reported median EXCLUDES the first sample whenever >= 2
       samples exist, so the estimate is the warm steady state.  The
-      cold shot stays visible in the returned ``samples`` list.
+      cold shot stays visible in the returned ``samples`` list (r12:
+      the cold shot poisoned the median — dhash@50k [11.99, 2.87] ->
+      7.43 s, a fake 2.5x regression).
+    - the repeat ``budget`` applies to POST-first-shot time only AND
+      may not terminate sampling before TWO post-cold samples exist
+      (r13: a single contended second shot exhausted the budget and
+      became "the steady state" — dedup_editdist_verify@50k
+      [3.27, 12.03] -> 12.03 s vs a solo-verified 2.5-2.8 s).
+      Harness cost on the genuinely-slow tail is bounded by
+      ``hard_cap`` on TOTAL per-entry time instead, checked before
+      each extra shot; only the cap may leave a lone post-cold
+      sample, and only for entries whose single shot already costs
+      tens of seconds (where relative noise is small).
+    - one-sided contention guard: when exactly two post-cold samples
+      remain and they disagree >2x, the estimate is their MIN, not
+      their mean — timing noise at fixture scale only ever ADDS time
+      (scheduler contention, GC), so the slow draw of a wildly-split
+      pair is the outlier.  Tight pairs keep the median (mean).
 
-    Jitter is absolute (~±1 s), so it dominates FAST entries; the
-    budget still bounds harness cost on the slow tail, where relative
-    noise is small anyway.  Checkpoint blocks are dropped between
-    samples so repeats don't accumulate driver block storage."""
+    Checkpoint blocks are dropped between samples so repeats don't
+    accumulate driver block storage."""
     samples: list[float] = []
     for _ in range(max(1, repeats)):
+        if samples and sum(samples) >= hard_cap:
+            break
         t0 = time.perf_counter()
         run()
         samples.append(round(time.perf_counter() - t0, 4))
         if spark is not None:
             _drop_checkpoints(spark)
-        if sum(samples[1:]) >= budget:
+        if len(samples) >= 3 and sum(samples[1:]) >= budget:
             break
     steady = samples[1:] if len(samples) >= 2 else samples
+    if len(steady) == 2 and max(steady) > 2.0 * min(steady):
+        return round(min(steady), 4), samples
     return round(_median(steady), 4), samples
 
 
