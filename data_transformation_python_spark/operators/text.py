@@ -1749,6 +1749,19 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
         .withColumn("sp", F.expr(_ulm_dp_expr(scale, max_piece, False)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # try/finally so an exception anywhere past .persist() (the
+    # consistency count, the aggregation, localCheckpoint, collect)
+    # cannot leak the MEMORY_AND_DISK cache for the session
+    try:
+        return _ulm_estep_body(
+            with_dp, scale, max_piece, return_frame
+        )
+    finally:
+        with_dp.unpersist()
+
+
+def _ulm_estep_body(with_dp, scale: int, max_piece: int,
+                    return_frame: bool):
     # every position is reachable (chars are in the vocab), and the
     # two DPs must agree on the unique optimal total — fail loudly
     # rather than emit a silently-wrong count table
@@ -1756,7 +1769,6 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
         F.expr("element_at(dp, n + 1) <> element_at(sp, 1)")
     ).count()
     if bad:
-        with_dp.unpersist()
         raise AssertionError(
             f"unigram-LM E-step: {bad} words where prefix/suffix DP "
             "totals disagree"
@@ -1785,18 +1797,15 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
                 & (F.col("path_cost") == F.col("total")))
     )
     if return_frame:
-        # materialize the (word, piece) segmentation before releasing
-        # the DP cache under it (the caller joins it later)
-        seg = chosen.select("word", "piece").localCheckpoint(eager=True)
-        with_dp.unpersist()
-        return seg
+        # materialize the (word, piece) segmentation before the
+        # caller's finally releases the DP cache under it (the
+        # caller joins it later)
+        return chosen.select("word", "piece").localCheckpoint(eager=True)
     counts = (
         chosen.groupBy("piece")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    out = {r["piece"]: int(r["c"]) for r in counts.collect()}
-    with_dp.unpersist()
-    return out
+    return {r["piece"]: int(r["c"]) for r in counts.collect()}
 
 
 def unigram_lm_train(
@@ -2117,16 +2126,25 @@ def unigram_lm_oracle_sql(
                 " CAST(COUNT(*) AS BIGINT) AS n_unsegmented"
                 " FROM dw LEFT JOIN (SELECT DISTINCT word FROM tot3) s"
                 " USING (word) WHERE s.word IS NULL GROUP BY 1)",
-                "SELECT doc_id, n_words, n_pieces, n_distinct_pieces,"
+                # LEFT JOIN pc: a doc whose every word is OOV has no
+                # pc row but must still appear (n_pieces 0), exactly
+                # like the Spark serve path
+                "SELECT doc_id, n_words,"
+                " CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces,"
+                " CAST(COALESCE(pc.n_distinct_pieces, 0) AS BIGINT)"
+                " AS n_distinct_pieces,"
                 " CAST(COALESCE(un.n_unsegmented, 0) AS BIGINT)"
                 " AS n_unsegmented"
-                " FROM nw JOIN pc USING (doc_id)"
+                " FROM nw LEFT JOIN pc USING (doc_id)"
                 " LEFT JOIN un USING (doc_id) ORDER BY doc_id",
             ]
             return "\n".join(parts)
         parts += [
-            "SELECT doc_id, n_words, n_pieces, n_distinct_pieces"
-            " FROM nw JOIN pc USING (doc_id) ORDER BY doc_id",
+            "SELECT doc_id, n_words,"
+            " CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces,"
+            " CAST(COALESCE(pc.n_distinct_pieces, 0) AS BIGINT)"
+            " AS n_distinct_pieces"
+            " FROM nw LEFT JOIN pc USING (doc_id) ORDER BY doc_id",
         ]
         return "\n".join(parts)
     parts += [

@@ -187,7 +187,9 @@ def test_streaming_state_under_rocksdb_provider(spark, sf_dir):
     assert got == base and len(got) > 0
 
 
-def test_stream_admission_is_the_batch_funnel_mix_plus_deferred_decontam():
+def test_stream_admission_is_the_batch_funnel_mix_plus_deferred_decontam(
+    sf_dir,
+):
     """r12-verdict item 7 done-criterion, pinned DuckDB-side (no
     Spark — both sides are deterministic oracles): the streaming
     admission set equals the batch funnel's admitted training mix
@@ -210,7 +212,7 @@ def test_stream_admission_is_the_batch_funnel_mix_plus_deferred_decontam():
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        f"read_parquet('{sf_dir}/documents.parquet')"
     )
     admitted = {
         r[0] for r in con.execute(_stream_admission_oracle()).fetchall()
