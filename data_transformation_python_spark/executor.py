@@ -314,12 +314,19 @@ class ModelExecutor:
             and parsed.uses_is_incremental
             and self.executor.table_exists(target)
         )
+        merged_vars = {**self.config.variables, **(variables or {})}
+        # re-render when the body branches on runtime truth: the real
+        # is_incremental() value (U4) and/or config-driven var()
+        # (e.g. the funnel's tokenizer-family switch)
         rendered = (
-            self.parser.render(parsed.raw_sql, is_incremental=is_inc)
-            if parsed.uses_is_incremental
+            self.parser.render(
+                parsed.raw_sql,
+                is_incremental=is_inc,
+                variables=merged_vars,
+            )
+            if parsed.uses_is_incremental or parsed.uses_var
             else parsed.rendered_sql
         )
-        merged_vars = {**self.config.variables, **(variables or {})}
         validate_variables(rendered, merged_vars)
         substituted = substitute_variables(rendered, merged_vars)
         final_sql = self.resolve_refs_and_sources(substituted, target)

@@ -1213,13 +1213,18 @@ def _bpe_train(
     return cur, merges
 
 
-def _bpe_oracle_ctes(k: int) -> list[str]:
+def _bpe_oracle_ctes(
+    k: int, src: str = "documents", lead: str = "WITH "
+) -> list[str]:
     """The unrolled learn pipeline as CTE parts — s0 → (pair count,
     argmax, merge apply) × k — shared by the learn and tokenize
-    oracles."""
+    oracles.  ``src`` is the corpus relation (a table or an earlier
+    CTE name when splicing into a larger oracle); ``lead=","``
+    splices the chain into an already-open WITH (the funnel's BPE
+    tokenizer branch does this over its ``decon`` CTE)."""
     parts = [
-        "WITH w0 AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt"
-        " FROM documents, unnest(string_split(text, ' ')) AS u(t)"
+        lead + "w0 AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt"
+        f" FROM {src}, unnest(string_split(text, ' ')) AS u(t)"
         " WHERE t <> '' GROUP BY 1),",
         "s0 AS (SELECT word, cnt, "
         + bpe_charsplit_expr("word", "duckdb")
@@ -1255,6 +1260,168 @@ def bpe_learn_oracle_sql(k: int = 8) -> str:
         for i in range(k)
     )
     return "\n".join(parts) + "\n" + union + "\nORDER BY step"
+
+
+# -- BPE as Spark-SQL MODEL text (the funnel's config-driven tokenizer
+# -- switch, round 14): the trainer and the serve as single SQL
+# -- statements a framework model can materialize, generated here so
+# -- the checked-in example_pipeline files are PINNED to the operator
+# -- machinery (tests/test_pipeline_project.py), exactly like the
+# -- unigram models pin to _ulm_dp_expr.
+
+
+def _sql_regex_quote(col: str) -> str:
+    """Spark-SQL expression quoting a symbol column for literal use
+    inside a regex pattern — the SQL twin of ``_regex_quote``
+    (\\Q..\\E with the embedded-\\E escape).  The doubled backslashes
+    are Spark string-literal escapes: '\\\\Q' parses to \\Q."""
+    return (
+        "concat('\\\\Q', replace(" + col
+        + ", '\\\\E', '\\\\E\\\\\\\\E\\\\Q'), '\\\\E')"
+    )
+
+
+def _sql_regex_replacement(col: str) -> str:
+    """SQL twin of ``_regex_replacement_escape``: escape Java regex
+    replacement metacharacters ($ and backslash) in a symbol column."""
+    return (
+        "replace(replace(" + col
+        + ", '\\\\', '\\\\\\\\'), '$', '\\\\$')"
+    )
+
+
+_SQL_CHARSPLIT_SYMSTR = (
+    "concat(' ', array_join(transform(sequence(1, length(word)),"
+    " i -> substr(word, i, 1)), ' '), ' ')"
+)
+
+
+def bpe_vocab_model_sql(
+    k: int = 8, src_rel: str = "{{ ref('silver_decontam') }}"
+) -> str:
+    """The whole BPE trainer as ONE Spark SQL statement returning the
+    merge table (step, left_sym, right_sym, merged, pair_count) — the
+    silver_vocab model body under ``tokenizer: bpe``.
+
+    Chain shape matters: a naive unroll references each state CTE
+    twice (argmax + merge apply), and Spark inlines deterministic
+    CTEs, so the logical plan — and the executed work — doubles per
+    step (measured 18 s at sf0.001 for k=8).  Instead each step
+    computes its own argmax IN-LINE via two windows (per-pair count,
+    then a global MIN over the (−count, a, b) struct — the ORDER BY c
+    DESC, a, b tie-break as struct ordering) and carries the chosen
+    merge on every row, so every CTE is referenced exactly once and
+    the unrolled plan stays linear in k.  The single-partition global
+    window runs over the DISTINCT-WORD state (vocab-sized, bounded by
+    the language, not the corpus), the same control-plane budget as
+    the operator path's 1-row argmax collect (``bpe_learn``)."""
+    qa, qb = _sql_regex_quote("best.a"), _sql_regex_quote("best.b")
+    rep = _sql_regex_replacement("concat(best.a, best.b)")
+    parts = [
+        "WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM"
+        " (SELECT explode(split(text, ' ')) AS word FROM " + src_rel + ")"
+        " WHERE word <> '' GROUP BY word),",
+        "s0 AS (SELECT word, cnt, " + _SQL_CHARSPLIT_SYMSTR + " AS symstr,"
+        " CAST(NULL AS struct<negc: bigint, a: string, b: string>)"
+        " AS best FROM w)",
+    ]
+    for i in range(k):
+        parts.append(
+            f",e{i} AS (SELECT word, cnt, symstr, syms[j] AS a,"
+            f" syms[j + 1] AS b FROM (SELECT word, cnt, symstr,"
+            f" {_BPE_SYMS_FROM_STR} AS syms FROM s{i})"
+            " LATERAL VIEW OUTER explode(slice(sequence(0, size(syms)),"
+            " 1, greatest(size(syms) - 1, 0))) t AS j)"
+        )
+        parts.append(
+            f",p{i} AS (SELECT word, cnt, symstr, a, b,"
+            " CAST(SUM(CASE WHEN a IS NOT NULL THEN cnt END)"
+            f" OVER (PARTITION BY a, b) AS BIGINT) AS pc FROM e{i})"
+        )
+        parts.append(
+            f",g{i} AS (SELECT word, cnt, symstr,"
+            " MIN(CASE WHEN a IS NOT NULL THEN"
+            " struct(-pc AS negc, a, b) END) OVER () AS best"
+            f" FROM p{i})"
+        )
+        parts.append(
+            f",m{i} AS (SELECT word, cnt, symstr, MIN(best) AS best"
+            f" FROM g{i} GROUP BY word, cnt, symstr)"
+        )
+        parts.append(
+            f",s{i + 1} AS (SELECT word, cnt, CASE WHEN best IS NULL"
+            " THEN symstr ELSE regexp_replace(symstr,"
+            f" concat(' ', {qa}, ' ', {qb}, '(?= )'),"
+            f" concat(' ', {rep})) END AS symstr, best FROM m{i})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"(SELECT CAST({i} AS BIGINT) AS step, best.a AS left_sym,"
+        " best.b AS right_sym, concat(best.a, best.b) AS merged,"
+        f" -best.negc AS pair_count FROM s{i + 1}"
+        " WHERE best IS NOT NULL LIMIT 1)"
+        for i in range(k)
+    )
+    return "\n".join(parts) + "\n" + union + "\nORDER BY step"
+
+
+def bpe_serve_model_sql(
+    k: int = 8,
+    vocab_rel: str = "{{ ref('silver_vocab') }}",
+    src_rel: str = "{{ ref('silver_decontam') }}",
+) -> str:
+    """BPE SERVING as one Spark SQL statement — the silver_tokenized
+    model body under ``tokenizer: bpe``: charsplit the corpus's
+    distinct words, apply the k trained merges in step order (each a
+    narrow regexp_replace over the bounded symbol string, the merge
+    row LEFT-JOINed ON true from the MATERIALIZED vocab table so a
+    shorter-than-k merge list passes steps through unchanged), then
+    one word-key join back onto documents for per-doc piece counts.
+    Every decontam survivor appears exactly once (doc-level LEFT
+    JOIN); n_unsegmented counts doc words with no segmentation row —
+    structurally 0 here because the vocab was trained on this same
+    corpus, which the tokenized_in_domain DQ test asserts."""
+    qa, qb = _sql_regex_quote("m.left_sym"), _sql_regex_quote("m.right_sym")
+    rep = _sql_regex_replacement("concat(m.left_sym, m.right_sym)")
+    parts = [
+        "WITH mt AS (SELECT step, left_sym, right_sym FROM "
+        + vocab_rel + "),",
+        "dw AS (SELECT doc_id, word FROM (SELECT doc_id,"
+        " explode(split(text, ' ')) AS word FROM " + src_rel + ")"
+        " WHERE word <> ''),",
+        "t0 AS (SELECT word, " + _SQL_CHARSPLIT_SYMSTR + " AS symstr"
+        " FROM (SELECT DISTINCT word FROM dw))",
+    ]
+    for i in range(k):
+        parts.append(
+            f",t{i + 1} AS (SELECT word, CASE WHEN m.left_sym IS NULL"
+            " THEN symstr ELSE regexp_replace(symstr,"
+            f" concat(' ', {qa}, ' ', {qb}, '(?= )'),"
+            f" concat(' ', {rep})) END AS symstr FROM t{i}"
+            " LEFT JOIN (SELECT left_sym, right_sym FROM mt"
+            f" WHERE step = {i}) m ON true)"
+        )
+    parts.append(
+        ",seg AS (SELECT word,"
+        f" CAST(size({_BPE_SYMS_FROM_STR}) AS BIGINT) AS n_syms"
+        f" FROM t{k})"
+    )
+    parts.append(
+        ",pc AS (SELECT dw.doc_id,"
+        " CAST(SUM(seg.n_syms) AS BIGINT) AS n_pieces,"
+        " CAST(SUM(CASE WHEN seg.word IS NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_unseg"
+        " FROM dw LEFT JOIN seg ON dw.word = seg.word"
+        " GROUP BY dw.doc_id)"
+    )
+    parts.append(
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_tokens,\n"
+        "       d.predicted_lang,\n"
+        "       CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces,\n"
+        "       CAST(COALESCE(pc.n_unseg, 0) AS BIGINT) AS n_unsegmented\n"
+        "FROM " + src_rel + " d\n"
+        "LEFT JOIN pc ON d.doc_id = pc.doc_id"
+    )
+    return "\n".join(parts)
 
 
 def lm_backoff_score(

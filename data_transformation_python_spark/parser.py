@@ -40,6 +40,9 @@ SOURCE_PLACEHOLDER = "__SOURCE_{source}_{table}__"
 THIS_PLACEHOLDER = "__THIS__"
 
 _CONFIG_RE = re.compile(r"--\s*config:\s*(.+?)$", re.MULTILINE)
+# var() INSIDE Jinja delimiters only — a SQL var_samp()/var_pop()
+# call in the model body must not flag the model as var-driven
+_VAR_CALL_RE = re.compile(r"\{[{%][^}%]*\bvar\s*\(")
 _DEPENDS_RE = re.compile(r"--\s*depends_on:\s*(.+?)$", re.MULTILINE)
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"](.+?)['\"]\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(
@@ -65,6 +68,7 @@ class ParsedSQL:
     variables: set = field(default_factory=set)
     file_hash: str = ""
     uses_is_incremental: bool = False
+    uses_var: bool = False
 
 
 from .errors import SQLParseError  # noqa: E402  (re-export for callers)
@@ -89,17 +93,33 @@ class SQLParser:
             source=s, table=t
         )
         env.globals["this"] = lambda: THIS_PLACEHOLDER
-        # parse-pass default; execution re-renders with the real value
+        # parse-pass defaults; execution re-renders with real values
         env.globals["is_incremental"] = lambda: False
+        env.globals["var"] = lambda name, default="": default
         register_macros(env)
         return env
 
-    def render(self, sql: str, is_incremental: bool = False, extra: dict | None = None) -> str:
-        """Render a model body; used twice — parse pass (False) and
-        execution pass with the actual incremental truth (fixes
-        reference gap U4)."""
+    def render(
+        self,
+        sql: str,
+        is_incremental: bool = False,
+        extra: dict | None = None,
+        variables: dict | None = None,
+    ) -> str:
+        """Render a model body; used twice — parse pass (False, no
+        vars: ``var()`` yields its declared default, so dependency
+        extraction sees the default branch) and execution pass with
+        the actual incremental truth (fixes reference gap U4) and the
+        merged profile/CLI variables, so ``{% if var('x') == ... %}``
+        branches resolve against real config — the dbt-style
+        config-driven model body (e.g. the funnel's tokenizer-family
+        switch)."""
         env = self.jinja_env.overlay()
         env.globals["is_incremental"] = lambda: is_incremental
+        if variables is not None:
+            env.globals["var"] = (
+                lambda name, default="": variables.get(name, default)
+            )
         template = env.from_string(sql)
         return template.render(**(extra or {}))
 
@@ -182,6 +202,7 @@ class SQLParser:
         ref_deps = set(_REF_RE.findall(raw))
         source_deps = {f"{s}.{t}" for s, t in _SOURCE_RE.findall(raw)}
         uses_inc = "is_incremental()" in raw
+        uses_var = bool(_VAR_CALL_RE.search(raw))
 
         try:
             rendered = self.render(raw, is_incremental=False)
@@ -200,6 +221,7 @@ class SQLParser:
             variables=extract_variables(rendered),
             file_hash=file_hash,
             uses_is_incremental=uses_inc,
+            uses_var=uses_var,
         )
         self._cache[cache_key] = parsed
         return parsed

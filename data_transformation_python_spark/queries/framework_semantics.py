@@ -739,22 +739,41 @@ selected AS (SELECT doc_id FROM (
 """
 
 # The tokenize-then-pack tail (round 13): the funnel trains a
-# unigram-LM tokenizer on the decontaminated corpus and packs
-# TRAINED-TOKENIZER PIECES, not whitespace tokens — silver_vocab +
-# silver_tokenized in the Spark DAG, the unrolled text.py trainer +
-# serve chain here (same constants, same bit-exact BIGINT
-# arithmetic; the ~100-CTE chain is generated, not hand-kept).
-def _funnel_oracle() -> str:
+# tokenizer on the decontaminated corpus and packs TRAINED-TOKENIZER
+# PIECES, not whitespace tokens — silver_vocab + silver_tokenized in
+# the Spark DAG, the unrolled text.py trainer + serve chain here
+# (same constants, same bit-exact BIGINT arithmetic; the ~100-CTE
+# chain is generated, not hand-kept).  Round 14: the family is
+# CONFIG-DRIVEN (`tokenizer: unigram|bpe` var — the models branch on
+# Jinja var()), so the oracle is parametrized the same way: the
+# unigram mode splices the unrolled Viterbi-EM trainer+serve chain,
+# the bpe mode splices the unrolled greedy-merge chain and counts
+# final-segmentation symbols per doc.
+def _funnel_oracle(tokenizer: str = "unigram") -> str:
     from ..operators import text as _tx
 
-    tok_parts = _tx.unigram_lm_oracle_sql(
-        serve=True, src="decon", parts_only=True
-    )
-    return _FUNNEL_PREFIX + tok_parts + """
+    if tokenizer == "bpe":
+        tok_parts = "\n".join(
+            _tx._bpe_oracle_ctes(8, src="decon", lead=",")
+        ) + """
+,docw AS (SELECT doc_id, t AS word
+          FROM decon, unnest(string_split(text, ' ')) AS u(t)
+          WHERE t <> ''),
+bpc AS (SELECT d.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_pieces
+        FROM docw d JOIN s8 s ON d.word = s.word GROUP BY 1),
+tokenized AS (
+  SELECT d.doc_id, d.lang, d.n_tokens,
+         CAST(COALESCE(bpc.n_pieces, 0) AS BIGINT) AS n_pieces
+  FROM decon d LEFT JOIN bpc ON d.doc_id = bpc.doc_id)"""
+    else:
+        tok_parts = _tx.unigram_lm_oracle_sql(
+            serve=True, src="decon", parts_only=True
+        ) + """
 ,tokenized AS (
   SELECT d.doc_id, d.lang, d.n_tokens,
          CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces
-  FROM decon d LEFT JOIN pc ON d.doc_id = pc.doc_id),
+  FROM decon d LEFT JOIN pc ON d.doc_id = pc.doc_id)"""
+    return _FUNNEL_PREFIX + tok_parts + """,
 sel AS (
   SELECT doc_id, lang, n_tokens, n_pieces FROM tokenized WHERE lang = 'en'
   UNION ALL
@@ -773,8 +792,13 @@ FROM cum
 _FUNNEL_ORACLE = _funnel_oracle()
 
 
-@query("pipeline_curation_funnel", oracle=_FUNNEL_ORACLE)
-def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_funnel(
+    spark: SparkSession, sf_dir: str, extra_vars: dict | None = None
+) -> DataFrame:
+    """Execute the REAL framework over the example_pipeline project
+    (one-shot) and return gold_packed.  ``extra_vars`` overrides
+    profile vars — the config-driven tokenizer-family switch rides
+    through here (reference: the dbt-style --vars override)."""
     import os
     import shutil
     import tempfile
@@ -797,6 +821,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         config = load_config(proj)
         config.database = db
+        config.variables.update(extra_vars or {})
         parser = SQLParser(config.models_dir)
         state = create_state_manager(config.state_dir, config.env_name)
         mx = ModelExecutor(
@@ -822,6 +847,26 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.environ["TESTDATA_DIR"] = old_env
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("pipeline_curation_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_funnel(spark, sf_dir)
+
+
+@query("pipeline_funnel_bpe", oracle=_funnel_oracle("bpe"))
+def pipeline_funnel_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer family through the same composed product
+    (round 14): the identical example_pipeline DAG with the
+    `tokenizer: bpe` var override, so silver_vocab materializes the
+    greedy-merge table (bpe_vocab_model_sql — linear unrolled chain,
+    in-line window argmax per step) and silver_tokenized applies the
+    merges in step order (bpe_serve_model_sql), with gold_packed
+    budgeting BPE pieces.  With pipeline_curation_funnel this proves
+    BOTH families drive the end-to-end DAG green — the funnel
+    consumes the tokenizer choice text_tokenizer_compare computes,
+    instead of hard-coding one family (r13 verdict item 3)."""
+    return _run_funnel(spark, sf_dir, {"tokenizer": "bpe"})
 
 
 @query("pipeline_funnel_incremental", oracle=_FUNNEL_ORACLE)

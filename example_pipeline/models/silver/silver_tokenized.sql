@@ -1,4 +1,21 @@
 -- config: materialized=table
+-- Tokenization of the decontaminated corpus under the TRAINED
+-- vocabulary — the serving twin of silver_vocab's config-driven
+-- family switch (round 14): the unigram branch is one more Viterbi
+-- E-step over the distinct-word cache + a word-key join; the BPE
+-- branch (bpe_serve_model_sql(8)) applies the k trained merges in
+-- step order as narrow regexp_replace projections, each merge row
+-- LEFT-JOINed ON true from the MATERIALIZED merge table (so a
+-- shorter-than-k merge list passes steps through unchanged).
+-- Every decontam survivor appears EXACTLY ONCE in both branches
+-- (doc-level LEFT JOIN, n_pieces 0 when nothing segments), and both
+-- emit n_unsegmented — the count of doc words with no segmentation
+-- row, the batch twin of unigram_tokenize_serve's OOV column
+-- (round-13 verdict item 4).  In-domain (the vocab trains on this
+-- same corpus) it is structurally 0, which the tokenized_in_domain
+-- DQ test asserts.  gold_packed budgets these PIECE counts.
+--
+-- Unigram branch (default):
 -- Unigram-LM tokenization of the decontaminated corpus under the
 -- TRAINED vocabulary (the operators/text.py unigram_tokenize batch
 -- join path): one more Viterbi E-step over the distinct-word cache
@@ -9,6 +26,27 @@
 -- gold_packed packs these PIECE counts — trained-tokenizer units,
 -- not whitespace tokens.  Same generated-DP contract as
 -- silver_vocab.
+{% if var('tokenizer', 'unigram') == 'bpe' %}
+WITH mt AS (SELECT step, left_sym, right_sym FROM {{ ref('silver_vocab') }}),
+dw AS (SELECT doc_id, word FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM {{ ref('silver_decontam') }}) WHERE word <> ''),
+t0 AS (SELECT word, concat(' ', array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), ' '), ' ') AS symstr FROM (SELECT DISTINCT word FROM dw))
+,t1 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t0 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 0) m ON true)
+,t2 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t1 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 1) m ON true)
+,t3 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t2 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 2) m ON true)
+,t4 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t3 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 3) m ON true)
+,t5 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t4 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 4) m ON true)
+,t6 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t5 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 5) m ON true)
+,t7 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t6 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 6) m ON true)
+,t8 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t7 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 7) m ON true)
+,seg AS (SELECT word, CAST(size(split(substr(symstr, 2, length(symstr) - 2), ' ')) AS BIGINT) AS n_syms FROM t8)
+,pc AS (SELECT dw.doc_id, CAST(SUM(seg.n_syms) AS BIGINT) AS n_pieces, CAST(SUM(CASE WHEN seg.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseg FROM dw LEFT JOIN seg ON dw.word = seg.word GROUP BY dw.doc_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_tokens,
+       d.predicted_lang,
+       CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(pc.n_unseg, 0) AS BIGINT) AS n_unsegmented
+FROM {{ ref('silver_decontam') }} d
+LEFT JOIN pc ON d.doc_id = pc.doc_id
+{% else %}
 WITH m AS (
     SELECT map_from_entries(collect_list(struct(piece, neg_logprob_q)))
            AS vmap
@@ -43,12 +81,16 @@ dw AS (
     WHERE word <> '' AND length(word) <= 12
 ),
 pc AS (
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces
-    FROM dw JOIN seg USING (word)
-    GROUP BY doc_id
+    SELECT dw.doc_id, CAST(COUNT(s.piece) AS BIGINT) AS n_pieces,
+           CAST(SUM(CASE WHEN s.piece IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unseg
+    FROM dw LEFT JOIN seg s ON dw.word = s.word
+    GROUP BY dw.doc_id
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_tokens,
        d.predicted_lang,
-       CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces
+       CAST(COALESCE(pc.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(pc.n_unseg, 0) AS BIGINT) AS n_unsegmented
 FROM {{ ref('silver_decontam') }} d
 LEFT JOIN pc ON d.doc_id = pc.doc_id
+{% endif %}

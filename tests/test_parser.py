@@ -77,6 +77,48 @@ def test_two_pass_is_incremental(tmp_path):
     assert "__THIS__" in second  # incremental branch now included
 
 
+VAR_SAMPLE = textwrap.dedent(
+    """\
+    -- config: materialized=table
+    {% if var('tokenizer', 'unigram') == 'bpe' %}
+    SELECT 'bpe' AS family FROM {{ ref('up') }}
+    {% else %}
+    SELECT 'unigram' AS family FROM {{ ref('up') }}
+    {% endif %}
+    """
+)
+
+
+def test_var_conditional_body(tmp_path):
+    """Config-driven model bodies (round 14): ``var()`` resolves the
+    declared default at parse time and the real profile/CLI value at
+    render time, so one model file can carry both tokenizer-family
+    branches."""
+    parser = SQLParser(tmp_path)
+    parsed = parser.parse_file(_write(tmp_path, "m2", VAR_SAMPLE))
+    assert parsed.uses_var
+    # parse pass: the declared default picks the branch; deps come
+    # from RAW text, so both branches' refs register either way
+    assert "'unigram'" in parsed.rendered_sql
+    assert "'bpe'" not in parsed.rendered_sql
+    assert parsed.dependencies == {"up"}
+    # execution pass with real vars flips the branch
+    flipped = parser.render(parsed.raw_sql, variables={"tokenizer": "bpe"})
+    assert "'bpe'" in flipped and "'unigram'" not in flipped
+    # absent key falls back to the declared default
+    same = parser.render(parsed.raw_sql, variables={"other": 1})
+    assert "'unigram'" in same
+
+
+def test_var_detection_ignores_sql_var_functions(tmp_path):
+    """``var_samp()`` in plain SQL must not flag the model as
+    var-driven (the flag triggers a per-execution re-render)."""
+    parsed = SQLParser(tmp_path).parse_file(
+        _write(tmp_path, "m3", "SELECT var_samp(x) FROM {{ ref('a') }}")
+    )
+    assert not parsed.uses_var
+
+
 def test_parse_directory_and_cache(tmp_path):
     _write(tmp_path, "a", "SELECT 1 AS x")
     sub = tmp_path / "gold"

@@ -138,14 +138,18 @@ def test_funnel_dag_runs_and_narrows(project, spark):
 
 
 def test_tokenizer_models_pinned_to_generator(project):
-    """The silver_vocab/silver_tokenized model SQL embeds DP
-    expressions GENERATED by operators/text.py _ulm_dp_expr (scale
-    8192, max_piece 4).  Pin the checked-in files against the
-    generator so the model and the operator (and therefore the
-    DuckDB oracle built from the same machinery) cannot drift
+    """The silver_vocab/silver_tokenized model SQL embeds BOTH
+    tokenizer-family bodies GENERATED by operators/text.py — the
+    unigram branch's DP expressions (_ulm_dp_expr, scale 8192,
+    max_piece 4) and the whole BPE branch (bpe_vocab_model_sql /
+    bpe_serve_model_sql, k=8).  Pin the checked-in files against the
+    generators so the models and the operators (and therefore the
+    DuckDB oracles built from the same machinery) cannot drift
     apart silently."""
     from data_transformation_python_spark.operators.text import (
         _ulm_dp_expr,
+        bpe_serve_model_sql,
+        bpe_vocab_model_sql,
     )
 
     models = project["config"].models_dir
@@ -157,6 +161,81 @@ def test_tokenizer_models_pinned_to_generator(project):
                                    "_ulm_dp_expr", forward)
         assert expr in tok_sql, ("silver_tokenized.sql DP drifted "
                                  "from _ulm_dp_expr", forward)
+    assert bpe_vocab_model_sql(8) in vocab_sql, (
+        "silver_vocab.sql BPE branch drifted from bpe_vocab_model_sql"
+    )
+    assert bpe_serve_model_sql(8) in tok_sql, (
+        "silver_tokenized.sql BPE branch drifted from "
+        "bpe_serve_model_sql"
+    )
+
+
+def test_funnel_bpe_mode_end_to_end(tmp_path, spark):
+    """The config-driven tokenizer switch (round 14): the SAME
+    project with the `tokenizer: bpe` var override must run the DAG
+    green with silver_vocab materializing the greedy-merge table and
+    silver_tokenized counting BPE pieces — both families drive the
+    end-to-end funnel, the selection text_tokenizer_compare computes
+    is actually consumable."""
+    proj = tmp_path / "example_pipeline"
+    shutil.copytree(EXAMPLE, proj)
+    db = f"pipeline_bpe_{uuid.uuid4().hex[:8]}"
+    for tst in (proj / "tests").glob("*.sql"):
+        tst.write_text(
+            tst.read_text().replace("analytics_pipeline.", f"{db}.")
+        )
+    config = load_config(proj)
+    config.database = db
+    config.variables["tokenizer"] = "bpe"
+    parser = SQLParser(config.models_dir)
+    state = create_state_manager(config.state_dir, config.env_name)
+    ex = SparkExecutor(spark, database=db)
+    mx = ModelExecutor(ex, parser, config, state)
+    try:
+        levels = build_dependency_graph(
+            parser.parse_directory()
+        ).topological_sort()
+        results = ParallelExecutor(max_parallelism=4).execute_levels(
+            levels, lambda name: mx.execute_model(name)
+        )
+        failed = [r for r in results if not r.get("success")]
+        assert not failed, failed
+        # the trained artifact is the BPE merge table, not the
+        # unigram vocab — schema proves the branch actually flipped
+        vocab = spark.table(f"{db}.silver_vocab")
+        assert set(vocab.columns) == {
+            "step", "left_sym", "right_sym", "merged", "pair_count",
+        }
+        assert vocab.count() == 8
+        # merges must actually fire: fewer pieces than charsplit
+        tok = spark.table(f"{db}.silver_tokenized")
+        n_decon = spark.table(f"{db}.silver_decontam").count()
+        assert tok.count() == n_decon
+        assert tok.where("n_pieces <= 0").count() == 0
+        assert tok.where("n_unsegmented != 0").count() == 0
+        # packing budgets BPE pieces
+        packed = spark.table(f"{db}.gold_packed")
+        assert (
+            packed.join(tok, "doc_id")
+            .where(packed.n_pieces != tok.n_pieces)
+            .count()
+            == 0
+        )
+        assert packed.where(
+            "pack_offset < 0 OR pack_offset >= 512"
+        ).count() == 0
+        # the DQ suite holds in bpe mode too (incl. the new
+        # tokenized_in_domain custom test)
+        registry = ModelRegistry(config.models_dir)
+        runner = TestRunner(ex, registry, config.tests_dir, state=state)
+        results = []
+        for m in MODELS:
+            results += runner.run_model_tests(m, f"{db}.{m}")
+        results += runner.run_custom_sql_tests()
+        bad = [r for r in results if not r.passed]
+        assert not bad, bad
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 def test_dq_and_custom_tests_pass(project, spark):
@@ -179,7 +258,11 @@ def test_dq_and_custom_tests_pass(project, spark):
     assert not bad, bad
     # both custom SQL tests must have been discovered and run
     custom = {r.test_name for r in results if r.model == "custom"}
-    assert custom == {"funnel_monotone", "packed_docs_accounted"}
+    assert custom == {
+        "funnel_monotone",
+        "packed_docs_accounted",
+        "tokenized_in_domain",
+    }
 
 
 def test_incremental_rerun_is_stable(project, spark):
