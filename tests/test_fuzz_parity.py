@@ -761,3 +761,121 @@ def test_h264_pgop_closed_loop_exact(seed, nf, mvx, mvy):
     for i, (fy, fcb, fcr) in enumerate(frames):
         exp = hc._yuv420_to_rgb(fy, fcb, fcr)
         assert np.array_equal(exp, dec[i]), f"frame {i} differs"
+
+
+# --------------------------------------------------------------------------
+# unigram-LM trainer property fuzz (round 14, r13 verdict item 5):
+# the most intricate non-codec machinery, previously pinned only by
+# the fixture-corpus oracle.  Seeded random corpora — tie-heavy tiny
+# alphabets, single-char words, exactly-max_word and over-max_word
+# words, heavy repeats — across randomized (max_word, max_piece,
+# seed_multi, keep_multi), trainer vs the unrolled DuckDB oracle,
+# bit-exact.  The serve path (train → third E-step → doc join) gets
+# the same treatment on a subset.
+# --------------------------------------------------------------------------
+_ULM_FUZZ_KINDS = [
+    "tiny_alpha", "ties", "singles", "maxlen", "mixed", "heavy",
+]
+
+
+def _ulm_fuzz_corpus(rng, kind):
+    docs = []
+    for d in range(rng.randint(5, 30)):
+        words = []
+        for _ in range(rng.randint(0, 12)):
+            if kind == "tiny_alpha":  # 2-letter alphabet → tie-heavy
+                words.append("".join(
+                    rng.choice("ab") for _ in range(rng.randint(1, 6))))
+            elif kind == "ties":  # tiny closed vocab, equal-ish counts
+                words.append(rng.choice(["aa", "ab", "ba", "bb", "a", "b"]))
+            elif kind == "singles":  # every word one char
+                words.append(rng.choice("abcdefg"))
+            elif kind == "maxlen":  # straddle the max_word cut
+                words.append("".join(
+                    rng.choice("abc")
+                    for _ in range(rng.choice([11, 12, 13, 20]))))
+            elif kind == "mixed":
+                words.append("".join(
+                    rng.choice("abcde") for _ in range(rng.randint(1, 15))))
+            else:  # heavy: one dominant word + rare competitors
+                words.append(rng.choice(["zzz"] * 8 + ["zy", "yz"]))
+        docs.append((d, " ".join(words)))
+    return docs
+
+
+def _ulm_fuzz_params(rng):
+    return dict(
+        max_word=rng.choice([4, 6, 8, 12]),
+        max_piece=rng.choice([2, 3, 4]),
+        seed_multi=rng.choice([6, 12, 24, 48]),
+        keep_multi=rng.choice([3, 6, 12, 24]),
+    )
+
+
+def test_unigram_trainer_fuzz_matches_oracle(spark):
+    """24 seeded corpora (4 per adversarial family), trainer vs the
+    unrolled oracle under randomized constants — includes at least
+    one corpus whose every word exceeds max_word (empty vocab on both
+    sides)."""
+    import random
+
+    from data_transformation_python_spark.operators.text import (
+        unigram_lm_oracle_sql,
+        unigram_lm_train,
+    )
+
+    empty_vocab_seen = 0
+    for i in range(24):
+        rng = random.Random(1000 + i)
+        kind = _ULM_FUZZ_KINDS[i % len(_ULM_FUZZ_KINDS)]
+        docs = _ulm_fuzz_corpus(rng, kind)
+        params = _ulm_fuzz_params(rng)
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = [tuple(r) for r in unigram_lm_train(df, **params).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        want = [
+            tuple(r)
+            for r in con.execute(unigram_lm_oracle_sql(**params)).fetchall()
+        ]
+        assert got == want, (i, kind, params, got[:4], want[:4])
+        empty_vocab_seen += not got
+    # the over-max_word family must actually exercise the empty-vocab
+    # edge at least once (seed-pinned: case 9 with these seeds)
+    assert empty_vocab_seen >= 1
+
+
+def test_unigram_serve_fuzz_matches_oracle(spark):
+    """The train→serve composition on 6 seeded corpora (one per
+    family): per-doc piece counts under the final scores vs the
+    extended serve oracle."""
+    import random
+
+    from data_transformation_python_spark.operators.text import (
+        unigram_lm_oracle_sql,
+        unigram_tokenize,
+    )
+
+    for i in range(6):
+        rng = random.Random(7000 + i)
+        kind = _ULM_FUZZ_KINDS[i % len(_ULM_FUZZ_KINDS)]
+        docs = _ulm_fuzz_corpus(rng, kind)
+        params = _ulm_fuzz_params(rng)
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_words"], r["n_pieces"], r["n_distinct_pieces"]
+            )
+            for r in unigram_tokenize(df, **params).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        want = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(
+                unigram_lm_oracle_sql(serve=True, **params)
+            ).fetchall()
+        }
+        assert got == want, (i, kind, params)
