@@ -670,6 +670,34 @@ def corpus_scale_entries(spark, corpus_dir: str):
             "text_unigram_lm_train",
             lambda: tx.unigram_lm_train(docs),
         ),
+        (
+            # tokenizer evaluation at corpus scale (round 14): train
+            # BOTH families and join their per-doc piece counts —
+            # two word-histogram scans dominate; the BPE merges and
+            # unigram E-steps run on the vocab-sized distinct-word
+            # cache, so expect ~linear in corpus size
+            "text_tokenizer_compare",
+            lambda: tx.bpe_tokenize_stats(docs)
+            .select(
+                "doc_id",
+                "n_words",
+                F.col("n_pieces").alias("bpe_pieces"),
+            )
+            .join(
+                tx.unigram_tokenize(docs).select(
+                    "doc_id", F.col("n_pieces").alias("ulm_pieces")
+                ),
+                "doc_id",
+            )
+            .selectExpr(
+                "doc_id",
+                "n_words",
+                "bpe_pieces",
+                "ulm_pieces",
+                "CAST(1000000 * ulm_pieces DIV bpe_pieces AS BIGINT)"
+                " AS ulm_per_bpe_q",
+            ),
+        ),
     ]
 
 

@@ -103,86 +103,42 @@ def _register_all() -> None:
 
 # The external correctness gate checks at most the FIRST 50 registered
 # queries per round, so iteration order is a verification budget,
-# rotated STALEST-FIRST each round.  Round 13 head: (1) the two
-# brand-new never-checked gates — the streaming funnel admission
-# twin and the BPE-vs-unigram tokenizer comparison; (2) the gates
-# whose CODE changed this round — BOTH funnel
-# gates (the DAG gained the silver_vocab/silver_tokenized
-# tokenize-then-pack stages, gold_packed budgets pieces, oracle
-# extended in lockstep), the three unigram gates (_ulm_estep now
-# persists the DP frame; the serve path gained the out-of-vocab
-# guard + n_unsegmented column), and the three B_8x8 gates (the
-# encoder stats census gained the per-list b8 keys — decoder output
-# unchanged, re-gated per convention); (3) everything else ordered
-# by LAST-DRIVER-CHECKED ROUND ascending, computed from the
-# committed CORRECTNESS_r{1..12}.json ledger (ties alphabetical) —
-# the whole list below is machine-generated from that ledger: the
-# two remaining r7 names then the 44-name r8 block fill the window
-# (38 of them fit; the last 6 r8 names + the r9 block head
-# round 14).  Everything past position 50
-# stays honest through the local full-registry PARITY sweep
-# (tests/test_oracle_parity.py + committed PARITY_r{N}.json).  Names
-# absent from the registry are ignored; registered names absent from
-# this list keep registration order.
+# rotated STALEST-FIRST each round.  Round 14 head: (1) the one
+# brand-new never-checked gate — pipeline_funnel_bpe, the BPE half of
+# the config-driven tokenizer-family switch; (2) the gates whose CODE
+# changed this round — both funnel gates (silver_vocab /
+# silver_tokenized re-branched on var('tokenizer') + the new
+# n_unsegmented column), the streaming admission gate (control plane
+# factored into _adm_batch_artifacts/_adm_stream_admitted for the
+# stream-slice scaling sweep), and the three unigram gates (the serve
+# oracle's OOV LEFT JOIN fix + the _ulm_estep try/finally unpersist);
+# (3) everything else ordered by LAST-DRIVER-CHECKED ROUND ascending,
+# computed from the committed CORRECTNESS_r{1..13}.json ledger (ties
+# alphabetical) — the whole list below is machine-generated from that
+# ledger: the 6 remaining r8 names then the r9 block fill the window
+# (37 of the 46 r9 names fit; the rest + the r10 block head
+# round 15).  Everything past position 50 stays honest through the
+# local full-registry PARITY sweep (tests/test_oracle_parity.py +
+# committed PARITY_r{N}.json).  Names absent from the registry are
+# ignored; registered names absent from this list keep registration
+# order.
 _PRIORITY: list[str] = [
-    # (1) new in round 13 — never driver-checked
-    "q_stream_funnel_admission",
-    "text_tokenizer_compare",
-    # (2) code changed in round 13 (funnel gained the
-    #     silver_vocab/silver_tokenized tokenize-then-pack
-    #     stages + oracle; _ulm_estep persist + serve OOV
-    #     guard touch the three unigram gates; the encoder
-    #     B_8x8 stats census touches the three b8 gates)
+    # (1) new in round 14 — never driver-checked
+    "pipeline_funnel_bpe",
+    # (2) code changed in round 14 (both funnel gates run the
+    #     re-branched silver_vocab/silver_tokenized models +
+    #     n_unsegmented; the admission gate was refactored into
+    #     _adm_batch_artifacts/_adm_stream_admitted for the
+    #     stream-slice sweep; the unigram serve ORACLE gained
+    #     the OOV LEFT JOIN and _ulm_estep the try/finally
+    #     unpersist — all three unigram gates re-gated)
     "pipeline_curation_funnel",
     "pipeline_funnel_incremental",
+    "q_stream_funnel_admission",
     "text_unigram_lm_train",
     "text_unigram_tokenize",
     "q_stream_unigram_serve",
-    "multimodal_h264b8_meta",
-    "multimodal_h264b8d_meta",
-    "multimodal_h264b8s_meta",
-    # (3) stalest-first: last driver-checked in round 7
-    "text_token_freq",
-    "text_token_stats",
     # (3) stalest-first: last driver-checked in round 8
-    "dedup_editdist_verify",
-    "dedup_leakage_split",
-    "dedup_span_extract",
-    "dedup_span_trim",
-    "graph_pagerank_tokens",
-    "multimodal_audio_neardup",
-    "multimodal_binaryfile_ingest",
-    "multimodal_bmp_equalize",
-    "multimodal_dhash_neardup",
-    "multimodal_image_dedup_cc",
-    "multimodal_scene_cuts",
-    "multimodal_video_neardup",
-    "multimodal_wav_frames",
-    "pack_sequences",
-    "q_cusum_changepoint",
-    "q_incremental_aggregate",
-    "q_mad_outliers",
-    "q_stream_ann_route",
-    "q_stream_bm25_serve",
-    "q_stream_cusum",
-    "q_stream_hdr_merge",
-    "q_stream_hll_merge",
-    "q_stream_image_dedup",
-    "q_stream_mg_merge",
-    "q_stream_pq_serve",
-    "samp_reservoir",
-    "samp_token_quota",
-    "sim_bq_hamming_topk",
-    "sim_sq8_topk",
-    "sketch_bloom_join",
-    "sketch_hdr_grouped",
-    "sketch_hdr_quantiles",
-    "sketch_hll_distinct",
-    "sketch_kmv_overlap",
-    "sketch_mg_heavyhitters",
-    "text_bm25_serve",
-    "text_bm25_topk",
-    "text_bpe_learn",
     "text_bpe_tokenize",
     "text_lm_backoff",
     "text_phrase_search",
@@ -364,6 +320,51 @@ _PRIORITY: list[str] = [
     "text_fingerprint",
     "text_language_id",
     "text_rolling_fingerprint",
+    # (3) stalest-first: last driver-checked in round 13
+    "dedup_editdist_verify",
+    "dedup_leakage_split",
+    "dedup_span_extract",
+    "dedup_span_trim",
+    "graph_pagerank_tokens",
+    "multimodal_audio_neardup",
+    "multimodal_binaryfile_ingest",
+    "multimodal_bmp_equalize",
+    "multimodal_dhash_neardup",
+    "multimodal_h264b8_meta",
+    "multimodal_h264b8d_meta",
+    "multimodal_h264b8s_meta",
+    "multimodal_image_dedup_cc",
+    "multimodal_scene_cuts",
+    "multimodal_video_neardup",
+    "multimodal_wav_frames",
+    "pack_sequences",
+    "q_cusum_changepoint",
+    "q_incremental_aggregate",
+    "q_mad_outliers",
+    "q_stream_ann_route",
+    "q_stream_bm25_serve",
+    "q_stream_cusum",
+    "q_stream_hdr_merge",
+    "q_stream_hll_merge",
+    "q_stream_image_dedup",
+    "q_stream_mg_merge",
+    "q_stream_pq_serve",
+    "samp_reservoir",
+    "samp_token_quota",
+    "sim_bq_hamming_topk",
+    "sim_sq8_topk",
+    "sketch_bloom_join",
+    "sketch_hdr_grouped",
+    "sketch_hdr_quantiles",
+    "sketch_hll_distinct",
+    "sketch_kmv_overlap",
+    "sketch_mg_heavyhitters",
+    "text_bm25_serve",
+    "text_bm25_topk",
+    "text_bpe_learn",
+    "text_token_freq",
+    "text_token_stats",
+    "text_tokenizer_compare",
 ]
 
 

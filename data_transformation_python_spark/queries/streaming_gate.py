@@ -2232,6 +2232,44 @@ def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    indexes, score, cs, cd = _adm_batch_artifacts(spark, docs)
+    try:
+        stream_schema = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).schema
+        stream = (
+            spark.readStream.schema(stream_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", "text", "lang")
+        )
+        admitted = _adm_stream_admitted(stream, indexes, score, cs, cd)
+        name = f"stream_adm_{uuid.uuid4().hex[:8]}"
+        q = (
+            admitted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+    finally:
+        for ix in indexes:
+            ix.unpersist()
+
+
+def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
+    """Build the admission gate's batch control plane from the raw
+    corpus: the four quality-survivor band indexes (returned
+    PERSISTED and materialized — the caller unpersists them when the
+    stream finishes), the DSIR score expression with the trained
+    weight array folded in as an 8 KB literal, and the top-k cutoff
+    pair.  Factored out of the gate (round 14) so scaling_sweep.py
+    can build FIXED artifacts once and sweep only the streamed slice
+    — at 100 TB this split IS the deployment shape: artifacts
+    rebuild per compaction window, the stream pays per-doc row-local
+    cost only."""
     B, scale = 1024, 10**6
     bucket_of = (
         "pmod(CAST(conv(substr(md5({g}), 1, 12), 16, 10) AS BIGINT),"
@@ -2245,18 +2283,21 @@ def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> concat(element_at({tk2}, i), ' ',"
         f" element_at({tk2}, i + 1))))"
     )
-
-    # ---- batch control plane: band index, decontam corpus, DSIR
-    # weights, selection cutoff --------------------------------------
     enriched = _adm_enrich(docs).persist()
+    survivors = None
     try:
         qual = enriched.filter("quality")
         indexes = [
             qual.groupBy(F.col(f"bkey{b}").alias("bkey"))
             .agg(F.min("doc_id").alias("min_id"))
             .filter(F.col("bkey").isNotNull())
+            .persist()
             for b in range(4)
         ]
+        # materialize the indexes while the enrich cache is hot —
+        # they outlive this function as the stream's broadcast probes
+        for ix in indexes:
+            ix.count()
         survivors = _adm_dedup_pass(qual, indexes).select(
             "doc_id", "lang", "n_tokens", "t2", "sc_text"
         ).persist()
@@ -2328,42 +2369,28 @@ def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs, cd = int(top[-1]["s"]), int(top[-1]["doc_id"])
         else:  # nothing scored: admit no dsir docs
             cs, cd = (1 << 62), -1
-
-        # ---- the stream: one stateless projection + broadcast
-        # probes per document ----------------------------------------
-        stream_schema = spark.read.parquet(
-            f"{sf_dir}/documents.parquet"
-        ).schema
-        stream = (
-            spark.readStream.schema(stream_schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-            .select("doc_id", "text", "lang")
-        )
-        st = _adm_enrich(stream).filter("quality AND doc_id % 20 != 0")
-        st = _adm_dedup_pass(st, indexes)
-        admitted = st.withColumn("s", F.expr(score)).filter(
-            f"lang = 'en' OR s > {cs}L"
-            f" OR (s = {cs}L AND doc_id <= {cd}L)"
-        ).select(
-            "doc_id", "lang", "n_tokens", "predicted_lang",
-            F.expr("IF(lang = 'en', 'target', 'dsir')").alias(
-                "admitted_via"
-            ),
-        )
-        name = f"stream_adm_{uuid.uuid4().hex[:8]}"
-        q = (
-            admitted.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        return spark.table(name)
+        return indexes, score, cs, cd
     finally:
         enriched.unpersist()
-        try:
+        if survivors is not None:
             survivors.unpersist()
-        except Exception:
-            pass
+
+
+def _adm_stream_admitted(
+    stream: DataFrame, indexes: list, score: str, cs: int, cd: int
+) -> DataFrame:
+    """The stream side of the admission gate: ONE stateless enrich
+    projection + four broadcast band-index probes + the row-local
+    DSIR score/cutoff compare — shared by the gate and the
+    stream-slice scaling sweep."""
+    st = _adm_enrich(stream).filter("quality AND doc_id % 20 != 0")
+    st = _adm_dedup_pass(st, indexes)
+    return st.withColumn("s", F.expr(score)).filter(
+        f"lang = 'en' OR s > {cs}L"
+        f" OR (s = {cs}L AND doc_id <= {cd}L)"
+    ).select(
+        "doc_id", "lang", "n_tokens", "predicted_lang",
+        F.expr("IF(lang = 'en', 'target', 'dsir')").alias(
+            "admitted_via"
+        ),
+    )

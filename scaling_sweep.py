@@ -87,7 +87,110 @@ ENTRIES = [
     # eval-suite size FIXED at 500 docs, corpus swept; the bench
     # shingle set broadcasts, expect ~linear map-side shingling
     "funnel_decontam_fixed_eval",
+    # round 14: tokenizer evaluation — both trainers + both
+    # distinct-word-cache serve joins per shot; two histogram scans
+    # dominate, expect ~linear
+    "text_tokenizer_compare",
 ]
+
+
+def sweep_stream_admission(sizes_m: list[int] | None = None) -> list[dict]:
+    """The admission gate's STREAM-side curve (round 14, r13-verdict
+    item 6): batch artifacts (band indexes, DSIR weights, cutoff)
+    built ONCE from a fixed 50k corpus, then only the streamed slice
+    is swept — the deployment split, where artifacts rebuild per
+    compaction window and the stream pays per-doc row-local cost.
+    Expect ~linear in streamed docs above the streaming-machinery
+    floor (one availableNow micro-batch per run)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_transformation_python_spark.queries.streaming_gate import (
+        _adm_batch_artifacts,
+        _adm_stream_admitted,
+    )
+
+    sizes_m = sizes_m or [10_000, 20_000, 40_000]
+    spark = get_spark()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    corpus_dir = build_scaled_corpus(spark, 50_000)
+    # the scaled corpus has no lang column — derive a deterministic
+    # 60/25/15 split so the target-vs-rest DSIR histograms and the
+    # admitted_via routing get real structure
+    # ... and the hash-token text carries no English stopwords, which
+    # the Gopher quality gate requires (n_stop_en >= 2) — blend a
+    # stopword tail in so the gate admits real work (mean token
+    # length and alpha/symbol ratios stay inside the gate's bands)
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "concat(text, ' the and of to is the a') AS text",
+        "CASE WHEN pmod(xxhash64(doc_id), 20) < 12 THEN 'en'"
+        " WHEN pmod(xxhash64(doc_id), 20) < 17 THEN 'de'"
+        " ELSE 'es' END AS lang",
+    )
+    results: list[dict] = []
+    indexes, score, cs, cd = _adm_batch_artifacts(spark, docs)
+    try:
+        for m in sizes_m:
+            tmp = tempfile.mkdtemp(prefix="dtps_sweep_adm_")
+            try:
+                sl = docs.filter(f"doc_id % 50000 < {m}")
+                n = sl.count()
+                sl.write.parquet(f"{tmp}/slice")
+                schema = spark.read.parquet(f"{tmp}/slice").schema
+                ts = []
+                n_admitted = 0
+                for _ in range(2):
+                    stream = spark.readStream.schema(schema).parquet(
+                        f"{tmp}/slice"
+                    )
+                    admitted = _adm_stream_admitted(
+                        stream, indexes, score, cs, cd
+                    )
+                    name = f"sweep_adm_{uuid.uuid4().hex[:8]}"
+                    t0 = time.perf_counter()
+                    q = (
+                        admitted.writeStream.format("memory")
+                        .queryName(name)
+                        .outputMode("append")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination(600)
+                    ts.append(time.perf_counter() - t0)
+                    n_admitted = spark.table(name).count()
+                    spark.catalog.dropTempView(name)
+                if not 0 < n_admitted <= n:
+                    raise RuntimeError(
+                        f"admission sweep processed nothing at {n} docs"
+                    )
+                results.append(
+                    {"stream_docs": n, "admitted": n_admitted,
+                     "stream_run_sec": round(min(ts), 3)}
+                )
+                print(
+                    f"admission stream={n} docs -> {min(ts):.2f}s"
+                    f" ({n_admitted} admitted)",
+                    flush=True,
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        for ix in indexes:
+            ix.unpersist()
+    if len(results) >= 2:
+        lo, hi = results[0], results[-1]
+        k = math.log(
+            hi["stream_run_sec"] / lo["stream_run_sec"]
+        ) / math.log(hi["stream_docs"] / lo["stream_docs"])
+        print(
+            f"stream_admission exponent k={k:.2f} over fixed artifacts"
+            " (micro-batch floor flattens it)",
+            flush=True,
+        )
+        results.append({"exponent": round(k, 3)})
+    return results
 
 
 def sweep_funnel_incremental(sizes_m: list[int] | None = None) -> list[dict]:
@@ -188,6 +291,12 @@ def main() -> None:
     if os.environ.get("SWEEP_FUNNEL"):
         print(json.dumps({"funnel_incremental":
                           sweep_funnel_incremental()}, indent=1))
+        return
+    # SWEEP_STREAM_ADMISSION=1 runs the fixed-artifact stream-slice
+    # sweep of the admission gate instead of the entry sweep
+    if os.environ.get("SWEEP_STREAM_ADMISSION"):
+        print(json.dumps({"stream_admission":
+                          sweep_stream_admission()}, indent=1))
         return
     # SWEEP_ENTRIES=a,b,c restricts the run (re-sweeping one family
     # shouldn't cost a full pass over all of them)
