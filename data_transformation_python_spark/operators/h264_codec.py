@@ -106,58 +106,89 @@ import numpy as np
 
 # -- bit-level RBSP I/O -----------------------------------------------------
 class _EgWriter:
-    """MSB-first bit writer with Exp-Golomb helpers (spec §9.1)."""
+    """MSB-first bit writer with Exp-Golomb helpers (spec §9.1).
+
+    Accumulates into a bytearray plus a sub-byte carry instead of a
+    per-bit Python list (the original appended one list element per
+    bit and packbits'd at the end — the per-bit loop was a top-five
+    profile line across every codec fixture builder).  The emitted
+    bit pattern is identical."""
 
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self._buf = bytearray()
+        self._acc = 0    # pending sub-byte bits, MSB-first
+        self._nbits = 0  # number of pending bits (0..7)
 
     def u(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.bits.append((value >> i) & 1)
+        acc = (self._acc << n) | (value & ((1 << n) - 1))
+        nb = self._nbits + n
+        buf = self._buf
+        while nb >= 8:
+            nb -= 8
+            buf.append((acc >> nb) & 0xFF)
+        self._nbits = nb
+        self._acc = acc & ((1 << nb) - 1)
 
     def ue(self, value: int) -> None:
         code = value + 1
         n = code.bit_length()
-        self.u(0, n - 1)
-        self.u(code, n)
+        self.u(code, 2 * n - 1)
 
     def se(self, value: int) -> None:
         self.ue(2 * value - 1 if value > 0 else -2 * value)
 
     def align_zero(self) -> None:
-        while len(self.bits) % 8:
-            self.bits.append(0)
+        if self._nbits:
+            self.u(0, 8 - self._nbits)
 
     def raw_bytes(self, data: bytes) -> None:
-        assert len(self.bits) % 8 == 0
-        for byte in data:
-            self.u(byte, 8)
+        assert self._nbits == 0
+        self._buf.extend(data)
 
     def rbsp_trailing(self) -> None:
-        self.bits.append(1)  # rbsp_stop_one_bit
+        self.u(1, 1)  # rbsp_stop_one_bit
         self.align_zero()
 
+    @property
+    def bits(self) -> list[int]:
+        """The written bits as a list (diagnostics/tests only)."""
+        out = []
+        for byte in self._buf:
+            for i in range(7, -1, -1):
+                out.append((byte >> i) & 1)
+        for i in range(self._nbits - 1, -1, -1):
+            out.append((self._acc >> i) & 1)
+        return out
+
     def tobytes(self) -> bytes:
-        assert len(self.bits) % 8 == 0
-        arr = np.array(self.bits, dtype=np.uint8)
-        return np.packbits(arr).tobytes()
+        assert self._nbits == 0
+        return bytes(self._buf)
 
 
 class _EgReader:
-    """MSB-first bit reader with Exp-Golomb helpers."""
+    """MSB-first bit reader with Exp-Golomb helpers.
+
+    Reads straight from the byte buffer (the original unpacked the
+    whole RBSP to one numpy element per bit and walked it one bit at
+    a time — a top-five profile line across every decode path).  Bit
+    semantics are identical."""
 
     def __init__(self, data: bytes) -> None:
-        self._bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self._data = bytes(data)
+        self._nbits = 8 * len(self._data)
         self.i = 0
 
     def u(self, n: int) -> int:
-        if self.i + n > len(self._bits):
+        i = self.i
+        if i + n > self._nbits:
             raise ValueError("truncated RBSP")
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | int(self._bits[self.i])
-            self.i += 1
-        return v
+        self.i = i + n
+        if n == 0:
+            return 0
+        start, end = i >> 3, (i + n + 7) >> 3
+        chunk = int.from_bytes(self._data[start:end], "big")
+        drop = (end << 3) - (i + n)
+        return (chunk >> drop) & ((1 << n) - 1)
 
     def ue(self) -> int:
         zeros = 0
@@ -172,20 +203,17 @@ class _EgReader:
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
     def align_zero(self) -> None:
-        while self.i % 8:
-            if self._bits[self.i] != 0:
-                raise ValueError("nonzero pcm alignment bit")
-            self.i += 1
+        r = self.i & 7
+        if r and self.u(8 - r) != 0:
+            raise ValueError("nonzero pcm alignment bit")
 
     def raw(self, n_bytes: int) -> bytes:
         assert self.i % 8 == 0
         start = self.i // 8
         self.i += 8 * n_bytes
-        if self.i > len(self._bits):
+        if self.i > self._nbits:
             raise ValueError("truncated I_PCM samples")
-        return np.packbits(
-            self._bits[start * 8 : self.i]
-        ).tobytes()
+        return self._data[start : start + n_bytes]
 
     def more_rbsp_data(self) -> bool:
         """§7.2 more_rbsp_data(): True while syntax bits remain, i.e.
@@ -196,8 +224,13 @@ class _EgReader:
         prerequisite for multi-slice pictures."""
         last = getattr(self, "_last_one", None)
         if last is None:
-            nz = np.flatnonzero(self._bits)
-            last = int(nz[-1]) if nz.size else -1
+            d = self._data
+            j = len(d) - 1
+            while j >= 0 and d[j] == 0:
+                j -= 1
+            last = -1 if j < 0 else (
+                (j << 3) + 8 - ((d[j] & -d[j]).bit_length())
+            )
             self._last_one = last
         return self.i < last
 
@@ -614,8 +647,7 @@ del _tc, _t1
 
 
 def _put_bits(bw: _EgWriter, code: str) -> None:
-    for ch in code:
-        bw.bits.append(1 if ch == "1" else 0)
+    bw.u(int(code, 2), len(code))
 
 
 def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
@@ -680,7 +712,7 @@ def cavlc_encode_block(
     if total == 0:
         return
     for _, c in list(reversed(nz))[:t1]:
-        bw.bits.append(0 if c > 0 else 1)  # trailing-one sign
+        bw.u(0 if c > 0 else 1, 1)  # trailing-one sign
     suffix_len = 1 if total > 10 and t1 < 3 else 0
     first = True
     for _, level in list(reversed(nz))[t1:]:
@@ -833,12 +865,19 @@ _LS_C = (13, 14, 16, 18, 20, 23)
 
 
 def _levelscale4x4(m: int) -> np.ndarray:
-    ls = np.full((4, 4), _LS_C[m], np.int64)
-    for i, j in ((0, 0), (0, 2), (2, 0), (2, 2)):
-        ls[i, j] = _LS_A[m]
-    for i, j in ((1, 1), (1, 3), (3, 1), (3, 3)):
-        ls[i, j] = _LS_B[m]
+    ls = _LS_CACHE.get(m)
+    if ls is None:
+        ls = np.full((4, 4), _LS_C[m], np.int64)
+        for i, j in ((0, 0), (0, 2), (2, 0), (2, 2)):
+            ls[i, j] = _LS_A[m]
+        for i, j in ((1, 1), (1, 3), (3, 1), (3, 3)):
+            ls[i, j] = _LS_B[m]
+        ls.setflags(write=False)  # shared across calls — keep frozen
+        _LS_CACHE[m] = ls
     return ls
+
+
+_LS_CACHE: dict[int, np.ndarray] = {}
 
 
 def _ac_dequant(c: np.ndarray, qp: int) -> np.ndarray:
@@ -853,29 +892,35 @@ def _ac_dequant(c: np.ndarray, qp: int) -> np.ndarray:
 
 def _inv_transform4x4(d: np.ndarray) -> np.ndarray:
     """§8.5.12.2 inverse 4x4 core transform (the >>1 butterflies),
-    returning residual samples BEFORE the final (x + 32) >> 6."""
-    d = d.astype(np.int64)
-    # horizontal (rows)
-    e0 = d[:, 0] + d[:, 2]
-    e1 = d[:, 0] - d[:, 2]
-    e2 = (d[:, 1] >> 1) - d[:, 3]
-    e3 = d[:, 1] + (d[:, 3] >> 1)
-    f = np.empty_like(d)
-    f[:, 0] = e0 + e3
-    f[:, 1] = e1 + e2
-    f[:, 2] = e1 - e2
-    f[:, 3] = e0 - e3
-    # vertical (columns)
-    g0 = f[0, :] + f[2, :]
-    g1 = f[0, :] - f[2, :]
-    g2 = (f[1, :] >> 1) - f[3, :]
-    g3 = f[1, :] + (f[3, :] >> 1)
-    h = np.empty_like(d)
-    h[0, :] = g0 + g3
-    h[1, :] = g1 + g2
-    h[2, :] = g1 - g2
-    h[3, :] = g0 - g3
-    return h
+    returning residual samples BEFORE the final (x + 32) >> 6.
+
+    Runs on plain Python ints: a 4x4 block is far below numpy's
+    per-op break-even, and this is the densest inner call of every
+    residual decode (Python ``>>`` on negative ints is the same
+    arithmetic shift numpy int64 performs, so values are identical
+    to the vectorized form)."""
+    rows = d.tolist()
+    f = []
+    for d0, d1, d2, d3 in rows:
+        e0 = d0 + d2
+        e1 = d0 - d2
+        e2 = (d1 >> 1) - d3
+        e3 = d1 + (d3 >> 1)
+        f.append((e0 + e3, e1 + e2, e1 - e2, e0 - e3))
+    (f00, f01, f02, f03), (f10, f11, f12, f13) = f[0], f[1]
+    (f20, f21, f22, f23), (f30, f31, f32, f33) = f[2], f[3]
+    out = []
+    for f0, f1, f2, f3 in (
+        (f00, f10, f20, f30), (f01, f11, f21, f31),
+        (f02, f12, f22, f32), (f03, f13, f23, f33),
+    ):
+        g0 = f0 + f2
+        g1 = f0 - f2
+        g2 = (f1 >> 1) - f3
+        g3 = f1 + (f3 >> 1)
+        out.append((g0 + g3, g1 + g2, g1 - g2, g0 - g3))
+    # out holds columns; transpose back to row-major
+    return np.array(out, np.int64).T
 
 
 _CF = np.array(
@@ -1830,10 +1875,17 @@ def _pskip_mv(ms: _MotionState, mx: int, my: int):
 def _mc_block(plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
               dx: int, dy: int) -> np.ndarray:
     """Full-pel motion-compensated block fetch with picture-edge
-    extension (§8.4.2.2.1 coordinate clipping)."""
+    extension (§8.4.2.2.1 coordinate clipping).  Interior fetches
+    (the overwhelmingly common case) return a basic slice — a view,
+    which every caller treats as read-only — instead of paying the
+    advanced-indexing copy; only blocks that actually cross a
+    picture edge take the clamped np.ix_ path."""
     hh, ww = plane.shape
-    ys = np.clip(np.arange(y0 + dy, y0 + dy + bh), 0, hh - 1)
-    xs = np.clip(np.arange(x0 + dx, x0 + dx + bw), 0, ww - 1)
+    ya, xa = y0 + dy, x0 + dx
+    if 0 <= ya and 0 <= xa and ya + bh <= hh and xa + bw <= ww:
+        return plane[ya : ya + bh, xa : xa + bw]
+    ys = np.clip(np.arange(ya, ya + bh), 0, hh - 1)
+    xs = np.clip(np.arange(xa, xa + bw), 0, ww - 1)
     return plane[np.ix_(ys, xs)]
 
 
@@ -1856,13 +1908,22 @@ _K6 = (1, -5, 20, 20, -5, 1)  # the six-tap half-pel filter
 
 def _conv6_h(w: np.ndarray) -> np.ndarray:
     """Horizontal 6-tap over a window: out[:, i] spans w[:, i..i+5]
-    (the un-normalized half-pel intermediate — §8.4.2.2.1 b1/s1)."""
-    return sum(k * w[:, i : w.shape[1] - 5 + i] for i, k in enumerate(_K6))
+    (the un-normalized half-pel intermediate — §8.4.2.2.1 b1/s1).
+    Unrolled with in-place accumulation: integer adds commute, so the
+    value is identical to the tap-by-tap sum while allocating three
+    temporaries instead of eleven."""
+    out = w[:, 0:-5] + w[:, 5:]
+    out += 20 * (w[:, 2:-3] + w[:, 3:-2])
+    out -= 5 * (w[:, 1:-4] + w[:, 4:-1])
+    return out
 
 
 def _conv6_v(w: np.ndarray) -> np.ndarray:
     """Vertical 6-tap over a window (h1/m1 intermediates)."""
-    return sum(k * w[i : w.shape[0] - 5 + i, :] for i, k in enumerate(_K6))
+    out = w[0:-5, :] + w[5:, :]
+    out += 20 * (w[2:-3, :] + w[3:-2, :])
+    out -= 5 * (w[1:-4, :] + w[4:-1, :])
+    return out
 
 
 def _interp_luma_block(
@@ -1883,38 +1944,84 @@ def _interp_luma_block(
     if xf == 0 and yf == 0:
         return _mc_block(plane, x0, y0, bw, bh, xi, yi)
     hh, ww = plane.shape
-    ys = np.clip(np.arange(y0 + yi - 2, y0 + yi + bh + 4), 0, hh - 1)
-    xs = np.clip(np.arange(x0 + xi - 2, x0 + xi + bw + 4), 0, ww - 1)
-    w = plane[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
-    G = w[2 : 2 + bh + 1, 2 : 2 + bw + 1]       # integer grid (+1 row/col)
-    b1 = _conv6_h(w)                            # (bh+6, bw+1)
-    b = np.clip((b1[2 : 2 + bh + 1, :] + 16) >> 5, 0, 255)   # (bh+1, bw+1)
-    h1 = _conv6_v(w)                            # (bh+1, bw+6)
-    h = np.clip((h1 + 16) >> 5, 0, 255)[:, 2 : 2 + bw + 1]   # (bh+1, bw+1)
-    j = np.clip((_conv6_v(b1) + 512) >> 10, 0, 255)          # (bh+1, bw+1)
-    Gb, Hn = G[:bh, :bw], G[:bh, 1 : bw + 1]
-    Mb = G[1 : bh + 1, :bw]
-    bb, ss = b[:bh, :bw], b[1 : bh + 1, :bw]
-    hc, mm = h[:bh, :bw], h[:bh, 1 : bw + 1]
-    jj = j[:bh, :bw]
-    sel = {
-        (1, 0): (Gb + bb + 1) >> 1,   # a
-        (2, 0): bb,                   # b
-        (3, 0): (Hn + bb + 1) >> 1,   # c
-        (0, 1): (Gb + hc + 1) >> 1,   # d
-        (1, 1): (bb + hc + 1) >> 1,   # e
-        (2, 1): (bb + jj + 1) >> 1,   # f
-        (3, 1): (bb + mm + 1) >> 1,   # g
-        (0, 2): hc,                   # h
-        (1, 2): (hc + jj + 1) >> 1,   # i
-        (2, 2): jj,                   # j
-        (3, 2): (jj + mm + 1) >> 1,   # k
-        (0, 3): (Mb + hc + 1) >> 1,   # n
-        (1, 3): (hc + ss + 1) >> 1,   # p
-        (2, 3): (jj + ss + 1) >> 1,   # q
-        (3, 3): (mm + ss + 1) >> 1,   # r
-    }
-    return sel[(xf, yf)]
+    ya, xa = y0 + yi - 2, x0 + xi - 2
+    if 0 <= ya and 0 <= xa and ya + bh + 6 <= hh and xa + bw + 6 <= ww:
+        # interior window: basic slice instead of the clamped-index
+        # advanced-indexing copy (identical samples — no coordinate
+        # ever clips when the whole window is inside the picture)
+        w = plane[ya : ya + bh + 6, xa : xa + bw + 6].astype(np.int64)
+    else:
+        ys = np.clip(np.arange(ya, ya + bh + 6), 0, hh - 1)
+        xs = np.clip(np.arange(xa, xa + bw + 6), 0, ww - 1)
+        w = plane[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
+    # Compute ONLY the intermediates this sub-position reads (the
+    # original built G, b, h, j and all fifteen Table 8-12 outputs
+    # per call; a 4x4 block fetch is pure numpy call overhead, so
+    # the dead arithmetic dominated encode+decode).  Values are
+    # bit-identical: each branch is the same integer expression the
+    # full table computed.
+    #   b (horizontal half-pel) feeds xf∈{1,2,3} rows yf∈{0,1} and
+    #     the ss row of yf=3;   h (vertical) feeds yf∈{1,2,3} except
+    #     the xf=2 column;      j (center) feeds the xf=2/yf=2 cross.
+    if yf == 0:
+        # a/b/c: horizontal-only — b over the block rows alone
+        b = np.clip(
+            (_conv6_h(w[2 : 2 + bh, :]) + 16) >> 5, 0, 255
+        )
+        bb = b[:, :bw]
+        if xf == 2:
+            return bb
+        G = w[2 : 2 + bh, 2 : 2 + bw + 1]
+        if xf == 1:
+            return (G[:, :bw] + bb + 1) >> 1          # a
+        return (G[:, 1 : bw + 1] + bb + 1) >> 1       # c
+    if xf == 0:
+        # d/h/n: vertical-only — h over the block columns alone
+        h = np.clip(
+            (_conv6_v(w[:, 2 : 2 + bw]) + 16) >> 5, 0, 255
+        )
+        hc = h[:bh, :]
+        if yf == 2:
+            return hc
+        G = w[2 : 2 + bh + 1, 2 : 2 + bw]
+        if yf == 1:
+            return (G[:bh, :] + hc + 1) >> 1          # d
+        return (G[1 : bh + 1, :] + hc + 1) >> 1       # n
+    need_j = xf == 2 or yf == 2
+    if need_j:
+        b1 = _conv6_h(w)                              # (bh+6, bw+1)
+        j = np.clip((_conv6_v(b1) + 512) >> 10, 0, 255)
+        jj = j[:bh, :bw]
+        if xf == 2 and yf == 2:
+            return jj
+        if yf == 2:                                   # i / k
+            h = np.clip(
+                (_conv6_v(w[:, 2 : 2 + bw + 1]) + 16) >> 5, 0, 255
+            )[:bh, :]
+            if xf == 1:
+                return (h[:, :bw] + jj + 1) >> 1      # i
+            return (jj + h[:, 1 : bw + 1] + 1) >> 1   # k
+        # xf == 2, yf ∈ {1, 3}: f / q need b rows 0..bh of the block
+        b = np.clip((b1[2 : 2 + bh + 1, :bw] + 16) >> 5, 0, 255)
+        if yf == 1:
+            return (b[:bh, :] + jj + 1) >> 1          # f
+        return (jj + b[1 : bh + 1, :] + 1) >> 1       # q
+    # diagonal quarter positions e/g/p/r: b and h, no j
+    b = np.clip(
+        (_conv6_h(w[2 : 2 + bh + 1, :]) + 16) >> 5, 0, 255
+    )[:, :bw]
+    h = np.clip(
+        (_conv6_v(w[:, 2 : 2 + bw + 1]) + 16) >> 5, 0, 255
+    )[:bh, :]
+    bb, ss = b[:bh, :], b[1 : bh + 1, :]
+    hc, mm = h[:, :bw], h[:, 1 : bw + 1]
+    if yf == 1:
+        if xf == 1:
+            return (bb + hc + 1) >> 1                 # e
+        return (bb + mm + 1) >> 1                     # g
+    if xf == 1:
+        return (hc + ss + 1) >> 1                     # p
+    return (mm + ss + 1) >> 1                         # r
 
 
 def _interp_chroma_block(
@@ -1931,9 +2038,14 @@ def _interp_chroma_block(
     if xf == 0 and yf == 0:
         return _mc_block(plane, x0, y0, bw, bh, xi, yi)
     hh, ww = plane.shape
-    ys = np.clip(np.arange(y0 + yi, y0 + yi + bh + 1), 0, hh - 1)
-    xs = np.clip(np.arange(x0 + xi, x0 + xi + bw + 1), 0, ww - 1)
-    w = plane[np.ix_(ys, xs)].astype(np.int64)
+    ya, xa = y0 + yi, x0 + xi
+    if 0 <= ya and 0 <= xa and ya + bh + 1 <= hh and xa + bw + 1 <= ww:
+        # interior window: basic slice (see _interp_luma_block)
+        w = plane[ya : ya + bh + 1, xa : xa + bw + 1].astype(np.int64)
+    else:
+        ys = np.clip(np.arange(ya, ya + bh + 1), 0, hh - 1)
+        xs = np.clip(np.arange(xa, xa + bw + 1), 0, ww - 1)
+        w = plane[np.ix_(ys, xs)].astype(np.int64)
     A, B = w[:bh, :bw], w[:bh, 1 : bw + 1]
     C, D = w[1 : bh + 1, :bw], w[1 : bh + 1, 1 : bw + 1]
     return (
