@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .transform import lit_long_array
+
 
 def _bucket_expr(r: int, token_sql: str, width: int) -> str:
     """Engine-portable bucket for hash row ``r`` (Spark dialect)."""
@@ -700,12 +702,21 @@ def bloom_prune_join(
     words = [0] * (m_bits // 32)
     for r in bloom.collect():  # control-plane: <= m/32 rows
         words[int(r["chunk"])] = int(r["bits"])
-    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    # the m/32-word bit array rides as ONE ArrayType literal column
+    # (F.lit, staged as __bf) — spliced as an "array(..L, ..)" string
+    # it appeared k times in the predicate (~4096 literal nodes at the
+    # 32768-bit default), costing ~1-2 s of driver parse/analysis per
+    # call.  Same bits, same probe arithmetic.
     tok = f"CAST({key_col} AS STRING)"
     cond = " AND ".join(
-        f"(element_at({arr}, CAST(({_bit_expr(i, tok, m_bits)}) div 32"
+        f"(element_at(__bf, CAST(({_bit_expr(i, tok, m_bits)}) div 32"
         f" AS INT) + 1) & shiftleft(CAST(1 AS BIGINT),"
         f" CAST(({_bit_expr(i, tok, m_bits)}) % 32 AS INT))) != 0"
         for i in range(k)
     )
-    return big.filter(F.expr(cond)).join(small, key_col, how)
+    return (
+        big.withColumn("__bf", lit_long_array(words))
+        .filter(F.expr(cond))
+        .drop("__bf")
+        .join(small, key_col, how)
+    )

@@ -66,6 +66,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .transform import lit_long_array
+
 __all__ = [
     "lr_train",
     "lr_train_score",
@@ -209,23 +211,27 @@ def lr_train(
     kkn = max(1, P // max(N - P, 1))
 
     # ---- GD loop: T tiny jobs, weights as a broadcast literal -------
+    # The weight vector is staged as ONE ArrayType literal column
+    # (F.lit) referenced by name from the SQL, not spliced in as an
+    # "array(CAST(..),..)" string: parsing + analyzing the 1025-element
+    # array expression cost ~0.5-1 s of pure driver planning PER
+    # ITERATION (measured; the optimized plan and the arithmetic are
+    # identical either way).
+    z = (
+        "aggregate(counts, CAST(0 AS BIGINT), (acc, x) ->"
+        " acc + x.c * element_at(__w, CAST(x.b + 2 AS INT)))"
+    )
+    r = (
+        f"(least(greatest({z} + {S2}, CAST(0 AS BIGINT)),"
+        f" CAST({S4} AS BIGINT)) - {S4} * y)"
+        f" * ({kkn} + {kkp - kkn} * y)"
+    )
     W = {b: 0 for b in m}
     for k in range(1, iters + 1):
         arr = [W[-1]] + [W.get(b, 0) for b in range(n_buckets)]
-        w_lit = (
-            "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in arr) + ")"
-        )
-        z = (
-            f"aggregate(counts, CAST(0 AS BIGINT), (acc, x) ->"
-            f" acc + x.c * element_at({w_lit}, CAST(x.b + 2 AS INT)))"
-        )
-        r = (
-            f"(least(greatest({z} + {S2}, CAST(0 AS BIGINT)),"
-            f" CAST({S4} AS BIGINT)) - {S4} * y)"
-            f" * ({kkn} + {kkp - kkn} * y)"
-        )
         grad = (
-            feats.select(F.expr(r).alias("r"), F.explode("counts").alias("x"))
+            feats.withColumn("__w", lit_long_array(arr))
+            .select(F.expr(r).alias("r"), F.explode("counts").alias("x"))
             .groupBy(F.col("x.b").alias("b"))
             .agg(F.expr("try_sum(r * x.c)").alias("g"))
             .collect()

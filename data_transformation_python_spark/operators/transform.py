@@ -191,3 +191,20 @@ def zorder_column(
         *df.columns, F.expr(" + ".join(terms)).cast("bigint").alias(key)
     )
     return out, key
+
+
+def lit_long_array(values) -> "F.Column":
+    """A BIGINT-array literal Column built in O(1) driver time.
+
+    ``F.lit(list)`` converts the list element-by-element over py4j
+    (~0.5-0.7 s measured for 1024 ints — per call), and splicing an
+    ``array(..L, ..)`` string into SQL costs ~0.5-1 s of parse/
+    analysis per plan.  ``from_json`` of a literal string crosses
+    py4j once and Catalyst constant-folds it into the SAME array
+    Literal the other forms produce (verified in the optimized plan),
+    so evaluation is identical — this is purely a plan-construction
+    fast path.  int64 values round-trip JSON exactly."""
+    import json as _json
+
+    vals = [int(v) for v in values]
+    return F.from_json(F.lit(_json.dumps(vals)), "array<bigint>")

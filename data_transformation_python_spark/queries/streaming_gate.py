@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import query
+from ..operators.transform import lit_long_array
 
 _SCOPED_CONF_KEYS = (
     "spark.sql.shuffle.partitions",
@@ -1765,10 +1766,13 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         - scale
         for b in range(B)
     ]
-    warr_lit = "array(" + ", ".join(f"{w}L" for w in w_arr) + ")"
+    # the 1024 weights ride as ONE ArrayType literal column (F.lit)
+    # referenced by name — the spliced "array(..L, ..)" string cost
+    # ~0.5-1 s of driver parse/analysis per plan (and streaming plans
+    # re-analyze per micro-batch); arithmetic identical.
     score = (
         f"aggregate({grams}, CAST(0 AS BIGINT), (acc, g) -> acc"
-        f" + element_at({warr_lit},"
+        f" + element_at(__w,"
         f" CAST({bucket_of.format(g='g')} AS INT) + 1))"
     )
     stream = (
@@ -1776,6 +1780,7 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .filter(F.col("lang") != "en")
+        .withColumn("__w", lit_long_array(w_arr))
         .select(
             "doc_id",
             F.expr(score).alias("dsir_score"),
@@ -2283,7 +2288,35 @@ def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
         f" i -> concat(element_at({tk2}, i), ' ',"
         f" element_at({tk2}, i + 1))))"
     )
-    enriched = _adm_enrich(docs).persist()
+    # scale-adaptive parallelism (guide §2/§6): the fixture corpus is
+    # one tiny parquet file, so the scan yields ONE task and the whole
+    # control-plane build (enrich materialization + every cache-backed
+    # job below) ran single-threaded on a 32-core host.  Repartition
+    # ONLY when the scan has fewer splits than cores — at production
+    # scale the scan already has >= cores splits and this is a no-op,
+    # so no corpus-sized shuffle is added at 100 TB.
+    try:
+        target = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
+    except Exception:
+        pass
+    # cache ONLY the columns the control plane consumes (guide §2.3
+    # "project before the exchange", applied to the cache): the full
+    # enrich carries the staged token/shingle/minhash ARRAYS
+    # (tk_arr, shg_arr, m0..m7 — hundreds of strings per row), and
+    # materializing those into the columnar cache dominated the
+    # control-plane build; every downstream job then re-scanned the
+    # fat cache.  The narrow projection keeps the same values for
+    # every consumed column.
+    enriched = (
+        _adm_enrich(docs)
+        .select(
+            "doc_id", "lang", "quality", "n_tokens", "t2", "sc_text",
+            "bkey0", "bkey1", "bkey2", "bkey3",
+        )
+        .persist()
+    )
     survivors = None
     try:
         qual = enriched.filter("quality")
@@ -2352,15 +2385,22 @@ def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
             - scale
             for b in range(B)
         ]
-        warr_lit = "array(" + ", ".join(f"{w}L" for w in w_arr) + ")"
-        score = (
+        # the 1024 weights ride as ONE ArrayType literal column
+        # (F.lit, staged as __w by each consumer) instead of a spliced
+        # "array(..L, ..)" string: the string form cost ~0.5-1 s of
+        # driver parse/analysis PER PLAN — and this expression is
+        # planned at least twice (batch top-k + the streaming side,
+        # which re-analyzes per micro-batch).  Arithmetic identical.
+        score_sql = (
             f"aggregate({grams}, CAST(0 AS BIGINT), (acc, g) -> acc"
-            f" + element_at({warr_lit},"
+            f" + element_at(__w,"
             f" CAST({bucket_of.format(g='g')} AS INT) + 1))"
         )
+        score = (score_sql, w_arr)
         top = (
             decon.filter("lang != 'en'")
-            .select("doc_id", F.expr(score).alias("s"))
+            .withColumn("__w", lit_long_array(w_arr))
+            .select("doc_id", F.expr(score_sql).alias("s"))
             .orderBy(F.desc("s"), F.asc("doc_id"))
             .limit(50)
             .collect()
@@ -2377,17 +2417,36 @@ def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
 
 
 def _adm_stream_admitted(
-    stream: DataFrame, indexes: list, score: str, cs: int, cd: int
+    stream: DataFrame, indexes: list, score, cs: int, cd: int
 ) -> DataFrame:
     """The stream side of the admission gate: ONE stateless enrich
     projection + four broadcast band-index probes + the row-local
     DSIR score/cutoff compare — shared by the gate and the
-    stream-slice scaling sweep."""
-    st = _adm_enrich(stream).filter("quality AND doc_id % 20 != 0")
+    stream-slice scaling sweep.  ``score`` is the
+    (score_sql, weight_array) pair from _adm_batch_artifacts; the
+    weights are staged as the __w literal column the SQL reads."""
+    score_sql, w_arr = score
+    # __nb/__nb2 are PUSHDOWN FENCES (always-true predicates over a
+    # nondeterministic-flagged trivial column): without them the
+    # optimizer pushes the quality and cutoff filters below the
+    # staged projections, substituting the aliases — the full signal
+    # set and the DSIR score aggregate get re-derived from raw text
+    # inside scan-level Filter nodes (measured: the admission plan
+    # carried 28 split()/20 regexp_replace sites and ran 4.2x slower;
+    # the optimizer guide's duplicated-evaluation trap, §4.4, in its
+    # JVM-expression form).  spark_partition_id() >= 0 is always true,
+    # so row values are untouched — oracle-verified identical.
+    st = _adm_enrich(stream).withColumn("__nb", F.spark_partition_id())
+    st = st.filter("quality AND doc_id % 20 != 0 AND __nb >= 0")
     st = _adm_dedup_pass(st, indexes)
-    return st.withColumn("s", F.expr(score)).filter(
-        f"lang = 'en' OR s > {cs}L"
-        f" OR (s = {cs}L AND doc_id <= {cd}L)"
+    st = st.withColumn("__w", lit_long_array(w_arr))
+    st = (
+        st.withColumn("s", F.expr(score_sql))
+        .withColumn("__nb2", F.spark_partition_id())
+    )
+    return st.filter(
+        f"(lang = 'en' OR s > {cs}L"
+        f" OR (s = {cs}L AND doc_id <= {cd}L)) AND __nb2 >= 0"
     ).select(
         "doc_id", "lang", "n_tokens", "predicted_lang",
         F.expr("IF(lang = 'en', 'target', 'dsir')").alias(
