@@ -1302,7 +1302,7 @@ _SQL_CHARSPLIT_SYMSTR = (
 
 
 def bpe_vocab_model_sql(
-    k: int = 8, src_rel: str = "{{ ref('silver_decontam') }}"
+    k: int = 8, words_rel: str = "{{ ref('silver_words') }}"
 ) -> str:
     """The whole BPE trainer as ONE Spark SQL statement returning the
     merge table (step, left_sym, right_sym, merged, pair_count) — the
@@ -1322,10 +1322,11 @@ def bpe_vocab_model_sql(
     the operator path's 1-row argmax collect (``bpe_learn``)."""
     qa, qb = _sql_regex_quote("best.a"), _sql_regex_quote("best.b")
     rep = _sql_regex_replacement("concat(best.a, best.b)")
+    # the word histogram comes from the MATERIALIZED silver_words
+    # model (optimization round 14) — one shared corpus pass instead
+    # of a per-branch re-tokenization.
     parts = [
-        "WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM"
-        " (SELECT explode(split(text, ' ')) AS word FROM " + src_rel + ")"
-        " WHERE word <> '' GROUP BY word),",
+        "WITH w AS (SELECT word, cnt FROM " + words_rel + "),",
         "s0 AS (SELECT word, cnt, " + _SQL_CHARSPLIT_SYMSTR + " AS symstr,"
         " CAST(NULL AS struct<negc: bigint, a: string, b: string>)"
         " AS best FROM w)",
@@ -1373,6 +1374,7 @@ def bpe_serve_model_sql(
     k: int = 8,
     vocab_rel: str = "{{ ref('silver_vocab') }}",
     src_rel: str = "{{ ref('silver_decontam') }}",
+    words_rel: str = "{{ ref('silver_words') }}",
 ) -> str:
     """BPE SERVING as one Spark SQL statement — the silver_tokenized
     model body under ``tokenizer: bpe``: charsplit the corpus's
@@ -1393,8 +1395,11 @@ def bpe_serve_model_sql(
         "dw AS (SELECT doc_id, word FROM (SELECT doc_id,"
         " explode(split(text, ' ')) AS word FROM " + src_rel + ")"
         " WHERE word <> ''),",
+        # distinct words come from the MATERIALIZED silver_words
+        # histogram (round 14) — same set as DISTINCT word FROM dw,
+        # without re-deduplicating the corpus' doc-word pairs.
         "t0 AS (SELECT word, " + _SQL_CHARSPLIT_SYMSTR + " AS symstr"
-        " FROM (SELECT DISTINCT word FROM dw))",
+        " FROM (SELECT word FROM " + words_rel + "))",
     ]
     for i in range(k):
         parts.append(

@@ -29,7 +29,7 @@
 {% if var('tokenizer', 'unigram') == 'bpe' %}
 WITH mt AS (SELECT step, left_sym, right_sym FROM {{ ref('silver_vocab') }}),
 dw AS (SELECT doc_id, word FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM {{ ref('silver_decontam') }}) WHERE word <> ''),
-t0 AS (SELECT word, concat(' ', array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), ' '), ' ') AS symstr FROM (SELECT DISTINCT word FROM dw))
+t0 AS (SELECT word, concat(' ', array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), ' '), ' ') AS symstr FROM (SELECT word FROM {{ ref('silver_words') }}))
 ,t1 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t0 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 0) m ON true)
 ,t2 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t1 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 1) m ON true)
 ,t3 AS (SELECT word, CASE WHEN m.left_sym IS NULL THEN symstr ELSE regexp_replace(symstr, concat(' ', concat('\\Q', replace(m.left_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), ' ', concat('\\Q', replace(m.right_sym, '\\E', '\\E\\\\E\\Q'), '\\E'), '(?= )'), concat(' ', replace(replace(concat(m.left_sym, m.right_sym), '\\', '\\\\'), '$', '\\$'))) END AS symstr FROM t2 LEFT JOIN (SELECT left_sym, right_sym FROM mt WHERE step = 2) m ON true)
@@ -53,10 +53,11 @@ WITH m AS (
     FROM {{ ref('silver_vocab') }}
 ),
 w AS (
-    SELECT word, CAST(length(word) AS INT) AS n
-    FROM (SELECT DISTINCT explode(split(text, ' ')) AS word
-          FROM {{ ref('silver_decontam') }})
-    WHERE word <> '' AND length(word) <= 12
+    -- distinct-word cache from the MATERIALIZED silver_words
+    -- histogram (round 14) -- same word set, no corpus re-scan
+    SELECT word, CAST(n AS INT) AS n
+    FROM {{ ref('silver_words') }}
+    WHERE n <= 12
 ),
 e AS (
     SELECT w.word, w.n, m.vmap,

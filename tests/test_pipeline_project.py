@@ -32,6 +32,7 @@ MODELS = [
     "silver_dedup",
     "silver_scrubbed",
     "silver_decontam",
+    "silver_words",
     "silver_vocab",
     "silver_tokenized",
     "gold_dsir_selected",
