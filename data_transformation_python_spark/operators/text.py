@@ -2030,6 +2030,18 @@ def _ulm_fit(
     from pyspark import StorageLevel
 
     scale = 1 << 13  # low 13 bits hold the cut-set bitmask (n <= 12)
+    # scale-adaptive parallelism (optimization round 14, guide §2/§6):
+    # a small fixture corpus arrives as ONE scan split, serializing
+    # the corpus-wide tokenize+count on one core; repartition only
+    # when the scan has fewer splits than cores (no-op at production
+    # scale, where splits >= cores already).
+    try:
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    except Exception:
+        pass
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= max_word))
@@ -2038,7 +2050,10 @@ def _ulm_fit(
         .withColumn("n", F.length("word").cast("int"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # seed inventory: substring occurrence counts, corpus-weighted
+    # seed inventory: substring occurrence counts, corpus-weighted.
+    # chars + top-multi come back in ONE job (rank multi pieces in a
+    # window instead of a second collect) — same rows either way,
+    # and the fixture-scale cost here is Spark jobs, not data.
     occ = (
         words.select(
             "cnt",
@@ -2053,14 +2068,19 @@ def _ulm_fit(
         .groupBy("piece")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    chars = occ.filter(F.length("piece") == 1).collect()
-    multi = (
-        occ.filter(F.length("piece") > 1)
-        .orderBy(F.col("c").desc(), "piece")
-        .limit(seed_multi)
+    seed_rows = (
+        occ.withColumn(
+            "rk",
+            F.expr(
+                "CASE WHEN length(piece) > 1 THEN ROW_NUMBER() OVER"
+                " (PARTITION BY (length(piece) = 1)"
+                "  ORDER BY c DESC, piece) ELSE 0 END"
+            ),
+        )
+        .filter(f"length(piece) = 1 OR rk <= {seed_multi}")
         .collect()
     )
-    counts = {r["piece"]: int(r["c"]) for r in chars + multi}
+    counts = {r["piece"]: int(r["c"]) for r in seed_rows}
     # round 1: E under seed scores, M, prune
     c1 = _ulm_estep(words, _ulm_scores(counts), scale, max_piece)
     c1 = {p: c1.get(p, 0) for p in counts}

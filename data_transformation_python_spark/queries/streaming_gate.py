@@ -65,6 +65,31 @@ def _restores_conf(fn):
 
     return wrapper
 
+def _match_layout_parallelism(
+    stream: DataFrame, spark: SparkSession, sf_dir: str,
+    fname: str = "documents.parquet",
+) -> DataFrame:
+    """Scale-adaptive micro-batch parallelism for compute-heavy serve
+    gates (optimization round 14, guide §2/§6): a micro-batch inherits
+    the FILE layout's split count, and the fixture corpus is one tiny
+    parquet file — so every per-document projection (Viterbi DPs, the
+    admission enrich, HTML extraction, ANN distance scans) ran on ONE
+    core while the other 31 idled (measured: unigram serve 10.2 s →
+    1.3 s at 32 splits, values identical).  The static batch scan of
+    the SAME file is probed for its split count and the stream is
+    repartitioned only when that is below the core count — on a
+    production layout (splits >= cores) no repartition node is added,
+    so the deployed stream stays shuffle-free."""
+    try:
+        n = spark.read.parquet(f"{sf_dir}/{fname}").rdd.getNumPartitions()
+        target = spark.sparkContext.defaultParallelism
+        if n < target:
+            return stream.repartition(target)
+    except Exception:
+        pass
+    return stream
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events file source with a schema probed from the parquet footer.
 
@@ -585,6 +610,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(F.col("doc_id") % 5 == 0)
     )
+    stream = _match_layout_parallelism(stream, spark, sf_dir)
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 5 != 0
     )
@@ -800,7 +826,12 @@ def q_stream_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
         .filter(F.col("vec_id") % 5 == 0)
-        .select(
+    )
+    stream = _match_layout_parallelism(
+        stream, spark, sf_dir, "embeddings.parquet"
+    )
+    stream = (
+        stream.select(
             F.col("vec_id").alias("query_id"),
             F.expr(QUANT_EXPR.format(col="embedding")).alias("__v"),
         )
@@ -1498,6 +1529,7 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(F.col("doc_id") % 7 == 0)
     )
+    stream = _match_layout_parallelism(stream, spark, sf_dir)
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 7 != 0
     )
@@ -1780,7 +1812,10 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .filter(F.col("lang") != "en")
-        .withColumn("__w", lit_long_array(w_arr))
+    )
+    stream = _match_layout_parallelism(stream, spark, sf_dir)
+    stream = (
+        stream.withColumn("__w", lit_long_array(w_arr))
         .select(
             "doc_id",
             F.expr(score).alias("dsir_score"),
@@ -1849,6 +1884,7 @@ def q_stream_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    stream = _match_layout_parallelism(stream, spark, sf_dir)
     scored = quality_classifier_serve(
         stream, weights, bias=W.get(-1, 0), n_buckets=1024
     )
@@ -1890,10 +1926,11 @@ def q_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stream = (
+    stream = _match_layout_parallelism(
         spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .parquet(sf_dir),
+        spark, sf_dir,
     )
     pages = stream.select(
         "doc_id",
@@ -1932,10 +1969,11 @@ def q_stream_html_extract_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stream = (
+    stream = _match_layout_parallelism(
         spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .parquet(sf_dir),
+        spark, sf_dir,
     )
     pages = stream.select(
         "doc_id",
@@ -1986,10 +2024,11 @@ def q_stream_unigram_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words, _c2, neg2 = tx._ulm_fit(docs, "text", 12, 4, 48, 24)
     words.unpersist()
-    stream = (
+    stream = _match_layout_parallelism(
         spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .parquet(sf_dir),
+        spark, sf_dir,
     )
     out = tx.unigram_tokenize_serve(stream, neg2)
     name = f"stream_ulm_{uuid.uuid4().hex[:8]}"
@@ -2242,11 +2281,12 @@ def q_stream_funnel_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_schema = spark.read.parquet(
             f"{sf_dir}/documents.parquet"
         ).schema
-        stream = (
+        stream = _match_layout_parallelism(
             spark.readStream.schema(stream_schema)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
-            .select("doc_id", "text", "lang")
+            .select("doc_id", "text", "lang"),
+            spark, sf_dir,
         )
         admitted = _adm_stream_admitted(stream, indexes, score, cs, cd)
         name = f"stream_adm_{uuid.uuid4().hex[:8]}"
