@@ -772,6 +772,19 @@ def _drop_checkpoints(spark) -> None:
             rdd.unpersist()
     except Exception:
         pass
+    # The streaming gates leave their memory-sink tables (temp views
+    # named stream_<gate>_<uuid>) registered for the session's
+    # lifetime; across ~70 gate executions per bench run the buffered
+    # rows and catalog entries accumulate in the driver (optimization
+    # round 14 — the same long-session residue class as the
+    # checkpoint blocks above).  Each sample constructs a fresh
+    # uuid-named sink, so dropping the previous ones is safe.
+    try:
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith("stream_") and tbl.isTemporary:
+                spark.catalog.dropTempView(tbl.name)
+    except Exception:
+        pass
 
 
 def _median(xs: list[float]) -> float:

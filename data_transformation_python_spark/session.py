@@ -29,6 +29,17 @@ _DEFAULTS = {
     # Deterministic decimal semantics for oracle-comparable results.
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
+    # In local mode the driver JVM IS every executor, and Spark's
+    # ContextCleaner only reclaims shuffle files / broadcasts /
+    # accumulated block metadata when the JVM garbage-collects the
+    # owning references — with the default 30min periodic GC, a
+    # several-hundred-job session (the bench, the parity sweep)
+    # accumulates state until allocation pressure forces collections
+    # at the worst time (observed: entries late in the full bench
+    # run spiking 10-75x their steady state).  5 minutes bounds the
+    # accumulation; on a real cluster executors GC independently and
+    # this setting stays harmless.
+    "spark.cleaner.periodicGC.interval": "5min",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Embedded Derby metastores throw from getPartitionsByFilter;
     # fall back to client-side partition pruning (real metastores
