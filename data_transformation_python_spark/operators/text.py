@@ -1768,8 +1768,14 @@ def _ulm_dp_expr(scale: int, max_piece: int, forward: bool,
     w(i, i+L) + sp[i+L].  Pieces outside the vocab cost BIG (chars
     are always in the vocab, so every position stays reachable)."""
     B = _ULM_BIG
+    # Both DPs BUILD the array in fill order — forward left-to-right,
+    # suffix right-to-left then reversed — so each step is ONE native
+    # array_append instead of a transform() rebuilding all n+1 slots
+    # (optimization round 14, guide §1.2 step 2: the rebuild cost
+    # O(n²) interpreted lambda calls per word per DP; values are
+    # bit-identical by induction — same LEAST terms, same indices).
     if forward:
-        init = f"transform(sequence(0, {n}), p -> IF(p = 0, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
+        init = "array(CAST(0 AS BIGINT))"
         terms = ", ".join(
             f"IF(i >= {L}, element_at(acc, i - {L} + 1) + "
             f"COALESCE(try_element_at({vmap}, substr({word}, i - {L} + 1, {L}))"
@@ -1777,24 +1783,21 @@ def _ulm_dp_expr(scale: int, max_piece: int, forward: bool,
             f" CAST({B} AS BIGINT))"
             for L in range(1, max_piece + 1)
         )
-        step = (
-            f"(acc, i) -> transform(sequence(0, {n}), p -> "
-            f"IF(p <> i, element_at(acc, p + 1), LEAST({terms})))"
-        )
-    else:
-        init = f"transform(sequence(0, {n}), p -> IF(p = {n}, CAST(0 AS BIGINT), CAST({B} AS BIGINT)))"
-        terms = ", ".join(
-            f"IF({n} - s + {L} <= {n}, "
-            f"COALESCE(try_element_at({vmap}, substr({word}, {n} - s + 1, {L}))"
-            f" * {scale} + shiftleft(1, {n} - s + {L}), CAST({B} AS BIGINT))"
-            f" + element_at(acc, {n} - s + {L} + 1), CAST({B} AS BIGINT))"
-            for L in range(1, max_piece + 1)
-        )
-        step = (
-            f"(acc, s) -> transform(sequence(0, {n}), p -> "
-            f"IF(p <> {n} - s, element_at(acc, p + 1), LEAST({terms})))"
-        )
-    return f"aggregate(sequence(1, {n}), {init}, {step})"
+        step = f"(acc, i) -> array_append(acc, LEAST({terms}))"
+        return f"aggregate(sequence(1, {n}), {init}, {step})"
+    # suffix DP, reversed build: acc[m] = sp[n - m + 1]; the original
+    # element_at(acc, n - s + L + 1) becomes element_at(acc, s - L + 1)
+    # and the n - s + L <= n guard is the same L <= s condition
+    init = "array(CAST(0 AS BIGINT))"
+    terms = ", ".join(
+        f"IF({L} <= s, "
+        f"COALESCE(try_element_at({vmap}, substr({word}, {n} - s + 1, {L}))"
+        f" * {scale} + shiftleft(1, {n} - s + {L}), CAST({B} AS BIGINT))"
+        f" + element_at(acc, s - {L} + 1), CAST({B} AS BIGINT))"
+        for L in range(1, max_piece + 1)
+    )
+    step = f"(acc, s) -> array_append(acc, LEAST({terms}))"
+    return f"reverse(aggregate(sequence(1, {n}), {init}, {step}))"
 
 
 def _ulm_word_pieces_expr(scale: int, max_piece: int,
@@ -1906,83 +1909,84 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
                max_piece: int, return_frame: bool = False):
     """One Viterbi E-step: segment every distinct word under the
     broadcast vocab->neg_q map, return {piece: corpus-weighted count
-    on optimal paths} — or, ``return_frame``, the raw (word, piece)
-    occurrence rows (one per on-path piece occurrence, the
-    segmentation table the SERVING path joins documents against).
-    One projection + one vocab-sized groupBy.  The DP frame is
-    PERSISTED across its two consumers (the fail-loud consistency
-    count and the chosen/counts aggregation) — r12 advice: unpersisted
-    it re-ran the expensive per-word Viterbi aggregate() twice per
-    E-step (6 redundant DP passes per training run)."""
-    from pyspark import StorageLevel
+    on optimal paths} — or, ``return_frame``, the vocab-sized
+    (word, pieces ARRAY) segmentation table the SERVING path joins
+    documents against (one row per distinct word, not per piece
+    occurrence — optimization round 14: the exploded form checkpointed
+    and joined ~6x more rows for the same information; consumers
+    aggregate sizes/distincts from the array).
 
-    spark = words.sparkSession
+    ONE fused pass (optimization round 14, guide §1.2 step 1 "don't
+    compute things you throw away" / §5 "caching is only worth it
+    when recomputing beats the memory pressure"): the on-path piece
+    extraction and the fail-loud prefix/suffix consistency check run
+    inside one projection + one vocab-sized groupBy.  The previous
+    shape persisted a fat DP frame (word, both 13-long DP arrays AND
+    the constant vocab map materialized PER ROW by the columnar
+    cache) just so a consistency ``count()`` and the counts
+    aggregation could share it — the cache write dominated the
+    E-step.  Now a DP-inconsistent word emits one NULL-piece sentinel
+    row through the same explode (pieces are substrings, never NULL,
+    so the sentinel cannot collide) and the check is a dict lookup
+    after the one aggregation; no persist, one corpus-of-words pass
+    instead of two plus a cache materialization."""
     pairs: list = []
     for p, neg in sorted(vocab.items()):
         pairs.extend([F.lit(p), F.lit(int(neg)).cast("long")])
-    with_dp = (
+    onpath = (
+        f"element_at(dp, j + 1)"
+        f" + try_element_at(vmap, substr(word, j + 1, L)) * {scale}"
+        f" + shiftleft(1, j + L) + element_at(sp, j + L + 1)"
+        f" = element_at(dp, n + 1)"
+    )
+    cands = (
+        "CASE WHEN element_at(dp, n + 1) <> element_at(sp, 1)"
+        " THEN array(CAST(NULL AS STRING))"
+        " ELSE filter(flatten(transform(sequence(0, n - 1), j ->"
+        f" transform(sequence(1, least({max_piece}, n - j)), L ->"
+        f" IF({onpath}, substr(word, j + 1, L),"
+        " CAST(NULL AS STRING))))), x -> x IS NOT NULL) END"
+    )
+    base = (
         words.withColumn("vmap", F.create_map(*pairs))
         .withColumn("dp", F.expr(_ulm_dp_expr(scale, max_piece, True)))
         .withColumn("sp", F.expr(_ulm_dp_expr(scale, max_piece, False)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # try/finally so an exception anywhere past .persist() (the
-    # consistency count, the aggregation, localCheckpoint, collect)
-    # cannot leak the MEMORY_AND_DISK cache for the session
-    try:
-        return _ulm_estep_body(
-            with_dp, scale, max_piece, return_frame
-        )
-    finally:
-        with_dp.unpersist()
-
-
-def _ulm_estep_body(with_dp, scale: int, max_piece: int,
-                    return_frame: bool):
-    # every position is reachable (chars are in the vocab), and the
-    # two DPs must agree on the unique optimal total — fail loudly
-    # rather than emit a silently-wrong count table
-    bad = with_dp.filter(
-        F.expr("element_at(dp, n + 1) <> element_at(sp, 1)")
-    ).count()
-    if bad:
-        raise AssertionError(
-            f"unigram-LM E-step: {bad} words where prefix/suffix DP "
-            "totals disagree"
-        )
-    chosen = (
-        with_dp.select(
-            "word", "cnt", "n", "dp", "sp", "vmap",
-            F.explode(F.expr("sequence(0, n - 1)")).alias("j"),
-        )
-        .select(
-            "*", F.explode(F.expr(f"sequence(1, {max_piece})")).alias("L")
-        )
-        .filter(F.expr("j + L <= n"))
-        .select(
-            "word",
-            "cnt",
-            F.expr("substr(word, j + 1, L)").alias("piece"),
-            F.expr(
-                "element_at(dp, j + 1) + try_element_at(vmap, "
-                f"substr(word, j + 1, L)) * {scale} + shiftleft(1, j + L)"
-                " + element_at(sp, j + L + 1)"
-            ).alias("path_cost"),
-            F.expr("element_at(dp, n + 1)").alias("total"),
-        )
-        .filter(F.col("path_cost").isNotNull()
-                & (F.col("path_cost") == F.col("total")))
-    )
+    # NOTE: both consumers keep the candidate expression in the SAME
+    # projection as the other output columns.  Splitting it into its
+    # own select() and exploding in a second one made the optimizer
+    # inline the alias into the Generate and RE-DERIVE the dp/sp
+    # aggregates six times (plan: 2 -> 12 aggregate() sites, measured
+    # 10.6 s -> 67 s at 50k docs) — the same duplicated-evaluation
+    # trap guide §4.4 describes for UDFs, in HOF-expression form.
     if return_frame:
-        # materialize the (word, piece) segmentation before the
-        # caller's finally releases the DP cache under it (the
-        # caller joins it later)
-        return chosen.select("word", "piece").localCheckpoint(eager=True)
+        frame = base.select(
+            "word", F.expr(cands).alias("pieces")
+        ).localCheckpoint(eager=True)
+        bad = frame.filter(
+            F.expr("exists(pieces, x -> x IS NULL)")
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"unigram-LM E-step: {bad} words where prefix/suffix"
+                " DP totals disagree"
+            )
+        return frame
+    chosen = base.select(
+        "cnt", F.explode(F.expr(cands)).alias("piece")
+    )
     counts = (
         chosen.groupBy("piece")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
-    return {r["piece"]: int(r["c"]) for r in counts.collect()}
+    out = {r["piece"]: int(r["c"]) for r in counts.collect()}
+    if None in out:
+        raise AssertionError(
+            "unigram-LM E-step: words where prefix/suffix DP totals"
+            " disagree (corpus-weighted sentinel count"
+            f" {out[None]})"
+        )
+    return out
 
 
 def unigram_lm_train(
@@ -2134,21 +2138,30 @@ def unigram_tokenize(
                 & (F.length("word") <= max_word)
             )
         )
-        nw = doc_words.groupBy(id_col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words")
-        )
-        pieces = (
+        # ONE doc-key aggregation over the word-occurrence join
+        # (optimization round 14): every doc word (non-empty, length
+        # <= max_word) has exactly one row in the vocab-sized seg
+        # table — the word histogram and this filter are the same —
+        # so count(1) AFTER the inner join IS n_words and the
+        # separate nw aggregate + second doc-key shuffle join
+        # disappear; n_pieces/n_distinct_pieces fold from the pieces
+        # ARRAYS (sum of sizes / distinct of the flattened
+        # collect_list — order-insensitive, so collect_list's
+        # nondeterministic ordering cannot leak into the value).
+        out = (
             doc_words.join(seg, "word")
             .groupBy(id_col)
             .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
-                F.countDistinct("piece").cast("bigint").alias(
-                    "n_distinct_pieces"
-                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.expr(
+                    "CAST(sum(size(pieces)) AS BIGINT)"
+                ).alias("n_pieces"),
+                F.expr(
+                    "CAST(size(array_distinct(flatten("
+                    "collect_list(pieces)))) AS BIGINT)"
+                ).alias("n_distinct_pieces"),
             )
-        )
-        out = nw.join(pieces, id_col).select(
-            id_col, "n_words", "n_pieces", "n_distinct_pieces"
+            .select(id_col, "n_words", "n_pieces", "n_distinct_pieces")
         )
         # materialize before unpersisting the word cache under it
         return out.localCheckpoint(eager=True)
