@@ -6,46 +6,43 @@
 -- it, but a real pipeline would swap in any curated target slice;
 -- every other document scores by integer-quantized hashed-ngram
 -- enrichment weight, and the $dsir_keep_k most target-like are
--- admitted to the training mix.  Both histograms are one
--- map-side-combined shuffle; scoring joins a 1024-bucket broadcast
--- weight table.
-WITH toks AS (
-    SELECT doc_id, lang,
-           filter(split(text, ' '), x -> x <> '') AS tk
-    FROM {{ ref('silver_decontam') }}
+-- admitted to the training mix.
+--
+-- REFERENCE-ONCE over the materialized silver_dsir_counts table
+-- (optimization round 14): both histograms come from ONE aggregate
+-- of the counts table (a bucket appears iff it has any gram, the
+-- FULL OUTER JOIN's COALESCE(.., 0) becomes the CASE sums), the
+-- smoothing totals ride SUM() OVER () instead of CROSS JOINed
+-- scalar-subquery CTEs, and scoring joins the same table — the
+-- corpus-sized tokenize chain runs zero times here.
+WITH hist AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END)
+                AS BIGINT) AS t_b,
+           CAST(SUM(CASE WHEN lang <> 'en' THEN c ELSE 0 END)
+                AS BIGINT) AS r_b
+    FROM {{ ref('silver_dsir_counts') }}
+    GROUP BY bucket
 ),
-grams AS (
-    SELECT doc_id, lang,
-           explode(concat(tk,
-               transform(slice(sequence(1, size(tk) + 1), 1,
-                               greatest(size(tk) - 1, 0)),
-                   i -> concat(element_at(tk, i), ' ',
-                               element_at(tk, i + 1))))) AS gram
-    FROM toks
-),
-b AS (
-    SELECT doc_id, lang,
-           pmod(CAST(conv(substr(md5(gram), 1, 12), 16, 10) AS BIGINT),
-                1024) AS bucket
-    FROM grams
-),
-t_hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_b
-           FROM b WHERE lang = 'en' GROUP BY bucket),
-r_hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_b
-           FROM b WHERE lang <> 'en' GROUP BY bucket),
-tot AS (SELECT (SELECT CAST(SUM(t_b) AS BIGINT) FROM t_hist) AS tt,
-               (SELECT CAST(SUM(r_b) AS BIGINT) FROM r_hist) AS rt),
 wts AS (
-    SELECT COALESCE(r.bucket, t.bucket) AS bucket,
-           CAST(1000000 * (COALESCE(t.t_b, 0) + 1) * (rt + 1024)
-                div ((COALESCE(r.r_b, 0) + 1) * (tt + 1024))
+    SELECT bucket,
+           CAST(1000000 * (t_b + 1) * (rt + 1024)
+                div ((r_b + 1) * (tt + 1024))
                 - 1000000 AS BIGINT) AS w_b
-    FROM r_hist r FULL OUTER JOIN t_hist t ON r.bucket = t.bucket, tot
+    FROM (
+        SELECT bucket, t_b, r_b,
+               SUM(t_b) OVER () AS tt,
+               SUM(r_b) OVER () AS rt
+        FROM hist
+    ) h
 ),
-c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
-      FROM b WHERE lang <> 'en' GROUP BY doc_id, bucket),
-sc AS (SELECT doc_id, CAST(SUM(c * w_b) AS BIGINT) AS dsir_score
-       FROM c JOIN wts USING (bucket) GROUP BY doc_id)
+sc AS (
+    SELECT doc_id, CAST(SUM(c * w_b) AS BIGINT) AS dsir_score
+    FROM {{ ref('silver_dsir_counts') }} cc
+    JOIN wts USING (bucket)
+    WHERE cc.lang <> 'en'
+    GROUP BY doc_id
+)
 -- inner ORDER BY + LIMIT is a distributed TakeOrdered; the global
 -- single-partition window then runs on <= $dsir_keep_k rows only
 -- (same bounded pattern as operators/sampling.py — do not copy onto

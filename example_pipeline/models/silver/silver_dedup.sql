@@ -5,6 +5,14 @@
 -- banded bucket joins, never an all-pairs compare (the
 -- operators/dedup.py discipline); docs under 3 tokens have no bands
 -- and are kept.
+--
+-- REFERENCE-ONCE shape (optimization round 14): Spark inlines
+-- deterministic CTEs, so the original bands-as-4-UNION-ALL plus the
+-- drops self-join instantiated the whole toks→sh→sig corpus chain
+-- EIGHT times in one plan.  posexplode emits the four band keys from
+-- one sig pass, and "any smaller doc_id in my bucket" is a window
+-- MIN over (band, bkey) — one corpus chain, one shuffle of the
+-- 4-rows-per-doc band table, identical survivors.
 WITH toks AS (
     SELECT doc_id, split(text, ' ') AS t
     FROM {{ ref('silver_quality') }}
@@ -32,15 +40,20 @@ sig AS (
     FROM sh GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, 0 AS band, md5(concat(m0, m1)) AS bkey FROM sig
-    UNION ALL SELECT doc_id, 1, md5(concat(m2, m3)) FROM sig
-    UNION ALL SELECT doc_id, 2, md5(concat(m4, m5)) FROM sig
-    UNION ALL SELECT doc_id, 3, md5(concat(m6, m7)) FROM sig
+    SELECT doc_id, band, bkey
+    FROM sig
+    LATERAL VIEW posexplode(array(
+        md5(concat(m0, m1)), md5(concat(m2, m3)),
+        md5(concat(m4, m5)), md5(concat(m6, m7)))) bx AS band, bkey
 ),
 drops AS (
-    SELECT DISTINCT a.doc_id
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id
+    SELECT DISTINCT doc_id
+    FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY band, bkey) AS mn
+        FROM bands
+    ) w
+    WHERE mn < doc_id
 )
 SELECT q.*
 FROM {{ ref('silver_quality') }} q

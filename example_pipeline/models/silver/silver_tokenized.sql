@@ -61,8 +61,8 @@ w AS (
 ),
 e AS (
     SELECT w.word, w.n, m.vmap,
-           aggregate(sequence(1, n), transform(sequence(0, n), p -> IF(p = 0, CAST(0 AS BIGINT), CAST(1099511627776 AS BIGINT))), (acc, i) -> transform(sequence(0, n), p -> IF(p <> i, element_at(acc, p + 1), LEAST(IF(i >= 1, element_at(acc, i - 1 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 1 + 1, 1)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)), IF(i >= 2, element_at(acc, i - 2 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 2 + 1, 2)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)), IF(i >= 3, element_at(acc, i - 3 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 3 + 1, 3)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)), IF(i >= 4, element_at(acc, i - 4 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 4 + 1, 4)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)))))) AS dp,
-           aggregate(sequence(1, n), transform(sequence(0, n), p -> IF(p = n, CAST(0 AS BIGINT), CAST(1099511627776 AS BIGINT))), (acc, s) -> transform(sequence(0, n), p -> IF(p <> n - s, element_at(acc, p + 1), LEAST(IF(n - s + 1 <= n, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 1)) * 8192 + shiftleft(1, n - s + 1), CAST(1099511627776 AS BIGINT)) + element_at(acc, n - s + 1 + 1), CAST(1099511627776 AS BIGINT)), IF(n - s + 2 <= n, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 2)) * 8192 + shiftleft(1, n - s + 2), CAST(1099511627776 AS BIGINT)) + element_at(acc, n - s + 2 + 1), CAST(1099511627776 AS BIGINT)), IF(n - s + 3 <= n, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 3)) * 8192 + shiftleft(1, n - s + 3), CAST(1099511627776 AS BIGINT)) + element_at(acc, n - s + 3 + 1), CAST(1099511627776 AS BIGINT)), IF(n - s + 4 <= n, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 4)) * 8192 + shiftleft(1, n - s + 4), CAST(1099511627776 AS BIGINT)) + element_at(acc, n - s + 4 + 1), CAST(1099511627776 AS BIGINT)))))) AS sp
+           aggregate(sequence(1, n), array(CAST(0 AS BIGINT)), (acc, i) -> array_append(acc, LEAST(IF(i >= 1, element_at(acc, i - 1 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 1 + 1, 1)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)), IF(i >= 2, element_at(acc, i - 2 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 2 + 1, 2)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)), IF(i >= 3, element_at(acc, i - 3 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 3 + 1, 3)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT)), IF(i >= 4, element_at(acc, i - 4 + 1) + COALESCE(try_element_at(vmap, substr(word, i - 4 + 1, 4)) * 8192 + shiftleft(1, i), CAST(1099511627776 AS BIGINT)), CAST(1099511627776 AS BIGINT))))) AS dp,
+           reverse(aggregate(sequence(1, n), array(CAST(0 AS BIGINT)), (acc, s) -> array_append(acc, LEAST(IF(1 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 1)) * 8192 + shiftleft(1, n - s + 1), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 1 + 1), CAST(1099511627776 AS BIGINT)), IF(2 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 2)) * 8192 + shiftleft(1, n - s + 2), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 2 + 1), CAST(1099511627776 AS BIGINT)), IF(3 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 3)) * 8192 + shiftleft(1, n - s + 3), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 3 + 1), CAST(1099511627776 AS BIGINT)), IF(4 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 4)) * 8192 + shiftleft(1, n - s + 4), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 4 + 1), CAST(1099511627776 AS BIGINT)))))) AS sp
     FROM w CROSS JOIN m
 ),
 cand AS (

@@ -35,6 +35,7 @@ MODELS = [
     "silver_words",
     "silver_vocab",
     "silver_tokenized",
+    "silver_dsir_counts",
     "gold_dsir_selected",
     "gold_packed",
 ]
