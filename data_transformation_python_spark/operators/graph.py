@@ -334,9 +334,20 @@ def pagerank_fixed(
     npart = int(
         e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # Caches are persisted partitioned AND sorted on their join key,
+    # and every per-iteration join carries a MERGE hint (optimization
+    # round 14): the rank vector sits under the session's 64 MB
+    # autoBroadcastJoinThreshold at bench scale, so AQE picked
+    # BroadcastHashJoin and the driver COLLECTED + re-broadcast the
+    # full nodes-sized vector every iteration (measured ~5 s/iter at
+    # 1.5M nodes; 0.6 s with the hinted plan).  With both sides
+    # cached partitioned+sorted, the SMJ needs zero exchange and zero
+    # sort on the cached side — each iteration shuffles only the
+    # freshly aggregated contrib vector, which is the Pregel minimum.
     e = (
         e.join(wout, "src")
         .repartition(npart, "src")
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
@@ -344,6 +355,7 @@ def pagerank_fixed(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .repartition(npart, "node")
+        .sortWithinPartitions("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank_q"))
@@ -357,7 +369,10 @@ def pagerank_fixed(
     prev = None
     for it in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(
+                ranks.withColumnRenamed("node", "src").hint("merge"),
+                "src",
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(rank_q * w) DIV w_out").alias("c"),
@@ -365,7 +380,7 @@ def pagerank_fixed(
             .groupBy("node")
             .agg(F.sum("c").alias("c_sum"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(contrib.hint("merge"), "node", "left").select(
             "node",
             F.expr(
                 f"CAST(({base} + {damping_pct} * coalesce(c_sum, 0))"
