@@ -287,10 +287,18 @@ def dsir_importance_sample(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
     )
-    r_grams = _grams(raw)
+    # (doc, bucket) pre-counts feed BOTH the raw histogram and the
+    # scoring join (optimization round 14): deriving r_b as sum(c)
+    # over the same aggregate — identical values — makes the two
+    # consumers share one canonical subplan, so ReuseExchange runs
+    # the raw-corpus tokenize+explode ONCE (previously each consumer
+    # re-derived its own gram stream: two full corpus passes).
+    doc_counts = _grams(raw).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
     r_hist = (
-        r_grams.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+        doc_counts.groupBy("bucket")
+        .agg(F.sum("c").cast("bigint").alias("r_b"))
     )
     t_tot = t_hist.agg(F.sum("t_b").cast("bigint").alias("T"))
     r_tot = r_hist.agg(F.sum("r_b").cast("bigint").alias("R"))
@@ -328,15 +336,12 @@ def dsir_importance_sample(
             ).cast("bigint").alias("w_b"),
         )
     )
-    # pre-count (doc, bucket) pairs BEFORE the broadcast join: the
+    # pre-counted (doc, bucket) pairs join the broadcast weights: the
     # extra exchange looks redundant on paper (partial aggregation
     # combines map-side either way), but measured A/B at sf0.1 the
     # pre-counted form runs ~2.9 s vs ~4.8 s for joining raw gram
     # instances — the join + wide post-join aggregate over every
     # instance costs more than the small extra exchange saves
-    doc_counts = r_grams.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
     scores = (
         doc_counts.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
