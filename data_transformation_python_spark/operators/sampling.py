@@ -300,8 +300,12 @@ def dsir_importance_sample(
         doc_counts.groupBy("bucket")
         .agg(F.sum("c").cast("bigint").alias("r_b"))
     )
-    t_tot = t_hist.agg(F.sum("t_b").cast("bigint").alias("T"))
-    r_tot = r_hist.agg(F.sum("r_b").cast("bigint").alias("R"))
+    # smoothing totals as window sums over the joined (<= num_buckets
+    # row) histogram instead of separate .agg() frames (optimization
+    # round 14): t_tot/r_tot were EXTRA consumers of each histogram,
+    # so each corpus gram chain instantiated twice more in the plan;
+    # SUM() OVER () on the tiny joined frame reads the same values
+    # from one instantiation (T = sum of per-bucket t_b either way).
     weights = (
         r_hist.join(t_hist, "bucket", "full_outer")
         .select(
@@ -309,8 +313,17 @@ def dsir_importance_sample(
             F.coalesce(F.col("t_b"), F.lit(0)).alias("t_b"),
             F.coalesce(F.col("r_b"), F.lit(0)).alias("r_b"),
         )
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            "t_b",
+            "r_b",
+            F.expr(
+                "CAST(sum(t_b) OVER () AS BIGINT)"
+            ).alias("T"),
+            F.expr(
+                "CAST(sum(r_b) OVER () AS BIGINT)"
+            ).alias("R"),
+        )
         .select(
             "bucket",
             # try_multiply returns NULL on BIGINT wrap (Spark's default
