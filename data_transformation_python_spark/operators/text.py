@@ -1152,20 +1152,32 @@ _BPE_SYMS_FROM_STR = "split(substr(symstr, 2, length(symstr) - 2), ' ')"
 
 
 def _bpe_train(
-    df: DataFrame, text_col: str, k: int
+    df: DataFrame, text_col: str, k: int,
+    words: DataFrame | None = None,
 ) -> tuple[DataFrame, list[tuple]]:
     """Shared trainer core: returns (final word→syms segmentation —
-    the vocab-sized tokenizer cache — and the learned merge list)."""
+    the vocab-sized tokenizer cache — and the learned merge list).
+
+    ``words`` optionally injects a pre-built (word, cnt) corpus
+    histogram (optimization round 14): callers that train SEVERAL
+    tokenizer families on one corpus (text_tokenizer_compare) build
+    the histogram once instead of re-tokenizing the corpus per
+    family.  Must equal the default derivation (split on ' ',
+    non-empty words, count per distinct word) — values are unchanged
+    either way."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
 
-    words = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    if words is None:
+        words = (
+            df.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
     # charsplit via the SHARED oracle-twin expression, then join into
     # the bounded string state the merge regex operates on
     cur = words.select(
@@ -1573,6 +1585,7 @@ def bpe_tokenize_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 4,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Train ``k`` BPE merges on the corpus, then tokenize every
     document under the learned vocabulary — the full tokenizer
@@ -1587,7 +1600,7 @@ def bpe_tokenize_stats(
     under the greedy-left merge semantics of ``bpe_learn``, so the
     result replays bit-exactly in the unrolled SQL oracle.
     """
-    seg, _ = _bpe_train(df, text_col, k)
+    seg, _ = _bpe_train(df, text_col, k, words=words)
     word_pieces = seg.select(
         "word", F.size("syms").cast("bigint").alias("__np")
     )
@@ -2027,33 +2040,51 @@ def _ulm_fit(
     max_piece: int,
     seed_multi: int,
     keep_multi: int,
+    words_hist: DataFrame | None = None,
 ):
     """Shared trainer core: returns (the PERSISTED distinct-word
     cache — caller unpersists, the final vocab counts c2, and the
-    final quantized scores neg2)."""
+    final quantized scores neg2).
+
+    ``words_hist`` optionally injects a pre-built unfiltered
+    (word, cnt) corpus histogram (optimization round 14, shared with
+    the BPE trainer by text_tokenizer_compare); the max_word filter
+    is applied here, so the derived cache is identical to the
+    self-built one."""
     from pyspark import StorageLevel
 
     scale = 1 << 13  # low 13 bits hold the cut-set bitmask (n <= 12)
-    # scale-adaptive parallelism (optimization round 14, guide §2/§6):
-    # a small fixture corpus arrives as ONE scan split, serializing
-    # the corpus-wide tokenize+count on one core; repartition only
-    # when the scan has fewer splits than cores (no-op at production
-    # scale, where splits >= cores already).
-    try:
-        spark = df.sparkSession
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
-    except Exception:
-        pass
-    words = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .filter((F.col("word") != "") & (F.length("word") <= max_word))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .withColumn("n", F.length("word").cast("int"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if words_hist is not None:
+        words = (
+            words_hist.filter(F.length("word") <= max_word)
+            .withColumn("n", F.length("word").cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        # scale-adaptive parallelism (optimization round 14, guide
+        # §2/§6): a small fixture corpus arrives as ONE scan split,
+        # serializing the corpus-wide tokenize+count on one core;
+        # repartition only when the scan has fewer splits than cores
+        # (no-op at production scale, where splits >= cores already).
+        try:
+            spark = df.sparkSession
+            target = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
+        except Exception:
+            pass
+        words = (
+            df.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("word")
+            )
+            .filter(
+                (F.col("word") != "") & (F.length("word") <= max_word)
+            )
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("n", F.length("word").cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # seed inventory: substring occurrence counts, corpus-weighted.
     # chars + top-multi come back in ONE job (rank multi pieces in a
     # window instead of a second collect) — same rows either way,
@@ -2107,6 +2138,7 @@ def unigram_tokenize(
     max_piece: int = 4,
     seed_multi: int = 48,
     keep_multi: int = 24,
+    words_hist: DataFrame | None = None,
 ) -> DataFrame:
     """The unigram-LM SERVING path (round 12 — the train→tokenize
     composition, the counterpart of bpe_tokenize_counts): train the
@@ -2123,7 +2155,8 @@ def unigram_tokenize(
     bit-exact against the extended unrolled oracle."""
     scale = 1 << 13
     words, _c2, neg2 = _ulm_fit(
-        df, text_col, max_word, max_piece, seed_multi, keep_multi
+        df, text_col, max_word, max_piece, seed_multi, keep_multi,
+        words_hist=words_hist,
     )
     try:
         seg = _ulm_estep(words, neg2, scale, max_piece,

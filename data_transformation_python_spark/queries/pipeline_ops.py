@@ -1370,14 +1370,40 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison replays bit-exactly.  Documents whose words all
     exceed the unigram max_word (none in this corpus family) would
     drop from the inner join on both sides identically."""
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
-    bpe = tx.bpe_tokenize_stats(docs).select(
-        "doc_id", "n_words",
-        F.col("n_pieces").alias("bpe_pieces"),
+    # ONE shared word histogram for both trainer families
+    # (optimization round 14): each trainer otherwise re-tokenizes
+    # the identical corpus into its own (word, cnt) table.  Both
+    # eager training phases (merge collects, vocab E-steps, the
+    # persisted/checkpointed segmentation caches) complete inside
+    # the two calls below, so the histogram unpersists before the
+    # lazy doc-side joins run — those read the trainers' own caches.
+    try:
+        target = spark.sparkContext.defaultParallelism
+        wsrc = docs if docs.rdd.getNumPartitions() >= target else (
+            docs.repartition(target)
+        )
+    except Exception:
+        wsrc = docs
+    wh = (
+        wsrc.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ulm = tx.unigram_tokenize(docs).select(
-        "doc_id", F.col("n_pieces").alias("ulm_pieces")
-    )
+    try:
+        bpe = tx.bpe_tokenize_stats(docs, words=wh).select(
+            "doc_id", "n_words",
+            F.col("n_pieces").alias("bpe_pieces"),
+        )
+        ulm = tx.unigram_tokenize(docs, words_hist=wh).select(
+            "doc_id", F.col("n_pieces").alias("ulm_pieces")
+        )
+    finally:
+        wh.unpersist()
     return bpe.join(ulm, "doc_id").select(
         "doc_id", "n_words", "bpe_pieces", "ulm_pieces",
         F.expr(
