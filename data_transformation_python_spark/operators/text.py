@@ -1918,8 +1918,379 @@ def unigram_tokenize_serve(
     )
 
 
+def _ulm_vocab_tables(vocab: dict, max_piece: int, max_word: int):
+    """Driver-side numpy lookup tables for the vectorized E-step
+    (optimization round 15).  Pieces are encoded per length L as one
+    uint64 key of L byte-sized alphabet ids (the alphabet = the code
+    points appearing in the vocab, sorted); a word position whose
+    code point is outside the alphabet gets sentinel id 255, which
+    can never match a vocab key because real ids stop at 254.
+
+    Returns None when the encoding cannot represent the vocab
+    (alphabet > 254 distinct code points, pieces longer than 8, or
+    words wider than the uint64 packing supports) — callers then use
+    the bit-identical SQL-expression path."""
+    import numpy as np
+
+    # max_word 12 is the designed regime (the 2^i cut-set bitmask
+    # lives in the low scale=2^13 bits); wider words would also hit
+    # JVM shiftleft int-wrap semantics the numpy twin does not mimic
+    if max_piece > 8 or max_word > 12:
+        return None
+    pieces = sorted(vocab)
+    chars = sorted({c for p in pieces for c in p})
+    if len(chars) > 254 or any(len(p) > max_piece for p in pieces):
+        return None
+    cvals = np.array([ord(c) for c in chars], dtype=np.uint32)
+    cid_of = {c: i for i, c in enumerate(chars)}
+    by_len: dict[int, tuple] = {}
+    for L in range(1, max_piece + 1):
+        group = [
+            (p, i) for i, p in enumerate(pieces) if len(p) == L
+        ]
+        if not group:
+            by_len[L] = (
+                np.empty(0, np.uint64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+            continue
+        keys = np.array(
+            [
+                sum(cid_of[ch] << (8 * (L - 1 - t))
+                    for t, ch in enumerate(p))
+                for p, _ in group
+            ],
+            dtype=np.uint64,
+        )
+        order = np.argsort(keys)
+        keys = keys[order]
+        negs = np.array(
+            [int(vocab[group[o][0]]) for o in order], dtype=np.int64
+        )
+        gidx = np.array([group[o][1] for o in order], dtype=np.int64)
+        by_len[L] = (keys, negs, gidx)
+    return pieces, cvals, by_len
+
+
+def _ulm_np_batch(words_u32, n_arr, tables, scale, max_piece, B):
+    """Vectorized twin of the per-word double-Viterbi for ONE numpy
+    batch: ``words_u32`` is the (N, max_word) UTF-32 code-point
+    matrix, ``n_arr`` the per-word lengths.  Returns (bad_mask,
+    triples) where ``triples`` is (row, j, global_piece_idx) of every
+    on-path candidate, sorted by (row, j) — exactly the order the SQL
+    flatten(transform(j, transform(L, ...))) emits (the unique-
+    optimum bitmask guarantees at most one L per j).  All arithmetic
+    is int64, identical to the aggregate()-expression DP."""
+    import numpy as np
+
+    pieces, cvals, by_len = tables
+    N, max_word = words_u32.shape
+    # alphabet ids (255 = not in alphabet -> never matches a key)
+    idx = np.searchsorted(cvals, words_u32)
+    np.minimum(idx, len(cvals) - 1, out=idx)
+    cid = np.where(
+        cvals[idx] == words_u32, idx, 255
+    ).astype(np.uint64)
+    # per (j, L): quantized score * scale (int64) + validity + piece id
+    sc = np.full((max_word, max_piece + 1, N), 0, dtype=np.int64)
+    ok = np.zeros((max_word, max_piece + 1, N), dtype=bool)
+    gid = np.zeros((max_word, max_piece + 1, N), dtype=np.int64)
+    for L in range(1, max_piece + 1):
+        keys_L, negs_L, gidx_L = by_len[L]
+        for j in range(0, max_word - L + 1):
+            key = cid[:, j].copy()
+            for t in range(1, L):
+                key <<= np.uint64(8)
+                key |= cid[:, j + t]
+            if len(keys_L):
+                pos = np.searchsorted(keys_L, key)
+                np.minimum(pos, len(keys_L) - 1, out=pos)
+                hit = keys_L[pos] == key
+                sc[j, L] = np.where(hit, negs_L[pos] * scale, 0)
+                ok[j, L] = hit
+                gid[j, L] = gidx_L[pos]
+    bad = np.zeros(N, dtype=bool)
+    out_rows: list = []
+    out_js: list = []
+    out_gid: list = []
+    for n in np.unique(n_arr):
+        n = int(n)
+        g = np.flatnonzero(n_arr == n)
+        # forward DP: dp[i] = min_L dp[i-L] + (sc + 2^i | B)
+        dp = np.empty((len(g), n + 1), dtype=np.int64)
+        dp[:, 0] = 0
+        for i in range(1, n + 1):
+            best = None
+            for L in range(1, min(max_piece, i) + 1):
+                j = i - L
+                w = np.where(ok[j, L][g], sc[j, L][g] + (1 << i), B)
+                t = dp[:, j] + w
+                best = t if best is None else np.minimum(best, t)
+            dp[:, i] = best
+        # suffix DP: sp[p] = min_L (sc + 2^(p+L) | B) + sp[p+L]
+        sp = np.empty((len(g), n + 1), dtype=np.int64)
+        sp[:, n] = 0
+        for p in range(n - 1, -1, -1):
+            best = None
+            for L in range(1, min(max_piece, n - p) + 1):
+                w = np.where(
+                    ok[p, L][g], sc[p, L][g] + (1 << (p + L)), B
+                )
+                t = w + sp[:, p + L]
+                best = t if best is None else np.minimum(best, t)
+            sp[:, p] = best
+        dpn = dp[:, n]
+        bad_g = dpn != sp[:, 0]
+        bad[g[bad_g]] = True
+        goodm = ~bad_g
+        for j in range(n):
+            for L in range(1, min(max_piece, n - j) + 1):
+                on = (
+                    goodm
+                    & ok[j, L][g]
+                    & (
+                        dp[:, j]
+                        + sc[j, L][g]
+                        + (1 << (j + L))
+                        + sp[:, j + L]
+                        == dpn
+                    )
+                )
+                hit = g[on]
+                if len(hit):
+                    out_rows.append(hit)
+                    out_js.append(np.full(len(hit), j, dtype=np.int64))
+                    out_gid.append(gid[j, L][hit])
+    if out_rows:
+        r = np.concatenate(out_rows)
+        j = np.concatenate(out_js)
+        gi = np.concatenate(out_gid)
+        order = np.lexsort((j, r))
+        r, gi = r[order], gi[order]
+    else:
+        r = np.empty(0, dtype=np.int64)
+        gi = np.empty(0, dtype=np.int64)
+    return bad, r, gi
+
+
+def _ulm_estep_np(words: DataFrame, vocab: dict, scale: int,
+                  max_piece: int, return_frame: bool, tables,
+                  max_word: int):
+    """mapInArrow twin of the SQL-expression E-step (optimization
+    round 15, guide §4.2): the per-word double-Viterbi is ~200
+    interpreted HOF-expression evaluations per word on the JVM path
+    (HOF lambdas never reach whole-stage codegen); here each Arrow
+    batch is one set of vectorized int64 numpy passes — identical
+    arithmetic (same quantized scores, same 2^i cut-set bitmask, same
+    LEAST tie behavior since every segmentation total is distinct),
+    verified bit-exact by the oracle parity gates and
+    tests/test_curation_ops.py::test_ulm_estep_np_matches_sql."""
+    import numpy as np
+
+    B = _ULM_BIG
+    udtype = f"U{max_word}"
+
+    if return_frame:
+        def fn(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            pieces_np = np.array(
+                tables[0] + [None], dtype=object
+            )
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                ws = np.asarray(
+                    batch.column(0).to_pylist(), dtype=udtype
+                )
+                n_arr = np.asarray(
+                    batch.column(1).to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
+                N = len(ws)
+                u = np.ascontiguousarray(ws).view(np.uint32)
+                u = u.reshape(N, max_word)
+                bad, r, gi = _ulm_np_batch(
+                    u, n_arr, tables, scale, max_piece, B
+                )
+                # splice the [NULL] sentinel for DP-inconsistent rows
+                counts = np.bincount(r, minlength=N)
+                counts[bad] = 1
+                offs = np.zeros(N + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                gfull = np.empty(int(offs[-1]), dtype=np.int64)
+                if len(r):
+                    # r is sorted by (row, j): per-row placements are
+                    # consecutive from the row's offset
+                    starts = np.flatnonzero(
+                        np.r_[True, r[1:] != r[:-1]]
+                    )
+                    run_id = np.cumsum(
+                        np.r_[0, (r[1:] != r[:-1]).astype(np.int64)]
+                    )
+                    place = np.arange(len(r)) - starts[run_id] + offs[r]
+                    gfull[place] = gi
+                gfull[offs[:-1][bad]] = len(pieces_np) - 1  # -> None
+                values = pa.array(pieces_np[gfull], type=pa.string())
+                la = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), values
+                )
+                yield pa.record_batch(
+                    [batch.column(0), la], names=["word", "pieces"]
+                )
+
+        return (
+            words.select("word", "n")
+            .mapInArrow(fn, "word string, pieces array<string>")
+        )
+
+    n_pieces = len(tables[0])
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc = np.zeros(n_pieces + 1, dtype=np.int64)  # [-1] = sentinel
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ws = np.asarray(
+                batch.column(0).to_pylist(), dtype=udtype
+            )
+            n_arr = np.asarray(
+                batch.column(2).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            cnt = np.asarray(
+                batch.column(1).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            N = len(ws)
+            u = np.ascontiguousarray(ws).view(np.uint32)
+            u = u.reshape(N, max_word)
+            bad, r, gi = _ulm_np_batch(
+                u, n_arr, tables, scale, max_piece, B
+            )
+            np.add.at(acc, gi, cnt[r])
+            acc[-1] += int(cnt[bad].sum())
+        ix = np.flatnonzero(acc)
+        ps = np.array(tables[0] + [None], dtype=object)
+        yield pa.record_batch(
+            [pa.array(ps[ix]), pa.array(acc[ix])],
+            names=["piece", "c"],
+        )
+
+    return (
+        words.select("word", "cnt", "n")
+        .mapInArrow(fn, "piece string, c bigint")
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def _ulm_seed_occ_np(words: DataFrame, max_piece: int,
+                     max_word: int) -> DataFrame:
+    """Vectorized twin of the seed-inventory pass (optimization round
+    15, guide §4.2): corpus-weighted occurrence counts of EVERY
+    substring of length 1..max_piece of the distinct-word cache.  The
+    JVM path explodes ~42 HOF-generated substrings per word (~67M
+    rows at 50k docs) into a hash aggregate; here each task packs
+    substrings into uint64 keys (4 x 16-bit code points) and merges
+    per-task np.unique partials, emitting (piece, c) rows for the
+    same downstream groupBy.  Values are identical — both paths count
+    the same substrings with the same weights; non-BMP code points
+    (>= 2^16, unpackable) fall back to an exact per-batch Python dict
+    for that batch only."""
+    udtype = f"U{max_word}"
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        run: dict[int, tuple] = {}   # L -> (keys uint64, counts i64)
+        slow: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ws = np.asarray(batch.column(0).to_pylist(), dtype=udtype)
+            cnt = np.asarray(
+                batch.column(1).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            n_arr = np.asarray(
+                batch.column(2).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            N = len(ws)
+            u = np.ascontiguousarray(ws).view(np.uint32)
+            u = u.reshape(N, max_word).astype(np.uint64)
+            if (u >= 65536).any():
+                for w, c in zip(ws, cnt):
+                    w = str(w)
+                    for j in range(len(w)):
+                        for L in range(1, min(max_piece,
+                                              len(w) - j) + 1):
+                            p = w[j:j + L]
+                            slow[p] = slow.get(p, 0) + int(c)
+                continue
+            for L in range(1, max_piece + 1):
+                ks, cs = [], []
+                for j in range(0, max_word - L + 1):
+                    valid = n_arr >= j + L
+                    if not valid.any():
+                        continue
+                    key = u[valid, j].copy()
+                    for t in range(1, L):
+                        key <<= np.uint64(16)
+                        key |= u[valid, j + t]
+                    ks.append(key)
+                    cs.append(cnt[valid])
+                if not ks:
+                    continue
+                bk = np.concatenate(ks)
+                bc = np.concatenate(cs)
+                if L in run:
+                    bk = np.concatenate([run[L][0], bk])
+                    bc = np.concatenate([run[L][1], bc])
+                uk, inv = np.unique(bk, return_inverse=True)
+                uc = np.zeros(len(uk), dtype=np.int64)
+                np.add.at(uc, inv, bc)
+                run[L] = (uk, uc)
+        out_p: list = []
+        out_c: list = []
+        for L, (uk, uc) in run.items():
+            if not len(uk):
+                continue
+            mat = np.empty((len(uk), L), dtype=np.uint32)
+            for t in range(L):
+                mat[:, t] = (uk >> np.uint64(16 * (L - 1 - t))) \
+                    & np.uint64(0xFFFF)
+            strs = np.ascontiguousarray(mat).view(f"U{L}").ravel()
+            out_p.append(strs.astype(object))
+            out_c.append(uc)
+        if slow:
+            out_p.append(np.array(list(slow.keys()), dtype=object))
+            out_c.append(np.array(list(slow.values()), dtype=np.int64))
+        if out_p:
+            yield pa.record_batch(
+                [pa.array(np.concatenate(out_p), type=pa.string()),
+                 pa.array(np.concatenate(out_c))],
+                names=["piece", "c"],
+            )
+
+    return (
+        words.select("word", "cnt", "n")
+        .mapInArrow(fn, "piece string, c bigint")
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
 def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
-               max_piece: int, return_frame: bool = False):
+               max_piece: int, return_frame: bool = False,
+               max_word: int = 12):
     """One Viterbi E-step: segment every distinct word under the
     broadcast vocab->neg_q map, return {piece: corpus-weighted count
     on optimal paths} — or, ``return_frame``, the vocab-sized
@@ -1942,7 +2313,42 @@ def _ulm_estep(words: DataFrame, vocab: dict, scale: int,
     row through the same explode (pieces are substrings, never NULL,
     so the sentinel cannot collide) and the check is a dict lookup
     after the one aggregation; no persist, one corpus-of-words pass
-    instead of two plus a cache materialization."""
+    instead of two plus a cache materialization.
+
+    Round 15: the DP runs VECTORIZED in numpy behind mapInArrow
+    whenever the vocab is byte-id encodable (guide §4.2 — the HOF
+    aggregate() lambdas are interpreted, never codegen'd, ~200
+    expression evaluations per word; the numpy twin is the same int64
+    arithmetic over whole Arrow batches).  The SQL-expression path
+    below remains the fallback for vocabularies the packing cannot
+    represent (alphabet > 254 code points / pieces > 8 chars) and is
+    pinned equal to the numpy path by unit test."""
+    tables = _ulm_vocab_tables(vocab, max_piece, max_word)
+    if tables is not None and "n" in words.columns:
+        if return_frame:
+            frame = _ulm_estep_np(
+                words, vocab, scale, max_piece, True, tables, max_word
+            ).localCheckpoint(eager=True)
+            bad = frame.filter(
+                F.expr("exists(pieces, x -> x IS NULL)")
+            ).count()
+            if bad:
+                raise AssertionError(
+                    f"unigram-LM E-step: {bad} words where"
+                    " prefix/suffix DP totals disagree"
+                )
+            return frame
+        counts = _ulm_estep_np(
+            words, vocab, scale, max_piece, False, tables, max_word
+        )
+        out = {r["piece"]: int(r["c"]) for r in counts.collect()}
+        if None in out:
+            raise AssertionError(
+                "unigram-LM E-step: words where prefix/suffix DP"
+                " totals disagree (corpus-weighted sentinel count"
+                f" {out[None]})"
+            )
+        return out
     pairs: list = []
     for p, neg in sorted(vocab.items()):
         pairs.extend([F.lit(p), F.lit(int(neg)).cast("long")])
@@ -2089,20 +2495,27 @@ def _ulm_fit(
     # chars + top-multi come back in ONE job (rank multi pieces in a
     # window instead of a second collect) — same rows either way,
     # and the fixture-scale cost here is Spark jobs, not data.
-    occ = (
-        words.select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, n), j -> "
-                    f"transform(sequence(1, least({max_piece}, n - j + 1)),"
-                    " L -> substr(word, j, L))))"
-                )
-            ).alias("piece"),
+    # Round 15: the substring generation+count runs vectorized in
+    # numpy behind mapInArrow when packable (guide §4.2); the HOF
+    # explode fallback below is value-identical.
+    if max_piece <= 4 and max_word <= 12:
+        occ = _ulm_seed_occ_np(words, max_piece, max_word)
+    else:
+        occ = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(1, n), j -> "
+                        f"transform(sequence(1, least({max_piece},"
+                        " n - j + 1)),"
+                        " L -> substr(word, j, L))))"
+                    )
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
         )
-        .groupBy("piece")
-        .agg(F.sum("cnt").cast("bigint").alias("c"))
-    )
     seed_rows = (
         occ.withColumn(
             "rk",
@@ -2117,7 +2530,8 @@ def _ulm_fit(
     )
     counts = {r["piece"]: int(r["c"]) for r in seed_rows}
     # round 1: E under seed scores, M, prune
-    c1 = _ulm_estep(words, _ulm_scores(counts), scale, max_piece)
+    c1 = _ulm_estep(words, _ulm_scores(counts), scale, max_piece,
+                    max_word=max_word)
     c1 = {p: c1.get(p, 0) for p in counts}
     kept_multi = sorted(
         (p for p in c1 if len(p) > 1),
@@ -2125,7 +2539,8 @@ def _ulm_fit(
     )[:keep_multi]
     v1 = {p: c1[p] for p in c1 if len(p) == 1 or p in set(kept_multi)}
     # round 2: E under re-estimated scores over the pruned vocab
-    c2 = _ulm_estep(words, _ulm_scores(v1), scale, max_piece)
+    c2 = _ulm_estep(words, _ulm_scores(v1), scale, max_piece,
+                    max_word=max_word)
     c2 = {p: c2.get(p, 0) for p in v1}
     return words, c2, _ulm_scores(c2)
 
@@ -2160,7 +2575,7 @@ def unigram_tokenize(
     )
     try:
         seg = _ulm_estep(words, neg2, scale, max_piece,
-                         return_frame=True)
+                         return_frame=True, max_word=max_word)
         doc_words = (
             df.select(
                 id_col,
