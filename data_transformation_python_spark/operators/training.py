@@ -75,6 +75,21 @@ __all__ = [
 ]
 
 
+# Feature-row count below which the GD loop runs driver-local on the
+# ONE-time collected (y, counts) frame (~16 bytes/feature row — the
+# bound keeps the collect broadcast-sized, the same discipline as a
+# small-side join).  At or above it, per-iteration gradients run as
+# mapInArrow partials; unprovable int64 bounds always fall back to
+# the JVM try_sum plan.  All three produce identical integer
+# gradients (pinned by tests/test_training.py).
+_LR_DRIVER_MAX = 500_000
+
+# Test hook: True pins every iteration to the JVM try_sum plan (the
+# bounds-unprovable branch) so its equality with the fast paths stays
+# directly assertable without faking an overflow-scale corpus.
+_LR_FORCE_JVM = False
+
+
 def _bucket_expr(tok: str, n_buckets: int) -> str:
     """Token → hashed feature bucket (Spark dialect) — the SAME
     formula the serving path uses (text.quality_classifier)."""
@@ -251,19 +266,63 @@ def lr_train(
     kk = max(kkp, kkn)
     max_m = max(int(v) for v in m.values())
     lim = 1 << 61
-    # size-adaptive: below ~half a million feature rows the Arrow
-    # round-trip + Python worker dispatch costs more than the tiny
-    # JVM job it replaces (measured: 500-doc fixture 5.6 s -> 7.9 s
-    # with Arrow always-on; 50k-doc corpus 16.2 s -> 10.4 s).  The
-    # cutover is a plan choice only — both paths produce identical
-    # gradients.
+    # size-adaptive plan choice — three rungs, identical gradients:
+    # - DRIVER-LOCAL numpy loop below _LR_DRIVER_MAX feature rows: at
+    #   that bound the collected (y, counts) frame is ~8 MB, i.e.
+    #   broadcast-sized control-plane data, and the 12 per-iteration
+    #   Spark jobs (~0.4 s each of pure planning/scheduling at
+    #   fixture scale, measured round 15) collapse to one collect;
+    # - mapInArrow above it (round 14): per-partition numpy partials,
+    #   one tiny job per iteration;
+    # - the JVM try_sum plan whenever the driver-checked magnitude
+    #   bounds cannot prove int64 safety (fail-loud overflow).
     n_feat_rows = sum(int(v) for v in m.values())
-    use_arrow = n_feat_rows >= 500_000
+    use_driver = n_feat_rows < _LR_DRIVER_MAX and not _LR_FORCE_JVM
+    use_arrow = not use_driver and not _LR_FORCE_JVM
+
+    def _extract_np(y_col, counts_col):
+        """(y, idx, c, lens, starts) numpy views of one Arrow batch /
+        table — shared by the driver-local and mapInArrow paths."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        y = y_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        la = counts_col
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        lens = pc.list_value_length(la).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # the appended bias struct guarantees every list is non-empty;
+        # a zero-length list would make reduceat silently repeat a
+        # neighbour's slot (ADVICE r14) — fail loudly instead
+        assert len(lens) == 0 or lens.min() > 0, (
+            "lr_train: empty counts list — bias append invariant broken"
+        )
+        flat = la.flatten()
+        b = flat.field("b").to_numpy(zero_copy_only=False)
+        c = flat.field("c").to_numpy(zero_copy_only=False)
+        idx = (b + 1).astype(np.intp)
+        starts = np.zeros(len(lens), dtype=np.intp)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return y, idx, c, lens, starts
+
+    def _grad_np(w_np, y, idx, c, lens, starts, gacc, seen):
+        """One exact int64 gradient accumulation (numpy twin of the
+        JVM r-expression; bounds proved by the caller)."""
+        import numpy as np
+
+        z = np.add.reduceat(c * w_np[idx], starts)
+        rr = (np.clip(z + S2, 0, S4) - S4 * y) * (
+            kkn + (kkp - kkn) * y
+        )
+        np.add.at(gacc, idx, np.repeat(rr, lens) * c)
+        seen[idx] = True
 
     def _grad_arrow(arr: list[int]) -> list:
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         w_np = np.asarray(arr, dtype=np.int64)
         nb = len(arr)
@@ -274,25 +333,10 @@ def lr_train(
             for batch in batches:
                 if batch.num_rows == 0:
                     continue
-                y = batch.column(0).to_numpy(zero_copy_only=False)
-                la = batch.column(1)
-                if isinstance(la, pa.ChunkedArray):
-                    la = la.combine_chunks()
-                lens = pc.list_value_length(la).to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-                flat = la.flatten()
-                b = flat.field("b").to_numpy(zero_copy_only=False)
-                c = flat.field("c").to_numpy(zero_copy_only=False)
-                idx = (b + 1).astype(np.intp)
-                starts = np.zeros(len(lens), dtype=np.intp)
-                np.cumsum(lens[:-1], out=starts[1:])
-                z = np.add.reduceat(c * w_np[idx], starts)
-                rr = (
-                    np.clip(z + S2, 0, S4) - S4 * y.astype(np.int64)
-                ) * (kkn + (kkp - kkn) * y.astype(np.int64))
-                np.add.at(gacc, idx, np.repeat(rr, lens) * c)
-                seen[idx] = True
+                y, idx, c, lens, starts = _extract_np(
+                    batch.column(0), batch.column(1)
+                )
+                _grad_np(w_np, y, idx, c, lens, starts, gacc, seen)
             ix = np.flatnonzero(seen)
             yield pa.record_batch(
                 [pa.array(ix.astype(np.int64) - 1),
@@ -308,6 +352,13 @@ def lr_train(
             .collect()
         )
 
+    local = None
+    if use_driver:
+        import numpy as np
+
+        tbl = feats.select("y", "counts").toArrow()
+        local = _extract_np(tbl.column("y"), tbl.column("counts"))
+
     for k in range(1, iters + 1):
         arr = [W[-1]] + [W.get(b, 0) for b in range(n_buckets)]
         w_abs = max(abs(v) for v in arr)
@@ -315,7 +366,19 @@ def lr_train(
             max_doc_len * max(w_abs, 1) < lim
             and S4 * kk * max(max_doc_len, max_m) < lim
         )
-        if use_arrow and safe:
+        if local is not None and safe:
+            import numpy as np
+
+            w_np = np.asarray(arr, dtype=np.int64)
+            gacc = np.zeros(len(arr), dtype=np.int64)
+            seen = np.zeros(len(arr), dtype=bool)
+            y, idx, c, lens, starts = local
+            _grad_np(w_np, y, idx, c, lens, starts, gacc, seen)
+            grad = [
+                {"b": int(i) - 1, "g": int(gacc[i])}
+                for i in np.flatnonzero(seen)
+            ]
+        elif use_arrow and safe:
             grad = _grad_arrow(arr)
         else:
             grad = (

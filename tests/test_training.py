@@ -100,3 +100,23 @@ def test_lr_symmetric_balance_beats_majority_on_majority_positive(docs):
         1 for r in out if not r["pred_label"] and r["true_label"] == 0
     )
     assert true_neg >= 0.9 * (n - pos), (true_neg, n - pos)
+
+
+def test_lr_all_three_gradient_paths_identical(docs, monkeypatch):
+    """Round 15 / r14 ADVICE (medium): the driver-local numpy loop,
+    the mapInArrow partial-gradient path, and the JVM try_sum plan
+    must learn IDENTICAL weight tables on the same corpus.  The
+    fixture sits below both cutovers, so each path is forced
+    explicitly: driver-local is the small-corpus default, Arrow is
+    forced by zeroing _LR_DRIVER_MAX, and the JVM try_sum plan by the
+    _LR_FORCE_JVM hook (the branch the loop takes whenever the int64
+    bounds cannot be proven)."""
+    w_driver = tr.lr_train(docs)
+
+    monkeypatch.setattr(tr, "_LR_DRIVER_MAX", 0)
+    w_arrow = tr.lr_train(docs)
+    assert w_arrow == w_driver
+
+    monkeypatch.setattr(tr, "_LR_FORCE_JVM", True)
+    w_jvm = tr.lr_train(docs)
+    assert w_jvm == w_driver
