@@ -1151,6 +1151,61 @@ def _bpe_merge_regex(x: str, y: str) -> tuple[str, str]:
 _BPE_SYMS_FROM_STR = "split(substr(symstr, 2, length(symstr) - 2), ' ')"
 
 
+# Distinct-word count below which the k merge steps run driver-local
+# on the one-time collected histogram (~30 bytes/word — broadcast-
+# sized, the same discipline as lr_train's _LR_DRIVER_MAX).  At
+# fixture scale each distributed step cost ~0.2-0.4 s of planning/
+# scheduling for sub-millisecond data; above the bound the per-step
+# persisted regexp_replace + pair-count plan (scales to any corpus)
+# is unchanged.  Both paths produce identical merges/segmentations
+# (pinned by tests/test_curation_ops.py::test_bpe_driver_path).
+_BPE_DRIVER_MAX = 100_000
+
+
+def _bpe_merge_list(syms: list, x: str, y: str) -> list:
+    """Greedy-left merge (x, y) -> xy over a symbol list — the exact
+    semantics of the Java regexp_replace in ``_bpe_merge_regex``
+    (left-to-right scan, resume AFTER each match, so a merged symbol
+    never becomes the LEFT of another match in the same pass)."""
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_local(rows: list, k: int) -> tuple[list, list]:
+    """Driver-local twin of the k-step trainer over collected
+    (word, cnt) rows: same pair counting (every adjacent position,
+    corpus-weighted), same argmax order (c DESC, a, b — Python's
+    code-point string order equals the engines' UTF-8 binary order),
+    same greedy-left merge.  Returns (seg rows, merges)."""
+    state = [(w, c, [ch for ch in w]) for w, c in rows]
+    merges: list[tuple] = []
+    for step in range(k):
+        pairs: dict = {}
+        for _w, c, syms in state:
+            for j in range(len(syms) - 1):
+                key = (syms[j], syms[j + 1])
+                pairs[key] = pairs.get(key, 0) + c
+        if not pairs:
+            break
+        (x, y), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((step, x, y, x + y, int(c)))
+        state = [
+            (w, cc, _bpe_merge_list(syms, x, y))
+            for w, cc, syms in state
+        ]
+    return state, merges
+
+
 def _bpe_train(
     df: DataFrame, text_col: str, k: int,
     words: DataFrame | None = None,
@@ -1169,7 +1224,8 @@ def _bpe_train(
 
     spark = df.sparkSession
 
-    if words is None:
+    own_words = words is None
+    if own_words:
         words = (
             df.select(
                 F.explode(F.split(F.col(text_col), " ")).alias("word")
@@ -1178,6 +1234,23 @@ def _bpe_train(
             .groupBy("word")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
+        words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    n_words = words.count()
+    if n_words < _BPE_DRIVER_MAX:
+        # size-adaptive driver-local loop (round 15): the histogram
+        # is broadcast-sized, so the k pair-count jobs (~0.2-0.4 s of
+        # planning each at fixture scale) collapse to one collect
+        rows = [(r["word"], int(r["cnt"]))
+                for r in words.select("word", "cnt").collect()]
+        if own_words:
+            words.unpersist()
+        state, merges = _bpe_train_local(rows, k)
+        cur = spark.createDataFrame(
+            [(w, c, syms) for w, c, syms in state],
+            "word string, cnt bigint, syms array<string>",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cur.count()
+        return cur, merges
     # charsplit via the SHARED oracle-twin expression, then join into
     # the bounded string state the merge regex operates on
     cur = words.select(
@@ -1227,6 +1300,8 @@ def _bpe_train(
             prev.unpersist()
     finally:
         spark.catalog.dropTempView(view)
+        if own_words:
+            words.unpersist()
     return cur, merges
 
 

@@ -918,3 +918,37 @@ def test_ulm_seed_occ_np_matches_sql(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bpe_driver_path_matches_distributed(spark, monkeypatch):
+    """Round 15: the size-gated driver-local BPE loop must produce
+    the same merge table AND the same final segmentation as the
+    distributed per-step regexp_replace + pair-count plan — including
+    greedy-left overlap runs ('a a a a' -> 'aa aa', never 'aa a a'),
+    count ties broken by (a, b) string order, and multi-byte
+    symbols."""
+    from data_transformation_python_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa aaa ab ab ba"),
+            (2, "éé ééé xyxy xyxy"),
+            (3, "aaaa bb bb aaab"),
+            (4, "z"),
+        ],
+        ["doc_id", "text"],
+    )
+    got_m = [tuple(r) for r in tx.bpe_learn(docs, k=6).collect()]
+    got_s = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in tx.bpe_tokenize_stats(docs, k=6).collect()
+    }
+
+    monkeypatch.setattr(tx, "_BPE_DRIVER_MAX", 0)
+    want_m = [tuple(r) for r in tx.bpe_learn(docs, k=6).collect()]
+    want_s = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in tx.bpe_tokenize_stats(docs, k=6).collect()
+    }
+    assert got_m == want_m, (got_m, want_m)
+    assert got_s == want_s
