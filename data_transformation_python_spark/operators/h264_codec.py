@@ -103,6 +103,17 @@ import struct
 
 import numpy as np
 
+# np.clip's public wrapper pays ~3 layers of Python dispatch per call
+# (fromnumeric -> _wrapfunc -> _methods._clip); on this codec's
+# thousands of tiny per-block arrays that overhead outweighed the clip
+# itself (measured ~2.4x per call, optimization round 15).  Call the
+# underlying ufunc directly — the identical ufunc np.clip ultimately
+# invokes when both bounds are set, so every value is unchanged.
+try:
+    from numpy.core.umath import clip as _uclip  # numpy 1.x
+except ImportError:  # pragma: no cover — numpy 2 moved the ufunc
+    from numpy._core.umath import clip as _uclip
+
 
 # -- bit-level RBSP I/O -----------------------------------------------------
 class _EgWriter:
@@ -351,7 +362,7 @@ def _rgb_to_yuv420(rgb: np.ndarray):
     pool = lambda p: (  # noqa: E731
         p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
     )
-    rnd = lambda p: np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)  # noqa: E731
+    rnd = lambda p: _uclip(np.floor(p + 0.5), 0, 255).astype(np.uint8)  # noqa: E731
     return rnd(y), rnd(pool(cb)), rnd(pool(cr))
 
 
@@ -363,7 +374,7 @@ def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     r = yf + 1.402 * (crf - 128.0)
     g = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
     b = yf + 1.772 * (cbf - 128.0)
-    rnd = lambda p: np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)  # noqa: E731
+    rnd = lambda p: _uclip(np.floor(p + 0.5), 0, 255).astype(np.uint8)  # noqa: E731
     return np.stack([rnd(r), rnd(g), rnd(b)], axis=-1)
 
 
@@ -1017,7 +1028,7 @@ def _intra16_pred_luma(
         bb = (5 * hsum + 32) >> 6
         cc = (5 * vsum + 32) >> 6
         jj, ii = np.meshgrid(np.arange(16), np.arange(16))
-        return np.clip((aa + bb * (jj - 7) + cc * (ii - 7) + 16) >> 5, 0, 255)
+        return _uclip((aa + bb * (jj - 7) + cc * (ii - 7) + 16) >> 5, 0, 255)
     raise ValueError(f"invalid Intra_16x16 prediction mode {mode}")
 
 
@@ -1112,7 +1123,7 @@ def _i16dc_slice_rbsp(
             cavlc_encode_block(bw, list(c.reshape(16)[_ZZ4]))
             dc = _luma_dc_dequant(list(c.reshape(16)[_ZZ4]), qp)
             r = (dc + 32) >> 6  # per-4x4 constant residual sample
-            recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+            recon[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
                 pred + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1), 0, 255
             )
     bw.rbsp_trailing()
@@ -1198,7 +1209,7 @@ def _i16cdc_slice_rbsp(
             cavlc_encode_block(bw, list(c.reshape(16)[_ZZ4]))
             dc = _luma_dc_dequant(list(c.reshape(16)[_ZZ4]), qp)
             r = (dc + 32) >> 6
-            rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
                 pred + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1), 0, 255
             )
             # chroma: DC residual per component, Cb then Cr (§7.3.5.3.3)
@@ -1217,7 +1228,7 @@ def _i16cdc_slice_rbsp(
                 )
                 dcc = _chroma_dc_dequant(cc, qpc)
                 cr_ = (dcc + 32) >> 6
-                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(
                     cpred + np.repeat(np.repeat(cr_, 4, axis=0), 4, axis=1),
                     0,
                     255,
@@ -1347,7 +1358,7 @@ def _i16ac_slice_rbsp(
                 rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
                     pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
                 )
-            rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(rec_mb, 0, 255)
             # chroma DC residual, Cb then Cr
             cy0, cx0 = my * 8, mx * 8
             for src_p, rec_p in zip(src_c, rec_c):
@@ -1364,7 +1375,7 @@ def _i16ac_slice_rbsp(
                 )
                 dcc = _chroma_dc_dequant(cc, qpc)
                 cr_ = (dcc + 32) >> 6
-                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(
                     cpred + np.repeat(np.repeat(cr_, 4, axis=0), 4, axis=1),
                     0,
                     255,
@@ -1553,7 +1564,7 @@ def _i16ac8_slice_rbsp(
                 rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
                     pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
                 )
-            rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(rec_mb, 0, 255)
             cy0, cx0 = my * 8, mx * 8
             # §7.3.5.3.3 order: ChromaDCLevel Cb then Cr FIRST, then
             # (cbp_chroma 2) the ChromaACLevel blocks of Cb, then Cr
@@ -1617,13 +1628,13 @@ def _i16ac8_slice_rbsp(
                             ]
                             + r
                         )
-                    rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(
                         rec8, 0, 255
                     )
             else:
                 for pi, rec_p in enumerate(rec_c):
                     rc_fill = (dccs[pi] + 32) >> 6
-                    rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(
                         cpreds[pi]
                         + np.repeat(np.repeat(rc_fill, 4, axis=0), 4, axis=1),
                         0,
@@ -1884,8 +1895,8 @@ def _mc_block(plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
     ya, xa = y0 + dy, x0 + dx
     if 0 <= ya and 0 <= xa and ya + bh <= hh and xa + bw <= ww:
         return plane[ya : ya + bh, xa : xa + bw]
-    ys = np.clip(np.arange(ya, ya + bh), 0, hh - 1)
-    xs = np.clip(np.arange(xa, xa + bw), 0, ww - 1)
+    ys = _uclip(np.arange(ya, ya + bh), 0, hh - 1)
+    xs = _uclip(np.arange(xa, xa + bw), 0, ww - 1)
     return plane[np.ix_(ys, xs)]
 
 
@@ -1951,8 +1962,8 @@ def _interp_luma_block(
         # ever clips when the whole window is inside the picture)
         w = plane[ya : ya + bh + 6, xa : xa + bw + 6].astype(np.int64)
     else:
-        ys = np.clip(np.arange(ya, ya + bh + 6), 0, hh - 1)
-        xs = np.clip(np.arange(xa, xa + bw + 6), 0, ww - 1)
+        ys = _uclip(np.arange(ya, ya + bh + 6), 0, hh - 1)
+        xs = _uclip(np.arange(xa, xa + bw + 6), 0, ww - 1)
         w = plane[np.ix_(ys, xs)].astype(np.int64)  # (bh+6, bw+6)
     # Compute ONLY the intermediates this sub-position reads (the
     # original built G, b, h, j and all fifteen Table 8-12 outputs
@@ -1965,7 +1976,7 @@ def _interp_luma_block(
     #     the xf=2 column;      j (center) feeds the xf=2/yf=2 cross.
     if yf == 0:
         # a/b/c: horizontal-only — b over the block rows alone
-        b = np.clip(
+        b = _uclip(
             (_conv6_h(w[2 : 2 + bh, :]) + 16) >> 5, 0, 255
         )
         bb = b[:, :bw]
@@ -1977,7 +1988,7 @@ def _interp_luma_block(
         return (G[:, 1 : bw + 1] + bb + 1) >> 1       # c
     if xf == 0:
         # d/h/n: vertical-only — h over the block columns alone
-        h = np.clip(
+        h = _uclip(
             (_conv6_v(w[:, 2 : 2 + bw]) + 16) >> 5, 0, 255
         )
         hc = h[:bh, :]
@@ -1990,27 +2001,27 @@ def _interp_luma_block(
     need_j = xf == 2 or yf == 2
     if need_j:
         b1 = _conv6_h(w)                              # (bh+6, bw+1)
-        j = np.clip((_conv6_v(b1) + 512) >> 10, 0, 255)
+        j = _uclip((_conv6_v(b1) + 512) >> 10, 0, 255)
         jj = j[:bh, :bw]
         if xf == 2 and yf == 2:
             return jj
         if yf == 2:                                   # i / k
-            h = np.clip(
+            h = _uclip(
                 (_conv6_v(w[:, 2 : 2 + bw + 1]) + 16) >> 5, 0, 255
             )[:bh, :]
             if xf == 1:
                 return (h[:, :bw] + jj + 1) >> 1      # i
             return (jj + h[:, 1 : bw + 1] + 1) >> 1   # k
         # xf == 2, yf ∈ {1, 3}: f / q need b rows 0..bh of the block
-        b = np.clip((b1[2 : 2 + bh + 1, :bw] + 16) >> 5, 0, 255)
+        b = _uclip((b1[2 : 2 + bh + 1, :bw] + 16) >> 5, 0, 255)
         if yf == 1:
             return (b[:bh, :] + jj + 1) >> 1          # f
         return (jj + b[1 : bh + 1, :] + 1) >> 1       # q
     # diagonal quarter positions e/g/p/r: b and h, no j
-    b = np.clip(
+    b = _uclip(
         (_conv6_h(w[2 : 2 + bh + 1, :]) + 16) >> 5, 0, 255
     )[:, :bw]
-    h = np.clip(
+    h = _uclip(
         (_conv6_v(w[:, 2 : 2 + bw + 1]) + 16) >> 5, 0, 255
     )[:bh, :]
     bb, ss = b[:bh, :], b[1 : bh + 1, :]
@@ -2043,11 +2054,21 @@ def _interp_chroma_block(
         # interior window: basic slice (see _interp_luma_block)
         w = plane[ya : ya + bh + 1, xa : xa + bw + 1].astype(np.int64)
     else:
-        ys = np.clip(np.arange(ya, ya + bh + 1), 0, hh - 1)
-        xs = np.clip(np.arange(xa, xa + bw + 1), 0, ww - 1)
+        ys = _uclip(np.arange(ya, ya + bh + 1), 0, hh - 1)
+        xs = _uclip(np.arange(xa, xa + bw + 1), 0, ww - 1)
         w = plane[np.ix_(ys, xs)].astype(np.int64)
     A, B = w[:bh, :bw], w[:bh, 1 : bw + 1]
-    C, D = w[1 : bh + 1, :bw], w[1 : bh + 1, 1 : bw + 1]
+    # one-axis motion degenerates the bilinear to two terms: with
+    # yf = 0 the full expression is (8·(8−xf)·A + 8·xf·B + 32) >> 6,
+    # whose common factor 8 cancels exactly against the rounding
+    # ((8k+32) >> 6 ≡ (k+4) >> 3 for k >= 0) — identical value,
+    # fewer tiny-array numpy ops (round 15)
+    if yf == 0:
+        return ((8 - xf) * A + xf * B + 4) >> 3
+    C = w[1 : bh + 1, :bw]
+    if xf == 0:
+        return ((8 - yf) * A + yf * C + 4) >> 3
+    D = w[1 : bh + 1, 1 : bw + 1]
     return (
         (8 - xf) * (8 - yf) * A
         + xf * (8 - yf) * B
@@ -2116,7 +2137,7 @@ def _wp_plane(pred: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
         v = ((p * w + (1 << (logwd - 1))) >> logwd) + o
     else:
         v = p * w + o
-    return np.clip(v, 0, 255).astype(np.uint8)
+    return _uclip(v, 0, 255).astype(np.uint8)
 
 
 def _wp_planes(planes: tuple, wp: tuple | None) -> tuple:
@@ -2163,7 +2184,7 @@ def _wpb_bi_plane(
         (p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
          + (1 << logwd)) >> (logwd + 1)
     ) + ((o0 + o1 + 1) >> 1)
-    return np.clip(v, 0, 255).astype(np.uint8)
+    return _uclip(v, 0, 255).astype(np.uint8)
 
 
 def _wpb_bi(p0: tuple, p1: tuple, wpb: tuple | None) -> tuple:
@@ -2536,9 +2557,6 @@ def _p_slice_rbsp(
     stats = _stats_zero(is_p=True)
     skip_run = 0
 
-    def _mc_mb(mx: int, my: int, mv: tuple):
-        return _wp_planes(_mc_mb_planes(ry, rcb, rcr, mx, my, mv), wp)
-
     def _src_mb(mx: int, my: int):
         return (
             y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
@@ -2572,6 +2590,13 @@ def _p_slice_rbsp(
                 return False
         return True
 
+    # full-MB geometry for the lazy per-plane matcher: luma first,
+    # chroma only when luma already matches (optimization round 15 —
+    # the eager _mc_mb test interpolated BOTH chroma planes for every
+    # failing candidate; ~2/3 of all interp calls were dead work.
+    # Decisions are identical: same planes, same weighting, same
+    # array_equal, just short-circuited)
+    geom_full = ((0, 0, 16, 16), (0, 0, 8, 8))
     last_mb = first_mb + (n_mbs if n_mbs is not None else mbh * mbw - first_mb)
     for idx in range(first_mb, last_mb):
         my, mx = divmod(idx, mbw)
@@ -2579,20 +2604,14 @@ def _p_slice_rbsp(
             ms.slice_mb[my, mx] = ms.cur_slice
         s = _src_mb(mx, my)
         smv = _pskip_mv(ms, mx, my)
-        if all(
-            np.array_equal(a, b)
-            for a, b in zip(_mc_mb(mx, my, smv), s)
-        ):
+        if _part_matches(mx, my, geom_full, smv):
             skip_run += 1
             ms.set_mb(mx, my, smv)
             stats["skip"] += 1
             continue
         hit = None
         for mv in mv_candidates:
-            if all(
-                np.array_equal(a, b)
-                for a, b in zip(_mc_mb(mx, my, mv), s)
-            ):
+            if _part_matches(mx, my, geom_full, mv):
                 hit = mv
                 break
         pair_hit = None
@@ -2845,7 +2864,7 @@ def _pr_slice_rbsp(
             rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
                 pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
             )
-        rec_y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(rec_mb, 0, 255)
+        rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(rec_mb, 0, 255)
         # chroma: §7.3.5.3.3 order — ChromaDCLevel Cb then Cr, then
         # the ChromaACLevel blocks of Cb, then Cr (cbp_chroma 2)
         cpreds, cresids, dccs = [], [], []
@@ -2884,7 +2903,7 @@ def _pr_slice_rbsp(
                     cpreds[pi][cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4]
                     + r
                 )
-            rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(rec8, 0, 255)
+            rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(rec8, 0, 255)
     bw.rbsp_trailing()
     return (
         bw.tobytes(),
@@ -3210,17 +3229,6 @@ def _b_slice_rbsp(
             cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
         )
 
-    def _bi_mb(mx: int, my: int, mv0: tuple, mv1: tuple):
-        p0 = _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv0)
-        p1 = _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv1)
-        if implicit_pocs is not None:
-            w0, w1 = _implicit_bi_weights(*implicit_pocs)
-            return tuple(
-                _wpb_bi_plane(a, b, w0, w1, 0, 0, 5)
-                for a, b in zip(p0, p1)
-            )
-        return _wpb_bi(p0, p1, wpb)
-
     def _part_planes(ref: tuple, mx: int, my: int, geom: tuple,
                      mv: tuple):
         (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
@@ -3233,6 +3241,79 @@ def _b_slice_rbsp(
             _interp_chroma_block(rcrr, mx * 8 + cx, my * 8 + cy,
                                  cw, ch, mv[0], mv[1]),
         )
+
+    def _single_mb_matches(ref: tuple, lst: int, mx: int, my: int,
+                           mv: tuple, s: tuple) -> bool:
+        """Lazy per-plane twin of the eager
+        ``_wpb_single(_mc_mb_planes(...)) == s`` candidate test
+        (optimization round 15): luma first, each chroma plane only
+        when every previous plane already matched — the same samples,
+        the same §8.4.2.3.2 single-list weighting, the same equality,
+        short-circuited (most failing candidates fail on luma, so the
+        two chroma interpolations were dead work)."""
+        ryy, rcbb, rcrr = ref
+        if wpb is not None:
+            ld, cd, l0w, l1w = wpb
+            wy, oy, wcb, ocb, wcr, ocr = l0w if lst == 0 else l1w
+        p = _interp_luma_block(ryy, mx * 16, my * 16, 16, 16,
+                               mv[0], mv[1])
+        if wpb is not None:
+            p = _wp_plane(p, wy, oy, ld)
+        if not np.array_equal(p, s[0]):
+            return False
+        p = _interp_chroma_block(rcbb, mx * 8, my * 8, 8, 8,
+                                 mv[0], mv[1])
+        if wpb is not None:
+            p = _wp_plane(p, wcb, ocb, cd)
+        if not np.array_equal(p, s[1]):
+            return False
+        p = _interp_chroma_block(rcrr, mx * 8, my * 8, 8, 8,
+                                 mv[0], mv[1])
+        if wpb is not None:
+            p = _wp_plane(p, wcr, ocr, cd)
+        return np.array_equal(p, s[2])
+
+    def _bi_mb_matches(mx: int, my: int, mv0: tuple, mv1: tuple,
+                       s: tuple) -> bool:
+        """Lazy per-plane twin of ``_bi_mb(...) == s`` — identical
+        combination arithmetic (implicit POC weights / explicit
+        eq. 8-272 / rounded mean), short-circuited per plane."""
+        if implicit_pocs is not None:
+            w0, w1 = _implicit_bi_weights(*implicit_pocs)
+            wts = ((w0, w1, 0, 0, 5),) * 3
+        elif wpb is not None:
+            ld, cd, (wy0, oy0, wcb0, ocb0, wcr0, ocr0), \
+                (wy1, oy1, wcb1, ocb1, wcr1, ocr1) = wpb
+            wts = (
+                (wy0, wy1, oy0, oy1, ld),
+                (wcb0, wcb1, ocb0, ocb1, cd),
+                (wcr0, wcr1, ocr0, ocr1, cd),
+            )
+        else:
+            wts = None
+        refs0 = (r0y, r0cb, r0cr)
+        refs1 = (r1y, r1cb, r1cr)
+        for k in range(3):
+            if k == 0:
+                a = _interp_luma_block(refs0[0], mx * 16, my * 16,
+                                       16, 16, mv0[0], mv0[1])
+                b = _interp_luma_block(refs1[0], mx * 16, my * 16,
+                                       16, 16, mv1[0], mv1[1])
+            else:
+                a = _interp_chroma_block(refs0[k], mx * 8, my * 8,
+                                         8, 8, mv0[0], mv0[1])
+                b = _interp_chroma_block(refs1[k], mx * 8, my * 8,
+                                         8, 8, mv1[0], mv1[1])
+            if wts is None:
+                p = (
+                    (a.astype(np.int64) + b.astype(np.int64) + 1) >> 1
+                ).astype(np.uint8)
+            else:
+                p = _wpb_bi_plane(a, b, wts[k][0], wts[k][1],
+                                  wts[k][2], wts[k][3], wts[k][4])
+            if not np.array_equal(p, s[k]):
+                return False
+        return True
 
     def _mb_direct(mx: int, my: int):
         """The current macroblock's direct derivation — (use0, use1,
@@ -3352,16 +3433,8 @@ def _b_slice_rbsp(
         hit0 = next(
             (
                 mv for mv in l0_candidates
-                if all(
-                    np.array_equal(a, b)
-                    for a, b in zip(
-                        _wpb_single(
-                            _mc_mb_planes(r0y, r0cb, r0cr, mx, my, mv),
-                            wpb, 0,
-                        ),
-                        s,
-                    )
-                )
+                if _single_mb_matches((r0y, r0cb, r0cr), 0, mx, my,
+                                      mv, s)
             ),
             None,
         )
@@ -3378,16 +3451,8 @@ def _b_slice_rbsp(
         hit1 = next(
             (
                 mv for mv in l1_candidates
-                if all(
-                    np.array_equal(a, b)
-                    for a, b in zip(
-                        _wpb_single(
-                            _mc_mb_planes(r1y, r1cb, r1cr, mx, my, mv),
-                            wpb, 1,
-                        ),
-                        s,
-                    )
-                )
+                if _single_mb_matches((r1y, r1cb, r1cr), 1, mx, my,
+                                      mv, s)
             ),
             None,
         )
@@ -3404,10 +3469,7 @@ def _b_slice_rbsp(
         hitb = next(
             (
                 (mv0, mv1) for mv0, mv1 in bi_candidates
-                if all(
-                    np.array_equal(a, b)
-                    for a, b in zip(_bi_mb(mx, my, mv0, mv1), s)
-                )
+                if _bi_mb_matches(mx, my, mv0, mv1, s)
             ),
             None,
         )
@@ -4571,7 +4633,7 @@ def h264_decode_gop(
                             r = (_inv_transform4x4(d) + 32) >> 6
                             rec_mb[by * 4 : by * 4 + 4,
                                    bx * 4 : bx * 4 + 4] = pblk + r
-                        y[y0_ : y0_ + 16, x0_ : x0_ + 16] = np.clip(
+                        y[y0_ : y0_ + 16, x0_ : x0_ + 16] = _uclip(
                             rec_mb, 0, 255
                         )
                         qpc = _chroma_qpc(qp)
@@ -4630,10 +4692,10 @@ def h264_decode_gop(
                                         ]
                                         + r
                                     )
-                                out8 = np.clip(rec8, 0, 255)
+                                out8 = _uclip(rec8, 0, 255)
                             elif cbpc_i:
                                 rc = (dccs[pi] + 32) >> 6
-                                out8 = np.clip(
+                                out8 = _uclip(
                                     cpred
                                     + np.repeat(
                                         np.repeat(rc, 4, axis=0),
@@ -4883,12 +4945,12 @@ def h264_decode_gop(
                             ]
                             + r
                         )
-                    y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                    y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
                         rec_mb, 0, 255
                     )
                 else:
                     r = (dc + 32) >> 6
-                    y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                    y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
                         pred
                         + np.repeat(np.repeat(r, 4, axis=0), 4, axis=1),
                         0,
@@ -4949,10 +5011,10 @@ def h264_decode_gop(
                                 ]
                                 + r
                             )
-                        cpred = np.clip(rec8, 0, 255)
+                        cpred = _uclip(rec8, 0, 255)
                     elif cbp_chroma:
                         rc = (dccs[pi] + 32) >> 6
-                        cpred = np.clip(
+                        cpred = _uclip(
                             cpred
                             + np.repeat(np.repeat(rc, 4, axis=0), 4, axis=1),
                             0,
