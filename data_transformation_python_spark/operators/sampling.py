@@ -306,6 +306,17 @@ def dsir_importance_sample(
     # so each corpus gram chain instantiated twice more in the plan;
     # SUM() OVER () on the tiny joined frame reads the same values
     # from one instantiation (T = sum of per-bucket t_b either way).
+    # Degenerate-input note (r14 ADVICE): when ONE side's histogram is
+    # empty, the old scalar .agg() yielded a NULL total (aggregate
+    # over zero rows) and hence NULL weights, while the window sum
+    # over the coalesced zeros yields 0 and finite weights.  When
+    # BOTH corpora are non-empty — every caller, and anything the
+    # oracle gates — at least one bucket row exists on each side, the
+    # totals are positive, and the two forms are bit-identical; an
+    # EMPTY target corpus now scores every doc with the uniform
+    # smoothing weight instead of NULL, which is the better-defined
+    # behavior and is what gold_dsir_selected.sql's window totals
+    # compute too.
     weights = (
         r_hist.join(t_hist, "bucket", "full_outer")
         .select(

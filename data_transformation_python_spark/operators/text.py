@@ -2642,7 +2642,17 @@ def unigram_tokenize(
     one word-key join from documents onto the vocab-segmented cache
     (AQE broadcasts the cache when it fits), then a doc-key groupBy.
     Returns (doc_id, n_words, n_pieces, n_distinct_pieces) — BIGINT,
-    bit-exact against the extended unrolled oracle."""
+    bit-exact against the extended unrolled oracle.
+
+    ``words_hist`` MUST be the FULL corpus histogram of ``df``'s own
+    words (split on ' ', non-empty, unfiltered) — the same invariant
+    _ulm_fit documents.  n_words is count(1) AFTER the inner join
+    with the segmentation table, which equals the true word count
+    only because every qualifying doc word has a histogram row; a
+    pre-filtered or foreign-corpus histogram would silently
+    undercount n_words and drop words from n_pieces (r14 ADVICE).
+    The only in-repo caller (text_tokenizer_compare) passes the
+    whole-corpus histogram."""
     scale = 1 << 13
     words, _c2, neg2 = _ulm_fit(
         df, text_col, max_word, max_piece, seed_multi, keep_multi,
