@@ -2252,8 +2252,11 @@ def _ulm_estep_np(words: DataFrame, vocab: dict, scale: int,
             acc[-1] += int(cnt[bad].sum())
         ix = np.flatnonzero(acc)
         ps = np.array(tables[0] + [None], dtype=object)
+        # explicit types: an all-sentinel partition would otherwise
+        # infer a null-typed piece column and fail schema validation
         yield pa.record_batch(
-            [pa.array(ps[ix]), pa.array(acc[ix])],
+            [pa.array(ps[ix], type=pa.string()),
+             pa.array(acc[ix], type=pa.int64())],
             names=["piece", "c"],
         )
 
