@@ -191,6 +191,13 @@ class _EgReader:
 
     def u(self, n: int) -> int:
         i = self.i
+        if n == 1:
+            # single-bit fast path — the densest call across every
+            # decode loop (flags, trailing-one signs, level prefixes)
+            if i >= self._nbits:
+                raise ValueError("truncated RBSP")
+            self.i = i + 1
+            return (self._data[i >> 3] >> (7 - (i & 7))) & 1
         if i + n > self._nbits:
             raise ValueError("truncated RBSP")
         self.i = i + n
@@ -202,11 +209,23 @@ class _EgReader:
         return (chunk >> drop) & ((1 << n) - 1)
 
     def ue(self) -> int:
-        zeros = 0
-        while self.u(1) == 0:
-            zeros += 1
-            if zeros > 31:
+        # one peek of up to 32 bits replaces the bit-at-a-time zero
+        # scan; identical values and identical failure modes (32 zero
+        # bits -> invalid code; running out of bits -> truncated)
+        i = self.i
+        avail = self._nbits - i
+        m = 32 if avail > 32 else avail
+        if m <= 0:
+            raise ValueError("truncated RBSP")
+        start, end = i >> 3, (i + m + 7) >> 3
+        chunk = int.from_bytes(self._data[start:end], "big")
+        window = (chunk >> ((end << 3) - (i + m))) & ((1 << m) - 1)
+        if window == 0:
+            if m == 32:
                 raise ValueError("invalid Exp-Golomb code")
+            raise ValueError("truncated RBSP")
+        zeros = m - window.bit_length()
+        self.i = i + zeros + 1
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:
@@ -661,13 +680,55 @@ def _put_bits(bw: _EgWriter, code: str) -> None:
     bw.u(int(code, 2), len(code))
 
 
+# (value, length) twins of the {key: bitstring} code tables, built
+# lazily and cached by table identity (the tables are module-level
+# constants; the cache keeps a strong reference to the source table so
+# a recycled id can never alias a different dict).  Same bits, no
+# per-call int(code, 2)/len parsing.
+_INT_CODES: dict[int, tuple] = {}
+
+
+def _int_codes(table: dict) -> dict:
+    cached = _INT_CODES.get(id(table))
+    if cached is None or cached[0] is not table:
+        cached = (table, {k: (int(v, 2), len(v)) for k, v in table.items()})
+        _INT_CODES[id(table)] = cached
+    return cached[1]
+
+
+# decode twins keyed (code_length, code_value) plus the table's max
+# code length, enabling a single contiguous peek per VLC read
+_VLC_INT: dict[int, tuple] = {}
+_VLC_MISS = object()
+
+
 def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
-    code = ""
-    for _ in range(max_len):
-        code += "1" if br.u(1) else "0"
-        if code in table:
-            return table[code]
-    raise ValueError(f"invalid VLC code {code!r}")
+    cached = _VLC_INT.get(id(table))
+    if cached is None or cached[0] is not table:
+        cached = (
+            table,
+            {(len(k), int(k, 2)): v for k, v in table.items()},
+            max(len(k) for k in table),
+        )
+        _VLC_INT[id(table)] = cached
+    _, t, tmax = cached
+    i = br.i
+    avail = br._nbits - i
+    m = tmax if tmax < avail else avail
+    if m <= 0:
+        raise ValueError("truncated RBSP")
+    start, end = i >> 3, (i + m + 7) >> 3
+    chunk = int.from_bytes(br._data[start:end], "big")
+    window = (chunk >> ((end << 3) - (i + m))) & ((1 << m) - 1)
+    # prefix code: the shortest matching prefix is THE match
+    for ln in range(1, m + 1):
+        hit = t.get((ln, window >> (m - ln)), _VLC_MISS)
+        if hit is not _VLC_MISS:
+            br.i = i + ln
+            return hit
+    if m < tmax:
+        raise ValueError("truncated RBSP")
+    raise ValueError(f"invalid VLC code at bit {i}")
 
 
 _CT_NC02_DEC = {v: k for k, v in _CT_NC02.items()}
@@ -719,7 +780,7 @@ def cavlc_encode_block(
             t1 += 1
         else:
             break
-    _put_bits(bw, ct_table[(t1, total)])
+    bw.u(*_int_codes(ct_table)[(t1, total)])
     if total == 0:
         return
     for _, c in list(reversed(nz))[:t1]:
@@ -730,14 +791,18 @@ def cavlc_encode_block(
         level_code = (level << 1) - 2 if level > 0 else -(level << 1) - 1
         if first and t1 < 3:
             level_code -= 2
+        # each branch writes the unary prefix (level_code>>suffix_len
+        # zeros then a 1) and the fixed-size suffix as ONE u() call —
+        # bit-identical to the separate prefix/suffix writes
         if suffix_len == 0 and level_code < 14:
-            _put_bits(bw, "0" * level_code + "1")
+            bw.u(1, level_code + 1)
         elif suffix_len == 0 and level_code < 30:
-            _put_bits(bw, "0" * 14 + "1")
-            bw.u(level_code - 14, 4)
+            bw.u((1 << 4) | (level_code - 14), 19)
         elif suffix_len > 0 and (level_code >> suffix_len) < 15:
-            _put_bits(bw, "0" * (level_code >> suffix_len) + "1")
-            bw.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            bw.u(
+                (1 << suffix_len) | (level_code & ((1 << suffix_len) - 1)),
+                (level_code >> suffix_len) + 1 + suffix_len,
+            )
         else:
             # escape: prefix 15 carries a 12-bit suffix; prefixes 16+
             # carry (prefix-3)-bit suffixes over contiguous higher
@@ -755,8 +820,7 @@ def cavlc_encode_block(
                     if p > 24:
                         raise ValueError("level beyond CAVLC range")
                 size, suffix = p - 3, rem - base
-            _put_bits(bw, "0" * p + "1")
-            bw.u(suffix, size)
+            bw.u((1 << size) | suffix, p + 1 + size)
         if suffix_len == 0:
             suffix_len = 1
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
@@ -765,13 +829,13 @@ def cavlc_encode_block(
     last_pos = nz[-1][0]
     total_zeros = last_pos + 1 - total
     if total < max_coeff:
-        _put_bits(bw, tz_table[total][total_zeros])
+        bw.u(*_int_codes(tz_table[total])[total_zeros])
     zeros_left = total_zeros
     for j in range(len(nz) - 1, 0, -1):
         if zeros_left <= 0:
             break
         run = nz[j][0] - nz[j - 1][0] - 1
-        _put_bits(bw, _RUN_BEFORE[min(zeros_left, 7)][run])
+        bw.u(*_int_codes(_RUN_BEFORE[min(zeros_left, 7)])[run])
         zeros_left -= run
 
 
@@ -944,6 +1008,70 @@ def _fwd_transform4x4(x: np.ndarray) -> np.ndarray:
     """Forward 4x4 core transform W = Cf · X · Cf^T (the encoder-side
     analysis; not normative — only the inverse is)."""
     return _CF @ x.astype(np.int64) @ _CF.T
+
+
+# -- batched per-macroblock forms (optimization round 15) --------------------
+# A macroblock's 4x4 residual blocks are independent once the MB-level
+# prediction is fixed, so the 16 luma (or 4 chroma) transforms,
+# quantizations and inverse transforms run as ONE numpy pass instead of
+# 16 tiny per-block calls.  Identical int64 arithmetic throughout
+# (numpy's >> on int64 is the same arithmetic shift the scalar forms
+# use); bit-exactness is gated by scripts/codec_digest.py.
+
+def _inv_transform4x4_batch(d: np.ndarray) -> np.ndarray:
+    """§8.5.12.2 inverse core transform over a (n, 4, 4) stack —
+    the same >>1 butterflies as _inv_transform4x4, vectorized."""
+    d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    e0 = d0 + d2
+    e1 = d0 - d2
+    e2 = (d1 >> 1) - d3
+    e3 = d1 + (d3 >> 1)
+    f = np.empty_like(d)
+    f[..., 0] = e0 + e3
+    f[..., 1] = e1 + e2
+    f[..., 2] = e1 - e2
+    f[..., 3] = e0 - e3
+    f0, f1, f2, f3 = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
+    g0 = f0 + f2
+    g1 = f0 - f2
+    g2 = (f1 >> 1) - f3
+    g3 = f1 + (f3 >> 1)
+    out = np.empty_like(d)
+    out[:, 0] = g0 + g3
+    out[:, 1] = g1 + g2
+    out[:, 2] = g1 - g2
+    out[:, 3] = g0 - g3
+    return out
+
+
+def _ac_dequant_batch(c: np.ndarray, qp: int) -> np.ndarray:
+    """_ac_dequant over a (n, 4, 4) stack (LevelScale broadcast)."""
+    return (c * _levelscale4x4(qp % 6)) << (qp // 6)
+
+
+def _dense8_batch(a: np.ndarray) -> np.ndarray:
+    """Row-wise _dense8 over an (n, m) scan-order coefficient matrix:
+    keep the 8 largest |level| per row (ties to the lower scan
+    position — the stable argsort keeps original order on equal
+    keys), raise the lowest-frequency zeros to +1 when fewer."""
+    out = a.copy()
+    nzc = np.count_nonzero(a, axis=1)
+    over = nzc > 8
+    if over.any():
+        sub = a[over]
+        idx = np.argsort(-np.abs(sub), axis=1, kind="stable")[:, :8]
+        b = np.zeros_like(sub)
+        r = np.arange(sub.shape[0])[:, None]
+        b[r, idx] = sub[r, idx]
+        out[over] = b
+    under = nzc < 8
+    if under.any():
+        sub = out[under]
+        z = sub == 0
+        fill = z & (np.cumsum(z, axis=1) <= (8 - nzc[under])[:, None])
+        sub[fill] = 1
+        out[under] = sub
+    return out
 
 
 # basis gains of the inverse transform: position (i,j)'s coefficient
@@ -1260,6 +1388,29 @@ _BLK_SCAN = [
     for i in range(16)
 ]
 
+# index arrays for gathering/scattering a MB's 16 luma blocks between
+# the (16, 16) pixel layout and blkIdx order in one fancy-index op
+_BLK_SCAN_BX = np.array([bx for bx, _ in _BLK_SCAN])
+_BLK_SCAN_BY = np.array([by for _, by in _BLK_SCAN])
+_ZZ4_ARR = np.array(_ZZ4)
+_ZZ4_INV = np.argsort(_ZZ4_ARR)  # flat index -> zigzag position
+
+
+def _mb_blocks(pix16: np.ndarray) -> np.ndarray:
+    """(16, 16) MB pixels -> (16, 4, 4) stack of 4x4 blocks in blkIdx
+    (z-scan) order."""
+    return pix16.reshape(4, 4, 4, 4).swapaxes(1, 2)[
+        _BLK_SCAN_BY, _BLK_SCAN_BX
+    ]
+
+
+def _mb_from_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Inverse of _mb_blocks: (16, 4, 4) blkIdx-order stack ->
+    (16, 16) MB pixels."""
+    quad = np.empty((4, 4, 4, 4), blocks.dtype)
+    quad[_BLK_SCAN_BY, _BLK_SCAN_BX] = blocks
+    return quad.swapaxes(1, 2).reshape(16, 16)
+
 
 def _i16ac_slice_rbsp(
     y_plane: np.ndarray,
@@ -1311,15 +1462,11 @@ def _i16ac_slice_rbsp(
                 avail_left,
             )
             resid = src_y[y0 : y0 + 16, x0 : x0 + 16] - pred
-            # forward transform every 4x4 block; DC chain over the W00s
-            w_blocks = {}
-            x_dc = np.zeros((4, 4), np.int64)
-            for bi in range(16):
-                bx, by = _BLK_SCAN[bi]
-                blk = resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-                w = _fwd_transform4x4(blk)
-                w_blocks[bi] = w
-                x_dc[by, bx] = w[0, 0]
+            # forward transform every 4x4 block (one batched matmul);
+            # DC chain over the W00s
+            w = _CF @ _mb_blocks(resid) @ _CF.T
+            x_dc = np.empty((4, 4), np.int64)
+            x_dc[_BLK_SCAN_BY, _BLK_SCAN_BX] = w[:, 0, 0]
             fh = _HADAMARD4 @ x_dc @ _HADAMARD4
             c_dc = (
                 np.sign(fh)
@@ -1331,34 +1478,30 @@ def _i16ac_slice_rbsp(
             cavlc_encode_block(bw, list(c_dc.reshape(16)[_ZZ4]))
             dc = _luma_dc_dequant(list(c_dc.reshape(16)[_ZZ4]), qp)
             # AC: keep the single dominant quantized coefficient per
-            # block; reconstruct through the real inverse transform
-            rec_mb = np.empty((16, 16), np.int64)
+            # block; reconstruct through the real inverse transform.
+            # np.argmax takes the FIRST maximum — the same lowest-flat-
+            # index tie-break as the scalar loop.
+            cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+            cqf = cq.reshape(16, 16)
+            absf = np.abs(cqf).copy()
+            absf[:, 0] = 0
+            best = np.argmax(absf, axis=1)
+            rows = np.arange(16)
+            vals = cqf[rows, best]
+            has = absf[rows, best] > 0
+            cm = np.zeros((16, 16), np.int64)
+            cm[rows[has], best[has]] = vals[has]
+            ac_m = np.zeros((16, 15), np.int64)
+            kpos = _ZZ4_INV[best]                 # zigzag position 1..15
+            ac_m[rows[has], kpos[has] - 1] = vals[has]
             for bi in range(16):
-                bx, by = _BLK_SCAN[bi]
-                w = w_blocks[bi]
-                cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
-                cq[0, 0] = 0
-                ac_zz = [0] * 15
-                flat = np.abs(cq).reshape(16)
-                flat[0] = 0
-                best = int(np.argmax(flat))
-                if flat[best] > 0:
-                    k = _ZZ4.index(best)          # zigzag position 1..15
-                    ac_zz[k - 1] = int(cq.reshape(16)[best])
-                cavlc_encode_block(
-                    bw, ac_zz, max_coeff=15
-                )
-                d = np.zeros((4, 4), np.int64)
-                if flat[best] > 0:
-                    cm = np.zeros((4, 4), np.int64)
-                    cm.reshape(16)[best] = int(cq.reshape(16)[best])
-                    d = _ac_dequant(cm, qp)
-                d[0, 0] = dc[by, bx]
-                r = (_inv_transform4x4(d) + 32) >> 6
-                rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
-                    pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
-                )
-            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(rec_mb, 0, 255)
+                cavlc_encode_block(bw, ac_m[bi].tolist(), max_coeff=15)
+            d = _ac_dequant_batch(cm.reshape(16, 4, 4), qp)
+            d[:, 0, 0] = dc[_BLK_SCAN_BY, _BLK_SCAN_BX]
+            r = (_inv_transform4x4_batch(d) + 32) >> 6
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
+                pred + _mb_from_blocks(r), 0, 255
+            )
             # chroma DC residual, Cb then Cr
             cy0, cx0 = my * 8, mx * 8
             for src_p, rec_p in zip(src_c, rec_c):
@@ -1513,14 +1656,11 @@ def _i16ac8_slice_rbsp(
                 avail_left,
             )
             resid = src_y[y0 : y0 + 16, x0 : x0 + 16] - pred
-            w_blocks = {}
-            x_dc = np.zeros((4, 4), np.int64)
-            for bi in range(16):
-                bx, by = _BLK_SCAN[bi]
-                blk = resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-                w = _fwd_transform4x4(blk)
-                w_blocks[bi] = w
-                x_dc[by, bx] = w[0, 0]
+            # all 16 blocks: forward transform + quantize + dense-8 in
+            # one numpy pass (the CAVLC writes stay sequential below)
+            w = _CF @ _mb_blocks(resid) @ _CF.T
+            x_dc = np.empty((4, 4), np.int64)
+            x_dc[_BLK_SCAN_BY, _BLK_SCAN_BX] = w[:, 0, 0]
             fh = _HADAMARD4 @ x_dc @ _HADAMARD4
             c_dc = (
                 np.sign(fh)
@@ -1535,36 +1675,23 @@ def _i16ac8_slice_rbsp(
                 bw, list(c_dc.reshape(16)[_ZZ4]), _ct_for(_nc_of(gx0, gy0))
             )
             dc = _luma_dc_dequant(list(c_dc.reshape(16)[_ZZ4]), qp)
-            rec_mb = np.empty((16, 16), np.int64)
+            cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+            acm = _dense8_batch(cq.reshape(16, 16)[:, _ZZ4_ARR[1:]])
             for bi in range(16):
                 bx, by = _BLK_SCAN[bi]
-                w = w_blocks[bi]
-                cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
-                flat = cq.reshape(16)
-                ac = [int(flat[_ZZ4[k]]) for k in range(1, 16)]
-                nz = [i for i, v in enumerate(ac) if v != 0]
-                if len(nz) > 8:
-                    # keep the 8 largest |level|; deterministic
-                    # tie-break on the lower zigzag position
-                    for i in sorted(nz, key=lambda i: (-abs(ac[i]), i))[8:]:
-                        ac[i] = 0
-                elif len(nz) < 8:
-                    # raise the lowest-frequency zeros to +1
-                    fill = [i for i in range(15) if ac[i] == 0]
-                    for i in fill[: 8 - len(nz)]:
-                        ac[i] = 1
                 nc = _nc_of(gx0 + bx, gy0 + by)
-                cavlc_encode_block(bw, ac, _ct_for(nc), max_coeff=15)
-                nc_grid[gy0 + by, gx0 + bx] = 8
-                cm = np.zeros(16, np.int64)
-                cm[np.array(_ZZ4[1:])] = np.array(ac, np.int64)
-                d = _ac_dequant(cm.reshape(4, 4), qp)
-                d[0, 0] = dc[by, bx]
-                r = (_inv_transform4x4(d) + 32) >> 6
-                rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
-                    pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
+                cavlc_encode_block(
+                    bw, acm[bi].tolist(), _ct_for(nc), max_coeff=15
                 )
-            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(rec_mb, 0, 255)
+                nc_grid[gy0 + by, gx0 + bx] = 8
+            cm = np.zeros((16, 16), np.int64)
+            cm[:, _ZZ4_ARR[1:]] = acm
+            d = _ac_dequant_batch(cm.reshape(16, 4, 4), qp)
+            d[:, 0, 0] = dc[_BLK_SCAN_BY, _BLK_SCAN_BX]
+            r = (_inv_transform4x4_batch(d) + 32) >> 6
+            rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
+                pred + _mb_from_blocks(r), 0, 255
+            )
             cy0, cx0 = my * 8, mx * 8
             # §7.3.5.3.3 order: ChromaDCLevel Cb then Cr FIRST, then
             # (cbp_chroma 2) the ChromaACLevel blocks of Cb, then Cr
@@ -1590,46 +1717,33 @@ def _i16ac8_slice_rbsp(
                 fqc = (1 << (15 + ec)) // 3
                 cgx0, cgy0 = mx * 2, my * 2
                 for pi, rec_p in enumerate(rec_c):
-                    rec8 = np.empty((8, 8), np.int64)
+                    # the 4 chroma blocks batched exactly like the
+                    # luma 16 (cbi order 0..3 is row-major (cby, cbx))
+                    cblocks = (
+                        cresids[pi].reshape(2, 4, 2, 4).swapaxes(1, 2)
+                    )
+                    wq = _CF @ cblocks.reshape(4, 4, 4) @ _CF.T
+                    cq = np.sign(wq) * (
+                        (np.abs(wq) * mfc + fqc) >> (15 + ec)
+                    )
+                    acm = _dense8_batch(cq.reshape(4, 16)[:, _ZZ4_ARR[1:]])
                     for cbi in range(4):
                         cbx, cby = cbi % 2, cbi // 2
-                        blk = cresids[pi][
-                            cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
-                        ]
-                        wq = _fwd_transform4x4(blk)
-                        cq = np.sign(wq) * (
-                            (np.abs(wq) * mfc + fqc) >> (15 + ec)
-                        )
-                        flat = cq.reshape(16)
-                        ac = [int(flat[_ZZ4[k]]) for k in range(1, 16)]
-                        nz = [i for i, v in enumerate(ac) if v != 0]
-                        if len(nz) > 8:
-                            for i in sorted(
-                                nz, key=lambda i: (-abs(ac[i]), i)
-                            )[8:]:
-                                ac[i] = 0
-                        elif len(nz) < 8:
-                            fill = [i for i in range(15) if ac[i] == 0]
-                            for i in fill[: 8 - len(nz)]:
-                                ac[i] = 1
                         nc = _nc_in(nc_c[pi], cgx0 + cbx, cgy0 + cby)
-                        cavlc_encode_block(bw, ac, _ct_for(nc), max_coeff=15)
-                        nc_c[pi][cgy0 + cby, cgx0 + cbx] = 8
-                        cm = np.zeros(16, np.int64)
-                        cm[np.array(_ZZ4[1:])] = np.array(ac, np.int64)
-                        d = _ac_dequant(cm.reshape(4, 4), qpc)
-                        d[0, 0] = dccs[pi][cby, cbx]
-                        r = (_inv_transform4x4(d) + 32) >> 6
-                        rec8[
-                            cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
-                        ] = (
-                            cpreds[pi][
-                                cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
-                            ]
-                            + r
+                        cavlc_encode_block(
+                            bw, acm[cbi].tolist(), _ct_for(nc), max_coeff=15
                         )
+                        nc_c[pi][cgy0 + cby, cgx0 + cbx] = 8
+                    cm = np.zeros((4, 16), np.int64)
+                    cm[:, _ZZ4_ARR[1:]] = acm
+                    d = _ac_dequant_batch(cm.reshape(4, 4, 4), qpc)
+                    d[:, 0, 0] = dccs[pi].reshape(4)
+                    r = (_inv_transform4x4_batch(d) + 32) >> 6
                     rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(
-                        rec8, 0, 255
+                        cpreds[pi]
+                        + r.reshape(2, 2, 4, 4).swapaxes(1, 2).reshape(8, 8),
+                        0,
+                        255,
                     )
             else:
                 for pi, rec_p in enumerate(rec_c):
@@ -1919,6 +2033,38 @@ def _require_full_pel(mv: tuple) -> None:
 _K6 = (1, -5, 20, 20, -5, 1)  # the six-tap half-pel filter
 
 
+# Full-plane interpolation memo (optimization round 15).  Encoders
+# test small candidate-MV pools block by block and decoders fetch one
+# block per partition at the parsed MV, so the same (plane, mv)
+# interpolation recurs dozens of times per picture.  Interpolation is
+# position-local — each output sample depends only on its own
+# edge-clamped window — so slicing one memoized full-plane
+# interpolation yields exactly the samples of every per-block fetch.
+# Guarded to SMALL pictures (the fixture sizes): at real frame sizes
+# a full-plane pass for one 4x4 fetch would invert the trade, so big
+# planes keep the direct block path.  Results are read-only views,
+# the documented contract of _mc_block.  The memo holds a strong
+# reference to its plane, so a recycled id() can never alias.
+from collections import OrderedDict as _ODict
+
+_INTERP_MEMO_MAX_AREA = 1 << 16
+_INTERP_MEMO_MAX = 96
+_INTERP_MEMO: _ODict = _ODict()
+
+
+def _interp_full_plane(impl, plane: np.ndarray, mvx: int, mvy: int,
+                       kind: str) -> np.ndarray:
+    key = (kind, id(plane), mvx, mvy)
+    hit = _INTERP_MEMO.get(key)
+    if hit is not None and hit[0] is plane:
+        return hit[1]
+    full = impl(plane, 0, 0, plane.shape[1], plane.shape[0], mvx, mvy)
+    _INTERP_MEMO[key] = (plane, full)
+    if len(_INTERP_MEMO) > _INTERP_MEMO_MAX:
+        _INTERP_MEMO.popitem(last=False)
+    return full
+
+
 def _conv6_h(w: np.ndarray) -> np.ndarray:
     """Horizontal 6-tap over a window: out[:, i] spans w[:, i..i+5]
     (the un-normalized half-pel intermediate — §8.4.2.2.1 b1/s1).
@@ -1940,6 +2086,21 @@ def _conv6_v(w: np.ndarray) -> np.ndarray:
 
 
 def _interp_luma_block(
+    plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """Memoizing front of ``_interp_luma_block_impl`` — small planes
+    slice from one full-plane interpolation per (plane, mv)."""
+    hh, ww = plane.shape
+    if hh * ww <= _INTERP_MEMO_MAX_AREA and (bh < hh or bw < ww):
+        full = _interp_full_plane(
+            _interp_luma_block_impl, plane, mvx, mvy, "y"
+        )
+        return full[y0 : y0 + bh, x0 : x0 + bw]
+    return _interp_luma_block_impl(plane, x0, y0, bw, bh, mvx, mvy)
+
+
+def _interp_luma_block_impl(
     plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
     mvx: int, mvy: int,
 ) -> np.ndarray:
@@ -2040,6 +2201,21 @@ def _interp_luma_block(
 
 
 def _interp_chroma_block(
+    plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """Memoizing front of ``_interp_chroma_block_impl`` — small
+    planes slice from one full-plane interpolation per (plane, mv)."""
+    hh, ww = plane.shape
+    if hh * ww <= _INTERP_MEMO_MAX_AREA and (bh < hh or bw < ww):
+        full = _interp_full_plane(
+            _interp_chroma_block_impl, plane, mvx, mvy, "c"
+        )
+        return full[y0 : y0 + bh, x0 : x0 + bw]
+    return _interp_chroma_block_impl(plane, x0, y0, bw, bh, mvx, mvy)
+
+
+def _interp_chroma_block_impl(
     plane: np.ndarray, x0: int, y0: int, bw: int, bh: int,
     mvx: int, mvy: int,
 ) -> np.ndarray:
@@ -2570,31 +2746,54 @@ def _p_slice_rbsp(
             cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
         )
 
-    def _part_matches(mx: int, my: int, geom: tuple, mv: tuple) -> bool:
-        (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
-        py_ = _interp_luma_block(
-            ry, mx * 16 + lx, my * 16 + ly, lw, lh, mv[0], mv[1]
-        )
-        if wp is not None:
-            py_ = _wp_plane(py_, wp[1], wp[2], wp[0])
-        if not np.array_equal(
-            py_, y[my * 16 + ly : my * 16 + ly + lh,
-                   mx * 16 + lx : mx * 16 + lx + lw]
-        ):
-            return False
-        for pi, (plane, rp) in enumerate(((cb, rcb), (cr, rcr))):
-            pc = _interp_chroma_block(
-                rp, mx * 8 + cx, my * 8 + cy, cw, ch, mv[0], mv[1]
+    # Per-MV full-plane prediction memo (optimization round 15): the
+    # candidate pools are small and the matcher re-fetched tiny
+    # blocks per (candidate, partition).  Interpolation is
+    # position-local — every output sample depends only on its own
+    # edge-clamped window, so ONE full-plane interpolation per
+    # distinct vector yields exactly the samples every per-block
+    # fetch produced (same absolute coordinates, same clamps), and
+    # the per-candidate test reduces to slice compares.  Weighted
+    # prediction is per-sample, so it memoizes with the plane.
+    _mv_planes: dict = {}
+
+    def _planes_for(mv: tuple):
+        r = _mv_planes.get(mv)
+        if r is None:
+            py_f = _interp_luma_block(
+                ry, 0, 0, ry.shape[1], ry.shape[0], mv[0], mv[1]
+            )
+            pcb_f = _interp_chroma_block(
+                rcb, 0, 0, rcb.shape[1], rcb.shape[0], mv[0], mv[1]
+            )
+            pcr_f = _interp_chroma_block(
+                rcr, 0, 0, rcr.shape[1], rcr.shape[0], mv[0], mv[1]
             )
             if wp is not None:
-                w_, o_ = (wp[4], wp[5]) if pi == 0 else (wp[6], wp[7])
-                pc = _wp_plane(pc, w_, o_, wp[3])
-            if not np.array_equal(
-                pc, plane[my * 8 + cy : my * 8 + cy + ch,
-                          mx * 8 + cx : mx * 8 + cx + cw]
-            ):
-                return False
-        return True
+                py_f = _wp_plane(py_f, wp[1], wp[2], wp[0])
+                pcb_f = _wp_plane(pcb_f, wp[4], wp[5], wp[3])
+                pcr_f = _wp_plane(pcr_f, wp[6], wp[7], wp[3])
+            r = (py_f, pcb_f, pcr_f)
+            _mv_planes[mv] = r
+        return r
+
+    def _part_matches(mx: int, my: int, geom: tuple, mv: tuple) -> bool:
+        (lx, ly, lw, lh), (cx, cy, cw, ch) = geom
+        py_f, pcb_f, pcr_f = _planes_for(mv)
+        ly0, lx0 = my * 16 + ly, mx * 16 + lx
+        if not np.array_equal(
+            py_f[ly0 : ly0 + lh, lx0 : lx0 + lw],
+            y[ly0 : ly0 + lh, lx0 : lx0 + lw],
+        ):
+            return False
+        cy_, cx_ = my * 8 + cy, mx * 8 + cx
+        return np.array_equal(
+            pcb_f[cy_ : cy_ + ch, cx_ : cx_ + cw],
+            cb[cy_ : cy_ + ch, cx_ : cx_ + cw],
+        ) and np.array_equal(
+            pcr_f[cy_ : cy_ + ch, cx_ : cx_ + cw],
+            cr[cy_ : cy_ + ch, cx_ : cx_ + cw],
+        )
 
     # full-MB geometry for the lazy per-plane matcher: luma first,
     # chroma only when luma already matches (optimization round 15 —
@@ -2853,24 +3052,23 @@ def _pr_slice_rbsp(
             ry, x0, y0, 16, 16, mv[0], mv[1]
         ).astype(np.int64)
         resid = y[y0 : y0 + 16, x0 : x0 + 16] - pred
-        rec_mb = np.empty((16, 16), np.int64)
+        # all 16 blocks: forward transform, quantize, zigzag, dense-8
+        # as one numpy pass (the CAVLC writes stay sequential below)
+        w = _CF @ _mb_blocks(resid) @ _CF.T
+        cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
+        c16m = _dense8_batch(cq.reshape(16, 16)[:, _ZZ4_ARR])
         for bi in range(16):
             bx, by = _BLK_SCAN[bi]
-            blk = resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
-            w = _fwd_transform4x4(blk)
-            cq = np.sign(w) * ((np.abs(w) * mf + fq) >> (15 + e))
-            c16 = _dense8([int(cq.reshape(16)[_ZZ4[k]]) for k in range(16)])
             nc = _nc_in(nc_grid, gx0 + bx, gy0 + by)
-            cavlc_encode_block(bw, c16, _ct_for(nc))
+            cavlc_encode_block(bw, c16m[bi].tolist(), _ct_for(nc))
             nc_grid[gy0 + by, gx0 + bx] = 8
-            cm = np.zeros(16, np.int64)
-            cm[np.array(_ZZ4)] = np.array(c16, np.int64)
-            d = _ac_dequant(cm.reshape(4, 4), qp)
-            r = (_inv_transform4x4(d) + 32) >> 6
-            rec_mb[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
-                pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + r
-            )
-        rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(rec_mb, 0, 255)
+        cm = np.zeros((16, 16), np.int64)
+        cm[:, _ZZ4_ARR] = c16m
+        d = _ac_dequant_batch(cm.reshape(16, 4, 4), qp)
+        r = (_inv_transform4x4_batch(d) + 32) >> 6
+        rec_y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
+            pred + _mb_from_blocks(r), 0, 255
+        )
         # chroma: §7.3.5.3.3 order — ChromaDCLevel Cb then Cr, then
         # the ChromaACLevel blocks of Cb, then Cr (cbp_chroma 2)
         cpreds, cresids, dccs = [], [], []
@@ -2887,29 +3085,30 @@ def _pr_slice_rbsp(
             dccs.append(_chroma_dc_dequant(cc, qpc))
         cgx0, cgy0 = mx * 2, my * 2
         for pi, rec_p in enumerate((rec_cb, rec_cr)):
-            rec8 = np.empty((8, 8), np.int64)
+            # the 4 chroma blocks batched exactly like the luma 16
+            # (cbi order 0..3 is row-major (cby, cbx))
+            cblocks = cresids[pi].reshape(2, 4, 2, 4).swapaxes(1, 2)
+            wq = _CF @ cblocks.reshape(4, 4, 4) @ _CF.T
+            cq = np.sign(wq) * ((np.abs(wq) * mfc + fqc) >> (15 + ec))
+            acm = _dense8_batch(cq.reshape(4, 16)[:, _ZZ4_ARR[1:]])
             for cbi in range(4):
                 cbx, cby = cbi % 2, cbi // 2
-                blk = cresids[pi][
-                    cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4
-                ]
-                wq = _fwd_transform4x4(blk)
-                cq = np.sign(wq) * ((np.abs(wq) * mfc + fqc) >> (15 + ec))
-                flat = cq.reshape(16)
-                ac = _dense8([int(flat[_ZZ4[k]]) for k in range(1, 16)])
                 nc = _nc_in(nc_c[pi], cgx0 + cbx, cgy0 + cby)
-                cavlc_encode_block(bw, ac, _ct_for(nc), max_coeff=15)
-                nc_c[pi][cgy0 + cby, cgx0 + cbx] = 8
-                cm = np.zeros(16, np.int64)
-                cm[np.array(_ZZ4[1:])] = np.array(ac, np.int64)
-                d = _ac_dequant(cm.reshape(4, 4), qpc)
-                d[0, 0] = dccs[pi][cby, cbx]
-                r = (_inv_transform4x4(d) + 32) >> 6
-                rec8[cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4] = (
-                    cpreds[pi][cby * 4 : cby * 4 + 4, cbx * 4 : cbx * 4 + 4]
-                    + r
+                cavlc_encode_block(
+                    bw, acm[cbi].tolist(), _ct_for(nc), max_coeff=15
                 )
-            rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(rec8, 0, 255)
+                nc_c[pi][cgy0 + cby, cgx0 + cbx] = 8
+            cm = np.zeros((4, 16), np.int64)
+            cm[:, _ZZ4_ARR[1:]] = acm
+            d = _ac_dequant_batch(cm.reshape(4, 4, 4), qpc)
+            d[:, 0, 0] = dccs[pi].reshape(4)
+            r = (_inv_transform4x4_batch(d) + 32) >> 6
+            rec_p[cy0 : cy0 + 8, cx0 : cx0 + 8] = _uclip(
+                cpreds[pi]
+                + r.reshape(2, 2, 4, 4).swapaxes(1, 2).reshape(8, 8),
+                0,
+                255,
+            )
     bw.rbsp_trailing()
     return (
         bw.tobytes(),
@@ -4615,32 +4814,29 @@ def h264_decode_gop(
                         cbpl_i, cbpc_i = cbp_i & 15, cbp_i >> 4
                         qp = min(51, max(0, qp + br.se()))
                         gx0, gy0 = mx * 4, my * 4
-                        rec_mb = np.empty((16, 16), np.int64)
+                        # parse sequentially (CAVLC + nC bookkeeping),
+                        # then dequant + inverse-transform all 16
+                        # blocks as one batch (uncoded blocks hold
+                        # zero coefficients -> zero residual)
+                        c16m = np.zeros((16, 16), np.int64)
                         for bi in range(16):
                             bx, by = _BLK_SCAN[bi]
-                            pblk = py[by * 4 : by * 4 + 4,
-                                      bx * 4 : bx * 4 + 4]
                             if not cbpl_i & (1 << (bi // 4)):
-                                rec_mb[by * 4 : by * 4 + 4,
-                                       bx * 4 : bx * 4 + 4] = pblk
                                 continue
                             nc = _nc_of(gx0 + bx, gy0 + by)
                             c16 = cavlc_decode_block(
                                 br, ct_dec=_ct_dec_for_nc(nc)
                             )
-                            nc_grid[gy0 + by, gx0 + bx] = sum(
-                                1 for v in c16 if v != 0
+                            nc_grid[gy0 + by, gx0 + bx] = (
+                                16 - c16.count(0)
                             )
-                            cm = np.zeros(16, np.int64)
-                            cm[np.array(_ZZ4)] = np.array(
-                                c16, np.int64
-                            )
-                            d = _ac_dequant(cm.reshape(4, 4), qp)
-                            r = (_inv_transform4x4(d) + 32) >> 6
-                            rec_mb[by * 4 : by * 4 + 4,
-                                   bx * 4 : bx * 4 + 4] = pblk + r
+                            c16m[bi] = c16
+                        cm = np.zeros((16, 16), np.int64)
+                        cm[:, _ZZ4_ARR] = c16m
+                        d = _ac_dequant_batch(cm.reshape(16, 4, 4), qp)
+                        r = (_inv_transform4x4_batch(d) + 32) >> 6
                         y[y0_ : y0_ + 16, x0_ : x0_ + 16] = _uclip(
-                            rec_mb, 0, 255
+                            py + _mb_from_blocks(r), 0, 255
                         )
                         qpc = _chroma_qpc(qp)
                         dccs = []
@@ -4658,7 +4854,7 @@ def h264_decode_gop(
                         ):
                             if cbpc_i == 2:
                                 cgx0, cgy0 = mx * 2, my * 2
-                                rec8 = np.empty((8, 8), np.int64)
+                                cacs = np.zeros((4, 15), np.int64)
                                 for cbi in range(4):
                                     cbx, cby = cbi % 2, cbi // 2
                                     cac = cavlc_decode_block(
@@ -4674,31 +4870,25 @@ def h264_decode_gop(
                                     )
                                     nc_c[pi][
                                         cgy0 + cby, cgx0 + cbx
-                                    ] = sum(
-                                        1 for v in cac if v != 0
-                                    )
-                                    cm = np.zeros(16, np.int64)
-                                    cm[np.array(_ZZ4[1:])] = (
-                                        np.array(cac, np.int64)
-                                    )
-                                    d = _ac_dequant(
-                                        cm.reshape(4, 4), qpc
-                                    )
-                                    d[0, 0] = dccs[pi][cby, cbx]
-                                    r = (
-                                        _inv_transform4x4(d) + 32
-                                    ) >> 6
-                                    rec8[
-                                        cby * 4 : cby * 4 + 4,
-                                        cbx * 4 : cbx * 4 + 4,
-                                    ] = (
-                                        cpred[
-                                            cby * 4 : cby * 4 + 4,
-                                            cbx * 4 : cbx * 4 + 4,
-                                        ]
-                                        + r
-                                    )
-                                out8 = _uclip(rec8, 0, 255)
+                                    ] = 15 - cac.count(0)
+                                    cacs[cbi] = cac
+                                cm = np.zeros((4, 16), np.int64)
+                                cm[:, _ZZ4_ARR[1:]] = cacs
+                                d = _ac_dequant_batch(
+                                    cm.reshape(4, 4, 4), qpc
+                                )
+                                d[:, 0, 0] = dccs[pi].reshape(4)
+                                r = (
+                                    _inv_transform4x4_batch(d) + 32
+                                ) >> 6
+                                out8 = _uclip(
+                                    cpred
+                                    + r.reshape(2, 2, 4, 4)
+                                    .swapaxes(1, 2)
+                                    .reshape(8, 8),
+                                    0,
+                                    255,
+                                )
                             elif cbpc_i:
                                 rc = (dccs[pi] + 32) >> 6
                                 out8 = _uclip(
@@ -4923,9 +5113,10 @@ def h264_decode_gop(
                 )
                 dc = _luma_dc_dequant(c_zz, qp)
                 if cbp_luma:
-                    # Intra16x16ACLevel, 16 blocks in §6.4.3
-                    # z-scan; real nC bookkeeping per block
-                    rec_mb = np.empty((16, 16), np.int64)
+                    # Intra16x16ACLevel, 16 blocks in §6.4.3 z-scan;
+                    # real nC bookkeeping per block during the parse,
+                    # then one batched dequant + inverse transform
+                    acm = np.empty((16, 15), np.int64)
                     for bi in range(16):
                         bx, by = _BLK_SCAN[bi]
                         ac = cavlc_decode_block(
@@ -4935,24 +5126,15 @@ def h264_decode_gop(
                             ),
                             max_coeff=15,
                         )
-                        nc_grid[gy0 + by, gx0 + bx] = sum(
-                            1 for v in ac if v != 0
-                        )
-                        cm = np.zeros(16, np.int64)
-                        cm[_ZZ4[1:]] = ac
-                        d = _ac_dequant(cm.reshape(4, 4), qp)
-                        d[0, 0] = dc[by, bx]
-                        r = (_inv_transform4x4(d) + 32) >> 6
-                        rec_mb[
-                            by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
-                        ] = (
-                            pred[
-                                by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4
-                            ]
-                            + r
-                        )
+                        nc_grid[gy0 + by, gx0 + bx] = 15 - ac.count(0)
+                        acm[bi] = ac
+                    cm = np.zeros((16, 16), np.int64)
+                    cm[:, _ZZ4_ARR[1:]] = acm
+                    d = _ac_dequant_batch(cm.reshape(16, 4, 4), qp)
+                    d[:, 0, 0] = dc[_BLK_SCAN_BY, _BLK_SCAN_BX]
+                    r = (_inv_transform4x4_batch(d) + 32) >> 6
                     y[y0 : y0 + 16, x0 : x0 + 16] = _uclip(
-                        rec_mb, 0, 255
+                        pred + _mb_from_blocks(r), 0, 255
                     )
                 else:
                     r = (dc + 32) >> 6
@@ -4983,9 +5165,10 @@ def h264_decode_gop(
                     )
                     if cbp_chroma == 2:
                         # chroma AC: 4 blocks in raster scan, nC
-                        # from the per-plane chroma grid (§9.2.1)
+                        # from the per-plane chroma grid (§9.2.1);
+                        # parse sequentially, reconstruct batched
                         cgx0, cgy0 = mx * 2, my * 2
-                        rec8 = np.empty((8, 8), np.int64)
+                        cacs = np.empty((4, 15), np.int64)
                         for cbi in range(4):
                             cbx, cby = cbi % 2, cbi // 2
                             cac = cavlc_decode_block(
@@ -4999,25 +5182,23 @@ def h264_decode_gop(
                                 ),
                                 max_coeff=15,
                             )
-                            nc_c[pi][cgy0 + cby, cgx0 + cbx] = sum(
-                                1 for v in cac if v != 0
+                            nc_c[pi][cgy0 + cby, cgx0 + cbx] = (
+                                15 - cac.count(0)
                             )
-                            cm = np.zeros(16, np.int64)
-                            cm[_ZZ4[1:]] = cac
-                            d = _ac_dequant(cm.reshape(4, 4), qpc)
-                            d[0, 0] = dccs[pi][cby, cbx]
-                            r = (_inv_transform4x4(d) + 32) >> 6
-                            rec8[
-                                cby * 4 : cby * 4 + 4,
-                                cbx * 4 : cbx * 4 + 4,
-                            ] = (
-                                cpred[
-                                    cby * 4 : cby * 4 + 4,
-                                    cbx * 4 : cbx * 4 + 4,
-                                ]
-                                + r
-                            )
-                        cpred = _uclip(rec8, 0, 255)
+                            cacs[cbi] = cac
+                        cm = np.zeros((4, 16), np.int64)
+                        cm[:, _ZZ4_ARR[1:]] = cacs
+                        d = _ac_dequant_batch(cm.reshape(4, 4, 4), qpc)
+                        d[:, 0, 0] = dccs[pi].reshape(4)
+                        r = (_inv_transform4x4_batch(d) + 32) >> 6
+                        cpred = _uclip(
+                            cpred
+                            + r.reshape(2, 2, 4, 4)
+                            .swapaxes(1, 2)
+                            .reshape(8, 8),
+                            0,
+                            255,
+                        )
                     elif cbp_chroma:
                         rc = (dccs[pi] + 32) >> 6
                         cpred = _uclip(

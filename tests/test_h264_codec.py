@@ -2521,3 +2521,72 @@ class TestB8x8SubMacroblocks:
             assert sum(s["b8x8"] for s in bst) == 2 * mbs
             for k in ("b8_dir", "b8_l0", "b8_l1", "b8_bi"):
                 assert sum(s[k] for s in bst) == 2 * mbs, (doc, k)
+
+
+class TestBatchedBlockKernels:
+    """The round-15 per-MB batched forms must equal the scalar
+    per-block forms element for element (the scalar forms stay as the
+    executable spec)."""
+
+    def test_inv_transform_batch_matches_scalar(self):
+        rng = np.random.default_rng(7)
+        d = rng.integers(-(1 << 20), 1 << 20, size=(64, 4, 4))
+        got = hc._inv_transform4x4_batch(d)
+        for i in range(d.shape[0]):
+            assert np.array_equal(got[i], hc._inv_transform4x4(d[i])), i
+
+    def test_ac_dequant_batch_matches_scalar(self):
+        rng = np.random.default_rng(8)
+        c = rng.integers(-512, 512, size=(32, 4, 4))
+        for qp in (0, 5, 17, 28, 40, 51):
+            got = hc._ac_dequant_batch(c, qp)
+            for i in range(c.shape[0]):
+                assert np.array_equal(got[i], hc._ac_dequant(c[i], qp)), (
+                    qp, i,
+                )
+
+    def test_dense8_batch_matches_scalar(self):
+        rng = np.random.default_rng(9)
+        # adversarial rows: all-zero, exactly 8, tie-heavy, dense
+        rows = [
+            [0] * 15,
+            [1] * 8 + [0] * 7,
+            [2, -2, 2, -2, 2, -2, 2, -2, 2, -2, 2, 0, 0, 0, 0],
+            list(rng.integers(-3, 4, size=15)),
+            list(rng.integers(-100, 100, size=15)),
+            [5] * 15,
+            [0, 0, 1, 0, 0, -1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        ]
+        rows += [list(rng.integers(-4, 5, size=15)) for _ in range(40)]
+        a = np.array(rows, np.int64)
+        got = hc._dense8_batch(a)
+        for i, row in enumerate(rows):
+            assert got[i].tolist() == hc._dense8([int(v) for v in row]), (
+                i, row,
+            )
+
+    def test_mb_block_gather_scatter_roundtrip(self):
+        rng = np.random.default_rng(10)
+        pix = rng.integers(0, 256, size=(16, 16))
+        blocks = hc._mb_blocks(pix)
+        for bi, (bx, by) in enumerate(hc._BLK_SCAN):
+            assert np.array_equal(
+                blocks[bi], pix[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+            ), bi
+        assert np.array_equal(hc._mb_from_blocks(blocks), pix)
+
+    def test_vlc_int_reader_matches_tables(self):
+        """_read_vlc over every (table, code) pair decodes to the
+        table's entry and consumes exactly the code's length."""
+        for table in (
+            hc._CT_NC02_DEC, hc._CT_NCM1_DEC, hc._CT_NC8_DEC,
+            *hc._TZ_DEC.values(), *hc._TZ_CDC_DEC.values(),
+            *hc._RB_DEC.values(),
+        ):
+            for code, want in table.items():
+                bw = hc._EgWriter()
+                hc._put_bits(bw, code + "1010101")  # trailing noise
+                bw.align_zero()
+                br = hc._EgReader(bw.tobytes())
+                assert hc._read_vlc(br, table) == want, code
+                assert br.i == len(code), code
