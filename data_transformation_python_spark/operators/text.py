@@ -1206,6 +1206,56 @@ def _bpe_train_local(rows: list, k: int) -> tuple[list, list]:
     return state, merges
 
 
+def _bpe_pair_argmax(cur: DataFrame) -> list:
+    """Corpus-weighted adjacent-pair count + argmax over the bounded
+    (word, cnt, symstr) state — ONE collected row [(a, b, c)] or [].
+
+    The counting runs as per-partition dict partials behind
+    ``mapInArrow`` (optimization guide §4.2) instead of the former
+    JVM split + explode + hash-aggregate over every adjacent
+    position: only the tiny (pair, partial-count) relation is
+    shuffled, and the final SUM + ORDER BY c DESC, a, b LIMIT 1 runs
+    in Spark exactly as before, so tie-breaks and string ordering are
+    unchanged.  Every adjacent position counts (overlaps included),
+    identical to ``bpe_pair_count_sql``."""
+    import pyarrow as pa
+
+    def fn(batches):
+        d: dict = {}
+        for batch in batches:
+            cnts = batch.column("cnt").to_pylist()
+            strs = batch.column("symstr").to_pylist()
+            get = d.get
+            for c, s in zip(cnts, strs):
+                syms = s[1:-1].split(" ")
+                prev_s = syms[0]
+                for sym in itertools.islice(syms, 1, None):
+                    key = (prev_s, sym)
+                    d[key] = get(key, 0) + c
+                    prev_s = sym
+        if d:
+            keys = list(d)
+            yield pa.record_batch(
+                [
+                    pa.array([a for a, _ in keys], type=pa.string()),
+                    pa.array([b for _, b in keys], type=pa.string()),
+                    pa.array([d[k] for k in keys], type=pa.int64()),
+                ],
+                names=["a", "b", "c"],
+            )
+
+    partials = cur.select("cnt", "symstr").mapInArrow(
+        fn, "a string, b string, c bigint"
+    )
+    return (
+        partials.groupBy("a", "b")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+        .limit(1)
+        .collect()
+    )
+
+
 def _bpe_train(
     df: DataFrame, text_col: str, k: int,
     words: DataFrame | None = None,
@@ -1264,18 +1314,12 @@ def _bpe_train(
             F.lit(" "),
         ).alias("symstr"),
     )
-    view = f"__bpe_cur_{next(_BPE_VIEW_SEQ)}"
     merges: list[tuple] = []
     prev: DataFrame | None = None
     try:
         for step in range(k):
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-            cur.selectExpr(
-                "word", "cnt", f"{_BPE_SYMS_FROM_STR} AS syms"
-            ).createOrReplaceTempView(view)
-            best = spark.sql(
-                bpe_pair_count_sql(f"SELECT * FROM {view}", "spark")
-            ).collect()
+            best = _bpe_pair_argmax(cur)
             if prev is not None:
                 prev.unpersist()
             if not best or best[0]["c"] is None:
@@ -1299,7 +1343,6 @@ def _bpe_train(
         if prev is not None:
             prev.unpersist()
     finally:
-        spark.catalog.dropTempView(view)
         if own_words:
             words.unpersist()
     return cur, merges
@@ -1431,21 +1474,29 @@ def bpe_vocab_model_sql(
             " CAST(SUM(CASE WHEN a IS NOT NULL THEN cnt END)"
             f" OVER (PARTITION BY a, b) AS BIGINT) AS pc FROM e{i})"
         )
+        # regroup to ONE candidate row per word BEFORE the global
+        # argmax window (optimization round 15): MIN over a struct is
+        # partially aggregable, so the hash aggregate combines
+        # map-side and the single-partition MIN() OVER () sees only
+        # the vocab-sized per-word candidates instead of every
+        # exploded adjacent position.  MIN ignores NULLs and is
+        # associative, so min-per-word then min-over-words equals the
+        # former min-over-all-positions exactly.
         parts.append(
-            f",g{i} AS (SELECT word, cnt, symstr,"
+            f",m{i} AS (SELECT word, cnt, symstr,"
             " MIN(CASE WHEN a IS NOT NULL THEN"
-            " struct(-pc AS negc, a, b) END) OVER () AS best"
-            f" FROM p{i})"
+            " struct(-pc AS negc, a, b) END) AS cand"
+            f" FROM p{i} GROUP BY word, cnt, symstr)"
         )
         parts.append(
-            f",m{i} AS (SELECT word, cnt, symstr, MIN(best) AS best"
-            f" FROM g{i} GROUP BY word, cnt, symstr)"
+            f",g{i} AS (SELECT word, cnt, symstr,"
+            f" MIN(cand) OVER () AS best FROM m{i})"
         )
         parts.append(
             f",s{i + 1} AS (SELECT word, cnt, CASE WHEN best IS NULL"
             " THEN symstr ELSE regexp_replace(symstr,"
             f" concat(' ', {qa}, ' ', {qb}, '(?= )'),"
-            f" concat(' ', {rep})) END AS symstr, best FROM m{i})"
+            f" concat(' ', {rep})) END AS symstr, best FROM g{i})"
         )
     union = "\nUNION ALL\n".join(
         f"(SELECT CAST({i} AS BIGINT) AS step, best.a AS left_sym,"
