@@ -2,11 +2,6 @@
 """Capture .explain('formatted') for the surfaces touched by the
 SECOND half of optimization round 15 into plans/r15/ (suffix r15b_*):
 
-- bpe_pair_argmax: the distributed per-merge-step pair-count argmax.
-  BEFORE: JVM split + explode + hash-aggregate + TakeOrdered over
-  every adjacent symbol position (bpe_pair_count_sql).  AFTER:
-  mapInArrow per-partition dict partials + a tiny pair aggregate
-  (_bpe_pair_argmax).
 - silver_vocab_bpe: the funnel's generated BPE trainer model.
   BEFORE: each step ran a global MIN() OVER () window over EVERY
   exploded adjacent position (single partition) followed by a
@@ -62,64 +57,12 @@ def main() -> None:
             fh.write(text)
         print("wrote", p)
 
-    # 1. the distributed BPE pair-count argmax, before vs after
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    words.count()
-    cur = words.select(
-        "word",
-        "cnt",
-        F.concat(
-            F.lit(" "),
-            F.array_join(F.expr(tx.bpe_charsplit_expr("word", "spark")),
-                         " "),
-            F.lit(" "),
-        ).alias("symstr"),
-    )
-    cur.selectExpr(
-        "word", "cnt", f"{tx._BPE_SYMS_FROM_STR} AS syms"
-    ).createOrReplaceTempView("__plan_bpe")
-    before = spark.sql(
-        tx.bpe_pair_count_sql("SELECT * FROM __plan_bpe", "spark")
-    )
-    put("bpe_pair_argmax_r15b_before", fmt(before), header=(
-        "BEFORE (r15b): per merge step, JVM split + explode of every "
-        "adjacent symbol position + hash aggregate + TakeOrdered"
-    ))
-    spark.catalog.dropTempView("__plan_bpe")
+    # (a mapInArrow pair-count variant was captured here during the
+    # session, then REVERTED after the A/B measured it slower than
+    # the codegen'd explode at 1.5M distinct words — see
+    # OPTIMIZATION_r15.md §9)
 
-    # the after plan: exactly what _bpe_pair_argmax builds (the
-    # kernel body doesn't change the plan shape)
-    def _partials_plan(cur):
-        import pyarrow as pa
-
-        def fn(batches):
-            for batch in batches:
-                yield batch  # plan shape only; kernel identical
-
-        p = cur.select("cnt", "symstr").mapInArrow(
-            fn, "a string, b string, c bigint"
-        )
-        return (
-            p.groupBy("a", "b")
-            .agg(F.sum("c").cast("bigint").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-        )
-
-    put("bpe_pair_argmax_r15b_after", fmt(_partials_plan(cur)), header=(
-        "AFTER (r15b): mapInArrow per-partition dict partials "
-        "(_bpe_pair_argmax) — only (pair, partial count) rows reach "
-        "the aggregate; same Spark SUM + ORDER BY c DESC, a, b LIMIT 1"
-    ))
-    words.unpersist()
-
-    # 2. silver_vocab BPE branch, before (HEAD file) vs after
+    # 1. silver_vocab BPE branch, before (HEAD file) vs after
     def _render_vocab(sql_text):
         # the real Jinja branch starts at line begin (the header
         # comment contains a {% raw %} example of the same tag)
@@ -131,8 +74,8 @@ def main() -> None:
         return body
 
     head_sql = subprocess.run(
-        ["git", "show",
-         "HEAD:example_pipeline/models/silver/silver_vocab.sql"],
+        ["git", "show",  # the pre-r15b model (r15a end-of-round)
+         "2f51060:example_pipeline/models/silver/silver_vocab.sql"],
         capture_output=True, text=True, cwd=HERE,
     ).stdout
     cur_sql = open(os.path.join(
