@@ -232,6 +232,27 @@ class _EgReader:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
+    def level_prefix(self) -> int:
+        """§9.2.2.1 level_prefix: count of zero bits before the next
+        1 bit (the 1 is consumed).  One peek of up to 25 bits replaces
+        the bit-at-a-time loop; identical failure modes (a 25th zero
+        -> 'beyond CAVLC range', running out of bits -> truncated)."""
+        i = self.i
+        avail = self._nbits - i
+        m = 25 if avail > 25 else avail
+        if m <= 0:
+            raise ValueError("truncated RBSP")
+        start, end = i >> 3, (i + m + 7) >> 3
+        chunk = int.from_bytes(self._data[start:end], "big")
+        window = (chunk >> ((end << 3) - (i + m))) & ((1 << m) - 1)
+        if window == 0:
+            if m == 25:
+                raise ValueError("level_prefix beyond CAVLC range")
+            raise ValueError("truncated RBSP")
+        zeros = m - window.bit_length()
+        self.i = i + zeros + 1
+        return zeros
+
     def align_zero(self) -> None:
         r = self.i & 7
         if r and self.u(8 - r) != 0:
@@ -859,11 +880,7 @@ def cavlc_decode_block(
         levels.append(-1 if br.u(1) else 1)
     suffix_len = 1 if total > 10 and t1 < 3 else 0
     for idx in range(total - t1):
-        prefix = 0
-        while br.u(1) == 0:
-            prefix += 1
-            if prefix > 24:
-                raise ValueError("level_prefix beyond CAVLC range")
+        prefix = br.level_prefix()
         if prefix >= 15:
             size = prefix - 3
             level_code = (15 << suffix_len) + br.u(size)
