@@ -65,15 +65,23 @@ e AS (
            reverse(aggregate(sequence(1, n), array(CAST(0 AS BIGINT)), (acc, s) -> array_append(acc, LEAST(IF(1 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 1)) * 8192 + shiftleft(1, n - s + 1), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 1 + 1), CAST(1099511627776 AS BIGINT)), IF(2 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 2)) * 8192 + shiftleft(1, n - s + 2), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 2 + 1), CAST(1099511627776 AS BIGINT)), IF(3 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 3)) * 8192 + shiftleft(1, n - s + 3), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 3 + 1), CAST(1099511627776 AS BIGINT)), IF(4 <= s, COALESCE(try_element_at(vmap, substr(word, n - s + 1, 4)) * 8192 + shiftleft(1, n - s + 4), CAST(1099511627776 AS BIGINT)) + element_at(acc, s - 4 + 1), CAST(1099511627776 AS BIGINT)))))) AS sp
     FROM w CROSS JOIN m
 ),
-cand AS (
-    SELECT word, n, dp, sp, vmap, j, explode(sequence(1, 4)) AS L
-    FROM (SELECT word, n, dp, sp, vmap,
-                 explode(sequence(0, n - 1)) AS j FROM e)
-),
 seg AS (
-    SELECT word, substr(word, j + 1, L) AS piece
-    FROM cand
-    WHERE j + L <= n AND element_at(dp, j + 1) + try_element_at(vmap, substr(word, j + 1, L)) * 8192 + shiftleft(1, j + L) + element_at(sp, j + L + 1) = element_at(dp, n + 1)
+    -- per-word ON-PATH PIECE COUNT as a row-local higher-order
+    -- filter (optimization round 15): the former cand CTE exploded
+    -- up to 48 (j, L) rows per word (each carrying dp/sp and the
+    -- broadcast vocab map) and the doc join then multiplied doc
+    -- words by pieces.  The HOF evaluates the SAME per-(j, L)
+    -- equality and keeps only its COUNT, so the join is one row per
+    -- distinct word: SUM(np) ≡ the former COUNT(piece), and a word
+    -- with zero matches (np 0 here; formerly a NULL piece after the
+    -- left join) counts as unsegmented via the np = 0 arm below
+    SELECT word,
+           CAST(size(flatten(transform(sequence(0, n - 1), j ->
+               filter(transform(sequence(1, least(4, n - j)), L ->
+                   CASE WHEN element_at(dp, j + 1) + try_element_at(vmap, substr(word, j + 1, L)) * 8192 + shiftleft(1, j + L) + element_at(sp, j + L + 1) = element_at(dp, n + 1)
+                        THEN substr(word, j + 1, L) END),
+                   p -> p IS NOT NULL)))) AS BIGINT) AS np
+    FROM e
 ),
 dw AS (
     SELECT doc_id, word
@@ -82,8 +90,8 @@ dw AS (
     WHERE word <> '' AND length(word) <= 12
 ),
 pc AS (
-    SELECT dw.doc_id, CAST(COUNT(s.piece) AS BIGINT) AS n_pieces,
-           CAST(SUM(CASE WHEN s.piece IS NULL THEN 1 ELSE 0 END)
+    SELECT dw.doc_id, CAST(COALESCE(SUM(s.np), 0) AS BIGINT) AS n_pieces,
+           CAST(SUM(CASE WHEN s.np IS NULL OR s.np = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_unseg
     FROM dw LEFT JOIN seg s ON dw.word = s.word
     GROUP BY dw.doc_id
