@@ -110,6 +110,56 @@ def main() -> None:
         ),
     )
 
+    # 2. silver_tokenized unigram branch, before (r15a file) vs after
+    # (row-local HOF piece COUNT — the doc join shrinks to one row
+    # per distinct word).  Rendered with the vocab as a one-row map
+    # over a tiny literal relation; the decontam side is the word
+    # table re-labeled (plan SHAPE is what the artifact shows).
+    def _render_tok(sql_text):
+        body = sql_text.split("{% else %}", 1)[1]
+        body = body.split("{% endif %}", 1)[0]
+        return (
+            body.replace("{{ ref('silver_vocab') }}", "__plan_vocab")
+            .replace("{{ ref('silver_words') }}", "__plan_words")
+            .replace("{{ ref('silver_decontam') }}", "__plan_decon")
+        )
+
+    spark.sql(
+        "SELECT 'a' AS piece, CAST(1 AS BIGINT) AS neg_logprob_q"
+    ).createOrReplaceTempView("__plan_vocab")
+    docs.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        "'en' AS predicted_lang",
+    ).createOrReplaceTempView("__plan_decon")
+    tok_head = subprocess.run(
+        ["git", "show",
+         "2f51060:example_pipeline/models/silver/silver_tokenized.sql"],
+        capture_output=True, text=True, cwd=HERE,
+    ).stdout
+    tok_cur = open(os.path.join(
+        HERE, "example_pipeline/models/silver/silver_tokenized.sql"
+    )).read()
+    put(
+        "silver_tokenized_unigram_r15b_before",
+        fmt(spark.sql(_render_tok(tok_head))),
+        header=(
+            "BEFORE (r15b): cand CTE explodes up to 48 (j, L) rows "
+            "per word (carrying dp/sp + the vocab map); the doc join "
+            "multiplies doc words by on-path pieces"
+        ),
+    )
+    put(
+        "silver_tokenized_unigram_r15b_after",
+        fmt(spark.sql(_render_tok(tok_cur))),
+        header=(
+            "AFTER (r15b): per-word on-path piece COUNT via a "
+            "row-local HOF — one row per distinct word into the doc "
+            "join; SUM(np) ≡ the former COUNT(piece)"
+        ),
+    )
+
     # 3. h264pr — plan shape unchanged by design
     put(
         "multimodal_h264pr_meta_r15b_after",
