@@ -1414,7 +1414,22 @@ def bpe_vocab_model_sql(
     the unrolled plan stays linear in k.  The single-partition global
     window runs over the DISTINCT-WORD state (vocab-sized, bounded by
     the language, not the corpus), the same control-plane budget as
-    the operator path's 1-row argmax collect (``bpe_learn``)."""
+    the operator path's 1-row argmax collect (``bpe_learn``).
+
+    Output shape (optimization round 15 continuation): the merge
+    table is read from the FINAL state CTE only — each step appends
+    its chosen merge to a ``merges`` array carried on every row (the
+    append is global-constant per step, so every row holds the same
+    array), and one posexplode of one row emits the k output rows.
+    The former k per-step ``LIMIT 1`` output arms each re-referenced
+    s{i} and therefore re-instantiated the whole chain up to step i
+    under CTE inlining (measured: 144 Window nodes / 64 Exchanges /
+    16 scans in the k=8 plan, none reused); the single-reader form
+    keeps the executed plan at the chain's own 16 windows.  A NULL
+    best (pairs exhausted) is not appended and every later step is
+    then also NULL (merging nothing changes nothing), so the
+    posexplode positions equal the former arms' step numbers
+    exactly."""
     qa, qb = _sql_regex_quote("best.a"), _sql_regex_quote("best.b")
     rep = _sql_regex_replacement("concat(best.a, best.b)")
     # the word histogram comes from the MATERIALIZED silver_words
@@ -1423,19 +1438,19 @@ def bpe_vocab_model_sql(
     parts = [
         "WITH w AS (SELECT word, cnt FROM " + words_rel + "),",
         "s0 AS (SELECT word, cnt, " + _SQL_CHARSPLIT_SYMSTR + " AS symstr,"
-        " CAST(NULL AS struct<negc: bigint, a: string, b: string>)"
-        " AS best FROM w)",
+        " CAST(array() AS array<struct<negc: bigint, a: string,"
+        " b: string>>) AS merges FROM w)",
     ]
     for i in range(k):
         parts.append(
-            f",e{i} AS (SELECT word, cnt, symstr, syms[j] AS a,"
-            f" syms[j + 1] AS b FROM (SELECT word, cnt, symstr,"
+            f",e{i} AS (SELECT word, cnt, symstr, merges, syms[j] AS a,"
+            f" syms[j + 1] AS b FROM (SELECT word, cnt, symstr, merges,"
             f" {_BPE_SYMS_FROM_STR} AS syms FROM s{i})"
             " LATERAL VIEW OUTER explode(slice(sequence(0, size(syms)),"
             " 1, greatest(size(syms) - 1, 0))) t AS j)"
         )
         parts.append(
-            f",p{i} AS (SELECT word, cnt, symstr, a, b,"
+            f",p{i} AS (SELECT word, cnt, symstr, merges, a, b,"
             " CAST(SUM(CASE WHEN a IS NOT NULL THEN cnt END)"
             f" OVER (PARTITION BY a, b) AS BIGINT) AS pc FROM e{i})"
         )
@@ -1446,31 +1461,36 @@ def bpe_vocab_model_sql(
         # the vocab-sized per-word candidates instead of every
         # exploded adjacent position.  MIN ignores NULLs and is
         # associative, so min-per-word then min-over-words equals the
-        # former min-over-all-positions exactly.
+        # former min-over-all-positions exactly.  ``merges`` is
+        # global-constant (every row carries the same array), so
+        # adding it to the group key changes no grouping.
         parts.append(
-            f",m{i} AS (SELECT word, cnt, symstr,"
+            f",m{i} AS (SELECT word, cnt, symstr, merges,"
             " MIN(CASE WHEN a IS NOT NULL THEN"
             " struct(-pc AS negc, a, b) END) AS cand"
-            f" FROM p{i} GROUP BY word, cnt, symstr)"
+            f" FROM p{i} GROUP BY word, cnt, symstr, merges)"
         )
         parts.append(
-            f",g{i} AS (SELECT word, cnt, symstr,"
+            f",g{i} AS (SELECT word, cnt, symstr, merges,"
             f" MIN(cand) OVER () AS best FROM m{i})"
         )
         parts.append(
             f",s{i + 1} AS (SELECT word, cnt, CASE WHEN best IS NULL"
             " THEN symstr ELSE regexp_replace(symstr,"
             f" concat(' ', {qa}, ' ', {qb}, '(?= )'),"
-            f" concat(' ', {rep})) END AS symstr, best FROM g{i})"
+            f" concat(' ', {rep})) END AS symstr, CASE WHEN best IS NULL"
+            " THEN merges ELSE array_append(merges, best) END AS merges"
+            f" FROM g{i})"
         )
-    union = "\nUNION ALL\n".join(
-        f"(SELECT CAST({i} AS BIGINT) AS step, best.a AS left_sym,"
-        " best.b AS right_sym, concat(best.a, best.b) AS merged,"
-        f" -best.negc AS pair_count FROM s{i + 1}"
-        " WHERE best IS NOT NULL LIMIT 1)"
-        for i in range(k)
+    tail = (
+        "SELECT CAST(p AS BIGINT) AS step, m.a AS left_sym,"
+        " m.b AS right_sym, concat(m.a, m.b) AS merged,"
+        " -m.negc AS pair_count\n"
+        f"FROM (SELECT merges FROM s{k} LIMIT 1)\n"
+        "LATERAL VIEW posexplode(merges) t AS p, m\n"
+        "ORDER BY step"
     )
-    return "\n".join(parts) + "\n" + union + "\nORDER BY step"
+    return "\n".join(parts) + "\n" + tail
 
 
 def bpe_serve_model_sql(
