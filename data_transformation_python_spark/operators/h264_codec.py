@@ -133,12 +133,15 @@ class _EgWriter:
     def u(self, value: int, n: int) -> None:
         acc = (self._acc << n) | (value & ((1 << n) - 1))
         nb = self._nbits + n
-        buf = self._buf
-        while nb >= 8:
-            nb -= 8
-            buf.append((acc >> nb) & 0xFF)
+        if nb >= 8:
+            # bulk emit via int.to_bytes (one C call) — same MSB-first
+            # byte order the former per-byte loop produced
+            rem = nb & 7
+            self._buf += (acc >> rem).to_bytes((nb - rem) >> 3, "big")
+            acc &= (1 << rem) - 1
+            nb = rem
         self._nbits = nb
-        self._acc = acc & ((1 << nb) - 1)
+        self._acc = acc
 
     def ue(self, value: int) -> None:
         code = value + 1
@@ -717,22 +720,27 @@ def _int_codes(table: dict) -> dict:
     return cached[1]
 
 
-# decode twins keyed (code_length, code_value) plus the table's max
-# code length, enabling a single contiguous peek per VLC read
-_VLC_INT: dict[int, tuple] = {}
-_VLC_MISS = object()
+# decode twins as DENSE first-tmax-bits lookup lists (2^tmax slots,
+# tmax <= 16), cached by table identity: one contiguous peek + one
+# list index per VLC read.  Prefix-freeness makes each code's slot
+# range disjoint, so dense[padded_window] is the unique code whose
+# bits prefix the window (or None).
+_VLC_DENSE: dict[int, tuple] = {}
 
 
 def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
-    cached = _VLC_INT.get(id(table))
+    cached = _VLC_DENSE.get(id(table))
     if cached is None or cached[0] is not table:
-        cached = (
-            table,
-            {(len(k), int(k, 2)): v for k, v in table.items()},
-            max(len(k) for k in table),
-        )
-        _VLC_INT[id(table)] = cached
-    _, t, tmax = cached
+        tmax = max(len(k) for k in table)
+        dense: list = [None] * (1 << tmax)
+        for k, v in table.items():
+            ln = len(k)
+            width = 1 << (tmax - ln)
+            base = int(k, 2) << (tmax - ln)
+            dense[base:base + width] = [(v, ln)] * width
+        cached = (table, dense, tmax)
+        _VLC_DENSE[id(table)] = cached
+    _, dense, tmax = cached
     i = br.i
     avail = br._nbits - i
     m = tmax if tmax < avail else avail
@@ -741,12 +749,12 @@ def _read_vlc(br: _EgReader, table: dict[str, object], max_len: int = 16):
     start, end = i >> 3, (i + m + 7) >> 3
     chunk = int.from_bytes(br._data[start:end], "big")
     window = (chunk >> ((end << 3) - (i + m))) & ((1 << m) - 1)
-    # prefix code: the shortest matching prefix is THE match
-    for ln in range(1, m + 1):
-        hit = t.get((ln, window >> (m - ln)), _VLC_MISS)
-        if hit is not _VLC_MISS:
-            br.i = i + ln
-            return hit
+    # pad the m read bits with zeros to tmax; a hit longer than m
+    # means the match needed bits the stream doesn't have
+    hit = dense[window << (tmax - m)]
+    if hit is not None and hit[1] <= m:
+        br.i = i + hit[1]
+        return hit[0]
     if m < tmax:
         raise ValueError("truncated RBSP")
     raise ValueError(f"invalid VLC code at bit {i}")
@@ -795,35 +803,43 @@ def cavlc_encode_block(
     total = len(nz)
     if total > max_coeff:
         raise ValueError(f"more than {max_coeff} coefficients")
+    rnz = nz[::-1]
     t1 = 0
-    for _, c in reversed(nz):
+    for _, c in rnz:
         if abs(c) == 1 and t1 < 3:
             t1 += 1
         else:
             break
-    bw.u(*_int_codes(ct_table)[(t1, total)])
+    # the whole block's bits accumulate locally and flush as ONE
+    # bw.u() — same bit sequence, one writer call per block
+    acc, nb = _int_codes(ct_table)[(t1, total)]
     if total == 0:
+        bw.u(acc, nb)
         return
-    for _, c in list(reversed(nz))[:t1]:
-        bw.u(0 if c > 0 else 1, 1)  # trailing-one sign
+    for _, c in rnz[:t1]:
+        acc = (acc << 1) | (0 if c > 0 else 1)  # trailing-one sign
+        nb += 1
     suffix_len = 1 if total > 10 and t1 < 3 else 0
     first = True
-    for _, level in list(reversed(nz))[t1:]:
+    for _, level in rnz[t1:]:
         level_code = (level << 1) - 2 if level > 0 else -(level << 1) - 1
         if first and t1 < 3:
             level_code -= 2
-        # each branch writes the unary prefix (level_code>>suffix_len
-        # zeros then a 1) and the fixed-size suffix as ONE u() call —
+        # each branch appends the unary prefix (level_code>>suffix_len
+        # zeros then a 1) and the fixed-size suffix in one shift —
         # bit-identical to the separate prefix/suffix writes
         if suffix_len == 0 and level_code < 14:
-            bw.u(1, level_code + 1)
+            acc = (acc << (level_code + 1)) | 1
+            nb += level_code + 1
         elif suffix_len == 0 and level_code < 30:
-            bw.u((1 << 4) | (level_code - 14), 19)
+            acc = (acc << 19) | (1 << 4) | (level_code - 14)
+            nb += 19
         elif suffix_len > 0 and (level_code >> suffix_len) < 15:
-            bw.u(
-                (1 << suffix_len) | (level_code & ((1 << suffix_len) - 1)),
-                (level_code >> suffix_len) + 1 + suffix_len,
+            w = (level_code >> suffix_len) + 1 + suffix_len
+            acc = (acc << w) | (1 << suffix_len) | (
+                level_code & ((1 << suffix_len) - 1)
             )
+            nb += w
         else:
             # escape: prefix 15 carries a 12-bit suffix; prefixes 16+
             # carry (prefix-3)-bit suffixes over contiguous higher
@@ -841,7 +857,9 @@ def cavlc_encode_block(
                     if p > 24:
                         raise ValueError("level beyond CAVLC range")
                 size, suffix = p - 3, rem - base
-            bw.u((1 << size) | suffix, p + 1 + size)
+            w = p + 1 + size
+            acc = (acc << w) | (1 << size) | suffix
+            nb += w
         if suffix_len == 0:
             suffix_len = 1
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
@@ -850,14 +868,19 @@ def cavlc_encode_block(
     last_pos = nz[-1][0]
     total_zeros = last_pos + 1 - total
     if total < max_coeff:
-        bw.u(*_int_codes(tz_table[total])[total_zeros])
+        v, w = _int_codes(tz_table[total])[total_zeros]
+        acc = (acc << w) | v
+        nb += w
     zeros_left = total_zeros
     for j in range(len(nz) - 1, 0, -1):
         if zeros_left <= 0:
             break
         run = nz[j][0] - nz[j - 1][0] - 1
-        bw.u(*_int_codes(_RUN_BEFORE[min(zeros_left, 7)])[run])
+        v, w = _int_codes(_RUN_BEFORE[min(zeros_left, 7)])[run]
+        acc = (acc << w) | v
+        nb += w
         zeros_left -= run
+    bw.u(acc, nb)
 
 
 def cavlc_decode_block(
