@@ -84,6 +84,10 @@ __all__ = [
 # gradients (pinned by tests/test_training.py).
 _LR_DRIVER_MAX = 500_000
 
+# flattened (b, c) pairs per task for the mapInArrow gradient loop —
+# see the task-sizing comment at the coalesce in lr_train
+_LR_ARROW_PAIRS_PER_TASK = 500_000
+
 # Test hook: True pins every iteration to the JVM try_sum plan (the
 # bounds-unprovable branch) so its equality with the fast paths stays
 # directly assertable without faking an overflow-scale corpus.
@@ -280,6 +284,24 @@ def lr_train(
     use_driver = n_feat_rows < _LR_DRIVER_MAX and not _LR_FORCE_JVM
     use_arrow = not use_driver and not _LR_FORCE_JVM
 
+    # Python-boundary iteration jobs pay a fixed per-task round-trip
+    # (schedule + worker IPC + Arrow frame per task), so size tasks by
+    # DATA: ~500k flattened feature pairs each (measured at 50k docs /
+    # 1.85M pairs: 32 tasks 0.39 s/iteration, 4-8 tasks 0.25-0.29 s,
+    # 1 task 0.41 s — single-task serializes transfer and compute).
+    # coalesce() is shuffle-free over the persisted frame, the count
+    # grows linearly with data, and the floor of 2 keeps transfer and
+    # numpy work overlapping.  Partition layout cannot change values:
+    # per-doc z never crosses batches and the (b, g) partials are
+    # summed by the same try_sum regardless of grouping.
+    feats_loop = feats.select("y", "counts")
+    if use_arrow:
+        nparts = max(2, min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_feat_rows // _LR_ARROW_PAIRS_PER_TASK),
+        ))
+        feats_loop = feats_loop.coalesce(nparts)
+
     def _extract_np(y_col, counts_col):
         """(y, idx, c, lens, starts) numpy views of one Arrow batch /
         table — shared by the driver-local and mapInArrow paths."""
@@ -345,7 +367,7 @@ def lr_train(
             )
 
         return (
-            feats.select("y", "counts")
+            feats_loop
             .mapInArrow(fn, "b bigint, g bigint")
             .groupBy("b")
             .agg(F.expr("try_sum(g)").alias("g"))
