@@ -2173,9 +2173,12 @@ def _adm_dedup_pass(df: DataFrame, indexes: list) -> DataFrame:
     """Probe the four static band indexes (broadcast stream-static
     left joins) and keep docs no band bucket of which holds a
     smaller doc_id — the batch greedy keep-smallest rule, row-local
-    on the stream side."""
-    for b, idx in enumerate(indexes):
-        idx = idx.select(
+    on the stream side.  ``indexes`` is the one-element list holding
+    the combined (band, bkey, min_id) index; each band's probe is a
+    band filter over it."""
+    combined = indexes[0]
+    for b in range(4):
+        idx = combined.filter(F.col("band") == b).select(
             F.col("bkey").alias(f"ibk{b}"), F.col("min_id").alias(f"min{b}")
         )
         df = df.join(
@@ -2360,17 +2363,30 @@ def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
     survivors = None
     try:
         qual = enriched.filter("quality")
-        indexes = [
-            qual.groupBy(F.col(f"bkey{b}").alias("bkey"))
-            .agg(F.min("doc_id").alias("min_id"))
+        # ALL FOUR band indexes from ONE pass over the enrich cache
+        # (round 15 continuation): the former per-band groupBy ran 4
+        # build jobs + 4 materialization counts; posexplode emits the
+        # (band, bkey) pairs once and a single grouped aggregate holds
+        # every band's min — identical per-band content (min over the
+        # same groups; NULL bkeys dropped as before).  Returned as a
+        # one-element list; _adm_dedup_pass derives the four broadcast
+        # probes by band filter.
+        combined = (
+            qual.select(
+                "doc_id",
+                F.posexplode(
+                    F.array("bkey0", "bkey1", "bkey2", "bkey3")
+                ).alias("band", "bkey"),
+            )
             .filter(F.col("bkey").isNotNull())
+            .groupBy("band", "bkey")
+            .agg(F.min("doc_id").alias("min_id"))
             .persist()
-            for b in range(4)
-        ]
-        # materialize the indexes while the enrich cache is hot —
-        # they outlive this function as the stream's broadcast probes
-        for ix in indexes:
-            ix.count()
+        )
+        # materialize while the enrich cache is hot — it outlives
+        # this function as the stream's broadcast probe source
+        combined.count()
+        indexes = [combined]
         survivors = _adm_dedup_pass(qual, indexes).select(
             "doc_id", "lang", "n_tokens", "t2", "sc_text"
         ).persist()
@@ -2403,7 +2419,11 @@ def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
             .join(F.broadcast(bench), "shingle")
             .select("doc_id").distinct()
         )
-        decon = tr.join(hits, "doc_id", "left_anti")
+        # persisted: BOTH remaining control-plane jobs (the gram
+        # histograms and the top-k cutoff) read decon, and without
+        # the cache the 8-gram explode + broadcast-probe hits chain
+        # re-derives per job (round 15 continuation)
+        decon = tr.join(hits, "doc_id", "left_anti").persist()
 
         # both DSIR histograms in ONE pass over the exploded grams
         # (keyed by target-membership) instead of two corpus scans
@@ -2449,6 +2469,7 @@ def _adm_batch_artifacts(spark: SparkSession, docs: DataFrame):
             cs, cd = int(top[-1]["s"]), int(top[-1]["doc_id"])
         else:  # nothing scored: admit no dsir docs
             cs, cd = (1 << 62), -1
+        decon.unpersist()
         return indexes, score, cs, cd
     finally:
         enriched.unpersist()
